@@ -1,0 +1,40 @@
+"""Named queries: one registry entry per implemented operator.
+
+This module is the single place that binds operators to the driver
+contract (queries() + oracle_sql() in __spark_entry__.py). Query
+names reference the SURVEY.md §2 inventory ids they exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import trades, window_agg
+from ts_data_pipeline_spark.registry import register
+
+# DuckDB-side projection matching trades.events_as_option_trades.
+TRADES_SQL = f"""
+SELECT
+  user_id AS osym,
+  ts,
+  value AS premium,
+  {trades.QTY_SQL} AS qty,
+  {trades.SIDE_SQL} AS side,
+  {trades.OTYPE_SQL} AS otype,
+  value > {trades.WHALE} AS whale
+FROM events
+"""
+
+
+def flagship_option_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A11 — 1-minute tumbling keyed conditional-sum fan-out."""
+    events = io.load(spark, sf_dir, "events")
+    return window_agg.option_window_agg(trades.events_as_option_trades(events))
+
+
+register(
+    "flagship_option_window_agg",
+    flagship_option_window_agg,
+    window_agg.option_window_agg_sql(TRADES_SQL, bucket="minute"),
+)
