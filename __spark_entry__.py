@@ -20,7 +20,7 @@ from ts_data_pipeline_spark import registry
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from ts_data_pipeline_spark.queries import flagship_option_window_agg
+    from ts_data_pipeline_spark.queries.flagship import flagship_option_window_agg
 
     return flagship_option_window_agg(spark, "/root/testdata/sf0.001")
 

@@ -1,0 +1,109 @@
+"""Data-quality / observability operators (SURVEY §2.7, Q1-Q6).
+
+Reference: the MarketDataMonitor in
+/root/reference/darkpool_trades/metrics.py:90-183 — required-field
+checks, latency, sequential price-gap detection, zero-price and
+staleness counters, and a summary frame.
+
+Spark-first restatement: the per-message mutable counters become
+window functions (lag over event-time per key) feeding one grouped
+aggregation — a single shuffle-light plan instead of a driver-side
+deque. At 100 TB the lag window shuffles once by key and the final
+agg reuses map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def data_quality_summary(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    price: str = "value",
+    group: str = "event_type",
+    gap_pct: float = 2.0,
+    stale_us: int = 3_600_000_000,
+    zero_eps: float = 0.02,
+) -> DataFrame:
+    """Q1-Q4 composite: per-group quality counters.
+
+    - null/zero price counts (metrics.py:113-123),
+    - price gap vs previous print > gap_pct (metrics.py:104-115),
+    - inter-arrival staleness > stale_us (metrics.py:116-123),
+    - max inter-arrival gap (latency-style summary, metrics.py:102).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    prev_price = F.lag(price).over(w)
+    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))
+    enriched = events.select(
+        F.col(group).alias("grp"),
+        F.col(price).alias("price"),
+        prev_price.alias("prev_price"),
+        gap_us.alias("gap_us"),
+    )
+    return (
+        enriched.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("price").isNull(), 1).otherwise(0)).alias("null_price_cnt"),
+            F.sum(F.when(F.col("price") <= zero_eps, 1).otherwise(0)).alias("zero_price_cnt"),
+            F.sum(
+                F.when(
+                    F.col("prev_price").isNotNull()
+                    & (F.abs(F.col("price") / F.col("prev_price") - 1) > gap_pct),
+                    1,
+                ).otherwise(0)
+            ).alias("gap_cnt"),
+            F.sum(F.when(F.col("gap_us") > stale_us, 1).otherwise(0)).alias("stale_cnt"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+def data_quality_summary_sql(
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    price: str = "value",
+    group: str = "event_type",
+    gap_pct: float = 2.0,
+    stale_us: int = 3_600_000_000,
+    zero_eps: float = 0.02,
+) -> str:
+    """DuckDB oracle for data_quality_summary."""
+    return f"""
+WITH w AS (
+  SELECT
+    {group} AS grp,
+    {price} AS price,
+    lag({price}) OVER (PARTITION BY {key} ORDER BY {ts}) AS prev_price,
+    epoch_us({ts}) - lag(epoch_us({ts})) OVER (PARTITION BY {key} ORDER BY {ts}) AS gap_us
+  FROM {table}
+)
+SELECT
+  grp,
+  COUNT(*) AS n,
+  CAST(SUM(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price_cnt,
+  CAST(SUM(CASE WHEN price <= {zero_eps} THEN 1 ELSE 0 END) AS BIGINT) AS zero_price_cnt,
+  CAST(SUM(CASE WHEN prev_price IS NOT NULL
+                 AND abs(price / prev_price - 1) > {gap_pct}
+            THEN 1 ELSE 0 END) AS BIGINT) AS gap_cnt,
+  CAST(SUM(CASE WHEN gap_us > {stale_us} THEN 1 ELSE 0 END) AS BIGINT) AS stale_cnt,
+  MAX(gap_us) AS max_gap_us
+FROM w
+GROUP BY grp
+"""
+
+
+def required_field_nulls(df: DataFrame, fields: list[str]) -> DataFrame:
+    """Q1 — per-field null counts in one pass (metrics.py:100-101)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f).isNull(), 1).otherwise(0)).alias(f"null_{f}")
+            for f in fields
+        ],
+    )

@@ -53,6 +53,7 @@ def events_as_option_trades(events: DataFrame) -> DataFrame:
     """
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return events.select(
+        F.col("event_id").alias("trade_id"),
         F.col("user_id").alias("osym"),
         F.col("ts"),
         F.col("value").alias("premium"),

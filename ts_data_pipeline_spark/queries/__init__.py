@@ -1,0 +1,13 @@
+"""Named queries: importing this package registers every query.
+
+Each submodule binds one operator family from SURVEY.md §2 (or the
+north-star LLM-data set) to the driver contract: a PySpark callable
+plus, where SQL-expressible, a DuckDB oracle.
+"""
+
+from ts_data_pipeline_spark.queries import (  # noqa: F401
+    enrichment,
+    filters,
+    flagship,
+    quality,
+)

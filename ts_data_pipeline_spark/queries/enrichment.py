@@ -1,0 +1,216 @@
+"""Projection/transform/scalar operators (SURVEY §2.2, P1-P18).
+
+Each query exercises a family of pure-Column enrichment functions on
+the driver's stand-in tables, with an exactly-matching DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.functions import enrich
+from ts_data_pipeline_spark.operators import trades
+from ts_data_pipeline_spark.registry import register
+
+
+# --------------------------------------------------------------------
+# P1-P6 + P11: option-trade enrichment — projection, side derivation,
+# position-type, premium-bucket tags, tag merge, deterministic key.
+# Reference: option_trades/utils.py:66-149 (map_fields) and
+# darkpool_trades/main.py:88-92 (sha256 key).
+# --------------------------------------------------------------------
+
+def enrich_option_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
+    bucket_tags = enrich.premium_bucket_tags(
+        F.col("premium"), trades.LARGE_TRADE, trades.WHALE, trades.MILLIONAIRE
+    )
+    side_tag = F.when(F.col("side") == "buy", F.lit("ask_side")).when(
+        F.col("side") == "sell", F.lit("bid_side")
+    )
+    all_tags = enrich.merge_tags(bucket_tags, F.array_compact(F.array(side_tag)))
+    return t.select(
+        "trade_id",
+        "osym",
+        "ts",
+        "premium",
+        "qty",
+        "side",
+        "otype",
+        enrich.position_type(F.col("side"), F.col("otype")).alias("position_type"),
+        F.array_join(all_tags, ",").alias("tags"),
+        enrich.deterministic_key(F.col("osym"), F.col("trade_id")).alias("trade_key"),
+    )
+
+
+ENRICH_TRADES_SQL = f"""
+WITH t AS ({{trades_sql}})
+SELECT
+  trade_id, osym, ts, premium, qty, side, otype,
+  (CASE WHEN side = 'buy' THEN 'long_' WHEN side = 'sell' THEN 'short_'
+        ELSE 'no_side_' END) || otype AS position_type,
+  concat_ws(',',
+    CASE WHEN premium > {trades.LARGE_TRADE} THEN 'large_trade' END,
+    CASE WHEN premium > {trades.WHALE} AND premium <= {trades.MILLIONAIRE}
+         THEN 'whale' END,
+    CASE WHEN premium > {trades.MILLIONAIRE} THEN 'millionaire' END,
+    CASE WHEN side = 'buy' THEN 'ask_side'
+         WHEN side = 'sell' THEN 'bid_side' END) AS tags,
+  sha256(CAST(osym AS VARCHAR) || CAST(trade_id AS VARCHAR)) AS trade_key
+FROM t
+"""
+
+
+# --------------------------------------------------------------------
+# P8-P12: dark-pool enrichment — NBBO side classification, sigmoid
+# confidence, sentiment/condition tags, decimal value math, sha256 key.
+# Reference: darkpool_trades/main.py:71-133. The driver's orders table
+# stands in for the print feed; NBBO is derived deterministically so
+# price lands below/at/above mid to exercise every branch.
+# --------------------------------------------------------------------
+
+def darkpool_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = io.load(spark, sf_dir, "orders")
+    base = F.col("o_totalprice").cast("decimal(18,6)")
+    bid = base
+    ask = (base + F.lit(4)).cast("decimal(18,6)")
+    price = (base + (F.col("o_orderkey") % 5)).cast("decimal(18,6)")
+    qty = (F.col("o_orderkey") % 100 + 1).cast("int")
+    side = enrich.darkpool_side(price, bid, ask)
+    conf = enrich.side_confidence(
+        price.cast("double"), bid.cast("double"), ask.cast("double")
+    )
+    return o.select(
+        F.col("o_orderkey").alias("trade_id"),
+        F.col("o_orderkey").cast("string").alias("symbol"),
+        price.cast("decimal(24,6)").cast("string").alias("price"),
+        qty.alias("qty"),
+        (price * qty).cast("decimal(24,6)").cast("string").alias("value"),
+        side.alias("side"),
+        F.round(conf, 6).alias("confidence"),
+        enrich.sentiment_from_side(side).alias("sentiment"),
+        F.array_join(
+            enrich.condition_tags(F.col("o_orderpriority"), F.col("o_orderstatus")), ","
+        ).alias("cond_tags"),
+        enrich.deterministic_key(F.col("o_orderkey"), F.col("o_custkey")).alias("key"),
+    )
+
+
+DARKPOOL_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS bid,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) + 4 AS DECIMAL(18,6)) AS ask,
+         CAST(CAST(o_totalprice AS DECIMAL(18,6)) + (o_orderkey % 5)
+              AS DECIMAL(18,6)) AS price,
+         CAST(o_orderkey % 100 + 1 AS INTEGER) AS qty
+  FROM orders
+)
+SELECT
+  o_orderkey AS trade_id,
+  CAST(o_orderkey AS VARCHAR) AS symbol,
+  CAST(CAST(price AS DECIMAL(24,6)) AS VARCHAR) AS price,
+  qty,
+  CAST(CAST(price * qty AS DECIMAL(24,6)) AS VARCHAR) AS value,
+  CASE WHEN abs(price - bid) < abs(price - ask) THEN 'S'
+       WHEN abs(price - bid) > abs(price - ask) THEN 'B'
+       ELSE 'N' END AS side,
+  ROUND(2.0 / (1.0 + exp(-((CAST(price AS DOUBLE) -
+        (CAST(bid AS DOUBLE) + CAST(ask AS DOUBLE)) / 2) /
+        (CAST(ask AS DOUBLE) - CAST(bid AS DOUBLE))))) - 1.0, 6) AS confidence,
+  CASE WHEN abs(price - bid) < abs(price - ask) THEN 'sentiment:bearish'
+       WHEN abs(price - bid) > abs(price - ask) THEN 'sentiment:bullish'
+       ELSE 'sentiment:neutral' END AS sentiment,
+  concat_ws(',',
+    CASE WHEN o_orderpriority IS NOT NULL
+         THEN 'condition:' || o_orderpriority END,
+    CASE WHEN o_orderstatus IS NOT NULL
+         THEN 'condition:' || o_orderstatus END) AS cond_tags,
+  sha256(CAST(o_orderkey AS VARCHAR) || CAST(o_custkey AS VARCHAR)) AS key
+FROM t
+"""
+
+
+# --------------------------------------------------------------------
+# P7 + F2: equity-bar rename/projection with defaults-on-miss and the
+# required-field validator. Reference: equity_quotes/main.py:52-84.
+# part stands in for the vendor bar feed.
+# --------------------------------------------------------------------
+
+def equity_bar_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = io.load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").isNotNull())  # validate_message analog (F2)
+        .select(
+            F.col("p_brand").alias("symbol"),
+            F.coalesce(F.col("p_type"), F.lit("unknown")).alias("event"),
+            F.col("p_retailprice").alias("open"),
+            F.round(F.col("p_retailprice") * 1.1, 4).alias("high"),
+            F.round(F.col("p_retailprice") * 0.95, 4).alias("low"),
+            F.round((F.col("p_retailprice") * 1.1 + F.col("p_retailprice") * 0.95) / 2, 4).alias("vwap"),
+            (F.col("p_size").cast("bigint") * 100).alias("bar_volume"),
+            F.col("p_partkey").alias("bar_id"),
+        )
+    )
+
+
+EQUITY_BAR_SQL = """
+SELECT
+  p_brand AS symbol,
+  COALESCE(p_type, 'unknown') AS event,
+  p_retailprice AS open,
+  ROUND(p_retailprice * 1.1, 4) AS high,
+  ROUND(p_retailprice * 0.95, 4) AS low,
+  ROUND((p_retailprice * 1.1 + p_retailprice * 0.95) / 2, 4) AS vwap,
+  CAST(p_size AS BIGINT) * 100 AS bar_volume,
+  p_partkey AS bar_id
+FROM part
+WHERE p_name IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------
+# P15 + P18: JSON decode + field extraction (permissive ingestion).
+# Reference: json.loads at option_trades/utils.py:182 and nested
+# extraction news/main.py:62-67.
+# --------------------------------------------------------------------
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = io.load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        "ts",
+        k.alias("k_str"),
+        k.cast("int").alias("k"),
+        (k.cast("int") % 10).alias("k_mod10"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT
+  event_id,
+  ts,
+  json_extract_string(props, '$.k') AS k_str,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod10
+FROM events
+"""
+
+
+def _register() -> None:
+    from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
+
+    register(
+        "enrich_option_trades",
+        enrich_option_trades,
+        ENRICH_TRADES_SQL.format(trades_sql=TRADES_SQL),
+    )
+    register("darkpool_enrich", darkpool_enrich, DARKPOOL_SQL)
+    register("equity_bar_projection", equity_bar_projection, EQUITY_BAR_SQL)
+    register("json_props_extract", json_props_extract, JSON_PROPS_SQL)
+
+
+_register()

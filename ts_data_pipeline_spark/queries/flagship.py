@@ -1,8 +1,7 @@
-"""Named queries: one registry entry per implemented operator.
+"""Flagship: the option_trade_aggs pipeline in batch (SURVEY §7 ph.1).
 
-This module is the single place that binds operators to the driver
-contract (queries() + oracle_sql() in __spark_entry__.py). Query
-names reference the SURVEY.md §2 inventory ids they exercise.
+A1+A2+A11 — scan -> project/enrich -> keyed 1-minute tumbling
+window -> 24 conditional sums + count.
 """
 
 from __future__ import annotations
@@ -16,6 +15,7 @@ from ts_data_pipeline_spark.registry import register
 # DuckDB-side projection matching trades.events_as_option_trades.
 TRADES_SQL = f"""
 SELECT
+  event_id AS trade_id,
   user_id AS osym,
   ts,
   value AS premium,
