@@ -1,0 +1,311 @@
+"""QuerySpec: declarative time-series query evaluation.
+
+Mirrors the reference's Telemetry Query API request contract
+(tag-filtered, time-bucketed, interpolated, multi-aggregate queries
+over streams/parameters — /root/reference/dashboard/src/Models/
+getDataRequest.ts:18-57, groupByTimeSettings.ts:17-23,
+numericAggregationType.ts:16-29, interpolationType.ts:13-23,
+tagFilter.ts:17-27, ordering.ts:17-23, paging.ts:13-22).
+
+The evaluator compiles a spec into a single DataFrame chain:
+
+    time filter -> stream filter -> tag filters
+      -> groupBy(time_bucket, *tags) -> per-parameter aggregates
+      -> spine join + interpolation -> orderBy -> page
+
+Everything is built-in Column expressions (zero Python UDFs); the
+only genuinely custom operator is linear interpolation (A8) — a
+closed form over ignore-nulls last/first window frames, since Spark
+has no builtin (SURVEY §4 custom-work list).
+
+Scale notes: the aggregation is a standard partial+final hash agg on
+(bucket, tags) — the natural shuffle key. The interpolation spine is
+``sequence() + explode`` of bucket timestamps cross-joined with the
+distinct tag groups: both sides are tiny relative to the data
+(buckets x groups, not rows), and the fill windows partition by tag
+group — bounded state per group, no global sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Spec dataclasses (one per swagger model)
+# ---------------------------------------------------------------------------
+
+#: tagOperator.ts:16-23
+TAG_OPERATORS = ("Equal", "NotEqual", "Like", "NotLike")
+
+#: numericAggregationType.ts:16-29
+NUMERIC_AGGS = (
+    "None", "Mean", "Max", "Min", "First", "Last", "Sum", "Count",
+    "Median", "Spread",
+)
+
+#: interpolationType.ts:13-23
+INTERPOLATIONS = ("None", "Null", "Previous", "Linear")
+
+
+@dataclass
+class TagFilter:
+    """tagFilter.ts:17-27 — theta predicate on one tag value."""
+
+    tag: str
+    operator: str  # Equal | NotEqual | Like | NotLike
+    value: Union[str, Sequence[str]]
+
+
+@dataclass
+class NumericAggregation:
+    """numericParameterAggregation.ts:17-23."""
+
+    parameter: str
+    aggregation: str  # one of NUMERIC_AGGS
+
+
+@dataclass
+class GroupByTime:
+    """groupByTimeSettings.ts:17-23."""
+
+    duration: str  # e.g. "15 minutes" — must divide 24h evenly
+    interpolation: str = "None"
+
+
+@dataclass
+class Ordering:
+    """ordering.ts:17-23."""
+
+    by: str
+    direction: str = "Asc"  # Asc | Desc
+
+
+@dataclass
+class Paging:
+    """paging.ts:13-22 — fixed-size page N."""
+
+    index: int
+    length: int
+
+
+@dataclass
+class QuerySpec:
+    """getDataRequest.ts:18-57 (numeric-parameter subset + events)."""
+
+    numeric_aggregations: Sequence[NumericAggregation] = field(default_factory=list)
+    from_ts: Optional[str] = None  # ISO timestamp, inclusive
+    to_ts: Optional[str] = None  # ISO timestamp, exclusive
+    stream_ids: Optional[Sequence[str]] = None
+    tag_filters: Sequence[TagFilter] = field(default_factory=list)
+    group_by_time: Optional[GroupByTime] = None
+    group_by_tags: Sequence[str] = field(default_factory=list)
+    orderings: Sequence[Ordering] = field(default_factory=list)
+    paging: Optional[Paging] = None
+
+
+# ---------------------------------------------------------------------------
+# Evaluator
+# ---------------------------------------------------------------------------
+
+def _agg_column(spec: NumericAggregation, value: Column, ts: Column) -> tuple[str, Column]:
+    """One named aggregate column per (parameter, aggregation).
+
+    The long->wide pivot is conditional aggregation: rows of other
+    parameters contribute NULL, which every aggregate ignores —
+    Catalyst evaluates all requested parameters in one pass.
+    First/Last use min_by/max_by on event-time (deterministic given
+    unique (stream, ts)).
+    """
+    name = f"{spec.parameter}_{spec.aggregation.lower()}"
+    agg = spec.aggregation
+    if agg == "Mean":
+        col = F.round(F.avg(value), 4)
+    elif agg == "Max":
+        col = F.max(value)
+    elif agg == "Min":
+        col = F.min(value)
+    elif agg == "First":
+        col = F.min_by(value, F.when(value.isNotNull(), ts))
+    elif agg == "Last":
+        col = F.max_by(value, F.when(value.isNotNull(), ts))
+    elif agg == "Sum":
+        col = F.round(F.sum(value), 4)
+    elif agg == "Count":
+        col = F.count(value)
+    elif agg == "Median":
+        col = F.round(F.median(value), 4)
+    elif agg == "Spread":
+        col = F.round(F.max(value) - F.min(value), 4)
+    else:
+        raise ValueError(f"unsupported aggregation {agg!r}")
+    return name, col.alias(name)
+
+
+def _tag_predicate(f: TagFilter, tag_value: Column) -> Column:
+    if f.operator == "Equal":
+        if isinstance(f.value, (list, tuple)):
+            return tag_value.isin(*f.value)
+        return tag_value == f.value
+    if f.operator == "NotEqual":
+        if isinstance(f.value, (list, tuple)):
+            return ~tag_value.isin(*f.value)
+        return tag_value != f.value
+    if f.operator == "Like":
+        return tag_value.like(str(f.value))
+    if f.operator == "NotLike":
+        return ~tag_value.like(str(f.value))
+    raise ValueError(f"unsupported tag operator {f.operator!r}")
+
+
+def evaluate(
+    parameter_values: DataFrame,
+    spec: QuerySpec,
+    *,
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+    parameter_col: str = "parameter_id",
+    value_col: str = "num_value",
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Evaluate a QuerySpec over a long/narrow parameter-values table.
+
+    Returns one row per (time bucket x tag group) with one column per
+    requested (parameter, aggregation), bucket exposed as ``bucket``.
+    """
+    df = parameter_values
+    ts = F.col(ts_col)
+
+    # F4 time range (inclusive from, exclusive to — ns-epoch bounds in
+    # the contract, ISO strings here).
+    if spec.from_ts is not None:
+        df = df.filter(ts >= F.lit(spec.from_ts).cast("timestamp"))
+    if spec.to_ts is not None:
+        df = df.filter(ts < F.lit(spec.to_ts).cast("timestamp"))
+    # F5 stream ids.
+    if spec.stream_ids is not None:
+        df = df.filter(F.col(stream_col).isin(*spec.stream_ids))
+    # F6 tag filters (AND of all).
+    for tf in spec.tag_filters:
+        df = df.filter(_tag_predicate(tf, F.col(tags_col)[tf.tag]))
+
+    # Group keys: time bucket (A7) x tag values (A9).
+    keys: list[Column] = []
+    names: list[str] = []
+    if spec.group_by_time is not None:
+        keys.append(F.window(ts, spec.group_by_time.duration)["start"].alias("bucket"))
+        names.append("bucket")
+    for t in spec.group_by_tags:
+        keys.append(F.col(tags_col)[t].alias(f"tag_{t}"))
+        names.append(f"tag_{t}")
+
+    # A4 per-parameter aggregates via conditional aggregation.
+    value = F.col(value_col)
+    aggs = []
+    out_value_cols = []
+    for na in spec.numeric_aggregations:
+        cond_value = F.when(F.col(parameter_col) == na.parameter, value)
+        name, col = _agg_column(na, cond_value, ts)
+        aggs.append(col)
+        out_value_cols.append(name)
+    if not aggs:
+        raise ValueError("QuerySpec requires at least one aggregation")
+
+    out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+    # A8 interpolation over the time spine.
+    gbt = spec.group_by_time
+    if gbt is not None and gbt.interpolation != "None":
+        if spec.from_ts is None or spec.to_ts is None:
+            raise ValueError("interpolation requires from_ts and to_ts")
+        spine = _bucket_spine(out, spec, names)
+        out = spine.join(out, on=names, how="left")
+        if gbt.interpolation in ("Previous", "Linear"):
+            group_cols = [n for n in names if n != "bucket"]
+            out = _fill(out, out_value_cols, group_cols, gbt.interpolation)
+
+    # O1 ordering + O2 paging.
+    if spec.orderings:
+        out = out.orderBy(
+            *[
+                F.col(o.by).desc() if o.direction == "Desc" else F.col(o.by).asc()
+                for o in spec.orderings
+            ]
+        )
+        if spec.paging is not None:
+            p = spec.paging
+            out = out.offset(p.index * p.length).limit(p.length)
+    elif spec.paging is not None:
+        raise ValueError("paging requires orderings for determinism")
+    return out
+
+
+def _bucket_spine(out: DataFrame, spec: QuerySpec, names: list[str]) -> DataFrame:
+    """Dense (bucket x tag-group) spine via sequence+explode.
+
+    The sequence spans [from, to) at the bucket duration; distinct
+    tag groups come from the aggregated result (small). cross-join of
+    two tiny relations — broadcast by the planner.
+    """
+    gbt = spec.group_by_time
+    assert gbt is not None
+    dur = gbt.duration
+    spine = out.sparkSession.range(1).select(
+        F.explode(
+            F.expr(
+                f"sequence(cast('{spec.from_ts}' as timestamp), "
+                f"cast('{spec.to_ts}' as timestamp) - interval {dur}, "
+                f"interval {dur})"
+            )
+        ).alias("bucket")
+    )
+    # Match the bucket dtype produced by window() over the input's
+    # timestamp flavor (NTZ vs LTZ) so the join key lines up.
+    bucket_type = out.schema["bucket"].dataType.simpleString()
+    spine = spine.select(F.col("bucket").cast(bucket_type).alias("bucket"))
+    group_cols = [n for n in names if n != "bucket"]
+    if group_cols:
+        spine = spine.crossJoin(out.select(*group_cols).distinct())
+    return spine
+
+
+def _fill(
+    out: DataFrame, value_cols: list[str], group_cols: list[str], mode: str
+) -> DataFrame:
+    """Previous / Linear gap fill over the bucket spine (A8).
+
+    Previous: last non-null before the bucket (per tag group).
+    Linear: closed-form interpolation between the surrounding
+    non-null observations — prev + (next-prev) * elapsed/gap.
+    """
+    part = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    w_back = part.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = part.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    bucket_us = F.unix_micros(F.col("bucket"))
+    for c in value_cols:
+        v = F.col(c)
+        if mode == "Previous":
+            out = out.withColumn(c, F.last(v, ignorenulls=True).over(w_back))
+            continue
+        prev_v = F.last(v, ignorenulls=True).over(w_back)
+        next_v = F.first(v, ignorenulls=True).over(w_fwd)
+        prev_b = F.last(F.when(v.isNotNull(), bucket_us), ignorenulls=True).over(w_back)
+        next_b = F.first(F.when(v.isNotNull(), bucket_us), ignorenulls=True).over(w_fwd)
+        interp = (
+            F.when(v.isNotNull(), v)
+            .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
+            .otherwise(
+                F.round(
+                    prev_v
+                    + (next_v - prev_v)
+                    * (bucket_us - prev_b).cast("double")
+                    / (next_b - prev_b).cast("double"),
+                    4,
+                )
+            )
+        )
+        out = out.withColumn(c, interp)
+    return out

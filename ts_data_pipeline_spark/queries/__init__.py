@@ -10,4 +10,5 @@ from ts_data_pipeline_spark.queries import (  # noqa: F401
     filters,
     flagship,
     quality,
+    telemetry,
 )

@@ -1,0 +1,284 @@
+"""Telemetry Query API evaluator queries (SURVEY §2.4, §3.3).
+
+Each case drives plans/queryspec.evaluate over the events table
+adapted to the long parameter_values layout (FIXTURES.md §6), with a
+hand-written DuckDB oracle. Together they cover A4 aggregation types,
+A7 group-by-time, A8 interpolation (Null/Previous/Linear), A9
+group-by-tags, F4-F6 filters, and O1/O2 ordering+paging — the full
+getDataRequest.ts surface for numeric parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.plans.queryspec import (
+    GroupByTime,
+    NumericAggregation,
+    Ordering,
+    Paging,
+    QuerySpec,
+    TagFilter,
+    evaluate,
+)
+from ts_data_pipeline_spark.registry import register
+
+
+def events_as_parameter_values(events: DataFrame) -> DataFrame:
+    """Adapt driver events to the parameter_values storage model.
+
+    stream_id <- user_id, parameter_id <- event_type,
+    num_value <- value, tags <- {'k': props.k}
+    (FIXTURES.md mapping; storage contract parameterData.ts:16-38).
+    """
+    return events.select(
+        F.col("user_id").cast("string").alias("stream_id"),
+        F.col("ts"),
+        F.col("event_type").alias("parameter_id"),
+        F.col("value").alias("num_value"),
+        F.create_map(
+            F.lit("k"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("tags"),
+    )
+
+
+PV_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS stream_id, ts,
+       event_type AS parameter_id, value AS num_value,
+       json_extract_string(props, '$.k') AS tag_k
+FROM events
+"""
+
+
+def _pv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_as_parameter_values(io.load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------
+# Case 1 — bucketed multi-aggregate with stream + tag filters
+# (A4 Mean/Sum/Count/Max/Min, A7, F4-F6).
+# ---------------------------------------------------------------------
+
+def telemetry_bucket_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(
+        numeric_aggregations=[
+            NumericAggregation("purchase", "Mean"),
+            NumericAggregation("purchase", "Sum"),
+            NumericAggregation("purchase", "Count"),
+            NumericAggregation("error", "Max"),
+            NumericAggregation("view", "Min"),
+        ],
+        from_ts="2024-01-05 00:00:00",
+        to_ts="2024-01-20 00:00:00",
+        stream_ids=["1", "3", "5", "7"],
+        tag_filters=[TagFilter("k", "NotLike", "9%")],
+        group_by_time=GroupByTime("15 minutes"),
+    )
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+TELEMETRY_BUCKET_MULTI_AGG_SQL = f"""
+WITH pv AS ({PV_SQL})
+SELECT
+  time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+  ROUND(AVG(CASE WHEN parameter_id = 'purchase' THEN num_value END), 4) AS purchase_mean,
+  ROUND(SUM(CASE WHEN parameter_id = 'purchase' THEN num_value END), 4) AS purchase_sum,
+  COUNT(CASE WHEN parameter_id = 'purchase' THEN num_value END) AS purchase_count,
+  MAX(CASE WHEN parameter_id = 'error' THEN num_value END) AS error_max,
+  MIN(CASE WHEN parameter_id = 'view' THEN num_value END) AS view_min
+FROM pv
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND stream_id IN ('1', '3', '5', '7')
+  AND tag_k NOT LIKE '9%'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Case 2 — First/Last/Median/Spread (A4's order-sensitive and
+# distribution aggregates) per 1-hour bucket.
+# ---------------------------------------------------------------------
+
+def telemetry_first_last_median_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(
+        numeric_aggregations=[
+            NumericAggregation("click", "First"),
+            NumericAggregation("click", "Last"),
+            NumericAggregation("click", "Median"),
+            NumericAggregation("click", "Spread"),
+        ],
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-31 00:00:00",
+        group_by_time=GroupByTime("1 hour"),
+    )
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+TELEMETRY_FIRST_LAST_SQL = f"""
+WITH pv AS ({PV_SQL})
+SELECT
+  time_bucket(INTERVAL '1 hour', ts) AS bucket,
+  arg_min(CASE WHEN parameter_id = 'click' THEN num_value END,
+          CASE WHEN parameter_id = 'click' THEN ts END) AS click_first,
+  arg_max(CASE WHEN parameter_id = 'click' THEN num_value END,
+          CASE WHEN parameter_id = 'click' THEN ts END) AS click_last,
+  ROUND(median(CASE WHEN parameter_id = 'click' THEN num_value END), 4) AS click_median,
+  ROUND(MAX(CASE WHEN parameter_id = 'click' THEN num_value END)
+        - MIN(CASE WHEN parameter_id = 'click' THEN num_value END), 4) AS click_spread
+FROM pv
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Case 3 — group-by tags x daily buckets (A9 + A7).
+# ---------------------------------------------------------------------
+
+def telemetry_group_by_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(
+        numeric_aggregations=[
+            NumericAggregation("purchase", "Count"),
+            NumericAggregation("purchase", "Mean"),
+        ],
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-31 00:00:00",
+        group_by_time=GroupByTime("1 day"),
+        group_by_tags=["k"],
+    )
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+TELEMETRY_GROUP_BY_TAGS_SQL = f"""
+WITH pv AS ({PV_SQL})
+SELECT
+  time_bucket(INTERVAL '1 day', ts) AS bucket,
+  tag_k,
+  COUNT(CASE WHEN parameter_id = 'purchase' THEN num_value END) AS purchase_count,
+  ROUND(AVG(CASE WHEN parameter_id = 'purchase' THEN num_value END), 4) AS purchase_mean
+FROM pv
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------
+# Cases 4-6 — interpolation over the bucket spine (A8): Null fill,
+# Previous fill, Linear. Restricted to one stream so gaps exist.
+# ---------------------------------------------------------------------
+
+_INTERP_KW = dict(
+    numeric_aggregations=[NumericAggregation("purchase", "Mean")],
+    from_ts="2024-01-02 00:00:00",
+    to_ts="2024-01-12 00:00:00",
+    stream_ids=["2"],
+)
+
+
+def telemetry_interp_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(group_by_time=GroupByTime("6 hours", "Null"), **_INTERP_KW)
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+def telemetry_interp_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(group_by_time=GroupByTime("6 hours", "Previous"), **_INTERP_KW)
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+def telemetry_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(group_by_time=GroupByTime("6 hours", "Linear"), **_INTERP_KW)
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+_INTERP_BASE_SQL = f"""
+WITH pv AS ({PV_SQL}),
+agg AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket,
+         ROUND(AVG(CASE WHEN parameter_id = 'purchase' THEN num_value END), 4) AS v
+  FROM pv
+  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    AND stream_id IN ('2')
+  GROUP BY 1
+),
+spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                TIMESTAMP '2024-01-12 00:00:00' - INTERVAL '6 hours',
+                                INTERVAL '6 hours')) AS bucket
+),
+j AS (SELECT s.bucket, a.v FROM spine s LEFT JOIN agg a USING (bucket))
+"""
+
+TELEMETRY_INTERP_NULL_SQL = (
+    _INTERP_BASE_SQL + "SELECT bucket, v AS purchase_mean FROM j"
+)
+
+TELEMETRY_INTERP_PREVIOUS_SQL = _INTERP_BASE_SQL + """
+SELECT bucket,
+       last_value(v IGNORE NULLS) OVER (
+         ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS purchase_mean
+FROM j
+"""
+
+TELEMETRY_INTERP_LINEAR_SQL = _INTERP_BASE_SQL + """,
+w AS (
+  SELECT bucket, v,
+    last_value(v IGNORE NULLS) OVER (
+      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_,
+    first_value(v IGNORE NULLS) OVER (
+      ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv_,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER (
+      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb_,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER (
+      ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb_
+  FROM j
+)
+SELECT bucket,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv_ IS NULL OR nv_ IS NULL THEN NULL
+            ELSE ROUND(pv_ + (nv_ - pv_) *
+                       CAST(epoch_us(bucket) - pb_ AS DOUBLE) /
+                       CAST(nb_ - pb_ AS DOUBLE), 4)
+       END AS purchase_mean
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------
+# Case 7 — ordering + paging on the aggregated series (O1 + O2).
+# ---------------------------------------------------------------------
+
+def telemetry_order_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(
+        numeric_aggregations=[
+            NumericAggregation("purchase", "Count"),
+            NumericAggregation("purchase", "Mean"),
+        ],
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-31 00:00:00",
+        group_by_time=GroupByTime("1 day"),
+        group_by_tags=["k"],
+        orderings=[
+            Ordering("purchase_count", "Desc"),
+            Ordering("bucket", "Asc"),
+            Ordering("tag_k", "Asc"),
+        ],
+        paging=Paging(index=2, length=25),
+    )
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+TELEMETRY_ORDER_PAGE_SQL = (
+    TELEMETRY_GROUP_BY_TAGS_SQL
+    + "ORDER BY purchase_count DESC, bucket ASC, tag_k ASC LIMIT 25 OFFSET 50"
+)
+
+register("telemetry_bucket_multi_agg", telemetry_bucket_multi_agg, TELEMETRY_BUCKET_MULTI_AGG_SQL)
+register("telemetry_first_last_median_spread", telemetry_first_last_median_spread, TELEMETRY_FIRST_LAST_SQL)
+register("telemetry_group_by_tags", telemetry_group_by_tags, TELEMETRY_GROUP_BY_TAGS_SQL)
+register("telemetry_interp_null", telemetry_interp_null, TELEMETRY_INTERP_NULL_SQL)
+register("telemetry_interp_previous", telemetry_interp_previous, TELEMETRY_INTERP_PREVIOUS_SQL)
+register("telemetry_interp_linear", telemetry_interp_linear, TELEMETRY_INTERP_LINEAR_SQL)
+register("telemetry_order_page", telemetry_order_page, TELEMETRY_ORDER_PAGE_SQL)
