@@ -1,0 +1,47 @@
+"""Property tests for the approximate LLM-data operators."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import dedup
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """Every LSH-reported pair must be a true >=threshold pair, and
+    recall of strong pairs (jaccard >= 0.5) should be high."""
+    docs = io.load(spark, SF_DIR, "documents")
+    exact = {
+        (r.da, r.db): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2, block_col=None).collect()
+    }
+    approx = {
+        (r.da, r.db): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()
+    }
+    # Precision: every reported pair is a true pair (same verified jaccard).
+    for pair, j in approx.items():
+        assert pair in exact, f"LSH reported non-pair {pair}"
+        assert abs(exact[pair] - j) < 1e-9
+    # Recall on strong pairs.
+    strong = {p for p, j in exact.items() if j >= 0.5}
+    if strong:
+        found = sum(1 for p in strong if p in approx)
+        assert found / len(strong) >= 0.8, (found, len(strong))
+
+
+def test_simhash_similar_docs_close(spark):
+    """Near-identical docs should have near-identical simhashes."""
+    docs = io.load(spark, SF_DIR, "documents")
+    sigs = {r.doc_id: (r.simhash_hi, r.simhash_lo)
+            for r in dedup.simhash_signatures(docs).collect()}
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+
+    def hamming(a, b):
+        return bin((a[0] ^ b[0]) & 0xFFFFFFFF).count("1") + bin(
+            (a[1] ^ b[1]) & 0xFFFFFFFF
+        ).count("1")
+
+    for r in pairs:
+        d = hamming(sigs[r.da], sigs[r.db])
+        assert d <= 16, f"jaccard {r.jaccard} pair {r.da},{r.db} hamming {d}"

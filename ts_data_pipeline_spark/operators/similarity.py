@@ -1,0 +1,200 @@
+"""Vector similarity search over an embedding column (north-star op).
+
+Brute-force cosine top-k as the exact baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path. Dot
+products are left-fold ``aggregate(zip_with(...))`` expressions —
+JVM-side, no UDF — and both variants end in a per-query top-k window.
+
+Scale design (100 TB):
+- queries are broadcast (small side) against the candidate corpus —
+  no shuffle of the big side for the brute-force scan;
+- the LSH variant buckets the corpus by hyperplane sign bits, so the
+  per-query search touches ~corpus/2^planes vectors; bucketing is
+  one narrow projection + shuffle on the bucket id;
+- top-k is a window over (query, score) — partial top-k happens
+  map-side via the rank filter pushed into the sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id against the full corpus."""
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM emb c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    plane_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's LSH bucket.
+
+    Random-hyperplane LSH with the planes drawn deterministically
+    from the corpus itself (``plane_ids``): bucket(v) = sign bits of
+    dot(v, plane_i). Deterministic and engine-portable, so unlike
+    MinHash this variant IS oracle-checkable.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # plane_rank is a literal CASE over the (small, driver-known)
+    # plane id list — no global window over the big relation.
+    rank_expr = F.lit(None).cast("int")
+    for i, pid in enumerate(sorted(plane_ids)):
+        rank_expr = F.when(F.col("plane_id") == pid, F.lit(i)).otherwise(rank_expr)
+    planes = emb.filter(F.col(id_col).isin(plane_ids)).select(
+        F.col(id_col).alias("plane_id"), F.col("v").alias("pv")
+    )
+    with_sign = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            id_col,
+            "v",
+            rank_expr.alias("plane_rank"),
+            (dot(F.col("v"), F.col("pv")) >= 0).cast("int").alias("bit"),
+        )
+    )
+    bucketed = (
+        with_sign.groupBy(id_col, "v")
+        .agg(
+            F.sum(
+                F.col("bit") * F.pow(F.lit(2), F.col("plane_rank")).cast("long")
+            ).alias("bucket")
+        )
+    )
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def lsh_bucketed_topk_sql(query_ids: list[int], plane_ids: list[int], k: int = 5) -> str:
+    qids = ", ".join(str(i) for i in query_ids)
+    pids = ", ".join(str(i) for i in sorted(plane_ids))
+    plane_rank = ", ".join(
+        f"({i}, {pid})" for i, pid in enumerate(sorted(plane_ids))
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT pr.rank AS plane_rank, e.v AS pv
+  FROM (VALUES {plane_rank}) AS pr(rank, plane_id)
+  JOIN emb e ON e.vec_id = pr.plane_id
+),
+bucketed AS (
+  SELECT e.vec_id, ANY_VALUE(e.v) AS v,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                  THEN CAST(power(2, p.plane_rank) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM bucketed WHERE vec_id IN ({qids})),
+scored AS (
+  SELECT q.query_id, b.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qv, b.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM bucketed b JOIN q
+    ON b.bucket = q.qbucket AND b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""

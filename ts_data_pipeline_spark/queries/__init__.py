@@ -9,6 +9,7 @@ from ts_data_pipeline_spark.queries import (  # noqa: F401
     enrichment,
     filters,
     flagship,
+    llmdata,
     quality,
     telemetry,
 )

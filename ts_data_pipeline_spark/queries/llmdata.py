@@ -1,0 +1,72 @@
+"""LLM-training-data operator queries (north-star extensions).
+
+Dedup (exact / n-gram Jaccard / SimHash / MinHash-LSH), vector
+similarity search (brute-force + LSH-bucketed), text analysis, and
+multimodal binary plumbing — each over the driver's documents /
+embeddings tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.functions import text as text_fns
+from ts_data_pipeline_spark.operators import dedup, multimodal, similarity
+from ts_data_pipeline_spark.registry import register
+
+ANN_QUERY_IDS = list(range(10))
+LSH_PLANE_IDS = [10, 11, 12, 13]
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(io.load(spark, sf_dir, "documents"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(io.load(spark, sf_dir, "documents"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signatures(io.load(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup (rows-only gate; recall pytest-checked)."""
+    return dedup.minhash_lsh_pairs(io.load(spark, sf_dir, "documents"))
+
+
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.quality_features(io.load(spark, sf_dir, "documents"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.doc_fingerprints(io.load(spark, sf_dir, "documents"))
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_bucketed_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(io.load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+register("dedup_exact", dedup_exact, dedup.EXACT_DEDUP_SQL)
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
+register("dedup_simhash", dedup_simhash, dedup.simhash_sql())
+register("dedup_minhash_lsh", dedup_minhash_lsh)  # rows-only: approximate op
+register("text_quality_features", text_quality_features, text_fns.quality_features_sql())
+register("doc_fingerprints", doc_fingerprints, text_fns.doc_fingerprints_sql())
+register("ann_brute_topk", ann_brute_topk, similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10))
+register("ann_lsh_topk", ann_lsh_topk, similarity.lsh_bucketed_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5))
+register("multimodal_features", multimodal_features, multimodal.MEDIA_FEATURES_SQL)
