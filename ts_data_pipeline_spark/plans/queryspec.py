@@ -50,6 +50,16 @@ NUMERIC_AGGS = (
 #: interpolationType.ts:13-23
 INTERPOLATIONS = ("None", "Null", "Previous", "Linear")
 
+#: aggregationType.ts:16-23 — string/binary channels get the
+#: order-sensitive subset only (no numeric math).
+STRING_AGGS = ("None", "First", "Last", "Count")
+
+#: eventDataAggregationType.ts:16-23
+EVENT_AGGS = ("None", "First", "Last", "Count")
+
+#: eventLevel.ts:16
+EVENT_LEVELS = ("Trace", "Debug", "Information", "Warning", "Error", "Critical")
+
 
 @dataclass
 class TagFilter:
@@ -66,6 +76,20 @@ class NumericAggregation:
 
     parameter: str
     aggregation: str  # one of NUMERIC_AGGS
+
+
+@dataclass
+class StringAggregation:
+    """parameterAggregation.ts:17-23 — string-channel aggregate.
+
+    The contract restricts string/binary parameters to
+    None/First/Last/Count (aggregationType.ts:16-23); binary shares
+    the same shape (getParameterDataRequest.ts:26-29) and the same
+    code path here with a BinaryType value column.
+    """
+
+    parameter: str
+    aggregation: str  # one of STRING_AGGS
 
 
 @dataclass
@@ -97,6 +121,7 @@ class QuerySpec:
     """getDataRequest.ts:18-57 (numeric-parameter subset + events)."""
 
     numeric_aggregations: Sequence[NumericAggregation] = field(default_factory=list)
+    string_aggregations: Sequence[StringAggregation] = field(default_factory=list)
     from_ts: Optional[str] = None  # ISO timestamp, inclusive
     to_ts: Optional[str] = None  # ISO timestamp, exclusive
     stream_ids: Optional[Sequence[str]] = None
@@ -145,6 +170,21 @@ def _agg_column(spec: NumericAggregation, value: Column, ts: Column) -> tuple[st
     return name, col.alias(name)
 
 
+def _str_agg_column(spec: StringAggregation, value: Column, ts: Column) -> Column:
+    """A5 string/binary aggregate (First/Last/Count only)."""
+    name = f"{spec.parameter}_str_{spec.aggregation.lower()}"
+    agg = spec.aggregation
+    if agg == "First":
+        col = F.min_by(value, F.when(value.isNotNull(), ts))
+    elif agg == "Last":
+        col = F.max_by(value, F.when(value.isNotNull(), ts))
+    elif agg == "Count":
+        col = F.count(value)
+    else:
+        raise ValueError(f"unsupported string aggregation {agg!r}")
+    return col.alias(name)
+
+
 def _tag_predicate(f: TagFilter, tag_value: Column) -> Column:
     if f.operator == "Equal":
         if isinstance(f.value, (list, tuple)):
@@ -169,6 +209,7 @@ def evaluate(
     ts_col: str = "ts",
     parameter_col: str = "parameter_id",
     value_col: str = "num_value",
+    str_value_col: str = "str_value",
     tags_col: str = "tags",
 ) -> DataFrame:
     """Evaluate a QuerySpec over a long/narrow parameter-values table.
@@ -211,6 +252,11 @@ def evaluate(
         name, col = _agg_column(na, cond_value, ts)
         aggs.append(col)
         out_value_cols.append(name)
+    for sa in spec.string_aggregations:
+        cond_value = F.when(F.col(parameter_col) == sa.parameter, F.col(str_value_col))
+        aggs.append(_str_agg_column(sa, cond_value, ts))
+        # string channels are excluded from numeric interpolation
+        # (interpolationType only applies to numeric series).
     if not aggs:
         raise ValueError("QuerySpec requires at least one aggregation")
 
@@ -241,6 +287,84 @@ def evaluate(
     elif spec.paging is not None:
         raise ValueError("paging requires orderings for determinism")
     return out
+
+
+@dataclass
+class EventQuerySpec:
+    """getEventDataRequest.ts:24-27 + eventDataAggregation.ts:18-25.
+
+    Discrete-event query: filter by time/stream/levels/tags, bucket by
+    ``interval``, aggregate each event channel with
+    None/First/Last/Count (eventDataAggregationType.ts:16-23).
+    Level include/exclude is F8 (getAllEventsRequest.ts:44-51).
+    """
+
+    event_ids: Optional[Sequence[str]] = None
+    aggregation: str = "Count"  # one of EVENT_AGGS
+    interval: Optional[str] = None  # bucket duration, e.g. "1 hour"
+    from_ts: Optional[str] = None
+    to_ts: Optional[str] = None
+    stream_ids: Optional[Sequence[str]] = None
+    include_levels: Optional[Sequence[str]] = None
+    exclude_levels: Optional[Sequence[str]] = None
+    tag_filters: Sequence[TagFilter] = field(default_factory=list)
+    group_by_tags: Sequence[str] = field(default_factory=list)
+
+
+def evaluate_events(
+    events: DataFrame,
+    spec: EventQuerySpec,
+    *,
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+    event_col: str = "event_id",
+    level_col: str = "level",
+    value_col: str = "value",
+    tags_col: str = "tags",
+) -> DataFrame:
+    """Evaluate an event-data query over the events table (A6).
+
+    Returns one row per (bucket x event_id x tag group) with the
+    aggregated string value and occurrence count — the columnar
+    ``events{}`` block of the Data response (data.ts:37-40).
+    """
+    df = events
+    ts = F.col(ts_col)
+    if spec.from_ts is not None:
+        df = df.filter(ts >= F.lit(spec.from_ts).cast("timestamp"))
+    if spec.to_ts is not None:
+        df = df.filter(ts < F.lit(spec.to_ts).cast("timestamp"))
+    if spec.stream_ids is not None:
+        df = df.filter(F.col(stream_col).isin(*spec.stream_ids))
+    if spec.event_ids is not None:
+        df = df.filter(F.col(event_col).isin(*spec.event_ids))
+    if spec.include_levels is not None:
+        df = df.filter(F.col(level_col).isin(*spec.include_levels))
+    if spec.exclude_levels is not None:
+        df = df.filter(~F.col(level_col).isin(*spec.exclude_levels))
+    for tf in spec.tag_filters:
+        df = df.filter(_tag_predicate(tf, F.col(tags_col)[tf.tag]))
+
+    keys: list[Column] = [F.col(event_col)]
+    if spec.interval is not None:
+        keys.insert(0, F.window(ts, spec.interval)["start"].alias("bucket"))
+    for t in spec.group_by_tags:
+        keys.append(F.col(tags_col)[t].alias(f"tag_{t}"))
+
+    value = F.col(value_col)
+    agg = spec.aggregation
+    if agg == "First":
+        val_col = F.min_by(value, F.when(value.isNotNull(), ts)).alias("event_value")
+    elif agg == "Last":
+        val_col = F.max_by(value, F.when(value.isNotNull(), ts)).alias("event_value")
+    elif agg in ("Count", "None"):
+        val_col = None
+    else:
+        raise ValueError(f"unsupported event aggregation {agg!r}")
+    aggs = [F.count(F.lit(1)).alias("event_count")]
+    if val_col is not None:
+        aggs.insert(0, val_col)
+    return df.groupBy(*keys).agg(*aggs)
 
 
 def _bucket_spine(out: DataFrame, spec: QuerySpec, names: list[str]) -> DataFrame:

@@ -15,13 +15,16 @@ from pyspark.sql import functions as F
 
 from ts_data_pipeline_spark import io
 from ts_data_pipeline_spark.plans.queryspec import (
+    EventQuerySpec,
     GroupByTime,
     NumericAggregation,
     Ordering,
     Paging,
     QuerySpec,
+    StringAggregation,
     TagFilter,
     evaluate,
+    evaluate_events,
 )
 from ts_data_pipeline_spark.registry import register
 
@@ -38,6 +41,7 @@ def events_as_parameter_values(events: DataFrame) -> DataFrame:
         F.col("ts"),
         F.col("event_type").alias("parameter_id"),
         F.col("value").alias("num_value"),
+        F.get_json_object(F.col("props"), "$.k").alias("str_value"),
         F.create_map(
             F.lit("k"), F.get_json_object(F.col("props"), "$.k")
         ).alias("tags"),
@@ -47,6 +51,39 @@ def events_as_parameter_values(events: DataFrame) -> DataFrame:
 PV_SQL = """
 SELECT CAST(user_id AS VARCHAR) AS stream_id, ts,
        event_type AS parameter_id, value AS num_value,
+       json_extract_string(props, '$.k') AS str_value,
+       json_extract_string(props, '$.k') AS tag_k
+FROM events
+"""
+
+
+def events_as_event_model(events: DataFrame) -> DataFrame:
+    """Adapt driver events to the telemetry events model (FIXTURES.md:
+    event_id <- event_type, level derived from event_type, string
+    value <- formatted amount; contract eventValue.ts:16-29).
+    """
+    return events.select(
+        F.col("user_id").cast("string").alias("stream_id"),
+        F.col("ts"),
+        F.col("event_type").alias("event_id"),
+        F.when(F.col("event_type") == "error", "Error")
+        .when(F.col("event_type") == "signup", "Information")
+        .otherwise("Debug")
+        .alias("level"),
+        F.format_string("%.2f", F.col("value")).alias("value"),
+        F.create_map(
+            F.lit("k"), F.get_json_object(F.col("props"), "$.k")
+        ).alias("tags"),
+    )
+
+
+EV_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS stream_id, ts,
+       event_type AS event_id,
+       CASE WHEN event_type = 'error' THEN 'Error'
+            WHEN event_type = 'signup' THEN 'Information'
+            ELSE 'Debug' END AS level,
+       printf('%.2f', value) AS value,
        json_extract_string(props, '$.k') AS tag_k
 FROM events
 """
@@ -275,6 +312,80 @@ TELEMETRY_ORDER_PAGE_SQL = (
     + "ORDER BY purchase_count DESC, bucket ASC, tag_k ASC LIMIT 25 OFFSET 50"
 )
 
+# ---------------------------------------------------------------------
+# Case 8 — string-channel aggregations (A5: First/Last/Count over a
+# string parameter) alongside a numeric aggregate, daily buckets.
+# ---------------------------------------------------------------------
+
+def telemetry_string_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(
+        numeric_aggregations=[NumericAggregation("signup", "Count")],
+        string_aggregations=[
+            StringAggregation("signup", "First"),
+            StringAggregation("signup", "Last"),
+            StringAggregation("signup", "Count"),
+        ],
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-31 00:00:00",
+        group_by_time=GroupByTime("1 day"),
+    )
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+TELEMETRY_STRING_AGGS_SQL = f"""
+WITH pv AS ({PV_SQL})
+SELECT
+  time_bucket(INTERVAL '1 day', ts) AS bucket,
+  COUNT(CASE WHEN parameter_id = 'signup' THEN num_value END) AS signup_count,
+  arg_min(CASE WHEN parameter_id = 'signup' THEN str_value END,
+          CASE WHEN parameter_id = 'signup' THEN ts END) AS signup_str_first,
+  arg_max(CASE WHEN parameter_id = 'signup' THEN str_value END,
+          CASE WHEN parameter_id = 'signup' THEN ts END) AS signup_str_last,
+  COUNT(CASE WHEN parameter_id = 'signup' THEN str_value END) AS signup_str_count
+FROM pv
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Case 9 — event aggregation (A6): Last value + count per event
+# channel per 12h bucket, with level include/exclude (F8) and a tag
+# filter (F6).
+# ---------------------------------------------------------------------
+
+def telemetry_event_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = EventQuerySpec(
+        aggregation="Last",
+        interval="12 hours",
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-31 00:00:00",
+        include_levels=["Error", "Debug"],
+        exclude_levels=["Trace"],
+        tag_filters=[TagFilter("k", "NotEqual", "13")],
+    )
+    return evaluate_events(
+        events_as_event_model(io.load(spark, sf_dir, "events")), spec
+    )
+
+
+TELEMETRY_EVENT_AGGS_SQL = f"""
+WITH ev AS ({EV_SQL})
+SELECT
+  time_bucket(INTERVAL '12 hours', ts) AS bucket,
+  event_id,
+  arg_max(value, CASE WHEN value IS NOT NULL THEN ts END) AS event_value,
+  CAST(COUNT(*) AS BIGINT) AS event_count
+FROM ev
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+  AND level IN ('Error', 'Debug') AND level NOT IN ('Trace')
+  AND tag_k != '13'
+GROUP BY 1, 2
+"""
+
+
+register("telemetry_string_aggs", telemetry_string_aggs, TELEMETRY_STRING_AGGS_SQL)
+register("telemetry_event_aggs", telemetry_event_aggs, TELEMETRY_EVENT_AGGS_SQL)
 register("telemetry_bucket_multi_agg", telemetry_bucket_multi_agg, TELEMETRY_BUCKET_MULTI_AGG_SQL)
 register("telemetry_first_last_median_spread", telemetry_first_last_median_spread, TELEMETRY_FIRST_LAST_SQL)
 register("telemetry_group_by_tags", telemetry_group_by_tags, TELEMETRY_GROUP_BY_TAGS_SQL)
