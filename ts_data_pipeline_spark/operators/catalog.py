@@ -1,0 +1,136 @@
+"""Streams-catalog operators: build, lifecycle mutation, default filters.
+
+Reproduces the reference's stream catalog semantics (T10):
+soft/hard delete, restore, patch (rename / relocate / metadata merge)
+and the status model — contracts
+/root/reference/dashboard/src/Models/deleteStreamRequest.ts:16-25,
+restoreStreamRequest.ts, patchStreamRequest.ts, stream.ts:17-67,
+streamStatus.ts:16 (Open/Closed/Aborted/Terminated/Interrupted/
+Deleting/SoftDeleted/Idle).
+
+Spark-first design: the catalog is a small dimension table derived
+from (or stored beside) the data tables; every mutation is a pure
+DataFrame transform (CASE expressions), so in production it maps to
+a Delta MERGE while staying a deterministic, oracle-checkable
+projection here. At 100 TB the catalog stays tiny (one row per
+stream), so it is always the broadcast side of any enrichment join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: streamStatus.ts:16
+STREAM_STATUSES = (
+    "Open", "Closed", "Aborted", "Terminated", "Interrupted",
+    "Deleting", "SoftDeleted", "Idle",
+)
+
+
+def build_streams_catalog(
+    events: DataFrame,
+    *,
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Derive the streams catalog from the event data (stream.ts:17-67).
+
+    One row per stream: name/topic/location metadata plus observed
+    data_start/data_end. Status: a stream whose last datum falls in
+    the final observed day is Open, else Closed — a deterministic
+    stand-in for the reference's session status. A single partial+
+    final min/max agg on the natural grouping key; no extra shuffle.
+    """
+    bounds = events.groupBy(stream_col).agg(
+        F.min(ts_col).alias("data_start"),
+        F.max(ts_col).alias("data_end"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    # Global max over the (tiny, one-row-per-stream) bounds relation —
+    # an empty-frame window on a dimension table, not on the raw data.
+    global_end = F.max("data_end").over(Window.partitionBy())
+    sid = F.col(stream_col)
+    return (
+        bounds.withColumn("_gend", global_end)
+        .select(
+            sid.alias("stream_id"),
+            F.concat(F.lit("stream-"), sid).alias("name"),
+            F.lit("events").alias("topic"),
+            F.concat(F.lit("/live/shard-"), (sid.cast("bigint") % 4)).alias("location"),
+            F.when(
+                F.col("data_end") >= F.date_trunc("day", F.col("_gend")), "Open"
+            ).otherwise("Closed").alias("status"),
+            F.col("data_start"),
+            F.col("data_end"),
+            F.col("n_records"),
+            F.lit(None).cast("timestamp").alias("soft_delete_at"),
+        )
+    )
+
+
+def soft_delete(
+    catalog: DataFrame, stream_ids: Sequence[str], at_ts: str
+) -> DataFrame:
+    """deleteStreamRequest.ts:16-25 — mark streams SoftDeleted."""
+    hit = F.col("stream_id").isin(*stream_ids)
+    return catalog.withColumn(
+        "soft_delete_at",
+        F.when(hit, F.lit(at_ts).cast("timestamp")).otherwise(F.col("soft_delete_at")),
+    ).withColumn(
+        "status", F.when(hit, F.lit("SoftDeleted")).otherwise(F.col("status"))
+    )
+
+
+def restore(catalog: DataFrame, stream_ids: Sequence[str]) -> DataFrame:
+    """restoreStreamRequest.ts — clear soft delete, reopen."""
+    hit = F.col("stream_id").isin(*stream_ids) & F.col("soft_delete_at").isNotNull()
+    return catalog.withColumn(
+        "status", F.when(hit, F.lit("Open")).otherwise(F.col("status"))
+    ).withColumn(
+        "soft_delete_at",
+        F.when(hit, F.lit(None).cast("timestamp")).otherwise(F.col("soft_delete_at")),
+    )
+
+
+def patch_stream(
+    catalog: DataFrame,
+    stream_id: str,
+    *,
+    name: Optional[str] = None,
+    location: Optional[str] = None,
+) -> DataFrame:
+    """patchStreamRequest.ts — rename / relocate one stream."""
+    hit = F.col("stream_id") == stream_id
+    out = catalog
+    if name is not None:
+        out = out.withColumn(
+            "name", F.when(hit, F.lit(name)).otherwise(F.col("name"))
+        )
+    if location is not None:
+        out = out.withColumn(
+            "location", F.when(hit, F.lit(location)).otherwise(F.col("location"))
+        )
+    return out
+
+
+def active(catalog: DataFrame) -> DataFrame:
+    """Default visibility filter: exclude soft-deleted streams."""
+    return catalog.filter(F.col("soft_delete_at").isNull())
+
+
+def backfill_cursor(
+    data: DataFrame, *, key_col: str = "stream_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Per-key REST-backfill cursor: max(ts) + 1 ms (A10).
+
+    The reference advances its darkpool pagination cursor to
+    ``max(executed_at) + 1ms`` per symbol
+    (/root/reference/darkpool_trades/main.py:157-179). One partial+
+    final max agg per key — the minimal plan.
+    """
+    return data.groupBy(F.col(key_col)).agg(
+        (F.max(ts_col) + F.expr("INTERVAL 1 MILLISECOND")).alias("next_cursor")
+    )

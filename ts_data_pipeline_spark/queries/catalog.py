@@ -1,0 +1,73 @@
+"""Streams-catalog lifecycle queries (T10, A10).
+
+Covers catalog build, soft delete -> restore -> patch -> default
+visibility filter (deleteStreamRequest.ts / restoreStreamRequest.ts /
+patchStreamRequest.ts / streamStatus.ts:16) and the per-key backfill
+cursor (darkpool_trades/main.py:157-179).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import catalog as cat
+from ts_data_pipeline_spark.registry import register
+
+
+def _events_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = io.load(spark, sf_dir, "events")
+    return ev.select(F.col("user_id").cast("string").alias("stream_id"), "ts")
+
+
+def catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build catalog, soft-delete {2,4}, restore {4}, patch 6, list active."""
+    c = cat.build_streams_catalog(_events_streams(spark, sf_dir))
+    c = cat.soft_delete(c, ["2", "4"], "2024-02-01 00:00:00")
+    c = cat.restore(c, ["4"])
+    c = cat.patch_stream(c, "6", name="renamed-6", location="/cold/shard-0")
+    return cat.active(c).drop("soft_delete_at")
+
+
+CATALOG_LIFECYCLE_SQL = """
+WITH bounds AS (
+  SELECT CAST(user_id AS VARCHAR) AS stream_id,
+         MIN(ts) AS data_start, MAX(ts) AS data_end,
+         CAST(COUNT(*) AS BIGINT) AS n_records
+  FROM events GROUP BY 1
+),
+cat AS (
+  SELECT stream_id,
+         'stream-' || stream_id AS name,
+         'events' AS topic,
+         '/live/shard-' || CAST(CAST(stream_id AS BIGINT) % 4 AS VARCHAR) AS location,
+         CASE WHEN data_end >= date_trunc('day', MAX(data_end) OVER ())
+              THEN 'Open' ELSE 'Closed' END AS status,
+         data_start, data_end, n_records
+  FROM bounds
+)
+SELECT stream_id,
+       CASE WHEN stream_id = '6' THEN 'renamed-6' ELSE name END AS name,
+       topic,
+       CASE WHEN stream_id = '6' THEN '/cold/shard-0' ELSE location END AS location,
+       CASE WHEN stream_id = '4' THEN 'Open' ELSE status END AS status,
+       data_start, data_end, n_records
+FROM cat
+WHERE stream_id != '2'
+"""
+
+
+def backfill_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cat.backfill_cursor(_events_streams(spark, sf_dir))
+
+
+BACKFILL_CURSOR_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS stream_id,
+       MAX(ts) + INTERVAL 1 MILLISECOND AS next_cursor
+FROM events GROUP BY 1
+"""
+
+
+register("catalog_lifecycle", catalog_lifecycle, CATALOG_LIFECYCLE_SQL)
+register("backfill_cursor", backfill_cursor, BACKFILL_CURSOR_SQL)
