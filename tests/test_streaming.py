@@ -1,0 +1,162 @@
+"""Structured-Streaming semantics tests (SURVEY §2.6, pytest-gated
+because emission timing is not SQL-expressible — SURVEY §5).
+
+Covers T1 event-time windows, T2 watermark late-data handling, T3
+append-mode emit-final, T4/T7 checkpointed availableNow replay.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import trades, window_agg
+from ts_data_pipeline_spark.streaming import windowed
+
+TRADE_SCHEMA = T.StructType(
+    [
+        T.StructField("osym", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("premium", T.DoubleType()),
+        T.StructField("qty", T.IntegerType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("otype", T.StringType()),
+        T.StructField("whale", T.BooleanType()),
+    ]
+)
+
+
+def _trade(osym, ts, premium=10.0, qty=1, side="buy", otype="call", whale=False):
+    import datetime as dt
+
+    return (osym, dt.datetime.fromisoformat(ts), premium, qty, side, otype, whale)
+
+
+def _write_chunk(spark, rows, path):
+    spark.createDataFrame(rows, TRADE_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run(spark, data_dir, ckpt, name):
+    stream = windowed.parquet_stream(spark, data_dir, TRADE_SCHEMA, max_files=1)
+    agg = windowed.streaming_option_window_agg(stream)
+    windowed.run_available_now(agg, name, ckpt)
+    return spark.table(name)
+
+
+def test_append_mode_emits_closed_windows_and_drops_late(spark, tmp_path):
+    """T2+T3: a record arriving after its window's state was evicted
+    (watermark passed the window end in a prior batch) is dropped;
+    windows emit exactly once with final values.
+
+    Pinned Spark semantics (empirical, matches the docs' guarantee):
+    a late row landing in the SAME batch that evicts its window still
+    merges — dropping is guaranteed only once the watermark passed
+    the window end in an earlier batch. That is exactly Quix's
+    ``grace_ms`` contract too (reference option_trade_aggs/
+    main.py:222): grace bounds how long a closed window accepts
+    stragglers, SURVEY §7 risk 3.
+    """
+    data_dir = str(tmp_path / "data")
+    # Batch 0: two trades in the 10:00 window.
+    _write_chunk(spark, [
+        _trade("A", "2024-01-01 10:00:10", premium=5.0),
+        _trade("A", "2024-01-01 10:00:50", premium=7.0),
+    ], data_dir)
+    # Batch 1: 10:02:30 -> next batch's watermark passes 10:01.
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:02:30", premium=11.0)], data_dir)
+    # Batch 2: watermark 10:02:29 -> evicts+emits window [10:00,10:01).
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:10:00", premium=13.0)], data_dir)
+    # Batch 3: watermark 10:09:59; the 10:00:30 record is now late
+    # beyond eviction -> droppedByWatermark.
+    _write_chunk(spark, [
+        _trade("A", "2024-01-01 10:00:30", premium=999.0),  # late, dropped
+        _trade("A", "2024-01-01 10:11:00", premium=17.0),
+    ], data_dir)
+
+    out = _run(spark, data_dir, str(tmp_path / "ckpt"), "t_late")
+    rows = {r.window_start.isoformat(): r for r in out.collect()}
+
+    assert "2024-01-01T10:00:00" in rows, rows.keys()
+    w1 = rows["2024-01-01T10:00:00"]
+    # Late 999.0 premium excluded: final = 5 + 7 only.
+    assert w1.trade_count == 2
+    assert w1.bought_call_prem == pytest.approx(12.0)
+    # Window [10:02,10:03) closed by batch 3's watermark.
+    assert rows["2024-01-01T10:02:00"].bought_call_prem == pytest.approx(11.0)
+    # Trailing windows (10:10, 10:11) never emit: the watermark never
+    # passes their end within the bounded run.
+    assert "2024-01-01T10:10:00" not in rows
+    assert "2024-01-01T10:11:00" not in rows
+
+
+def test_streaming_finals_match_batch_for_closed_windows(spark, tmp_path):
+    """T1+T3: every emitted (final) window must byte-match the batch
+    aggregation of the same input — same expressions, same results."""
+    enriched = trades.events_as_option_trades(io.load(spark, SF_DIR, "events"))
+    data_dir = str(tmp_path / "data")
+    from pyspark.sql import Window
+
+    chunks = enriched.withColumn("chunk", F.ntile(3).over(Window.orderBy("ts")))
+    for i in (1, 2, 3):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, enriched.schema, max_files=1)
+    agg = windowed.streaming_option_window_agg(stream)
+    windowed.run_available_now(agg, "t_finals", str(tmp_path / "ckpt"))
+    got = spark.table("t_finals").collect()
+    assert len(got) > 0
+
+    expected = {
+        (r.window_start, r.osym): r
+        for r in window_agg.option_window_agg(enriched).collect()
+    }
+    for r in got:
+        e = expected[(r.window_start, r.osym)]
+        assert r == e, (r, e)
+
+
+def test_checkpoint_resume_no_double_count(spark, tmp_path):
+    """T4: re-running availableNow with the same checkpoint after new
+    data arrives appends only new finals (exactly-once per window) —
+    the Spark analog of the reference's changelog-backed recovery
+    (option_trade_aggs/main.py:75-82, quix.yaml:54-56). Uses the
+    (fault-tolerant) file sink: the memory sink cannot recover."""
+    data_dir = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = windowed.parquet_stream(spark, data_dir, TRADE_SCHEMA, max_files=1)
+        agg = windowed.streaming_option_window_agg(stream)
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).collect()
+
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:00:10")], data_dir)
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:05:00")], data_dir)
+    out1 = run_once()
+    starts1 = sorted(r.window_start for r in out1)
+
+    # New data closes the 10:05 window on the resumed run.
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:20:00")], data_dir)
+    out_all = run_once()
+    starts_all = sorted(r.window_start for r in out_all)
+
+    # Resume processed only the new file: prior finals appear exactly
+    # once, and the newly closed 10:05 window was appended.
+    assert len(starts_all) == len(set(starts_all))
+    assert set(starts1) < set(starts_all)

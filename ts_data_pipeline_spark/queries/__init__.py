@@ -12,5 +12,6 @@ from ts_data_pipeline_spark.queries import (  # noqa: F401
     flagship,
     llmdata,
     quality,
+    streaming,
     telemetry,
 )

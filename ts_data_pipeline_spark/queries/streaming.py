@@ -1,0 +1,104 @@
+"""Streaming-surface queries: Kafka wire fidelity + windowed finals.
+
+``kafka_wire_roundtrip`` proves the produce->consume wire path (S5 +
+S7 + P11 + P14-P16) is lossless: Spark encodes each enriched trade to
+the Kafka record shape (JSON value, string key, ms timestamp,
+headers) and decodes it back; the DuckDB oracle computes the same
+projection directly, so hash-equality certifies the roundtrip.
+
+``streaming_window_finals`` runs the flagship aggregation as a real
+Structured Streaming query (file-replay micro-batches, watermark,
+append-mode finals) — non-SQL-expressible emission semantics, so it
+registers rows-only (SURVEY §5); exact semantics are pinned by
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import trades
+from ts_data_pipeline_spark.registry import register
+from ts_data_pipeline_spark.streaming import kafka_io, windowed
+
+TRADE_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("trade_id", T.LongType()),
+        T.StructField("osym", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch ms on the wire
+        T.StructField("premium", T.DoubleType()),
+        T.StructField("qty", T.IntegerType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("otype", T.StringType()),
+        T.StructField("whale", T.BooleanType()),
+    ]
+)
+
+
+def kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
+    wire = kafka_io.to_kafka_json(
+        enriched,
+        key_col="osym",
+        value_cols=[f.name for f in TRADE_VALUE_SCHEMA.fields],
+        headers={"data_provider": F.lit("UnusualWhales")},
+        ts_col="ts",
+    )
+    back = kafka_io.from_kafka_json(
+        wire, TRADE_VALUE_SCHEMA, ts_field="ts", header_keys=["data_provider"]
+    )
+    return back.select(
+        "key", "trade_id", "ts", "premium", "qty", "side", "otype", "whale",
+        "header_data_provider",
+    )
+
+
+KAFKA_WIRE_ROUNDTRIP_SQL = f"""
+SELECT
+  CAST(user_id AS VARCHAR) AS key,
+  event_id AS trade_id,
+  make_timestamp(epoch_ms(ts) * 1000) AS ts,
+  value AS premium,
+  CAST({trades.QTY_SQL} AS INTEGER) AS qty,
+  {trades.SIDE_SQL} AS side,
+  {trades.OTYPE_SQL} AS otype,
+  value > {trades.WHALE} AS whale,
+  'UnusualWhales' AS header_data_provider
+FROM events
+"""
+
+
+def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship agg as a checkpointed availableNow streaming run.
+
+    Replays the events table as 4 time-ordered micro-batches through
+    the watermarked window agg and returns the append-mode finals.
+    """
+    enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
+    base = tempfile.mkdtemp(prefix="tsdp_stream_")
+    data_dir = os.path.join(base, "data")
+    # Four sequential single-file writes -> four micro-batches in
+    # mtime order (FileStreamSource replays oldest-first), so the
+    # watermark advances batch-over-batch like a live feed.
+    chunks = enriched.withColumn("chunk", F.ntile(4).over(Window.orderBy("ts")))
+    for i in range(1, 5):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+    schema = enriched.schema
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    agg = windowed.streaming_option_window_agg(stream)
+    name = f"finals_{uuid.uuid4().hex[:8]}"
+    windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
+    return spark.table(name)
+
+
+register("kafka_wire_roundtrip", kafka_wire_roundtrip, KAFKA_WIRE_ROUNDTRIP_SQL)
+register("streaming_window_finals", streaming_window_finals)  # rows-only: emission timing

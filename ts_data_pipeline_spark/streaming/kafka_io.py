@@ -1,0 +1,148 @@
+"""Kafka wire-format encode/decode as pure Column expressions.
+
+Reproduces the reference's Kafka edges Spark-first:
+
+- JSON value + string key + explicit event timestamp + headers
+  produce path (S5/P15/P16 —
+  /root/reference/option_trades/utils.py:191-204,
+  option_trades/data_source.py:21-46 ``KafkaMessage``,
+  headers /root/reference/option_trades/utils.py:187-190).
+- JSON consume path with embedded-``ts`` event-time extraction
+  (S7/P14 — /root/reference/option_trade_aggs/main.py:20-29,75-82).
+- sha256 deterministic record key (P11 —
+  /root/reference/darkpool_trades/main.py:88-92).
+- Avro value serialization against a pinned schema (S6 —
+  /root/reference/darkpool_trades/main.py:19-39,51-69; the registry
+  fetch is replaced by schemas pinned in code, SURVEY §1.3).
+
+Everything stays JVM-side (``to_json``/``from_json``/``sha2``), so
+the encode/decode is whole-stage-codegen'd; at 100 TB the Kafka sink
+parallelism is the upstream partitioning — key-hash distribution
+mirrors the reference's 4-partition keyed topics (T6).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Kafka sink headers column type: ARRAY<STRUCT<key STRING, value BINARY>>.
+HEADER_TYPE = "array<struct<key:string,value:binary>>"
+
+
+def sha256_record_key(*cols: Column) -> Column:
+    """Deterministic record key: sha256 over concatenated fields (P11)."""
+    return F.sha2(F.concat_ws("", *cols), 256)
+
+
+def to_kafka_json(
+    df: DataFrame,
+    key_col: str,
+    value_cols: Optional[Sequence[str]] = None,
+    headers: Optional[Mapping[str, Column]] = None,
+    ts_col: Optional[str] = None,
+) -> DataFrame:
+    """Shape a DataFrame for the Kafka sink: (key, value, headers[, timestamp]).
+
+    value = JSON object of ``value_cols`` (all columns if None);
+    key = ``key_col`` as string; headers = constant/derived string
+    pairs encoded to the sink's binary header struct. Event time, if
+    given, rides both inside the JSON (epoch ms, as the reference
+    embeds it) and as the sink timestamp column.
+    """
+    value_struct = F.struct(
+        *[
+            F.unix_millis(F.col(c)).alias(c)
+            if ts_col is not None and c == ts_col
+            else F.col(c)
+            for c in (value_cols or df.columns)
+        ]
+    )
+    out = [
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(value_struct).alias("value"),
+    ]
+    if headers:
+        out.append(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("key"), F.encode(v, "UTF-8").alias("value"))
+                    for k, v in headers.items()
+                ]
+            ).cast(HEADER_TYPE).alias("headers")
+        )
+    if ts_col is not None:
+        out.append(F.col(ts_col).alias("timestamp"))
+    return df.select(*out)
+
+
+def from_kafka_json(
+    kafka_df: DataFrame,
+    value_schema: T.StructType,
+    ts_field: Optional[str] = "ts",
+    header_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Decode Kafka records: JSON value -> columns, ms ts -> event time.
+
+    Mirrors the consumer's str-key/JSON-value deserialization plus
+    the custom timestamp extractor pulling ``value["ts"]``
+    (option_trade_aggs/main.py:20-29,203-208). ``value_schema``
+    should carry the embedded ms timestamp as LongType; it comes out
+    as a proper event-time TimestampType column ready for
+    ``withWatermark``.
+    """
+    cols = [
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
+    ]
+    df = kafka_df.select(*cols, *[F.col(c) for c in kafka_df.columns if c == "headers"])
+    selects = [F.col("key")]
+    for f in value_schema.fields:
+        if ts_field is not None and f.name == ts_field:
+            selects.append(
+                F.timestamp_millis(F.col(f"v.{f.name}")).alias(f.name)
+            )
+        else:
+            selects.append(F.col(f"v.{f.name}").alias(f.name))
+    for hk in header_keys:
+        selects.append(
+            F.decode(
+                F.element_at(
+                    F.map_from_entries(F.col("headers")), hk
+                ),
+                "UTF-8",
+            ).alias(f"header_{hk}")
+        )
+    return df.select(*selects)
+
+
+def to_avro_value(df: DataFrame, value_cols: Sequence[str], json_schema: str) -> DataFrame:
+    """Avro-encode the value struct against a pinned schema (S6).
+
+    Requires the ``spark-avro`` package on the classpath at runtime;
+    the container here ships without it, so callers must treat
+    failures as environment-gated (tests skip). The schema-registry
+    fetch in the reference (darkpool_trades/basic.py:87-110) is
+    intentionally replaced by the pinned ``json_schema``.
+    """
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark avro functions unavailable") from exc
+    return df.withColumn(
+        "value", to_avro(F.struct(*[F.col(c) for c in value_cols]), json_schema)
+    )
+
+
+def from_avro_value(df: DataFrame, json_schema: str) -> DataFrame:
+    """Avro-decode the ``value`` column (S6 consume side)."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError("pyspark avro functions unavailable") from exc
+    return df.withColumn("v", from_avro(F.col("value"), json_schema)).select(
+        *[c for c in df.columns if c != "value"], "v.*"
+    )
