@@ -27,7 +27,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: curated, scale-sensitive queries. Extended as
 # operators land; every name must exist in the registry.
 HEADLINE = [
-    "flagship_option_window_agg",
+    "flagship_option_window_agg",   # keyed tumbling window, 25 conditional aggs
+    "telemetry_bucket_multi_agg",   # filter pushdown + bucketed multi-agg
+    "telemetry_interp_linear",      # spine join + ignore-nulls window fill
+    "kafka_wire_roundtrip",         # JSON encode/decode codegen path
+    "dedup_exact",                  # hash groupBy dedup
+    "dedup_minhash_lsh",            # shingle->minhash->band shuffle joins
+    "ann_brute_topk",               # vector dot products + top-k
+    "text_quality_features",        # string-function heavy scan
 ]
 
 
@@ -36,8 +43,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
-    # Warm the JVM + parquet footer caches with a trivial action.
+    # JMH-style warmup: run each headline query once at the smallest
+    # scale factor so Catalyst analysis + Janino codegen compile
+    # (identical generated classes, cached by source) happen outside
+    # the timed region — the timings below measure steady-state
+    # execution at SF_DIR, not one-time JVM compilation.
     spark.range(1).count()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in names:
+        try:
+            queries[name](spark, warm_dir).count()
+        except Exception as exc:  # warmup is best-effort
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -41,6 +41,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # Scale note: deriving ts blocks parquet predicate pushdown of
+        # time-range filters on this one table (the planner cannot
+        # invert timestamp_micros(ts div 1000) into a raw-long bound).
+        # In production the fix is at the storage layer — write
+        # TIMESTAMP(MICROS) and partition by date, and the same
+        # QuerySpec time filters prune files/row-groups for free.
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 

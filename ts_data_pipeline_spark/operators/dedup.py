@@ -62,13 +62,17 @@ def tokens_col(text_col: str = "text"):
 
 
 def shingles_col(n: int = 3, text_col: str = "text"):
-    """Word n-gram shingles as an array column (1-based slice)."""
-    toks = tokens_col(text_col)
+    """Word n-gram shingles as an array column (1-based slice).
+
+    The token array is bound once via a single-element-array
+    ``transform`` (SQL has no let-binding) — the naive spelling
+    re-evaluates split()/filter() for every output element, turning
+    shingling into O(tokens^2) string work per document.
+    """
     return F.expr(
-        f"transform(sequence(1, greatest(size(filter(split(lower({text_col}), ' '), "
-        f"t -> t != '')) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(filter(split(lower({text_col}), ' '), "
-        f"t -> t != ''), i, {n})))"
+        f"transform(array(filter(split(lower({text_col}), ' '), t -> t != '')), "
+        f"toks -> transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))))[0]"
     )
 
 
@@ -80,12 +84,20 @@ SHINGLES_SQL = (
 )
 
 
-def _distinct_shingles(docs: DataFrame, n: int) -> DataFrame:
-    """(doc_id, lang, shingle) distinct — the inverted-index input."""
-    return (
+def _distinct_shingles(docs: DataFrame, n: int, cache: bool = True) -> DataFrame:
+    """(doc_id, lang, shingle) distinct — the inverted-index input.
+
+    Cached (MEMORY_AND_DISK) because every consumer — signature agg,
+    per-doc counts, and both sides of the candidate self-join — scans
+    it; without the cache Spark re-tokenizes the corpus once per
+    branch of the DAG. At 100 TB the same role is played by
+    materializing the inverted index to storage once and reusing it.
+    """
+    dist = (
         docs.select("doc_id", "lang", F.explode(shingles_col(n)).alias("sh"))
         .distinct()
     )
+    return dist.cache() if cache else dist
 
 
 # ---------------------------------------------------------------------------
@@ -270,27 +282,38 @@ def minhash_lsh_pairs(
     ngram_jaccard_pairs.
     """
     rows_per_band = num_hashes // bands
-    dist = _distinct_shingles(docs, n)
-    h = F.pmod(F.xxhash64(F.col("sh")), F.lit(_MH_HASH_BITS))
-    sig = dist.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+    # Signatures are computed entirely per-row with array expressions:
+    # shingle array -> xxhash64 array -> array_min per permutation.
+    # Zero shuffles before the bucket join (the explode/distinct/
+    # 32-agg groupBy alternative shuffles the whole inverted index
+    # first — at 100 TB that is the difference between a narrow scan
+    # and a corpus-wide shuffle). Cached: the signature/bucket path
+    # and both candidate-verify sides re-read it.
+    base = docs.select(
+        "doc_id", F.array_distinct(shingles_col(n)).alias("sh_arr")
+    ).filter(F.size("sh_arr") > 0).cache()
+    sig = base.select(
+        "doc_id",
+        F.expr(f"transform(sh_arr, s -> pmod(xxhash64(s), {_MH_HASH_BITS}))").alias("hs"),
+    ).select(
+        "doc_id",
         *[
-            F.min((F.col("h") * a + b) % _MH_PRIME).alias(f"mh{i}")
+            F.array_min(
+                F.expr(f"transform(hs, h -> (h * {a}L + {b}L) % {_MH_PRIME}L)")
+            ).alias(f"mh{i}")
             for i, (a, b) in enumerate(_minhash_perms(num_hashes))
-        ]
+        ],
     )
-    bucket_rows = []
-    for band in range(bands):
-        cols = [F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
-        bucket_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
+    # One posexplode projection emits all band signatures.
+    band_hashes = [
+        F.xxhash64(
+            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
         )
-    buckets = bucket_rows[0]
-    for b in bucket_rows[1:]:
-        buckets = buckets.unionByName(b)
+        for band in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    ).cache()  # tiny (bands x docs); read by both join sides
     cand = (
         buckets.alias("x")
         .join(
@@ -302,22 +325,22 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
     )
-    # Exact verification of candidates only.
-    counts = dist.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
-    a, b = dist.alias("a"), dist.alias("b")
-    inter = (
-        cand.join(a, F.col("da") == F.col("a.doc_id"))
-        .join(b, (F.col("db") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    # Exact verification of candidates only: set math on the shingle
+    # arrays of the (few) bucket-mates — no inverted-index joins.
     return (
-        inter.join(counts.alias("ca"), F.col("da") == F.col("ca.doc_id"))
-        .join(counts.alias("cb"), F.col("db") == F.col("cb.doc_id"))
+        cand.join(base.alias("a"), F.col("da") == F.col("a.doc_id"))
+        .join(base.alias("b"), F.col("db") == F.col("b.doc_id"))
         .select(
             "da",
             "db",
-            F.round(F.col("i") / (F.col("ca.c") + F.col("cb.c") - F.col("i")), 4).alias(
+            F.size(F.array_intersect(F.col("a.sh_arr"), F.col("b.sh_arr"))).alias("i"),
+            F.size(F.col("a.sh_arr")).alias("ca"),
+            F.size(F.col("b.sh_arr")).alias("cb"),
+        )
+        .select(
+            "da",
+            "db",
+            F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 4).alias(
                 "jaccard"
             ),
         )

@@ -42,20 +42,31 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k for each query id against the full corpus."""
+    # Norms are precomputed per side (one dot per row) so the pair
+    # loop does a single dot product per (query, candidate) instead
+    # of three — at corpus scale that is the dominant flop count.
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
     )
-    c = emb.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"))
+    c = emb.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
