@@ -8,7 +8,7 @@ no text operators; these extend the engine per the build brief.)
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny English stopword list for the heuristic scorer (public common
@@ -114,6 +114,103 @@ SELECT p.doc_id, p.n_tokens, p.n_distinct_tokens, p.avg_token_len,
             THEN 'en' ELSE 'other' END AS lang_guess,
        b.fingerprint
 FROM per_doc p JOIN base b ON p.doc_id = b.doc_id
+"""
+
+
+# Char-trigram profiles per language (tiny hand-rolled weights over
+# the most discriminative common trigrams; ASCII-only so both engines
+# agree byte-for-byte). Real deployments would learn these from a
+# labeled corpus; the operator mechanics are identical.
+LANG_PROFILES: dict[str, dict[str, float]] = {
+    "en": {"the": 3.0, "and": 2.0, "ing": 2.0, "ion": 1.5, " th": 2.5, "er ": 1.0},
+    "de": {"der": 3.0, "ein": 2.0, "sch": 2.5, "und": 2.5, "ich": 2.0, "en ": 1.0},
+    "fr": {"les": 2.5, "ent": 2.0, "de ": 2.0, "que": 2.0, "ais": 1.5, "eur": 1.5},
+    "es": {"de ": 2.0, "la ": 2.0, "que": 2.0, "cion": 0.0, "ado": 1.5, "los": 2.0},
+}
+
+
+def lang_id_ngram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID by char-trigram profile scoring.
+
+    Per document: explode character trigrams, count, broadcast-join
+    the (tiny) profile table, score = sum(weight x count) / n_grams
+    per language, argmax via max_by. The profile join is the
+    canonical small-dimension broadcast — zero shuffle of the corpus
+    side at any scale; the only shuffle is the per-doc score agg.
+    """
+    spark = docs.sparkSession
+    profile_rows = [
+        (lang, gram, w)
+        for lang, grams in LANG_PROFILES.items()
+        for gram, w in grams.items()
+        if w > 0
+    ]
+    profiles = spark.createDataFrame(profile_rows, "lang string, gram string, w double")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(lower({text_col})) - 2, 1)), "
+                f"i -> substring(lower({text_col}), i, 3))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    scores = (
+        counts.join(F.broadcast(profiles), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("w") * F.col("cnt")).alias("raw"))
+        .join(totals, "doc_id")
+        .select(
+            "doc_id", "lang", F.round(F.col("raw") / F.col("n_grams"), 6).alias("score")
+        )
+    )
+    # argmax language; lexicographic tiebreak for determinism.
+    return (
+        scores.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"), "score")
+    )
+
+
+def lang_id_ngram_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{gram}', {w})"
+        for lang, grams in LANG_PROFILES.items()
+        for gram, w in grams.items()
+        if w > 0
+    )
+    return f"""
+WITH profiles AS (SELECT * FROM (VALUES {rows}) AS p(lang, gram, w)),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1),
+                               i -> substring(lower(text), i, 3))) AS gram
+  FROM documents
+),
+counts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY 1),
+scores AS (
+  SELECT c.doc_id, p.lang,
+         ROUND(SUM(p.w * c.cnt) / ANY_VALUE(t.n_grams), 6) AS score
+  FROM counts c JOIN profiles p USING (gram) JOIN totals t ON c.doc_id = t.doc_id
+  GROUP BY c.doc_id, p.lang
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rk
+  FROM scores
+)
+SELECT doc_id, lang AS lang_pred, score FROM ranked WHERE rk = 1
 """
 
 

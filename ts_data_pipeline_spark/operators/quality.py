@@ -98,6 +98,114 @@ GROUP BY grp
 """
 
 
+def consecutive_alert_runs(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    threshold: float = 40.0,
+    min_run: int = 3,
+) -> DataFrame:
+    """Q5 — alert when >= ``min_run`` consecutive records alert.
+
+    The reference counts consecutive alerting messages in a driver
+    loop (/root/reference/darkpool_trades/metrics.py:136-161).
+    Spark-first: gaps-and-islands — island id = row_number difference
+    between the full per-key sequence and the per-(key, flag)
+    sequence, then one grouped count per island. Two window passes
+    over the same (key, ts) sort order -> a single shuffle by key.
+    """
+    flagged = df.select(
+        F.col(key).alias("key"),
+        F.col(ts).alias("ts"),
+        (F.col(value) > threshold).cast("int").alias("alert"),
+    ).withColumn("rn", F.row_number().over(Window.partitionBy("key").orderBy("ts")))
+    w_flag = Window.partitionBy("key", "alert").orderBy("ts")
+    islands = flagged.withColumn(
+        "island", F.col("rn") - F.row_number().over(w_flag)
+    )
+    return (
+        islands.filter(F.col("alert") == 1)
+        .groupBy("key", "island")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("key", "run_len", "run_start", "run_end")
+    )
+
+
+def consecutive_alert_runs_sql(
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    threshold: float = 40.0,
+    min_run: int = 3,
+) -> str:
+    return f"""
+WITH flagged AS (
+  SELECT {key} AS key, {ts} AS ts,
+         CASE WHEN {value} > {threshold} THEN 1 ELSE 0 END AS alert,
+         row_number() OVER (PARTITION BY {key} ORDER BY {ts}) AS rn
+  FROM {table}
+),
+islands AS (
+  SELECT key, ts, alert,
+         rn - row_number() OVER (PARTITION BY key, alert ORDER BY ts) AS island
+  FROM flagged
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS run_len,
+       MIN(ts) AS run_start, MAX(ts) AS run_end
+FROM islands WHERE alert = 1
+GROUP BY key, island
+HAVING COUNT(*) >= {min_run}
+"""
+
+
+def metrics_summary(
+    df: DataFrame, *, group: str = "event_type", value: str = "value"
+) -> DataFrame:
+    """Q6 — describe-style summary frame per metric group.
+
+    The reference keeps a rolling deque(1000) and summarizes it into
+    a pandas frame (/root/reference/darkpool_trades/metrics.py:59,
+    169-183); here it is one grouped aggregate over the full data —
+    partial/final agg, no bounded driver buffer.
+    """
+    v = F.col(value)
+    return df.groupBy(F.col(group).alias("grp")).agg(
+        F.count(v).alias("n"),
+        F.round(F.avg(v), 4).alias("mean"),
+        F.round(F.stddev_samp(v), 4).alias("std"),
+        F.min(v).alias("min"),
+        # Exact interpolating median to match the oracle; at corpus
+        # scale swap for percentile_approx(v, 0.5) — same plan shape,
+        # bounded-memory sketch instead of a full sort per group.
+        F.round(F.median(v), 4).alias("median"),
+        F.max(v).alias("max"),
+    )
+
+
+def metrics_summary_sql(
+    table: str = "events", group: str = "event_type", value: str = "value"
+) -> str:
+    return f"""
+SELECT {group} AS grp,
+       COUNT({value}) AS n,
+       ROUND(AVG({value}), 4) AS mean,
+       ROUND(stddev_samp({value}), 4) AS std,
+       MIN({value}) AS min,
+       ROUND(median({value}), 4) AS median,
+       MAX({value}) AS max
+FROM {table}
+GROUP BY {group}
+"""
+
+
 def required_field_nulls(df: DataFrame, fields: list[str]) -> DataFrame:
     """Q1 — per-field null counts in one pass (metrics.py:100-101)."""
     return df.agg(

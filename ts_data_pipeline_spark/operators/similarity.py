@@ -101,6 +101,55 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def embedding_cosine_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    Every (a < b) pair with cosine >= threshold. Norms precomputed
+    per row; the pair loop is one dot product. This exact variant is
+    the oracle-checkable baseline; the 100 TB path prefilters
+    candidates with the hyperplane buckets of ``lsh_bucketed_topk``
+    (or an IVF coarse quantizer) so the self-join touches only
+    bucket-mates — same verify expression, different candidate set.
+    """
+    emb = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
+        id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("ia"),
+            F.col(f"b.{id_col}").alias("ib"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_cosine_dups_sql(threshold: float = 0.45) -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT ia, ib, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],

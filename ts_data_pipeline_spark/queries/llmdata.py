@@ -56,6 +56,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_cosine_dups(io.load(spark, sf_dir, "embeddings"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.lang_id_ngram(io.load(spark, sf_dir, "documents"))
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_binary_payload(io.load(spark, sf_dir, "documents"))
     return multimodal.extract_features(media)
@@ -69,4 +77,6 @@ register("text_quality_features", text_quality_features, text_fns.quality_featur
 register("doc_fingerprints", doc_fingerprints, text_fns.doc_fingerprints_sql())
 register("ann_brute_topk", ann_brute_topk, similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10))
 register("ann_lsh_topk", ann_lsh_topk, similarity.lsh_bucketed_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5))
+register("dedup_embedding_cosine", dedup_embedding_cosine, similarity.embedding_cosine_dups_sql())
+register("lang_id_ngram", lang_id, text_fns.lang_id_ngram_sql())
 register("multimodal_features", multimodal_features, multimodal.MEDIA_FEATURES_SQL)

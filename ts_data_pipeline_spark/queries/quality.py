@@ -32,5 +32,17 @@ SELECT
 FROM orders
 """
 
+def consecutive_alert_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — >=3 consecutive high-value records per key -> alert run."""
+    return quality.consecutive_alert_runs(io.load(spark, sf_dir, "events"))
+
+
+def metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — describe-style per-group metrics summary."""
+    return quality.metrics_summary(io.load(spark, sf_dir, "events"))
+
+
 register("data_quality_summary", data_quality_summary, quality.data_quality_summary_sql())
 register("required_field_nulls", required_field_nulls, REQUIRED_FIELD_SQL)
+register("consecutive_alert_runs", consecutive_alert_runs, quality.consecutive_alert_runs_sql())
+register("metrics_summary", metrics_summary, quality.metrics_summary_sql())
