@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",            # shingle->minhash->band shuffle joins
     "ann_brute_topk",               # vector dot products + top-k
     "text_quality_features",        # string-function heavy scan
+    "join_segment_top_orders",      # large-large shuffle join + rollup
 ]
 
 

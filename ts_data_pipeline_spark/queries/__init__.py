@@ -12,6 +12,7 @@ from ts_data_pipeline_spark.queries import (  # noqa: F401
     flagship,
     llmdata,
     quality,
+    relational,
     sources,
     streaming,
     telemetry,
