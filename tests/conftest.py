@@ -9,7 +9,18 @@ import duckdb
 import pandas as pd
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# Spark's python workers (fresh interpreters) must be able to import
+# both the package and the test modules that define closures shipped
+# to executors (e.g. user reducers in test_custom_state).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (
+        _REPO,
+        os.path.join(_REPO, "tests"),
+        os.environ.get("PYTHONPATH", ""),
+    ) if p
+)
 
 from ts_data_pipeline_spark import io  # noqa: E402
 from ts_data_pipeline_spark.session import get_spark  # noqa: E402
