@@ -200,6 +200,97 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------
+# P18 + S3: news-article ingestion — nested JSON with a publisher
+# struct and a tickers array, parsed with an explicit schema and
+# exploded. Reference: news/main.py:58-67 keeps the raw Polygon JSON
+# and pulls published_utc, publisher.name and tickers[].
+# --------------------------------------------------------------------
+
+_ARTICLE_SCHEMA = (
+    "id BIGINT, published_utc STRING, "
+    "publisher STRUCT<name: STRING>, tickers ARRAY<STRING>"
+)
+
+
+def news_nested_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build article-shaped nested JSON from events, then ingest it:
+    from_json with a pinned schema -> nested field access -> explode
+    of the tickers array (one row per (article, ticker))."""
+    e = io.load(spark, sf_dir, "events")
+    raw = e.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id").alias("id"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("published_utc"),
+                F.struct(
+                    F.concat(F.lit("pub-"), (F.col("user_id") % 5)).alias("name")
+                ).alias("publisher"),
+                F.array(
+                    F.concat(F.lit("T"), F.col("user_id")),
+                    F.upper(F.col("event_type")),
+                ).alias("tickers"),
+            )
+        ).alias("raw")
+    )
+    a = raw.select(F.from_json(F.col("raw"), _ARTICLE_SCHEMA).alias("a"))
+    return a.select(
+        F.col("a.id").alias("article_id"),
+        F.to_timestamp(F.col("a.published_utc")).alias("published_at"),
+        F.col("a.publisher.name").alias("publisher"),
+        F.explode(F.col("a.tickers")).alias("ticker"),
+    )
+
+
+NEWS_NESTED_SQL = """
+SELECT event_id AS article_id,
+       date_trunc('second', ts) AS published_at,
+       'pub-' || CAST(user_id % 5 AS VARCHAR) AS publisher,
+       unnest([ 'T' || CAST(user_id AS VARCHAR), upper(event_type) ]) AS ticker
+FROM events
+"""
+
+
+# --------------------------------------------------------------------
+# Pricing summary rollup (TPC-H Q1 shape): the canonical wide-agg
+# scan — pushdown + partial/final agg over two low-cardinality keys.
+# --------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = io.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 def _register() -> None:
     from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
 
@@ -211,6 +302,8 @@ def _register() -> None:
     register("darkpool_enrich", darkpool_enrich, DARKPOOL_SQL)
     register("equity_bar_projection", equity_bar_projection, EQUITY_BAR_SQL)
     register("json_props_extract", json_props_extract, JSON_PROPS_SQL)
+    register("news_nested_extract", news_nested_extract, NEWS_NESTED_SQL)
+    register("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL)
 
 
 _register()
