@@ -36,6 +36,8 @@ HEADLINE = [
     "ann_brute_topk",               # vector dot products + top-k
     "text_quality_features",        # string-function heavy scan
     "join_segment_top_orders",      # large-large shuffle join + rollup
+    "asof_trade_quote",             # union+LOCF as-of join
+    "pricing_summary",              # TPC-H Q1 wide-agg scan
 ]
 
 

@@ -1,0 +1,148 @@
+"""As-of join and sessionization — time-series operators Spark lacks
+natively, built as compositions of existing DataFrame ops.
+
+The reference joins nothing (SURVEY §2.9), but its domain begs for
+both: "the prevailing NBBO quote at each dark-pool print" is an as-of
+join (the side-classification inputs in
+/root/reference/darkpool_trades/main.py:71-78 presume exactly that
+pairing), and stream Idle status detection
+(/root/reference/dashboard/src/Models/streamStatus.ts:16) is
+gap-based sessionization.
+
+As-of join strategy (composition, no UDF): tag and union both
+streams, sort per key by (ts, side-tag), and carry the last quote
+forward with an ignore-nulls window — one shuffle on the key, one
+sort, linear scan. This is the classic "union + LOCF" plan; unlike
+the bucketize-and-filter alternative it is exact for arbitrary gaps.
+At 100 TB both relations shuffle once on the join key — the same
+cost as any co-partitioned join of the two.
+
+Sessionization: lag + cumulative-sum over gap flags (the guide's
+standard pattern); streaming would use session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    right_value_cols: list[str],
+) -> DataFrame:
+    """For each left row: the most recent right row with
+    ``right.ts <= left.ts`` on the same key (backward as-of join).
+
+    Left rows keep all their columns; matched right values arrive as
+    ``right_value_cols`` (null when no prior right row exists).
+    """
+    lcols = [c for c in left.columns]
+    tagged_left = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols if c not in (key, ts)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (key, ts)],
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+    )
+    # Right rows sort BEFORE left rows at equal ts (_is_left asc), so
+    # a quote stamped exactly at the trade time is visible to it —
+    # the <= semantics of ASOF JOIN.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("_is_left") == 1)
+        .select(
+            F.col("_k").alias(key),
+            F.col("_ts").alias(ts),
+            *[F.col(c) for c in lcols if c not in (key, ts)],
+            *[F.col(f"_f_{c}").alias(c) for c in right_value_cols],
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the inter-event
+    gap exceeds ``gap_minutes``. Returns one row per session with
+    bounds and size. lag -> gap flag -> cumulative sum = ordinal."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_us = F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))
+    thresh = F.lit(int(gap_minutes * 60_000_000))
+    flagged = df.select(
+        F.col(key).alias("key"),
+        F.col(ts).alias("ts"),
+        F.when(gap_us.isNull() | (gap_us > thresh), 1).otherwise(0).alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_s").over(
+            Window.partitionBy("key").orderBy("ts").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return sess.groupBy("key", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def sessionize_sql(
+    table: str = "events",
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: float = 30.0,
+) -> str:
+    thresh_us = int(gap_minutes * 60_000_000)
+    return f"""
+WITH flagged AS (
+  SELECT {key} AS key, {ts} AS ts,
+         CASE WHEN lag({ts}) OVER (PARTITION BY {key} ORDER BY {ts}) IS NULL
+                OR epoch_us({ts}) - epoch_us(lag({ts}) OVER (
+                     PARTITION BY {key} ORDER BY {ts})) > {thresh_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+),
+sess AS (
+  SELECT key, ts,
+         SUM(new_s) OVER (PARTITION BY key ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT key, session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY key, session_no
+"""

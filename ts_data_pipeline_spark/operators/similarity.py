@@ -220,6 +220,115 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    centroid_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    cosine cells around ``centroid_ids``, probe the query's ``nprobe``
+    nearest cells, rank exact cosine within them.
+
+    Centroids are corpus rows (deterministic; a production build
+    would k-means them — the operator mechanics are identical). The
+    corpus never shuffles for assignment (centroids broadcast); the
+    candidate join is an equi-join on cell id. Per-query work drops
+    from |corpus| to ~|corpus| * nprobe / |centroids|.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
+    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("n").alias("cn")
+    )
+    # Cell assignment: argmax cosine vs every centroid (broadcast).
+    paired = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, "v", "n", "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("cc"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cc").desc(), F.col("cid").asc()
+    )
+    ranked = paired.withColumn("crk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crk") == 1).select(id_col, "v", "n", F.col("cid").alias("cell"))
+    # Queries probe their nprobe nearest cells.
+    qprobe = (
+        ranked.filter(F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("n").alias("qn"),
+            F.col("cid").alias("qcell"),
+        )
+    )
+    scored = (
+        assign.join(F.broadcast(qprobe), F.col("cell") == F.col("qcell"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")), 6
+            ).alias("cos_sim"),
+        )
+        # No dedup needed: cell assignment (crk=1) is unique per vector.
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk_sql(
+    query_ids: list[int], centroid_ids: list[int], k: int = 5, nprobe: int = 2
+) -> str:
+    qids = ", ".join(str(i) for i in query_ids)
+    cids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id IN ({cids})),
+paired AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_dot_product(e.v, c.cv) /
+           (sqrt(list_dot_product(e.v, e.v)) *
+            sqrt(list_dot_product(c.cv, c.cv))) AS cc,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.v, c.cv) /
+                              (sqrt(list_dot_product(e.v, e.v)) *
+                               sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.cid ASC) AS crk
+  FROM emb e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, v, cid AS cell FROM paired WHERE crk = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS cell
+  FROM paired WHERE vec_id IN ({qids}) AND crk <= {nprobe}
+),
+scored AS (
+  SELECT DISTINCT q.query_id, a.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qv, a.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(a.v, a.v))), 6) AS cos_sim
+  FROM assign a JOIN qprobe q ON a.cell = q.cell
+  WHERE a.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def lsh_bucketed_topk_sql(query_ids: list[int], plane_ids: list[int], k: int = 5) -> str:
     qids = ", ".join(str(i) for i in query_ids)
     pids = ", ".join(str(i) for i in sorted(plane_ids))

@@ -16,4 +16,5 @@ from ts_data_pipeline_spark.queries import (  # noqa: F401
     sources,
     streaming,
     telemetry,
+    timeseries,
 )

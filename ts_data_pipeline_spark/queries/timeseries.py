@@ -1,0 +1,142 @@
+"""Time-series composition queries: as-of join, sessionization,
+pivot, salted skew-resistant aggregation, IVF ANN.
+
+These fill the operator classes the guide calls out that Spark lacks
+natively (as-of join) or that only matter at scale (salting), each
+expressed as a composition of built-in DataFrame ops — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import asof, similarity, skew
+from ts_data_pipeline_spark.registry import register
+
+IVF_QUERY_IDS = list(range(10))
+IVF_CENTROID_IDS = [100 + i for i in range(16)]
+
+
+def _trades_quotes(spark: SparkSession, sf_dir: str):
+    e = io.load(spark, sf_dir, "events")
+    trades = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("sym"),
+        "ts",
+        F.col("value").alias("trade_px"),
+        F.col("event_id").alias("trade_id"),
+    )
+    quotes = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("sym"), "ts", F.col("value").alias("quote_px")
+    )
+    return trades, quotes
+
+
+def asof_trade_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: prevailing quote at each trade."""
+    trades, quotes = _trades_quotes(spark, sf_dir)
+    return asof.asof_join(
+        trades, quotes, key="sym", ts="ts", right_value_cols=["quote_px"]
+    )
+
+
+# DuckDB has a native ASOF JOIN — the ideal oracle for ours.
+ASOF_TRADE_QUOTE_SQL = """
+WITH trades AS (
+  SELECT user_id AS sym, ts, value AS trade_px, event_id AS trade_id
+  FROM events WHERE event_type = 'purchase'
+),
+quotes AS (
+  SELECT user_id AS sym, ts, value AS quote_px
+  FROM events WHERE event_type = 'view'
+)
+SELECT t.sym, t.ts, t.trade_px, t.trade_id, q.quote_px
+FROM trades t ASOF LEFT JOIN quotes q
+  ON t.sym = q.sym AND t.ts >= q.ts
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof.sessionize(io.load(spark, sf_dir, "events"), gap_minutes=30.0)
+
+
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per user, one summed-value column per event type.
+
+    The pivot values are pinned (catalog-known), so the plan is a
+    single conditional aggregation — no distinct-values pre-pass.
+    """
+    e = io.load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("user_id"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.round(F.sum("value"), 4))
+    )
+
+
+PIVOT_EVENT_VALUES_SQL = """
+SELECT user_id,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 4) AS view,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 4) AS error
+FROM events
+GROUP BY user_id
+"""
+
+
+def salted_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant sum over the 3-value l_returnflag key."""
+    li = io.load(spark, sf_dir, "lineitem")
+    out = skew.salted_sum(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.col("l_quantity"),
+            "revenue": F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        F.round("revenue", 4).alias("revenue"),
+        "n_rows",
+    )
+
+
+SALTED_RETURNFLAG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        io.load(spark, sf_dir, "embeddings"),
+        IVF_QUERY_IDS,
+        IVF_CENTROID_IDS,
+        k=5,
+        nprobe=2,
+    )
+
+
+register("asof_trade_quote", asof_trade_quote, ASOF_TRADE_QUOTE_SQL)
+register(
+    "sessionize_events",
+    sessionize_events,
+    asof.sessionize_sql(gap_minutes=30.0),
+)
+register("pivot_event_values", pivot_event_values, PIVOT_EVENT_VALUES_SQL)
+register("salted_returnflag_revenue", salted_returnflag_revenue, SALTED_RETURNFLAG_SQL)
+register(
+    "ann_ivf_topk",
+    ann_ivf_topk,
+    similarity.ivf_topk_sql(IVF_QUERY_IDS, IVF_CENTROID_IDS, k=5, nprobe=2),
+)
