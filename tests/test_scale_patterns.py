@@ -1,0 +1,147 @@
+"""Scale-pattern pins: bucketed co-located joins, QuerySpec on a
+stream, Observation-based quality metrics.
+
+These tests document and protect the 100 TB design claims: bucketing
+removes the join shuffle entirely; the Telemetry evaluator's
+expressions run unchanged under Structured Streaming; per-batch
+quality counters ride the main job via Observation instead of a
+second scan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.plans.queryspec import (
+    GroupByTime,
+    NumericAggregation,
+    QuerySpec,
+    evaluate,
+)
+from ts_data_pipeline_spark.queries.telemetry import events_as_parameter_values
+
+
+def _plan(df) -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the Exchange:
+    the 100 TB co-location strategy for repeated fact-fact joins."""
+    orders = io.load(spark, SF_DIR, "orders")
+    lineitem = io.load(spark, SF_DIR, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .option("path", str(tmp_path / "orders_b"))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("t_orders_b")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .option("path", str(tmp_path / "lineitem_b"))
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("t_lineitem_b")
+    )
+    # At test SF the sides fit the broadcast threshold, which would
+    # bypass the bucketed path entirely — disable it so the plan is
+    # the one a 100 TB fact-fact join would get.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        prev_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        joined = ob.join(lb, F.col("o_orderkey") == F.col("l_orderkey")).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_extendedprice").alias("rev"))
+        plan = _plan(joined)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        # No shuffle below the join: bucket layout satisfies the
+        # required distribution on both sides.
+        assert "Exchange" not in join_section, join_section
+        # Sanity: same result as the unbucketed join.
+        plain = (
+            orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        assert sorted((r.o_orderpriority, round(r.rev, 2)) for r in joined.collect()) == \
+               sorted((r.o_orderpriority, round(r.rev, 2)) for r in plain.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_queryspec_expressions_run_streaming(spark, tmp_path):
+    """The Telemetry evaluator is expression-only, so the same
+    QuerySpec compiles on a streaming input (complete mode here;
+    append needs only an upstream watermark)."""
+    pv_batch = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
+    data_dir = str(tmp_path / "pv")
+    pv_batch.write.mode("overwrite").parquet(data_dir)
+
+    spec = QuerySpec(
+        numeric_aggregations=[
+            NumericAggregation("purchase", "Sum"),
+            NumericAggregation("purchase", "Count"),
+        ],
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-31 00:00:00",
+        group_by_time=GroupByTime("1 day"),
+    )
+    stream = spark.readStream.schema(pv_batch.schema).parquet(data_dir)
+    agg = evaluate(stream, spec)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_qs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.bucket: (r.purchase_sum, r.purchase_count)
+        for r in spark.table("t_qs_stream").collect()
+    }
+    want = {
+        r.bucket: (r.purchase_sum, r.purchase_count)
+        for r in evaluate(pv_batch, spec).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_observation_quality_counters(spark):
+    """Q1/Q2-style counters via Observation: metrics collected on the
+    SAME pass as the main query — no second scan of the input."""
+    events = io.load(spark, SF_DIR, "events")
+    obs = Observation("quality")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_value"),
+        F.max("ts").alias("max_ts"),
+    )
+    result = observed.groupBy("event_type").count().collect()
+    metrics = obs.get
+    assert metrics["n"] == events.count()
+    assert metrics["null_value"] == 0
+    assert len(result) == 5

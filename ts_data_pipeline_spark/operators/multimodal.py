@@ -120,6 +120,75 @@ def extract_features(
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 64,
+    stride: int = 2,
+) -> DataFrame:
+    """Frame-sampling plumbing: one input blob -> N frame rows.
+
+    The video pattern: decode would yield frames; here the stub
+    chunks the payload into fixed ``frame_bytes`` windows and keeps
+    every ``stride``-th one (deterministic, oracle-checkable). The
+    Spark shape is the real thing — ``mapInPandas`` emitting MORE
+    rows than it consumes, per Arrow batch, which is exactly how
+    frame extraction fans out without ever collecting a video to the
+    driver.
+    """
+    import hashlib
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = payload if payload is not None else b""
+                n = (len(data) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n, stride):
+                    chunk = data[i * frame_bytes : (i + 1) * frame_bytes]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_bytes": len(chunk),
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_md5"]
+            )
+
+    return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def frame_sample_sql(frame_bytes: int = 64, stride: int = 2) -> str:
+    return f"""
+WITH chunks AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(octet_length(encode(text)) /
+                                   {frame_bytes}.0) AS BIGINT))) AS frame_idx
+  FROM documents
+)
+SELECT c.doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(octet_length(encode(substr(d.text, CAST(frame_idx * {frame_bytes} + 1 AS BIGINT),
+                    {frame_bytes}))) AS BIGINT) AS frame_bytes,
+       md5(substr(d.text, CAST(frame_idx * {frame_bytes} + 1 AS BIGINT),
+                  {frame_bytes})) AS frame_md5
+FROM chunks c JOIN documents d USING (doc_id)
+WHERE frame_idx % {stride} = 0
+"""
+
+
 MEDIA_FEATURES_SQL = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

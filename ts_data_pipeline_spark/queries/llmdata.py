@@ -69,6 +69,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(io.load(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media)
+
+
 register("dedup_exact", dedup_exact, dedup.EXACT_DEDUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
 register("dedup_simhash", dedup_simhash, dedup.simhash_sql())
@@ -80,3 +85,4 @@ register("ann_lsh_topk", ann_lsh_topk, similarity.lsh_bucketed_topk_sql(ANN_QUER
 register("dedup_embedding_cosine", dedup_embedding_cosine, similarity.embedding_cosine_dups_sql())
 register("lang_id_ngram", lang_id, text_fns.lang_id_ngram_sql())
 register("multimodal_features", multimodal_features, multimodal.MEDIA_FEATURES_SQL)
+register("multimodal_frame_sample", multimodal_frame_sample, multimodal.frame_sample_sql())
