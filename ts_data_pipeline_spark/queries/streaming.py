@@ -81,6 +81,11 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replays the events table as 4 time-ordered micro-batches through
     the watermarked window agg and returns the append-mode finals.
     """
+    # Stateful micro-batches at 200 default shuffle partitions spend
+    # more time on task dispatch than work at this SF; size the state
+    # shuffle to the machine (a cluster deployment would set this in
+    # the session or rely on AQE, which streaming disables).
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
     base = tempfile.mkdtemp(prefix="tsdp_stream_")
     data_dir = os.path.join(base, "data")
