@@ -11,6 +11,7 @@ from ts_data_pipeline_spark.queries import (  # noqa: F401
     filters,
     flagship,
     llmdata,
+    olap,
     quality,
     relational,
     sources,
