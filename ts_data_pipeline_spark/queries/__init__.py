@@ -6,6 +6,7 @@ plus, where SQL-expressible, a DuckDB oracle.
 """
 
 from ts_data_pipeline_spark.queries import (  # noqa: F401
+    bars,
     catalog,
     enrichment,
     filters,
