@@ -1,0 +1,93 @@
+"""Storage-layout pins: date-partition pruning and streaming dedup.
+
+The io.py scale note says time filters prune files for free once the
+data is laid out by date — this test proves that claim end-to-end.
+Streaming dedup is the exactly-once ingest guard a training-data
+pipeline puts in front of everything else.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+from tests.test_streaming import TRADE_SCHEMA, _trade, _write_chunk
+
+
+def _plan(df) -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_date_partitioned_layout_prunes_scan(spark, tmp_path):
+    """Writing events partitioned by date turns the QuerySpec time
+    filter into partition pruning: the scan lists only matching
+    date directories (PartitionFilters), not the whole table."""
+    events = io.load(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_dt")
+    events.withColumn("dt", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "dt"
+    ).parquet(out)
+
+    laid_out = spark.read.parquet(out)
+    q = laid_out.filter(
+        (F.col("dt") >= "2024-01-10") & (F.col("dt") < "2024-01-12")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    assert "isnotnull(dt" in plan, plan
+    # Correctness of the pruned read.
+    expected = events.filter(
+        (F.to_date("ts") >= "2024-01-10") & (F.to_date("ts") < "2024-01-12")
+    ).count()
+    assert q.collect()[0].n == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses redeliveries across
+    micro-batches — the at-least-once -> effectively-once ingest
+    guard (reference T4/T5 processing guarantees)."""
+    data_dir = str(tmp_path / "data")
+    # Batch 0: two trades. Batch 1: exact redelivery of trade A plus
+    # a new trade. Batch 2: watermark-advancing tail.
+    _write_chunk(spark, [
+        _trade("A", "2024-01-01 10:00:10", premium=5.0),
+        _trade("B", "2024-01-01 10:00:20", premium=6.0),
+    ], data_dir)
+    _write_chunk(spark, [
+        _trade("A", "2024-01-01 10:00:10", premium=5.0),  # duplicate
+        _trade("C", "2024-01-01 10:01:00", premium=7.0),
+    ], data_dir)
+    _write_chunk(spark, [_trade("D", "2024-01-01 10:30:00", premium=8.0)], data_dir)
+
+    stream = (
+        spark.readStream.schema(TRADE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["osym", "ts"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_dedup_stream").collect()
+    keys = sorted((r.osym, r.ts.isoformat()) for r in rows)
+    assert keys == [
+        ("A", "2024-01-01T10:00:10"),
+        ("B", "2024-01-01T10:00:20"),
+        ("C", "2024-01-01T10:01:00"),
+        ("D", "2024-01-01T10:30:00"),
+    ], keys
