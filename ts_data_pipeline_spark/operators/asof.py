@@ -118,6 +118,48 @@ def sessionize(
     )
 
 
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Interval containment join: event rows landing inside
+    [start, end] per key — Spark has no native range join, and the
+    naive theta-join is a per-key cross product.
+
+    Scale pattern (the guide's bucketize-and-filter): explode each
+    interval into the time buckets it covers, equi-join events on
+    (key, bucket(ts)), then apply the exact BETWEEN filter. The join
+    is hash-based on (key, bucket); each event meets only intervals
+    overlapping its own bucket, so work scales with actual overlap
+    density rather than |events| x |intervals per key|.
+    """
+    extra = [c for c in intervals.columns if c not in (key, start_col, end_col)]
+    ival = intervals.select(
+        F.col(key).alias("_ik"),
+        F.col(start_col).alias("_start"),
+        F.col(end_col).alias("_end"),
+        *[F.col(c) for c in extra],
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                F.date_trunc("hour", F.col(end_col)),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("_bucket"),
+    )
+    ev = events.withColumn("_bucket", F.date_trunc("hour", F.col(ts)))
+    joined = ev.join(
+        ival,
+        (F.col(key) == F.col("_ik")) & (ev["_bucket"] == ival["_bucket"]),
+    ).filter((F.col(ts) >= F.col("_start")) & (F.col(ts) <= F.col("_end")))
+    return joined.drop("_ik", "_bucket")
+
+
 def sessionize_sql(
     table: str = "events",
     key: str = "user_id",

@@ -117,6 +117,53 @@ GROUP BY l_returnflag
 """
 
 
+def range_join_whale_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside +-5-minute windows around each user's top-3
+    premium trades (bucketized range join, no per-key cross product)."""
+    e = io.load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "ts", "value", "event_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("uid").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    intervals = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "uid",
+            F.col("event_id").alias("anchor_id"),
+            (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end"),
+        )
+    )
+    hits = asof.range_join(e, intervals, key="uid")
+    return hits.groupBy("uid", "anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+RANGE_JOIN_WHALE_SQL = """
+WITH e AS (
+  SELECT user_id AS uid, ts, value, event_id FROM events
+),
+anchors AS (
+  SELECT uid, event_id AS anchor_id,
+         ts - INTERVAL 5 MINUTE AS s, ts + INTERVAL 5 MINUTE AS en
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY uid
+                                 ORDER BY value DESC, event_id ASC) AS rk
+    FROM e
+  ) WHERE rk <= 3
+)
+SELECT e.uid, a.anchor_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS value_sum
+FROM e JOIN anchors a ON e.uid = a.uid AND e.ts BETWEEN a.s AND a.en
+GROUP BY 1, 2
+"""
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         io.load(spark, sf_dir, "embeddings"),
@@ -134,6 +181,7 @@ register(
     asof.sessionize_sql(gap_minutes=30.0),
 )
 register("pivot_event_values", pivot_event_values, PIVOT_EVENT_VALUES_SQL)
+register("range_join_whale_windows", range_join_whale_windows, RANGE_JOIN_WHALE_SQL)
 register("salted_returnflag_revenue", salted_returnflag_revenue, SALTED_RETURNFLAG_SQL)
 register(
     "ann_ivf_topk",
