@@ -129,6 +129,59 @@ def test_queryspec_expressions_run_streaming(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_queryspec_streaming_append_finals(spark, tmp_path):
+    """evaluate_stream: append-mode finals for closed buckets equal
+    the batch result restricted to those buckets; open buckets are
+    withheld (T3)."""
+    from ts_data_pipeline_spark.plans.queryspec import evaluate_stream
+
+    pv_batch = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
+    data_dir = str(tmp_path / "pv")
+    # Two time-ordered files -> the second advances the watermark and
+    # closes the first file's buckets.
+    from pyspark.sql import Window
+
+    chunks = pv_batch.withColumn("c", F.ntile(2).over(Window.orderBy("ts")))
+    for i in (1, 2):
+        chunks.filter(F.col("c") == i).drop("c").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    spec = QuerySpec(
+        numeric_aggregations=[NumericAggregation("purchase", "Sum")],
+        group_by_time=GroupByTime("1 day"),
+    )
+    stream = (
+        spark.readStream.schema(pv_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    agg = evaluate_stream(stream, spec)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_qs_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.bucket: r.purchase_sum for r in spark.table("t_qs_append").collect()}
+    want = {r.bucket: r.purchase_sum for r in evaluate(pv_batch, spec).collect()}
+    assert len(got) > 0
+    for bucket, v in got.items():
+        assert want[bucket] == v
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        evaluate_stream(stream, QuerySpec(
+            numeric_aggregations=[NumericAggregation("purchase", "Sum")],
+            from_ts="2024-01-02 00:00:00", to_ts="2024-01-12 00:00:00",
+            group_by_time=GroupByTime("1 day", "Linear"),
+        ))
+
+
 def test_observation_quality_counters(spark):
     """Q1/Q2-style counters via Observation: metrics collected on the
     SAME pass as the main query — no second scan of the input."""

@@ -233,11 +233,15 @@ def evaluate(
     for tf in spec.tag_filters:
         df = df.filter(_tag_predicate(tf, F.col(tags_col)[tf.tag]))
 
-    # Group keys: time bucket (A7) x tag values (A9).
+    # Group keys: time bucket (A7) x tag values (A9). The window
+    # struct itself is the grouping expression (projecting .start
+    # inside the key would hide the event-time window from the
+    # streaming watermark checker); bucket = win.start is selected
+    # after the agg.
     keys: list[Column] = []
     names: list[str] = []
     if spec.group_by_time is not None:
-        keys.append(F.window(ts, spec.group_by_time.duration)["start"].alias("bucket"))
+        keys.append(F.window(ts, spec.group_by_time.duration).alias("_win"))
         names.append("bucket")
     for t in spec.group_by_tags:
         keys.append(F.col(tags_col)[t].alias(f"tag_{t}"))
@@ -261,6 +265,13 @@ def evaluate(
         raise ValueError("QuerySpec requires at least one aggregation")
 
     out = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    if spec.group_by_time is not None:
+        out = out.select(
+            F.col("_win.start").alias("bucket"),
+            *[n for n in names if n != "bucket"],
+            *out_value_cols,
+            *[f"{sa.parameter}_str_{sa.aggregation.lower()}" for sa in spec.string_aggregations],
+        )
 
     # A8 interpolation over the time spine.
     gbt = spec.group_by_time
@@ -287,6 +298,32 @@ def evaluate(
     elif spec.paging is not None:
         raise ValueError("paging requires orderings for determinism")
     return out
+
+
+def evaluate_stream(
+    parameter_values: DataFrame,
+    spec: QuerySpec,
+    *,
+    grace: str = "1 second",
+    ts_col: str = "ts",
+    **kwargs,
+) -> DataFrame:
+    """Streaming form of :func:`evaluate` (T1-T3 applied to A4/A7).
+
+    Same expression tree under a watermark so append mode emits one
+    final row per closed (bucket x tag group). Interpolation and
+    ordering/paging are resultset operations — they belong on the
+    sink side of a stream, so specs using them are rejected here.
+    """
+    if spec.group_by_time is None:
+        raise ValueError("streaming evaluation requires group_by_time")
+    if spec.group_by_time.interpolation != "None":
+        raise ValueError("interpolation is batch/sink-side; not valid on a stream")
+    if spec.orderings or spec.paging is not None:
+        raise ValueError("ordering/paging are sink-side on a stream")
+    return evaluate(
+        parameter_values.withWatermark(ts_col, grace), spec, ts_col=ts_col, **kwargs
+    )
 
 
 @dataclass
@@ -346,10 +383,15 @@ def evaluate_events(
         df = df.filter(_tag_predicate(tf, F.col(tags_col)[tf.tag]))
 
     keys: list[Column] = [F.col(event_col)]
+    out_keys: list[str] = [event_col]
     if spec.interval is not None:
-        keys.insert(0, F.window(ts, spec.interval)["start"].alias("bucket"))
+        # Group by the window struct (streaming-watermark-visible),
+        # project bucket afterwards — same reasoning as evaluate().
+        keys.insert(0, F.window(ts, spec.interval).alias("_win"))
+        out_keys.insert(0, "bucket")
     for t in spec.group_by_tags:
         keys.append(F.col(tags_col)[t].alias(f"tag_{t}"))
+        out_keys.append(f"tag_{t}")
 
     value = F.col(value_col)
     agg = spec.aggregation
@@ -362,9 +404,18 @@ def evaluate_events(
     else:
         raise ValueError(f"unsupported event aggregation {agg!r}")
     aggs = [F.count(F.lit(1)).alias("event_count")]
+    val_names = ["event_count"]
     if val_col is not None:
         aggs.insert(0, val_col)
-    return df.groupBy(*keys).agg(*aggs)
+        val_names.insert(0, "event_value")
+    out = df.groupBy(*keys).agg(*aggs)
+    if spec.interval is not None:
+        out = out.select(
+            F.col("_win.start").alias("bucket"),
+            *[k for k in out_keys if k != "bucket"],
+            *val_names,
+        )
+    return out
 
 
 def _bucket_spine(out: DataFrame, spec: QuerySpec, names: list[str]) -> DataFrame:

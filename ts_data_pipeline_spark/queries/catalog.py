@@ -69,5 +69,52 @@ FROM events GROUP BY 1
 """
 
 
+def catalog_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locations listing (getAllLocationsRequest.ts): stream counts
+    per location with smart-case Contains on the location path,
+    status include filter (F8), ordering + paging (O1/O2) — the
+    catalog-browse contract over the derived streams catalog."""
+    c = cat.build_streams_catalog(_events_streams(spark, sf_dir))
+    listed = (
+        c.filter(F.col("location").contains("shard"))  # Contains (lowercase -> smart-case insensitive)
+        .filter(F.col("status").isin("Open", "Closed"))
+        .groupBy("location")
+        .agg(
+            F.count(F.lit(1)).alias("n_streams"),
+            F.sum(F.when(F.col("status") == "Open", 1).otherwise(0)).alias("n_open"),
+            F.max("data_end").alias("latest_data"),
+        )
+        .orderBy(F.col("n_streams").desc(), F.col("location").asc())
+    )
+    return listed.offset(1).limit(2)
+
+
+CATALOG_LOCATIONS_SQL = """
+WITH bounds AS (
+  SELECT CAST(user_id AS VARCHAR) AS stream_id,
+         MIN(ts) AS data_start, MAX(ts) AS data_end
+  FROM events GROUP BY 1
+),
+cat AS (
+  SELECT stream_id,
+         '/live/shard-' || CAST(CAST(stream_id AS BIGINT) % 4 AS VARCHAR) AS location,
+         CASE WHEN data_end >= date_trunc('day', MAX(data_end) OVER ())
+              THEN 'Open' ELSE 'Closed' END AS status,
+         data_end
+  FROM bounds
+)
+SELECT location,
+       COUNT(*) AS n_streams,
+       CAST(SUM(CASE WHEN status = 'Open' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       MAX(data_end) AS latest_data
+FROM cat
+WHERE location LIKE '%shard%' AND status IN ('Open', 'Closed')
+GROUP BY location
+ORDER BY n_streams DESC, location ASC
+LIMIT 2 OFFSET 1
+"""
+
+
 register("catalog_lifecycle", catalog_lifecycle, CATALOG_LIFECYCLE_SQL)
 register("backfill_cursor", backfill_cursor, BACKFILL_CURSOR_SQL)
+register("catalog_locations", catalog_locations, CATALOG_LOCATIONS_SQL)
