@@ -384,6 +384,55 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------
+# Case 10 — binary-channel aggregation (A5 binary: the bin_value
+# parameter channel, parameterType.ts:16 / getParameterDataRequest.ts:
+# 26-29). Same First/Last/Count path as strings over BinaryType.
+# ---------------------------------------------------------------------
+
+def telemetry_binary_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = _pv(spark, sf_dir).withColumn("bin_value", F.encode(F.col("str_value"), "UTF-8"))
+    spec = QuerySpec(
+        numeric_aggregations=[NumericAggregation("error", "Count")],
+        string_aggregations=[
+            StringAggregation("error", "First"),
+            StringAggregation("error", "Last"),
+            StringAggregation("error", "Count"),
+        ],
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-15 00:00:00",
+        group_by_time=GroupByTime("1 day"),
+    )
+    out = evaluate(pv, spec, str_value_col="bin_value")
+    # Hex at the wire edge so the oracle compare is engine-neutral.
+    return out.select(
+        "bucket",
+        "error_count",
+        F.lower(F.hex(F.col("error_str_first"))).alias("bin_first_hex"),
+        F.lower(F.hex(F.col("error_str_last"))).alias("bin_last_hex"),
+        F.col("error_str_count").alias("bin_count"),
+    )
+
+
+TELEMETRY_BINARY_AGGS_SQL = f"""
+WITH pv AS ({PV_SQL})
+SELECT
+  time_bucket(INTERVAL '1 day', ts) AS bucket,
+  COUNT(CASE WHEN parameter_id = 'error' THEN num_value END) AS error_count,
+  lower(hex(encode(arg_min(CASE WHEN parameter_id = 'error' THEN str_value END,
+          CASE WHEN parameter_id = 'error' AND str_value IS NOT NULL THEN ts END))))
+    AS bin_first_hex,
+  lower(hex(encode(arg_max(CASE WHEN parameter_id = 'error' THEN str_value END,
+          CASE WHEN parameter_id = 'error' AND str_value IS NOT NULL THEN ts END))))
+    AS bin_last_hex,
+  COUNT(CASE WHEN parameter_id = 'error' THEN str_value END) AS bin_count
+FROM pv
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1
+"""
+
+
+register("telemetry_binary_aggs", telemetry_binary_aggs, TELEMETRY_BINARY_AGGS_SQL)
 register("telemetry_string_aggs", telemetry_string_aggs, TELEMETRY_STRING_AGGS_SQL)
 register("telemetry_event_aggs", telemetry_event_aggs, TELEMETRY_EVENT_AGGS_SQL)
 register("telemetry_bucket_multi_agg", telemetry_bucket_multi_agg, TELEMETRY_BUCKET_MULTI_AGG_SQL)
