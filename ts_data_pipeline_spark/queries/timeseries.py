@@ -61,6 +61,50 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.sessionize(io.load(spark, sf_dir, "events"), gap_minutes=30.0)
 
 
+def session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (gap-close semantics: window end
+    = last event + gap). Cross-checks the hand-rolled gaps-and-islands
+    sessionize — same islands, end shifted by exactly the gap."""
+    e = io.load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.col("user_id").alias("key"),
+            F.session_window("ts", "30 minutes").alias("_w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_BUILTIN_SQL = """
+WITH flagged AS (
+  SELECT user_id AS key, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts)) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT key, ts,
+         SUM(new_s) OVER (PARTITION BY key ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT key,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY key, session_no
+"""
+
+
 def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one row per user, one summed-value column per event type.
 
@@ -182,6 +226,7 @@ register(
 )
 register("pivot_event_values", pivot_event_values, PIVOT_EVENT_VALUES_SQL)
 register("range_join_whale_windows", range_join_whale_windows, RANGE_JOIN_WHALE_SQL)
+register("session_window_builtin", session_window_builtin, SESSION_WINDOW_BUILTIN_SQL)
 register("salted_returnflag_revenue", salted_returnflag_revenue, SALTED_RETURNFLAG_SQL)
 register(
     "ann_ivf_topk",
