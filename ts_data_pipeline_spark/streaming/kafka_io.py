@@ -94,11 +94,11 @@ def from_kafka_json(
     as a proper event-time TimestampType column ready for
     ``withWatermark``.
     """
-    cols = [
+    df = kafka_df.select(
         F.col("key").cast("string").alias("key"),
         F.from_json(F.col("value").cast("string"), value_schema).alias("v"),
-    ]
-    df = kafka_df.select(*cols, *[F.col(c) for c in kafka_df.columns if c == "headers"])
+        *([F.col("headers")] if "headers" in kafka_df.columns else []),
+    )
     selects = [F.col("key")]
     for f in value_schema.fields:
         if ts_field is not None and f.name == ts_field:
