@@ -121,6 +121,36 @@ def active(catalog: DataFrame) -> DataFrame:
     return catalog.filter(F.col("soft_delete_at").isNull())
 
 
+def with_parents(catalog: DataFrame) -> DataFrame:
+    """Attach the stream hierarchy (stream.ts:54 ``parents``,
+    streamWithChildren.ts:17-71): deterministic tree where stream N's
+    parent is N div 10 (root streams < 10 have no parent). Parents is
+    an ARRAY<STRING> path from root, matching the contract shape."""
+    sid = F.col("stream_id").cast("bigint")
+    parent = F.when(sid >= 10, (sid / 10).cast("bigint").cast("string"))
+    grandparent = F.when(sid >= 100, (sid / 100).cast("bigint").cast("string"))
+    return catalog.withColumn(
+        "parents",
+        F.array_compact(F.array(grandparent, parent)),
+    )
+
+
+def children_rollup(catalog_with_parents: DataFrame) -> DataFrame:
+    """streamWithChildren: per parent stream, direct-child count and
+    data span of the subtree's direct children."""
+    c = catalog_with_parents.select(
+        "stream_id",
+        F.try_element_at(F.col("parents"), F.lit(-1)).alias("parent_id"),
+        "data_start",
+        "data_end",
+    ).filter(F.col("parent_id").isNotNull())
+    return c.groupBy("parent_id").agg(
+        F.count(F.lit(1)).alias("n_children"),
+        F.min("data_start").alias("children_start"),
+        F.max("data_end").alias("children_end"),
+    )
+
+
 def backfill_cursor(
     data: DataFrame, *, key_col: str = "stream_id", ts_col: str = "ts"
 ) -> DataFrame:

@@ -117,4 +117,32 @@ LIMIT 2 OFFSET 1
 
 register("catalog_lifecycle", catalog_lifecycle, CATALOG_LIFECYCLE_SQL)
 register("backfill_cursor", backfill_cursor, BACKFILL_CURSOR_SQL)
+def catalog_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream parent/child roll-up (streamWithChildren.ts:17-71)."""
+    c = cat.build_streams_catalog(_events_streams(spark, sf_dir))
+    return cat.children_rollup(cat.with_parents(c))
+
+
+CATALOG_HIERARCHY_SQL = """
+WITH bounds AS (
+  SELECT CAST(user_id AS VARCHAR) AS stream_id,
+         MIN(ts) AS data_start, MAX(ts) AS data_end
+  FROM events GROUP BY 1
+),
+kids AS (
+  SELECT stream_id,
+         CAST(CAST(stream_id AS BIGINT) // 10 AS VARCHAR) AS parent_id,
+         data_start, data_end
+  FROM bounds
+  WHERE CAST(stream_id AS BIGINT) >= 10
+)
+SELECT parent_id,
+       COUNT(*) AS n_children,
+       MIN(data_start) AS children_start,
+       MAX(data_end) AS children_end
+FROM kids GROUP BY parent_id
+"""
+
+
 register("catalog_locations", catalog_locations, CATALOG_LOCATIONS_SQL)
+register("catalog_hierarchy", catalog_hierarchy, CATALOG_HIERARCHY_SQL)

@@ -432,6 +432,49 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------
+# Case 11 — data snippet: saved selection replayed through the same
+# evaluator (dataSnippet.ts:13-50; getDataSnippetParameterDataRequest).
+# ---------------------------------------------------------------------
+
+def telemetry_snippet_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ts_data_pipeline_spark.plans.snippets import DataSnippet, materialize
+
+    snippet = DataSnippet(
+        name="whale_watch",
+        stream_ids=["2", "4", "6", "8"],
+        parameter_ids=["purchase", "click"],
+        from_ts="2024-01-03 00:00:00",
+        to_ts="2024-01-21 00:00:00",
+    )
+    saved = materialize(_pv(spark, sf_dir), snippet)
+    spec = QuerySpec(
+        numeric_aggregations=[
+            NumericAggregation("purchase", "Sum"),
+            NumericAggregation("click", "Mean"),
+        ],
+        group_by_time=GroupByTime("1 day"),
+    )
+    return evaluate(saved, spec)
+
+
+TELEMETRY_SNIPPET_SQL = f"""
+WITH pv AS ({PV_SQL})
+SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+       ROUND(SUM(CASE WHEN parameter_id = 'purchase' THEN num_value END), 4)
+         AS purchase_sum,
+       ROUND(AVG(CASE WHEN parameter_id = 'click' THEN num_value END), 4)
+         AS click_mean
+FROM pv
+WHERE stream_id IN ('2', '4', '6', '8')
+  AND parameter_id IN ('purchase', 'click')
+  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts < TIMESTAMP '2024-01-21 00:00:00'
+GROUP BY 1
+"""
+
+
+register("telemetry_snippet_replay", telemetry_snippet_replay, TELEMETRY_SNIPPET_SQL)
 register("telemetry_binary_aggs", telemetry_binary_aggs, TELEMETRY_BINARY_AGGS_SQL)
 register("telemetry_string_aggs", telemetry_string_aggs, TELEMETRY_STRING_AGGS_SQL)
 register("telemetry_event_aggs", telemetry_event_aggs, TELEMETRY_EVENT_AGGS_SQL)
