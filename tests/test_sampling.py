@@ -1,0 +1,74 @@
+"""Sampling/mixing/split behavior pins (training-corpus ops)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import sampling
+
+from pyspark.sql import functions as F
+
+
+def test_stratified_sample_respects_fractions(spark):
+    docs = io.load(spark, SF_DIR, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    out = sampling.stratified_sample(docs, "lang", fractions)
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    got = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert got.get("fr", 0) == 0
+    assert got["de"] == totals["de"]
+    # Bernoulli draw: allow wide tolerance at small n.
+    assert 0.25 * totals["en"] <= got["en"] <= 0.75 * totals["en"]
+    # Unlisted strata are dropped by sampleBy.
+    assert "zh" not in got
+
+
+def test_stratified_sample_deterministic(spark):
+    docs = io.load(spark, SF_DIR, "documents")
+    a = sampling.stratified_sample(docs, "lang", {"en": 0.3}, seed=7).collect()
+    b = sampling.stratified_sample(docs, "lang", {"en": 0.3}, seed=7).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+
+def test_weighted_mix_tags_provenance(spark):
+    docs = io.load(spark, SF_DIR, "documents")
+    wiki = docs.filter(F.col("lang") == "en")
+    crawl = docs.filter(F.col("lang") != "en")
+    mixed = sampling.weighted_mix(
+        {"wiki": wiki, "crawl": crawl}, {"wiki": 1.0, "crawl": 0.5}
+    )
+    counts = {r.mix_source: r["count"] for r in mixed.groupBy("mix_source").count().collect()}
+    assert counts["wiki"] == wiki.count()
+    assert 0 < counts["crawl"] < crawl.count()
+
+
+def test_hash_split_stable_and_leak_free(spark):
+    events = io.load(spark, SF_DIR, "events")
+    split = sampling.hash_split(events, "user_id", eval_permille=200)
+    # Same key -> same side, always (no leakage across a user).
+    sides = split.groupBy("user_id").agg(
+        F.count_distinct("split").alias("n_sides")
+    )
+    assert sides.filter(F.col("n_sides") > 1).count() == 0
+    # Deterministic across invocations.
+    a = {r.user_id: r.split for r in split.select("user_id", "split").distinct().collect()}
+    b = {
+        r.user_id: r.split
+        for r in sampling.hash_split(events, "user_id", eval_permille=200)
+        .select("user_id", "split").distinct().collect()
+    }
+    assert a == b
+    # Proportion check needs a big key set: event_id has ~1000+
+    # distinct keys (user_id has only ~15 at sf0.001 — pure binomial
+    # noise there).
+    by_event = sampling.hash_split(events, "event_id", eval_permille=200)
+    n_keys = events.count()
+    n_eval = by_event.filter(F.col("split") == "eval").count()
+    assert 0.12 <= n_eval / n_keys <= 0.28
+    # Versioned salt changes the assignment.
+    c = {
+        r.user_id: r.split
+        for r in sampling.hash_split(events, "user_id", eval_permille=200, salt="v2")
+        .select("user_id", "split").distinct().collect()
+    }
+    assert c != a

@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ts_data_pipeline_spark import io
 from ts_data_pipeline_spark.functions import text as text_fns
-from ts_data_pipeline_spark.operators import dedup, multimodal, similarity
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark.operators import dedup, multimodal, sampling, similarity
 from ts_data_pipeline_spark.registry import register
 
 ANN_QUERY_IDS = list(range(10))
@@ -74,6 +76,27 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+def corpus_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction: weighted source mix +
+    deterministic hash train/eval split, summarized per cell.
+    Rows-only gate: Spark's Bernoulli sampling is engine-specific;
+    statistical behavior is pinned in tests/test_sampling.py."""
+    docs = io.load(spark, sf_dir, "documents")
+    mixed = sampling.weighted_mix(
+        {
+            "curated": docs.filter(F.col("lang") == "en"),
+            "crawl": docs.filter(F.col("lang") != "en"),
+        },
+        {"curated": 1.0, "crawl": 0.6},
+    )
+    split = sampling.hash_split(mixed, "doc_id", eval_permille=100)
+    return split.groupBy("mix_source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+register("corpus_mix_split", corpus_mix_split)  # rows-only: engine-specific sampling
 register("dedup_exact", dedup_exact, dedup.EXACT_DEDUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
 register("dedup_simhash", dedup_simhash, dedup.simhash_sql())
