@@ -214,6 +214,33 @@ SELECT doc_id, lang AS lang_pred, score FROM ranked WHERE rk = 1
 """
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cleaning normalization for training text: strip control chars,
+    collapse runs of whitespace, trim, casefold. Pure expressions —
+    the whole pass stays in codegen; at 100 TB this is a map-only
+    stage with zero shuffle."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, "[\\x00-\\x1F\\x7F]", " ")
+    collapsed = F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_raw"),
+        F.lower(collapsed).alias("text_norm"),
+        F.length(F.lower(collapsed)).alias("n_chars_norm"),
+    )
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_raw,
+       lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                                 '\s+', ' ', 'g'))) AS text_norm,
+       length(lower(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                                        '\s+', ' ', 'g')))) AS n_chars_norm
+FROM documents
+"""
+
+
 def doc_fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     """Content + shingle-range fingerprints per document.
 

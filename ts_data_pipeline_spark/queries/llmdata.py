@@ -76,6 +76,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sample_frames(media)
 
 
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.normalize_text(io.load(spark, sf_dir, "documents"))
+
+
+def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint contract over the events feed — the
+    generalized form of the reference's scattered validators."""
+    from ts_data_pipeline_spark.operators import constraints as C
+
+    events = io.load(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    plain = [
+        C.not_null("value"),
+        C.in_range("value", 0.0, 1000.0),
+        C.in_set("event_type", ["click", "view", "purchase", "signup", "error"]),
+        C.matches("props", "^[{].*[}]$"),
+    ]
+    return C.run_checks(events, plain + [C.unique_key("event_id")])
+
+
+def _dq_suite_sql() -> str:
+    from ts_data_pipeline_spark.operators import constraints as C
+
+    plain = [
+        C.not_null("value"),
+        C.in_range("value", 0.0, 1000.0),
+        C.in_set("event_type", ["click", "view", "purchase", "signup", "error"]),
+        C.matches("props", "^[{].*[}]$"),
+    ]
+    # DuckDB uses regexp_matches, Spark RLIKE — rewrite the regex check.
+    sql = C.checks_sql("events", plain, unique_cols=["event_id"])
+    return sql.replace(
+        "NOT (props RLIKE '^[{].*[}]$')", "NOT regexp_matches(props, '^[{].*[}]$')"
+    )
+
+
 def corpus_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus construction: weighted source mix +
     deterministic hash train/eval split, summarized per cell.
@@ -96,6 +132,8 @@ def corpus_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+register("normalize_text", normalize_text, text_fns.NORMALIZE_TEXT_SQL)
+register("dq_constraint_suite", dq_constraint_suite, _dq_suite_sql())
 register("corpus_mix_split", corpus_mix_split)  # rows-only: engine-specific sampling
 register("dedup_exact", dedup_exact, dedup.EXACT_DEDUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
