@@ -85,6 +85,56 @@ def asof_join(
     )
 
 
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Grouped-map as-of join: ``applyInPandas`` + ``pd.merge_asof``
+    per key (the guide's escape-hatch form; §2.8 grouped-map surface).
+
+    Semantically identical to :func:`asof_join` (backward, <=) —
+    pinned by tests/test_asof.py — but pays the Arrow hop, so the
+    expression-only composition remains the default. Useful when the
+    per-group logic grows beyond what merge semantics express
+    (tolerance windows, nearest-direction switches, custom fill).
+    """
+    import pandas as pd
+
+    left_tagged = left.withColumn("_side", F.lit("l"))
+    right_sel = right.select(
+        F.col(key),
+        F.col(ts),
+        *[F.col(c) for c in right_value_cols],
+    ).withColumn("_side", F.lit("r"))
+    out_fields = [f"{f.name} {f.dataType.simpleString()}"
+                  for f in left.schema.fields]
+    out_fields += [
+        f"{right.schema[c].name} {right.schema[c].dataType.simpleString()}"
+        for c in right_value_cols
+    ]
+    schema = ", ".join(out_fields)
+    lcols = list(left.columns)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        l = pdf[pdf["_side"] == "l"][lcols].sort_values(ts)
+        r = (
+            pdf[pdf["_side"] == "r"][[key, ts, *right_value_cols]]
+            .dropna(subset=[ts])
+            .sort_values(ts)
+        )
+        if not len(l):
+            return pd.DataFrame(columns=lcols + right_value_cols)
+        merged = pd.merge_asof(l, r, on=ts, by=key, direction="backward")
+        return merged[lcols + right_value_cols]
+
+    unioned = left_tagged.unionByName(right_sel, allowMissingColumns=True)
+    return unioned.groupBy(key).applyInPandas(merge, schema=schema)
+
+
 def sessionize(
     df: DataFrame,
     *,

@@ -151,6 +151,60 @@ def children_rollup(catalog_with_parents: DataFrame) -> DataFrame:
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    *,
+    key: str = "stream_id",
+    tracked: Sequence[str] = ("name", "location", "status"),
+    at_ts: str = "2024-02-01 00:00:00",
+) -> DataFrame:
+    """Apply a batch of catalog updates as SCD-type-2 history.
+
+    Emulates MERGE on a plain table (the guide's v1 CDC pattern:
+    anti-join + union): current rows whose key appears in ``updates``
+    are closed (valid_to = at_ts, is_current = false); updated/new
+    versions open at at_ts. One broadcast-able join against the
+    updates batch — history never rewrites untouched keys' rows.
+
+    ``history`` needs (key, *tracked, valid_from, valid_to,
+    is_current); ``updates`` needs (key, *tracked).
+    """
+    at = F.lit(at_ts).cast("timestamp")
+    upd_keys = updates.select(F.col(key).alias("_uk")).distinct()
+    # Close the current version of every updated key.
+    joined = history.join(
+        F.broadcast(upd_keys), history[key] == F.col("_uk"), "left"
+    )
+    closed = joined.select(
+        *[F.col(c) for c in history.columns if c not in ("valid_to", "is_current")],
+        F.when(
+            F.col("_uk").isNotNull() & F.col("is_current"), at
+        ).otherwise(F.col("valid_to")).alias("valid_to"),
+        F.when(
+            F.col("_uk").isNotNull() & F.col("is_current"), F.lit(False)
+        ).otherwise(F.col("is_current")).alias("is_current"),
+    )
+    opened = updates.select(
+        F.col(key),
+        *[F.col(c) for c in tracked],
+        at.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened)
+
+
+def as_history(catalog: DataFrame, *, since: str = "2024-01-01 00:00:00") -> DataFrame:
+    """Seed an SCD2 history from a point-in-time catalog snapshot."""
+    return catalog.select(
+        "stream_id", "name", "location", "status",
+        F.lit(since).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
 def backfill_cursor(
     data: DataFrame, *, key_col: str = "stream_id", ts_col: str = "ts"
 ) -> DataFrame:

@@ -145,4 +145,49 @@ FROM kids GROUP BY parent_id
 
 
 register("catalog_locations", catalog_locations, CATALOG_LOCATIONS_SQL)
+def catalog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 catalog history: seed from the snapshot, apply a rename/
+    relocate batch for streams 3 and 7, list the full history."""
+    c = cat.build_streams_catalog(_events_streams(spark, sf_dir))
+    hist = cat.as_history(c)
+    updates = (
+        c.filter(F.col("stream_id").isin("3", "7"))
+        .select(
+            "stream_id",
+            F.concat(F.lit("renamed-"), F.col("stream_id")).alias("name"),
+            F.lit("/cold/archive").alias("location"),
+            F.lit("Closed").alias("status"),
+        )
+    )
+    return cat.scd2_apply(hist, updates).drop("data_start", "data_end", "n_records", "soft_delete_at", "topic")
+
+
+CATALOG_SCD2_SQL = """
+WITH bounds AS (
+  SELECT CAST(user_id AS VARCHAR) AS stream_id,
+         MIN(ts) AS data_start, MAX(ts) AS data_end
+  FROM events GROUP BY 1
+),
+snap AS (
+  SELECT stream_id,
+         'stream-' || stream_id AS name,
+         '/live/shard-' || CAST(CAST(stream_id AS BIGINT) % 4 AS VARCHAR) AS location,
+         CASE WHEN data_end >= date_trunc('day', MAX(data_end) OVER ())
+              THEN 'Open' ELSE 'Closed' END AS status
+  FROM bounds
+)
+SELECT stream_id, name, location, status,
+       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+       CASE WHEN stream_id IN ('3', '7')
+            THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to,
+       stream_id NOT IN ('3', '7') AS is_current
+FROM snap
+UNION ALL
+SELECT stream_id, 'renamed-' || stream_id, '/cold/archive', 'Closed',
+       TIMESTAMP '2024-02-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+FROM snap WHERE stream_id IN ('3', '7')
+"""
+
+
 register("catalog_hierarchy", catalog_hierarchy, CATALOG_HIERARCHY_SQL)
+register("catalog_scd2", catalog_scd2, CATALOG_SCD2_SQL)
