@@ -1,0 +1,65 @@
+"""Physical-plan shape pins for the headline aggregations.
+
+SCALE.md claims partial/final agg splits and codegen coverage; these
+tests keep those plans from silently regressing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+import re
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import trades, window_agg
+from ts_data_pipeline_spark.plans.queryspec import (
+    GroupByTime, NumericAggregation, QuerySpec, evaluate,
+)
+from ts_data_pipeline_spark.queries.telemetry import events_as_parameter_values
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode) if mode != "simple" else df.explain()
+    return buf.getvalue()
+
+
+def test_flagship_splits_partial_final_agg(spark):
+    df = window_agg.option_window_agg(
+        trades.events_as_option_trades(io.load(spark, SF_DIR, "events"))
+    )
+    plan = _plan(df)
+    # Two HashAggregate nodes: map-side partial + reduce-side final —
+    # the shuffle carries one row per (key, window) per map task.
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    # Codegen subtree count is only visible pre-execution with AQE
+    # off (adaptive plans report 0 until finalized).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df2 = window_agg.option_window_agg(
+            trades.events_as_option_trades(io.load(spark, SF_DIR, "events"))
+        )
+        codegen = _plan(df2, "codegen")
+        assert "WholeStageCodegen subtrees" in codegen
+        assert "Found 0" not in codegen, codegen[:200]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The 25 conditional sums never force a sort-based aggregate.
+    assert "SortAggregate" not in plan
+
+
+def test_queryspec_agg_splits_partial_final(spark):
+    pv = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
+    spec = QuerySpec(
+        numeric_aggregations=[
+            NumericAggregation("purchase", "Sum"),
+            NumericAggregation("purchase", "Count"),
+            NumericAggregation("error", "Max"),
+        ],
+        group_by_time=GroupByTime("1 hour"),
+    )
+    plan = _plan(evaluate(pv, spec))
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+    assert "SortAggregate" not in plan

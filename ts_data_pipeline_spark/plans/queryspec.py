@@ -339,6 +339,9 @@ class EventQuerySpec:
     event_ids: Optional[Sequence[str]] = None
     aggregation: str = "Count"  # one of EVENT_AGGS
     interval: Optional[str] = None  # bucket duration, e.g. "1 hour"
+    #: eventDataAggregation.ts:19-21 — None/Null/Previous (Linear is
+    #: numeric-only; event values are strings).
+    interpolation: str = "None"
     from_ts: Optional[str] = None
     to_ts: Optional[str] = None
     stream_ids: Optional[Sequence[str]] = None
@@ -415,6 +418,40 @@ def evaluate_events(
             *[k for k in out_keys if k != "bucket"],
             *val_names,
         )
+
+    # A8-on-events: dense bucket spine per event channel. Counts
+    # Null-fill to 0 (an absent bucket has zero occurrences);
+    # event_value fills per the interpolation mode.
+    if spec.interval is not None and spec.interpolation != "None":
+        if spec.from_ts is None or spec.to_ts is None:
+            raise ValueError("interpolation requires from_ts and to_ts")
+        group_cols = [k for k in out_keys if k != "bucket"]
+        spine = out.sparkSession.range(1).select(
+            F.explode(
+                F.expr(
+                    f"sequence(cast('{spec.from_ts}' as timestamp), "
+                    f"cast('{spec.to_ts}' as timestamp) - interval {spec.interval}, "
+                    f"interval {spec.interval})"
+                )
+            ).alias("bucket")
+        )
+        bucket_type = out.schema["bucket"].dataType.simpleString()
+        spine = spine.select(F.col("bucket").cast(bucket_type).alias("bucket"))
+        spine = spine.crossJoin(out.select(*group_cols).distinct())
+        out = spine.join(out, on=["bucket", *group_cols], how="left")
+        out = out.withColumn("event_count", F.coalesce("event_count", F.lit(0)))
+        if spec.interpolation == "Previous" and "event_value" in out.columns:
+            w_back = (
+                Window.partitionBy(*group_cols)
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            out = out.withColumn(
+                "event_value",
+                F.last(F.col("event_value"), ignorenulls=True).over(w_back),
+            )
+        elif spec.interpolation not in ("Null", "Previous"):
+            raise ValueError(f"unsupported event interpolation {spec.interpolation!r}")
     return out
 
 

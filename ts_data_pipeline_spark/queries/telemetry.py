@@ -474,6 +474,61 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------
+# Case 12 — event aggregation + Previous interpolation over the bucket
+# spine (A6 x A8, eventDataAggregation.ts:19-21). One rare channel
+# ('error' for one stream) so gaps exist.
+# ---------------------------------------------------------------------
+
+def telemetry_event_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = EventQuerySpec(
+        event_ids=["error"],
+        aggregation="Last",
+        interval="1 day",
+        interpolation="Previous",
+        from_ts="2024-01-01 00:00:00",
+        to_ts="2024-01-31 00:00:00",
+        stream_ids=["5"],
+    )
+    return evaluate_events(
+        events_as_event_model(io.load(spark, sf_dir, "events")), spec
+    )
+
+
+TELEMETRY_EVENT_INTERP_SQL = f"""
+WITH ev AS ({EV_SQL}),
+agg AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+         event_id,
+         arg_max(value, CASE WHEN value IS NOT NULL THEN ts END) AS event_value,
+         CAST(COUNT(*) AS BIGINT) AS event_count
+  FROM ev
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+    AND stream_id IN ('5') AND event_id IN ('error')
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT s.bucket, g.event_id
+  FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                      TIMESTAMP '2024-01-31 00:00:00' - INTERVAL '1 day',
+                                      INTERVAL '1 day')) AS bucket) s
+  CROSS JOIN (SELECT DISTINCT event_id FROM agg) g
+),
+j AS (
+  SELECT s.bucket, s.event_id, a.event_value,
+         COALESCE(a.event_count, 0) AS event_count
+  FROM spine s LEFT JOIN agg a USING (bucket, event_id)
+)
+SELECT bucket, event_id,
+       last_value(event_value IGNORE NULLS) OVER (
+         PARTITION BY event_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_value,
+       event_count
+FROM j
+"""
+
+
+register("telemetry_event_interp", telemetry_event_interp, TELEMETRY_EVENT_INTERP_SQL)
 register("telemetry_snippet_replay", telemetry_snippet_replay, TELEMETRY_SNIPPET_SQL)
 register("telemetry_binary_aggs", telemetry_binary_aggs, TELEMETRY_BINARY_AGGS_SQL)
 register("telemetry_string_aggs", telemetry_string_aggs, TELEMETRY_STRING_AGGS_SQL)
