@@ -122,6 +122,58 @@ def test_streaming_finals_match_batch_for_closed_windows(spark, tmp_path):
         assert r == e, (r, e)
 
 
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Stream-stream inner join with an event-time range condition:
+    pairs arrive correctly across micro-batches and match the batch
+    join of the same inputs."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    QUOTE_SCHEMA = T.StructType([
+        T.StructField("r_osym", T.StringType()),
+        T.StructField("quote_ts", T.TimestampType()),
+        T.StructField("quote_px", T.DoubleType()),
+    ])
+
+    def q(sym, ts, px):
+        return (sym, dt.datetime.fromisoformat(ts), px)
+
+    trades_dir = str(tmp_path / "trades")
+    quotes_dir = str(tmp_path / "quotes")
+    _write_chunk(spark, [
+        _trade("A", "2024-01-01 10:05:00", premium=5.0),
+        _trade("B", "2024-01-01 10:06:00", premium=6.0),
+    ], trades_dir)
+    spark.createDataFrame([
+        q("A", "2024-01-01 10:00:00", 1.0),   # within 10 min of A's trade
+        q("A", "2024-01-01 10:04:30", 1.5),   # also within
+        q("A", "2024-01-01 09:40:00", 0.5),   # too old -> excluded
+        q("B", "2024-01-01 10:07:00", 2.0),   # newer than trade -> excluded
+        q("B", "2024-01-01 10:03:00", 2.5),   # within
+    ], QUOTE_SCHEMA).coalesce(1).write.mode("append").parquet(quotes_dir)
+
+    trades = windowed.parquet_stream(spark, trades_dir, TRADE_SCHEMA)
+    quotes = spark.readStream.schema(QUOTE_SCHEMA).parquet(quotes_dir)
+    joined = windowed.stream_stream_time_join(
+        trades, quotes, key="osym", left_ts="ts", right_ts="quote_ts",
+        lookback="10 minutes",
+    ).select("osym", "ts", "premium", "quote_ts", "quote_px")
+    qr = (
+        joined.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qr.awaitTermination()
+    got = sorted(
+        (r.osym, r.quote_px) for r in spark.table("t_ss_join").collect()
+    )
+    assert got == [("A", 1.0), ("A", 1.5), ("B", 2.5)], got
+
+
 def test_avro_roundtrip_or_env_gated(spark):
     """S6: Avro value codec against a pinned schema. The container
     ships pyspark without the spark-avro jar, so either the roundtrip

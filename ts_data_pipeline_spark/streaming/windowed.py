@@ -25,6 +25,7 @@ for streaming, which is the point of declaring the plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
@@ -54,6 +55,35 @@ def parquet_stream(
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     return reader.parquet(path)
+
+
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "quote_ts",
+    lookback: str = "10 minutes",
+    grace: str = "1 second",
+) -> DataFrame:
+    """Stream-stream inner join bounded by event time: each left row
+    pairs with right rows at most ``lookback`` older (and not newer).
+
+    The time-range condition lets Spark bound both sides' state by
+    the watermark (without it, stream-stream join state grows
+    forever) — state eviction horizon = lookback + grace on each
+    side. This is the streaming form of the trade<->quote pairing the
+    as-of join does in batch.
+    """
+    lw = left.withWatermark(left_ts, grace)
+    rw = right.withWatermark(right_ts, grace)
+    cond = (
+        (lw[key] == rw[f"r_{key}"])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond, "inner")
 
 
 def run_available_now(
