@@ -33,13 +33,17 @@ from __future__ import annotations
 import glob
 import json
 import os
+from dataclasses import dataclass
 from typing import Iterator, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -132,6 +136,71 @@ class ReplayStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+@dataclass
+class _FrameCommit(WriterCommitMessage):
+    path: str
+    rows: int
+
+
+class ReplayFrameWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Frame-file sink: the produce side of the connector (S5 analog
+    for files). Each task writes one JSONL frame file; commit is the
+    two-phase file protocol — tasks write to uniquely-named temp
+    files and return them in commit messages; ``commit`` promotes
+    them, ``abort`` discards — the same at-least-once-with-
+    idempotent-promotion story as the reference's producer flush
+    checkpoint (option_trades/data_source.py:171-187).
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, rows) -> _FrameCommit:
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx else 0
+        _os.makedirs(_os.path.join(self.path, "_tmp"), exist_ok=True)
+        tmp = _os.path.join(
+            self.path, "_tmp", f"part-{part}-{_uuid.uuid4().hex}.json"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(_json.dumps(row.asDict(recursive=True)) + "\n")
+                n += 1
+        return _FrameCommit(path=tmp, rows=n)
+
+    def _promote(self, messages, suffix: str) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is None or m.rows == 0:
+                if m is not None and _os.path.exists(m.path):
+                    _os.remove(m.path)
+                continue
+            final = _os.path.join(
+                self.path, _os.path.basename(m.path).replace("part-", f"{suffix}-")
+            )
+            _os.replace(m.path, final)
+
+    # batch protocol
+    def commit(self, messages, batchId: int | None = None) -> None:
+        suffix = f"frames-{batchId}" if batchId is not None else "frames"
+        self._promote(messages, suffix)
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is not None and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
 class ReplayFramesDataSource(DataSource):
     """``spark.read.format("replay_frames")`` — register with
     ``spark.dataSource.register(ReplayFramesDataSource)``."""
@@ -148,6 +217,12 @@ class ReplayFramesDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> ReplayStreamReader:
         return ReplayStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> ReplayFrameWriter:
+        return ReplayFrameWriter(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> ReplayFrameWriter:
+        return ReplayFrameWriter(self.options)
 
 
 def register(spark) -> None:
