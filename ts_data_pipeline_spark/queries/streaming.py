@@ -105,5 +105,47 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 escape hatch live: an arbitrary Python initializer/reducer
+    over keyed tumbling windows (applyInPandasWithState), replayed as
+    micro-batches. Rows-only: emission timing is not SQL-expressible;
+    equivalence to the declarative agg is pinned by
+    tests/test_custom_state.py."""
+    from ts_data_pipeline_spark.streaming import custom_state
+
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
+    enriched = enriched.withColumn("osym", F.col("osym").cast("string"))
+    base = tempfile.mkdtemp(prefix="tsdp_ureduce_")
+    data_dir = os.path.join(base, "data")
+    chunks = enriched.withColumn("chunk", F.ntile(3).over(Window.orderBy("ts")))
+    for i in (1, 2, 3):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    def initializer():
+        # option_trade_aggs initializer analog (main.py:143-188).
+        return {"trade_count": 0, "premium_sum": 0.0}
+
+    def reducer(acc, rec):
+        # main.py:85-140 analog: fold one record.
+        acc["trade_count"] += 1
+        acc["premium_sum"] = round(acc["premium_sum"] + rec["premium"], 4)
+        return acc
+
+    stream = windowed.parquet_stream(spark, data_dir, enriched.schema, max_files=1)
+    agg = custom_state.keyed_window_reduce(
+        stream,
+        initializer,
+        reducer,
+        value_fields=(("trade_count", "long"), ("premium_sum", "double")),
+    )
+    name = f"ureduce_{uuid.uuid4().hex[:8]}"
+    windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
+    return spark.table(name)
+
+
 register("kafka_wire_roundtrip", kafka_wire_roundtrip, KAFKA_WIRE_ROUNDTRIP_SQL)
+register("streaming_user_reduce", streaming_user_reduce)  # rows-only: emission timing
 register("streaming_window_finals", streaming_window_finals)  # rows-only: emission timing
