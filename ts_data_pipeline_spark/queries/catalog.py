@@ -190,4 +190,42 @@ FROM snap WHERE stream_id IN ('3', '7')
 
 
 register("catalog_hierarchy", catalog_hierarchy, CATALOG_HIERARCHY_SQL)
+def catalog_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameters catalog (parameter.ts:17-59 /
+    getAllParametersRequest): one row per parameter channel with its
+    type, observed min/max, group path, and stream count — derived
+    from the data, filtered with a StartsWith match (F7) and ordered
+    (O1)."""
+    ev = io.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("parameter_id"))
+        .agg(
+            F.lit("Numeric").alias("ptype"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.count_distinct("user_id").alias("n_streams"),
+        )
+        .withColumn(
+            "group_path", F.concat(F.lit("/telemetry/"), F.col("parameter_id"))
+        )
+        .filter(~F.col("parameter_id").startswith("x"))
+        .orderBy(F.col("parameter_id").asc())
+    )
+
+
+CATALOG_PARAMETERS_SQL = """
+SELECT event_type AS parameter_id,
+       'Numeric' AS ptype,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value,
+       COUNT(DISTINCT user_id) AS n_streams,
+       '/telemetry/' || event_type AS group_path
+FROM events
+WHERE event_type NOT LIKE 'x%'
+GROUP BY event_type
+ORDER BY parameter_id ASC
+"""
+
+
 register("catalog_scd2", catalog_scd2, CATALOG_SCD2_SQL)
+register("catalog_parameters", catalog_parameters, CATALOG_PARAMETERS_SQL)
