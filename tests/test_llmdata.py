@@ -30,6 +30,27 @@ def test_minhash_lsh_recall_vs_exact(spark):
         assert found / len(strong) >= 0.8, (found, len(strong))
 
 
+def test_shingles_short_and_empty_docs(spark):
+    """Docs with fewer than n tokens shingle to an empty array instead
+    of crashing (sequence(1,0) is descending; slice(toks,0,n) throws
+    INVALID_PARAMETER_VALUE.START — regression pin for ADVICE r01)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "one", "en"), (3, "just two", "en"),
+         (4, "now three tokens", "en"), (5, "a b   c  d", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    sh = {r.doc_id: r.sh for r in
+          docs.select("doc_id", dedup.shingles_col(3).alias("sh")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == ["now three tokens"]
+    assert sh[5] == ["a b c", "b c d"]  # multi-space tokenization
+    # Downstream shingle consumers must tolerate short docs too.
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    assert dedup.minhash_lsh_pairs(docs).count() == 0
+
+
 def test_simhash_similar_docs_close(spark):
     """Near-identical docs should have near-identical simhashes."""
     docs = io.load(spark, SF_DIR, "documents")

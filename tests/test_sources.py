@@ -96,6 +96,43 @@ def test_stream_write_per_batch_files(spark, tmp_path):
     assert _glob.glob(out + "/_tmp/*") == []
 
 
+def test_stream_commit_idempotent_across_retry(tmp_path):
+    """A replayed micro-batch must overwrite its own frame files, not
+    accrete uuid-named duplicates (ADVICE r01: promotion was
+    at-least-once). Simulates attempt 1 promoting 2 partitions, then a
+    retry of the SAME batch with a different partition count."""
+    import glob as _glob
+    import os
+
+    out = str(tmp_path / "out")
+    os.makedirs(out + "/_tmp")
+    w = replay.ReplayFrameWriter({"path": out})
+
+    def attempt(parts):
+        msgs = []
+        for p, rows in parts.items():
+            tmp = os.path.join(out, "_tmp", f"part-{p}-deadbeef{p}.json")
+            with open(tmp, "w") as fh:
+                fh.writelines(json.dumps(r) + "\n" for r in rows)
+            msgs.append(replay._FrameCommit(path=tmp, rows=len(rows), partition=p))
+        return msgs
+
+    w.commit(attempt({0: FRAMES_A[:4], 1: FRAMES_A[4:]}), batchId=7)
+    # Retry of batch 7 repartitions to 3 tasks.
+    third = len(FRAMES_A) // 3
+    w.commit(
+        attempt({0: FRAMES_A[:third], 1: FRAMES_A[third:2 * third],
+                 2: FRAMES_A[2 * third:]}),
+        batchId=7,
+    )
+    files = sorted(_glob.glob(out + "/frames-7-part-*.json"))
+    assert [os.path.basename(f) for f in files] == [
+        f"frames-7-part-{p}.json" for p in (0, 1, 2)
+    ]
+    got = [json.loads(line) for f in files for line in open(f) if line.strip()]
+    assert sorted(r["ts"] for r in got) == sorted(f["ts"] for f in FRAMES_A)
+
+
 def test_stream_read_paged_cursor(spark, tmp_path):
     """The line cursor pages through frames (REST limit=500 analog)
     across multiple micro-batches, exactly once."""

@@ -68,11 +68,18 @@ def shingles_col(n: int = 3, text_col: str = "text"):
     ``transform`` (SQL has no let-binding) — the naive spelling
     re-evaluates split()/filter() for every output element, turning
     shingling into O(tokens^2) string work per document.
+
+    Documents with fewer than ``n`` tokens yield an empty array: the
+    naive ``sequence(1, greatest(size-n+1, 0))`` spelling produces a
+    DESCENDING [1, 0] sequence there, and ``slice(toks, 0, n)`` throws
+    INVALID_PARAMETER_VALUE.START at runtime (DuckDB's ``range(1, 1)``
+    is empty, so the oracle would also silently diverge).
     """
     return F.expr(
         f"transform(array(filter(split(lower({text_col}), ' '), t -> t != '')), "
-        f"toks -> transform(sequence(1, greatest(size(toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(toks, i, {n}))))[0]"
+        f"toks -> CASE WHEN size(toks) < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) END)[0]"
     )
 
 

@@ -43,6 +43,8 @@ def weighted_mix(
     mixture recipe. Weights > 1.0 are not duplicated here (epoch-level
     upsampling belongs to the training loader); they are capped at 1.
     """
+    if not sources:
+        raise ValueError("weighted_mix requires at least one source")
     parts = []
     for name, df in sources.items():
         frac = min(float(weights.get(name, 1.0)), 1.0)

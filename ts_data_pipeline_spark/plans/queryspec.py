@@ -249,6 +249,42 @@ def evaluate(
 
     # A4 per-parameter aggregates via conditional aggregation.
     value = F.col(value_col)
+    raw_numeric = [na for na in spec.numeric_aggregations if na.aggregation == "None"]
+    raw_string = [sa for sa in spec.string_aggregations if sa.aggregation == "None"]
+    if raw_numeric or raw_string:
+        # 'None' = raw passthrough (numericAggregationType.ts:17 /
+        # aggregationType.ts:17): the response carries the samples
+        # themselves — one row per source sample of a requested
+        # parameter, parameters pivoted to columns. That shape is
+        # incompatible with bucket aggregation, so mixing is rejected.
+        if len(raw_numeric) + len(raw_string) != len(
+            spec.numeric_aggregations
+        ) + len(spec.string_aggregations):
+            raise ValueError(
+                "'None' (raw passthrough) cannot mix with bucket aggregates"
+            )
+        if spec.group_by_time is not None:
+            raise ValueError("'None' returns raw samples; group_by_time does not apply")
+        params = [na.parameter for na in raw_numeric] + [
+            sa.parameter for sa in raw_string
+        ]
+        out = df.filter(F.col(parameter_col).isin(params)).select(
+            ts.alias("ts"),
+            *[F.col(tags_col)[t].alias(f"tag_{t}") for t in spec.group_by_tags],
+            *[
+                F.when(F.col(parameter_col) == na.parameter, value).alias(
+                    f"{na.parameter}_none"
+                )
+                for na in raw_numeric
+            ],
+            *[
+                F.when(F.col(parameter_col) == sa.parameter, F.col(str_value_col)).alias(
+                    f"{sa.parameter}_str_none"
+                )
+                for sa in raw_string
+            ],
+        )
+        return _order_page(out, spec)
     aggs = []
     out_value_cols = []
     for na in spec.numeric_aggregations:
@@ -284,7 +320,11 @@ def evaluate(
             group_cols = [n for n in names if n != "bucket"]
             out = _fill(out, out_value_cols, group_cols, gbt.interpolation)
 
-    # O1 ordering + O2 paging.
+    return _order_page(out, spec)
+
+
+def _order_page(out: DataFrame, spec: QuerySpec) -> DataFrame:
+    """O1 ordering + O2 paging (shared by agg and raw-passthrough paths)."""
     if spec.orderings:
         out = out.orderBy(
             *[

@@ -15,6 +15,7 @@ tests/test_streaming.py.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -75,6 +76,28 @@ FROM events
 """
 
 
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a run, then restore.
+
+    The streaming queries here need a machine-sized state shuffle;
+    leaking that conf into the shared session would silently change
+    the plans of later queries/benchmarks (ADVICE r01).
+    """
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship agg as a checkpointed availableNow streaming run.
 
@@ -85,7 +108,6 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more time on task dispatch than work at this SF; size the state
     # shuffle to the machine (a cluster deployment would set this in
     # the session or rely on AQE, which streaming disables).
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
     base = tempfile.mkdtemp(prefix="tsdp_stream_")
     data_dir = os.path.join(base, "data")
@@ -101,7 +123,8 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
     agg = windowed.streaming_option_window_agg(stream)
     name = f"finals_{uuid.uuid4().hex[:8]}"
-    windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
     return spark.table(name)
 
 
@@ -113,7 +136,6 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_custom_state.py."""
     from ts_data_pipeline_spark.streaming import custom_state
 
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
     enriched = enriched.withColumn("osym", F.col("osym").cast("string"))
     base = tempfile.mkdtemp(prefix="tsdp_ureduce_")
@@ -142,7 +164,8 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_fields=(("trade_count", "long"), ("premium_sum", "double")),
     )
     name = f"ureduce_{uuid.uuid4().hex[:8]}"
-    windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
     return spark.table(name)
 
 

@@ -528,7 +528,38 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------
+# Case 13 — 'None' aggregation = raw passthrough (numericAggregation
+# Type.ts:17 / aggregationType.ts:17): the response carries the
+# samples themselves, parameters pivoted to columns, tags projected.
+# ---------------------------------------------------------------------
+
+def telemetry_raw_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = QuerySpec(
+        numeric_aggregations=[NumericAggregation("purchase", "None")],
+        string_aggregations=[StringAggregation("signup", "None")],
+        from_ts="2024-01-05 00:00:00",
+        to_ts="2024-01-10 00:00:00",
+        stream_ids=["1", "2", "3"],
+        group_by_tags=["k"],
+    )
+    return evaluate(_pv(spark, sf_dir), spec)
+
+
+TELEMETRY_RAW_PASSTHROUGH_SQL = f"""
+WITH pv AS ({PV_SQL})
+SELECT ts, tag_k,
+       CASE WHEN parameter_id = 'purchase' THEN num_value END AS purchase_none,
+       CASE WHEN parameter_id = 'signup' THEN str_value END AS signup_str_none
+FROM pv
+WHERE parameter_id IN ('purchase', 'signup')
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+  AND stream_id IN ('1', '2', '3')
+"""
+
+
 register("telemetry_event_interp", telemetry_event_interp, TELEMETRY_EVENT_INTERP_SQL)
+register("telemetry_raw_passthrough", telemetry_raw_passthrough, TELEMETRY_RAW_PASSTHROUGH_SQL)
 register("telemetry_snippet_replay", telemetry_snippet_replay, TELEMETRY_SNIPPET_SQL)
 register("telemetry_binary_aggs", telemetry_binary_aggs, TELEMETRY_BINARY_AGGS_SQL)
 register("telemetry_string_aggs", telemetry_string_aggs, TELEMETRY_STRING_AGGS_SQL)

@@ -140,6 +140,7 @@ class ReplayStreamReader(SimpleDataSourceStreamReader):
 class _FrameCommit(WriterCommitMessage):
     path: str
     rows: int
+    partition: int
 
 
 class ReplayFrameWriter(DataSourceWriter, DataSourceStreamWriter):
@@ -147,9 +148,14 @@ class ReplayFrameWriter(DataSourceWriter, DataSourceStreamWriter):
     for files). Each task writes one JSONL frame file; commit is the
     two-phase file protocol — tasks write to uniquely-named temp
     files and return them in commit messages; ``commit`` promotes
-    them, ``abort`` discards — the same at-least-once-with-
-    idempotent-promotion story as the reference's producer flush
-    checkpoint (option_trades/data_source.py:171-187).
+    them, ``abort`` discards. Promotion is IDEMPOTENT across batch
+    retries: final names are deterministic per (batchId, partitionId)
+    so a replayed micro-batch overwrites its own files instead of
+    duplicating them, and ``commit`` first clears any stale
+    ``frames-{batchId}-*`` leftovers from a partially-promoted prior
+    attempt (the retry may repartition). Mirrors the reference's
+    producer flush checkpoint (option_trades/data_source.py:171-187)
+    with exactly-once file output instead of at-least-once.
     """
 
     def __init__(self, options: dict):
@@ -173,9 +179,9 @@ class ReplayFrameWriter(DataSourceWriter, DataSourceStreamWriter):
             for row in rows:
                 fh.write(_json.dumps(row.asDict(recursive=True)) + "\n")
                 n += 1
-        return _FrameCommit(path=tmp, rows=n)
+        return _FrameCommit(path=tmp, rows=n, partition=part)
 
-    def _promote(self, messages, suffix: str) -> None:
+    def _promote(self, messages, prefix: str) -> None:
         import os as _os
 
         for m in messages:
@@ -183,15 +189,25 @@ class ReplayFrameWriter(DataSourceWriter, DataSourceStreamWriter):
                 if m is not None and _os.path.exists(m.path):
                     _os.remove(m.path)
                 continue
-            final = _os.path.join(
-                self.path, _os.path.basename(m.path).replace("part-", f"{suffix}-")
-            )
+            # Deterministic final name -> os.replace overwrites on a
+            # batch retry instead of accreting uuid-named duplicates.
+            final = _os.path.join(self.path, f"{prefix}-part-{m.partition}.json")
             _os.replace(m.path, final)
 
     # batch protocol
     def commit(self, messages, batchId: int | None = None) -> None:
-        suffix = f"frames-{batchId}" if batchId is not None else "frames"
-        self._promote(messages, suffix)
+        import glob as _glob
+        import os as _os
+
+        if batchId is not None:
+            prefix = f"frames-{batchId}"
+            # Clear a partially-promoted prior attempt of this batch
+            # (the retry may have a different partition count).
+            for stale in _glob.glob(_os.path.join(self.path, f"{prefix}-part-*.json")):
+                _os.remove(stale)
+        else:
+            prefix = "frames"
+        self._promote(messages, prefix)
 
     def abort(self, messages, batchId: int | None = None) -> None:
         import os as _os
