@@ -64,6 +64,24 @@ def test_batch_write_then_read_roundtrip(spark, tmp_path):
     assert all(json.loads(r.payload)["price"] == float(r.ts - 1000) for r in rows)
 
 
+def test_batch_append_twice_is_additive(spark, tmp_path):
+    """Two batch appends into the same path must accumulate, not
+    clobber: batch commits promote to uuid-suffixed names (only the
+    stream retry path uses deterministic per-(batchId, partition)
+    names)."""
+    out = str(tmp_path / "out")
+    replay.register(spark)
+    df = spark.createDataFrame(
+        [(1000 + i, f"K{i % 3}", float(i)) for i in range(10)],
+        "ts long, key string, price double",
+    )
+    df.write.format("replay_frames").option("path", out).mode("append").save()
+    df.write.format("replay_frames").option("path", out).mode("append").save()
+
+    back = spark.read.format("replay_frames").option("path", out).load()
+    assert back.count() == 20
+
+
 def test_stream_write_per_batch_files(spark, tmp_path):
     """Streaming sink: each micro-batch commits its own frame files
     (two-phase temp->promote), replayable by the source."""

@@ -228,9 +228,11 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT key, ts,
-         SUM(new_s) OVER (PARTITION BY key ORDER BY ts
+         -- DuckDB window SUM(int) yields HUGEINT -> pandas float64;
+         -- cast to match Spark's LONG in the value hash.
+         CAST(SUM(new_s) OVER (PARTITION BY key ORDER BY ts
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS session_no
+              AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT key, session_no,

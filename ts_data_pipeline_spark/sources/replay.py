@@ -181,17 +181,28 @@ class ReplayFrameWriter(DataSourceWriter, DataSourceStreamWriter):
                 n += 1
         return _FrameCommit(path=tmp, rows=n, partition=part)
 
-    def _promote(self, messages, prefix: str) -> None:
+    def _promote(self, messages, prefix: str, *, deterministic: bool) -> None:
         import os as _os
+        import uuid as _uuid
 
         for m in messages:
             if m is None or m.rows == 0:
                 if m is not None and _os.path.exists(m.path):
                     _os.remove(m.path)
                 continue
-            # Deterministic final name -> os.replace overwrites on a
-            # batch retry instead of accreting uuid-named duplicates.
-            final = _os.path.join(self.path, f"{prefix}-part-{m.partition}.json")
+            if deterministic:
+                # Deterministic final name -> os.replace overwrites on
+                # a STREAM batch retry instead of accreting duplicates.
+                final = _os.path.join(
+                    self.path, f"{prefix}-part-{m.partition}.json"
+                )
+            else:
+                # Batch appends must never clobber a prior write's
+                # files: keep a unique suffix per commit.
+                final = _os.path.join(
+                    self.path,
+                    f"{prefix}-part-{m.partition}-{_uuid.uuid4().hex}.json",
+                )
             _os.replace(m.path, final)
 
     # batch protocol
@@ -200,14 +211,17 @@ class ReplayFrameWriter(DataSourceWriter, DataSourceStreamWriter):
         import os as _os
 
         if batchId is not None:
+            # Streaming micro-batch: idempotent per (batchId, partition).
             prefix = f"frames-{batchId}"
             # Clear a partially-promoted prior attempt of this batch
             # (the retry may have a different partition count).
             for stale in _glob.glob(_os.path.join(self.path, f"{prefix}-part-*.json")):
                 _os.remove(stale)
+            self._promote(messages, prefix, deterministic=True)
         else:
-            prefix = "frames"
-        self._promote(messages, prefix)
+            # Plain batch write: Spark's commit protocol already ran
+            # once; uuid suffix keeps successive appends additive.
+            self._promote(messages, "frames", deterministic=False)
 
     def abort(self, messages, batchId: int | None = None) -> None:
         import os as _os
