@@ -18,9 +18,10 @@ stream), so it is always the broadcast side of any enrichment join.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: streamStatus.ts:16
@@ -71,6 +72,95 @@ def build_streams_catalog(
     )
 
 
+def with_metadata(catalog: DataFrame) -> DataFrame:
+    """Attach the stream ``metadata: MAP<STRING,STRING>`` column
+    (stream.ts:54 ``metadata: {[key: string]: string}``).
+
+    Derivation is deterministic from observed facts so the catalog
+    stays reproducible from data alone: region follows the shard,
+    tier compares the stream's record count to the catalog average
+    (a window over the tiny one-row-per-stream relation), owner
+    hashes the id. Real deployments would carry these through the
+    ingest headers instead.
+    """
+    sid = F.col("stream_id").cast("bigint")
+    avg_records = F.avg("n_records").over(Window.partitionBy())
+    region = F.when(sid % 4 < 2, F.lit("eu-west")).otherwise(F.lit("us-east"))
+    tier = F.when(F.col("n_records") >= avg_records, "hot").otherwise("warm")
+    owner = F.concat(F.lit("team-"), (sid % 3).cast("string"))
+    return catalog.withColumn(
+        "metadata",
+        F.create_map(
+            F.lit("region"), region,
+            F.lit("tier"), tier,
+            F.lit("owner"), owner,
+        ),
+    )
+
+
+@dataclass
+class MetadataFilter:
+    """metadataFilter.ts:16-25 — case-sensitive Equals on key and/or
+    value; either side may be null (= unconstrained)."""
+
+    key: Optional[str] = None
+    value: Optional[str] = None
+
+
+def metadata_predicate(metadata: Column, f: MetadataFilter) -> Column:
+    """One MetadataFilter as a Column predicate over the map."""
+    if f.key is not None and f.value is not None:
+        # lookup is null when absent -> null-rejecting equality, the
+        # contract's Equals semantics.
+        return metadata[f.key] == f.value
+    if f.key is not None:
+        return metadata[f.key].isNotNull()
+    if f.value is not None:
+        return F.array_contains(F.map_values(metadata), f.value)
+    return F.lit(True)
+
+
+def metadata_filter(
+    catalog: DataFrame, filters: Sequence[MetadataFilter]
+) -> DataFrame:
+    """AND of MetadataFilters (getAllStreamsRequest.ts ``metadata``)."""
+    out = catalog
+    for f in filters:
+        out = out.filter(metadata_predicate(F.col("metadata"), f))
+    return out
+
+
+def search_streams(catalog: DataFrame, text: str) -> DataFrame:
+    """Full-text ``search`` (getAllStreamsRequest.ts): case-insensitive
+    Contains across id, name, topic, location and metadata values —
+    one scan-local predicate, no shuffle."""
+    hay = F.lower(
+        F.concat_ws(
+            " ",
+            F.col("stream_id"),
+            F.col("name"),
+            F.col("topic"),
+            F.col("location"),
+            F.concat_ws(" ", F.map_values(F.col("metadata"))),
+        )
+    )
+    return catalog.filter(F.instr(hay, text.lower()) > 0)
+
+
+def metadata_canonical(metadata: Column) -> Column:
+    """Canonical ``k=v;...`` rendering (entries sorted by key) so a
+    MAP column can participate in the order-insensitive value hash."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(metadata),
+                lambda e: F.concat_ws("=", e["key"], e["value"]),
+            )
+        ),
+        ";",
+    )
+
+
 def soft_delete(
     catalog: DataFrame, stream_ids: Sequence[str], at_ts: str
 ) -> DataFrame:
@@ -101,8 +191,11 @@ def patch_stream(
     *,
     name: Optional[str] = None,
     location: Optional[str] = None,
+    metadata: Optional[dict] = None,
 ) -> DataFrame:
-    """patchStreamRequest.ts — rename / relocate one stream."""
+    """patchStreamRequest.ts — rename / relocate / metadata-merge one
+    stream. ``metadata`` keys upsert into the existing map (patched
+    keys win); other keys are preserved."""
     hit = F.col("stream_id") == stream_id
     out = catalog
     if name is not None:
@@ -112,6 +205,20 @@ def patch_stream(
     if location is not None:
         out = out.withColumn(
             "location", F.when(hit, F.lit(location)).otherwise(F.col("location"))
+        )
+    if metadata:
+        patch_keys = list(metadata.keys())
+        patch_map = F.create_map(
+            *[F.lit(x) for kv in metadata.items() for x in kv]
+        )
+        merged = F.map_concat(
+            F.map_filter(
+                F.col("metadata"), lambda k, _v: ~k.isin(*patch_keys)
+            ),
+            patch_map,
+        )
+        out = out.withColumn(
+            "metadata", F.when(hit, merged).otherwise(F.col("metadata"))
         )
     return out
 
@@ -149,6 +256,88 @@ def children_rollup(catalog_with_parents: DataFrame) -> DataFrame:
         F.min("data_start").alias("children_start"),
         F.max("data_end").alias("children_end"),
     )
+
+
+def group_tree(
+    memberships: DataFrame,
+    *,
+    path_col: str = "group_path",
+    stream_col: str = "stream_id",
+) -> DataFrame:
+    """Materialize the parameter/event group hierarchy from leaf
+    group paths (parameterGroup.ts:16-45 / eventGroup — path, name,
+    location, childrenCount, stream membership).
+
+    Input: one row per (stream, leaf group path) occurrence. Every
+    path prefix becomes a group node; per node we aggregate deep
+    membership (all rows under the subtree) and count distinct
+    direct children. Plan shape: explode of ≤depth prefixes (depth
+    is tiny) -> one hash agg on the path -> a self-join on the
+    parent edge over the already-aggregated (small) group relation.
+    At 100 TB the explode is a constant factor ≤ path depth on the
+    scan; everything after the agg touches only distinct groups.
+    """
+    segs = F.split(F.col(path_col), "/")
+    pref = memberships.select(
+        F.col(stream_col).alias("_sid"),
+        F.explode(
+            F.transform(
+                # i = 2..len(segs): "/a/b/c" splits to ["","a","b","c"];
+                # joining the first i segments yields each ancestor path.
+                F.sequence(F.lit(2), F.size(segs)),
+                lambda i: F.array_join(F.slice(segs, F.lit(1), i), "/"),
+            )
+        ).alias("path"),
+    )
+    agg = pref.groupBy("path").agg(
+        F.count_distinct("_sid").alias("n_streams"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    kids = (
+        agg.select(F.regexp_replace(F.col("path"), "/[^/]+$", "").alias("_parent"))
+        .groupBy("_parent")
+        .agg(F.count(F.lit(1)).alias("children_count"))
+    )
+    joined = agg.join(kids, agg["path"] == kids["_parent"], "left")
+    return joined.select(
+        "path",
+        F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("name"),
+        F.regexp_replace(F.col("path"), "/[^/]+$", "").alias("location"),
+        "n_streams",
+        "n_records",
+        F.coalesce(F.col("children_count"), F.lit(0)).alias("children_count"),
+    )
+
+
+def list_groups(
+    tree: DataFrame,
+    *,
+    location: Optional[str] = None,
+    location_deep_search: bool = True,
+    name: Optional[str] = None,
+    group_paths: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """getAllEventGroupsRequest.ts:18-52 filters over a group tree:
+    location prefix (deep = all descendants, else direct children
+    only), smart-case Contains on name (case-sensitive iff the
+    pattern has a capital), and group-path Equals list."""
+    out = tree
+    if location is not None:
+        loc = F.col("location")
+        if location_deep_search:
+            out = out.filter(
+                (loc == location) | loc.startswith(location.rstrip("/") + "/")
+            )
+        else:
+            out = out.filter(loc == location)
+    if name is not None:
+        if name != name.lower():
+            out = out.filter(F.instr(F.col("name"), name) > 0)
+        else:
+            out = out.filter(F.instr(F.lower(F.col("name")), name) > 0)
+    if group_paths is not None:
+        out = out.filter(F.col("path").isin(*group_paths))
+    return out
 
 
 def scd2_apply(

@@ -40,7 +40,12 @@ def accumulator_names() -> list[tuple[str, bool, str, str]]:
     return combos
 
 
-def option_window_agg(trades: DataFrame, duration: str = "1 minute") -> DataFrame:
+def option_window_agg(
+    trades: DataFrame,
+    duration: str = "1 minute",
+    *,
+    salt_buckets: int | None = None,
+) -> DataFrame:
     """Tumbling-window conditional-sum aggregation (A1+A2+A11).
 
     Input: enriched trades with columns
@@ -49,36 +54,73 @@ def option_window_agg(trades: DataFrame, duration: str = "1 minute") -> DataFram
     (A11 output contract, option_trade_aggs/README.md:6-70),
     trade_count, and 24 conditional sums.
 
+    ``salt_buckets`` opts into the two-phase salted plan for skewed
+    symbol distributions (a hot symbol at market open funnels into
+    one reducer otherwise): phase 1 aggregates on
+    (window, osym, salt) spreading each hot key over ``salt_buckets``
+    tasks, phase 2 re-aggregates the tiny salted result. Every
+    accumulator is a decomposable sum/count, so the two plans are
+    value-identical (rounding applied once, after the final sum).
+
     Works identically on a batch DataFrame and a streaming
     DataFrame (add withWatermark upstream for append-mode finals —
     see streaming/windowed.py).
     """
-    aggs = [F.count(F.lit(1)).alias("trade_count")]
-    for stem, whale, side, otype in accumulator_names():
-        pred = (
-            (F.col("whale") == whale)
-            & (F.col("side") == side)
-            & (F.col("otype") == otype)
-        )
-        aggs.append(
-            F.sum(F.when(pred, F.col("qty")).otherwise(F.lit(0))).alias(f"{stem}_vol")
-        )
-        aggs.append(
-            F.round(
-                F.sum(F.when(pred, F.col("premium")).otherwise(F.lit(0.0))), 4
-            ).alias(f"{stem}_prem")
-        )
     win = F.window(F.col("ts"), duration)
-    return (
-        trades.groupBy(win, F.col("osym"))
-        .agg(*aggs)
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "osym",
-            "trade_count",
-            *[c for stem, *_ in accumulator_names() for c in (f"{stem}_vol", f"{stem}_prem")],
+    names = accumulator_names()
+
+    def preds():
+        for stem, whale, side, otype in names:
+            yield stem, (
+                (F.col("whale") == whale)
+                & (F.col("side") == side)
+                & (F.col("otype") == otype)
+            )
+
+    if salt_buckets is None:
+        aggs = [F.count(F.lit(1)).alias("trade_count")]
+        for stem, pred in preds():
+            aggs.append(
+                F.sum(F.when(pred, F.col("qty")).otherwise(F.lit(0))).alias(f"{stem}_vol")
+            )
+            aggs.append(
+                F.round(
+                    F.sum(F.when(pred, F.col("premium")).otherwise(F.lit(0.0))), 4
+                ).alias(f"{stem}_prem")
+            )
+        grouped = trades.groupBy(win, F.col("osym")).agg(*aggs)
+    else:
+        # Phase 1: partial sums under a salt (no rounding yet).
+        # spark_partition_id is already uniform across input splits —
+        # zero extra column reads.
+        partial_aggs = [F.count(F.lit(1)).alias("_p_cnt")]
+        for stem, pred in preds():
+            partial_aggs.append(
+                F.sum(F.when(pred, F.col("qty")).otherwise(F.lit(0))).alias(f"_p_{stem}_vol")
+            )
+            partial_aggs.append(
+                F.sum(F.when(pred, F.col("premium")).otherwise(F.lit(0.0))).alias(f"_p_{stem}_prem")
+            )
+        partial = (
+            trades.withColumn("_salt", F.spark_partition_id() % salt_buckets)
+            .groupBy(win, F.col("osym"), F.col("_salt"))
+            .agg(*partial_aggs)
         )
+        # Phase 2: fold the salted partials; round once at the end.
+        final_aggs = [F.sum("_p_cnt").alias("trade_count")]
+        for stem, _ in preds():
+            final_aggs.append(F.sum(f"_p_{stem}_vol").alias(f"{stem}_vol"))
+            final_aggs.append(
+                F.round(F.sum(f"_p_{stem}_prem"), 4).alias(f"{stem}_prem")
+            )
+        grouped = partial.groupBy("window", "osym").agg(*final_aggs)
+
+    return grouped.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "osym",
+        "trade_count",
+        *[c for stem, *_ in names for c in (f"{stem}_vol", f"{stem}_prem")],
     )
 
 

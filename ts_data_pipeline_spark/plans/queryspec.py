@@ -340,6 +340,52 @@ def _order_page(out: DataFrame, spec: QuerySpec) -> DataFrame:
     return out
 
 
+def tag_values(
+    parameter_values: DataFrame,
+    tag_key: str,
+    *,
+    from_ts: Optional[str] = None,
+    to_ts: Optional[str] = None,
+    stream_ids: Optional[Sequence[str]] = None,
+    tag_filters: Sequence[TagFilter] = (),
+    stream_col: str = "stream_id",
+    ts_col: str = "ts",
+    tags_col: str = "tags",
+) -> DataFrame:
+    """getTagValuesRequest.ts:14-30 — distinct values of one tag key
+    under the same time/stream/tag predicates as a data query (the
+    tag-picker dropdown feed).
+
+    Returns (tag_value, n_rows, n_streams) per distinct value. One
+    pushdown-friendly scan-filter then a single partial+final agg on
+    the tag value — the distinct count of streams rides the same
+    shuffle.
+    """
+    df = parameter_values
+    ts = F.col(ts_col)
+    if from_ts is not None:
+        df = df.filter(ts >= F.lit(from_ts).cast("timestamp"))
+    if to_ts is not None:
+        df = df.filter(ts < F.lit(to_ts).cast("timestamp"))
+    if stream_ids is not None:
+        df = df.filter(F.col(stream_col).isin(*stream_ids))
+    for tf in tag_filters:
+        df = df.filter(_tag_predicate(tf, F.col(tags_col)[tf.tag]))
+    return (
+        df.select(
+            F.col(tags_col)[tag_key].alias("tag_value"),
+            F.col(stream_col).alias("_sid"),
+        )
+        .filter(F.col("tag_value").isNotNull())
+        .groupBy("tag_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("_sid").alias("n_streams"),
+        )
+        .orderBy("tag_value")
+    )
+
+
 def evaluate_stream(
     parameter_values: DataFrame,
     spec: QuerySpec,

@@ -33,8 +33,18 @@ def flagship_option_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_agg.option_window_agg(trades.events_as_option_trades(events))
 
 
-register(
-    "flagship_option_window_agg",
-    flagship_option_window_agg,
-    window_agg.option_window_agg_sql(TRADES_SQL, bucket="minute"),
-)
+def flagship_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same flagship plan with the opt-in two-phase skew salt
+    (operators/skew.py pattern wired into option_window_agg) —
+    pinned value-identical to the unsalted oracle."""
+    events = io.load(spark, sf_dir, "events")
+    return window_agg.option_window_agg(
+        trades.events_as_option_trades(events), salt_buckets=8
+    )
+
+
+_FLAGSHIP_SQL = window_agg.option_window_agg_sql(TRADES_SQL, bucket="minute")
+
+register("flagship_option_window_agg", flagship_option_window_agg, _FLAGSHIP_SQL)
+# Same oracle on purpose: salting must not change a single value.
+register("flagship_salted", flagship_salted, _FLAGSHIP_SQL)

@@ -558,6 +558,47 @@ WHERE parameter_id IN ('purchase', 'signup')
 """
 
 
+# ---------------------------------------------------------------------
+# Tag values listing (getTagValuesRequest.ts:14-30): the tag-picker
+# dropdown feed — distinct values of one tag key under the same
+# time/stream/tag predicates as a data query.
+# ---------------------------------------------------------------------
+
+def tag_values_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ts_data_pipeline_spark.plans.queryspec import tag_values
+
+    return tag_values(
+        _pv(spark, sf_dir),
+        "k",
+        from_ts="2024-01-05 00:00:00",
+        to_ts="2024-01-20 00:00:00",
+        stream_ids=[str(i) for i in range(30)],
+        tag_filters=[TagFilter("k", "NotLike", "1%")],
+    )
+
+
+TAG_VALUES_LISTING_SQL = (
+    """
+SELECT tag_k AS tag_value,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       COUNT(DISTINCT stream_id) AS n_streams
+FROM ("""
+    + PV_SQL
+    + """)
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  AND stream_id IN ("""
+    + ", ".join(f"'{i}'" for i in range(30))
+    + """)
+  AND tag_k NOT LIKE '1%'
+  AND tag_k IS NOT NULL
+GROUP BY tag_value
+ORDER BY tag_value
+"""
+)
+
+
+register("tag_values_listing", tag_values_listing, TAG_VALUES_LISTING_SQL)
 register("telemetry_event_interp", telemetry_event_interp, TELEMETRY_EVENT_INTERP_SQL)
 register("telemetry_raw_passthrough", telemetry_raw_passthrough, TELEMETRY_RAW_PASSTHROUGH_SQL)
 register("telemetry_snippet_replay", telemetry_snippet_replay, TELEMETRY_SNIPPET_SQL)

@@ -78,7 +78,8 @@ _PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "session_window_builtin",
     "pivot_event_values",
-    # Catalog API surface new in round 2
+    # Catalog API surface (metadata filter / tag values / group tree /
+    # snippet listing)
     "catalog_metadata_filter",
     "tag_values_listing",
     "catalog_event_groups",
@@ -142,3 +143,7 @@ def _ensure_loaded() -> None:
     from ts_data_pipeline_spark import queries as _q  # noqa: F401
 
     _LOADED = True
+    # A _PRIORITY name with no registered query would silently rank
+    # everything else behind a phantom — fail loudly on typos.
+    phantom = set(_PRIORITY) - set(_QUERIES)
+    assert not phantom, f"_PRIORITY names unregistered queries: {sorted(phantom)}"
