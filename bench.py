@@ -4,14 +4,18 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Runs on local[$SPARK_GRAFT_CPUS] (default 32). Each query is timed
-end-to-end (plan + execute + count) after a warm-up of the session;
-value = total seconds across headline queries.
+end-to-end (plan + execute + count) after a warm-up of the session.
+Every query runs RUNS times and reports the per-query MEDIAN (the
+"queries" map); value = total of medians. Per-query run-to-run spread
+(max - min) is emitted under "spread" so jitter is visible instead of
+being mistaken for regressions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -23,9 +27,13 @@ from ts_data_pipeline_spark import registry  # noqa: E402
 from ts_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
-# Headline set: curated, scale-sensitive queries. Extended as
-# operators land; every name must exist in the registry.
+# Headline set: curated, scale-sensitive queries — the SAME 11
+# workloads every round so totals stay comparable. Two of them
+# (telemetry_interp_linear, dedup_exact) were folded into suite
+# registry entries in round 3; the bench still times the member
+# queries directly so per-query history lines up with r01/r02.
 HEADLINE = [
     "flagship_option_window_agg",   # keyed tumbling window, 25 conditional aggs
     "telemetry_bucket_multi_agg",   # filter pushdown + bucketed multi-agg
@@ -41,11 +49,30 @@ HEADLINE = [
 ]
 
 
+def _resolve():
+    """Headline name -> callable; suite members resolve directly."""
+    from ts_data_pipeline_spark.queries.llmdata import dedup_exact
+    from ts_data_pipeline_spark.queries.telemetry import telemetry_interp_linear
+
+    extra = {
+        "telemetry_interp_linear": telemetry_interp_linear,
+        "dedup_exact": dedup_exact,
+    }
+    queries = registry.all_queries()
+    out = {}
+    for name in HEADLINE:
+        fn = queries.get(name) or extra.get(name)
+        if fn is None:
+            print(f"# missing headline query: {name}", file=sys.stderr)
+            continue
+        out[name] = fn
+    return out
+
+
 def main() -> None:
     spark = get_spark("ts-data-pipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = registry.all_queries()
-    names = [n for n in HEADLINE if n in queries]
+    resolved = _resolve()
     # JMH-style warmup: run each headline query once at the smallest
     # scale factor so Catalyst analysis + Janino codegen compile
     # (identical generated classes, cached by source) happen outside
@@ -53,19 +80,28 @@ def main() -> None:
     # execution at SF_DIR, not one-time JVM compilation.
     spark.range(1).count()
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    for name in names:
+    for name, fn in resolved.items():
         try:
-            queries[name](spark, warm_dir).count()
+            fn(spark, warm_dir).count()
         except Exception as exc:  # warmup is best-effort
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = queries[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    samples: dict[str, list[float]] = {n: [] for n in resolved}
+    rows: dict[str, int] = {}
+    for run in range(RUNS):
+        for name, fn in resolved.items():
+            t0 = time.perf_counter()
+            rows[name] = fn(spark, SF_DIR).count()
+            samples[name].append(time.perf_counter() - t0)
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+    for name in resolved:
+        print(
+            f"# {name}: median={timings[name]}s spread={spread[name]}s "
+            f"({rows[name]} rows, {RUNS} runs)",
+            file=sys.stderr,
+        )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -80,6 +116,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs": RUNS,
+                "spread": spread,
             }
         )
     )

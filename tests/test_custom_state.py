@@ -90,6 +90,34 @@ def test_push_hub_wildcard_fanout(spark):
     ]
 
 
+def test_push_hub_caps_rows_per_batch(spark):
+    """A hot batch under a wildcard subscription truncates at the cap
+    instead of collecting unbounded rows to the driver; rows outside
+    every subscription never count against the cap (the predicate is
+    pushed into the batch plan)."""
+    hub = custom_state.PushHub(max_rows_per_batch=5)
+    got = []
+    hub.subscribe("s1", "*", got.append)
+
+    batch = spark.createDataFrame(
+        [("s1", "temp", float(i)) for i in range(20)]
+        + [("s2", "temp", -1.0)] * 30,  # unmatched: must not eat the cap
+        "stream_id string, parameter_id string, num_value double",
+    )
+    hub.foreach_batch(batch, 0)
+    assert len(got) == 1 and len(got[0]["num_value"]) == 5
+    assert all(v >= 0 for v in got[0]["num_value"])  # only s1 rows
+    assert hub.truncated_batches == 1
+
+    # Under the cap: everything arrives, no truncation counted.
+    hub2 = custom_state.PushHub(max_rows_per_batch=100)
+    got2 = []
+    hub2.subscribe("s1", "*", got2.append)
+    hub2.foreach_batch(batch, 1)
+    assert len(got2[0]["num_value"]) == 20
+    assert hub2.truncated_batches == 0
+
+
 def test_progress_monitor_collects_batch_metrics(spark, tmp_path):
     """Q1-Q6 live form: the listener sees every micro-batch's row
     counts/durations and summarizes them driver-side."""

@@ -30,6 +30,57 @@ def test_minhash_lsh_recall_vs_exact(spark):
         assert found / len(strong) >= 0.8, (found, len(strong))
 
 
+def test_minhash_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """An adversarial corpus where one signature bucket holds every
+    doc (identical boilerplate) must not explode quadratically: the
+    cap drops the degenerate buckets before the self-join, while
+    distinct near-dup pairs still surface through their own buckets."""
+    from pyspark.sql import functions as F
+
+    boiler = [(i, "the same boilerplate text repeated for every single doc", "en")
+              for i in range(200)]
+    near = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (1001, "alpha beta gamma delta epsilon zeta eta iota", "en"),
+    ]
+    docs = spark.createDataFrame(boiler + near, ["doc_id", "text", "lang"])
+
+    capped = dedup.minhash_lsh_pairs(docs, max_bucket_size=64).collect()
+    pairs = {(r.da, r.db) for r in capped}
+    # The 200-wide boilerplate buckets are dropped: no C(200,2) blowup.
+    assert len(pairs) <= 10, len(pairs)
+    assert (1000, 1001) in pairs
+    # Uncapped, the same corpus produces the quadratic pair set.
+    uncapped = dedup.minhash_lsh_pairs(docs, max_bucket_size=None)
+    assert uncapped.count() == 200 * 199 // 2 + 1
+
+
+def test_embedding_cosine_bucketed_precision_and_recall(spark):
+    """The banded cosine-dedup must report only true >=threshold pairs
+    (exact verify), with usable recall vs the all-pairs baseline even
+    at this deliberately loose threshold (0.45 ~ 63 degrees — far
+    below any real near-dup bar, the worst case for sign-bit LSH)."""
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import DEDUP_PLANE_IDS
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.ia, r.ib): r.cos_sim
+        for r in similarity.embedding_cosine_dups(emb).collect()
+    }
+    approx = {
+        (r.ia, r.ib): r.cos_sim
+        for r in similarity.embedding_cosine_dups_bucketed(
+            emb, DEDUP_PLANE_IDS
+        ).collect()
+    }
+    for pair, c in approx.items():
+        assert pair in exact and abs(exact[pair] - c) < 1e-9, pair
+    if exact:
+        recall = sum(1 for p in exact if p in approx) / len(exact)
+        assert recall >= 0.5, (recall, len(exact))
+
+
 def test_shingles_short_and_empty_docs(spark):
     """Docs with fewer than n tokens shingle to an empty array instead
     of crashing (sequence(1,0) is descending; slice(toks,0,n) throws

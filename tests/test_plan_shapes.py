@@ -50,6 +50,27 @@ def test_flagship_splits_partial_final_agg(spark):
     assert "SortAggregate" not in plan
 
 
+def test_dedup_embedding_cosine_has_no_allpairs_nested_loop(spark):
+    """The registered cosine-dedup plan must generate candidates via
+    the banded equi-join, not the all-pairs theta self-join. The only
+    nested-loop allowed is the constant-size plane fan-out (a Cross
+    against ~32 broadcast rows) — never an Inner BNLJ with the
+    ``ia < ib`` pair condition."""
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import DEDUP_PLANE_IDS
+
+    df = similarity.embedding_cosine_dups_bucketed(
+        io.load(spark, SF_DIR, "embeddings"), DEDUP_PLANE_IDS
+    )
+    # Simple mode keeps the join type on the node line.
+    plan = _plan(df, "simple")
+    bnlj = [l for l in plan.splitlines() if "BroadcastNestedLoopJoin" in l]
+    assert bnlj and all("Cross" in l for l in bnlj), bnlj
+    assert not re.search(r"BroadcastNestedLoopJoin\s+\w*\s*,?\s*Inner", plan), plan
+    # The candidate pair join is hash- or merge-based on (band, bucket).
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan), plan
+
+
 def test_queryspec_agg_splits_partial_final(spark):
     pv = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
     spec = QuerySpec(

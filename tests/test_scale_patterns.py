@@ -182,6 +182,34 @@ def test_queryspec_streaming_append_finals(spark, tmp_path):
         ))
 
 
+def test_salted_sum_matches_plain_groupby(spark):
+    """operators/skew.py two-phase salted agg is value-identical to
+    the plain single-shuffle groupBy (integer sums are associative;
+    the salt only changes physical placement)."""
+    from ts_data_pipeline_spark.operators.skew import salted_sum
+
+    li = io.load(spark, SF_DIR, "lineitem")
+    plain = {
+        (r.l_returnflag,): (r.qty, r.n_rows)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.l_returnflag,): (r.qty, r.n_rows)
+        for r in salted_sum(
+            li,
+            ["l_returnflag"],
+            {"qty": F.col("l_quantity").cast("bigint")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
 def test_observation_quality_counters(spark):
     """Q1/Q2-style counters via Observation: metrics collected on the
     SAME pass as the main query — no second scan of the input."""

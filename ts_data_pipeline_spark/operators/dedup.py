@@ -74,12 +74,17 @@ def shingles_col(n: int = 3, text_col: str = "text"):
     DESCENDING [1, 0] sequence there, and ``slice(toks, 0, n)`` throws
     INVALID_PARAMETER_VALUE.START at runtime (DuckDB's ``range(1, 1)``
     is empty, so the oracle would also silently diverge).
+
+    ``size(toks)`` is let-bound once (a second single-element
+    ``transform``) so the short-doc guard and the sequence bound share
+    one evaluation on the hot path.
     """
     return F.expr(
         f"transform(array(filter(split(lower({text_col}), ' '), t -> t != '')), "
-        f"toks -> CASE WHEN size(toks) < {n} THEN CAST(array() AS ARRAY<STRING>) "
-        f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(toks, i, {n}))) END)[0]"
+        f"toks -> transform(array(size(toks)), "
+        f"sz -> CASE WHEN sz < {n} THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE transform(sequence(1, sz - {n - 1}), "
+        f"i -> concat_ws(' ', slice(toks, i, {n}))) END)[0])[0]"
     )
 
 
@@ -276,6 +281,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.2,
+    max_bucket_size: int | None = 64,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard.
 
@@ -287,6 +293,15 @@ def minhash_lsh_pairs(
     whose signatures never collide in any band are missed), hence
     rows-only driver gate; recall is pytest-checked against
     ngram_jaccard_pairs.
+
+    ``max_bucket_size`` guards the self-join against degenerate
+    buckets: a band bucket holding w docs emits w*(w-1)/2 pairs, so
+    one boilerplate-signature bucket of 10^5 docs would alone produce
+    5x10^9 candidates. Buckets wider than the cap are dropped before
+    the join (their members still pair through their other,
+    non-degenerate bands — dropping a band bucket only lowers recall
+    for that band, it never breaks precision because every emitted
+    pair is exact-verified). Pass None to disable.
     """
     rows_per_band = num_hashes // bands
     # Signatures are computed entirely per-row with array expressions:
@@ -320,7 +335,18 @@ def minhash_lsh_pairs(
     ]
     buckets = sig.select(
         "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
-    ).cache()  # tiny (bands x docs); read by both join sides
+    )
+    if max_bucket_size is not None:
+        # One count window on the join key partitioning — the same
+        # shuffle the self-join needs anyway — then drop oversized
+        # buckets so no task ever faces a quadratic bucket.
+        bw = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bw", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bw") <= max_bucket_size)
+            .drop("_bw")
+        )
+    buckets = buckets.cache()  # tiny (bands x docs); read by both join sides
     cand = (
         buckets.alias("x")
         .join(

@@ -5,12 +5,12 @@ metadata struct, processed by Arrow-batched ``mapInPandas`` — the
 pattern a 100 TB media pipeline needs (decode/resize/frame-sample
 per batch, never per row, never on the driver).
 
-The actual media decoders (PIL/ffmpeg/torchaudio) are NOT in this
-container, so the decode step is stubbed: ``decode_media`` raises
-NotImplementedError by default, and ``FAKE_DECODER`` provides a
-deterministic byte-level feature extractor so the Spark-side
-plumbing — schema, batch iteration, binary handling, output shape —
-is real and oracle-checkable.
+``decode_media`` carries one REAL pure-stdlib decoder — RIFF/PCM WAV
+parsing (``wave`` module) with integer sample stats — exercised on a
+synthesized WAV binary column (``attach_wav_payload``). Image/video
+decoding (PIL/ffmpeg/torchaudio) is NOT in this container, so those
+mimes raise NotImplementedError, and ``FAKE_DECODER`` remains the
+deterministic byte-level extractor for plumbing tests.
 """
 
 from __future__ import annotations
@@ -71,15 +71,69 @@ def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, mime: str) -> object:
-    """Decode a media payload into a frame/tensor. STUB.
+#: Synthetic-audio constants (8 kHz mono 8-bit PCM).
+WAV_SAMPLE_RATE = 8000
 
-    Real implementation requires PIL / av / soundfile, which are not
-    installed in this environment.
+
+def synthesize_wav(doc_id: int, n_samples: int) -> bytes:
+    """A real RIFF/WAVE PCM file built from deterministic samples
+    (sample_i = (doc_id*31 + i*7) mod 256, unsigned 8-bit) — the
+    synthetic binary column the decoder is exercised on."""
+    import struct
+
+    data = bytes((doc_id * 31 + i * 7) % 256 for i in range(n_samples))
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE, 1, 8
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Parse a PCM WAV with the stdlib ``wave`` module and compute
+    integer sample stats. Floats (duration, mean amplitude) are left
+    to the JVM side — the decoder hands back exact integers so both
+    engines round identically."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    with wave.open(_io.BytesIO(payload)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        bits = 8 * w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if bits == 8:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif bits == 16:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    return {
+        "sample_rate": sr,
+        "channels": ch,
+        "bits": bits,
+        "n_samples": n,
+        "amp_sum": int(np.abs(arr).sum()),
+    }
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Decode a media payload into typed features.
+
+    Real pure-stdlib decoder for PCM WAV audio (RIFF parse + sample
+    stats). Other media types (image/video) require PIL / av /
+    soundfile, which are not installed in this environment — supply
+    a decoder to extract_features() for those.
     """
+    if mime in ("audio/wav", "audio/x-wav"):
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in "
-        "this container; supply a decoder to extract_features()"
+        f"no decoder for {mime!r}: image/video decoding requires media "
+        "libraries not present in this container; supply a decoder to "
+        "extract_features()"
     )
 
 
@@ -98,12 +152,14 @@ def extract_features(
     media: DataFrame,
     decoder: Optional[Callable[[bytes, str], dict]] = None,
     batch_size_hint: int = 1024,
+    schema: T.StructType = FEATURE_SCHEMA,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas`` keeps the decode loop per-partition and
     per-Arrow-batch (vectorized transfer, no per-row Python round
-    trips). The decoder runs on executors only.
+    trips). The decoder runs on executors only. ``schema`` must match
+    the decoder's output dict (plus the leading doc_id).
     """
     decode = decoder or FAKE_DECODER
 
@@ -117,7 +173,79 @@ def extract_features(
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(_extract, schema=schema)
+
+
+#: Output of decode_media on WAV payloads (integers only — float
+#: derivations happen JVM-side so rounding matches the oracle).
+WAV_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("amp_sum", T.LongType()),
+    ]
+)
+
+
+def attach_wav_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a real WAV binary column: doc_id-seeded PCM with
+    ``n_samples = doc_id % 50 + 20``. Arrow-batched generation — the
+    blob never exists on the driver."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_wav(int(d), int(d) % 50 + 20) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "audio/wav", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Real-decoder feature extraction: stdlib WAV parse per payload,
+    float stats (duration, mean amplitude) derived JVM-side from the
+    decoder's exact integers."""
+    feats = extract_features(
+        media, decoder=decode_media, schema=WAV_FEATURE_SCHEMA
+    )
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "bits",
+        "n_samples",
+        F.round(
+            F.col("n_samples") * 1000.0 / F.col("sample_rate"), 4
+        ).alias("duration_ms"),
+        F.round(F.col("amp_sum") / F.col("n_samples"), 4).alias("amp_mean"),
+    )
+
+
+WAV_FEATURES_SQL = f"""
+SELECT doc_id,
+       {WAV_SAMPLE_RATE} AS sample_rate,
+       1 AS channels,
+       8 AS bits,
+       CAST(doc_id % 50 + 20 AS BIGINT) AS n_samples,
+       ROUND((doc_id % 50 + 20) * 1000.0 / {WAV_SAMPLE_RATE}, 4) AS duration_ms,
+       ROUND(CAST(list_sum(list_transform(range(0, doc_id % 50 + 20),
+                    i -> abs((doc_id * 31 + i * 7) % 256 - 128))) AS DOUBLE)
+             / (doc_id % 50 + 20), 4) AS amp_mean
+FROM documents
+"""
 
 
 FRAME_SCHEMA = T.StructType(

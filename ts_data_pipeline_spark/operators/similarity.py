@@ -150,6 +150,133 @@ SELECT ia, ib, cos_sim FROM pairs WHERE cos_sim >= {threshold}
 """
 
 
+def embedding_cosine_dups_bucketed(
+    embeddings: DataFrame,
+    plane_ids: list[int],
+    *,
+    bits_per_band: int = 4,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-banded (scale path).
+
+    Candidate generation replaces the all-pairs theta-join: each
+    vector gets ``len(plane_ids)/bits_per_band`` band signatures from
+    deterministic hyperplane sign bits; candidate pairs share a
+    (band, bucket); the exact cosine verify runs only on candidates.
+    Every join is an equi-join — no BroadcastNestedLoopJoin anywhere
+    (pinned by tests/test_plan_shapes.py). Per-band bucket population
+    is ~n / 2^bits_per_band, so verify work scales with bucket
+    density, not n².
+
+    Deterministic (planes are corpus rows), hence oracle-checkable
+    against the same banded computation in DuckDB
+    (:func:`embedding_cosine_dups_bucketed_sql`); recall against the
+    exact all-pairs baseline is pinned in tests/test_llmdata.py.
+    """
+    assert len(plane_ids) % bits_per_band == 0
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    rank_expr = F.lit(None).cast("int")
+    for i, pid in enumerate(sorted(plane_ids)):
+        rank_expr = F.when(F.col("plane_id") == pid, F.lit(i)).otherwise(rank_expr)
+    planes = emb.filter(F.col(id_col).isin(plane_ids)).select(
+        F.col(id_col).alias("plane_id"), F.col("v").alias("pv")
+    )
+    # One narrow pass: (id, band, bucket) signatures — vectors are NOT
+    # carried through the band fan-out.
+    sig = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            id_col,
+            (rank_expr / bits_per_band).cast("int").alias("band"),
+            (
+                (dot(F.col("v"), F.col("pv")) >= 0).cast("long")
+                * F.pow(F.lit(2), rank_expr % bits_per_band).cast("long")
+            ).alias("bit"),
+        )
+        .groupBy(id_col, "band")
+        .agg(F.sum("bit").alias("bucket"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("ia"), F.col(f"b.{id_col}").alias("ib")
+        )
+        .distinct()
+    )
+    # Exact verify on the candidate set only (two equi-joins back to
+    # the vectors).
+    withn = emb.select(
+        id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n")
+    )
+    ea = withn.select(
+        F.col(id_col).alias("ia"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    eb = withn.select(
+        F.col(id_col).alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(ea, "ia")
+        .join(eb, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_cosine_dups_bucketed_sql(
+    plane_ids: list[int], *, bits_per_band: int = 4, threshold: float = 0.45
+) -> str:
+    plane_rank = ", ".join(
+        f"({i}, {pid})" for i, pid in enumerate(sorted(plane_ids))
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT pr.rank AS prank, e.v AS pv
+  FROM (VALUES {plane_rank}) AS pr(rank, plane_id)
+  JOIN emb e ON e.vec_id = pr.plane_id
+),
+sig AS (
+  SELECT e.vec_id, prank // {bits_per_band} AS band,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                  THEN CAST(power(2, prank % {bits_per_band}) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, band
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+  FROM sig a JOIN sig b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.ia, c.ib,
+         ROUND(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) *
+                sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.ia
+  JOIN emb eb ON eb.vec_id = c.ib
+)
+SELECT ia, ib, cos_sim FROM verified WHERE cos_sim >= {threshold}
+"""
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -20,3 +20,7 @@ from ts_data_pipeline_spark.queries import (  # noqa: F401
     telemetry,
     timeseries,
 )
+
+# Suites union related members into single registry entries; import
+# LAST so every member module is loaded first.
+from ts_data_pipeline_spark.queries import suites  # noqa: E402,F401

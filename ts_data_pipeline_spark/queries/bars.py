@@ -126,5 +126,5 @@ GROUP BY user_id
 
 
 register("ohlc_resample", ohlc_resample, OHLC_RESAMPLE_SQL)
-register("top_premium_per_day", top_premium_per_day, TOP_PREMIUM_SQL)
-register("permissive_json_ingest", permissive_json_ingest, PERMISSIVE_JSON_SQL)
+# top_premium_per_day -> olap_pivot_suite; permissive_json_ingest ->
+# enrichment_suite (queries/suites.py).

@@ -115,8 +115,9 @@ LIMIT 2 OFFSET 1
 """
 
 
-register("catalog_lifecycle", catalog_lifecycle, CATALOG_LIFECYCLE_SQL)
-register("backfill_cursor", backfill_cursor, BACKFILL_CURSOR_SQL)
+# catalog_lifecycle / backfill_cursor / catalog_locations /
+# catalog_hierarchy are verified together as ``catalog_browse_suite``
+# (queries/suites.py).
 def catalog_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream parent/child roll-up (streamWithChildren.ts:17-71)."""
     c = cat.build_streams_catalog(_events_streams(spark, sf_dir))
@@ -144,7 +145,6 @@ FROM kids GROUP BY parent_id
 """
 
 
-register("catalog_locations", catalog_locations, CATALOG_LOCATIONS_SQL)
 def catalog_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 catalog history: seed from the snapshot, apply a rename/
     relocate batch for streams 3 and 7, list the full history."""
@@ -189,7 +189,6 @@ FROM snap WHERE stream_id IN ('3', '7')
 """
 
 
-register("catalog_hierarchy", catalog_hierarchy, CATALOG_HIERARCHY_SQL)
 def catalog_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameters catalog (parameter.ts:17-59 /
     getAllParametersRequest): one row per parameter channel with its

@@ -291,19 +291,7 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def _register() -> None:
-    from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
-
-    register(
-        "enrich_option_trades",
-        enrich_option_trades,
-        ENRICH_TRADES_SQL.format(trades_sql=TRADES_SQL),
-    )
-    register("darkpool_enrich", darkpool_enrich, DARKPOOL_SQL)
-    register("equity_bar_projection", equity_bar_projection, EQUITY_BAR_SQL)
-    register("json_props_extract", json_props_extract, JSON_PROPS_SQL)
-    register("news_nested_extract", news_nested_extract, NEWS_NESTED_SQL)
-    register("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL)
-
-
-_register()
+# P1-P18 row-level enrichments are verified together as
+# ``enrichment_suite`` (queries/suites.py); only the headline
+# pricing rollup keeps its own registry entry.
+register("pricing_summary", pricing_summary, PRICING_SUMMARY_SQL)

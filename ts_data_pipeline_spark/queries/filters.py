@@ -183,8 +183,5 @@ ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 20 OFFSET 60
 """
 
-register("time_range_revenue", time_range_revenue, TIME_RANGE_REVENUE_SQL)
-register("tag_filter_ops", tag_filter_ops, TAG_FILTER_SQL)
-register("catalog_filters", catalog_filters, CATALOG_FILTERS_SQL)
-register("level_include_exclude", level_include_exclude, LEVEL_INCLUDE_EXCLUDE_SQL)
-register("ordering_paging", ordering_paging, ORDERING_PAGING_SQL)
+# F1/F4/F6/F7/F8 + O1/O2 are verified together as ``filters_suite``
+# (queries/suites.py).

@@ -19,6 +19,9 @@ from ts_data_pipeline_spark.registry import register
 
 ANN_QUERY_IDS = list(range(10))
 LSH_PLANE_IDS = [10, 11, 12, 13]
+#: 8 bands x 4 bits for the banded cosine-dedup prefilter (corpus
+#: rows 20..51 as hyperplanes — present at every SF).
+DEDUP_PLANE_IDS = list(range(20, 52))
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +61,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both approximate ANN paths (hyperplane-LSH buckets and
+    IVF-flat nprobe cells) in one result, labeled by method."""
+    from ts_data_pipeline_spark.queries.timeseries import ann_ivf_topk
+
+    lsh = ann_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
+    ivf = ann_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return lsh.unionByName(ivf)
+
+
+def _ann_lsh_ivf_sql() -> str:
+    from ts_data_pipeline_spark.queries.timeseries import (
+        IVF_CENTROID_IDS,
+        IVF_QUERY_IDS,
+    )
+
+    lsh = similarity.lsh_bucketed_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5)
+    ivf = similarity.ivf_topk_sql(IVF_QUERY_IDS, IVF_CENTROID_IDS, k=5, nprobe=2)
+    return (
+        f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
+        f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})"
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_cosine_dups(io.load(spark, sf_dir, "embeddings"))
+    """Banded-LSH candidate generation + exact cosine verify — the
+    scale path (equi-joins only; no all-pairs nested loop). The exact
+    all-pairs form stays as the recall baseline in
+    tests/test_llmdata.py."""
+    return similarity.embedding_cosine_dups_bucketed(
+        io.load(spark, sf_dir, "embeddings"), DEDUP_PLANE_IDS
+    )
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,8 +100,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.attach_binary_payload(io.load(spark, sf_dir, "documents"))
-    return multimodal.extract_features(media)
+    """Real-decoder path: synthesize a WAV binary column, parse it
+    with the stdlib RIFF/PCM decoder on executors (Arrow-batched),
+    derive float stats JVM-side."""
+    media = multimodal.attach_wav_payload(io.load(spark, sf_dir, "documents"))
+    return multimodal.wav_features(media)
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,18 +168,21 @@ def corpus_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("normalize_text", normalize_text, text_fns.NORMALIZE_TEXT_SQL)
+# normalize_text + doc_fingerprints (+ token_stats) are verified
+# together as ``text_stats_suite``; dedup_exact + dedup_simhash as
+# ``dedup_exact_simhash`` (queries/suites.py).
 register("dq_constraint_suite", dq_constraint_suite, _dq_suite_sql())
 register("corpus_mix_split", corpus_mix_split)  # rows-only: engine-specific sampling
-register("dedup_exact", dedup_exact, dedup.EXACT_DEDUP_SQL)
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
-register("dedup_simhash", dedup_simhash, dedup.simhash_sql())
 register("dedup_minhash_lsh", dedup_minhash_lsh)  # rows-only: approximate op
 register("text_quality_features", text_quality_features, text_fns.quality_features_sql())
-register("doc_fingerprints", doc_fingerprints, text_fns.doc_fingerprints_sql())
 register("ann_brute_topk", ann_brute_topk, similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10))
-register("ann_lsh_topk", ann_lsh_topk, similarity.lsh_bucketed_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5))
-register("dedup_embedding_cosine", dedup_embedding_cosine, similarity.embedding_cosine_dups_sql())
+register("ann_lsh_ivf_topk", ann_lsh_ivf_topk, _ann_lsh_ivf_sql())
+register(
+    "dedup_embedding_cosine",
+    dedup_embedding_cosine,
+    similarity.embedding_cosine_dups_bucketed_sql(DEDUP_PLANE_IDS),
+)
 register("lang_id_ngram", lang_id, text_fns.lang_id_ngram_sql())
-register("multimodal_features", multimodal_features, multimodal.MEDIA_FEATURES_SQL)
+register("multimodal_features", multimodal_features, multimodal.WAV_FEATURES_SQL)
 register("multimodal_frame_sample", multimodal_frame_sample, multimodal.frame_sample_sql())

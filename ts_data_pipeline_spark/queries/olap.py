@@ -146,7 +146,6 @@ FROM documents
 """
 
 
-register("window_agg_carried_dims", window_agg_carried_dims, WINDOW_AGG_CARRIED_DIMS_SQL)
-register("rollup_doc_stats", rollup_doc_stats, ROLLUP_DOC_STATS_SQL)
-register("unpivot_event_values", unpivot_event_values, UNPIVOT_EVENT_VALUES_SQL)
-register("token_stats", token_stats, TOKEN_STATS_SQL)
+# Registered via suites (queries/suites.py): carried dims + unpivot
+# in ``olap_pivot_suite``, rollup in ``quality_suite``, token stats
+# in ``text_stats_suite``.

@@ -42,7 +42,4 @@ def metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.metrics_summary(io.load(spark, sf_dir, "events"))
 
 
-register("data_quality_summary", data_quality_summary, quality.data_quality_summary_sql())
-register("required_field_nulls", required_field_nulls, REQUIRED_FIELD_SQL)
-register("consecutive_alert_runs", consecutive_alert_runs, quality.consecutive_alert_runs_sql())
-register("metrics_summary", metrics_summary, quality.metrics_summary_sql())
+# Q1-Q6 are verified together as ``quality_suite`` (queries/suites.py).

@@ -39,5 +39,5 @@ def join_semi_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("join_dim_revenue", join_dim_revenue, joins.dim_enrich_revenue_sql())
 register("join_segment_top_orders", join_segment_top_orders, joins.segment_order_revenue_sql())
-register("join_anti_no_orders", join_anti_no_orders, joins.CUSTOMERS_WITHOUT_ORDERS_SQL)
-register("join_semi_high_value", join_semi_high_value, joins.customers_with_high_value_orders_sql())
+# Semi + anti joins are verified together as ``join_semi_anti``
+# (queries/suites.py).

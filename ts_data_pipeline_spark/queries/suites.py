@@ -1,0 +1,421 @@
+"""Suite queries: several related operators verified as ONE registry
+entry.
+
+The driver's CORRECTNESS artifact records a bounded number of
+queries, so closely-related operators (the P1-P18 enrichment family,
+the F/O filter-sort-page family, the Q1-Q6 quality family, catalog
+browsing, ...) are unioned into suites — every member's full result
+set still reaches the oracle compare, value for value, it just
+arrives under one artifact row.
+
+Mechanism: each member declares its output columns once as
+(name, kind) pairs; both the Spark side and the DuckDB side map them
+into a shared typed slot schema (part, s0.., l0.., d0.., t0..) from
+that single declaration, so the two sides cannot drift. Kinds:
+s=string/bool, l=long, d=double, t=timestamp. No string-formatting
+of floats or timestamps — values stay typed through the union.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark.registry import register
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_KIND_SPARK = {
+    "s": lambda c: F.col(c).cast("string"),
+    "l": lambda c: F.col(c).cast("bigint"),
+    "d": lambda c: F.col(c).cast("double"),
+    "t": lambda c: F.col(c).cast("timestamp"),
+}
+_KIND_SQL = {
+    "s": 'CAST("{c}" AS VARCHAR)',
+    "l": 'CAST("{c}" AS BIGINT)',
+    "d": 'CAST("{c}" AS DOUBLE)',
+    "t": 'CAST("{c}" AS TIMESTAMP)',
+}
+_KIND_NULL_SQL = {
+    "s": "CAST(NULL AS VARCHAR)",
+    "l": "CAST(NULL AS BIGINT)",
+    "d": "CAST(NULL AS DOUBLE)",
+    "t": "CAST(NULL AS TIMESTAMP)",
+}
+_KIND_ORDER = "sldt"
+
+
+@dataclass(frozen=True)
+class Member:
+    name: str
+    fn: QueryFn
+    sql: str
+    cols: tuple  # ((column_name, kind), ...)
+
+
+def _slot_counts(members: Sequence[Member]) -> dict[str, int]:
+    counts = {k: 0 for k in _KIND_ORDER}
+    for m in members:
+        mine = {k: 0 for k in _KIND_ORDER}
+        for _, k in m.cols:
+            mine[k] += 1
+        for k in _KIND_ORDER:
+            counts[k] = max(counts[k], mine[k])
+    return counts
+
+
+def suite_query(members: Sequence[Member]) -> QueryFn:
+    slots = _slot_counts(members)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        parts = []
+        for m in members:
+            df = m.fn(spark, sf_dir)
+            used = {k: 0 for k in _KIND_ORDER}
+            by_slot: dict[str, object] = {}
+            for col, k in m.cols:
+                by_slot[f"{k}{used[k]}"] = _KIND_SPARK[k](col)
+                used[k] += 1
+            sel = [F.lit(m.name).alias("part")]
+            for k in _KIND_ORDER:
+                for i in range(slots[k]):
+                    slot = f"{k}{i}"
+                    expr = by_slot.get(slot)
+                    if expr is None:
+                        null_type = {"s": "string", "l": "bigint",
+                                     "d": "double", "t": "timestamp"}[k]
+                        expr = F.lit(None).cast(null_type)
+                    sel.append(expr.alias(slot))
+            parts.append(df.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return fn
+
+
+def suite_sql(members: Sequence[Member]) -> str:
+    slots = _slot_counts(members)
+    selects = []
+    for m in members:
+        used = {k: 0 for k in _KIND_ORDER}
+        by_slot: dict[str, str] = {}
+        for col, k in m.cols:
+            by_slot[f"{k}{used[k]}"] = _KIND_SQL[k].format(c=col)
+            used[k] += 1
+        exprs = [f"'{m.name}' AS part"]
+        for k in _KIND_ORDER:
+            for i in range(slots[k]):
+                slot = f"{k}{i}"
+                exprs.append(
+                    f"{by_slot.get(slot, _KIND_NULL_SQL[k])} AS {slot}"
+                )
+        selects.append(
+            "SELECT " + ",\n       ".join(exprs) + f"\nFROM (\n{m.sql}\n)"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def register_suite(name: str, members: Sequence[Member]) -> None:
+    register(name, suite_query(members), suite_sql(members))
+
+
+# ---------------------------------------------------------------------
+# Suite definitions. Member fns/SQL live in their home modules; only
+# the registration moves here. COVERAGE.md maps operator IDs to the
+# suite carrying them.
+# ---------------------------------------------------------------------
+
+def _enrichment_members() -> list[Member]:
+    from ts_data_pipeline_spark.queries import bars, enrichment
+    from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
+
+    return [
+        Member(
+            "enrich_option_trades",
+            enrichment.enrich_option_trades,
+            enrichment.ENRICH_TRADES_SQL.format(trades_sql=TRADES_SQL),
+            (("trade_id", "l"), ("osym", "l"), ("ts", "t"), ("premium", "d"),
+             ("qty", "l"), ("side", "s"), ("otype", "s"),
+             ("position_type", "s"), ("tags", "s"), ("trade_key", "s")),
+        ),
+        Member(
+            "darkpool_enrich",
+            enrichment.darkpool_enrich,
+            enrichment.DARKPOOL_SQL,
+            (("trade_id", "l"), ("symbol", "s"), ("price", "s"), ("qty", "l"),
+             ("value", "s"), ("side", "s"), ("confidence", "d"),
+             ("sentiment", "s"), ("cond_tags", "s"), ("key", "s")),
+        ),
+        Member(
+            "equity_bar_projection",
+            enrichment.equity_bar_projection,
+            enrichment.EQUITY_BAR_SQL,
+            (("symbol", "s"), ("event", "s"), ("open", "d"), ("high", "d"),
+             ("low", "d"), ("vwap", "d"), ("bar_volume", "l"), ("bar_id", "l")),
+        ),
+        Member(
+            "json_props_extract",
+            enrichment.json_props_extract,
+            enrichment.JSON_PROPS_SQL,
+            (("event_id", "l"), ("ts", "t"), ("k_str", "s"), ("k", "l"),
+             ("k_mod10", "l")),
+        ),
+        Member(
+            "news_nested_extract",
+            enrichment.news_nested_extract,
+            enrichment.NEWS_NESTED_SQL,
+            (("article_id", "l"), ("published_at", "t"), ("publisher", "s"),
+             ("ticker", "s")),
+        ),
+        Member(
+            "permissive_json_ingest",
+            bars.permissive_json_ingest,
+            bars.PERMISSIVE_JSON_SQL,
+            (("user_id", "l"), ("n", "l"), ("n_ok", "l"), ("n_bad", "l"),
+             ("v_sum", "d")),
+        ),
+    ]
+
+
+def _filters_members() -> list[Member]:
+    from ts_data_pipeline_spark.queries import filters
+
+    return [
+        Member(
+            "time_range_revenue",
+            filters.time_range_revenue,
+            filters.TIME_RANGE_REVENUE_SQL,
+            (("revenue", "d"), ("n_rows", "l")),
+        ),
+        Member(
+            "tag_filter_ops",
+            filters.tag_filter_ops,
+            filters.TAG_FILTER_SQL,
+            (("event_type", "s"), ("n", "l"), ("value_sum", "d")),
+        ),
+        Member(
+            "catalog_filters",
+            filters.catalog_filters,
+            filters.CATALOG_FILTERS_SQL,
+            (("p_partkey", "l"), ("p_name", "s"), ("p_type", "s"),
+             ("m_contains", "s"), ("m_contains_cs", "s"),
+             ("m_startswith", "s"), ("m_equals", "s"), ("m_contains_any", "s")),
+        ),
+        Member(
+            "level_include_exclude",
+            filters.level_include_exclude,
+            filters.LEVEL_INCLUDE_EXCLUDE_SQL,
+            (("user_id", "l"), ("event_type", "s"), ("n", "l")),
+        ),
+        Member(
+            "ordering_paging",
+            filters.ordering_paging,
+            filters.ORDERING_PAGING_SQL,
+            (("o_orderkey", "l"), ("o_totalprice", "d"),
+             ("o_orderpriority", "s")),
+        ),
+    ]
+
+
+def _quality_members() -> list[Member]:
+    from ts_data_pipeline_spark.operators import quality as qops
+    from ts_data_pipeline_spark.queries import olap, quality
+
+    return [
+        Member(
+            "data_quality_summary",
+            quality.data_quality_summary,
+            qops.data_quality_summary_sql(),
+            (("grp", "s"), ("n", "l"), ("null_price_cnt", "l"),
+             ("zero_price_cnt", "l"), ("gap_cnt", "l"), ("stale_cnt", "l"),
+             ("max_gap_us", "l")),
+        ),
+        Member(
+            "required_field_nulls",
+            quality.required_field_nulls,
+            quality.REQUIRED_FIELD_SQL,
+            (("n", "l"), ("null_o_custkey", "l"), ("null_o_orderstatus", "l"),
+             ("null_o_totalprice", "l"), ("null_o_orderdate", "l")),
+        ),
+        Member(
+            "consecutive_alert_runs",
+            quality.consecutive_alert_runs,
+            qops.consecutive_alert_runs_sql(),
+            (("key", "l"), ("run_len", "l"), ("run_start", "t"),
+             ("run_end", "t")),
+        ),
+        Member(
+            "metrics_summary",
+            quality.metrics_summary,
+            qops.metrics_summary_sql(),
+            (("grp", "s"), ("n", "l"), ("mean", "d"), ("std", "d"),
+             ("min", "d"), ("median", "d"), ("max", "d")),
+        ),
+        Member(
+            "rollup_doc_stats",
+            olap.rollup_doc_stats,
+            olap.ROLLUP_DOC_STATS_SQL,
+            (("lang", "s"), ("source", "s"), ("n_docs", "l"),
+             ("total_chars", "l")),
+        ),
+    ]
+
+
+def _text_stats_members() -> list[Member]:
+    from ts_data_pipeline_spark.functions import text as text_fns
+    from ts_data_pipeline_spark.queries import llmdata, olap
+
+    return [
+        Member(
+            "normalize_text",
+            llmdata.normalize_text,
+            text_fns.NORMALIZE_TEXT_SQL,
+            (("doc_id", "l"), ("n_chars_raw", "l"), ("text_norm", "s"),
+             ("n_chars_norm", "l")),
+        ),
+        Member(
+            "doc_fingerprints",
+            llmdata.doc_fingerprints,
+            text_fns.doc_fingerprints_sql(),
+            (("doc_id", "l"), ("content_md5", "s"), ("shingle_min", "s"),
+             ("shingle_max", "s"), ("n_shingles", "l")),
+        ),
+        Member(
+            "token_stats",
+            olap.token_stats,
+            olap.TOKEN_STATS_SQL,
+            (("doc_id", "l"), ("ws_tokens", "l"), ("bpe_tokens", "l"),
+             ("chars_per_token", "d")),
+        ),
+    ]
+
+
+def _olap_pivot_members() -> list[Member]:
+    from ts_data_pipeline_spark.queries import bars, olap, timeseries
+
+    return [
+        Member(
+            "window_agg_carried_dims",
+            olap.window_agg_carried_dims,
+            olap.WINDOW_AGG_CARRIED_DIMS_SQL,
+            (("window_start", "t"), ("osym", "l"), ("otype", "s"),
+             ("first_side", "s"), ("any_whale", "s"), ("n", "l"),
+             ("premium_sum", "d")),
+        ),
+        Member(
+            "top_premium_per_day",
+            bars.top_premium_per_day,
+            bars.TOP_PREMIUM_SQL,
+            (("day", "t"), ("trade_id", "l"), ("osym", "l"),
+             ("premium", "d"), ("rk", "l")),
+        ),
+        Member(
+            "pivot_event_values",
+            timeseries.pivot_event_values,
+            timeseries.PIVOT_EVENT_VALUES_SQL,
+            (("user_id", "l"), ("click", "d"), ("view", "d"),
+             ("purchase", "d"), ("signup", "d"), ("error", "d")),
+        ),
+        Member(
+            "unpivot_event_values",
+            olap.unpivot_event_values,
+            olap.UNPIVOT_EVENT_VALUES_SQL,
+            (("user_id", "l"), ("parameter_id", "s"), ("num_value", "d")),
+        ),
+    ]
+
+
+def _join_semi_anti_members() -> list[Member]:
+    from ts_data_pipeline_spark.operators import joins
+    from ts_data_pipeline_spark.queries import relational
+
+    return [
+        Member(
+            "join_anti_no_orders",
+            relational.join_anti_no_orders,
+            joins.CUSTOMERS_WITHOUT_ORDERS_SQL,
+            (("c_custkey", "l"), ("c_name", "s"), ("c_mktsegment", "s")),
+        ),
+        Member(
+            "join_semi_high_value",
+            relational.join_semi_high_value,
+            joins.customers_with_high_value_orders_sql(),
+            (("c_custkey", "l"), ("c_mktsegment", "s"), ("c_acctbal", "d")),
+        ),
+    ]
+
+
+def _dedup_exact_simhash_members() -> list[Member]:
+    from ts_data_pipeline_spark.operators import dedup
+    from ts_data_pipeline_spark.queries import llmdata
+
+    return [
+        Member(
+            "dedup_exact",
+            llmdata.dedup_exact,
+            dedup.EXACT_DEDUP_SQL,
+            (("doc_id", "l"), ("text_hash", "s"), ("group_size", "l"),
+             ("keep", "s")),
+        ),
+        Member(
+            "dedup_simhash",
+            llmdata.dedup_simhash,
+            dedup.simhash_sql(),
+            (("doc_id", "l"), ("simhash_hi", "l"), ("simhash_lo", "l")),
+        ),
+    ]
+
+
+def _catalog_browse_members() -> list[Member]:
+    from ts_data_pipeline_spark.queries import catalog
+
+    return [
+        Member(
+            "catalog_lifecycle",
+            catalog.catalog_lifecycle,
+            catalog.CATALOG_LIFECYCLE_SQL,
+            (("stream_id", "s"), ("name", "s"), ("topic", "s"),
+             ("location", "s"), ("status", "s"), ("data_start", "t"),
+             ("data_end", "t"), ("n_records", "l")),
+        ),
+        Member(
+            "backfill_cursor",
+            catalog.backfill_cursor,
+            catalog.BACKFILL_CURSOR_SQL,
+            (("stream_id", "s"), ("next_cursor", "t")),
+        ),
+        Member(
+            "catalog_locations",
+            catalog.catalog_locations,
+            catalog.CATALOG_LOCATIONS_SQL,
+            (("location", "s"), ("n_streams", "l"), ("n_open", "l"),
+             ("latest_data", "t")),
+        ),
+        Member(
+            "catalog_hierarchy",
+            catalog.catalog_hierarchy,
+            catalog.CATALOG_HIERARCHY_SQL,
+            (("parent_id", "s"), ("n_children", "l"), ("children_start", "t"),
+             ("children_end", "t")),
+        ),
+    ]
+
+
+def _register_all() -> None:
+    register_suite("enrichment_suite", _enrichment_members())
+    register_suite("filters_suite", _filters_members())
+    register_suite("quality_suite", _quality_members())
+    register_suite("text_stats_suite", _text_stats_members())
+    register_suite("olap_pivot_suite", _olap_pivot_members())
+    register_suite("join_semi_anti", _join_semi_anti_members())
+    register_suite("dedup_exact_simhash", _dedup_exact_simhash_members())
+    register_suite("catalog_browse_suite", _catalog_browse_members())
+
+
+_register_all()

@@ -229,6 +229,22 @@ def telemetry_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate(_pv(spark, sf_dir), spec)
 
 
+def telemetry_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three interpolation modes (A8) over the same spec, labeled
+    by mode — one registry entry, three verified fill behaviors."""
+    parts = []
+    for mode, fn in (
+        ("Null", telemetry_interp_null),
+        ("Previous", telemetry_interp_previous),
+        ("Linear", telemetry_interp_linear),
+    ):
+        parts.append(fn(spark, sf_dir).select(F.lit(mode).alias("mode"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _INTERP_BASE_SQL = f"""
 WITH pv AS ({PV_SQL}),
 agg AS (
@@ -280,6 +296,15 @@ SELECT bucket,
                        CAST(nb_ - pb_ AS DOUBLE), 4)
        END AS purchase_mean
 FROM w
+"""
+
+
+TELEMETRY_INTERP_SQL = f"""
+SELECT 'Null' AS mode, * FROM ({TELEMETRY_INTERP_NULL_SQL})
+UNION ALL
+SELECT 'Previous' AS mode, * FROM ({TELEMETRY_INTERP_PREVIOUS_SQL})
+UNION ALL
+SELECT 'Linear' AS mode, * FROM ({TELEMETRY_INTERP_LINEAR_SQL})
 """
 
 
@@ -598,17 +623,58 @@ ORDER BY tag_value
 )
 
 
+def telemetry_string_binary_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 string + binary channel aggregates in one labeled result
+    (binary values hex-encoded at the wire edge, as the binary case
+    already does)."""
+    s = telemetry_string_aggs(spark, sf_dir).select(
+        F.lit("string").alias("channel"),
+        "bucket",
+        F.col("signup_count").alias("n_value"),
+        F.col("signup_str_first").alias("val_first"),
+        F.col("signup_str_last").alias("val_last"),
+        F.col("signup_str_count").alias("n_str"),
+    )
+    b = telemetry_binary_aggs(spark, sf_dir).select(
+        F.lit("binary").alias("channel"),
+        "bucket",
+        F.col("error_count").alias("n_value"),
+        F.col("bin_first_hex").alias("val_first"),
+        F.col("bin_last_hex").alias("val_last"),
+        F.col("bin_count").alias("n_str"),
+    )
+    return s.unionByName(b)
+
+
+TELEMETRY_STRING_BINARY_SQL = f"""
+SELECT 'string' AS channel, bucket,
+       CAST(signup_count AS BIGINT) AS n_value,
+       signup_str_first AS val_first, signup_str_last AS val_last,
+       CAST(signup_str_count AS BIGINT) AS n_str
+FROM ({TELEMETRY_STRING_AGGS_SQL})
+UNION ALL
+SELECT 'binary' AS channel, bucket,
+       CAST(error_count AS BIGINT) AS n_value,
+       bin_first_hex AS val_first, bin_last_hex AS val_last,
+       CAST(bin_count AS BIGINT) AS n_str
+FROM ({TELEMETRY_BINARY_AGGS_SQL})
+"""
+
+
 register("tag_values_listing", tag_values_listing, TAG_VALUES_LISTING_SQL)
 register("telemetry_event_interp", telemetry_event_interp, TELEMETRY_EVENT_INTERP_SQL)
 register("telemetry_raw_passthrough", telemetry_raw_passthrough, TELEMETRY_RAW_PASSTHROUGH_SQL)
 register("telemetry_snippet_replay", telemetry_snippet_replay, TELEMETRY_SNIPPET_SQL)
-register("telemetry_binary_aggs", telemetry_binary_aggs, TELEMETRY_BINARY_AGGS_SQL)
-register("telemetry_string_aggs", telemetry_string_aggs, TELEMETRY_STRING_AGGS_SQL)
+# string + binary channels are verified together (A5):
+register(
+    "telemetry_string_binary_aggs",
+    telemetry_string_binary_aggs,
+    TELEMETRY_STRING_BINARY_SQL,
+)
 register("telemetry_event_aggs", telemetry_event_aggs, TELEMETRY_EVENT_AGGS_SQL)
 register("telemetry_bucket_multi_agg", telemetry_bucket_multi_agg, TELEMETRY_BUCKET_MULTI_AGG_SQL)
 register("telemetry_first_last_median_spread", telemetry_first_last_median_spread, TELEMETRY_FIRST_LAST_SQL)
 register("telemetry_group_by_tags", telemetry_group_by_tags, TELEMETRY_GROUP_BY_TAGS_SQL)
-register("telemetry_interp_null", telemetry_interp_null, TELEMETRY_INTERP_NULL_SQL)
-register("telemetry_interp_previous", telemetry_interp_previous, TELEMETRY_INTERP_PREVIOUS_SQL)
-register("telemetry_interp_linear", telemetry_interp_linear, TELEMETRY_INTERP_LINEAR_SQL)
+# the three interpolation modes are verified together (A8):
+register("telemetry_interp", telemetry_interp, TELEMETRY_INTERP_SQL)
 register("telemetry_order_page", telemetry_order_page, TELEMETRY_ORDER_PAGE_SQL)

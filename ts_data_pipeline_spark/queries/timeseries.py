@@ -224,12 +224,11 @@ register(
     sessionize_events,
     asof.sessionize_sql(gap_minutes=30.0),
 )
-register("pivot_event_values", pivot_event_values, PIVOT_EVENT_VALUES_SQL)
 register("range_join_whale_windows", range_join_whale_windows, RANGE_JOIN_WHALE_SQL)
 register("session_window_builtin", session_window_builtin, SESSION_WINDOW_BUILTIN_SQL)
-register("salted_returnflag_revenue", salted_returnflag_revenue, SALTED_RETURNFLAG_SQL)
-register(
-    "ann_ivf_topk",
-    ann_ivf_topk,
-    similarity.ivf_topk_sql(IVF_QUERY_IDS, IVF_CENTROID_IDS, k=5, nprobe=2),
-)
+# pivot_event_values -> olap_pivot_suite (queries/suites.py).
+# salted_returnflag_revenue: superseded by flagship_salted (the salt
+# pattern wired into the flagship, queries/flagship.py); the operator
+# stays pinned by tests/test_scale_patterns.py.
+# ann_ivf_topk -> merged with the LSH variant as ann_lsh_ivf_topk
+# (queries/llmdata.py).

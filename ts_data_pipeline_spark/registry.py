@@ -46,72 +46,70 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 #: Emission priority. The driver's CORRECTNESS artifact records the
-#: first 50 queries() entries, so the highest-value surface — the
-#: Telemetry QuerySpec evaluator (SURVEY §3.3, the engine's main
-#: public API), the flagship, as-of/session/range joins, and the
-#: LLM-data operators — must come first. Queries NOT listed here
-#: follow in registration order; they are exactly the ones whose
-#: green rows already stand in CORRECTNESS_r01.json (enrichment,
-#: catalog browse, filters, quality — unchanged since round 1).
+#: first 50 queries() entries; after the round-3 consolidation the
+#: registry holds <= 50 queries total (related operators merged into
+#: suites — queries/suites.py), so EVERY query receives an official
+#: green row every round. The order still leads with the highest-
+#: value surface (Telemetry QuerySpec evaluator, flagship, joins,
+#: LLM-data ops); anything unlisted follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # Telemetry QuerySpec evaluator (A4-A9, F4-F6, O1-O2)
     "telemetry_bucket_multi_agg",
     "telemetry_first_last_median_spread",
     "telemetry_group_by_tags",
-    "telemetry_interp_null",
-    "telemetry_interp_previous",
-    "telemetry_interp_linear",
+    "telemetry_interp",
     "telemetry_order_page",
-    "telemetry_string_aggs",
-    "telemetry_binary_aggs",
+    "telemetry_string_binary_aggs",
     "telemetry_event_aggs",
     "telemetry_event_interp",
     "telemetry_snippet_replay",
     "telemetry_raw_passthrough",
-    # Flagship + skew
+    # Flagship (unsalted + salted two-phase)
     "flagship_option_window_agg",
     "flagship_salted",
-    "salted_returnflag_revenue",
     # Time-series joins / sessions
     "asof_trade_quote",
     "range_join_whale_windows",
     "sessionize_events",
     "session_window_builtin",
-    "pivot_event_values",
     # Catalog API surface (metadata filter / tag values / group tree /
-    # snippet listing)
+    # snippet listing / browse+lifecycle suite)
     "catalog_metadata_filter",
     "tag_values_listing",
     "catalog_event_groups",
     "snippet_listing",
+    "catalog_browse_suite",
+    "catalog_scd2",
+    "catalog_parameters",
     # Streaming semantics (rows-only by design)
     "streaming_window_finals",
     "streaming_user_reduce",
     # LLM-data: dedup / similarity / text / multimodal / sampling
-    "dedup_exact",
+    "dedup_exact_simhash",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_brute_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    "ann_lsh_ivf_topk",
     "lang_id_ngram",
     "text_quality_features",
-    "token_stats",
-    "doc_fingerprints",
-    "normalize_text",
+    "text_stats_suite",
     "multimodal_features",
     "multimodal_frame_sample",
     "corpus_mix_split",
     "dq_constraint_suite",
-    # Wire / source fidelity + relational core
+    # Wire / source fidelity + relational + OLAP cores
     "kafka_wire_roundtrip",
     "replay_source_roundtrip",
     "join_segment_top_orders",
     "join_dim_revenue",
+    "join_semi_anti",
     "ohlc_resample",
     "pricing_summary",
+    "enrichment_suite",
+    "filters_suite",
+    "quality_suite",
+    "olap_pivot_suite",
 )
 
 

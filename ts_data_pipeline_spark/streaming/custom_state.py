@@ -137,19 +137,48 @@ class PushHub:
     Each subscription gets, per micro-batch, the matching rows as a
     dict of parallel arrays — the reference's ``Data`` wire shape
     (dashboard/src/Models/data.ts:16-41).
+
+    Driver-safety: the union of subscription predicates is pushed
+    into the batch plan (non-matching rows never leave the
+    executors), and the collect is capped at ``max_rows_per_batch``
+    — a wildcard subscription on a hot topic truncates the batch
+    (counted in ``truncated_batches``) instead of OOMing the driver.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, max_rows_per_batch: int = 10_000) -> None:
         self._subs: list[tuple[str, str, Callable[[dict], Any]]] = []
+        self.max_rows_per_batch = max_rows_per_batch
+        self.truncated_batches = 0
 
     def subscribe(
         self, stream_id: str, parameter_id: str, callback: Callable[[dict], Any]
     ) -> None:
         self._subs.append((stream_id, parameter_id, callback))
 
+    def _match_predicate(self):
+        from pyspark.sql import functions as F
+
+        cond = None
+        for stream_pat, param_pat, _ in self._subs:
+            p = F.lit(True)
+            if stream_pat != "*":
+                p = p & (F.col("stream_id") == stream_pat)
+            if param_pat != "*":
+                p = p & (F.col("parameter_id") == param_pat)
+            cond = p if cond is None else (cond | p)
+        return cond
+
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """``writeStream.foreachBatch(hub.foreach_batch)`` handler."""
-        rows = batch_df.collect()
+        if not self._subs:
+            return
+        cap = self.max_rows_per_batch
+        rows = (
+            batch_df.filter(self._match_predicate()).limit(cap + 1).collect()
+        )
+        if len(rows) > cap:
+            self.truncated_batches += 1
+            rows = rows[:cap]
         for stream_pat, param_pat, cb in self._subs:
             hit = [
                 r
