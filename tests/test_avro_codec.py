@@ -1,0 +1,134 @@
+"""Pure-stdlib Avro binary codec (S6 executable path)."""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ts_data_pipeline_spark.streaming import avro_codec as ac
+
+TRADE_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "trade",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+        ],
+    }
+)
+
+
+def test_known_byte_sequence():
+    """Pin hand-computed spec bytes: long 1 -> zigzag 2 -> varint 0x02;
+    string 'hi' -> length varint 0x04 + utf-8."""
+    codec = ac.AvroRecordCodec(TRADE_SCHEMA)
+    assert codec.encode({"a": 1, "b": "hi"}) == b"\x02\x04hi"
+    assert codec.encode({"a": -1, "b": ""}) == b"\x01\x00"
+    # Multi-byte varint: 64 -> zigzag 128 -> 0x80 0x01.
+    assert codec.encode({"a": 64, "b": ""}) == b"\x80\x01\x00"
+
+
+def test_union_null_branch():
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [{"name": "v", "type": ["null", "double"]}],
+        }
+    )
+    codec = ac.AvroRecordCodec(schema)
+    assert codec.encode({"v": None}) == b"\x00"  # branch 0, no payload
+    enc = codec.encode({"v": 1.5})
+    assert enc[0] == 0x02  # branch index 1 as zigzag varint
+    assert len(enc) == 9
+    assert codec.decode(enc) == {"v": 1.5}
+    assert codec.decode(b"\x00") == {"v": None}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    b=st.text(max_size=40),
+    d=st.floats(allow_nan=False, allow_infinity=True),
+    ok=st.booleans(),
+)
+def test_roundtrip_property(a, b, d, ok):
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+                {"name": "d", "type": "double"},
+                {"name": "ok", "type": "boolean"},
+            ],
+        }
+    )
+    codec = ac.AvroRecordCodec(schema)
+    got = codec.decode(codec.encode({"a": a, "b": b, "d": d, "ok": ok}))
+    assert got["a"] == a and got["b"] == b and got["ok"] == ok
+    assert got["d"] == d or (math.isnan(d) and math.isnan(got["d"]))
+
+
+def test_confluent_framing():
+    body = b"\x02\x04hi"
+    framed = ac.frame(123456, body)
+    assert framed[0] == 0x00 and len(framed) == 5 + len(body)
+    sid, out = ac.unframe(framed)
+    assert sid == 123456 and out == body
+    with pytest.raises(ValueError):
+        ac.unframe(b"\x01\x00\x00\x00\x07")
+
+
+def test_spark_encode_decode_frames(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "click", 2.5), ("k2", 2, "view", None)],
+        "key string, event_id long, event_type string, value double",
+    )
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "e",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "event_type", "type": "string"},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+    )
+    enc = ac.encode_frames(
+        df, schema, schema_id=9,
+        value_cols=["event_id", "event_type", "value"],
+    )
+    rows = enc.collect()
+    assert all(bytes(r.value)[0] == 0 for r in rows)  # framed
+    back = {
+        r.key: (r.event_id, r.event_type, r.value)
+        for r in ac.decode_frames(enc, {9: schema}).collect()
+    }
+    assert back == {"k1": (1, "click", 2.5), "k2": (2, "view", None)}
+
+
+def test_decode_unknown_schema_id_raises(spark):
+    df = spark.createDataFrame([("k", 1, "x", 1.0)],
+                               "key string, a long, b string, c double")
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "e",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string"},
+                {"name": "c", "type": "double"},
+            ],
+        }
+    )
+    enc = ac.encode_frames(df, schema, schema_id=1, value_cols=["a", "b", "c"])
+    with pytest.raises(Exception, match="unknown schema id"):
+        ac.decode_frames(enc, {2: schema}).collect()

@@ -55,6 +55,53 @@ def test_minhash_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert uncapped.count() == 200 * 199 // 2 + 1
 
 
+def test_duplicate_clusters_connected_components(spark):
+    """A chain a-b, b-c plus an island d-e must yield two clusters
+    labeled by their minimum member id; transitivity crosses pairs
+    that were never directly compared."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "da long, db long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_repetition_features_flags_boilerplate(spark):
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e " * 10),          # same 5-gram repeated
+            (2, " ".join(f"w{i}" for i in range(50))),  # all distinct
+            (3, "too short"),                 # < n tokens -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text_fns.repetition_features(docs).collect()}
+    # 50 tokens of a 5-word cycle -> 46 grams, 5 distinct -> 0.8913
+    assert got[1].rep_ratio > 0.85
+    assert got[2].rep_ratio == 0.0
+    assert got[3].n_grams == 0 and got[3].rep_ratio == 0.0
+
+
+def test_pii_signal_counts_planted_tokens(spark):
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [(7, "plain words"), (11, "plain words"), (13, "plain words"),
+         (5, "plain words")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text_fns.pii_signal_counts(docs).collect()}
+    assert got[7].n_emails == 1 and got[7].first_email == "user7@example.com"
+    assert got[11].n_urls == 1
+    assert got[13].n_digit_runs == 1
+    assert (got[5].n_emails, got[5].n_urls, got[5].n_digit_runs) == (0, 0, 0)
+
+
 def test_embedding_cosine_bucketed_precision_and_recall(spark):
     """The banded cosine-dedup must report only true >=threshold pairs
     (exact verify), with usable recall vs the all-pairs baseline even

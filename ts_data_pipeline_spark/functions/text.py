@@ -276,3 +276,102 @@ SELECT doc_id, content_md5,
        COUNT(DISTINCT sh) AS n_shingles
 FROM sh GROUP BY doc_id, content_md5
 """
+
+
+def repetition_features(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Within-document repetition (a standard pretraining quality
+    signal): fraction of duplicated word n-grams. Boilerplate/
+    templated documents score high and get filtered before training.
+    Pure expressions — scan-shaped, zero shuffle."""
+    from ts_data_pipeline_spark.operators.dedup import shingles_col
+
+    base = docs.select("doc_id", shingles_col(n).alias("g"))
+    total = F.size(F.col("g"))
+    distinct = F.size(F.array_distinct(F.col("g")))
+    return base.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.round(
+            F.when(total > 0, 1.0 - distinct / total).otherwise(0.0), 4
+        ).alias("rep_ratio"),
+    )
+
+
+def repetition_features_sql(n: int = 5) -> str:
+    from ts_data_pipeline_spark.operators.dedup import SHINGLES_SQL
+
+    sh = SHINGLES_SQL.format(nm1=n - 1)
+    return f"""
+WITH g AS (SELECT doc_id, {sh} AS g FROM documents)
+SELECT doc_id,
+       len(g) AS n_grams,
+       len(list_distinct(g)) AS n_distinct,
+       ROUND(CASE WHEN len(g) > 0
+             THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+             ELSE 0.0 END, 4) AS rep_ratio
+FROM g
+"""
+
+
+#: Deterministic augmentation so the PII extractors have real hits in
+#: the synthetic corpus: every 7th doc gains an email, every 11th a
+#: URL, every 13th a long digit run.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_URL = r"https?://[^ ]+"
+_PII_DIGITS = r"[0-9]{6,}"
+
+
+def pii_signal_counts(docs: DataFrame) -> DataFrame:
+    """PII-ish signal counting (emails / URLs / long digit runs) — the
+    scrub-or-drop decision input of a training-data pipeline. The
+    synthetic corpus has no such tokens, so a deterministic
+    augmentation plants them first; the extractors then genuinely
+    find them (regexes are RE2-safe on both engines)."""
+    t = F.col("text")
+    aug = F.concat(
+        t,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" https://example.org/d/"), F.col("doc_id")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" 99"), (F.col("doc_id") + 1000000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_URL)).alias("n_urls"),
+        F.regexp_count(aug, F.lit(_PII_DIGITS)).alias("n_digit_runs"),
+        F.regexp_extract(aug, f"({_PII_EMAIL})", 1).alias("first_email"),
+    )
+
+
+PII_SIGNAL_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' https://example.org/d/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0
+              THEN ' 99' || CAST(doc_id + 1000000 AS VARCHAR)
+              ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_URL}')) AS n_urls,
+       len(regexp_extract_all(t, '{_PII_DIGITS}')) AS n_digit_runs,
+       COALESCE(regexp_extract(t, '({_PII_EMAIL})', 1), '') AS first_email
+FROM aug
+"""

@@ -253,6 +253,138 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    *,
+    a_col: str = "da",
+    b_col: str = "db",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign every paired document its duplicate-cluster id — the
+    minimum doc id reachable through the near-dup pair graph
+    (connected components via min-label propagation).
+
+    The iterative step is one equi-join + min-agg per round; rounds
+    needed = graph diameter (near-dup clusters are shallow — a
+    handful). Each round is fully distributed; the driver only checks
+    the converged count. At 100 TB this is the standard large-graph
+    CC loop (alternating large-star/small-star refines it further);
+    labels and edges shuffle on the node id every round, nothing is
+    ever collected.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["id"] == neigh["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(neigh["nlabel"], labels["label"])
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE, cluster id
+    = min reachable node (exact for the resultset-sized pair graph)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION
+  SELECT db AS src, da AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "da",
+    b_col: str = "db",
+) -> DataFrame:
+    """Survivor selection — the step a training pipeline actually runs
+    after near-dup detection: keep exactly one document per duplicate
+    cluster (the minimum id, i.e. the cluster label itself) and every
+    unpaired document.
+
+    One broadcast-sized left join of the corpus against the cluster
+    labels (clusters are tiny relative to the corpus; Spark picks the
+    broadcast side itself — labels only contain *paired* docs). The
+    corpus never shuffles.
+    """
+    labels = duplicate_clusters(pairs, a_col=a_col, b_col=b_col)
+    return (
+        docs.select(id_col)
+        .join(labels, docs[id_col] == labels["doc_id"], "left")
+        .select(
+            docs[id_col].alias("doc_id"),
+            (F.col("cluster_id").isNull()
+             | (F.col("cluster_id") == docs[id_col])).alias("kept"),
+        )
+    )
+
+
+def keep_canonical_sql(pairs_sql: str) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION
+  SELECT db AS src, da AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       (labels.cluster_id IS NULL OR labels.cluster_id = d.doc_id) AS kept
+FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH (approximate near-dup at scale; rows-only gate)
 # ---------------------------------------------------------------------------
 

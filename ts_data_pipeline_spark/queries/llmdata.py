@@ -41,8 +41,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(io.load(spark, sf_dir, "documents"))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (min-label
+    propagation) over the exact n-gram Jaccard near-dup pairs."""
+    docs = io.load(spark, sf_dir, "documents")
+    return dedup.duplicate_clusters(dedup.ngram_jaccard_pairs(docs))
+
+
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.quality_features(io.load(spark, sf_dir, "documents"))
+
+
+def repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.repetition_features(io.load(spark, sf_dir, "documents"))
+
+
+def pii_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.pii_signal_counts(io.load(spark, sf_dir, "documents"))
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

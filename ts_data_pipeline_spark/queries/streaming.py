@@ -76,6 +76,75 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------
+# S6 — Avro wire path (EXECUTED): the Confluent-framed Avro binary
+# encoding of darkpool_trades/main.py:51-69, run through the pure-
+# stdlib codec fallback (streaming/avro_codec.py) since the spark-avro
+# jar is absent in this container. The registry fetch is a pinned
+# id -> schema map.
+# ---------------------------------------------------------------------
+
+import json as _json  # noqa: E402
+
+from ts_data_pipeline_spark.streaming import avro_codec  # noqa: E402
+
+AVRO_EVENT_SCHEMA = _json.dumps(
+    {
+        "type": "record",
+        "name": "Event",
+        "namespace": "wire",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts_us", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "value", "type": ["null", "double"]},
+            {"name": "props", "type": "string"},
+        ],
+    }
+)
+AVRO_SCHEMA_ID = 7
+AVRO_REGISTRY = {AVRO_SCHEMA_ID: AVRO_EVENT_SCHEMA}
+
+
+def kafka_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Produce -> consume through the Avro wire format: encode every
+    event as a Confluent-framed Avro binary value (union-typed value
+    field, µs event time as long), decode via the pinned schema
+    registry, and project the original columns — hash-equality vs the
+    raw table certifies the codec byte path end to end."""
+    ev = io.load(spark, sf_dir, "events")
+    wire_in = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+        "props",
+    )
+    encoded = avro_codec.encode_frames(
+        wire_in,
+        AVRO_EVENT_SCHEMA,
+        schema_id=AVRO_SCHEMA_ID,
+        value_cols=["event_id", "ts_us", "event_type", "value", "props"],
+        key_col="key",
+    )
+    decoded = avro_codec.decode_frames(encoded, AVRO_REGISTRY)
+    return decoded.select(
+        "key",
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+KAFKA_AVRO_ROUNDTRIP_SQL = """
+SELECT CAST(user_id AS VARCHAR) AS key, event_id, ts, event_type, value, props
+FROM events
+"""
+
+
 @contextlib.contextmanager
 def _scoped_conf(spark: SparkSession, key: str, value: str):
     """Set a session conf for the duration of a run, then restore.
@@ -170,5 +239,6 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("kafka_wire_roundtrip", kafka_wire_roundtrip, KAFKA_WIRE_ROUNDTRIP_SQL)
+register("kafka_avro_roundtrip", kafka_avro_roundtrip, KAFKA_AVRO_ROUNDTRIP_SQL)
 register("streaming_user_reduce", streaming_user_reduce)  # rows-only: emission timing
 register("streaming_window_finals", streaming_window_finals)  # rows-only: emission timing

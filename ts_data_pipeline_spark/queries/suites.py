@@ -293,6 +293,20 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("ws_tokens", "l"), ("bpe_tokens", "l"),
              ("chars_per_token", "d")),
         ),
+        Member(
+            "repetition_features",
+            llmdata.repetition_features,
+            text_fns.repetition_features_sql(),
+            (("doc_id", "l"), ("n_grams", "l"), ("n_distinct", "l"),
+             ("rep_ratio", "d")),
+        ),
+        Member(
+            "pii_signal_counts",
+            llmdata.pii_signal_counts,
+            text_fns.PII_SIGNAL_SQL,
+            (("doc_id", "l"), ("n_emails", "l"), ("n_urls", "l"),
+             ("n_digit_runs", "l"), ("first_email", "s")),
+        ),
     ]
 
 
@@ -368,6 +382,12 @@ def _dedup_exact_simhash_members() -> list[Member]:
             llmdata.dedup_simhash,
             dedup.simhash_sql(),
             (("doc_id", "l"), ("simhash_hi", "l"), ("simhash_lo", "l")),
+        ),
+        Member(
+            "dedup_clusters",
+            llmdata.dedup_clusters,
+            dedup.duplicate_clusters_sql(dedup.ngram_jaccard_sql()),
+            (("doc_id", "l"), ("cluster_id", "l")),
         ),
     ]
 

@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "dq_constraint_suite",
     # Wire / source fidelity + relational + OLAP cores
     "kafka_wire_roundtrip",
+    "kafka_avro_roundtrip",
     "replay_source_roundtrip",
     "join_segment_top_orders",
     "join_dim_revenue",

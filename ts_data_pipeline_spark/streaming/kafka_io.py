@@ -120,13 +120,18 @@ def from_kafka_json(
 
 
 def to_avro_value(df: DataFrame, value_cols: Sequence[str], json_schema: str) -> DataFrame:
-    """Avro-encode the value struct against a pinned schema (S6).
+    """Avro-encode the value struct against a pinned schema (S6) —
+    JVM path.
 
     Requires the ``spark-avro`` package on the classpath at runtime;
     the container here ships without it, so callers must treat
-    failures as environment-gated (tests skip). The schema-registry
-    fetch in the reference (darkpool_trades/basic.py:87-110) is
-    intentionally replaced by the pinned ``json_schema``.
+    failures as environment-gated (tests skip). The EXECUTABLE
+    fallback for jar-less environments is
+    ``streaming/avro_codec.py`` (pure-stdlib Avro binary codec +
+    Confluent framing, proven by the ``kafka_avro_roundtrip`` oracle
+    row). The schema-registry fetch in the reference
+    (darkpool_trades/basic.py:87-110) is intentionally replaced by
+    the pinned ``json_schema``.
     """
     try:
         from pyspark.sql.avro.functions import to_avro
