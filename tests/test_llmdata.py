@@ -69,6 +69,36 @@ def test_duplicate_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_keep_canonical_survivor_selection(spark):
+    """Chain 1-2, 2-3 and island 10-11 in a corpus of 6 docs: keep the
+    cluster minima (1, 10) and the unpaired docs (5, 99)."""
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 5, 99)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "da long, db long"
+    )
+    got = {r.doc_id: r.kept for r in dedup.keep_canonical(docs, pairs).collect()}
+    assert got == {1: True, 2: False, 3: False, 10: True, 11: False,
+                   5: True, 99: True}
+
+
+def test_length_quantiles_exact_interpolation(spark):
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a" * 10), (2, "en", "a" * 20), (3, "en", "a" * 30),
+         (4, "de", "a" * 7)],
+        ["doc_id", "lang", "text"],
+    )
+    got = {r.lang: r for r in text_fns.length_quantiles(docs).collect()}
+    # interpolating median of (10, 20, 30) = 20; p90 = 10 + 0.8*(30-20)? no:
+    # quantile_cont at 0.9 over 3 points -> rank 1.8 -> 20 + 0.8*10 = 28.
+    assert got["en"].n_docs == 3 and got["en"].p50 == 20.0
+    assert got["en"].p90 == 28.0
+    assert got["de"].p50 == 7.0 and got["de"].p99 == 7.0
+
+
 def test_repetition_features_flags_boilerplate(spark):
     from ts_data_pipeline_spark.functions import text as text_fns
 

@@ -314,6 +314,31 @@ FROM g
 """
 
 
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-language document-length distribution (p50/p90/p99 chars)
+    — the length-filter calibration input of a corpus pipeline. Uses
+    EXACT interpolating percentiles (matches DuckDB quantile_cont
+    value-for-value); at 100 TB swap to approx_percentile(err=1e-4),
+    which needs no sort and sketches map-side."""
+    base = docs.select("lang", F.length("text").alias("len"))
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("len", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("len", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("len", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+LENGTH_QUANTILES_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(length(text), 0.5), 4) AS p50,
+       ROUND(quantile_cont(length(text), 0.9), 4) AS p90,
+       ROUND(quantile_cont(length(text), 0.99), 4) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 #: Deterministic augmentation so the PII extractors have real hits in
 #: the synthetic corpus: every 7th doc gains an email, every 11th a
 #: URL, every 13th a long digit run.

@@ -48,6 +48,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(dedup.ngram_jaccard_pairs(docs))
 
 
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection: one doc per duplicate cluster + all
+    unpaired docs (composes ngram-Jaccard pairs -> clusters -> keep)."""
+    docs = io.load(spark, sf_dir, "documents")
+    return dedup.keep_canonical(docs, dedup.ngram_jaccard_pairs(docs))
+
+
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.quality_features(io.load(spark, sf_dir, "documents"))
 
@@ -58,6 +65,10 @@ def repetition_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pii_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.pii_signal_counts(io.load(spark, sf_dir, "documents"))
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -307,6 +307,13 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("n_emails", "l"), ("n_urls", "l"),
              ("n_digit_runs", "l"), ("first_email", "s")),
         ),
+        Member(
+            "length_quantiles",
+            llmdata.length_quantiles,
+            text_fns.LENGTH_QUANTILES_SQL,
+            (("lang", "s"), ("n_docs", "l"), ("p50", "d"), ("p90", "d"),
+             ("p99", "d")),
+        ),
     ]
 
 
@@ -388,6 +395,12 @@ def _dedup_exact_simhash_members() -> list[Member]:
             llmdata.dedup_clusters,
             dedup.duplicate_clusters_sql(dedup.ngram_jaccard_sql()),
             (("doc_id", "l"), ("cluster_id", "l")),
+        ),
+        Member(
+            "dedup_keep_canonical",
+            llmdata.dedup_keep_canonical,
+            dedup.keep_canonical_sql(dedup.ngram_jaccard_sql()),
+            (("doc_id", "l"), ("kept", "s")),
         ),
     ]
 
