@@ -91,3 +91,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         ("C", "2024-01-01T10:01:00"),
         ("D", "2024-01-01T10:30:00"),
     ], keys
+
+
+def test_write_corpus_bounds_file_sizes(spark, tmp_path):
+    """The corpus writer must roll files at max_records_per_file and
+    lay directories out by the partition column, with no data loss."""
+    from ts_data_pipeline_spark.operators import corpus_io
+
+    docs = io.load(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    corpus_io.write_corpus(
+        docs, out, partition_by=("lang",), max_records_per_file=100
+    )
+    manifest = corpus_io.corpus_manifest(spark, out, partition_by=("lang",))
+    rows = manifest.collect()
+    assert sum(r.n_rows for r in rows) == docs.count()
+    assert all(r.max_file_rows <= 100 for r in rows)
+    # every partition with >100 rows must have rolled into >1 file
+    for r in rows:
+        if r.n_rows > 100:
+            assert r.n_files > 1
+
+
+def test_compact_corpus_heals_fragmentation(spark, tmp_path):
+    """A corpus fragmented into ~32 files per partition compacts to
+    the minimal file count for the cap, value-identically."""
+    from ts_data_pipeline_spark.operators import corpus_io
+
+    docs = io.load(spark, SF_DIR, "documents")
+    frag, healed = str(tmp_path / "frag"), str(tmp_path / "healed")
+    # Fragment deliberately: round-robin shuffle before partitionBy
+    # gives every task a slice of every lang -> many tiny files.
+    docs.repartition(32).write.partitionBy("lang").parquet(frag)
+    stats = {
+        r.lang: r
+        for r in corpus_io.compact_corpus(
+            spark, frag, healed, partition_by=("lang",),
+            max_records_per_file=1000,
+        ).collect()
+    }
+    assert all(s.rows_after == s.rows_before for s in stats.values())
+    assert all(s.files_after < s.files_before for s in stats.values())
+    # value-identical round trip
+    a = sorted(spark.read.parquet(frag).collect(), key=lambda r: r.doc_id)
+    b = sorted(spark.read.parquet(healed).collect(), key=lambda r: r.doc_id)
+    assert a == b
