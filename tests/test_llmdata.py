@@ -132,6 +132,52 @@ def test_pii_signal_counts_planted_tokens(spark):
     assert (got[5].n_emails, got[5].n_urls, got[5].n_digit_runs) == (0, 0, 0)
 
 
+def test_kmeans_assign_matches_numpy_reference(spark):
+    """The distributed Lloyd's loop must reproduce a straightforward
+    single-node numpy implementation of the same spec exactly (same
+    seeds, same fixed rounds, same rounded-cosine tie-break)."""
+    import numpy as np
+
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries import llmdata
+    from tests.conftest import SF_DIR
+
+    rows = io.load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    X = {
+        r.vec_id: (lambda v: v / np.linalg.norm(v))(
+            np.array(r.embedding, dtype=float)
+        )
+        for r in rows
+    }
+    cents = {s: X[s] for s in llmdata.KMEANS_SEED_IDS}
+    for _ in range(llmdata.KMEANS_ITERS):
+        assign = {
+            i: max(cents, key=lambda c: (round(v @ cents[c], 6), -c))
+            for i, v in X.items()
+        }
+        cents = {}
+        for c in sorted(set(assign.values())):
+            m = np.mean([X[i] for i in X if assign[i] == c], axis=0)
+            cents[c] = m / np.linalg.norm(m)
+    want = {
+        i: max(cents, key=lambda c: (round(v @ cents[c], 6), -c))
+        for i, v in X.items()
+    }
+    got = {
+        r.vec_id: r.cell
+        for r in similarity.kmeans_assign(
+            io.load(spark, SF_DIR, "embeddings"),
+            llmdata.KMEANS_SEED_IDS,
+            n_iter=llmdata.KMEANS_ITERS,
+        ).collect()
+    }
+    assert got == want
+    assert len(set(got.values())) > 1  # it actually partitioned
+
+
 def test_embedding_cosine_bucketed_precision_and_recall(spark):
     """The banded cosine-dedup must report only true >=threshold pairs
     (exact verify), with usable recall vs the all-pairs baseline even

@@ -414,6 +414,121 @@ def ivf_topk(
     )
 
 
+def kmeans_assign(
+    embeddings: DataFrame,
+    seed_ids: list[int],
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) with deterministic corpus-row
+    seeds and a FIXED unrolled iteration count — the training step
+    that produces real IVF centroids (ivf_topk's docstring promise).
+
+    Engine-portable determinism: the assignment key is the cosine
+    ROUNDED to 6 dp with cell-id tie-break, so the 1e-15 summation-
+    order drift of the centroid means (AVG over members) can never
+    flip an assignment between engines; cluster labels are the seed
+    ids, stable across iterations.
+
+    Scale shape: centroids stay a k-row DataFrame (never collected),
+    broadcast into each assignment; the update is posexplode ->
+    groupBy(cell, pos) avg — a map-side partial agg over n*dim narrow
+    rows. Rounds are a fixed constant (2-5 in practice), not
+    data-dependent, so the lineage stays bounded.
+    """
+    raw = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
+    ).select(id_col, "r", F.sqrt(dot(F.col("r"), F.col("r"))).alias("nrm"))
+    norm = raw.select(
+        id_col, F.transform("r", lambda x: x / F.col("nrm")).alias("v")
+    ).cache()
+    cents = norm.filter(F.col(id_col).isin(seed_ids)).select(
+        F.col(id_col).alias("cell"), F.col("v").alias("cv")
+    )
+
+    def _assign(c: DataFrame) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cos_sim").desc(), F.col("cell").asc()
+        )
+        return (
+            norm.crossJoin(F.broadcast(c))
+            .select(
+                id_col, "v", "cell",
+                F.round(dot(F.col("v"), F.col("cv")), 6).alias("cos_sim"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+        )
+
+    for _ in range(n_iter):
+        members = _assign(cents)
+        means = (
+            members.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+        )
+        assembled = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("mv"))
+        )
+        cents = assembled.select(
+            "cell", "mv", F.sqrt(dot(F.col("mv"), F.col("mv"))).alias("mn")
+        ).select("cell", F.transform("mv", lambda x: x / F.col("mn")).alias("cv"))
+
+    return _assign(cents).select(id_col, "cell", "cos_sim")
+
+
+def kmeans_assign_sql(seed_ids: list[int], n_iter: int = 2) -> str:
+    """DuckDB oracle: the same fixed-round Lloyd's loop unrolled into
+    one CTE chain per iteration (assign -> per-position mean ->
+    reassemble -> renormalize)."""
+    seeds = ", ".join(str(i) for i in seed_ids)
+    parts = [
+        f"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
+norm AS (
+  SELECT vec_id, list_transform(r, x -> x / nrm) AS v
+  FROM (SELECT vec_id, r, sqrt(list_dot_product(r, r)) AS nrm FROM emb)
+),
+c0 AS (SELECT vec_id AS cell, v AS cv FROM norm WHERE vec_id IN ({seeds}))"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT n.vec_id, n.v, c.cell,
+           row_number() OVER (PARTITION BY n.vec_id
+             ORDER BY ROUND(list_dot_product(n.v, c.cv), 6) DESC,
+                      c.cell ASC) AS rk
+    FROM norm n CROSS JOIN c{i - 1} c
+  ) WHERE rk = 1
+),
+u{i} AS (
+  SELECT cell, pos, AVG(val) AS m
+  FROM (SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS pos
+        FROM a{i})
+  GROUP BY cell, pos
+),
+m{i} AS (SELECT cell, list(m ORDER BY pos) AS mv FROM u{i} GROUP BY cell),
+c{i} AS (
+  SELECT cell, list_transform(mv, x -> x / mn) AS cv
+  FROM (SELECT cell, mv, sqrt(list_dot_product(mv, mv)) AS mn FROM m{i})
+)""")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT vec_id, cell, cos_sim FROM (
+  SELECT n.vec_id, c.cell,
+         ROUND(list_dot_product(n.v, c.cv), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY n.vec_id
+           ORDER BY ROUND(list_dot_product(n.v, c.cv), 6) DESC,
+                    c.cell ASC) AS rk
+  FROM norm n CROSS JOIN c{n_iter} c
+) WHERE rk = 1
+"""
+    )
+
+
 def ivf_topk_sql(
     query_ids: list[int], centroid_ids: list[int], k: int = 5, nprobe: int = 2
 ) -> str:

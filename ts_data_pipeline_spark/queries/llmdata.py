@@ -87,14 +87,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 8 deterministic corpus-row seeds for the k-means IVF trainer
+#: (present at every SF; disjoint from query/plane ids).
+KMEANS_SEED_IDS = [101, 157, 211, 263, 307, 353, 401, 457]
+KMEANS_ITERS = 2
+
+
 def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both approximate ANN paths (hyperplane-LSH buckets and
-    IVF-flat nprobe cells) in one result, labeled by method."""
+    """All three approximate ANN paths in one result, labeled by
+    method: hyperplane-LSH buckets, IVF-flat nprobe cells, and the
+    k-means-TRAINED coarse quantizer (final cluster assignment = each
+    vector's top-1 vs the trained centroid set)."""
     from ts_data_pipeline_spark.queries.timeseries import ann_ivf_topk
 
     lsh = ann_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
     ivf = ann_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
-    return lsh.unionByName(ivf)
+    km = (
+        similarity.kmeans_assign(
+            io.load(spark, sf_dir, "embeddings"),
+            KMEANS_SEED_IDS,
+            n_iter=KMEANS_ITERS,
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell").alias("cand_id"),
+            "cos_sim",
+            F.lit(1).alias("rank"),
+            F.lit("kmeans").alias("method"),
+        )
+    )
+    return lsh.unionByName(ivf).unionByName(km)
 
 
 def _ann_lsh_ivf_sql() -> str:
@@ -105,9 +127,13 @@ def _ann_lsh_ivf_sql() -> str:
 
     lsh = similarity.lsh_bucketed_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5)
     ivf = similarity.ivf_topk_sql(IVF_QUERY_IDS, IVF_CENTROID_IDS, k=5, nprobe=2)
+    km = similarity.kmeans_assign_sql(KMEANS_SEED_IDS, n_iter=KMEANS_ITERS)
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
-        f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})"
+        f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
+        f"UNION ALL\nSELECT query_id, cand_id, cos_sim, rank, 'kmeans' AS method\n"
+        f"FROM (SELECT vec_id AS query_id, cell AS cand_id, cos_sim,\n"
+        f"             1 AS rank FROM ({km}))"
     )
 
 
