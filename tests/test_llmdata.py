@@ -240,3 +240,28 @@ def test_simhash_similar_docs_close(spark):
     for r in pairs:
         d = hamming(sigs[r.da], sigs[r.db])
         assert d <= 16, f"jaccard {r.jaccard} pair {r.da},{r.db} hamming {d}"
+
+
+def test_corpus_selection_reasons_and_mix(spark):
+    """The capstone selection must apply rules in declared order and
+    produce a mixed verdict set on the synthetic corpus."""
+    from ts_data_pipeline_spark.queries import llmdata
+    from tests.conftest import SF_DIR
+
+    rows = llmdata.corpus_selection(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    reasons = {r.reject_reason for r in rows}
+    assert "ok" in reasons and ("too_short" in reasons or "too_long" in reasons)
+    for r in rows:
+        assert r.selected == (r.reject_reason == "ok")
+
+
+def test_skew_report_heavy_hitters(spark):
+    from ts_data_pipeline_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5, "k string"
+    )
+    got = skew.skew_report(df, "k", top_n=2).collect()
+    assert [(r.key, r.n, r.rank) for r in got] == [("hot", 80, 1), ("warm", 15, 2)]
+    assert abs(got[0].share - 0.8) < 1e-9

@@ -84,3 +84,29 @@ def test_queryspec_agg_splits_partial_final(spark):
     plan = _plan(evaluate(pv, spec))
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
     assert "SortAggregate" not in plan
+
+
+def test_repetition_features_is_scan_shaped(spark):
+    """The within-doc repetition signal must stay a pure projection:
+    no Exchange (shuffle) anywhere in the plan."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    plan = _plan(
+        text_fns.repetition_features(io.load(spark, SF_DIR, "documents"))
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_keep_canonical_joins_are_equi(spark):
+    """Survivor selection must compose hash/merge equi-joins only —
+    an Inner nested-loop would mean the corpus is being cross-paired."""
+    import re
+
+    from ts_data_pipeline_spark.operators import dedup as dd
+
+    docs = io.load(spark, SF_DIR, "documents")
+    df = dd.keep_canonical(docs, dd.ngram_jaccard_pairs(docs))
+    plan = _plan(df, "simple")
+    assert not re.search(
+        r"BroadcastNestedLoopJoin\s+\w*\s*,?\s*Inner", plan
+    ), plan

@@ -15,8 +15,50 @@ min/max; avg = sum/count assembled at the end).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def skew_report(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Key-histogram diagnostic: the top-N heavy hitters of a
+    prospective shuffle key with their traffic share — the input to
+    the salt-or-not decision (and to AQE skew threshold tuning).
+
+    One partial-aggregated groupBy on the key; the global total rides
+    a broadcast of the single-row aggregate. The top-N window runs
+    over the already-aggregated key histogram (|keys| rows, not
+    |data| — the only relation small enough to rank globally)."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def skew_report_sql(table: str, key_col: str, top_n: int = 10) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT key, n, ROUND(CAST(n AS DOUBLE) / t, 6) AS share,
+       CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank
+FROM counts, tot
+QUALIFY rank <= {top_n}
+"""
 
 
 def salted_sum(

@@ -71,6 +71,65 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 
 
+def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone selection pass: per-document keep/drop verdict with
+    the first failing rule as the reason — duplicate (non-canonical
+    cluster member), too_short/too_long (char bounds), repetitive
+    (duplicated 5-gram fraction), pii (planted email hits). This is
+    the composition a training pipeline actually ships: every input
+    is an already-verified operator, joined on doc_id (co-partitioned
+    scans of the same table; Catalyst collapses the shared base)."""
+    docs = io.load(spark, sf_dir, "documents")
+    kept = dedup.keep_canonical(docs, dedup.ngram_jaccard_pairs(docs))
+    rep = text_fns.repetition_features(docs).select("doc_id", "rep_ratio")
+    pii = text_fns.pii_signal_counts(docs).select("doc_id", "n_emails")
+    base = docs.select("doc_id", F.length("text").alias("n_chars"))
+    j = base.join(kept, "doc_id").join(rep, "doc_id").join(pii, "doc_id")
+    reason = (
+        F.when(~F.col("kept"), F.lit("duplicate"))
+        .when(F.col("n_chars") < 120, F.lit("too_short"))
+        .when(F.col("n_chars") > 520, F.lit("too_long"))
+        .when(F.col("rep_ratio") >= 0.3, F.lit("repetitive"))
+        .when(F.col("n_emails") > 0, F.lit("pii"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.withColumn("reject_reason", reason).select(
+        "doc_id",
+        "reject_reason",
+        (F.col("reject_reason") == "ok").alias("selected"),
+    )
+
+
+def corpus_selection_sql() -> str:
+    kc = dedup.keep_canonical_sql(dedup.ngram_jaccard_sql())
+    rep = text_fns.repetition_features_sql()
+    pii = text_fns.PII_SIGNAL_SQL
+    return f"""
+WITH kc AS (SELECT * FROM ({kc}) t),
+rep AS (SELECT doc_id, rep_ratio FROM ({rep}) t),
+pii AS (SELECT doc_id, n_emails FROM ({pii}) t),
+j AS (
+  SELECT d.doc_id, length(d.text) AS n_chars, kc.kept,
+         rep.rep_ratio, pii.n_emails
+  FROM documents d
+  JOIN kc ON d.doc_id = kc.doc_id
+  JOIN rep ON d.doc_id = rep.doc_id
+  JOIN pii ON d.doc_id = pii.doc_id
+),
+r AS (
+  SELECT doc_id,
+         CASE WHEN NOT kept THEN 'duplicate'
+              WHEN n_chars < 120 THEN 'too_short'
+              WHEN n_chars > 520 THEN 'too_long'
+              WHEN rep_ratio >= 0.3 THEN 'repetitive'
+              WHEN n_emails > 0 THEN 'pii'
+              ELSE 'ok' END AS reject_reason
+  FROM j
+)
+SELECT doc_id, reject_reason, reject_reason = 'ok' AS selected FROM r
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.doc_fingerprints(io.load(spark, sf_dir, "documents"))
 

@@ -224,8 +224,13 @@ def _filters_members() -> list[Member]:
 
 
 def _quality_members() -> list[Member]:
+    from ts_data_pipeline_spark import io
     from ts_data_pipeline_spark.operators import quality as qops
+    from ts_data_pipeline_spark.operators import skew
     from ts_data_pipeline_spark.queries import olap, quality
+
+    def skew_report_events(spark, sf_dir):
+        return skew.skew_report(io.load(spark, sf_dir, "events"), "event_type")
 
     return [
         Member(
@@ -263,6 +268,12 @@ def _quality_members() -> list[Member]:
             olap.ROLLUP_DOC_STATS_SQL,
             (("lang", "s"), ("source", "s"), ("n_docs", "l"),
              ("total_chars", "l")),
+        ),
+        Member(
+            "skew_report_events",
+            skew_report_events,
+            skew.skew_report_sql("events", "event_type"),
+            (("key", "s"), ("n", "l"), ("share", "d"), ("rank", "l")),
         ),
     ]
 
@@ -313,6 +324,12 @@ def _text_stats_members() -> list[Member]:
             text_fns.LENGTH_QUANTILES_SQL,
             (("lang", "s"), ("n_docs", "l"), ("p50", "d"), ("p90", "d"),
              ("p99", "d")),
+        ),
+        Member(
+            "corpus_selection",
+            llmdata.corpus_selection,
+            llmdata.corpus_selection_sql(),
+            (("doc_id", "l"), ("reject_reason", "s"), ("selected", "s")),
         ),
     ]
 
