@@ -24,7 +24,7 @@ def test_synthesize_then_decode_wav_roundtrip():
 
 def test_decode_media_unknown_mime_raises():
     with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\x89PNG", "image/png")
+        mm.decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_wav_features_distributed(spark):
@@ -44,3 +44,30 @@ def test_fake_decoder_plumbing_still_works(spark):
     rows = mm.extract_features(media).collect()  # FAKE_DECODER default
     assert len(rows) == 5
     assert all(r.byte_len is not None and r.payload_md5 for r in rows)
+
+
+def test_png_decoder_roundtrip():
+    """The stdlib PNG codec pair: synthesize -> decode recovers the
+    exact header fields and pixel sum."""
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    for doc_id in (0, 7, 123, 4999):
+        w, h = doc_id % 16 + 1, doc_id % 8 + 1
+        got = mm._decode_png(mm.synthesize_png(doc_id))
+        want_sum = sum(
+            (doc_id * 17 + y * 31 + x * 7) % 256
+            for y in range(h) for x in range(w)
+        )
+        assert got == {
+            "width": w, "height": h, "bit_depth": 8, "color_type": 0,
+            "n_pixels": w * h, "pix_sum": want_sum,
+        }
+
+
+def test_png_decoder_rejects_garbage():
+    import pytest
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="bad signature"):
+        mm._decode_png(b"GIF89a not a png")

@@ -120,18 +120,98 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def synthesize_png(doc_id: int) -> bytes:
+    """A real, valid PNG (signature, IHDR, zlib IDAT, IEND, correct
+    CRCs): 8-bit grayscale, width = doc_id % 16 + 1, height =
+    doc_id % 8 + 1, pixel(y, x) = (doc_id*17 + y*31 + x*7) % 256,
+    filter 0 scanlines."""
+    import struct
+    import zlib
+
+    w, h = doc_id % 16 + 1, doc_id % 8 + 1
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + bytes((doc_id * 17 + y * 31 + x * 7) % 256 for x in range(w))
+        for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Parse the PNG container (chunk walk), inflate IDAT, undo
+    filter-0 scanlines, and compute integer pixel stats. Grayscale
+    8-bit / filter 0 only — the synthetic corpus shape; anything else
+    raises rather than silently mis-decoding."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("no IHDR chunk")
+    w, h, bit_depth, color_type, _, _, _ = ihdr
+    if (bit_depth, color_type) != (8, 0):
+        raise NotImplementedError("only 8-bit grayscale supported")
+    raw = zlib.decompress(idat)
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if scan[:, 0].any():
+        raise NotImplementedError("only filter-0 scanlines supported")
+    pixels = scan[:, 1:].astype(np.int64)
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_pixels": w * h,
+        "pix_sum": int(pixels.sum()),
+    }
+
+
 def decode_media(payload: bytes, mime: str) -> dict:
     """Decode a media payload into typed features.
 
-    Real pure-stdlib decoder for PCM WAV audio (RIFF parse + sample
-    stats). Other media types (image/video) require PIL / av /
-    soundfile, which are not installed in this environment — supply
-    a decoder to extract_features() for those.
+    Real pure-stdlib decoders for PCM WAV audio (RIFF parse + sample
+    stats) and PNG images (chunk walk + zlib inflate + unfilter +
+    pixel stats). Other media types (video, JPEG, ...) require
+    libraries not installed in this environment — supply a decoder
+    to extract_features() for those.
     """
     if mime in ("audio/wav", "audio/x-wav"):
         return _decode_wav(payload)
+    if mime == "image/png":
+        return _decode_png(payload)
     raise NotImplementedError(
-        f"no decoder for {mime!r}: image/video decoding requires media "
+        f"no decoder for {mime!r}: video/JPEG decoding requires media "
         "libraries not present in this container; supply a decoder to "
         "extract_features()"
     )
@@ -245,6 +325,78 @@ SELECT doc_id,
                     i -> abs((doc_id * 31 + i * 7) % 256 - 128))) AS DOUBLE)
              / (doc_id % 50 + 20), 4) AS amp_mean
 FROM documents
+"""
+
+
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("color_type", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+    ]
+)
+
+
+def attach_png_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a real PNG binary column per doc (Arrow-batched;
+    blobs are born on the executors)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synthesize_png(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/png", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def png_features(media: DataFrame) -> DataFrame:
+    """Real-decoder image features: PNG parse + pixel stats per
+    payload, float mean derived JVM-side from exact integers."""
+    feats = extract_features(
+        media, decoder=decode_media, schema=PNG_FEATURE_SCHEMA
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "n_pixels",
+        "pix_sum",
+        F.round(F.col("pix_sum") / F.col("n_pixels"), 4).alias("pix_mean"),
+    )
+
+
+PNG_FEATURES_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         doc_id % 16 + 1 AS width,
+         doc_id % 8 + 1 AS height,
+         list_sum(flatten(list_transform(range(0, doc_id % 8 + 1),
+           y -> list_transform(range(0, doc_id % 16 + 1),
+                x -> (doc_id * 17 + y * 31 + x * 7) % 256)))) AS pix_sum
+  FROM documents
+)
+SELECT doc_id,
+       width, height,
+       8 AS bit_depth, 0 AS color_type,
+       width * height AS n_pixels,
+       pix_sum,
+       ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4) AS pix_mean
+FROM px
 """
 
 

@@ -210,6 +210,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.lang_id_ngram(io.load(spark, sf_dir, "documents"))
 
 
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decoder image path: synthesize a valid PNG binary column,
+    parse container + inflate + unfilter on executors (Arrow-batched),
+    pixel stats as exact integers."""
+    media = multimodal.attach_png_payload(io.load(spark, sf_dir, "documents"))
+    return multimodal.png_features(media)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-decoder path: synthesize a WAV binary column, parse it
     with the stdlib RIFF/PCM decoder on executors (Arrow-batched),
@@ -295,5 +303,5 @@ register(
     similarity.embedding_cosine_dups_bucketed_sql(DEDUP_PLANE_IDS),
 )
 register("lang_id_ngram", lang_id, text_fns.lang_id_ngram_sql())
-register("multimodal_features", multimodal_features, multimodal.WAV_FEATURES_SQL)
+# multimodal_features is registered as a WAV+PNG suite in queries/suites.py
 register("multimodal_frame_sample", multimodal_frame_sample, multimodal.frame_sample_sql())

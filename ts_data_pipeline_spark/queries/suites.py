@@ -457,6 +457,30 @@ def _catalog_browse_members() -> list[Member]:
     ]
 
 
+def _media_members() -> list[Member]:
+    from ts_data_pipeline_spark.operators import multimodal
+    from ts_data_pipeline_spark.queries import llmdata
+
+    return [
+        Member(
+            "wav_features",
+            llmdata.multimodal_features,
+            multimodal.WAV_FEATURES_SQL,
+            (("doc_id", "l"), ("sample_rate", "l"), ("channels", "l"),
+             ("bits", "l"), ("n_samples", "l"), ("duration_ms", "d"),
+             ("amp_mean", "d")),
+        ),
+        Member(
+            "png_features",
+            llmdata.multimodal_png_features,
+            multimodal.PNG_FEATURES_SQL,
+            (("doc_id", "l"), ("width", "l"), ("height", "l"),
+             ("bit_depth", "l"), ("color_type", "l"), ("n_pixels", "l"),
+             ("pix_sum", "l"), ("pix_mean", "d")),
+        ),
+    ]
+
+
 def _register_all() -> None:
     register_suite("enrichment_suite", _enrichment_members())
     register_suite("filters_suite", _filters_members())
@@ -466,6 +490,7 @@ def _register_all() -> None:
     register_suite("join_semi_anti", _join_semi_anti_members())
     register_suite("dedup_exact_simhash", _dedup_exact_simhash_members())
     register_suite("catalog_browse_suite", _catalog_browse_members())
+    register_suite("multimodal_features", _media_members())
 
 
 _register_all()
