@@ -265,3 +265,43 @@ def test_skew_report_heavy_hitters(spark):
     got = skew.skew_report(df, "k", top_n=2).collect()
     assert [(r.key, r.n, r.rank) for r in got] == [("hot", 80, 1), ("warm", 15, 2)]
     assert abs(got[0].share - 0.8) < 1e-9
+
+
+def test_incremental_dedup_batch_and_streaming(spark, tmp_path):
+    """Ingest dedup: docs whose digest already exists in the corpus
+    are dropped, in-batch repeats collapse to one, and the same
+    operator runs unchanged as a stream-static join."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [("known text",)], ["text"]
+    ).select(F.md5("text").alias("digest"))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batch = spark.createDataFrame(
+        [(1, "known text", t0), (2, "fresh text", t0),
+         (3, "fresh text", t0), (4, "other text", t0)],
+        ["doc_id", "text", "ts"],
+    )
+    got = sorted(
+        r.text for r in dedup.incremental_dedup(batch, corpus).collect()
+    )
+    assert got == ["fresh text", "other text"]
+
+    src = str(tmp_path / "in")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        dedup.incremental_dedup(stream, corpus, event_time_col="ts")
+        .writeStream.format("memory")
+        .queryName("t_incr_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_s = sorted(r.text for r in spark.table("t_incr_dedup").collect())
+    assert got_s == ["fresh text", "other text"]

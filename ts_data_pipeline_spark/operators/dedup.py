@@ -334,6 +334,37 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus_digests: DataFrame,
+    *,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Ingest-time exact dedup of incoming documents against the
+    already-ingested corpus: drop any doc whose content digest exists
+    in the historical digest table, then drop in-batch repeats.
+
+    Works identically on a batch frame and a streaming one — the
+    anti-join is a stream-static equi-join (the digest table is the
+    static side; at scale a bucketed/Z-ordered digest table makes it
+    a co-located probe). In-batch dedup uses
+    ``dropDuplicatesWithinWatermark`` when ``event_time_col`` is
+    given (bounded state; the streaming path) and plain
+    ``dropDuplicates`` otherwise (batch).
+    """
+    withd = new_docs.withColumn("digest", F.md5(F.col(text_col)))
+    fresh = withd.join(
+        corpus_digests.select("digest"), "digest", "left_anti"
+    )
+    if event_time_col is not None:
+        return fresh.withWatermark(
+            event_time_col, watermark_delay
+        ).dropDuplicatesWithinWatermark(["digest"])
+    return fresh.dropDuplicates(["digest"])
+
+
 def keep_canonical(
     docs: DataFrame,
     pairs: DataFrame,
