@@ -400,3 +400,83 @@ SELECT doc_id,
        COALESCE(regexp_extract(t, '({_PII_EMAIL})', 1), '') AS first_email
 FROM aug
 """
+
+
+def decontaminate(
+    docs: DataFrame, n: int = 4, eval_mod: int = 13, threshold: float = 0.05
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-grams collide with a held-out evaluation split (the GPT-3/PaLM
+    style overlap check run before any pretraining corpus ships).
+
+    The eval split here is the deterministic ``doc_id % eval_mod == 0``
+    slice of the same table; in production it is the benchmark suite.
+    Per train doc: distinct n-grams, how many also occur in ANY eval
+    doc, the contamination ratio, and the ship/quarantine flag.
+
+    Scale shape: the eval side is tiny relative to the corpus (a few
+    MB of benchmark text vs 100 TB), so its distinct n-gram set is
+    BROADCAST — the corpus never shuffles for the probe; the only
+    corpus-wide exchange is the per-doc count agg, which combines
+    map-side. Flagging is resilient to doc-level near-dup laundering
+    because the probe is n-gram- not digest-based.
+    """
+    from ts_data_pipeline_spark.operators.dedup import shingles_col
+
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    grams = docs.select(
+        "doc_id",
+        is_eval.alias("is_eval"),
+        F.explode(F.array_distinct(shingles_col(n))).alias("g"),
+    )
+    eval_grams = grams.filter("is_eval").select("g").distinct()
+    hits = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = docs.filter(~is_eval).select(
+        "doc_id", F.size(F.array_distinct(shingles_col(n))).alias("n_grams")
+    )
+    ratio = F.col("n_contaminated") / F.greatest(F.col("n_grams"), F.lit(1))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .fillna(0, subset=["n_contaminated"])
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(ratio, 4).alias("contamination"),
+            (ratio >= threshold).alias("flagged"),
+        )
+    )
+
+
+def decontaminate_sql(n: int = 4, eval_mod: int = 13, threshold: float = 0.05) -> str:
+    from ts_data_pipeline_spark.operators.dedup import SHINGLES_SQL
+
+    sh = SHINGLES_SQL.format(nm1=n - 1)
+    return f"""
+WITH g AS (
+  SELECT doc_id, doc_id % {eval_mod} = 0 AS is_eval,
+         unnest(list_distinct({sh})) AS g
+  FROM documents
+),
+ev AS (SELECT DISTINCT g FROM g WHERE is_eval),
+hits AS (
+  SELECT tr.doc_id, COUNT(*) AS n_contaminated
+  FROM g tr JOIN ev USING (g) WHERE NOT tr.is_eval GROUP BY tr.doc_id
+),
+totals AS (
+  SELECT doc_id, len(list_distinct({sh})) AS n_grams
+  FROM documents WHERE doc_id % {eval_mod} != 0
+)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+             / greatest(t.n_grams, 1), 4) AS contamination,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+             / greatest(t.n_grams, 1) >= {threshold} AS flagged
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""

@@ -542,3 +542,87 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def span_dedup(docs: DataFrame, width: int = 10) -> DataFrame:
+    """Cross-document span-level dedup (C4-style "remove any span
+    that occurs more than once in the corpus", re-expressed over
+    aligned ``width``-word windows so membership is deterministic).
+
+    Every document is chunked into word-aligned spans; a span is KEPT
+    only at its first corpus occurrence (lowest (doc_id, pos)), every
+    later occurrence is dropped. Output is the per-document survival
+    report: span counts, kept/removed, and the fraction of the doc
+    that survives — the actual reassembly is a filter+concat away.
+
+    Scale shape: one corpus-wide shuffle, hash-partitioned on the
+    span text (the honest cost of global span dedup); the
+    first-occurrence choice is ``min(struct(doc_id, pos))``, which
+    combines map-side, so the exchange carries one row per DISTINCT
+    span per map partition, not one per occurrence. No windows over
+    unpartitioned data, no driver collect.
+    """
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(array(filter(split(lower(text), ' '), t -> t != '')), "
+                f"toks -> transform(sequence(0, CAST(ceil(size(toks) / {width}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(toks, i * {width} + 1, {width}))))[0]"
+            )
+        ).alias("pos", "span"),
+    )
+    first = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_at")
+    )
+    kept = (
+        spans.join(first, "span")
+        .select(
+            "doc_id",
+            (
+                (F.col("doc_id") == F.col("first_at.doc_id"))
+                & (F.col("pos") == F.col("first_at.pos"))
+            ).cast("int").alias("is_first"),
+        )
+    )
+    n_spans = F.count(F.lit(1))
+    n_kept = F.sum("is_first")
+    return kept.groupBy("doc_id").agg(
+        n_spans.alias("n_spans"),
+        n_kept.alias("n_kept"),
+        (n_spans - n_kept).alias("n_removed"),
+        F.round(n_kept / n_spans, 4).alias("keep_ratio"),
+    )
+
+
+def span_dedup_sql(width: int = 10) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS t
+  FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(t) / {width}.0) AS INT)),
+                i -> struct_pack(pos := i,
+                                 span := array_to_string(t[i * {width} + 1 : i * {width} + {width}], ' ')))) AS u
+  FROM toks
+),
+s AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM spans),
+f AS (
+  SELECT span, MIN(struct_pack(doc_id := doc_id, pos := pos)) AS first_at
+  FROM s GROUP BY span
+),
+k AS (
+  SELECT s.doc_id,
+         CASE WHEN s.doc_id = f.first_at.doc_id
+               AND s.pos = f.first_at.pos THEN 1 ELSE 0 END AS is_first
+  FROM s JOIN f USING (span)
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(is_first) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(is_first) AS BIGINT) AS n_removed,
+       ROUND(CAST(SUM(is_first) AS DOUBLE) / COUNT(*), 4) AS keep_ratio
+FROM k GROUP BY doc_id
+"""

@@ -74,3 +74,133 @@ def hash_split(
         "split",
         F.when(bucket < eval_permille, F.lit("eval")).otherwise(F.lit("train")),
     )
+
+
+def sequence_pack(docs: DataFrame, ctx: int = 512, bucket_size: int = 64) -> DataFrame:
+    """Assign documents to fixed-size training sequences (the
+    concat-then-chunk packing every pretraining run performs): global
+    token offset per doc, the context chunk it starts in, its
+    position inside that chunk, and how many chunk boundaries it
+    straddles.
+
+    The global offset is an exclusive prefix sum over doc order —
+    naively a single-partition window (a 100 TB non-starter). Here it
+    is the classic two-phase distributed prefix sum:
+
+    1. per-bucket token sums (``doc_id // bucket_size`` — map-side
+       combine, shuffle carries n/bucket_size rows);
+    2. exclusive cumsum ACROSS buckets — a window over the tiny
+       bucket table only (n/bucket_size rows, e.g. 100 TB / 1M-doc
+       buckets => a few thousand rows);
+    3. within-bucket exclusive cumsum — a window PARTITIONED by
+       bucket, so every task sorts only bucket_size rows;
+    4. offset = bucket base + within-bucket offset (broadcast join).
+
+    Values are identical to the oracle's flat
+    ``SUM() OVER (ORDER BY doc_id)`` — only the physical plan
+    differs.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") / bucket_size).cast("bigint").alias("bucket"),
+        F.size(F.expr("filter(split(lower(text), ' '), t -> t != '')")).alias("tokens"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(F.sum("tokens").alias("bucket_tokens"))
+    across = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(across), F.lit(0)).alias("base"),
+    )
+    within = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        toks.withColumn("intra", F.coalesce(F.sum("tokens").over(within), F.lit(0)))
+        .join(F.broadcast(bases), "bucket")
+        .select(
+            "doc_id",
+            "tokens",
+            (F.col("base") + F.col("intra")).alias("tok_offset"),
+        )
+    )
+    start = F.floor(F.col("tok_offset") / ctx)
+    end = F.floor((F.col("tok_offset") + F.col("tokens") - 1) / ctx)
+    return packed.select(
+        "doc_id",
+        "tokens",
+        "tok_offset",
+        start.alias("chunk_id"),
+        (F.col("tok_offset") % ctx).alias("chunk_pos"),
+        (end - start + 1).alias("chunks_spanned"),
+    )
+
+
+def sequence_pack_sql(ctx: int = 512) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_offset
+  FROM toks
+)
+SELECT doc_id, tokens, tok_offset,
+       CAST(FLOOR(tok_offset / {ctx}.0) AS BIGINT) AS chunk_id,
+       tok_offset % {ctx} AS chunk_pos,
+       CAST(FLOOR((tok_offset + tokens - 1) / {ctx}.0)
+            - FLOOR(tok_offset / {ctx}.0) + 1 AS BIGINT) AS chunks_spanned
+FROM packed
+"""
+
+
+def mixture_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled domain-mixture weights (the multilingual /
+    multi-domain sampling recipe): raw token share per language plus
+    the alpha-annealed share ``tokens^alpha / sum(tokens^alpha)`` that
+    upsamples the tail without letting the head dominate.
+
+    The per-language agg combines map-side; the normalizing window
+    runs over the handful of language rows — cardinality is bounded
+    by the domain count, not the corpus size, at any SF.
+    """
+    from pyspark.sql import Window
+
+    per = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.expr("filter(split(lower(text), ' '), t -> t != '')"))
+        ).alias("tokens"),
+    )
+    everything = Window.partitionBy()
+    powed = F.pow(F.col("tokens").cast("double"), F.lit(alpha))
+    return per.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens") / F.sum("tokens").over(everything), 6).alias("raw_share"),
+        F.round(powed / F.sum(powed).over(everything), 6).alias("temp_share"),
+    )
+
+
+def mixture_weights_sql(alpha: float = 0.5) -> str:
+    return f"""
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(lower(text), ' '), t -> t != ''))) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, tokens,
+       ROUND(CAST(tokens AS DOUBLE) / SUM(tokens) OVER (), 6) AS raw_share,
+       ROUND(POW(CAST(tokens AS DOUBLE), {alpha})
+             / SUM(POW(CAST(tokens AS DOUBLE), {alpha})) OVER (), 6) AS temp_share
+FROM per
+"""

@@ -71,6 +71,27 @@ def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 
 
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of train docs vs a
+    deterministic held-out eval split (broadcast probe set)."""
+    return text_fns.decontaminate(io.load(spark, sf_dir, "documents"))
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup survival report."""
+    return dedup.span_dedup(io.load(spark, sf_dir, "documents"))
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context sequence packing via distributed prefix sum."""
+    return sampling.sequence_pack(io.load(spark, sf_dir, "documents"))
+
+
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-language sampling weights."""
+    return sampling.mixture_weights(io.load(spark, sf_dir, "documents"))
+
+
 def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone selection pass: per-document keep/drop verdict with
     the first failing rule as the reason — duplicate (non-canonical

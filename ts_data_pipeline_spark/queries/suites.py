@@ -280,6 +280,7 @@ def _quality_members() -> list[Member]:
 
 def _text_stats_members() -> list[Member]:
     from ts_data_pipeline_spark.functions import text as text_fns
+    from ts_data_pipeline_spark.operators import sampling
     from ts_data_pipeline_spark.queries import llmdata, olap
 
     return [
@@ -330,6 +331,27 @@ def _text_stats_members() -> list[Member]:
             llmdata.corpus_selection,
             llmdata.corpus_selection_sql(),
             (("doc_id", "l"), ("reject_reason", "s"), ("selected", "s")),
+        ),
+        Member(
+            "decontaminate",
+            llmdata.decontaminate,
+            text_fns.decontaminate_sql(),
+            (("doc_id", "l"), ("n_grams", "l"), ("n_contaminated", "l"),
+             ("contamination", "d"), ("flagged", "s")),
+        ),
+        Member(
+            "sequence_pack",
+            llmdata.sequence_pack,
+            sampling.sequence_pack_sql(),
+            (("doc_id", "l"), ("tokens", "l"), ("tok_offset", "l"),
+             ("chunk_id", "l"), ("chunk_pos", "l"), ("chunks_spanned", "l")),
+        ),
+        Member(
+            "mixture_weights",
+            llmdata.mixture_weights,
+            sampling.mixture_weights_sql(),
+            (("lang", "s"), ("n_docs", "l"), ("tokens", "l"),
+             ("raw_share", "d"), ("temp_share", "d")),
         ),
     ]
 
@@ -418,6 +440,13 @@ def _dedup_exact_simhash_members() -> list[Member]:
             llmdata.dedup_keep_canonical,
             dedup.keep_canonical_sql(dedup.ngram_jaccard_sql()),
             (("doc_id", "l"), ("kept", "s")),
+        ),
+        Member(
+            "span_dedup",
+            llmdata.span_dedup,
+            dedup.span_dedup_sql(),
+            (("doc_id", "l"), ("n_spans", "l"), ("n_kept", "l"),
+             ("n_removed", "l"), ("keep_ratio", "d")),
         ),
     ]
 
