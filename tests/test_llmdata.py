@@ -305,3 +305,65 @@ def test_incremental_dedup_batch_and_streaming(spark, tmp_path):
     q.awaitTermination()
     got_s = sorted(r.text for r in spark.table("t_incr_dedup").collect())
     assert got_s == ["fresh text", "other text"]
+
+
+def test_sequence_pack_two_phase_equals_flat_cumsum(spark):
+    """The distributed prefix sum must equal the naive global cumsum
+    for ANY bucket size (bucket boundaries are an implementation
+    detail, not a semantic)."""
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators.sampling import sequence_pack
+
+    docs = io.load(spark, SF_DIR, "documents")
+    base = {
+        r["doc_id"]: (r["tok_offset"], r["chunk_id"], r["chunks_spanned"])
+        for r in sequence_pack(docs, ctx=128, bucket_size=1).collect()
+    }
+    for bs in (7, 64, 10_000):
+        got = {
+            r["doc_id"]: (r["tok_offset"], r["chunk_id"], r["chunks_spanned"])
+            for r in sequence_pack(docs, ctx=128, bucket_size=bs).collect()
+        }
+        assert got == base
+    # offsets tile the token stream exactly: sorted offsets advance by
+    # the previous doc's token count
+    rows = sorted(
+        (r["tok_offset"], r["tokens"])
+        for r in sequence_pack(docs, ctx=128).collect()
+    )
+    for (o1, t1), (o2, _) in zip(rows, rows[1:]):
+        assert o2 == o1 + t1
+
+
+def test_span_dedup_removes_cross_doc_repeats(spark):
+    from ts_data_pipeline_spark.operators.dedup import span_dedup
+
+    words = " ".join(f"w{i}" for i in range(20))  # two aligned 10-word spans
+    docs = spark.createDataFrame(
+        [(1, words), (2, words), (3, "only unique tokens here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert got[1]["n_kept"] == 2 and got[1]["n_removed"] == 0
+    assert got[2]["n_kept"] == 0 and got[2]["n_removed"] == 2
+    assert got[3]["n_kept"] == 1 and got[3]["keep_ratio"] == 1.0
+    for r in got.values():
+        assert r["n_spans"] == r["n_kept"] + r["n_removed"]
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from ts_data_pipeline_spark.functions.text import decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text),                      # eval split (0 % 13 == 0)
+            (1, eval_text + " iota kappa"),      # contaminated train doc
+            (2, "totally different words with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(docs, n=4).collect()}
+    assert set(got) == {1, 2}  # eval docs are not scored
+    assert got[1]["n_contaminated"] == 5 and got[1]["flagged"]
+    assert got[2]["n_contaminated"] == 0 and not got[2]["flagged"]
