@@ -367,3 +367,41 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert set(got) == {1, 2}  # eval docs are not scored
     assert got[1]["n_contaminated"] == 5 and got[1]["flagged"]
     assert got[2]["n_contaminated"] == 0 and not got[2]["flagged"]
+
+
+def test_corpus_shuffle_is_bucket_invariant_permutation(spark):
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators.sampling import corpus_shuffle
+
+    docs = io.load(spark, SF_DIR, "documents")
+    base = {r["doc_id"]: r["pos"] for r in corpus_shuffle(docs, n_buckets=1).collect()}
+    assert sorted(base.values()) == list(range(len(base)))  # exact permutation
+    for nb in (5, 32):
+        got = {r["doc_id"]: r["pos"] for r in corpus_shuffle(docs, n_buckets=nb).collect()}
+        assert got == base
+
+
+def test_importance_resample_downsamples_head_only(spark):
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators.sampling import importance_resample, mixture_weights
+
+    docs = io.load(spark, SF_DIR, "documents")
+    mix = {r["lang"]: r for r in mixture_weights(docs).collect()}
+    head = max(mix, key=lambda l: mix[l]["tokens"])
+    got = importance_resample(docs).collect()
+    rates = {r["lang"]: r["rate"] for r in got}
+    assert rates[head] < 1.0  # over-represented language is thinned
+    assert all(rate == 1.0 for lang, rate in rates.items() if lang != head)
+    kept = {r["lang"]: [x["kept"] for x in got if x["lang"] == r["lang"]] for r in got}
+    assert all(kept[lang] for lang in kept if lang != head)  # tail keeps all
+
+
+def test_bpe_bigram_topk_counts_adjacent_pairs(spark):
+    from ts_data_pipeline_spark.functions.text import bpe_bigram_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x")],  # 1-token doc: no pairs
+        "doc_id long, text string",
+    )
+    got = [(r["pair"], r["n"]) for r in bpe_bigram_topk(docs, k=3).collect()]
+    assert got == [("a b", 3), ("b a", 1), ("b c", 1)]

@@ -110,3 +110,31 @@ def test_keep_canonical_joins_are_equi(spark):
     assert not re.search(
         r"BroadcastNestedLoopJoin\s+\w*\s*,?\s*Inner", plan
     ), plan
+
+
+def test_prefix_sum_windows_are_bucket_partitioned(spark):
+    """sequence_pack and corpus_shuffle claim no corpus-wide
+    single-partition window: the only unpartitioned window may run
+    over the tiny per-bucket relation (post-agg), never over the
+    document scan."""
+    from ts_data_pipeline_spark.operators.sampling import corpus_shuffle, sequence_pack
+
+    docs = io.load(spark, SF_DIR, "documents")
+    for df in (sequence_pack(docs), corpus_shuffle(docs)):
+        plan = _plan(df)
+        # every Window over doc-grain input must be partitioned by bucket
+        for m in re.finditer(r"Window \[[^\]]*windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            if "doc_id" in spec:  # doc-grain window
+                assert spec.strip().startswith("bucket"), spec
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-split probe set must reach the corpus join as a
+    broadcast — never by shuffling the corpus grams against it."""
+    from ts_data_pipeline_spark.functions.text import decontaminate
+
+    docs = io.load(spark, SF_DIR, "documents")
+    plan = _plan(decontaminate(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan

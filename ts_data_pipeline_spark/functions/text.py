@@ -480,3 +480,43 @@ SELECT t.doc_id, t.n_grams,
              / greatest(t.n_grams, 1) >= {threshold} AS flagged
 FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
+
+
+def bpe_bigram_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """The BPE-training inner step: corpus-wide adjacent-token-pair
+    frequencies, top-k with a total tie-break (count desc, pair asc)
+    so the merge choice is deterministic in any engine.
+
+    Scale shape: pair extraction is scan-side expression work; the
+    histogram agg combines map-side; top-k is TakeOrdered (per-task
+    heaps + driver merge of k rows), never a global sort.
+    """
+    pairs = F.expr(
+        "transform(array(filter(split(lower(text), ' '), t -> t != '')), "
+        "toks -> CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>) "
+        "ELSE transform(sequence(0, size(toks) - 2), "
+        "i -> concat(toks[i], ' ', toks[i + 1])) END)[0]"
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def bpe_bigram_topk_sql(k: int = 50) -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t != '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks
+)
+SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {k}
+"""

@@ -204,3 +204,106 @@ SELECT lang, n_docs, tokens,
              / SUM(POW(CAST(tokens AS DOUBLE), {alpha})) OVER (), 6) AS temp_share
 FROM per
 """
+
+
+def _u32_spark(expr: str) -> F.Column:
+    """First 32 bits of md5 as a bigint — the portable uniform draw
+    (identical in DuckDB via digit math; see _u32_sql)."""
+    return F.expr(f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)")
+
+
+def _u32_sql(expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+def importance_resample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Rebalance the corpus toward its temperature mixture by
+    DETERMINISTIC hash sampling: each language's keep-rate is
+    ``min(1, temp_share/raw_share)`` (over-represented languages are
+    down-sampled; the tail keeps everything), and a doc survives iff
+    its md5-derived uniform draw clears the rate. No RNG — the same
+    doc survives on every run, every engine, every cluster size.
+
+    Scale shape: the per-language rate table is a handful of rows
+    joined in via broadcast; the draw is a scan-side expression. The
+    corpus never shuffles.
+    """
+    from ts_data_pipeline_spark.operators.sampling import mixture_weights
+
+    rates = mixture_weights(docs, alpha).select(
+        "lang",
+        F.least(F.lit(1.0), F.col("temp_share") / F.col("raw_share")).alias("_rate"),
+    )
+    u = _u32_spark("concat('rs-', cast(doc_id as string))")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("_rate"), 6).alias("rate"),
+            ((u / F.lit(float(2 ** 32))) < F.col("_rate")).alias("kept"),
+        )
+    )
+
+
+def importance_resample_sql(alpha: float = 0.5) -> str:
+    mix = mixture_weights_sql(alpha)
+    u = _u32_sql("'rs-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH mix AS ({mix}),
+rates AS (
+  SELECT lang, LEAST(1.0, temp_share / raw_share) AS _rate FROM mix
+)
+SELECT d.doc_id, d.lang,
+       ROUND(r._rate, 6) AS rate,
+       ({u} / 4294967296.0) < r._rate AS kept
+FROM documents d JOIN rates r USING (lang)
+"""
+
+
+def corpus_shuffle(docs: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    stable pseudo-random position (rank of its md5 draw, doc_id
+    tie-break) — the pre-packing corpus shuffle, reproducible across
+    runs and engines.
+
+    The global rank is NOT a single-partition window: hash range
+    buckets give per-bucket counts (tiny), an across-bucket exclusive
+    cumsum over n_buckets rows yields each bucket's base, and a
+    within-bucket row_number (window PARTITIONED by bucket) finishes
+    the rank — the distributed-sort shape of the prefix-sum trick in
+    sequence_pack, applied to counts.
+    """
+    from pyspark.sql import Window
+
+    span = (2 ** 32) // n_buckets
+    h = _u32_spark("concat('sh-', cast(doc_id as string))")
+    hashed = docs.select(
+        "doc_id", h.alias("h"), (h / span).cast("bigint").alias("bucket")
+    )
+    per_bucket = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    across = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = per_bucket.select(
+        "bucket", F.coalesce(F.sum("n").over(across), F.lit(0)).alias("base")
+    )
+    within = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("rk", F.row_number().over(within) - 1)
+        .join(F.broadcast(bases), "bucket")
+        .select("doc_id", "h", (F.col("base") + F.col("rk")).alias("pos"))
+    )
+
+
+def corpus_shuffle_sql() -> str:
+    u = _u32_sql("'sh-' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT doc_id, {u} AS h FROM documents)
+SELECT doc_id, h,
+       CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""

@@ -92,6 +92,21 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_weights(io.load(spark, sf_dir, "documents"))
 
 
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash resampling toward the temperature mixture."""
+    return sampling.importance_resample(io.load(spark, sf_dir, "documents"))
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (distributed rank)."""
+    return sampling.corpus_shuffle(io.load(spark, sf_dir, "documents"))
+
+
+def bpe_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training inner step: top-k adjacent-pair frequencies."""
+    return text_fns.bpe_bigram_topk(io.load(spark, sf_dir, "documents"))
+
+
 def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone selection pass: per-document keep/drop verdict with
     the first failing rule as the reason — duplicate (non-canonical

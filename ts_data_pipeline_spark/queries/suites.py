@@ -353,6 +353,24 @@ def _text_stats_members() -> list[Member]:
             (("lang", "s"), ("n_docs", "l"), ("tokens", "l"),
              ("raw_share", "d"), ("temp_share", "d")),
         ),
+        Member(
+            "importance_resample",
+            llmdata.importance_resample,
+            sampling.importance_resample_sql(),
+            (("doc_id", "l"), ("lang", "s"), ("rate", "d"), ("kept", "s")),
+        ),
+        Member(
+            "corpus_shuffle",
+            llmdata.corpus_shuffle,
+            sampling.corpus_shuffle_sql(),
+            (("doc_id", "l"), ("h", "l"), ("pos", "l")),
+        ),
+        Member(
+            "bpe_bigram_topk",
+            llmdata.bpe_bigram_topk,
+            text_fns.bpe_bigram_topk_sql(),
+            (("pair", "s"), ("n", "l")),
+        ),
     ]
 
 
