@@ -405,3 +405,88 @@ def test_bpe_bigram_topk_counts_adjacent_pairs(spark):
     )
     got = [(r["pair"], r["n"]) for r in bpe_bigram_topk(docs, k=3).collect()]
     assert got == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_ingest_pipeline_batch_equals_streaming(spark, tmp_path):
+    """The composed ingest chain (gates + corpus anti-join + dedup)
+    must admit the same survivors as a batch frame and as an
+    availableNow stream."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import ingest
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    ok = " ".join(f"tok{i}" for i in range(30)) + " "  # ~180 chars, distinct
+    corpus = spark.createDataFrame([(0, ok + "known", t0)], ["doc_id", "text", "ts"])
+    digests = ingest.ingest_signals(corpus).select("digest")
+    rep = " ".join(["spam"] * 40)          # repetitive gate
+    batch = spark.createDataFrame(
+        [
+            (1, ok + "known", t0),         # dup of corpus
+            (2, ok + "fresh one x", t0),   # survives
+            (3, ok + "fresh one x", t0),   # in-batch dup of 2
+            (4, "tiny", t0),               # too_short
+            (5, rep, t0),                  # repetitive
+            (6, ok + "mail a@b.co", t0),   # pii
+            (7, ok + "fresh two y", t0),   # survives
+        ],
+        ["doc_id", "text", "ts"],
+    )
+    got_b = sorted(
+        r.doc_id for r in ingest.ingest_pipeline(batch, digests).collect()
+    )
+    assert got_b in ([2, 7], [3, 7])       # dropDuplicates picks either twin
+    src = str(tmp_path / "ingest_in")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        ingest.ingest_pipeline(stream, digests, event_time_col="ts")
+        .writeStream.format("memory")
+        .queryName("t_ingest_pipe")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ingest_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_s = sorted(r.doc_id for r in spark.table("t_ingest_pipe").collect())
+    assert got_s in ([2, 7], [3, 7])
+    # verdicts in the auditable report line up with the gates
+    verdicts = {
+        r.doc_id: r.verdict
+        for r in ingest.ingest_report(batch, digests).collect()
+    }
+    assert verdicts == {
+        1: "dup_corpus", 2: "ok", 3: "ok", 4: "too_short",
+        5: "repetitive", 6: "pii", 7: "ok",
+    }
+
+
+def test_build_training_corpus_recipe(spark, tmp_path):
+    """The composed recipe: gates -> near-dup -> resample -> shuffle
+    -> pack -> bounded write. Invariants: token offsets tile the
+    stream exactly in shuffle order, every surviving doc passed the
+    gates, and the written corpus is lang-partitioned."""
+    from ts_data_pipeline_spark import io, recipes
+    from ts_data_pipeline_spark.operators.corpus_io import corpus_manifest
+
+    docs = io.load(spark, SF_DIR, "documents")
+    out_path = str(tmp_path / "corpus")
+    out = recipes.build_training_corpus(docs, out_path).cache()
+    rows = out.collect()
+    assert 0 < len(rows) < docs.count()  # gates + dedup + resample thinned it
+    # offsets tile the token stream contiguously from 0
+    tiled = sorted((r.tok_offset, r.tokens) for r in rows)
+    assert tiled[0][0] == 0
+    for (o1, t1), (o2, _) in zip(tiled, tiled[1:]):
+        assert o2 == o1 + t1
+    # chunk ids consistent with offsets
+    for r in rows:
+        assert r.chunk_id == r.tok_offset // 512
+    # written output is partitioned by lang and readable
+    manifest = {r.lang: r for r in corpus_manifest(spark, out_path).collect()}
+    back = spark.read.parquet(out_path)
+    assert back.count() == len(rows)
+    assert set(manifest) == {r.lang for r in rows}

@@ -107,6 +107,21 @@ def bpe_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bpe_bigram_topk(io.load(spark, sf_dir, "documents"))
 
 
+def ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ingest verdict: docs NOT in the historical slice
+    (doc_id % 7 == 0 models the already-ingested corpus) gated by
+    length/repetition/PII, deduped against the corpus digests and
+    in-batch (deterministic lowest-doc_id canonical)."""
+    from ts_data_pipeline_spark.operators import ingest
+
+    docs = io.load(spark, sf_dir, "documents")
+    hist = F.col("doc_id") % 7 == 0
+    return ingest.ingest_report(
+        docs.filter(~hist),
+        ingest.ingest_signals(docs.filter(hist)).select("digest"),
+    )
+
+
 def corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone selection pass: per-document keep/drop verdict with
     the first failing rule as the reason — duplicate (non-canonical

@@ -280,7 +280,7 @@ def _quality_members() -> list[Member]:
 
 def _text_stats_members() -> list[Member]:
     from ts_data_pipeline_spark.functions import text as text_fns
-    from ts_data_pipeline_spark.operators import sampling
+    from ts_data_pipeline_spark.operators import ingest, sampling
     from ts_data_pipeline_spark.queries import llmdata, olap
 
     return [
@@ -370,6 +370,13 @@ def _text_stats_members() -> list[Member]:
             llmdata.bpe_bigram_topk,
             text_fns.bpe_bigram_topk_sql(),
             (("pair", "s"), ("n", "l")),
+        ),
+        Member(
+            "ingest_report",
+            llmdata.ingest_report,
+            ingest.ingest_report_sql(),
+            (("doc_id", "l"), ("digest", "s"), ("verdict", "s"),
+             ("canonical", "s")),
         ),
     ]
 

@@ -1,0 +1,113 @@
+"""The end-to-end training-corpus recipe: raw documents in, packed
+training-ready corpus out — every stage an operator that is
+individually oracle-checked elsewhere in this repo.
+
+    raw -> ingest gates (length/repetition/PII)
+        -> near-dup removal (n-gram Jaccard clusters, keep canonical)
+        -> mixture rebalance (deterministic importance resample)
+        -> global shuffle (deterministic distributed rank)
+        -> sequence packing (fixed-context chunk assignment)
+        -> bounded partitioned write + manifest
+
+Composition is where a 100 TB pipeline lives or dies: each stage here
+preserves the previous stage's partitioning where possible (the gate
+pass is scan-shaped; resample adds only a broadcast; shuffle and
+packing reuse the two-phase prefix-sum shape), so the whole recipe
+costs three corpus-wide shuffles — the near-dup index, the shuffle
+rank bucketing, and the final partitioned write — plus tiny
+broadcast/window work on aggregated relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    out_path: str | None = None,
+    *,
+    min_chars: int = 120,
+    max_chars: int = 520,
+    max_rep: float = 0.3,
+    alpha: float = 0.5,
+    ctx: int = 512,
+) -> DataFrame:
+    """Run the full recipe; returns the packed corpus (doc_id, lang,
+    text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
+    is given, writes it partitioned by lang with bounded file sizes.
+    """
+    from ts_data_pipeline_spark.operators import dedup, sampling
+    from ts_data_pipeline_spark.operators.ingest import ingest_signals
+
+    # 1. gates — scan-shaped signals, no shuffle
+    sig = ingest_signals(docs)
+    gated = sig.filter(
+        (F.col("n_chars_norm") >= min_chars)
+        & (F.col("n_chars_norm") <= max_chars)
+        & (F.col("rep_ratio") < max_rep)
+        & (F.col("n_emails") == 0)
+    ).select("doc_id", "lang", "text_norm")
+
+    # 2. near-dup removal — keep one canonical doc per cluster
+    survivors = dedup.keep_canonical(
+        gated.withColumnRenamed("text_norm", "text"),
+        dedup.ngram_jaccard_pairs(
+            gated.select("doc_id", "lang", F.col("text_norm").alias("text"))
+        ),
+    )
+    kept = gated.join(
+        survivors.filter("kept").select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # 3. mixture rebalance — deterministic hash thinning toward the
+    #    alpha-temperature language mix (broadcast rate table)
+    resampled = kept.join(
+        sampling.importance_resample(
+            kept.select("doc_id", "lang", F.col("text_norm").alias("text")),
+            alpha,
+        ).filter("kept").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 4. deterministic global shuffle order
+    order = sampling.corpus_shuffle(resampled.select("doc_id"))
+
+    # 5. pack into fixed-context chunks following the shuffled order:
+    #    reuse sequence_pack's prefix-sum on the shuffle position as
+    #    the doc order (pos is a dense 0..n-1 permutation, so it IS
+    #    the packing key)
+    shuffled = resampled.join(order, "doc_id").withColumn(
+        "tokens",
+        F.size(F.expr("filter(split(text_norm, ' '), t -> t != '')")),
+    )
+    packed = sampling.sequence_pack(
+        shuffled.select(
+            F.col("pos").alias("doc_id"), F.col("text_norm").alias("text")
+        ),
+        ctx=ctx,
+    ).withColumnRenamed("doc_id", "pos")
+    out = (
+        shuffled.join(packed, "pos")
+        .select(
+            "doc_id", "lang", "text_norm", packed["tokens"].alias("tokens"),
+            "tok_offset", "chunk_id",
+        )
+    )
+
+    if out_path is not None:
+        from ts_data_pipeline_spark.operators.corpus_io import write_corpus
+
+        write_corpus(out, out_path, partition_by=("lang",))
+    return out
+
+
+def corpus_report(spark: SparkSession, out: DataFrame) -> DataFrame:
+    """Per-language yield of the recipe: docs, tokens, chunks."""
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("tokens"),
+        F.count_distinct("chunk_id").alias("chunks_touched"),
+    )
