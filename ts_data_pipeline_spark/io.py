@@ -28,27 +28,49 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-like column to ``TimestampType``.
+
+    The driver's testdata encoding has drifted across rounds
+    (TIMESTAMP(NANOS) read as long in r1-r2; TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) -> ``TIMESTAMP_NTZ`` in r3), and the
+    engine's event-time surface (``unix_micros`` / ``withWatermark``)
+    requires ``TIMESTAMP``. Rather than special-case each encoding,
+    normalize generically at the load boundary: NTZ casts are value-
+    identical under the engine's pinned UTC session timezone, and a
+    raw nanos-long ``ts`` truncates to micros exactly as DuckDB does,
+    so oracle comparisons agree.
+    """
+    out = df
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            out = out.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        elif field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # Historical NANOS-as-long encoding (r1-r2 testdata).
+            out = out.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return out
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table as a DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
-    Spark's reader rejects outright; we read it as nanos-long
-    (legacy conf, safe to set per-session) and truncate to
-    microseconds — the same ns->us truncation DuckDB applies, so
-    oracle comparisons agree.
+    Two reader confs defend against testdata-encoding drift (both
+    runtime-settable, idempotent, and value-neutral under the pinned
+    UTC session timezone):
+
+    - ``inferTimestampNTZ.enabled=false``: parquet micros with
+      ``isAdjustedToUTC=false`` read as ``TimestampType`` instead of
+      ``TIMESTAMP_NTZ`` (which the event-time surface rejects), and —
+      unlike a post-read cast — keeps time-range predicate pushdown
+      on the raw scan column.
+    - ``nanosAsLong=true``: a TIMESTAMP(NANOS) column reads as long
+      instead of erroring; :func:`normalize_timestamps` truncates it
+      to micros exactly as DuckDB does.
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # Scale note: deriving ts blocks parquet predicate pushdown of
-        # time-range filters on this one table (the planner cannot
-        # invert timestamp_micros(ts div 1000) into a raw-long bound).
-        # In production the fix is at the storage layer — write
-        # TIMESTAMP(MICROS) and partition by date, and the same
-        # QuerySpec time filters prune files/row-groups for free.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -35,6 +35,11 @@ def get_spark(app_name: str = "ts-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Testdata drifted to TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # in round 3; without this, parquet reads come back TIMESTAMP_NTZ
+        # and every event-time call site (unix_micros / withWatermark)
+        # rejects them. Values are identical under the pinned UTC tz.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -50,8 +50,22 @@ def parquet_stream(
     spark: SparkSession, path: str, schema: T.StructType, max_files: int | None = None
 ) -> DataFrame:
     """File-based replay stream (the batch-testable stand-in for the
-    Kafka consumer S7): each parquet file becomes a micro-batch unit."""
-    reader = spark.readStream.schema(schema)
+    Kafka consumer S7): each parquet file becomes a micro-batch unit.
+
+    The schema is normalized so no ``TIMESTAMP_NTZ`` field reaches the
+    event-time surface — ``withWatermark`` hard-rejects NTZ, and a
+    caller-supplied schema derived from an un-normalized read would
+    otherwise propagate the driver testdata's NTZ encoding into the
+    engine's own replay streams (VERDICT r03 item 2).
+    """
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    fields = [
+        T.StructField(f.name, T.TimestampType(), f.nullable)
+        if isinstance(f.dataType, T.TimestampNTZType)
+        else f
+        for f in schema.fields
+    ]
+    reader = spark.readStream.schema(T.StructType(fields))
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     return reader.parquet(path)
