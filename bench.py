@@ -86,17 +86,31 @@ def main() -> None:
         except Exception as exc:  # warmup is best-effort
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    # One broken query must never zero out the whole artifact
+    # (VERDICT r03: an unguarded crash left BENCH_r03.json with
+    # parsed=null): each timed run is isolated, failures are recorded
+    # per-query under "errors", and the JSON line still prints with
+    # the surviving totals.
     samples: dict[str, list[float]] = {n: [] for n in resolved}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for run in range(RUNS):
         for name, fn in resolved.items():
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            rows[name] = fn(spark, SF_DIR).count()
+            try:
+                rows[name] = fn(spark, SF_DIR).count()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                samples[name] = []
+                print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
+                continue
             samples[name].append(time.perf_counter() - t0)
 
-    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
-    for name in resolved:
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items() if s}
+    for name in timings:
         print(
             f"# {name}: median={timings[name]}s spread={spread[name]}s "
             f"({rows[name]} rows, {RUNS} runs)",
@@ -118,6 +132,7 @@ def main() -> None:
                 "sf": sf_val,
                 "runs": RUNS,
                 "spread": spread,
+                "errors": errors,
             }
         )
     )
