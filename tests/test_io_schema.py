@@ -1,0 +1,66 @@
+"""Data-layer drift guard: pin the normalized engine schema.
+
+The driver's testdata encoding has changed twice in three rounds
+(TIMESTAMP(NANOS) in r1-r2, TIMESTAMP(MICROS, isAdjustedToUTC=false)
+in r3), each time surfacing as opaque failures deep inside suite
+queries. This test loads every table through io.load and asserts the
+contract the rest of the engine assumes — so the next regeneration
+fails HERE, with an obvious message, instead of in eight places.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+
+# column -> (table, expected normalized type)
+EXPECTED = {
+    "events": {
+        "event_id": T.LongType(),
+        "ts": T.TimestampType(),
+        "user_id": T.LongType(),
+        "event_type": T.StringType(),
+        "value": T.DoubleType(),
+        "props": T.StringType(),
+    },
+    "orders": {"o_orderkey": T.LongType(), "o_orderdate": T.TimestampType()},
+    "lineitem": {"l_orderkey": T.LongType(), "l_shipdate": T.TimestampType()},
+    "documents": {"doc_id": T.LongType(), "text": T.StringType()},
+    "embeddings": {"vec_id": T.LongType()},
+}
+
+
+@pytest.mark.parametrize("table", sorted(EXPECTED))
+def test_normalized_schema(spark, table):
+    df = io.load(spark, SF_DIR, table)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for col, want in EXPECTED[table].items():
+        assert col in fields, f"{table}.{col} missing; have {sorted(fields)}"
+        assert fields[col] == want, (
+            f"{table}.{col}: expected {want}, got {fields[col]} — "
+            "testdata encoding drifted; update io.normalize_timestamps"
+        )
+
+
+@pytest.mark.parametrize("table", io.TABLES)
+def test_no_ntz_survives_load(spark, table):
+    """No TIMESTAMP_NTZ column may escape the load boundary — the
+    event-time surface (unix_micros/withWatermark) hard-rejects it."""
+    df = io.load(spark, SF_DIR, table)
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    assert not ntz, f"{table}: NTZ columns escaped normalization: {ntz}"
+
+
+def test_embeddings_vector_column(spark):
+    """The ANN/dedup operators assume a numeric array embedding col."""
+    df = io.load(spark, SF_DIR, "embeddings")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    vec_cols = [
+        n for n, t in fields.items()
+        if isinstance(t, T.ArrayType)
+        and isinstance(t.elementType, (T.FloatType, T.DoubleType))
+    ]
+    assert vec_cols, f"no array<float|double> column in embeddings: {fields}"

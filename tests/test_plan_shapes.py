@@ -86,6 +86,33 @@ def test_queryspec_agg_splits_partial_final(spark):
     assert "SortAggregate" not in plan
 
 
+def test_queryspec_time_filter_pushes_to_parquet_scan(spark):
+    """QuerySpec from_ts/to_ts bounds must reach the parquet scan as
+    PushedFilters on the raw ts column — the load-boundary timestamp
+    normalization (io.normalize_timestamps) must not interpose a cast
+    that strands the range filter above the scan. The reference's
+    only range pushdown is the darkpool cursor
+    (darkpool_trades/main.py:165-179); here the whole QuerySpec time
+    window prunes row groups."""
+    pv = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
+    spec = QuerySpec(
+        numeric_aggregations=[NumericAggregation("purchase", "Sum")],
+        group_by_time=GroupByTime("1 hour"),
+        from_ts="2024-01-02 00:00:00",
+        to_ts="2024-01-12 00:00:00",
+    )
+    plan = _plan(evaluate(pv, spec))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert re.search(r"GreaterThanOrEqual\(ts,2024-01-02", pushed), pushed
+    assert re.search(r"LessThan\(ts,2024-01-12", pushed), pushed
+    # Column pruning: the events scan reads only the columns the
+    # projection needs, never the full table.
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and "event_id" not in rs.group(1), rs.group(1) if rs else plan
+
+
 def test_repetition_features_is_scan_shaped(spark):
     """The within-doc repetition signal must stay a pure projection:
     no Exchange (shuffle) anywhere in the plan."""
