@@ -35,16 +35,21 @@ def side_from_tags(tags: Column) -> Column:
     )
 
 
-def position_type(side: Column, otype: Column) -> Column:
+def position_type(tags: Column, otype: Column) -> Column:
     """P3 — position-type tag: long_/short_/neutral_/no_side_ + otype.
 
-    /root/reference/option_trades/utils.py:85-92,101 (buy->long,
-    sell->short, otherwise no_side prefix concatenated with the
-    option type).
+    /root/reference/option_trades/utils.py:84-91,99: the prefix is
+    derived from tag membership, in priority order — ask_side ->
+    long_, bid_side -> short_, an explicit ``no_side`` tag ->
+    neutral_, and NO side tag at all -> no_side_ (the default).
+    The neutral_/no_side_ distinction matters: a trade the venue
+    explicitly marked sideless reads differently from one whose side
+    simply wasn't reported.
     """
     prefix = (
-        F.when(side == "buy", F.lit("long_"))
-        .when(side == "sell", F.lit("short_"))
+        F.when(F.array_contains(tags, "ask_side"), F.lit("long_"))
+        .when(F.array_contains(tags, "bid_side"), F.lit("short_"))
+        .when(F.array_contains(tags, "no_side"), F.lit("neutral_"))
         .otherwise(F.lit("no_side_"))
     )
     return F.concat(prefix, otype)

@@ -27,8 +27,14 @@ def enrich_option_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_tags = enrich.premium_bucket_tags(
         F.col("premium"), trades.LARGE_TRADE, trades.WHALE, trades.MILLIONAIRE
     )
-    side_tag = F.when(F.col("side") == "buy", F.lit("ask_side")).when(
-        F.col("side") == "sell", F.lit("bid_side")
+    # Fixture for the reference's explicit-no_side case: even-keyed
+    # sideless trades carry the literal "no_side" tag (-> neutral_),
+    # odd-keyed ones carry no side tag at all (-> no_side_), so both
+    # branches of utils.py:84-91 are exercised and oracle-pinned.
+    side_tag = (
+        F.when(F.col("side") == "buy", F.lit("ask_side"))
+        .when(F.col("side") == "sell", F.lit("bid_side"))
+        .when(F.col("trade_id") % 2 == 0, F.lit("no_side"))
     )
     all_tags = enrich.merge_tags(bucket_tags, F.array_compact(F.array(side_tag)))
     return t.select(
@@ -39,7 +45,7 @@ def enrich_option_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         "side",
         "otype",
-        enrich.position_type(F.col("side"), F.col("otype")).alias("position_type"),
+        enrich.position_type(all_tags, F.col("otype")).alias("position_type"),
         F.array_join(all_tags, ",").alias("tags"),
         enrich.deterministic_key(F.col("osym"), F.col("trade_id")).alias("trade_key"),
     )
@@ -50,6 +56,7 @@ WITH t AS ({{trades_sql}})
 SELECT
   trade_id, osym, ts, premium, qty, side, otype,
   (CASE WHEN side = 'buy' THEN 'long_' WHEN side = 'sell' THEN 'short_'
+        WHEN trade_id % 2 = 0 THEN 'neutral_'
         ELSE 'no_side_' END) || otype AS position_type,
   concat_ws(',',
     CASE WHEN premium > {trades.LARGE_TRADE} THEN 'large_trade' END,
@@ -57,7 +64,8 @@ SELECT
          THEN 'whale' END,
     CASE WHEN premium > {trades.MILLIONAIRE} THEN 'millionaire' END,
     CASE WHEN side = 'buy' THEN 'ask_side'
-         WHEN side = 'sell' THEN 'bid_side' END) AS tags,
+         WHEN side = 'sell' THEN 'bid_side'
+         WHEN trade_id % 2 = 0 THEN 'no_side' END) AS tags,
   sha256(CAST(osym AS VARCHAR) || CAST(trade_id AS VARCHAR)) AS trade_key
 FROM t
 """
