@@ -418,9 +418,16 @@ def _olap_pivot_members() -> list[Member]:
 
 def _join_semi_anti_members() -> list[Member]:
     from ts_data_pipeline_spark.operators import joins
-    from ts_data_pipeline_spark.queries import relational
+    from ts_data_pipeline_spark.queries import relational, timeseries
 
     return [
+        Member(
+            "asof_pandas_trade_quote",
+            timeseries.asof_pandas_trade_quote,
+            timeseries.ASOF_TRADE_QUOTE_SQL,
+            (("sym", "l"), ("ts", "t"), ("trade_px", "d"),
+             ("trade_id", "l"), ("quote_px", "d")),
+        ),
         Member(
             "join_anti_no_orders",
             relational.join_anti_no_orders,

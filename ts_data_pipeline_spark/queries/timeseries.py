@@ -41,6 +41,17 @@ def asof_trade_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_pandas_trade_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 grouped-map surface as a first-class oracle row: the
+    ``applyInPandas`` + ``merge_asof`` escape hatch must produce the
+    exact same result as the expression-only as-of join (and the
+    DuckDB native ASOF JOIN oracle)."""
+    trades, quotes = _trades_quotes(spark, sf_dir)
+    return asof.asof_join_pandas(
+        trades, quotes, key="sym", ts="ts", right_value_cols=["quote_px"]
+    )
+
+
 # DuckDB has a native ASOF JOIN — the ideal oracle for ours.
 ASOF_TRADE_QUOTE_SQL = """
 WITH trades AS (
