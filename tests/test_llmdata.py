@@ -490,3 +490,75 @@ def test_build_training_corpus_recipe(spark, tmp_path):
     back = spark.read.parquet(out_path)
     assert back.count() == len(rows)
     assert set(manifest) == {r.lang for r in rows}
+
+
+def test_pii_redact_leaves_no_live_signals(spark):
+    """After redaction no email/URL/digit-run pattern may survive,
+    and every planted signal is counted."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.functions import text as text_fns
+    from tests.conftest import SF_DIR
+
+    red = text_fns.pii_redact(io.load(spark, SF_DIR, "documents"))
+    leftovers = red.select(
+        F.sum(F.regexp_count("text_redacted", F.lit(text_fns._PII_EMAIL))).alias("e"),
+        F.sum(F.regexp_count("text_redacted", F.lit(text_fns._PII_URL))).alias("u"),
+        F.sum(F.regexp_count("text_redacted", F.lit(text_fns._PII_DIGITS))).alias("d"),
+        F.sum("n_redacted").alias("n"),
+    ).collect()[0]
+    assert (leftovers.e, leftovers.u, leftovers.d) == (0, 0, 0)
+    assert leftovers.n > 0  # augmentation planted and redactor fired
+
+
+def test_bigram_lm_ppl_terciles_are_ordered(spark):
+    """head/middle/tail buckets partition the corpus by ppl: every
+    head doc <= every middle doc <= every tail doc, near-equal sizes."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.functions import text as text_fns
+    from tests.conftest import SF_DIR
+
+    ppl = text_fns.bigram_lm_perplexity(io.load(spark, SF_DIR, "documents"))
+    stats = {
+        r.ppl_bucket: r
+        for r in ppl.groupBy("ppl_bucket")
+        .agg(F.min("ppl").alias("lo"), F.max("ppl").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(stats) == {"head", "middle", "tail"}
+    assert stats["head"].hi <= stats["middle"].lo
+    assert stats["middle"].hi <= stats["tail"].lo
+    sizes = sorted(s.n for s in stats.values())
+    assert sizes[-1] - sizes[0] <= 2  # terciles, modulo boundary ties
+
+
+def test_gopher_flags_match_single_doc_recompute(spark):
+    """Pin the rule arithmetic against a plain-Python recompute of
+    one document."""
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.functions import text as text_fns
+    from tests.conftest import SF_DIR
+
+    docs = io.load(spark, SF_DIR, "documents")
+    row = docs.orderBy("doc_id").first()
+    got = (
+        text_fns.gopher_quality_flags(docs)
+        .filter(f"doc_id = {row.doc_id}")
+        .collect()[0]
+    )
+    toks = [t for t in row.text.lower().split(" ") if t]
+    n = len(toks)
+    assert got.n_words == n
+    assert got.mean_word_len == round(sum(len(t) for t in toks) / n, 4)
+    assert got.frac_unique == round(len(set(toks)) / n, 4)
+    assert got.stop_hits == len(set(toks) & set(text_fns.GOPHER_STOPWORDS))
+    assert got.word_count_ok == (
+        text_fns.GOPHER_MIN_WORDS <= n <= text_fns.GOPHER_MAX_WORDS
+    )
+    assert got.gopher_pass == (
+        got.word_count_ok and got.mean_len_ok and got.symbol_ok and got.stop_ok
+    )

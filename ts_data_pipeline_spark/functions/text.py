@@ -520,3 +520,306 @@ pairs AS (
 SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
 ORDER BY n DESC, pair LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------
+# N-gram language-model perplexity filtering (CCNet-style). The
+# classic web-corpus quality step: train a smoothed bigram LM on the
+# corpus itself, score every document's mean token log-probability,
+# and bucket documents head/middle/tail by perplexity terciles
+# (CCNet keeps head+middle, drops tail). Everything is two count
+# aggregations plus equi-joins — no UDF, no driver state.
+#
+# Scale shape: token/bigram counts partial-aggregate map-side; the
+# score join is equi on (w1, w2) so both sides co-partition on the
+# same shuffle key; the vocab size and tercile thresholds are 1-row
+# relations (resultset-sized crossJoins). Exact percentile thresholds
+# are the small-SF oracle form — at 100 TB swap percentile() for
+# approx_percentile and the plan shape is unchanged.
+# ---------------------------------------------------------------------
+
+def bigram_lm_perplexity(
+    docs: DataFrame, text_col: str = "text", k: float = 0.5
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM
+    trained on the full corpus.
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V) where c(w1·) counts
+    w1 as a bigram context and V is corpus vocabulary size;
+    ppl = exp(-mean log P) over the document's bigrams. Buckets are
+    perplexity terciles: 'head' (most fluent) / 'middle' / 'tail'.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    vocab = toks.agg(F.count_distinct("tok").alias("v"))
+    # One pass over the raw bigrams builds the per-doc multiset; the
+    # corpus-level unigram/bigram LM counts then roll up from that
+    # (much smaller) relation instead of re-deriving the tokenize+
+    # window lineage per consumer. The multiset is cached because it
+    # feeds three aggregations (MEMORY_AND_DISK spill keeps this safe
+    # at corpus scale — same pattern as dedup._distinct_shingles).
+    doc_bg = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).cache()
+    )
+    uni = doc_bg.groupBy("w1").agg(F.sum("m").alias("cu"))
+    bi = doc_bg.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    logp = F.log((F.col("cb") + k) / (F.col("cu") + k * F.col("v")))
+    per_doc = (
+        doc_bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_bigrams"),
+            (F.sum(F.col("m") * logp) / F.sum("m")).alias("_alp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("_alp", 4).alias("avg_logp"),
+            F.round(F.exp(-F.col("_alp")), 4).alias("ppl"),
+        )
+        .cache()  # doc-grain; consumed by cuts AND the final bucket join
+    )
+    cuts = per_doc.agg(
+        F.expr("percentile(ppl, 1.0/3)").alias("t1"),
+        F.expr("percentile(ppl, 2.0/3)").alias("t2"),
+    )
+    return per_doc.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+def bigram_lm_perplexity_sql(k: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t != '')) AS tok,
+         generate_subscripts(list_filter(string_split(lower(text), ' '),
+                                         t -> t != ''), 1) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+bi AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+doc_bg AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM bg GROUP BY doc_id, w1, w2),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.m) AS BIGINT) AS n_bigrams,
+         ROUND(SUM(d.m * ln((b.cb + {k}) / (u.cu + {k} * v.v))) / SUM(d.m), 4)
+           AS avg_logp,
+         ROUND(exp(-(SUM(d.m * ln((b.cb + {k}) / (u.cu + {k} * v.v))) / SUM(d.m))), 4)
+           AS ppl
+  FROM doc_bg d
+  JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+  JOIN uni u ON d.w1 = u.w1
+  CROSS JOIN vocab v
+  GROUP BY d.doc_id
+),
+cuts AS (
+  SELECT quantile_cont(ppl, 1.0/3) AS t1, quantile_cont(ppl, 2.0/3) AS t2
+  FROM per_doc
+)
+SELECT p.doc_id, p.n_bigrams, p.avg_logp, p.ppl,
+       CASE WHEN p.ppl <= c.t1 THEN 'head'
+            WHEN p.ppl <= c.t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM per_doc p CROSS JOIN cuts c
+"""
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """PII redaction transform: mask emails / URLs / long digit runs
+    with typed placeholders (the scrub half of the scrub-or-drop
+    decision that :func:`pii_signal_counts` feeds). Same deterministic
+    augmentation as the counter so the redactor genuinely fires.
+    Replacements apply email -> URL -> digits in that order, so digit
+    runs inside already-masked spans are not double-counted. Pure
+    expression tree — whole-stage-codegen'd, no UDF."""
+    t = F.col("text")
+    aug = F.concat(
+        t,
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" https://example.org/d/"), F.col("doc_id")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" 99"), (F.col("doc_id") + 1000000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    after_email = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
+    after_url = F.regexp_replace(after_email, _PII_URL, "<URL>")
+    redacted = F.regexp_replace(after_url, _PII_DIGITS, "<NUM>")
+    n_red = (
+        F.regexp_count(aug, F.lit(_PII_EMAIL))
+        + F.regexp_count(after_email, F.lit(_PII_URL))
+        + F.regexp_count(after_url, F.lit(_PII_DIGITS))
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("text_redacted"),
+        n_red.alias("n_redacted"),
+        (F.length(aug) - F.length(redacted)).alias("chars_removed"),
+    )
+
+
+PII_REDACT_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' https://example.org/d/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0
+              THEN ' 99' || CAST(doc_id + 1000000 AS VARCHAR)
+              ELSE '' END AS t
+  FROM documents
+),
+steps AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+steps2 AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1, '{_PII_URL}', '<URL>', 'g') AS t2
+  FROM steps
+)
+SELECT doc_id,
+       regexp_replace(t2, '{_PII_DIGITS}', '<NUM>', 'g') AS text_redacted,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) +
+       len(regexp_extract_all(t1, '{_PII_URL}')) +
+       len(regexp_extract_all(t2, '{_PII_DIGITS}')) AS n_redacted,
+       length(t) - length(regexp_replace(t2, '{_PII_DIGITS}', '<NUM>', 'g'))
+         AS chars_removed
+FROM steps2
+"""
+
+
+#: Gopher rule constants (Rae et al. 2021, table A1): word-count
+#: bounds, mean-word-length band, symbol-to-word ratio cap, and the
+#: required-stopword set (>=2 distinct must appear).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_SYMBOL_CAP = 0.1
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality rules as typed flag columns.
+
+    Each rule is a pure expression over the token array; the final
+    gopher_pass conjunction is the keep/drop decision a training
+    pipeline applies before tokenization. Symbol ratio counts '#'
+    chars and '...' runs per word, the Gopher symbol screen.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    n_words = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).cast("double") / n_words,
+        4,
+    )
+    frac_unique = F.round(F.size(F.array_distinct(toks)) / n_words, 4)
+    hash_cnt = F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(text_col)
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((hash_cnt + ell_cnt) / n_words, 4)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    word_count_ok = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    mean_len_ok = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    symbol_ok = symbol_ratio <= GOPHER_SYMBOL_CAP
+    stop_ok = stop_hits >= 2
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        frac_unique.alias("frac_unique"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        stop_ok.alias("stop_ok"),
+        (word_count_ok & mean_len_ok & symbol_ok & stop_ok).alias("gopher_pass"),
+    )
+
+
+def gopher_quality_flags_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), t -> t != '') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / len(toks), 4) AS mean_word_len,
+         ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4)
+           AS frac_unique,
+         ROUND((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+                CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+               / len(toks), 4) AS symbol_ratio,
+         CAST(len(list_intersect(list_distinct(toks), [{stops}])) AS BIGINT)
+           AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, frac_unique, symbol_ratio, stop_hits,
+       n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS word_count_ok,
+       mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN}
+         AS mean_len_ok,
+       symbol_ratio <= {GOPHER_SYMBOL_CAP} AS symbol_ok,
+       stop_hits >= 2 AS stop_ok,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+         AND (mean_word_len BETWEEN {GOPHER_MIN_MEAN_LEN} AND {GOPHER_MAX_MEAN_LEN})
+         AND (symbol_ratio <= {GOPHER_SYMBOL_CAP})
+         AND (stop_hits >= 2) AS gopher_pass
+FROM feat
+"""

@@ -67,6 +67,18 @@ def pii_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.pii_signal_counts(io.load(spark, sf_dir, "documents"))
 
 
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.pii_redact(io.load(spark, sf_dir, "documents"))
+
+
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.bigram_lm_perplexity(io.load(spark, sf_dir, "documents"))
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.gopher_quality_flags(io.load(spark, sf_dir, "documents"))
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

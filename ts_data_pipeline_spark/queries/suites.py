@@ -378,6 +378,29 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("digest", "s"), ("verdict", "s"),
              ("canonical", "s")),
         ),
+        Member(
+            "bigram_lm_perplexity",
+            llmdata.bigram_lm_perplexity,
+            text_fns.bigram_lm_perplexity_sql(),
+            (("doc_id", "l"), ("n_bigrams", "l"), ("avg_logp", "d"),
+             ("ppl", "d"), ("ppl_bucket", "s")),
+        ),
+        Member(
+            "pii_redact",
+            llmdata.pii_redact,
+            text_fns.PII_REDACT_SQL,
+            (("doc_id", "l"), ("text_redacted", "s"), ("n_redacted", "l"),
+             ("chars_removed", "l")),
+        ),
+        Member(
+            "gopher_quality_flags",
+            llmdata.gopher_quality_flags,
+            text_fns.gopher_quality_flags_sql(),
+            (("doc_id", "l"), ("n_words", "l"), ("mean_word_len", "d"),
+             ("frac_unique", "d"), ("symbol_ratio", "d"), ("stop_hits", "l"),
+             ("word_count_ok", "s"), ("mean_len_ok", "s"), ("symbol_ok", "s"),
+             ("stop_ok", "s"), ("gopher_pass", "s")),
+        ),
     ]
 
 
