@@ -472,11 +472,21 @@ def test_build_training_corpus_recipe(spark, tmp_path):
     from ts_data_pipeline_spark import io, recipes
     from ts_data_pipeline_spark.operators.corpus_io import corpus_manifest
 
+    from ts_data_pipeline_spark.functions import text as text_fns
+
     docs = io.load(spark, SF_DIR, "documents")
     out_path = str(tmp_path / "corpus")
     out = recipes.build_training_corpus(docs, out_path).cache()
     rows = out.collect()
     assert 0 < len(rows) < docs.count()  # gates + dedup + resample thinned it
+    # CCNet gate: no surviving doc sits in the perplexity tail tercile
+    tail_ids = {
+        r.doc_id
+        for r in text_fns.bigram_lm_perplexity(docs)
+        .filter("ppl_bucket = 'tail'")
+        .collect()
+    }
+    assert tail_ids and not tail_ids & {r.doc_id for r in rows}
     # offsets tile the token stream contiguously from 0
     tiled = sorted((r.tok_offset, r.tokens) for r in rows)
     assert tiled[0][0] == 0

@@ -3,6 +3,8 @@ training-ready corpus out — every stage an operator that is
 individually oracle-checked elsewhere in this repo.
 
     raw -> ingest gates (length/repetition/PII)
+        -> model-quality gates (CCNet perplexity tail drop; optional
+           Gopher rule conjunction)
         -> near-dup removal (n-gram Jaccard clusters, keep canonical)
         -> mixture rebalance (deterministic importance resample)
         -> global shuffle (deterministic distributed rank)
@@ -33,11 +35,22 @@ def build_training_corpus(
     max_rep: float = 0.3,
     alpha: float = 0.5,
     ctx: int = 512,
+    drop_ppl_tail: bool = True,
+    require_gopher: bool = False,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
     is given, writes it partitioned by lang with bounded file sizes.
+
+    ``drop_ppl_tail`` applies the CCNet keep policy: documents in the
+    'tail' perplexity tercile of the corpus-trained bigram LM are
+    dropped (adds the LM count shuffles plus one anti-join).
+    ``require_gopher`` additionally demands the full Gopher rule
+    conjunction — off by default because the required-stopword rule
+    cannot pass on the synthetic corpus vocabulary; real deployments
+    turn it on.
     """
+    from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import dedup, sampling
     from ts_data_pipeline_spark.operators.ingest import ingest_signals
 
@@ -49,6 +62,33 @@ def build_training_corpus(
         & (F.col("rep_ratio") < max_rep)
         & (F.col("n_emails") == 0)
     ).select("doc_id", "lang", "text_norm")
+
+    # 1b. model-quality gates over the RAW text (quality is judged on
+    # what the model would see pre-normalization, as CCNet does)
+    if drop_ppl_tail:
+        tail = (
+            text_fns.bigram_lm_perplexity(docs)
+            .filter(F.col("ppl_bucket") == "tail")
+            .select("doc_id")
+        )
+        gated = gated.join(tail, "doc_id", "left_anti")
+    if require_gopher:
+        keep = (
+            text_fns.gopher_quality_flags(docs)
+            .filter("gopher_pass")
+            .select("doc_id")
+        )
+        gated = gated.join(keep, "doc_id", "left_semi")
+
+    # The downstream composition (near-dup self-join, resample,
+    # shuffle-rank, packing) references `gated` many times over; with
+    # the LM gate's join/window subtree inlined at every reference the
+    # logical plan grows combinatorially. Truncate lineage here —
+    # the gate output is the recipe's natural staging boundary (a real
+    # deployment would stage it to storage; localCheckpoint is the
+    # single-job equivalent).
+    if drop_ppl_tail or require_gopher:
+        gated = gated.localCheckpoint()
 
     # 2. near-dup removal — keep one canonical doc per cluster
     survivors = dedup.keep_canonical(
