@@ -156,6 +156,23 @@ def test_prefix_sum_windows_are_bucket_partitioned(spark):
                 assert spec.strip().startswith("bucket"), spec
 
 
+def test_bigram_lm_score_joins_are_equi(spark):
+    """The LM score join must be hash/merge equi on (w1, w2)/(w1) —
+    never a nested-loop pairing of the corpus against the LM table.
+    The only nested-loop allowed is the 1-row tercile-cuts crossJoin."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    df = text_fns.bigram_lm_perplexity(io.load(spark, SF_DIR, "documents"))
+    plan = _plan(df, "simple")
+    assert not re.search(
+        r"BroadcastNestedLoopJoin\s+\w*\s*,?\s*Inner", plan
+    ), plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan), plan
+    # Count aggregations split partial/final (map-side combine).
+    full = _plan(df)
+    assert len(re.findall(r"\(\d+\) HashAggregate", full)) >= 2, full
+
+
 def test_decontaminate_broadcasts_eval_grams(spark):
     """The eval-split probe set must reach the corpus join as a
     broadcast — never by shuffling the corpus grams against it."""
