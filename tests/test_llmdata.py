@@ -572,3 +572,49 @@ def test_gopher_flags_match_single_doc_recompute(spark):
     assert got.gopher_pass == (
         got.word_count_ok and got.mean_len_ok and got.symbol_ok and got.stop_ok
     )
+
+
+def test_semdedup_matches_numpy_recompute(spark):
+    """SemDeDup verdicts must reproduce a single-node recompute of the
+    same spec: same cells (kmeans_assign), pairwise cosine only within
+    a cell, survivor = farthest-from-centroid (vec_id tie-break)."""
+    import numpy as np
+
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries import llmdata
+    from tests.conftest import SF_DIR
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    got = {
+        r.vec_id: r
+        for r in similarity.semdedup(
+            emb, llmdata.KMEANS_SEED_IDS, llmdata.KMEANS_ITERS
+        ).collect()
+    }
+    X = {
+        r.vec_id: (lambda v: v / np.linalg.norm(v))(
+            np.array(r.embedding, dtype=float)
+        )
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    cells = {
+        r.vec_id: (r.cell, r.cos_sim)
+        for r in similarity.kmeans_assign(
+            emb, llmdata.KMEANS_SEED_IDS, llmdata.KMEANS_ITERS
+        ).collect()
+    }
+    dropped = set()
+    for i, (ci, si) in cells.items():
+        for j, (cj, sj) in cells.items():
+            if i == j or ci != cj:
+                continue
+            if round(float(X[i] @ X[j]), 6) >= 0.45 and (
+                (sj, j) < (si, i)
+            ):
+                dropped.add(i)
+                break
+    assert dropped, "no drops — planted near-dups not detected"
+    for vid, r in got.items():
+        assert r.kept == (vid not in dropped), vid
+        assert (r.cell, r.centroid_sim) == cells[vid]

@@ -609,3 +609,95 @@ ranked AS (
 )
 SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
+
+
+def semdedup(
+    embeddings: DataFrame,
+    seed_ids: list[int],
+    n_iter: int = 2,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup of an embedding
+    corpus via k-means cells — pairwise similarity is evaluated ONLY
+    within a vector's cluster, never across the corpus.
+
+    A vector is dropped when a same-cell partner with pairwise cosine
+    >= threshold has higher survivor priority; following the paper,
+    the survivor of a duplicate group is the member FARTHEST from its
+    centroid (lowest assignment cosine, vec_id tie-break), keeping the
+    least-redundant representative. Output: one row per vector with
+    its cell, centroid similarity, and the keep/drop verdict.
+
+    Scale shape: reuses :func:`kmeans_assign` (broadcast centroids,
+    corpus unshuffled); the pair join is equi on the cell id so work
+    is sum over cells of |cell|^2, controlled by the centroid count —
+    the same knob the paper tunes — instead of n^2.
+    """
+    assign = kmeans_assign(embeddings, seed_ids, n_iter, id_col, vec_col)
+    raw = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
+    ).select(id_col, "r", F.sqrt(dot(F.col("r"), F.col("r"))).alias("nrm"))
+    norm = raw.select(
+        id_col, F.transform("r", lambda x: x / F.col("nrm")).alias("v")
+    )
+    a = assign.join(norm, id_col).select(id_col, "cell", "cos_sim", "v")
+    x, y = a.alias("x"), a.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") != F.col("y.vec_id"))
+            & (
+                F.round(dot(F.col("x.v"), F.col("y.v")), 6) >= threshold
+            )
+            & (
+                (F.col("y.cos_sim") < F.col("x.cos_sim"))
+                | (
+                    (F.col("y.cos_sim") == F.col("x.cos_sim"))
+                    & (F.col("y.vec_id") < F.col("x.vec_id"))
+                )
+            ),
+            "left_semi",
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("cos_sim").alias("centroid_sim"),
+            F.coalesce(~F.col("_d"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    seed_ids: list[int], n_iter: int = 2, threshold: float = 0.45
+) -> str:
+    km = kmeans_assign_sql(seed_ids, n_iter)
+    return f"""
+WITH emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
+norm2 AS (
+  SELECT vec_id, list_transform(r, x -> x / nrm) AS v
+  FROM (SELECT vec_id, r, sqrt(list_dot_product(r, r)) AS nrm FROM emb2)
+),
+a AS (
+  SELECT s.vec_id, s.cell, s.cos_sim, n.v
+  FROM ({km}) s JOIN norm2 n ON s.vec_id = n.vec_id
+),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM a x JOIN a y
+    ON x.cell = y.cell AND x.vec_id != y.vec_id
+   AND ROUND(list_dot_product(x.v, y.v), 6) >= {threshold}
+   AND (y.cos_sim < x.cos_sim
+        OR (y.cos_sim = x.cos_sim AND y.vec_id < x.vec_id))
+)
+SELECT a.vec_id, a.cell, a.cos_sim AS centroid_sim,
+       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM a
+"""

@@ -48,6 +48,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(dedup.ngram_jaccard_pairs(docs))
 
 
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: k-means cells bound the
+    pairwise similarity work; survivor = farthest-from-centroid."""
+    return similarity.semdedup(
+        io.load(spark, sf_dir, "embeddings"), KMEANS_SEED_IDS, n_iter=KMEANS_ITERS
+    )
+
+
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor selection: one doc per duplicate cluster + all
     unpaired docs (composes ngram-Jaccard pairs -> clusters -> keep)."""

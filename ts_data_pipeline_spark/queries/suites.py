@@ -466,6 +466,13 @@ def _join_semi_anti_members() -> list[Member]:
     ]
 
 
+def _semdedup_sql() -> str:
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import KMEANS_ITERS, KMEANS_SEED_IDS
+
+    return similarity.semdedup_sql(KMEANS_SEED_IDS, n_iter=KMEANS_ITERS)
+
+
 def _dedup_exact_simhash_members() -> list[Member]:
     from ts_data_pipeline_spark.operators import dedup
     from ts_data_pipeline_spark.queries import llmdata
@@ -495,6 +502,13 @@ def _dedup_exact_simhash_members() -> list[Member]:
             llmdata.dedup_keep_canonical,
             dedup.keep_canonical_sql(dedup.ngram_jaccard_sql()),
             (("doc_id", "l"), ("kept", "s")),
+        ),
+        Member(
+            "semdedup",
+            llmdata.semdedup,
+            _semdedup_sql(),
+            (("vec_id", "l"), ("cell", "l"), ("centroid_sim", "d"),
+             ("kept", "s")),
         ),
         Member(
             "span_dedup",
