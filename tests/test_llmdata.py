@@ -618,3 +618,46 @@ def test_semdedup_matches_numpy_recompute(spark):
     for vid, r in got.items():
         assert r.kept == (vid not in dropped), vid
         assert (r.cell, r.centroid_sim) == cells[vid]
+
+
+def test_bpe_train_merges_matches_python_reference(spark):
+    """The distributed unrolled merge loop must reproduce a plain
+    single-node BPE trainer with the same spec (word-type counts,
+    greedy left-to-right replace merging, count-desc/pair-asc
+    tie-break) — including on a fixture with a 3+ identical-symbol
+    run, where the shared-boundary replace semantics are part of the
+    pinned spec."""
+    import collections
+
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa banana banana banana"), (2, "aaaa banana bandana")],
+        ["doc_id", "text"],
+    )
+
+    def reference(texts, n_merges):
+        wc = collections.Counter(
+            w for t in texts for w in t.lower().split(" ") if w
+        )
+        cur = [(" " + " ".join(list(w)) + " </w> ", c) for w, c in wc.items()]
+        out = []
+        for step in range(1, n_merges + 1):
+            pc = collections.Counter()
+            for s, c in cur:
+                a = s.strip().split(" ")
+                for j in range(len(a) - 1):
+                    pc[a[j] + " " + a[j + 1]] += c
+            pair, n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            out.append((step, pair, pair.replace(" ", ""), n))
+            cur = [
+                (s.replace(" " + pair + " ", " " + pair.replace(" ", "") + " "), c)
+                for s, c in cur
+            ]
+        return out
+
+    got = [
+        (r.step, r.pair, r.merged, r.n)
+        for r in text_fns.bpe_train_merges(docs).orderBy("step").collect()
+    ]
+    assert got == reference(["aaaa aaaa banana banana banana", "aaaa banana bandana"], 4)

@@ -823,3 +823,128 @@ SELECT doc_id, n_words, mean_word_len, frac_unique, symbol_ratio, stop_hits,
          AND (stop_hits >= 2) AS gopher_pass
 FROM feat
 """
+
+
+# ---------------------------------------------------------------------
+# Iterative BPE merge training (Sennrich et al. 2016). Completes the
+# tokenizer-training story started by bpe_bigram_topk: fixed unrolled
+# merge rounds over the word-TYPE table (classic corpus BPE operates
+# on distinct words weighted by frequency, so the per-round state is
+# vocabulary-sized, not corpus-sized).
+#
+# Symbol sequences are space-joined strings with sentinel boundary
+# spaces; a merge is one replace(' a b ' -> ' ab '). replace() is
+# left-to-right non-overlapping in Spark, DuckDB, and Python alike,
+# which IS greedy BPE application except for runs of 3+ identical
+# symbols (where the consumed boundary space skips one merge site) —
+# deviation documented, identical across engines, and pinned by a
+# Python-reference pytest.
+# ---------------------------------------------------------------------
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from the corpus.
+
+    Returns one row per merge round: (step, pair, merged, n) where
+    pair is the space-joined symbol pair chosen at that round and n
+    its frequency-weighted count. Deterministic: ties on count break
+    on the pair string ascending.
+
+    Scale shape: the word-type table is one explode + groupBy count
+    (map-side partial); each round is a pair-explode + count over
+    vocabulary-sized data plus a 1-row broadcast crossJoin carrying
+    the winning pair into the merge replace. Rounds are a fixed
+    constant — lineage stays bounded like kmeans_assign's unroll.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cur = words.select(
+        "c",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.regexp_extract_all("word", F.lit("."), 0), " "),
+            F.lit(" </w> "),
+        ).alias("s"),
+    ).cache()
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.trim("s"), " ")
+        pair_arr = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda j: F.concat(
+                F.element_at(arr, j), F.lit(" "), F.element_at(arr, j + 1)
+            ),
+        )
+        top = (
+            cur.select("c", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(step).alias("step"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("n").cast("bigint").alias("n"),
+            )
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            "c",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.lit(" "),
+                ),
+            ).alias("s"),
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_train_merges_sql(n_merges: int = 4) -> str:
+    parts = [
+        """WITH words AS (
+  SELECT word, COUNT(*) AS c FROM (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+s0 AS (
+  SELECT c, ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS s
+  FROM words
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS (
+  SELECT pair, SUM(c) AS n FROM (
+    SELECT c, unnest(list_transform(range(1, len(arr)),
+                     j -> arr[j] || ' ' || arr[j + 1])) AS pair
+    FROM (SELECT c, string_split(trim(s), ' ') AS arr FROM s{i - 1})
+  ) GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+),
+s{i} AS (
+  SELECT c, replace(s, ' ' || pair || ' ',
+                    ' ' || replace(pair, ' ', '') || ' ') AS s
+  FROM s{i - 1} CROSS JOIN p{i}
+)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, "
+        f"CAST(n AS BIGINT) AS n FROM p{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects

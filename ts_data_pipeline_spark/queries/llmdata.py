@@ -87,6 +87,10 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.gopher_quality_flags(io.load(spark, sf_dir, "documents"))
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.bpe_train_merges(io.load(spark, sf_dir, "documents"))
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

@@ -372,6 +372,12 @@ def _text_stats_members() -> list[Member]:
             (("pair", "s"), ("n", "l")),
         ),
         Member(
+            "bpe_train_merges",
+            llmdata.bpe_train_merges,
+            text_fns.bpe_train_merges_sql(),
+            (("step", "l"), ("pair", "s"), ("merged", "s"), ("n", "l")),
+        ),
+        Member(
             "ingest_report",
             llmdata.ingest_report,
             ingest.ingest_report_sql(),
