@@ -661,3 +661,30 @@ def test_bpe_train_merges_matches_python_reference(spark):
         for r in text_fns.bpe_train_merges(docs).orderBy("step").collect()
     ]
     assert got == reference(["aaaa aaaa banana banana banana", "aaaa banana bandana"], 4)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Windows advance by stride with chunk_tokens coverage: every
+    token position is covered, consecutive chunks overlap by
+    chunk_tokens - stride, and the tail chunk is truncated."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        (
+            (r.doc_id, r.chunk_idx, r.tok_offset, r.chunk_len, r.chunk_text)
+            for r in text_fns.chunk_documents(
+                docs, chunk_tokens=4, stride=3
+            ).collect()
+        )
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(r[2], r[3]) for r in d1] == [(0, 4), (3, 4), (6, 4), (9, 1)]
+    assert d1[0][4] == "w0 w1 w2 w3"
+    assert d1[1][4] == "w3 w4 w5 w6"  # one-token overlap (4 - 3)
+    assert d1[3][4] == "w9"  # truncated tail
+    d2 = [r for r in rows if r[0] == 2]
+    assert [(r[2], r[3], r[4]) for r in d2] == [(0, 3, "a b c")]

@@ -948,3 +948,71 @@ s{i} AS (
         for i in range(1, n_merges + 1)
     )
     return ",\n".join(parts) + "\n" + selects
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking (training/RAG prep): split each
+    document into token windows of ``chunk_tokens`` advancing by
+    ``stride`` (stride < chunk_tokens -> overlapping context).
+
+    One row per (doc, chunk) with its index, token offset, width, and
+    text. Scan-shaped: the window fan-out is a per-row array transform
+    + explode — no shuffle, no UDF; chunk count per doc is
+    ceil(max(n - chunk_tokens, 0) / stride) + 1.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
+    )
+    # Drop windows that start past the end minus one full stride of
+    # coverage: keep any start strictly below n_tokens.
+    chunks = F.filter(starts, lambda s: s < F.size(toks))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            toks.alias("_t"),
+            F.posexplode(chunks).alias("chunk_idx", "tok_offset"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "tok_offset",
+            F.size(F.slice("_t", F.col("tok_offset") + 1, chunk_tokens)).alias(
+                "chunk_len"
+            ),
+            F.array_join(
+                F.slice("_t", F.col("tok_offset") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), t -> t != '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(list_filter(range(0, greatest(len(t) - 1, 0) + 1, {stride}),
+                            s -> s < len(t))) AS tok_offset,
+         generate_subscripts(list_filter(range(0, greatest(len(t) - 1, 0) + 1,
+                                               {stride}),
+                                         s -> s < len(t)), 1) - 1 AS chunk_idx
+  FROM base
+)
+SELECT doc_id, chunk_idx, tok_offset,
+       len(list_slice(t, tok_offset + 1, tok_offset + {chunk_tokens}))
+         AS chunk_len,
+       array_to_string(list_slice(t, tok_offset + 1, tok_offset + {chunk_tokens}),
+                       ' ') AS chunk_text
+FROM starts
+"""

@@ -91,6 +91,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bpe_train_merges(io.load(spark, sf_dir, "documents"))
 
 
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.chunk_documents(io.load(spark, sf_dir, "documents"))
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

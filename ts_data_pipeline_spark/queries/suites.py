@@ -378,6 +378,13 @@ def _text_stats_members() -> list[Member]:
             (("step", "l"), ("pair", "s"), ("merged", "s"), ("n", "l")),
         ),
         Member(
+            "chunk_documents",
+            llmdata.chunk_documents,
+            text_fns.chunk_documents_sql(),
+            (("doc_id", "l"), ("chunk_idx", "l"), ("tok_offset", "l"),
+             ("chunk_len", "l"), ("chunk_text", "s")),
+        ),
+        Member(
             "ingest_report",
             llmdata.ingest_report,
             ingest.ingest_report_sql(),
