@@ -347,15 +347,13 @@ _PII_URL = r"https?://[^ ]+"
 _PII_DIGITS = r"[0-9]{6,}"
 
 
-def pii_signal_counts(docs: DataFrame) -> DataFrame:
-    """PII-ish signal counting (emails / URLs / long digit runs) — the
-    scrub-or-drop decision input of a training-data pipeline. The
-    synthetic corpus has no such tokens, so a deterministic
-    augmentation plants them first; the extractors then genuinely
-    find them (regexes are RE2-safe on both engines)."""
-    t = F.col("text")
-    aug = F.concat(
-        t,
+def _pii_augmented() -> Column:
+    """Deterministic PII augmentation: the synthetic corpus has no
+    real PII tokens, so counter AND redactor plant the same
+    email/URL/digit-run fixtures (%7/%11/%13 keyed) before extracting.
+    Single source of truth — :data:`_PII_AUG_SQL` is the SQL twin."""
+    return F.concat(
+        F.col("text"),
         F.when(
             F.col("doc_id") % 7 == 0,
             F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example.com")),
@@ -369,6 +367,28 @@ def pii_signal_counts(docs: DataFrame) -> DataFrame:
             F.concat(F.lit(" 99"), (F.col("doc_id") + 1000000).cast("string")),
         ).otherwise(F.lit("")),
     )
+
+
+#: SQL twin of :func:`_pii_augmented` (DuckDB expression over documents).
+_PII_AUG_SQL = """text ||
+         CASE WHEN doc_id % 7 = 0
+              THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0
+              THEN ' https://example.org/d/' || CAST(doc_id AS VARCHAR)
+              ELSE '' END ||
+         CASE WHEN doc_id % 13 = 0
+              THEN ' 99' || CAST(doc_id + 1000000 AS VARCHAR)
+              ELSE '' END"""
+
+
+def pii_signal_counts(docs: DataFrame) -> DataFrame:
+    """PII-ish signal counting (emails / URLs / long digit runs) — the
+    scrub-or-drop decision input of a training-data pipeline. The
+    synthetic corpus has no such tokens, so a deterministic
+    augmentation plants them first; the extractors then genuinely
+    find them (regexes are RE2-safe on both engines)."""
+    aug = _pii_augmented()
     return docs.select(
         "doc_id",
         F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_emails"),
@@ -380,17 +400,7 @@ def pii_signal_counts(docs: DataFrame) -> DataFrame:
 
 PII_SIGNAL_SQL = rf"""
 WITH aug AS (
-  SELECT doc_id,
-         text ||
-         CASE WHEN doc_id % 7 = 0
-              THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
-              ELSE '' END ||
-         CASE WHEN doc_id % 11 = 0
-              THEN ' https://example.org/d/' || CAST(doc_id AS VARCHAR)
-              ELSE '' END ||
-         CASE WHEN doc_id % 13 = 0
-              THEN ' 99' || CAST(doc_id + 1000000 AS VARCHAR)
-              ELSE '' END AS t
+  SELECT doc_id, {_PII_AUG_SQL} AS t
   FROM documents
 )
 SELECT doc_id,
@@ -571,6 +581,9 @@ def bigram_lm_perplexity(
     # window lineage per consumer. The multiset is cached because it
     # feeds three aggregations (MEMORY_AND_DISK spill keeps this safe
     # at corpus scale — same pattern as dedup._distinct_shingles).
+    # Repeated calls over the same input produce the same canonicalized
+    # plan, so the cache manager reuses one entry per input table
+    # rather than accumulating per call.
     doc_bg = (
         bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).cache()
     )
@@ -662,22 +675,7 @@ def pii_redact(docs: DataFrame) -> DataFrame:
     Replacements apply email -> URL -> digits in that order, so digit
     runs inside already-masked spans are not double-counted. Pure
     expression tree — whole-stage-codegen'd, no UDF."""
-    t = F.col("text")
-    aug = F.concat(
-        t,
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.lit(" user"), F.col("doc_id"), F.lit("@example.com")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 11 == 0,
-            F.concat(F.lit(" https://example.org/d/"), F.col("doc_id")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 13 == 0,
-            F.concat(F.lit(" 99"), (F.col("doc_id") + 1000000).cast("string")),
-        ).otherwise(F.lit("")),
-    )
+    aug = _pii_augmented()
     after_email = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
     after_url = F.regexp_replace(after_email, _PII_URL, "<URL>")
     redacted = F.regexp_replace(after_url, _PII_DIGITS, "<NUM>")
@@ -696,17 +694,7 @@ def pii_redact(docs: DataFrame) -> DataFrame:
 
 PII_REDACT_SQL = rf"""
 WITH aug AS (
-  SELECT doc_id,
-         text ||
-         CASE WHEN doc_id % 7 = 0
-              THEN ' user' || CAST(doc_id AS VARCHAR) || '@example.com'
-              ELSE '' END ||
-         CASE WHEN doc_id % 11 = 0
-              THEN ' https://example.org/d/' || CAST(doc_id AS VARCHAR)
-              ELSE '' END ||
-         CASE WHEN doc_id % 13 = 0
-              THEN ' 99' || CAST(doc_id + 1000000 AS VARCHAR)
-              ELSE '' END AS t
+  SELECT doc_id, {_PII_AUG_SQL} AS t
   FROM documents
 ),
 steps AS (
@@ -962,20 +950,20 @@ def chunk_documents(
 
     One row per (doc, chunk) with its index, token offset, width, and
     text. Scan-shaped: the window fan-out is a per-row array transform
-    + explode — no shuffle, no UDF; chunk count per doc is
-    ceil(max(n - chunk_tokens, 0) / stride) + 1.
+    + explode — no shuffle, no UDF. Windows start at every multiple of
+    stride below n_tokens, so chunk count per doc is
+    floor((n - 1) / stride) + 1 and trailing windows shorter than
+    chunk_tokens are truncated (never padded or dropped — every token
+    appears in at least one chunk).
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )
-    # Drop windows that start past the end minus one full stride of
-    # coverage: keep any start strictly below n_tokens.
     chunks = F.filter(starts, lambda s: s < F.size(toks))
     return (
         docs.select(
             "doc_id",
-            F.size(toks).alias("n_tokens"),
             toks.alias("_t"),
             F.posexplode(chunks).alias("chunk_idx", "tok_offset"),
         )

@@ -414,6 +414,18 @@ def ivf_topk(
     )
 
 
+def _unit_vectors(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, v) with v = the embedding normalized to unit length."""
+    raw = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
+    ).select(id_col, "r", F.sqrt(dot(F.col("r"), F.col("r"))).alias("nrm"))
+    return raw.select(
+        id_col, F.transform("r", lambda x: x / F.col("nrm")).alias("v")
+    )
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     seed_ids: list[int],
@@ -437,12 +449,7 @@ def kmeans_assign(
     rows. Rounds are a fixed constant (2-5 in practice), not
     data-dependent, so the lineage stays bounded.
     """
-    raw = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
-    ).select(id_col, "r", F.sqrt(dot(F.col("r"), F.col("r"))).alias("nrm"))
-    norm = raw.select(
-        id_col, F.transform("r", lambda x: x / F.col("nrm")).alias("v")
-    ).cache()
+    norm = _unit_vectors(embeddings, id_col, vec_col).cache()
     cents = norm.filter(F.col(id_col).isin(seed_ids)).select(
         F.col(id_col).alias("cell"), F.col("v").alias("cv")
     )
@@ -636,38 +643,29 @@ def semdedup(
     the same knob the paper tunes — instead of n^2.
     """
     assign = kmeans_assign(embeddings, seed_ids, n_iter, id_col, vec_col)
-    raw = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
-    ).select(id_col, "r", F.sqrt(dot(F.col("r"), F.col("r"))).alias("nrm"))
-    norm = raw.select(
-        id_col, F.transform("r", lambda x: x / F.col("nrm")).alias("v")
-    )
+    # _unit_vectors produces a plan identical to the one kmeans_assign
+    # cached, so Spark's cache manager serves this from the same entry.
+    norm = _unit_vectors(embeddings, id_col, vec_col)
     a = assign.join(norm, id_col).select(id_col, "cell", "cos_sim", "v")
     x, y = a.alias("x"), a.alias("y")
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col("x.vec_id") != F.col("y.vec_id"))
-            & (
-                F.round(dot(F.col("x.v"), F.col("y.v")), 6) >= threshold
+    dropped = x.join(
+        y,
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col(f"x.{id_col}") != F.col(f"y.{id_col}"))
+        & (F.round(dot(F.col("x.v"), F.col("y.v")), 6) >= threshold)
+        & (
+            (F.col("y.cos_sim") < F.col("x.cos_sim"))
+            | (
+                (F.col("y.cos_sim") == F.col("x.cos_sim"))
+                & (F.col(f"y.{id_col}") < F.col(f"x.{id_col}"))
             )
-            & (
-                (F.col("y.cos_sim") < F.col("x.cos_sim"))
-                | (
-                    (F.col("y.cos_sim") == F.col("x.cos_sim"))
-                    & (F.col("y.vec_id") < F.col("x.vec_id"))
-                )
-            ),
-            "left_semi",
-        )
-        .select(F.col("x.vec_id").alias("vec_id"))
-        .distinct()
-    )
+        ),
+        "left_semi",
+    ).select(F.col(f"x.{id_col}").alias(id_col))
     return (
-        a.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        a.join(dropped.withColumn("_d", F.lit(True)), id_col, "left")
         .select(
-            "vec_id",
+            id_col,
             "cell",
             F.col("cos_sim").alias("centroid_sim"),
             F.coalesce(~F.col("_d"), F.lit(True)).alias("kept"),
