@@ -40,6 +40,22 @@ def test_weighted_mix_tags_provenance(spark):
     counts = {r.mix_source: r["count"] for r in mixed.groupBy("mix_source").count().collect()}
     assert counts["wiki"] == wiki.count()
     assert 0 < counts["crawl"] < crawl.count()
+    # The keep-rate draw is uniform: ~half of crawl survives.
+    n_crawl = crawl.count()
+    assert 0.35 * n_crawl <= counts["crawl"] <= 0.65 * n_crawl
+
+
+def test_weighted_mix_deterministic_and_salted(spark):
+    docs = io.load(spark, SF_DIR, "documents")
+    crawl = docs.filter(F.col("lang") != "en")
+
+    def ids(salt):
+        out = sampling.weighted_mix({"crawl": crawl}, {"crawl": 0.5}, salt=salt)
+        return sorted(r.doc_id for r in out.select("doc_id").collect())
+
+    a, b = ids("mix-v1"), ids("mix-v1")
+    assert a == b  # no RNG: identical survivors on rerun
+    assert ids("mix-v2") != a  # versioned salt re-draws
 
 
 def test_hash_split_stable_and_leak_free(spark):

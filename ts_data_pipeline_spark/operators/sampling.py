@@ -6,17 +6,21 @@ These are the canonical Spark forms:
 
 - ``stratified_sample``: `sampleBy` — per-stratum Bernoulli sampling,
   executed scan-side (no shuffle at all; each task filters its rows).
-- ``weighted_mix``: per-source fractions + union — the data-mixing
-  recipe (e.g. upsample wiki, downsample crawl).
+- ``weighted_mix``: per-source keep-rates + union — the data-mixing
+  recipe (e.g. upsample wiki, downsample crawl). Inclusion is a
+  DETERMINISTIC keyed-hash draw (md5-derived uniform, same pattern as
+  ``importance_resample``), not Bernoulli RNG: the same doc survives
+  on every run, every engine, every cluster size — which is what a
+  reproducible corpus recipe needs, and what makes the op
+  oracle-checkable in DuckDB (``weighted_mix_sql_predicate``).
 - ``hash_split``: deterministic train/eval assignment by key hash —
   stable across runs and machines (no RNG), the reproducible-split
-  pattern; pure expression, zero shuffle.
+  pattern; pure expression, zero shuffle. Also md5-keyed, so the
+  split too is portable to the DuckDB oracle.
 
-Sampling is engine-specific (Spark's Bernoulli draw is not
-reproducible in another engine), so these register rows-only where
-exposed; statistical behavior is pinned by tests/test_sampling.py.
-hash_split IS engine-portable (xxhash64) — oracle would need the same
-hash in DuckDB (absent), so it is pytest-pinned instead.
+``stratified_sample`` (``sampleBy``) remains the one engine-specific
+Bernoulli path — kept for quota enforcement where per-stratum rates
+come from Spark's native sampler; pinned by tests/test_sampling.py.
 """
 
 from __future__ import annotations
@@ -35,25 +39,53 @@ def stratified_sample(
 
 
 def weighted_mix(
-    sources: Mapping[str, DataFrame], weights: Mapping[str, float], seed: int = 42
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    key_col: str = "doc_id",
+    salt: str = "mix-v1",
 ) -> DataFrame:
     """Mix corpora at given inclusion rates, tagging provenance.
 
-    Each source is sampled at its weight then unioned — the standard
-    mixture recipe. Weights > 1.0 are not duplicated here (epoch-level
-    upsampling belongs to the training loader); they are capped at 1.
+    Each source keeps a row iff its md5-derived uniform draw
+    (keyed on salt + source name + key) clears the source's weight,
+    then the survivors are unioned — the standard mixture recipe with
+    a deterministic draw instead of Bernoulli RNG. Weights > 1.0 are
+    not duplicated here (epoch-level upsampling belongs to the
+    training loader); they are capped at 1.
+
+    Scale shape: the draw is a scan-side expression (no shuffle, no
+    RNG state); union is plan-level. Identical inclusion in DuckDB
+    via ``weighted_mix_sql_predicate``.
     """
     if not sources:
         raise ValueError("weighted_mix requires at least one source")
     parts = []
     for name, df in sources.items():
         frac = min(float(weights.get(name, 1.0)), 1.0)
-        sampled = df if frac >= 1.0 else df.sample(fraction=frac, seed=seed)
+        if frac >= 1.0:
+            sampled = df
+        else:
+            u = _u32_spark(
+                f"concat('{salt}-{name}-', cast({key_col} as string))"
+            )
+            sampled = df.filter((u / F.lit(float(2 ** 32))) < F.lit(frac))
         parts.append(sampled.withColumn("mix_source", F.lit(name)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_mix_sql_predicate(
+    name: str, frac: float, key_col: str = "doc_id", salt: str = "mix-v1"
+) -> str:
+    """DuckDB WHERE predicate reproducing weighted_mix's keep-draw for
+    one source (TRUE when frac >= 1)."""
+    frac = min(float(frac), 1.0)
+    if frac >= 1.0:
+        return "TRUE"
+    u = _u32_sql(f"'{salt}-{name}-' || CAST({key_col} AS VARCHAR)")
+    return f"(({u}) / 4294967296.0) < {frac!r}"
 
 
 def hash_split(
@@ -64,15 +96,30 @@ def hash_split(
 ) -> DataFrame:
     """Deterministic train/eval split by key hash (no RNG).
 
-    split = 'eval' iff xxhash64(salt, key) mod 1000 < eval_permille.
-    Keyed hashing keeps all rows of one document/user on the same side
-    (no leakage), survives reruns and repartitioning, and versioned
-    salts allow re-splitting without touching data.
+    split = 'eval' iff u32(md5(salt || '-' || key)) mod 1000 <
+    eval_permille. Keyed hashing keeps all rows of one document/user
+    on the same side (no leakage), survives reruns and
+    repartitioning, and versioned salts allow re-splitting without
+    touching data. The md5 draw (not xxhash64) keeps the assignment
+    portable to other engines — ``hash_split_sql_case`` is the exact
+    DuckDB equivalent.
     """
-    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key_col)), F.lit(1000))
+    u = _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
+    bucket = F.pmod(u, F.lit(1000))
     return df.withColumn(
         "split",
         F.when(bucket < eval_permille, F.lit("eval")).otherwise(F.lit("train")),
+    )
+
+
+def hash_split_sql_case(
+    key_col: str, eval_permille: int = 10, salt: str = "split-v1"
+) -> str:
+    """DuckDB CASE expression reproducing hash_split's assignment."""
+    u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
+    return (
+        f"CASE WHEN ({u}) % 1000 < {eval_permille} "
+        f"THEN 'eval' ELSE 'train' END"
     )
 
 

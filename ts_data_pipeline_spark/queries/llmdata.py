@@ -349,8 +349,9 @@ def _dq_suite_sql() -> str:
 def corpus_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus construction: weighted source mix +
     deterministic hash train/eval split, summarized per cell.
-    Rows-only gate: Spark's Bernoulli sampling is engine-specific;
-    statistical behavior is pinned in tests/test_sampling.py."""
+    Both the mix draw and the split are md5-keyed deterministic
+    hashing (no RNG), so the whole pipeline is hash-exact against
+    the DuckDB oracle and reproducible across engines/reruns."""
     docs = io.load(spark, sf_dir, "documents")
     mixed = sampling.weighted_mix(
         {
@@ -366,11 +367,33 @@ def corpus_mix_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_mix_split_sql() -> str:
+    crawl_keep = sampling.weighted_mix_sql_predicate("crawl", 0.6)
+    split_case = sampling.hash_split_sql_case("doc_id", eval_permille=100)
+    return f"""
+WITH mixed AS (
+  SELECT doc_id, n_chars, 'curated' AS mix_source
+  FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT doc_id, n_chars, 'crawl' AS mix_source
+  FROM documents WHERE lang != 'en' AND {crawl_keep}
+),
+assigned AS (
+  SELECT mix_source, n_chars, {split_case} AS split FROM mixed
+)
+SELECT mix_source, split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY mix_source, split
+"""
+
+
 # normalize_text + doc_fingerprints (+ token_stats) are verified
 # together as ``text_stats_suite``; dedup_exact + dedup_simhash as
 # ``dedup_exact_simhash`` (queries/suites.py).
 register("dq_constraint_suite", dq_constraint_suite, _dq_suite_sql())
-register("corpus_mix_split", corpus_mix_split)  # rows-only: engine-specific sampling
+register("corpus_mix_split", corpus_mix_split, _corpus_mix_split_sql())
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
 register("dedup_minhash_lsh", dedup_minhash_lsh)  # rows-only: approximate op
 register("text_quality_features", text_quality_features, text_fns.quality_features_sql())
