@@ -620,6 +620,60 @@ def test_semdedup_matches_numpy_recompute(spark):
         assert (r.cell, r.centroid_sim) == cells[vid]
 
 
+def test_semdedup_cell_cap_bounds_degenerate_cells(spark):
+    """Adversarial corpus: 200 near-identical vectors funnel into one
+    k-means cell. With max_cell_size the oversized cell is excluded
+    from the pair join (its members all kept — recall-only sacrifice,
+    same contract as minhash max_bucket_size), while healthy cells
+    still dedup; uncapped, the same corpus collapses the big cell to
+    a single survivor (the quadratic-task shape the cap guards)."""
+    from ts_data_pipeline_spark.operators import similarity
+
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(200)]
+    rows += [
+        (300, [0.0, 1.0, 0.0, 0.0]),
+        (301, [0.0, 1.0, 0.001, 0.0]),  # near-dup of 300
+        (302, [0.0, 0.1, 1.0, 0.0]),  # same cell, below threshold
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    capped = similarity.semdedup(
+        emb, seed_ids=[0, 300], n_iter=1, threshold=0.9, max_cell_size=64
+    ).collect()
+    by_id = {r.vec_id: r for r in capped}
+    big_cell = by_id[0].cell
+    assert all(r.kept for r in capped if r.cell == big_cell)
+    assert sum(not by_id[v].kept for v in (300, 301)) == 1
+    assert by_id[302].kept
+
+    uncapped = similarity.semdedup(
+        emb, seed_ids=[0, 300], n_iter=1, threshold=0.9
+    ).collect()
+    survivors_big = [r for r in uncapped if r.cell == big_cell and r.kept]
+    assert len(survivors_big) == 1
+
+
+def test_semdedup_capped_matches_oracle(spark, oracle):
+    """The capped pair join must stay hash-exact vs the DuckDB
+    recompute with the same cap (semdedup_sql(max_cell_size=...))."""
+    from tests.conftest import SF_DIR, assert_parity
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries import llmdata
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    df = similarity.semdedup(
+        emb, llmdata.KMEANS_SEED_IDS, llmdata.KMEANS_ITERS, max_cell_size=40
+    )
+    assert_parity(
+        df,
+        oracle,
+        similarity.semdedup_sql(
+            llmdata.KMEANS_SEED_IDS, llmdata.KMEANS_ITERS, max_cell_size=40
+        ),
+    )
+
+
 def test_bpe_train_merges_matches_python_reference(spark):
     """The distributed unrolled merge loop must reproduce a plain
     single-node BPE trainer with the same spec (word-type counts,

@@ -625,6 +625,7 @@ def semdedup(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup of an embedding
     corpus via k-means cells — pairwise similarity is evaluated ONLY
@@ -640,14 +641,34 @@ def semdedup(
     Scale shape: reuses :func:`kmeans_assign` (broadcast centroids,
     corpus unshuffled); the pair join is equi on the cell id so work
     is sum over cells of |cell|^2, controlled by the centroid count —
-    the same knob the paper tunes — instead of n^2.
+    the same knob the paper tunes — instead of n^2. With healthy
+    centroids that is enough, but a pathological corpus (near-dup
+    heavy, or bad seeds) can funnel most vectors into one cell and
+    make a single task quadratic; ``max_cell_size`` guards that —
+    cells wider than the cap are excluded from the pair join (their
+    members are all kept, a pure recall sacrifice, same contract as
+    minhash_lsh's ``max_bucket_size``). The count window runs on the
+    cell partitioning the join needs anyway.
     """
     assign = kmeans_assign(embeddings, seed_ids, n_iter, id_col, vec_col)
     # _unit_vectors produces a plan identical to the one kmeans_assign
     # cached, so Spark's cache manager serves this from the same entry.
     norm = _unit_vectors(embeddings, id_col, vec_col)
-    a = assign.join(norm, id_col).select(id_col, "cell", "cos_sim", "v")
-    x, y = a.alias("x"), a.alias("y")
+    # Cached: consumed by both self-join sides and the final output —
+    # uncached, the n_iter rounds of k-means lineage would recompute
+    # up to 3x. One corpus-sized entry (id, cell, sim, unit vector);
+    # MEMORY_AND_DISK default spills rather than OOMs at scale.
+    a = assign.join(norm, id_col).select(id_col, "cell", "cos_sim", "v").cache()
+    if max_cell_size is not None:
+        cw = Window.partitionBy("cell")
+        pair_src = (
+            a.withColumn("_cw", F.count(F.lit(1)).over(cw))
+            .filter(F.col("_cw") <= max_cell_size)
+            .drop("_cw")
+        )
+    else:
+        pair_src = a
+    x, y = pair_src.alias("x"), pair_src.alias("y")
     dropped = x.join(
         y,
         (F.col("x.cell") == F.col("y.cell"))
@@ -674,9 +695,17 @@ def semdedup(
 
 
 def semdedup_sql(
-    seed_ids: list[int], n_iter: int = 2, threshold: float = 0.45
+    seed_ids: list[int],
+    n_iter: int = 2,
+    threshold: float = 0.45,
+    max_cell_size: int | None = None,
 ) -> str:
     km = kmeans_assign_sql(seed_ids, n_iter)
+    cap = (
+        f"pair_src AS (SELECT * FROM (SELECT a.*, COUNT(*) OVER (PARTITION BY cell) AS _cw FROM a) WHERE _cw <= {max_cell_size}),"
+        if max_cell_size is not None
+        else "pair_src AS (SELECT * FROM a),"
+    )
     return f"""
 WITH emb2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
 norm2 AS (
@@ -687,9 +716,10 @@ a AS (
   SELECT s.vec_id, s.cell, s.cos_sim, n.v
   FROM ({km}) s JOIN norm2 n ON s.vec_id = n.vec_id
 ),
+{cap}
 dropped AS (
   SELECT DISTINCT x.vec_id
-  FROM a x JOIN a y
+  FROM pair_src x JOIN pair_src y
     ON x.cell = y.cell AND x.vec_id != y.vec_id
    AND ROUND(list_dot_product(x.v, y.v), 6) >= {threshold}
    AND (y.cos_sim < x.cos_sim
