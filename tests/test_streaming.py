@@ -94,6 +94,23 @@ def test_append_mode_emits_closed_windows_and_drops_late(spark, tmp_path):
     assert "2024-01-01T10:11:00" not in rows
 
 
+def test_append_emits_at_exact_watermark_boundary(spark, tmp_path):
+    """Boundary pin for the streaming oracle's cutoff predicate:
+    append mode emits a window when window_end <= watermark — i.e.
+    EXACT equality (watermark = ms-floored max event time - grace
+    landing precisely on the window end) still emits. The registered
+    DuckDB oracles for streaming_window_finals / streaming_user_reduce
+    encode this as `window_end <= floor_ms(max ts) - 1s`."""
+    data_dir = str(tmp_path / "data")
+    # Batch 0: one trade in [10:00, 10:01).
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:00:30", premium=5.0)], data_dir)
+    # Batch 1: max ts 10:01:01.000 -> watermark = exactly 10:01:00.
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:01:01", premium=5.0)], data_dir)
+    out = _run(spark, data_dir, str(tmp_path / "ckpt"), "t_wm_boundary")
+    starts = [r.window_start.isoformat() for r in out.collect()]
+    assert starts == ["2024-01-01T10:00:00"], starts
+
+
 def test_streaming_finals_match_batch_for_closed_windows(spark, tmp_path):
     """T1+T3: every emitted (final) window must byte-match the batch
     aggregation of the same input — same expressions, same results."""

@@ -8,9 +8,15 @@ projection directly, so hash-equality certifies the roundtrip.
 
 ``streaming_window_finals`` runs the flagship aggregation as a real
 Structured Streaming query (file-replay micro-batches, watermark,
-append-mode finals) — non-SQL-expressible emission semantics, so it
-registers rows-only (SURVEY §5); exact semantics are pinned by
-tests/test_streaming.py.
+append-mode finals). The EMISSION TIMING is engine-specific, but the
+emitted SET is deterministic for a bounded time-ordered replay:
+exactly the batch-aggregation rows whose ``window_end`` has passed
+the final watermark (ms-floored max event time minus the grace;
+boundary equality emits — pinned by
+tests/test_streaming.py::test_append_emits_at_exact_watermark_boundary),
+so both streaming queries carry a full DuckDB oracle with that
+cutoff predicate. Reference semantics being pinned: the reference's
+``.final()`` emission (option_trade_aggs/main.py:221-225).
 """
 
 from __future__ import annotations
@@ -200,9 +206,10 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 escape hatch live: an arbitrary Python initializer/reducer
     over keyed tumbling windows (applyInPandasWithState), replayed as
-    micro-batches. Rows-only: emission timing is not SQL-expressible;
-    equivalence to the declarative agg is pinned by
-    tests/test_custom_state.py."""
+    micro-batches. Oracle: the emitted set equals the batch
+    aggregation restricted to windows closed by the final watermark
+    (equivalence to the declarative agg also pinned by
+    tests/test_custom_state.py)."""
     from ts_data_pipeline_spark.streaming import custom_state
 
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
@@ -238,7 +245,41 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# The bounded-replay watermark: Spark tracks event time in ms, so
+# the final watermark is floor_ms(max ts) - grace; append mode emits
+# a window when window_end <= watermark (boundary equality emits).
+_FINAL_WATERMARK_SQL = (
+    "(SELECT make_timestamp((epoch_ms(max(ts)) - 1000) * 1000) FROM events)"
+)
+
+
+def _streaming_window_finals_sql() -> str:
+    from ts_data_pipeline_spark.queries.flagship import _FLAGSHIP_SQL
+
+    return f"""
+WITH finals AS ({_FLAGSHIP_SQL})
+SELECT * FROM finals WHERE window_end <= {_FINAL_WATERMARK_SQL}
+"""
+
+
+def _streaming_user_reduce_sql() -> str:
+    from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
+
+    return f"""
+WITH t AS ({TRADES_SQL}),
+finals AS (
+  SELECT date_trunc('minute', ts) AS window_start,
+         date_trunc('minute', ts) + INTERVAL 1 minute AS window_end,
+         CAST(osym AS VARCHAR) AS osym,
+         COUNT(*) AS trade_count,
+         ROUND(SUM(premium), 4) AS premium_sum
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT * FROM finals WHERE window_end <= {_FINAL_WATERMARK_SQL}
+"""
+
+
 register("kafka_wire_roundtrip", kafka_wire_roundtrip, KAFKA_WIRE_ROUNDTRIP_SQL)
 register("kafka_avro_roundtrip", kafka_avro_roundtrip, KAFKA_AVRO_ROUNDTRIP_SQL)
-register("streaming_user_reduce", streaming_user_reduce)  # rows-only: emission timing
-register("streaming_window_finals", streaming_window_finals)  # rows-only: emission timing
+register("streaming_user_reduce", streaming_user_reduce, _streaming_user_reduce_sql())
+register("streaming_window_finals", streaming_window_finals, _streaming_window_finals_sql())
