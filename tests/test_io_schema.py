@@ -54,6 +54,18 @@ def test_no_ntz_survives_load(spark, table):
     assert not ntz, f"{table}: NTZ columns escaped normalization: {ntz}"
 
 
+def test_nanos_long_decode_gated_on_table(spark):
+    """The nanos->micros decode of a long 'ts' applies only to tables
+    known to ship TIMESTAMP(NANOS) (_NANOS_TS_TABLES); an unknown
+    table's long 'ts' (which could be epoch seconds or millis) must
+    pass through untouched rather than be misdecoded by 1000x."""
+    df = spark.createDataFrame([(1, 1_700_000_000)], "id long, ts long")
+    out = io.normalize_timestamps(df, table="mystery_feed")
+    assert dict((f.name, f.dataType) for f in out.schema.fields)["ts"] == T.LongType()
+    ev = io.normalize_timestamps(df, table="events")
+    assert dict((f.name, f.dataType) for f in ev.schema.fields)["ts"] == T.TimestampType()
+
+
 def test_embeddings_vector_column(spark):
     """The ANN/dedup operators assume a numeric array embedding col."""
     df = io.load(spark, SF_DIR, "embeddings")

@@ -28,7 +28,14 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def normalize_timestamps(df: DataFrame) -> DataFrame:
+#: Tables whose ``ts`` has shipped as TIMESTAMP(NANOS) (read as a
+#: long under nanosAsLong). The nanos->micros decode applies ONLY
+#: here: a future table whose long ``ts`` is epoch seconds or millis
+#: must be added deliberately, not silently misdecoded by 1000x.
+_NANOS_TS_TABLES = frozenset({"events"})
+
+
+def normalize_timestamps(df: DataFrame, table: str | None = None) -> DataFrame:
     """Normalize every timestamp-like column to ``TimestampType``.
 
     The driver's testdata encoding has drifted across rounds
@@ -39,13 +46,19 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     normalize generically at the load boundary: NTZ casts are value-
     identical under the engine's pinned UTC session timezone, and a
     raw nanos-long ``ts`` truncates to micros exactly as DuckDB does,
-    so oracle comparisons agree.
+    so oracle comparisons agree. The nanos-long fallback is gated on
+    ``table`` membership in :data:`_NANOS_TS_TABLES` (unit scale is
+    not recoverable from a bare long column).
     """
     out = df
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             out = out.withColumn(field.name, F.col(field.name).cast("timestamp"))
-        elif field.name == "ts" and isinstance(field.dataType, T.LongType):
+        elif (
+            field.name == "ts"
+            and isinstance(field.dataType, T.LongType)
+            and table in _NANOS_TS_TABLES
+        ):
             # Historical NANOS-as-long encoding (r1-r2 testdata).
             out = out.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return out
@@ -70,7 +83,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    return normalize_timestamps(df)
+    return normalize_timestamps(df, table=name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
