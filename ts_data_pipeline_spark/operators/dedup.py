@@ -15,10 +15,11 @@ Scale design (100 TB):
 - MinHash+LSH shuffles once on (band, band_hash) buckets; candidate
   verification re-joins shingle sets only for bucket-mates.
 
-All hash math is engine-portable (md5 hex digits), so every exact
-operator here is DuckDB-oracle-checkable; only MinHash/LSH (which is
-intentionally approximate) gets a rows-only gate plus a pytest
-recall check against the exact Jaccard result.
+All hash math is engine-portable (md5 hex digits), so EVERY operator
+here — including the intentionally-approximate MinHash/LSH, whose
+candidate set is a pure function of the portable hashes — is
+DuckDB-oracle-checkable hash-exact; MinHash recall is additionally
+pytest-checked against the exact Jaccard result.
 """
 
 from __future__ import annotations
@@ -419,12 +420,30 @@ FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
 # MinHash + LSH (approximate near-dup at scale; rows-only gate)
 # ---------------------------------------------------------------------------
 
-# Mersenne-prime modulus; shingle hashes are reduced to 32 bits and
-# permutation multipliers to 31 bits so a*h+b stays < 2^63 (no
-# overflow under ANSI arithmetic).
+# Mersenne-prime modulus; shingle hashes are 32 bits (md5-derived)
+# and permutation multipliers 31 bits so a*h+b stays < 2^63 — no
+# overflow under ANSI arithmetic in Spark OR DuckDB (which raises on
+# BIGINT overflow rather than wrapping).
 _MH_PRIME = (1 << 61) - 1
-_MH_HASH_BITS = 1 << 32
 _MH_PARAM_BITS = 1 << 31
+
+# First 32 bits of md5 as a bigint — the engine-portable hash used
+# for both the shingle hash and the band-signature combine (same
+# construction as sampling._u32_spark / simhash's _hex_bit digit
+# math). xxhash64 would be ~2x faster JVM-side but exists only in
+# Spark; md5 keeps the whole MinHash pipeline bit-identical in the
+# DuckDB oracle.
+_U32_MD5_SPARK = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
+
+
+def _u32_md5_sql(x: str) -> str:
+    """DuckDB twin of _U32_MD5_SPARK (no conv(); digit math)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({x}), {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
 
 
 def _minhash_perms(k: int) -> list[tuple[int, int]]:
@@ -448,14 +467,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard.
 
-    shingle -> xxhash64 -> k permuted min-hashes -> band signatures ->
+    shingle -> md5-u32 -> k permuted min-hashes -> band signatures ->
     bucket join on (band, signature) -> exact Jaccard verification of
     bucket-mates. The only shuffles are the signature groupBy (keyed
     by doc) and the bucket self-join (keyed by band signature) —
     never an all-pairs product. Approximate by construction (pairs
-    whose signatures never collide in any band are missed), hence
-    rows-only driver gate; recall is pytest-checked against
-    ngram_jaccard_pairs.
+    whose signatures never collide in any band are missed), but every
+    hash is engine-portable, so :func:`minhash_lsh_sql` reproduces
+    the IDENTICAL candidate set and verdicts in DuckDB — the op is
+    hash-exact oracle-checkable despite being approximate. Recall is
+    additionally pytest-checked against ngram_jaccard_pairs.
 
     ``max_bucket_size`` guards the self-join against degenerate
     buckets: a band bucket holding w docs emits w*(w-1)/2 pairs, so
@@ -479,7 +500,9 @@ def minhash_lsh_pairs(
     ).filter(F.size("sh_arr") > 0).cache()
     sig = base.select(
         "doc_id",
-        F.expr(f"transform(sh_arr, s -> pmod(xxhash64(s), {_MH_HASH_BITS}))").alias("hs"),
+        F.expr(
+            "transform(sh_arr, s -> " + _U32_MD5_SPARK.format(x="s") + ")"
+        ).alias("hs"),
     ).select(
         "doc_id",
         *[
@@ -489,10 +512,19 @@ def minhash_lsh_pairs(
             for i, (a, b) in enumerate(_minhash_perms(num_hashes))
         ],
     )
-    # One posexplode projection emits all band signatures.
+    # One posexplode projection emits all band signatures; the band
+    # combine is the same portable md5-u32 over the '-'-joined
+    # row signature values.
     band_hashes = [
-        F.xxhash64(
-            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+        F.expr(
+            _U32_MD5_SPARK.format(
+                x="concat_ws('-', "
+                + ", ".join(
+                    f"cast(mh{band * rows_per_band + r} as string)"
+                    for r in range(rows_per_band)
+                )
+                + ")"
+            )
         )
         for band in range(bands)
     ]
@@ -542,6 +574,83 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_sql(
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    max_bucket_size: int | None = 64,
+) -> str:
+    """DuckDB twin of :func:`minhash_lsh_pairs` — same md5-u32 shingle
+    hashes, same permutations, same band combine, same bucket cap,
+    same exact-Jaccard verification, so the (approximate) result set
+    is bit-identical. CTEs are MATERIALIZED: sig/buckets are each
+    consumed by multiple downstream references and inlining would
+    re-derive the shingle table per reference."""
+    rows_per_band = num_hashes // bands
+    sh = SHINGLES_SQL.format(nm1=n - 1)
+    perms = _minhash_perms(num_hashes)
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MH_PRIME})) AS mh{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, {bucket} AS bucket FROM sig".format(
+            band=band,
+            bucket=_u32_md5_sql(
+                " || '-' || ".join(
+                    f"CAST(mh{band * rows_per_band + r} AS VARCHAR)"
+                    for r in range(rows_per_band)
+                )
+            ),
+        )
+        for band in range(bands)
+    )
+    cap_cte = (
+        f"""capped AS MATERIALIZED (
+  SELECT doc_id, band, bucket FROM (
+    SELECT b.*, COUNT(*) OVER (PARTITION BY band, bucket) AS w FROM buckets b
+  ) WHERE w <= {max_bucket_size}
+),"""
+        if max_bucket_size is not None
+        else "capped AS MATERIALIZED (SELECT * FROM buckets),"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, list_distinct({sh}) AS sh_arr FROM documents
+),
+hs AS MATERIALIZED (
+  SELECT doc_id, sh_arr,
+         list_transform(sh_arr, s -> {_u32_md5_sql('s')}) AS hs
+  FROM base WHERE len(sh_arr) > 0
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mh_cols}
+  FROM hs
+),
+buckets AS MATERIALIZED (
+{band_selects}
+),
+{cap_cte}
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+)
+SELECT da, db,
+       ROUND(CAST(len(list_intersect(a.sh_arr, b.sh_arr)) AS DOUBLE)
+             / (len(a.sh_arr) + len(b.sh_arr)
+                - len(list_intersect(a.sh_arr, b.sh_arr))), 4) AS jaccard
+FROM cand
+JOIN hs a ON cand.da = a.doc_id
+JOIN hs b ON cand.db = b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.sh_arr, b.sh_arr)) AS DOUBLE)
+            / (len(a.sh_arr) + len(b.sh_arr)
+               - len(list_intersect(a.sh_arr, b.sh_arr))), 4) >= {threshold}
+"""
 
 
 def span_dedup(docs: DataFrame, width: int = 10) -> DataFrame:

