@@ -583,7 +583,11 @@ def bigram_lm_perplexity(
     # at corpus scale — same pattern as dedup._distinct_shingles).
     # Repeated calls over the same input produce the same canonicalized
     # plan, so the cache manager reuses one entry per input table
-    # rather than accumulating per call.
+    # rather than accumulating per call. Retention for the session
+    # lifetime is INTENTIONAL (here and for per_doc below): the
+    # returned DataFrame is lazy, so there is no in-function point
+    # after the final action to unpersist; callers that are done with
+    # a corpus can spark.catalog.clearCache() or unpersist the inputs.
     doc_bg = (
         bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).cache()
     )
@@ -823,14 +827,18 @@ FROM feat
 # Symbol sequences are space-joined strings with sentinel boundary
 # spaces; a merge is one replace(' a b ' -> ' ab '). replace() is
 # left-to-right non-overlapping in Spark, DuckDB, and Python alike,
-# which IS greedy BPE application except for runs of 3+ identical
-# symbols (where the consumed boundary space skips one merge site) —
-# deviation documented, identical across engines, and pinned by a
-# Python-reference pytest.
+# which IS greedy BPE application except when the winning pair occurs
+# at immediately consecutive positions (e.g. 'a b a b', including
+# runs of 3+ identical symbols): the consumed boundary space skips
+# the adjacent merge site. Deviation documented, identical across
+# engines, and pinned by a Python-reference pytest.
 # ---------------------------------------------------------------------
 
 def bpe_train_merges(
-    docs: DataFrame, n_merges: int = 4, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 4,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from the corpus.
 
@@ -842,8 +850,15 @@ def bpe_train_merges(
     Scale shape: the word-type table is one explode + groupBy count
     (map-side partial); each round is a pair-explode + count over
     vocabulary-sized data plus a 1-row broadcast crossJoin carrying
-    the winning pair into the merge replace. Rounds are a fixed
-    constant — lineage stays bounded like kmeans_assign's unroll.
+    the winning pair into the merge replace. Each round's winning
+    pair is materialized eagerly (one tiny job per round — the
+    natural shape of an iterative trainer), and the symbol table is
+    cut over to a ``localCheckpoint`` every ``checkpoint_every``
+    rounds, so the replace/crossJoin lineage (and the generated code
+    Janino must compile) stays bounded at real tokenizer-training
+    merge counts instead of growing with every round. The initial
+    word-type cache is dropped at the first checkpoint — nothing
+    references its plan afterwards.
     """
     words = (
         docs.select(
@@ -862,22 +877,34 @@ def bpe_train_merges(
             F.lit(" </w> "),
         ).alias("s"),
     ).cache()
+    base = cur  # unpersisted once lineage roots at a checkpoint
     merge_rows = []
     for step in range(1, n_merges + 1):
         arr = F.split(F.trim("s"), " ")
-        pair_arr = F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            lambda j: F.concat(
-                F.element_at(arr, j), F.lit(" "), F.element_at(arr, j + 1)
+        # A fully-merged word (single symbol — happens to the most
+        # frequent words once the merge count is double-digit) has no
+        # pairs; guard it, because sequence(1, 0) is the DESCENDING
+        # [1, 0] in Spark and element_at(arr, 2) then throws (same
+        # trap documented at shingles_col).
+        pair_arr = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda j: F.concat(
+                    F.element_at(arr, j), F.lit(" "), F.element_at(arr, j + 1)
+                ),
             ),
-        )
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+        # Eager 1-row checkpoint: the winner is both a result row and
+        # the next round's broadcast input — materializing it severs
+        # every consumer from this round's aggregation lineage.
         top = (
             cur.select("c", F.explode(pair_arr).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("c").alias("n"))
             .orderBy(F.col("n").desc(), F.col("pair").asc())
             .limit(1)
-        )
+        ).localCheckpoint(eager=True)
         merge_rows.append(
             top.select(
                 F.lit(step).alias("step"),
@@ -898,6 +925,11 @@ def bpe_train_merges(
                 ),
             ).alias("s"),
         )
+        if step % checkpoint_every == 0 and step < n_merges:
+            cur = cur.localCheckpoint(eager=True)
+            if base is not None:
+                base.unpersist()
+                base = None
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
@@ -905,27 +937,33 @@ def bpe_train_merges(
 
 
 def bpe_train_merges_sql(n_merges: int = 4) -> str:
+    # Every s{i}/p{i} CTE is referenced twice (by the next round AND
+    # the final union); without MATERIALIZED, CTE inlining duplicates
+    # the whole upstream chain per reference — 2^n_merges base-table
+    # scans, which exhausts file handles past ~10 rounds. MATERIALIZED
+    # pins each round to one evaluation (the SQL analog of the Spark
+    # side's per-round localCheckpoint).
     parts = [
-        """WITH words AS (
+        """WITH words AS MATERIALIZED (
   SELECT word, COUNT(*) AS c FROM (
     SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS word
     FROM documents
   ) GROUP BY word
 ),
-s0 AS (
+s0 AS MATERIALIZED (
   SELECT c, ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS s
   FROM words
 )"""
     ]
     for i in range(1, n_merges + 1):
-        parts.append(f"""p{i} AS (
+        parts.append(f"""p{i} AS MATERIALIZED (
   SELECT pair, SUM(c) AS n FROM (
     SELECT c, unnest(list_transform(range(1, len(arr)),
                      j -> arr[j] || ' ' || arr[j + 1])) AS pair
     FROM (SELECT c, string_split(trim(s), ' ') AS arr FROM s{i - 1})
   ) GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
 ),
-s{i} AS (
+s{i} AS MATERIALIZED (
   SELECT c, replace(s, ' ' || pair || ' ',
                     ' ' || replace(pair, ' ', '') || ' ') AS s
   FROM s{i - 1} CROSS JOIN p{i}

@@ -374,7 +374,7 @@ def _text_stats_members() -> list[Member]:
         Member(
             "bpe_train_merges",
             llmdata.bpe_train_merges,
-            text_fns.bpe_train_merges_sql(),
+            text_fns.bpe_train_merges_sql(llmdata.BPE_SUITE_MERGES),
             (("step", "l"), ("pair", "s"), ("merged", "s"), ("n", "l")),
         ),
         Member(
