@@ -474,11 +474,25 @@ def test_build_training_corpus_recipe(spark, tmp_path):
 
     from ts_data_pipeline_spark.functions import text as text_fns
 
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries import llmdata
+
     docs = io.load(spark, SF_DIR, "documents")
+    emb = io.load(spark, SF_DIR, "embeddings")
     out_path = str(tmp_path / "corpus")
-    out = recipes.build_training_corpus(docs, out_path).cache()
+    out = recipes.build_training_corpus(
+        docs, out_path, embeddings=emb, semdedup_seeds=llmdata.KMEANS_SEED_IDS
+    ).cache()
     rows = out.collect()
     assert 0 < len(rows) < docs.count()  # gates + dedup + resample thinned it
+    # SemDeDup gate: no surviving doc was judged semantically redundant
+    sem_dropped = {
+        r.vec_id
+        for r in similarity.semdedup(
+            emb, llmdata.KMEANS_SEED_IDS, max_cell_size=256
+        ).filter("NOT kept").collect()
+    }
+    assert sem_dropped and not sem_dropped & {r.doc_id for r in rows}
     # CCNet gate: no surviving doc sits in the perplexity tail tercile
     tail_ids = {
         r.doc_id
@@ -620,7 +634,18 @@ def test_semdedup_matches_numpy_recompute(spark):
         assert (r.cell, r.centroid_sim) == cells[vid]
 
 
-def test_semdedup_cell_cap_bounds_degenerate_cells(spark):
+def test_bpe_merges_survive_fully_merged_words(spark):
+    """Once a frequent word is merged down to ONE symbol it has no
+    pairs; the pair explode must yield an empty array there (Spark's
+    sequence(1, 0) is the descending [1,0] — unguarded element_at
+    throws), and when EVERY word is exhausted the remaining rounds
+    emit no merge rows — matching DuckDB's empty range(1,1)."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame([(1, "a a a")], ["doc_id", "text"])
+    rows = text_fns.bpe_train_merges(docs, n_merges=3).collect()
+    # Round 1 merges 'a </w>' everywhere; nothing left to merge after.
+    assert [(r.step, r.merged, r.n) for r in rows] == [(1, "a</w>", 3)]
     """Adversarial corpus: 200 near-identical vectors funnel into one
     k-means cell. With max_cell_size the oversized cell is excluded
     from the pair join (its members all kept — recall-only sacrifice,

@@ -6,6 +6,8 @@ individually oracle-checked elsewhere in this repo.
         -> model-quality gates (CCNet perplexity tail drop; optional
            Gopher rule conjunction)
         -> near-dup removal (n-gram Jaccard clusters, keep canonical)
+        -> semantic dedup (optional: SemDeDup over an embeddings
+           table, k-means-cell-bounded pair work)
         -> mixture rebalance (deterministic importance resample)
         -> global shuffle (deterministic distributed rank)
         -> sequence packing (fixed-context chunk assignment)
@@ -37,6 +39,10 @@ def build_training_corpus(
     ctx: int = 512,
     drop_ppl_tail: bool = True,
     require_gopher: bool = False,
+    embeddings: DataFrame | None = None,
+    semdedup_seeds: list[int] | None = None,
+    semdedup_threshold: float = 0.45,
+    semdedup_max_cell_size: int | None = 256,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -49,6 +55,14 @@ def build_training_corpus(
     conjunction — off by default because the required-stopword rule
     cannot pass on the synthetic corpus vocabulary; real deployments
     turn it on.
+
+    When ``embeddings`` (vec_id = doc_id) and ``semdedup_seeds`` are
+    given, SemDeDup runs after surface near-dup removal: documents
+    judged semantically redundant within their k-means cell are
+    dropped (pairwise work bounded by ``semdedup_max_cell_size`` —
+    the degenerate-cell guard, on by default here since a recipe run
+    is exactly the unsupervised setting where a pathological corpus
+    shows up unannounced).
     """
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import dedup, sampling
@@ -100,6 +114,25 @@ def build_training_corpus(
     kept = gated.join(
         survivors.filter("kept").select("doc_id"), "doc_id", "left_semi"
     )
+
+    # 2b. semantic dedup — embedding-space redundancy removal
+    #     (cell-bounded pair join; one semi-join against the verdicts)
+    if embeddings is not None:
+        if semdedup_seeds is None:
+            raise ValueError("semdedup_seeds is required with embeddings")
+        from ts_data_pipeline_spark.operators import similarity
+
+        sem_kept = (
+            similarity.semdedup(
+                embeddings,
+                semdedup_seeds,
+                threshold=semdedup_threshold,
+                max_cell_size=semdedup_max_cell_size,
+            )
+            .filter("kept")
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        kept = kept.join(sem_kept, "doc_id", "left_semi")
 
     # 3. mixture rebalance — deterministic hash thinning toward the
     #    alpha-temperature language mix (broadcast rate table)
