@@ -634,6 +634,22 @@ def test_semdedup_matches_numpy_recompute(spark):
         assert (r.cell, r.centroid_sim) == cells[vid]
 
 
+def test_bpe_tokenize_counts_match_hand_computation(spark):
+    """Train->apply: after 1 merge on {aa:3, ab:1, b:1} the winner is
+    'a </w>' (count 3, tie with 'a a' broken by pair-asc since '<' <
+    'a'), so aa tokenizes to 2 symbols, ab to 3, b to 2."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab"), (2, "aa aa b")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.tokens_per_word)
+        for r in text_fns.bpe_tokenize(docs, n_merges=1).collect()
+    }
+    assert got == {1: (2, 5, 2.5), 2: (3, 6, 2.0)}
+
+
 def test_bpe_merges_survive_fully_merged_words(spark):
     """Once a frequent word is merged down to ONE symbol it has no
     pairs; the pair explode must yield an empty array there (Spark's

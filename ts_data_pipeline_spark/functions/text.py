@@ -860,6 +860,19 @@ def bpe_train_merges(
     word-type cache is dropped at the first checkpoint — nothing
     references its plan afterwards.
     """
+    merge_rows, _ = _bpe_loop(docs, n_merges, text_col, checkpoint_every)
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_loop(
+    docs: DataFrame, n_merges: int, text_col: str, checkpoint_every: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared train/apply core: run the merge rounds over the
+    word-type table; return (per-round winner DataFrames, final
+    symbol table (word, c, s))."""
     words = (
         docs.select(
             F.explode(
@@ -870,6 +883,7 @@ def bpe_train_merges(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     cur = words.select(
+        "word",
         "c",
         F.concat(
             F.lit(" "),
@@ -914,6 +928,7 @@ def bpe_train_merges(
             )
         )
         cur = cur.crossJoin(F.broadcast(top)).select(
+            "word",
             "c",
             F.replace(
                 F.col("s"),
@@ -930,19 +945,67 @@ def bpe_train_merges(
             if base is not None:
                 base.unpersist()
                 base = None
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    return merge_rows, cur
 
 
-def bpe_train_merges_sql(n_merges: int = 4) -> str:
-    # Every s{i}/p{i} CTE is referenced twice (by the next round AND
-    # the final union); without MATERIALIZED, CTE inlining duplicates
-    # the whole upstream chain per reference — 2^n_merges base-table
-    # scans, which exhausts file handles past ~10 rounds. MATERIALIZED
-    # pins each round to one evaluation (the SQL analog of the Spark
-    # side's per-round localCheckpoint).
+def bpe_tokenize(
+    docs: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Apply the learned BPE merges to the corpus: per-doc BPE token
+    counts under the ``n_merges``-round vocabulary trained on the
+    same corpus (train -> apply, the full tokenizer story).
+
+    Scale shape — tokenize TYPES, not tokens: the merge loop runs on
+    the vocabulary-sized word-type table, the resulting
+    word -> token-count map stays vocabulary-sized and is BROADCAST
+    to the corpus-sized word explode, so the corpus itself never
+    shuffles for tokenization; the only corpus shuffle is the final
+    per-doc aggregation (map-side partial). At 100 TB the vocab map
+    is the artifact a tokenizer service would ship.
+
+    Output: (doc_id, n_words, n_tokens, tokens_per_word).
+    """
+    _, symbol_table = _bpe_loop(docs, n_merges, text_col, checkpoint_every)
+    vocab = symbol_table.select(
+        "word", F.size(F.split(F.trim("s"), " ")).alias("word_tokens")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+        ).alias("word"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("n_words"), 4).alias(
+                "tokens_per_word"
+            ),
+        )
+    )
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    """The shared WITH-chain of merge rounds (train AND apply).
+
+    Every s{i}/p{i} CTE is referenced twice (by the next round AND
+    the final consumer); without MATERIALIZED, CTE inlining duplicates
+    the whole upstream chain per reference — 2^n_merges base-table
+    scans, which exhausts file handles past ~10 rounds. MATERIALIZED
+    pins each round to one evaluation (the SQL analog of the Spark
+    side's per-round localCheckpoint).
+    """
     parts = [
         """WITH words AS MATERIALIZED (
   SELECT word, COUNT(*) AS c FROM (
@@ -951,7 +1014,8 @@ def bpe_train_merges_sql(n_merges: int = 4) -> str:
   ) GROUP BY word
 ),
 s0 AS MATERIALIZED (
-  SELECT c, ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS s
+  SELECT word, c,
+         ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' </w> ' AS s
   FROM words
 )"""
     ]
@@ -964,16 +1028,39 @@ s0 AS MATERIALIZED (
   ) GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
 ),
 s{i} AS MATERIALIZED (
-  SELECT c, replace(s, ' ' || pair || ' ',
+  SELECT word, c, replace(s, ' ' || pair || ' ',
                     ' ' || replace(pair, ' ', '') || ' ') AS s
   FROM s{i - 1} CROSS JOIN p{i}
 )""")
+    return ",\n".join(parts)
+
+
+def bpe_train_merges_sql(n_merges: int = 4) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, pair, replace(pair, ' ', '') AS merged, "
         f"CAST(n AS BIGINT) AS n FROM p{i}"
         for i in range(1, n_merges + 1)
     )
-    return ",\n".join(parts) + "\n" + selects
+    return _bpe_chain_sql(n_merges) + "\n" + selects
+
+
+def bpe_tokenize_sql(n_merges: int = 16) -> str:
+    return f"""{_bpe_chain_sql(n_merges)},
+vocab AS MATERIALIZED (
+  SELECT word, len(string_split(trim(s), ' ')) AS word_tokens FROM s{n_merges}
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t != '')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(word_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(word_tokens) AS DOUBLE) / COUNT(*), 4) AS tokens_per_word
+FROM toks JOIN vocab USING (word)
+GROUP BY doc_id
+"""
 
 
 def chunk_documents(

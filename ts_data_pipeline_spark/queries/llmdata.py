@@ -101,6 +101,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained merges back to the corpus (train -> apply)."""
+    return text_fns.bpe_tokenize(
+        io.load(spark, sf_dir, "documents"), n_merges=BPE_SUITE_MERGES
+    )
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.chunk_documents(io.load(spark, sf_dir, "documents"))
 

@@ -378,6 +378,13 @@ def _text_stats_members() -> list[Member]:
             (("step", "l"), ("pair", "s"), ("merged", "s"), ("n", "l")),
         ),
         Member(
+            "bpe_tokenize",
+            llmdata.bpe_tokenize,
+            text_fns.bpe_tokenize_sql(llmdata.BPE_SUITE_MERGES),
+            (("doc_id", "l"), ("n_words", "l"), ("n_tokens", "l"),
+             ("tokens_per_word", "d")),
+        ),
+        Member(
             "chunk_documents",
             llmdata.chunk_documents,
             text_fns.chunk_documents_sql(),
