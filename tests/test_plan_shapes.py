@@ -173,6 +173,67 @@ def test_bigram_lm_score_joins_are_equi(spark):
     assert len(re.findall(r"\(\d+\) HashAggregate", full)) >= 2, full
 
 
+def test_minhash_candidate_join_is_equi(spark):
+    """The (band, bucket) candidate self-join must be hash/merge —
+    never an Inner nested-loop (which would mean all-pairs), and the
+    portable md5 signature math must stay a pure expression (no UDF
+    nodes in the plan)."""
+    from ts_data_pipeline_spark.operators import dedup as dd
+
+    df = dd.minhash_lsh_pairs(io.load(spark, SF_DIR, "documents"))
+    plan = _plan(df, "simple")
+    assert not re.search(
+        r"BroadcastNestedLoopJoin\s+\w*\s*,?\s*Inner", plan
+    ), plan
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_semdedup_cap_window_partitioned_by_cell(spark):
+    """The degenerate-cell guard must ride the cell partitioning the
+    pair join needs anyway: every Window in the capped plan is
+    partitioned by cell (no single-partition window), and the pair
+    join itself stays equi."""
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries import llmdata
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    df = similarity.semdedup(
+        emb, llmdata.KMEANS_SEED_IDS, llmdata.KMEANS_ITERS, max_cell_size=64
+    )
+    plan = _plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # The cap's count window is partitioned by cell; kmeans_assign's
+    # best-cell pick is partitioned by vec_id. NO window may be
+    # unpartitioned (first spec element an ordering/frame, not a
+    # partition column) — that would move the corpus to one task.
+    assert any(s.strip().startswith("cell") for s in specs), specs
+    for spec in specs:
+        head = spec.split(",")[0]
+        assert "ASC" not in head and "DESC" not in head, spec
+        assert not head.strip().startswith("specifiedwindowframe"), spec
+    simple = _plan(df, "simple")
+    assert not re.search(
+        r"BroadcastNestedLoopJoin\s+\w*\s*,?\s*Inner", simple
+    ), simple
+
+
+def test_bpe_tokenize_broadcasts_vocab_map(spark):
+    """Tokenizer application must broadcast the vocabulary-sized
+    word -> token-count map to the corpus word explode (the corpus
+    never shuffles for tokenization), and the per-doc count agg must
+    split partial/final."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    df = text_fns.bpe_tokenize(
+        io.load(spark, SF_DIR, "documents"), n_merges=2
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
+
+
 def test_decontaminate_broadcasts_eval_grams(spark):
     """The eval-split probe set must reach the corpus join as a
     broadcast — never by shuffling the corpus grams against it."""
