@@ -634,6 +634,32 @@ def test_semdedup_matches_numpy_recompute(spark):
         assert (r.cell, r.centroid_sim) == cells[vid]
 
 
+def test_classifier_quality_score_behavior(spark):
+    """Hashed-linear scoring: deterministic across calls, bounded in
+    (0,1), neutral 0.5 on empty docs, keep consistent with the
+    threshold, and salt-versioned (new salt => new scores)."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "lorem ipsum dolor")],
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: r for r in text_fns.classifier_quality_score(docs).collect()}
+    b = {r.doc_id: r for r in text_fns.classifier_quality_score(docs).collect()}
+    assert {k: v.clf_score for k, v in a.items()} == {
+        k: v.clf_score for k, v in b.items()
+    }
+    assert a[2].clf_score == 0.5 and a[2].n_words == 0
+    for r in a.values():
+        assert 0.0 < r.clf_score < 1.0
+        assert r.keep == (r.clf_score >= 0.5)
+    c = {
+        r.doc_id: r.clf_score
+        for r in text_fns.classifier_quality_score(docs, salt="clf-v2").collect()
+    }
+    assert c != {k: v.clf_score for k, v in a.items()}
+
+
 def test_bpe_tokenize_counts_match_hand_computation(spark):
     """Train->apply: after 1 merge on {aa:3, ab:1, b:1} the winner is
     'a </w>' (count 3, tie with 'a a' broken by pair-asc since '<' <

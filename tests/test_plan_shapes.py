@@ -234,6 +234,19 @@ def test_bpe_tokenize_broadcasts_vocab_map(spark):
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan
 
 
+def test_classifier_quality_is_scan_shaped(spark):
+    """The hashed-linear quality score must stay a pure projection —
+    no Exchange (the weight lookup is hash math, not a join) and no
+    Python eval node."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    plan = _plan(
+        text_fns.classifier_quality_score(io.load(spark, SF_DIR, "documents"))
+    )
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
 def test_decontaminate_broadcasts_eval_grams(spark):
     """The eval-split probe set must reach the corpus join as a
     broadcast — never by shuffling the corpus grams against it."""

@@ -818,6 +818,106 @@ FROM feat
 
 
 # ---------------------------------------------------------------------
+# Classifier-based quality scoring (the model-based filter stage of
+# DCLM/FineWeb-style pipelines): hashed bag-of-words featurization ->
+# linear score -> sigmoid -> threshold gate. The featurization, score
+# shape, and gate are the real production plumbing; the weights here
+# are DETERMINISTIC md5-derived pseudo-weights standing in for trained
+# parameters (no model file ships in this sandbox). To deploy a
+# trained model, replace the weight expression with a broadcast join
+# against a (bucket, weight) table — the plan shape is unchanged.
+# ---------------------------------------------------------------------
+
+CLF_DIM = 1024
+CLF_SALT = "clf-v1"
+CLF_THRESHOLD = 0.5
+
+
+def classifier_quality_score(
+    docs: DataFrame,
+    dim: int = CLF_DIM,
+    salt: str = CLF_SALT,
+    threshold: float = CLF_THRESHOLD,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc linear-classifier quality score over hashed word
+    features: bucket = u32(md5(salt-word)) mod dim, weight(bucket) is
+    an md5-derived uniform in [-0.5, 0.5), score =
+    sigmoid(8 * mean(weight)). Output: (doc_id, n_words, clf_score,
+    keep) with keep = score >= threshold; empty docs score 0.5.
+
+    Scale shape: pure expression tree over the scan — the token array
+    is let-bound once (single-element transform, same idiom as
+    shingles_col), the weight lookup is hash math (no join at all),
+    and no shuffle exists anywhere. Engine-portable md5 throughout,
+    so the DuckDB oracle reproduces scores exactly (6 dp).
+    """
+    from ts_data_pipeline_spark.operators.dedup import _U32_MD5_SPARK
+
+    bucket = (
+        "pmod(" + _U32_MD5_SPARK.format(x=f"concat('{salt}-', t)") + f", {dim})"
+    )
+    w = (
+        "("
+        + _U32_MD5_SPARK.format(x=f"concat('w-', cast({bucket} as string))")
+        + " / 4294967296.0 - 0.5)"
+    )
+    toks = f"filter(split(lower({text_col}), ' '), t -> t != '')"
+    feat = (
+        f"transform(array({toks}), tk -> struct("
+        f"size(tk) as n, "
+        f"aggregate(transform(tk, t -> {w}), cast(0.0 as double), "
+        f"(acc, x) -> acc + x) as s))[0]"
+    )
+    base = docs.select("doc_id", F.expr(feat).alias("_f"))
+    score = F.when(
+        F.col("_f.n") > 0,
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(F.lit(-8.0) * (F.col("_f.s") / F.col("_f.n")))),
+            6,
+        ),
+    ).otherwise(F.lit(0.5))
+    return base.select(
+        "doc_id",
+        F.col("_f.n").cast("bigint").alias("n_words"),
+        score.alias("clf_score"),
+    ).withColumn("keep", F.col("clf_score") >= threshold)
+
+
+def classifier_quality_score_sql(
+    dim: int = CLF_DIM, salt: str = CLF_SALT, threshold: float = CLF_THRESHOLD
+) -> str:
+    from ts_data_pipeline_spark.operators.dedup import _u32_md5_sql
+
+    bucket = "((" + _u32_md5_sql(f"'{salt}-' || t") + f") % {dim})"
+    w = (
+        "(("
+        + _u32_md5_sql(f"'w-' || CAST({bucket} AS VARCHAR)")
+        + ") / 4294967296.0 - 0.5)"
+    )
+    toks = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         len({toks}) AS n,
+         list_aggregate(list_transform({toks}, t -> {w}), 'sum') AS s
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(n AS BIGINT) AS n_words,
+         CASE WHEN n > 0
+              THEN ROUND(1.0 / (1.0 + exp(-8.0 * (s / n))), 6)
+              ELSE 0.5 END AS clf_score
+  FROM feat
+)
+SELECT doc_id, n_words, clf_score, clf_score >= {threshold} AS keep
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------
 # Iterative BPE merge training (Sennrich et al. 2016). Completes the
 # tokenizer-training story started by bpe_bigram_topk: fixed unrolled
 # merge rounds over the word-TYPE table (classic corpus BPE operates

@@ -90,6 +90,11 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.gopher_quality_flags(io.load(spark, sf_dir, "documents"))
 
 
+def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter stage (hashed-linear classifier)."""
+    return text_fns.classifier_quality_score(io.load(spark, sf_dir, "documents"))
+
+
 #: Double-digit on purpose: proves the checkpointed merge loop holds
 #: past the handful-of-rounds regime (VERDICT r04 item 5).
 BPE_SUITE_MERGES = 16

@@ -333,6 +333,13 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("reject_reason", "s"), ("selected", "s")),
         ),
         Member(
+            "classifier_quality",
+            llmdata.classifier_quality_score,
+            text_fns.classifier_quality_score_sql(),
+            (("doc_id", "l"), ("n_words", "l"), ("clf_score", "d"),
+             ("keep", "s")),
+        ),
+        Member(
             "decontaminate",
             llmdata.decontaminate,
             text_fns.decontaminate_sql(),
