@@ -66,6 +66,41 @@ def test_user_reducer_matches_declarative_finals(spark, tmp_path):
     assert ("2024-01-01T10:11:00", "A") not in got
 
 
+def test_user_reduce_flushes_at_exact_watermark_boundary(spark, tmp_path):
+    """A window whose end EQUALS the final watermark must flush for a
+    key receiving no data in the closing batch. Event-time timeouts
+    fire only when the watermark strictly exceeds the set timestamp,
+    so keyed_window_reduce arms the timeout at window_end - 1 ms —
+    without that, this boundary window is silently lost while the
+    built-in agg (and the registered oracle's window_end <= watermark
+    cutoff) emits it."""
+    data_dir = str(tmp_path / "data")
+    # Batch 0: key A in [10:00, 10:01). Batch 1: only key B, max ts
+    # 10:01:01.000 -> final watermark lands exactly on A's window end.
+    _write_chunk(spark, [_trade("A", "2024-01-01 10:00:30", premium=5.0)], data_dir)
+    _write_chunk(spark, [_trade("B", "2024-01-01 10:01:01", premium=1.0)], data_dir)
+    stream = windowed.parquet_stream(spark, data_dir, TRADE_SCHEMA, max_files=1)
+    agg = custom_state.keyed_window_reduce(
+        stream,
+        _initializer,
+        _reducer,
+        value_fields=(("trade_count", "long"), ("premium_sum", "double")),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_ureduce_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_ureduce_boundary").collect()
+    assert [(r.osym, r.window_start.isoformat(), r.trade_count) for r in rows] == [
+        ("A", "2024-01-01T10:00:00", 1)
+    ]
+
+
 def test_push_hub_wildcard_fanout(spark):
     """S8/T11: wildcard and exact subscriptions each receive the
     matching columnar slice of every batch."""

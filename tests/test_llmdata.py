@@ -478,21 +478,28 @@ def test_build_training_corpus_recipe(spark, tmp_path):
     from ts_data_pipeline_spark.queries import llmdata
 
     docs = io.load(spark, SF_DIR, "documents")
-    emb = io.load(spark, SF_DIR, "embeddings")
+    # Embeddings deliberately cover only HALF the corpus: uncovered
+    # docs have no semantic verdict and must pass through unharmed.
+    emb = io.load(spark, SF_DIR, "embeddings").filter("vec_id < 250")
     out_path = str(tmp_path / "corpus")
     out = recipes.build_training_corpus(
         docs, out_path, embeddings=emb, semdedup_seeds=llmdata.KMEANS_SEED_IDS
     ).cache()
     rows = out.collect()
     assert 0 < len(rows) < docs.count()  # gates + dedup + resample thinned it
-    # SemDeDup gate: no surviving doc was judged semantically redundant
+    # SemDeDup gate: no surviving doc was judged semantically
+    # redundant, and docs OUTSIDE the embedding coverage still survive
+    # (the stage is an anti-join on dropped ids, not a semi-join on
+    # kept ids).
     sem_dropped = {
         r.vec_id
         for r in similarity.semdedup(
             emb, llmdata.KMEANS_SEED_IDS, max_cell_size=256
         ).filter("NOT kept").collect()
     }
-    assert sem_dropped and not sem_dropped & {r.doc_id for r in rows}
+    surviving = {r.doc_id for r in rows}
+    assert sem_dropped and not sem_dropped & surviving
+    assert any(d >= 250 for d in surviving), "uncovered docs were wiped"
     # CCNet gate: no surviving doc sits in the perplexity tail tercile
     tail_ids = {
         r.doc_id
@@ -688,6 +695,13 @@ def test_bpe_merges_survive_fully_merged_words(spark):
     rows = text_fns.bpe_train_merges(docs, n_merges=3).collect()
     # Round 1 merges 'a </w>' everywhere; nothing left to merge after.
     assert [(r.step, r.merged, r.n) for r in rows] == [(1, "a</w>", 3)]
+    # Exhaustion must not annihilate the symbol table: tokenize under
+    # the same exhausted-merge budget still tokenizes every doc.
+    tok = text_fns.bpe_tokenize(docs, n_merges=3).collect()
+    assert [(r.doc_id, r.n_words, r.n_tokens) for r in tok] == [(1, 3, 3)]
+
+
+def test_semdedup_cell_cap_bounds_degenerate_cells(spark):
     """Adversarial corpus: 200 near-identical vectors funnel into one
     k-means cell. With max_cell_size the oversized cell is excluded
     from the pair join (its members all kept — recall-only sacrifice,

@@ -852,14 +852,14 @@ def classifier_quality_score(
     and no shuffle exists anywhere. Engine-portable md5 throughout,
     so the DuckDB oracle reproduces scores exactly (6 dp).
     """
-    from ts_data_pipeline_spark.operators.dedup import _U32_MD5_SPARK
+    from ts_data_pipeline_spark.functions.portable_hash import U32_MD5_SPARK
 
     bucket = (
-        "pmod(" + _U32_MD5_SPARK.format(x=f"concat('{salt}-', t)") + f", {dim})"
+        "pmod(" + U32_MD5_SPARK.format(x=f"concat('{salt}-', t)") + f", {dim})"
     )
     w = (
         "("
-        + _U32_MD5_SPARK.format(x=f"concat('w-', cast({bucket} as string))")
+        + U32_MD5_SPARK.format(x=f"concat('w-', cast({bucket} as string))")
         + " / 4294967296.0 - 0.5)"
     )
     toks = f"filter(split(lower({text_col}), ' '), t -> t != '')"
@@ -888,12 +888,12 @@ def classifier_quality_score(
 def classifier_quality_score_sql(
     dim: int = CLF_DIM, salt: str = CLF_SALT, threshold: float = CLF_THRESHOLD
 ) -> str:
-    from ts_data_pipeline_spark.operators.dedup import _u32_md5_sql
+    from ts_data_pipeline_spark.functions.portable_hash import u32_md5_sql
 
-    bucket = "((" + _u32_md5_sql(f"'{salt}-' || t") + f") % {dim})"
+    bucket = "((" + u32_md5_sql(f"'{salt}-' || t") + f") % {dim})"
     w = (
         "(("
-        + _u32_md5_sql(f"'w-' || CAST({bucket} AS VARCHAR)")
+        + u32_md5_sql(f"'w-' || CAST({bucket} AS VARCHAR)")
         + ") / 4294967296.0 - 0.5)"
     )
     toks = "list_filter(string_split(lower(text), ' '), t -> t != '')"
@@ -1027,15 +1027,24 @@ def _bpe_loop(
                 F.col("n").cast("bigint").alias("n"),
             )
         )
-        cur = cur.crossJoin(F.broadcast(top)).select(
+        # LEFT join on TRUE, not crossJoin: once merges exhaust (no
+        # pairs anywhere) top is EMPTY, and a cross join would
+        # annihilate the symbol table — wiping the vocabulary every
+        # later consumer (bpe_tokenize) depends on. With the left join
+        # the null pair coalesces to a single space, making the
+        # replace pattern three consecutive spaces — which never
+        # occurs in the single-space-joined symbol string, so the
+        # round is a no-op instead of a wipe.
+        pair_or_noop = F.coalesce(F.col("pair"), F.lit(" "))
+        cur = cur.join(F.broadcast(top), F.lit(True), "left").select(
             "word",
             "c",
             F.replace(
                 F.col("s"),
-                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(F.lit(" "), pair_or_noop, F.lit(" ")),
                 F.concat(
                     F.lit(" "),
-                    F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                    F.replace(pair_or_noop, F.lit(" "), F.lit("")),
                     F.lit(" "),
                 ),
             ).alias("s"),
@@ -1045,6 +1054,14 @@ def _bpe_loop(
             if base is not None:
                 base.unpersist()
                 base = None
+    if base is not None:
+        # Runs whenever no intermediate checkpoint fired (n_merges <=
+        # checkpoint_every): materialize the final symbol table (which
+        # bpe_tokenize consumes anyway) so the word-type cache can be
+        # dropped — otherwise it would outlive the call for the
+        # session lifetime.
+        cur = cur.localCheckpoint(eager=True)
+        base.unpersist()
     return merge_rows, cur
 
 
@@ -1128,9 +1145,10 @@ s0 AS MATERIALIZED (
   ) GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
 ),
 s{i} AS MATERIALIZED (
-  SELECT word, c, replace(s, ' ' || pair || ' ',
-                    ' ' || replace(pair, ' ', '') || ' ') AS s
-  FROM s{i - 1} CROSS JOIN p{i}
+  SELECT word, c,
+         replace(s, ' ' || COALESCE(pair, ' ') || ' ',
+                 ' ' || replace(COALESCE(pair, ' '), ' ', '') || ' ') AS s
+  FROM s{i - 1} LEFT JOIN p{i} ON TRUE
 )""")
     return ",\n".join(parts)
 

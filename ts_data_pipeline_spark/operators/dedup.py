@@ -427,23 +427,14 @@ FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
 _MH_PRIME = (1 << 61) - 1
 _MH_PARAM_BITS = 1 << 31
 
-# First 32 bits of md5 as a bigint — the engine-portable hash used
-# for both the shingle hash and the band-signature combine (same
-# construction as sampling._u32_spark / simhash's _hex_bit digit
-# math). xxhash64 would be ~2x faster JVM-side but exists only in
-# Spark; md5 keeps the whole MinHash pipeline bit-identical in the
-# DuckDB oracle.
-_U32_MD5_SPARK = "cast(conv(substring(md5({x}), 1, 8), 16, 10) as bigint)"
-
-
-def _u32_md5_sql(x: str) -> str:
-    """DuckDB twin of _U32_MD5_SPARK (no conv(); digit math)."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substring(md5({x}), {i}, 1)) - 1)"
-        f" * {16 ** (8 - i)}"
-        for i in range(1, 9)
-    )
-    return f"({terms})"
+# The shingle hash and band-signature combine use the repo's single
+# engine-portable md5-u32 draw (functions/portable_hash.py). xxhash64
+# would be ~2x faster JVM-side but exists only in Spark; md5 keeps
+# the whole MinHash pipeline bit-identical in the DuckDB oracle.
+from ts_data_pipeline_spark.functions.portable_hash import (  # noqa: E402
+    U32_MD5_SPARK as _U32_MD5_SPARK,
+    u32_md5_sql as _u32_md5_sql,
+)
 
 
 def _minhash_perms(k: int) -> list[tuple[int, int]]:

@@ -253,19 +253,12 @@ FROM per
 """
 
 
-def _u32_spark(expr: str) -> F.Column:
-    """First 32 bits of md5 as a bigint — the portable uniform draw
-    (identical in DuckDB via digit math; see _u32_sql)."""
-    return F.expr(f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)")
-
-
-def _u32_sql(expr: str) -> str:
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substring(md5({expr}), {i}, 1)) - 1)"
-        f" * {16 ** (8 - i)}"
-        for i in range(1, 9)
-    )
-    return f"({terms})"
+# The portable uniform draw — one definition repo-wide
+# (functions/portable_hash.py), aliased to the historical local names.
+from ts_data_pipeline_spark.functions.portable_hash import (  # noqa: E402
+    u32_md5_spark as _u32_spark,
+    u32_md5_sql as _u32_sql,
+)
 
 
 def importance_resample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:

@@ -227,9 +227,13 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         return {"trade_count": 0, "premium_sum": 0.0}
 
     def reducer(acc, rec):
-        # main.py:85-140 analog: fold one record.
+        # main.py:85-140 analog: fold one record. The accumulator
+        # stays UNROUNDED — rounding per record would make the final
+        # 4-dp value fold-order-dependent and drift from the oracle's
+        # ROUND(SUM(premium), 4) on data with >4 significant decimals;
+        # the emission projection below rounds exactly once.
         acc["trade_count"] += 1
-        acc["premium_sum"] = round(acc["premium_sum"] + rec["premium"], 4)
+        acc["premium_sum"] += rec["premium"]
         return acc
 
     stream = windowed.parquet_stream(spark, data_dir, enriched.schema, max_files=1)
@@ -242,7 +246,9 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ureduce_{uuid.uuid4().hex[:8]}"
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
-    return spark.table(name)
+    return spark.table(name).withColumn(
+        "premium_sum", F.round("premium_sum", 4)
+    )
 
 
 # The bounded-replay watermark: Spark tracks event time in ms, so

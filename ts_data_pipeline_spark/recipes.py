@@ -122,17 +122,22 @@ def build_training_corpus(
             raise ValueError("semdedup_seeds is required with embeddings")
         from ts_data_pipeline_spark.operators import similarity
 
-        sem_kept = (
+        # Anti-join against the DROPPED ids (not semi-join against the
+        # kept): a document with no row in the embeddings table has no
+        # semantic verdict and must pass through unharmed — a
+        # semi-join would silently delete every uncovered doc when
+        # embeddings lag the corpus (sampled/earlier snapshot).
+        sem_dropped = (
             similarity.semdedup(
                 embeddings,
                 semdedup_seeds,
                 threshold=semdedup_threshold,
                 max_cell_size=semdedup_max_cell_size,
             )
-            .filter("kept")
+            .filter(~F.col("kept"))
             .select(F.col("vec_id").alias("doc_id"))
         )
-        kept = kept.join(sem_kept, "doc_id", "left_semi")
+        kept = kept.join(sem_dropped, "doc_id", "left_anti")
 
     # 3. mixture rebalance — deterministic hash thinning toward the
     #    alpha-temperature language mix (broadcast rate table)

@@ -105,7 +105,13 @@ def keyed_window_reduce(
             state.update((json.dumps({str(k): v for k, v in windows.items()}),))
             # Wake this key when the watermark passes the oldest open
             # window so finals flush without new per-key data (T3).
-            state.setTimeoutTimestamp(min(windows) + window_ms)
+            # Event-time timeouts fire only when the watermark STRICTLY
+            # exceeds the set timestamp, but the emission predicate
+            # (and the built-in agg, pinned by
+            # test_append_emits_at_exact_watermark_boundary) closes a
+            # window at watermark == window_end — so arm the timeout
+            # 1 ms early or a boundary-equality window never flushes.
+            state.setTimeoutTimestamp(min(windows) + window_ms - 1)
         elif state.exists:
             state.remove()
         yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
