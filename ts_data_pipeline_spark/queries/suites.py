@@ -432,6 +432,7 @@ def _text_stats_members() -> list[Member]:
 
 
 def _olap_pivot_members() -> list[Member]:
+    from ts_data_pipeline_spark.operators import rollup as rollup_ops
     from ts_data_pipeline_spark.queries import bars, olap, timeseries
 
     return [
@@ -462,6 +463,19 @@ def _olap_pivot_members() -> list[Member]:
             olap.unpivot_event_values,
             olap.UNPIVOT_EVENT_VALUES_SQL,
             (("user_id", "l"), ("parameter_id", "s"), ("num_value", "d")),
+        ),
+        Member(
+            "rollup_multires",
+            timeseries.rollup_multires,
+            rollup_ops.rollup_lattice_sql(),
+            # v_avg is deliberately NOT hash-gated: the derived
+            # quotient lands on exact 4-dp decimal ties (2-dp values,
+            # n=8 -> x.xxxx5) where Spark's BigDecimal HALF_UP and
+            # DuckDB's scaled-double round() legitimately disagree.
+            # The carried state (n, sum, min, max) IS the rollup
+            # algebra and is compared exactly.
+            (("grain", "s"), ("window_start", "t"), ("key", "s"),
+             ("n", "l"), ("v_sum", "d"), ("v_min", "d"), ("v_max", "d")),
         ),
     ]
 

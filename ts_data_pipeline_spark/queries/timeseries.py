@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ts_data_pipeline_spark import io
-from ts_data_pipeline_spark.operators import asof, similarity, skew
+from ts_data_pipeline_spark.operators import asof, rollup, similarity, skew
 from ts_data_pipeline_spark.registry import register
 
 IVF_QUERY_IDS = list(range(10))
@@ -227,6 +227,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
     )
+
+
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate lattice: 1m partials from raw, 10m from
+    1m, 60m from 10m. The oracle aggregates every grain directly from
+    raw, so the green row proves the reaggregation algebra exact
+    (operators/rollup.py)."""
+    return rollup.rollup_lattice(io.load(spark, sf_dir, "events"))
 
 
 register("asof_trade_quote", asof_trade_quote, ASOF_TRADE_QUOTE_SQL)
