@@ -1,0 +1,75 @@
+"""BM25 lexical retrieval (operators/retrieval.py): scoring behavior
+and the scan-shaped plan (no explode, broadcast stats, top-k via
+TakeOrderedAndProject)."""
+
+from __future__ import annotations
+
+import contextlib
+import io as pyio
+import math
+
+from pyspark.sql import Row
+
+from tests.conftest import SF_DIR
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import retrieval
+
+
+def _plan(df) -> str:
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bm25_hand_computed(spark):
+    """Four tiny docs, one-term query — scores match the closed form."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat dog"),
+            Row(doc_id=2, text="cat cat cat dog"),
+            Row(doc_id=3, text="dog dog"),
+            Row(doc_id=4, text="cat"),
+        ]
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in retrieval.bm25_topk(docs, ["cat"], k=4).collect()
+    }
+    n, avgdl, df_t, k1, b = 4, 9 / 4, 3, 1.2, 0.75
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+
+    def score(tf, dl):
+        return round(
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 4
+        )
+
+    assert got == {
+        1: score(1, 2),
+        2: score(3, 4),
+        3: score(0, 2),
+        4: score(1, 1),
+    }
+    # tf saturation + length normalization: the 3x-tf doc wins, the
+    # shortest 1-tf doc beats the longer 1-tf doc.
+    assert got[2] > got[4] > got[1] > got[3] == 0.0
+
+
+def test_bm25_rank_is_deterministic_and_contiguous(spark):
+    docs = io.load(spark, SF_DIR, "documents")
+    rows = retrieval.bm25_topk(docs, ["spark", "join"], k=10).collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
+    keys = [(-r.bm25, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_bm25_plan_is_scan_shaped(spark):
+    """Corpus-side hazards stay out of the plan: no Generate (explode)
+    anywhere, the stats side joins back via BroadcastNestedLoopJoin
+    on a 1-row build, and the global top-k is TakeOrderedAndProject,
+    not a full Sort + single-partition window over the corpus."""
+    docs = io.load(spark, SF_DIR, "documents")
+    plan = _plan(retrieval.bm25_topk(docs, ["spark", "join"], k=10))
+    assert "Generate" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan

@@ -1,0 +1,139 @@
+"""Lexical retrieval over the document corpus: BM25 scoring + top-k.
+
+A training-data pipeline needs query-relevant corpus selection
+(retrieval-based curation, eval-set mining, targeted upsampling);
+BM25 (Robertson/Sparck Jones probabilistic idf with tf saturation
+and length normalization) is the standard lexical scorer.
+
+Scale design (100 TB):
+- the per-term term frequency is a pure array expression
+  (``size(filter(tokens, t = term))``) — NO explode, NO shuffle of
+  the corpus; the scoring pass is scan-shaped and codegen'd;
+- corpus statistics (N, avgdl, per-term document frequency) reduce
+  to ONE row in a single aggregate pass, then ride a broadcast
+  crossJoin back onto the scan — the big side never moves;
+- the global top-k is ``orderBy(...).limit(k)``, which Spark plans
+  as TakeOrderedAndProject: per-partition partial top-k, then a
+  k-sized merge on the driver — no global sort, no single-partition
+  window.
+
+Tokenization matches the package convention exactly on both engines:
+``filter(split(lower(text), ' '), t -> t != '')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-terms query.
+
+    idf_t = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   (Robertson)
+    score = sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1 - b + b*dl/avgdl))
+
+    Ties (documents with identical term statistics are common) break
+    on ascending id so the result is engine-reproducible.
+    """
+    toked = docs.select(
+        F.col(id_col), _toks(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    # One aggregate pass -> 1 row: N, avgdl, df per query term.
+    stat_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ]
+    for i, t in enumerate(query_terms):
+        stat_aggs.append(
+            F.sum(
+                (F.array_contains("toks", t)).cast("bigint")
+            ).alias(f"df_{i}")
+        )
+    stats = toked.agg(*stat_aggs)
+
+    scored = toked.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i, t in enumerate(query_terms):
+        # NB: the lambda must take exactly ONE parameter — F.filter
+        # passes (element, index) to two-parameter lambdas, so a
+        # `t=t` default would silently bind the index column.
+        lit_t = F.lit(t)
+        tf = F.size(F.filter("toks", lambda x: x == lit_t)).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+        )
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        score = score + idf * tf * (k1 + 1.0) / denom
+    scored = scored.select(
+        F.col(id_col), F.round(score, 4).alias("bm25")
+    )
+
+    # TakeOrderedAndProject top-k; rank assigned over the k-row result.
+    top = scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "bm25", "rank"
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB oracle: identical statistics, scoring, and tie-break."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+    df_exprs = ",\n         ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(query_terms)
+    )
+    score_terms = " +\n           ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * len(list_filter(toks, x -> x = '{t}')) * ({k1} + 1)"
+        f" / (len(list_filter(toks, x -> x = '{t}'))"
+        f"    + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i, t in enumerate(query_terms)
+    )
+    return f"""
+WITH toked AS (
+  SELECT {id_col}, {toks} AS toks, len({toks}) AS dl FROM {table}
+),
+stats AS MATERIALIZED (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+         {df_exprs}
+  FROM toked
+),
+scored AS (
+  SELECT {id_col},
+         ROUND({score_terms}, 4) AS bm25
+  FROM toked CROSS JOIN stats
+),
+top AS (
+  SELECT * FROM scored ORDER BY bm25 DESC, {id_col} ASC LIMIT {k}
+)
+SELECT {id_col}, bm25,
+       row_number() OVER (ORDER BY bm25 DESC, {id_col} ASC) AS rank
+FROM top
+"""

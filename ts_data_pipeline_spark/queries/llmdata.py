@@ -14,7 +14,13 @@ from ts_data_pipeline_spark import io
 from ts_data_pipeline_spark.functions import text as text_fns
 from pyspark.sql import functions as F
 
-from ts_data_pipeline_spark.operators import dedup, multimodal, sampling, similarity
+from ts_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    retrieval,
+    sampling,
+    similarity,
+)
 from ts_data_pipeline_spark.registry import register
 
 ANN_QUERY_IDS = list(range(10))
@@ -115,6 +121,20 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.chunk_documents(io.load(spark, sf_dir, "documents"))
+
+
+#: Fixed bag-of-terms query for the registered BM25 gate (terms from
+#: the synthetic vocabulary; present at every SF).
+BM25_QUERY_TERMS = ["spark", "join", "window"]
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 top-20 for a fixed term query
+    (operators/retrieval.py — scan-shaped tf, 1-row broadcast stats,
+    TakeOrderedAndProject top-k)."""
+    return retrieval.bm25_topk(
+        io.load(spark, sf_dir, "documents"), BM25_QUERY_TERMS, k=20
+    )
 
 
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

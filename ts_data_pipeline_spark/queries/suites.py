@@ -281,6 +281,7 @@ def _quality_members() -> list[Member]:
 def _text_stats_members() -> list[Member]:
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import ingest, sampling
+    from ts_data_pipeline_spark.operators import retrieval as retrieval_ops
     from ts_data_pipeline_spark.queries import llmdata, olap
 
     return [
@@ -427,6 +428,12 @@ def _text_stats_members() -> list[Member]:
              ("frac_unique", "d"), ("symbol_ratio", "d"), ("stop_hits", "l"),
              ("word_count_ok", "s"), ("mean_len_ok", "s"), ("symbol_ok", "s"),
              ("stop_ok", "s"), ("gopher_pass", "s")),
+        ),
+        Member(
+            "bm25_topk",
+            llmdata.bm25_topk,
+            retrieval_ops.bm25_topk_sql(llmdata.BM25_QUERY_TERMS, k=20),
+            (("doc_id", "l"), ("bm25", "d"), ("rank", "l")),
         ),
     ]
 
