@@ -823,3 +823,62 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert d1[3][4] == "w9"  # truncated tail
     d2 = [r for r in rows if r[0] == 2]
     assert [(r[2], r[3], r[4]) for r in d2] == [(0, 3, "a b c")]
+
+
+def test_sq8_recall_and_reconstruction_bound(spark):
+    """SQ8 + exact re-rank must recover nearly all of the exact
+    brute-force top-5, and the dequantized grid can be off by at most
+    half a grid step per dimension."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import ANN_QUERY_IDS, EMBEDDING_DIM
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in similarity.sq8_topk(
+            emb, ANN_QUERY_IDS, EMBEDDING_DIM, k=5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"sq8 recall@5 = {recall}"
+
+    # Reconstruction: |x - xhat| <= scale_d/2 (+1 ulp) on EVERY
+    # dimension of the operator's own quantized output — 256 uniform
+    # levels over [min_d, max_d] leave at most half a grid step.
+    quant = similarity.sq8_quantize(emb, EMBEDDING_DIM)
+    worst = (
+        quant.select(
+            F.array_max(
+                F.zip_with("r", "xhat", lambda x, h: F.abs(x - h))
+            ).alias("err")
+        )
+        .agg(F.max("err").alias("worst"))
+        .collect()[0]["worst"]
+    )
+    r = emb.select(F.col("embedding").cast("array<double>").alias("r"))
+    stats = r.agg(
+        *[
+            f(F.element_at("r", i)).alias(f"{n}{i}")
+            for i in range(1, EMBEDDING_DIM + 1)
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    ).collect()[0]
+    worst_step = max(
+        (stats[f"mx{i}"] - stats[f"mn{i}"]) / 255.0
+        for i in range(1, EMBEDDING_DIM + 1)
+    )
+    assert worst_step > 0
+    assert worst <= worst_step / 2 * (1 + 1e-9), (worst, worst_step)
+    # codes stay on the 8-bit grid
+    rng = quant.select(
+        F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert rng["lo"] >= 0 and rng["hi"] <= 255

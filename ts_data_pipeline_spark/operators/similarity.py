@@ -729,3 +729,216 @@ SELECT a.vec_id, a.cell, a.cos_sim AS centroid_sim,
        a.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
 FROM a
 """
+
+
+def sq8_quantize(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8 scalar quantization (SQ8): codes + dequantized vectors.
+
+    Per-dimension corpus min/max define a uniform 256-level grid
+    (one aggregate pass -> ONE broadcast row); codes and the
+    reconstructed grid centers are pure array-expression trees over
+    the scan. Output per row: the exact vector ``r``, ``codes``
+    (0..255 per dimension), the dequantized ``xhat``, and both norms
+    ``rn``/``hn``. At deployment this relation is materialized once —
+    every subsequent search scans the 4x-smaller codes instead of
+    raw floats. Reconstruction error is bounded by half a grid step
+    per dimension (pinned in tests/test_llmdata.py).
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
+    )
+    aggs = []
+    for i in range(1, dim + 1):
+        aggs.append(F.min(F.element_at("r", i)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at("r", i)).alias(f"mx{i}"))
+    stats = emb.agg(*aggs).select(
+        F.array(*[F.col(f"mn{i}") for i in range(1, dim + 1)]).alias("mins"),
+        F.array(
+            *[
+                (F.col(f"mx{i}") - F.col(f"mn{i}")) / 255.0
+                for i in range(1, dim + 1)
+            ]
+        ).alias("scales"),
+    )
+
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    codes = F.transform(
+        idx,
+        lambda i: F.when(F.element_at("scales", i) == 0.0, F.lit(0.0)).otherwise(
+            F.round(
+                (F.element_at("r", i) - F.element_at("mins", i))
+                / F.element_at("scales", i),
+                0,
+            )
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .withColumn("codes", codes)
+        .withColumn(
+            "xhat",
+            F.transform(
+                idx,
+                lambda i: F.element_at("mins", i)
+                + F.element_at("codes", i) * F.element_at("scales", i),
+            ),
+        )
+        .select(
+            id_col,
+            "r",
+            "codes",
+            "xhat",
+            F.sqrt(dot(F.col("r"), F.col("r"))).alias("rn"),
+            F.sqrt(dot(F.col("xhat"), F.col("xhat"))).alias("hn"),
+        )
+    )
+
+
+def sq8_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via int8 scalar quantization (SQ8) + exact re-rank.
+
+    The scale path for memory-bound vector search: per-dimension
+    min/max over the corpus define a uniform 256-level grid; each
+    vector compresses 4x (float32 -> one byte per dimension).
+    Candidate generation scores the DEQUANTIZED vectors (grid cell
+    centers reconstructed from codes), takes ``rerank_factor * k``
+    candidates per query, then re-scores only those with the exact
+    float vectors — the standard two-phase ADC + re-rank.
+
+    Scale design (100 TB):
+    - the grid statistics are one aggregate pass -> ONE row (2*dim
+      min/max columns), broadcast back onto the scan; the corpus
+      never shuffles;
+    - quantize/dequantize are pure array-expression trees (sequence +
+      transform + element_at), codegen'd, no UDF;
+    - at deployment the codes table is materialized once (4x smaller
+      scan for every query); here both phases run inline so the
+      DuckDB oracle can replay the exact arithmetic;
+    - per-query candidate top-m and final top-k are windows over the
+      (tiny) query-partitioned score sets.
+
+    Engine-portable determinism: codes are ``round((x - mn)/scale)``
+    on identical doubles both sides; approximate and exact cosines
+    are ROUND(..., 6) with ascending-id tie-break before any rank is
+    assigned.
+    """
+    quantized = sq8_quantize(embeddings, dim, id_col, vec_col)
+
+    q = quantized.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("r").alias("qr"),
+        F.col("xhat").alias("qhat"),
+        F.col("rn").alias("qrn"),
+        F.col("hn").alias("qhn"),
+    )
+    m = rerank_factor * k
+    scored = (
+        quantized.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("cand_id"),
+            "r",
+            "rn",
+            "qr",
+            "qrn",
+            F.round(
+                dot(F.col("xhat"), F.col("qhat")) / (F.col("hn") * F.col("qhn")),
+                6,
+            ).alias("approx_sim"),
+        )
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("cand_id").asc()
+    )
+    cands = scored.withColumn("ark", F.row_number().over(w_approx)).filter(
+        F.col("ark") <= m
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id",
+            "cand_id",
+            F.round(
+                dot(F.col("r"), F.col("qr")) / (F.col("rn") * F.col("qrn")), 6
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def sq8_topk_sql(
+    query_ids: list[int], dim: int, k: int = 5, rerank_factor: int = 4
+) -> str:
+    """DuckDB oracle: identical grid, codes, dequantized candidate
+    scores, and exact re-rank."""
+    ids = ", ".join(str(i) for i in query_ids)
+    m = rerank_factor * k
+    mins = ", ".join(f"MIN(r[{i}])" for i in range(1, dim + 1))
+    scales = ", ".join(
+        f"(MAX(r[{i}]) - MIN(r[{i}])) / 255.0" for i in range(1, dim + 1)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS r FROM embeddings),
+stats AS MATERIALIZED (
+  SELECT [{mins}] AS mins, [{scales}] AS scales FROM emb
+),
+quant AS MATERIALIZED (
+  SELECT vec_id, r, xhat,
+         sqrt(list_dot_product(r, r)) AS rn,
+         sqrt(list_dot_product(xhat, xhat)) AS hn
+  FROM (
+    SELECT vec_id, r,
+           list_transform(range(1, {dim + 1}), i ->
+             mins[i] + (CASE WHEN scales[i] = 0 THEN 0
+                             ELSE round((r[i] - mins[i]) / scales[i])
+                        END) * scales[i]) AS xhat
+    FROM emb CROSS JOIN stats
+  )
+),
+q AS (
+  SELECT vec_id AS query_id, r AS qr, xhat AS qhat, rn AS qrn, hn AS qhn
+  FROM quant WHERE vec_id IN ({ids})
+),
+cands AS (
+  SELECT * FROM (
+    SELECT c.query_id, c.cand_id, c.r, c.rn, c.qr, c.qrn,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY c.approx_sim DESC, c.cand_id ASC) AS ark
+    FROM (
+      SELECT q.query_id, e.vec_id AS cand_id, e.r, e.rn, q.qr, q.qrn,
+             ROUND(list_dot_product(e.xhat, q.qhat) / (e.hn * q.qhn), 6)
+               AS approx_sim
+      FROM quant e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ) c
+  ) WHERE ark <= {m}
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM (
+    SELECT query_id, cand_id,
+           ROUND(list_dot_product(r, qr) / (rn * qrn), 6) AS cos_sim
+    FROM cands
+  )
+) WHERE rank <= {k}
+"""

@@ -273,15 +273,29 @@ KMEANS_SEED_IDS = [101, 157, 211, 263, 307, 353, 401, 457]
 KMEANS_ITERS = 2
 
 
+#: Embedding dimensionality of the synthetic corpus (all SFs).
+EMBEDDING_DIM = 64
+
+
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized candidates + exact re-rank
+    (similarity.sq8_topk — the memory-bound 4x-compression path)."""
+    return similarity.sq8_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, EMBEDDING_DIM, k=5
+    )
+
+
 def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three approximate ANN paths in one result, labeled by
-    method: hyperplane-LSH buckets, IVF-flat nprobe cells, and the
+    """All four approximate ANN paths in one result, labeled by
+    method: hyperplane-LSH buckets, IVF-flat nprobe cells, the
     k-means-TRAINED coarse quantizer (final cluster assignment = each
-    vector's top-1 vs the trained centroid set)."""
+    vector's top-1 vs the trained centroid set), and int8 scalar
+    quantization with exact re-rank."""
     from ts_data_pipeline_spark.queries.timeseries import ann_ivf_topk
 
     lsh = ann_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
     ivf = ann_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    sq8 = ann_sq8_topk(spark, sf_dir).withColumn("method", F.lit("sq8"))
     km = (
         similarity.kmeans_assign(
             io.load(spark, sf_dir, "embeddings"),
@@ -296,7 +310,7 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("kmeans").alias("method"),
         )
     )
-    return lsh.unionByName(ivf).unionByName(km)
+    return lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
 
 
 def _ann_lsh_ivf_sql() -> str:
@@ -308,12 +322,14 @@ def _ann_lsh_ivf_sql() -> str:
     lsh = similarity.lsh_bucketed_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5)
     ivf = similarity.ivf_topk_sql(IVF_QUERY_IDS, IVF_CENTROID_IDS, k=5, nprobe=2)
     km = similarity.kmeans_assign_sql(KMEANS_SEED_IDS, n_iter=KMEANS_ITERS)
+    sq8 = similarity.sq8_topk_sql(ANN_QUERY_IDS, EMBEDDING_DIM, k=5)
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
         f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
         f"UNION ALL\nSELECT query_id, cand_id, cos_sim, rank, 'kmeans' AS method\n"
         f"FROM (SELECT vec_id AS query_id, cell AS cand_id, cos_sim,\n"
-        f"             1 AS rank FROM ({km}))"
+        f"             1 AS rank FROM ({km}))\n"
+        f"UNION ALL\nSELECT *, 'sq8' AS method FROM ({sq8})"
     )
 
 
