@@ -88,3 +88,35 @@ def test_hash_split_stable_and_leak_free(spark):
         .select("user_id", "split").distinct().collect()
     }
     assert c != a
+
+
+def test_source_quota_cap_is_deterministic_and_exact(spark):
+    """At most `cap` survivors per source; the survivor SET is stable
+    across runs and repartitionings (md5-rank selection, no RNG)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import sampling
+
+    docs = io.load(spark, SF_DIR, "documents")
+    out = sampling.source_quota_cap(docs, cap=7)
+    per = (
+        out.filter("kept")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert per and all(r.n <= 7 for r in per)
+    # every source with >= 7 docs is capped exactly at 7
+    totals = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for r in per:
+        assert r.n == min(7, totals[r.source])
+    a = {r.doc_id for r in out.filter("kept").collect()}
+    b = {
+        r.doc_id
+        for r in sampling.source_quota_cap(docs.repartition(13), cap=7)
+        .filter("kept")
+        .collect()
+    }
+    assert a == b

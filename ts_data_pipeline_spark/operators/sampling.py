@@ -347,3 +347,63 @@ SELECT doc_id, h,
        CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
 FROM h
 """
+
+
+def source_quota_cap(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Cap any single source's share: keep at most ``cap`` documents
+    per source, survivors chosen by deterministic md5-u32 rank.
+
+    The standard anti-domination rule of web-corpus curation (no
+    domain may exceed a fixed share of the mix). Survivor choice is a
+    keyed-hash ORDER — u32(md5(salt||key)) ascending with key
+    tie-break — so the same documents survive on every run, engine,
+    and partitioning, and the DuckDB oracle reproduces the selection
+    bit-for-bit (``source_quota_cap_sql``).
+
+    Scale shape: one shuffle on ``source_col`` for the per-source
+    rank window. Source cardinality is domain-scale (bounded), but a
+    mega-source is a skewed partition; when one source holds a large
+    fraction of a 100 TB corpus, switch to the threshold form — keep
+    iff hash/2^32 < cap/count(source) with broadcast counts — which
+    is scan-shaped at the cost of an EXPECTED (not exact) cap.
+    """
+    from pyspark.sql import Window
+
+    u = _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
+    w = (
+        Window.partitionBy(source_col).orderBy(
+            u.asc(), F.col(key_col).asc()
+        )
+    )
+    return docs.select(
+        F.col(key_col),
+        F.col(source_col),
+        F.row_number().over(w).alias("qrank"),
+    ).withColumn(
+        "kept", (F.col("qrank") <= cap).cast("boolean")
+    )
+
+
+def source_quota_cap_sql(
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota-v1",
+    table: str = "documents",
+) -> str:
+    u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
+    return f"""
+SELECT {key_col}, {source_col}, qrank, qrank <= {cap} AS kept
+FROM (
+  SELECT {key_col}, {source_col},
+         row_number() OVER (PARTITION BY {source_col}
+           ORDER BY ({u}) ASC, {key_col} ASC) AS qrank
+  FROM {table}
+)
+"""

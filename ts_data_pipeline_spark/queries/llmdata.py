@@ -137,6 +137,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination cap: at most 40 docs per source, deterministic
+    md5-rank survivors (operators/sampling.py)."""
+    return sampling.source_quota_cap(
+        io.load(spark, sf_dir, "documents"), cap=40
+    )
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

@@ -435,6 +435,13 @@ def _text_stats_members() -> list[Member]:
             retrieval_ops.bm25_topk_sql(llmdata.BM25_QUERY_TERMS, k=20),
             (("doc_id", "l"), ("bm25", "d"), ("rank", "l")),
         ),
+        Member(
+            "source_quota_cap",
+            llmdata.source_quota_cap,
+            sampling.source_quota_cap_sql(cap=40),
+            (("doc_id", "l"), ("source", "s"), ("qrank", "l"),
+             ("kept", "s")),
+        ),
     ]
 
 
