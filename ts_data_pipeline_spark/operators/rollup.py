@@ -53,9 +53,13 @@ def windowed_partials(
     NOT materialized here; it is derived at presentation so the state
     stays re-aggregable without error.
     """
+    # Group by the FULL window struct (not window.start): under
+    # Structured Streaming only the struct form is recognized as an
+    # event-time window, so append mode + watermark work on the same
+    # expression (streaming/windowed.streaming_rollup_partials).
     return (
         events.groupBy(
-            F.window(ts_col, f"{minutes} minutes")["start"].alias("window_start"),
+            F.window(ts_col, f"{minutes} minutes").alias("w"),
             F.col(key_col).alias("key"),
         )
         .agg(
@@ -63,6 +67,14 @@ def windowed_partials(
             F.sum(value_col).alias("v_sum"),
             F.min(value_col).alias("v_min"),
             F.max(value_col).alias("v_max"),
+        )
+        .select(
+            F.col("w")["start"].alias("window_start"),
+            "key",
+            "n",
+            "v_sum",
+            "v_min",
+            "v_max",
         )
     )
 

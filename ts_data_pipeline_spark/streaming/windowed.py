@@ -120,3 +120,36 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_rollup_partials(
+    events: DataFrame,
+    minutes: int = 1,
+    grace: str = "1 second",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Continuous-aggregate maintenance under Structured Streaming:
+    the FINEST rollup grain (operators/rollup.windowed_partials) as a
+    watermarked streaming agg. Append mode emits each (key, window)
+    partial-state row exactly once when the watermark closes the
+    window; coarser grains are then derived by batch
+    ``rollup.reaggregate`` over the emitted finals — the raw stream
+    is aggregated once, every other grain reads the tiny partials,
+    the same lattice contract as batch (tests/test_rollup.py pins
+    streaming finals -> reaggregate == batch direct coarse agg).
+
+    State per (key, window) is one fixed-width (n, sum, min, max)
+    row, sharded by the groupBy shuffle key — the same bounded-state
+    story as the flagship streaming agg.
+    """
+    from ts_data_pipeline_spark.operators.rollup import windowed_partials
+
+    return windowed_partials(
+        events.withWatermark(ts_col, grace),
+        minutes,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
