@@ -882,3 +882,32 @@ def test_sq8_recall_and_reconstruction_bound(spark):
         F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
     ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
     assert rng["lo"] >= 0 and rng["hi"] <= 255
+
+
+def test_recipe_source_cap_bounds_every_source(spark):
+    """With source_cap the recipe keeps at most cap survivors per
+    source, and the helper source column never leaks into the output
+    contract. (No subset-of-uncapped assertion on purpose: the
+    mixture keep-rates are computed from the post-cap corpus
+    composition, so capping legitimately changes which docs the
+    resample stage keeps.)"""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io, recipes
+
+    docs = io.load(spark, SF_DIR, "documents")
+    # skip the (expensive) LM gate: this test pins the cap stage only
+    out = recipes.build_training_corpus(
+        docs, source_cap=5, drop_ppl_tail=False
+    ).cache()
+    assert "source" not in out.columns  # helper column dropped
+    rows = out.select("doc_id").collect()
+    assert rows
+    per_source = (
+        out.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert per_source and all(r.n <= 5 for r in per_source)

@@ -43,6 +43,7 @@ def build_training_corpus(
     semdedup_seeds: list[int] | None = None,
     semdedup_threshold: float = 0.45,
     semdedup_max_cell_size: int | None = 256,
+    source_cap: int | None = None,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -63,19 +64,30 @@ def build_training_corpus(
     the degenerate-cell guard, on by default here since a recipe run
     is exactly the unsupervised setting where a pathological corpus
     shows up unannounced).
+
+    ``source_cap`` applies the anti-domination rule before the
+    mixture rebalance: at most that many surviving documents per
+    source, survivors chosen by the deterministic md5 rank
+    (sampling.source_quota_cap) — capping AFTER dedup/quality so a
+    spam-heavy domain cannot reclaim its quota with duplicates.
     """
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import dedup, sampling
     from ts_data_pipeline_spark.operators.ingest import ingest_signals
 
     # 1. gates — scan-shaped signals, no shuffle
+    if source_cap is not None and "source" not in docs.columns:
+        raise ValueError("source_cap requires a 'source' column")
+    carry = ["doc_id", "lang", "text_norm"] + (
+        ["source"] if source_cap is not None else []
+    )
     sig = ingest_signals(docs)
     gated = sig.filter(
         (F.col("n_chars_norm") >= min_chars)
         & (F.col("n_chars_norm") <= max_chars)
         & (F.col("rep_ratio") < max_rep)
         & (F.col("n_emails") == 0)
-    ).select("doc_id", "lang", "text_norm")
+    ).select(*carry)
 
     # 1b. model-quality gates over the RAW text (quality is judged on
     # what the model would see pre-normalization, as CCNet does)
@@ -138,6 +150,14 @@ def build_training_corpus(
             .select(F.col("vec_id").alias("doc_id"))
         )
         kept = kept.join(sem_dropped, "doc_id", "left_anti")
+
+    # 2c. anti-domination — cap each source's surviving share (AFTER
+    #     dedup/quality, so duplicates can't reclaim a domain's quota)
+    if source_cap is not None:
+        capped = sampling.source_quota_cap(kept, cap=source_cap)
+        kept = kept.join(
+            capped.filter("kept").select("doc_id"), "doc_id", "left_semi"
+        ).drop("source")
 
     # 3. mixture rebalance — deterministic hash thinning toward the
     #    alpha-temperature language mix (broadcast rate table)
