@@ -226,3 +226,36 @@ def test_observation_quality_counters(spark):
     assert metrics["n"] == events.count()
     assert metrics["null_value"] == 0
     assert len(result) == 5
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """The A4 'ApproxCountDistinct' aggregation (the 100 TB form of
+    CountDistinct: one-pass mergeable HLL++ sketch) must stay within
+    5% relative error of the exact distinct count per bucket —
+    engine-specific, so pinned here instead of an oracle row."""
+    from ts_data_pipeline_spark.plans.queryspec import (
+        GroupByTime,
+        NumericAggregation,
+        QuerySpec,
+        evaluate,
+    )
+    from ts_data_pipeline_spark.queries.telemetry import events_as_parameter_values
+
+    pv = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
+
+    def run(agg):
+        spec = QuerySpec(
+            numeric_aggregations=[NumericAggregation("click", agg)],
+            group_by_time=GroupByTime("1 day"),
+        )
+        return {
+            r["bucket"]: r[f"click_{agg.lower()}"]
+            for r in evaluate(pv, spec).collect()
+        }
+
+    exact = run("CountDistinct")
+    approx = run("ApproxCountDistinct")
+    assert set(exact) == set(approx)
+    assert exact and all(v > 0 for v in exact.values())
+    for b, e in exact.items():
+        assert abs(approx[b] - e) / e <= 0.05, (b, e, approx[b])

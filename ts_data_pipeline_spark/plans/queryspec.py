@@ -161,6 +161,16 @@ def _agg_column(spec: NumericAggregation, value: Column, ts: Column) -> tuple[st
         col = F.round(F.sum(value), 4)
     elif agg == "Count":
         col = F.count(value)
+    elif agg == "CountDistinct":
+        # Exact distinct per group: correct at any group width, and
+        # the DuckDB-oracle-checkable form. At 100 TB cardinalities
+        # switch to "ApproxCountDistinct" (HyperLogLog++, one pass,
+        # mergeable sketch state, no per-group distinct expansion) —
+        # engine-specific, so pinned by a relative-error pytest
+        # rather than an oracle row.
+        col = F.count_distinct(value)
+    elif agg == "ApproxCountDistinct":
+        col = F.approx_count_distinct(value)
     elif agg == "Median":
         col = F.round(F.median(value), 4)
     elif agg == "Spread":

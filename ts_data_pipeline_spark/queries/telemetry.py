@@ -145,6 +145,7 @@ def telemetry_first_last_median_spread(spark: SparkSession, sf_dir: str) -> Data
             NumericAggregation("click", "Last"),
             NumericAggregation("click", "Median"),
             NumericAggregation("click", "Spread"),
+            NumericAggregation("click", "CountDistinct"),
         ],
         from_ts="2024-01-01 00:00:00",
         to_ts="2024-01-31 00:00:00",
@@ -163,7 +164,8 @@ SELECT
           CASE WHEN parameter_id = 'click' THEN ts END) AS click_last,
   ROUND(median(CASE WHEN parameter_id = 'click' THEN num_value END), 4) AS click_median,
   ROUND(MAX(CASE WHEN parameter_id = 'click' THEN num_value END)
-        - MIN(CASE WHEN parameter_id = 'click' THEN num_value END), 4) AS click_spread
+        - MIN(CASE WHEN parameter_id = 'click' THEN num_value END), 4) AS click_spread,
+  COUNT(DISTINCT CASE WHEN parameter_id = 'click' THEN num_value END) AS click_countdistinct
 FROM pv
 WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
 GROUP BY 1
