@@ -145,6 +145,16 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus top-25 terms (operators/sketch.py; the
+    Misra-Gries bounded-memory form is pytest-pinned)."""
+    from ts_data_pipeline_spark.operators import sketch
+
+    return sketch.exact_heavy_hitters(
+        io.load(spark, sf_dir, "documents"), k=25
+    )
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

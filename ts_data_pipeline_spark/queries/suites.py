@@ -282,6 +282,7 @@ def _text_stats_members() -> list[Member]:
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import ingest, sampling
     from ts_data_pipeline_spark.operators import retrieval as retrieval_ops
+    from ts_data_pipeline_spark.operators import sketch as sketch_ops
     from ts_data_pipeline_spark.queries import llmdata, olap
 
     return [
@@ -441,6 +442,12 @@ def _text_stats_members() -> list[Member]:
             sampling.source_quota_cap_sql(cap=40),
             (("doc_id", "l"), ("source", "s"), ("qrank", "l"),
              ("kept", "s")),
+        ),
+        Member(
+            "heavy_hitters",
+            llmdata.heavy_hitters,
+            sketch_ops.exact_heavy_hitters_sql(k=25),
+            (("term", "s"), ("freq", "l"), ("rank", "l")),
         ),
     ]
 
