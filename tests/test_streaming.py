@@ -256,3 +256,49 @@ def test_checkpoint_resume_no_double_count(spark, tmp_path):
     # once, and the newly closed 10:05 window was appended.
     assert len(starts_all) == len(set(starts_all))
     assert set(starts1) < set(starts_all)
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Native session_window under streaming (merging window state):
+    every emitted (closed) session must byte-match the batch
+    session_window of the same input."""
+    events = io.load(spark, SF_DIR, "events").select("user_id", "ts")
+    data_dir = str(tmp_path / "data")
+    from pyspark.sql import Window as W
+
+    chunks = events.withColumn("chunk", F.ntile(3).over(W.orderBy("ts")))
+    for i in (1, 2, 3):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, events.schema, max_files=1)
+    agg = windowed.streaming_sessionize(stream)
+    windowed.run_available_now(agg, "t_sessions", str(tmp_path / "ckpt"))
+    got = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("t_sessions").collect()
+    }
+    assert got
+
+    batch = {
+        (r.key, r.session_start, r.session_end, r.n_events)
+        for r in events.groupBy(
+            F.col("user_id").alias("key"),
+            F.session_window("ts", "30 minutes").alias("_w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+        .collect()
+    }
+    # append emits only watermark-closed sessions; every emitted one
+    # must exist verbatim in the batch result
+    assert got <= batch
+    # and nearly all sessions close in a bounded replay (only the
+    # trailing sessions per key can stay open)
+    assert len(got) >= len(batch) * 0.8, (len(got), len(batch))

@@ -153,3 +153,39 @@ def streaming_rollup_partials(
         ts_col=ts_col,
         value_col=value_col,
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    grace: str = "1 second",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Session windows under Structured Streaming: the native
+    ``session_window`` with a watermark. Sessions are MERGING window
+    state — late events can fuse two open sessions — so this is the
+    one windowed shape that genuinely needs the engine's stateful
+    merge rather than a gaps-and-islands batch rewrite. Append mode
+    emits a session once the watermark passes its close (last event
+    + gap); emitted finals byte-match the batch session_window over
+    the same input (tests/test_streaming.py).
+
+    State per key is the set of OPEN sessions (bounded by the
+    watermark horizon), sharded by the groupBy key — the same
+    bounded-state story as the tumbling-window aggs.
+    """
+    return (
+        events.withWatermark(ts_col, grace)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.session_window(ts_col, gap).alias("_w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
