@@ -911,3 +911,28 @@ def test_recipe_source_cap_bounds_every_source(spark):
         .collect()
     )
     assert per_source and all(r.n <= 5 for r in per_source)
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark):
+    """Multi-probe candidates are a superset of the single-bucket
+    candidates (extra probes only add buckets), so at every (query,
+    rank) the multi-probe cosine must be >= the single-probe one."""
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import ANN_QUERY_IDS, LSH_PLANE_IDS
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    single = {
+        (r.query_id, r.rank): r.cos_sim
+        for r in similarity.lsh_bucketed_topk(
+            emb, ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
+        ).collect()
+    }
+    multi = {
+        (r.query_id, r.rank): r.cos_sim
+        for r in similarity.lsh_multiprobe_topk(
+            emb, ANN_QUERY_IDS, LSH_PLANE_IDS, k=5, n_probe=3
+        ).collect()
+    }
+    assert single and multi
+    for key, s in single.items():
+        assert key in multi and multi[key] >= s, (key, s, multi.get(key))

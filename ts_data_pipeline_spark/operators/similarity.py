@@ -942,3 +942,184 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
   )
 ) WHERE rank <= {k}
 """
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    plane_ids: list[int],
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k: besides its own bucket, each query
+    probes the ``n_probe - 1`` neighboring buckets reached by
+    flipping the sign bits with the SMALLEST margin |dot(q, plane)| —
+    the bits most likely to differ for true neighbors (Lv et al.,
+    multi-probe LSH). Recall approaches more-planes/more-tables
+    quality without growing the bucket index or re-hashing the
+    corpus: the corpus-side bucketing is IDENTICAL to
+    ``lsh_bucketed_topk``; only the (tiny, broadcast) query probe
+    list fans out.
+
+    Engine-portable determinism: probe choice orders by
+    ROUND(|margin|, 6) with plane-rank tie-break; candidates reached
+    via several probes are de-duplicated before scoring.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    rank_expr = F.lit(None).cast("int")
+    for i, pid in enumerate(sorted(plane_ids)):
+        rank_expr = F.when(F.col("plane_id") == pid, F.lit(i)).otherwise(rank_expr)
+    planes = emb.filter(F.col(id_col).isin(plane_ids)).select(
+        F.col(id_col).alias("plane_id"), F.col("v").alias("pv")
+    )
+    with_sign = (
+        emb.crossJoin(F.broadcast(planes))
+        .select(
+            id_col,
+            "v",
+            rank_expr.alias("plane_rank"),
+            dot(F.col("v"), F.col("pv")).alias("margin"),
+        )
+        .withColumn("bit", (F.col("margin") >= 0).cast("int"))
+    )
+    bucketed = with_sign.groupBy(id_col, "v").agg(
+        F.sum(
+            F.col("bit") * F.pow(F.lit(2), F.col("plane_rank")).cast("long")
+        ).alias("bucket")
+    )
+
+    # Query-side probe fan-out (|queries| x n_probe rows, broadcast).
+    q_sign = with_sign.filter(F.col(id_col).isin(query_ids))
+    q_base = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w_m = Window.partitionBy(id_col).orderBy(
+        F.round(F.abs("margin"), 6).asc(), F.col("plane_rank").asc()
+    )
+    flips = (
+        q_sign.withColumn("mrank", F.row_number().over(w_m))
+        .filter(F.col("mrank") <= n_probe - 1)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.expr("cast(shiftleft(1L, plane_rank) as bigint)").alias("flip"),
+        )
+    )
+    probes = q_base.join(flips, "query_id", "left").select(
+        "query_id",
+        "qv",
+        F.when(F.col("flip").isNull(), F.col("qbucket"))
+        .otherwise(
+            F.col("qbucket").bitwiseXOR(F.col("flip"))
+        )
+        .alias("probe_bucket"),
+    ).unionByName(
+        q_base.select(
+            "query_id", "qv", F.col("qbucket").alias("probe_bucket")
+        )
+    ).dropDuplicates(["query_id", "probe_bucket"])
+
+    cands = (
+        bucketed.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("probe_bucket"))
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select("query_id", F.col(id_col).alias("cand_id"), "qv", "v")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def lsh_multiprobe_topk_sql(
+    query_ids: list[int],
+    plane_ids: list[int],
+    k: int = 5,
+    n_probe: int = 3,
+) -> str:
+    """DuckDB oracle: same buckets, margins, probe set, and ranking."""
+    qids = ", ".join(str(i) for i in query_ids)
+    ranks = "\n".join(
+        f"    WHEN plane_id = {pid} THEN {i}"
+        for i, pid in enumerate(sorted(plane_ids))
+    )
+    pids = ", ".join(str(i) for i in sorted(plane_ids))
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes AS (
+  SELECT vec_id AS plane_id, v AS pv,
+         CASE
+{ranks}
+         END AS plane_rank
+  FROM emb WHERE vec_id IN ({pids})
+),
+with_sign AS MATERIALIZED (
+  SELECT e.vec_id, e.v, p.plane_rank,
+         list_dot_product(e.v, p.pv) AS margin,
+         CASE WHEN list_dot_product(e.v, p.pv) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM emb e CROSS JOIN planes p
+),
+bucketed AS MATERIALIZED (
+  SELECT vec_id, v,
+         CAST(SUM(bit * (1 << plane_rank)) AS BIGINT) AS bucket
+  FROM with_sign GROUP BY vec_id, v
+),
+q_base AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+  FROM bucketed WHERE vec_id IN ({qids})
+),
+flips AS (
+  SELECT vec_id AS query_id,
+         CAST((1 << plane_rank) AS BIGINT) AS flip
+  FROM (
+    SELECT vec_id, plane_rank,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY ROUND(ABS(margin), 6) ASC, plane_rank ASC) AS mrank
+    FROM with_sign WHERE vec_id IN ({qids})
+  ) WHERE mrank <= {n_probe - 1}
+),
+probes AS (
+  SELECT DISTINCT query_id, qv, probe_bucket FROM (
+    SELECT b.query_id, b.qv, xor(b.qbucket, f.flip) AS probe_bucket
+    FROM q_base b JOIN flips f USING (query_id)
+    UNION ALL
+    SELECT query_id, qv, qbucket AS probe_bucket FROM q_base
+  )
+),
+cands AS (
+  SELECT DISTINCT c.query_id, c.cand_id, c.qv, c.v FROM (
+    SELECT p.query_id, b.vec_id AS cand_id, p.qv, b.v
+    FROM bucketed b JOIN probes p
+      ON b.bucket = p.probe_bucket AND b.vec_id <> p.query_id
+  ) c
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT query_id, cand_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM (
+    SELECT query_id, cand_id,
+           ROUND(list_dot_product(qv, v) /
+                 (sqrt(list_dot_product(qv, qv)) *
+                  sqrt(list_dot_product(v, v))), 6) AS cos_sim
+    FROM cands
+  )
+) WHERE rank <= {k}
+"""

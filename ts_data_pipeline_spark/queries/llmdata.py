@@ -314,6 +314,9 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = ann_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
     ivf = ann_ivf_topk(spark, sf_dir).withColumn("method", F.lit("ivf"))
     sq8 = ann_sq8_topk(spark, sf_dir).withColumn("method", F.lit("sq8"))
+    mp = similarity.lsh_multiprobe_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
+    ).withColumn("method", F.lit("lsh_mp"))
     km = (
         similarity.kmeans_assign(
             io.load(spark, sf_dir, "embeddings"),
@@ -328,7 +331,9 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("kmeans").alias("method"),
         )
     )
-    return lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
+    return (
+        lsh.unionByName(ivf).unionByName(km).unionByName(sq8).unionByName(mp)
+    )
 
 
 def _ann_lsh_ivf_sql() -> str:
@@ -341,13 +346,15 @@ def _ann_lsh_ivf_sql() -> str:
     ivf = similarity.ivf_topk_sql(IVF_QUERY_IDS, IVF_CENTROID_IDS, k=5, nprobe=2)
     km = similarity.kmeans_assign_sql(KMEANS_SEED_IDS, n_iter=KMEANS_ITERS)
     sq8 = similarity.sq8_topk_sql(ANN_QUERY_IDS, EMBEDDING_DIM, k=5)
+    mp = similarity.lsh_multiprobe_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5)
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
         f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
         f"UNION ALL\nSELECT query_id, cand_id, cos_sim, rank, 'kmeans' AS method\n"
         f"FROM (SELECT vec_id AS query_id, cell AS cand_id, cos_sim,\n"
         f"             1 AS rank FROM ({km}))\n"
-        f"UNION ALL\nSELECT *, 'sq8' AS method FROM ({sq8})"
+        f"UNION ALL\nSELECT *, 'sq8' AS method FROM ({sq8})\n"
+        f"UNION ALL\nSELECT *, 'lsh_mp' AS method FROM ({mp})"
     )
 
 
