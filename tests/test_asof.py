@@ -33,3 +33,36 @@ def test_asof_expression_and_pandas_forms_agree(spark):
     }
     assert len(expr_form) == trades.count()
     assert expr_form == pandas_form
+
+
+def test_temporal_dimension_join_routes_events_to_valid_version(spark):
+    """Facts split exactly at the SCD2 boundary: events before the
+    version flip join the old name, at/after it the new one; keys
+    with one open version take everything."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import asof
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    facts = spark.createDataFrame(
+        [("a", t("2024-01-15 00:00:00")), ("a", t("2024-02-10 00:00:00")),
+         ("b", t("2024-03-01 00:00:00"))],
+        "stream_id string, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [("a", "old-a", t("2024-01-01 00:00:00"), t("2024-02-01 00:00:00")),
+         ("a", "new-a", t("2024-02-01 00:00:00"), None),
+         ("b", "b0", t("2024-01-01 00:00:00"), None)],
+        "stream_id string, name string, valid_from timestamp, valid_to timestamp",
+    )
+    got = {
+        (r.stream_id, r.ts.isoformat(), r.name)
+        for r in asof.temporal_dimension_join(
+            facts, dim, key="stream_id"
+        ).collect()
+    }
+    assert got == {
+        ("a", "2024-01-15T00:00:00", "old-a"),
+        ("a", "2024-02-10T00:00:00", "new-a"),
+        ("b", "2024-03-01T00:00:00", "b0"),
+    }

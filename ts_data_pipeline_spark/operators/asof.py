@@ -240,3 +240,39 @@ SELECT key, session_no,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM sess GROUP BY key, session_no
 """
+
+
+def temporal_dimension_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION valid at its event
+    time: ``valid_from <= ts < valid_to`` (open-ended current version
+    = NULL valid_to). The warehouse temporal-join pattern over an
+    SCD2 history (operators/catalog.scd2_apply builds one).
+
+    Scale shape: dimensions are entity-bounded (streams, not rows),
+    so the SCD2 history rides an explicit broadcast and the fact
+    table never shuffles; the validity-range predicate is a residual
+    filter on the broadcast hash join (key equality is the hash key).
+    For a dimension too large to broadcast the same expression
+    becomes a sort-merge join on the key with the range residual —
+    still one shuffle, keyed on the natural join key.
+    """
+    f, d = facts.alias("f"), dim.alias("d")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (F.col(f"f.{ts_col}") >= F.col(f"d.{valid_from}"))
+        & (
+            F.col(f"d.{valid_to}").isNull()
+            | (F.col(f"f.{ts_col}") < F.col(f"d.{valid_to}"))
+        )
+    )
+    return f.join(F.broadcast(d), cond, "inner").select(
+        "f.*", *[F.col(f"d.{c}") for c in dim.columns if c != key]
+    )

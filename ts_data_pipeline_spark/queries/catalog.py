@@ -434,3 +434,31 @@ register("catalog_parameters", catalog_parameters, CATALOG_PARAMETERS_SQL)
 register("catalog_metadata_filter", catalog_metadata_filter, CATALOG_METADATA_FILTER_SQL)
 register("catalog_event_groups", catalog_event_groups, CATALOG_EVENT_GROUPS_SQL)
 register("snippet_listing", snippet_listing, SNIPPET_LISTING_SQL)
+
+
+def temporal_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join: every event joined to the SCD2
+    catalog VERSION valid at its timestamp (operators/asof.py::
+    temporal_dimension_join), rolled up per version. Streams 3 and 7
+    split their events across the pre/post-2024-02-01 versions."""
+    from ts_data_pipeline_spark.operators import asof
+
+    ev = io.load(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("stream_id"), "ts"
+    )
+    dim = catalog_scd2(spark, sf_dir)
+    joined = asof.temporal_dimension_join(ev, dim, key="stream_id")
+    return joined.groupBy("stream_id", "name", "status").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+TEMPORAL_CATALOG_JOIN_SQL = f"""
+WITH scd AS ({CATALOG_SCD2_SQL})
+SELECT d.stream_id, d.name, d.status, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN scd d
+  ON CAST(e.user_id AS VARCHAR) = d.stream_id
+ AND e.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+GROUP BY 1, 2, 3
+"""

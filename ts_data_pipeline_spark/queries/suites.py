@@ -614,6 +614,13 @@ def _catalog_browse_members() -> list[Member]:
             (("parent_id", "s"), ("n_children", "l"), ("children_start", "t"),
              ("children_end", "t")),
         ),
+        Member(
+            "temporal_catalog_join",
+            catalog.temporal_catalog_join,
+            catalog.TEMPORAL_CATALOG_JOIN_SQL,
+            (("stream_id", "s"), ("name", "s"), ("status", "s"),
+             ("n_events", "l")),
+        ),
     ]
 
 
