@@ -259,3 +259,25 @@ def test_approx_count_distinct_tracks_exact(spark):
     assert exact and all(v > 0 for v in exact.values())
     for b, e in exact.items():
         assert abs(approx[b] - e) / e <= 0.05, (b, e, approx[b])
+
+
+def test_zscore_anomalies_baseline_excludes_current_point(spark):
+    """A single spike in an otherwise-flat series is flagged, its
+    baseline never includes itself, and the points AFTER the spike
+    are scored against a baseline now containing the spike (so they
+    are not falsely flagged)."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import quality as qops
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 100.0 if i == 20 else 10.0 + (i % 3)  # mild wiggle + spike
+        rows.append((i, 1, base + dt.timedelta(minutes=i), v))
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = qops.rolling_zscore_anomalies(
+        df, lookback=10, z_threshold=3.0, min_history=5
+    ).collect()
+    assert [r.event_id for r in got] == [20]
+    assert got[0].z > 3.0

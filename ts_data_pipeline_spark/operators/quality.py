@@ -215,3 +215,84 @@ def required_field_nulls(df: DataFrame, fields: list[str]) -> DataFrame:
             for f in fields
         ],
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection (Q3/Q5 extension:
+    the alerting scan of a live TS engine).
+
+    Each point is scored against the trailing ``lookback`` points of
+    ITS OWN key (rows between -lookback and -1 — the current point
+    never contaminates its own baseline); |z| >= threshold rows are
+    flagged. Points with fewer than ``min_history`` trailing samples
+    are unscored (insufficient baseline, never "anomalous").
+
+    Scale shape: one per-key window sort — the same shuffle class as
+    the quality lag windows (SCALE.md): keys are numerous and small,
+    so per-key state is bounded; no global sort. The z expression is
+    engine-portable (stddev_samp over an identical frame, ROUND 4dp
+    both sides).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-lookback, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    hist = F.count(value_col).over(w)
+    z = (F.col(value_col) - mu) / sd
+    scored = df.select(
+        F.col(id_col),
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(value_col),
+        hist.alias("n_hist"),
+        F.when(
+            (hist >= min_history) & (sd > 0), F.round(z, 4)
+        ).alias("z"),
+    )
+    return scored.filter(
+        F.col("z").isNotNull() & (F.abs("z") >= z_threshold)
+    )
+
+
+def rolling_zscore_anomalies_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> str:
+    return f"""
+WITH scored AS (
+  SELECT {id_col}, {key_col} AS key, {ts_col}, {value_col},
+         COUNT({value_col}) OVER w AS n_hist,
+         CASE WHEN COUNT({value_col}) OVER w >= {min_history}
+                AND stddev_samp({value_col}) OVER w > 0
+              THEN ROUND(({value_col} - AVG({value_col}) OVER w)
+                         / stddev_samp({value_col}) OVER w, 4)
+         END AS z
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col}
+               ORDER BY {ts_col} ASC, {id_col} ASC
+               ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING)
+)
+SELECT * FROM scored WHERE z IS NOT NULL AND ABS(z) >= {z_threshold}
+"""

@@ -43,3 +43,8 @@ def metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Q1-Q6 are verified together as ``quality_suite`` (queries/suites.py).
+
+
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-stream z-score outliers (Q3/Q5 alerting scan)."""
+    return quality.rolling_zscore_anomalies(io.load(spark, sf_dir, "events"))

@@ -275,6 +275,13 @@ def _quality_members() -> list[Member]:
             skew.skew_report_sql("events", "event_type"),
             (("key", "s"), ("n", "l"), ("share", "d"), ("rank", "l")),
         ),
+        Member(
+            "zscore_anomalies",
+            quality.zscore_anomalies,
+            qops.rolling_zscore_anomalies_sql(),
+            (("event_id", "l"), ("key", "l"), ("ts", "t"), ("value", "d"),
+             ("n_hist", "l"), ("z", "d")),
+        ),
     ]
 
 
