@@ -302,3 +302,73 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     # and nearly all sessions close in a bounded replay (only the
     # trailing sessions per key can stay open)
     assert len(got) >= len(batch) * 0.8, (len(got), len(batch))
+
+
+def test_upsert_sink_exactly_once_keyed_merge(spark, tmp_path):
+    """foreachBatch versioned upsert: the final table holds the
+    latest row per key across all micro-batches (== batch SCD1), and
+    re-delivering an already-applied batch id neither duplicates rows
+    nor changes values."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    updates = [
+        [("a", t(0), 1.0), ("b", t(1), 2.0)],
+        [("a", t(5), 3.0), ("c", t(6), 4.0)],
+        [("b", t(9), 5.0), ("b", t(8), 99.0)],  # in-batch: latest ts wins
+    ]
+    data_dir = str(tmp_path / "updates")
+    schema = "key string, ts timestamp, val double"
+    for chunk in updates:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(
+        spark, data_dir, spark.read.parquet(data_dir).schema, max_files=1
+    )
+    table_dir = str(tmp_path / "table")
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_sink.upsert_writer(table_dir, key_col="key", ts_col="ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = upsert_sink.read_table(spark, table_dir)
+    got = {(r.key, r.val) for r in final.collect()}
+    # batch SCD1 expectation: last value per key by ts
+    allrows = spark.createDataFrame(
+        [r for chunk in updates for r in chunk], schema
+    )
+    from pyspark.sql import Window as W
+
+    want = {
+        (r.key, r.val)
+        for r in allrows.withColumn(
+            "_rn", F.row_number().over(W.partitionBy("key").orderBy(F.col("ts").desc()))
+        )
+        .filter("_rn = 1")
+        .collect()
+    }
+    assert got == want == {("a", 3.0), ("b", 5.0), ("c", 4.0)}
+
+    # re-deliver the last batch verbatim: values and counts unchanged
+    last_applied = max(
+        int(d[1:]) for d in __import__("os").listdir(table_dir) if d.startswith("v")
+    )
+    upsert_sink.upsert_batch(
+        spark,
+        table_dir,
+        spark.createDataFrame(updates[-1], schema),
+        last_applied,
+        key_col="key",
+        ts_col="ts",
+    )
+    again = {(r.key, r.val) for r in upsert_sink.read_table(spark, table_dir).collect()}
+    assert again == want
