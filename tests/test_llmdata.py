@@ -936,3 +936,18 @@ def test_multiprobe_lsh_dominates_single_probe(spark):
     assert single and multi
     for key, s in single.items():
         assert key in multi and multi[key] >= s, (key, s, multi.get(key))
+
+
+def test_snapshot_diff_verdicts(spark):
+    """Hand-built snapshots: one added, one removed, one rewritten,
+    one untouched — each classified correctly."""
+    from ts_data_pipeline_spark.operators import ingest
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "gone"), (3, "before")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (3, "after"), (4, "fresh")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.change for r in ingest.snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}

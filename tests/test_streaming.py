@@ -372,3 +372,29 @@ def test_upsert_sink_exactly_once_keyed_merge(spark, tmp_path):
     )
     again = {(r.key, r.val) for r in upsert_sink.read_table(spark, table_dir).collect()}
     assert again == want
+
+
+def test_delete_keys_purges_and_is_idempotent(spark, tmp_path):
+    """Right-to-erasure on the versioned table: a delete version drops
+    the keys, repoints _CURRENT, and re-running the same delete
+    version is a no-op."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    rows = [("a", dt.datetime(2024, 1, 1), 1.0),
+            ("b", dt.datetime(2024, 1, 2), 2.0),
+            ("c", dt.datetime(2024, 1, 3), 3.0)]
+    batch = spark.createDataFrame(rows, "key string, ts timestamp, val double")
+    upsert_sink.upsert_batch(
+        spark, table_dir, batch, 0, key_col="key", ts_col="ts"
+    )
+    keys = spark.createDataFrame([("b",)], "key string")
+    upsert_sink.delete_keys(spark, table_dir, keys, key_col="key", version=1)
+    got = {r.key for r in upsert_sink.read_table(spark, table_dir).collect()}
+    assert got == {"a", "c"}
+    upsert_sink.delete_keys(spark, table_dir, keys, key_col="key", version=1)
+    assert {
+        r.key for r in upsert_sink.read_table(spark, table_dir).collect()
+    } == {"a", "c"}

@@ -170,3 +170,63 @@ SELECT doc_id, digest, verdict,
            OVER (PARTITION BY digest) AS canonical
 FROM v
 """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff: per-document change verdict between two
+    corpus versions — 'added' (key only in new), 'removed' (key only
+    in old), 'changed' (key in both, content digest differs),
+    'unchanged'. The incremental-refresh primitive: a nightly crawl
+    re-processes ONLY added+changed documents instead of the full
+    corpus, and removed keys propagate as deletes
+    (streaming/upsert_sink.delete_keys).
+
+    Scale shape: one full-outer equi-join on the key — both sides
+    shuffle once on the natural key; comparison is digest equality
+    (md5 computed scan-side), so text never moves twice.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("od")
+    )
+    n = new.select(
+        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("nd")
+    )
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.col("k").alias(key_col),
+            F.when(F.col("od").isNull(), "added")
+            .when(F.col("nd").isNull(), "removed")
+            .when(F.col("od") != F.col("nd"), "changed")
+            .otherwise("unchanged")
+            .alias("change"),
+        )
+    )
+
+
+def snapshot_diff_report_sql(
+    old_sql: str, new_sql: str, key_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB oracle for the aggregated diff report over two
+    (SQL-defined) snapshot relations."""
+    return f"""
+WITH o AS (SELECT {key_col} AS k, md5({text_col}) AS od FROM ({old_sql})),
+n AS (SELECT {key_col} AS k, md5({text_col}) AS nd FROM ({new_sql})),
+d AS (
+  SELECT COALESCE(o.k, n.k) AS k,
+         CASE WHEN o.od IS NULL THEN 'added'
+              WHEN n.nd IS NULL THEN 'removed'
+              WHEN o.od <> n.nd THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM o FULL OUTER JOIN n ON o.k = n.k
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(k) AS BIGINT) AS min_id, CAST(MAX(k) AS BIGINT) AS max_id
+FROM d GROUP BY change
+"""

@@ -48,3 +48,41 @@ def metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling per-stream z-score outliers (Q3/Q5 alerting scan)."""
     return quality.rolling_zscore_anomalies(io.load(spark, sf_dir, "events"))
+
+
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff report between the documents table and a
+    deterministically perturbed 'next crawl': doc_id%11==0 removed,
+    doc_id%13==0 rewritten, a doc_id+1000000 twin added for
+    doc_id%17==0 (operators/ingest.snapshot_diff)."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import ingest
+
+    old = io.load(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = old.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = old.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    diff = ingest.snapshot_diff(old, kept.unionByName(added))
+    return diff.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+CORPUS_SNAPSHOT_DIFF_OLD_SQL = "SELECT doc_id, text FROM documents"
+CORPUS_SNAPSHOT_DIFF_NEW_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+FROM documents WHERE doc_id % 11 <> 0
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text
+FROM documents WHERE doc_id % 17 = 0
+"""

@@ -225,6 +225,7 @@ def _filters_members() -> list[Member]:
 
 def _quality_members() -> list[Member]:
     from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import ingest as ingest_ops
     from ts_data_pipeline_spark.operators import quality as qops
     from ts_data_pipeline_spark.operators import skew
     from ts_data_pipeline_spark.queries import olap, quality
@@ -281,6 +282,16 @@ def _quality_members() -> list[Member]:
             qops.rolling_zscore_anomalies_sql(),
             (("event_id", "l"), ("key", "l"), ("ts", "t"), ("value", "d"),
              ("n_hist", "l"), ("z", "d")),
+        ),
+        Member(
+            "corpus_snapshot_diff",
+            quality.corpus_snapshot_diff,
+            ingest_ops.snapshot_diff_report_sql(
+                quality.CORPUS_SNAPSHOT_DIFF_OLD_SQL,
+                quality.CORPUS_SNAPSHOT_DIFF_NEW_SQL,
+            ),
+            (("change", "s"), ("n_docs", "l"), ("min_id", "l"),
+             ("max_id", "l")),
         ),
     ]
 

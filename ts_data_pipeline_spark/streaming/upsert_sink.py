@@ -108,3 +108,30 @@ def upsert_writer(table_dir: str, *, key_col: str, ts_col: str):
         )
 
     return apply
+
+
+def delete_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    *,
+    key_col: str,
+    version: int,
+) -> None:
+    """Compliance delete (GDPR/right-to-erasure) as a first-class
+    version: write a new immutable version WITHOUT the given keys and
+    repoint ``_CURRENT``. History directories still hold the rows —
+    full erasure = version GC past the retention horizon, which is
+    the same operational story as any lakehouse's VACUUM. Idempotent
+    per (version): an existing version directory is never rewritten.
+    """
+    current = read_table(spark, table_dir)
+    if current is None:
+        raise ValueError(f"no current version in {table_dir}")
+    vdir = os.path.join(table_dir, f"v{version}")
+    if not os.path.exists(vdir):
+        purged = current.join(
+            F.broadcast(keys.select(key_col).distinct()), key_col, "left_anti"
+        )
+        purged.write.mode("errorifexists").parquet(vdir)
+    _point_current(table_dir, version)
