@@ -108,6 +108,54 @@ def _skew_stress(spark) -> dict:
         return {}
 
 
+def _extras(spark) -> dict:
+    """Round-5 operators, timed at SF_DIR (separate section — NOT in
+    the headline total, which stays comparable across rounds)."""
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        EMBEDDING_DIM,
+        LSH_PLANE_IDS,
+        bm25_topk,
+        heavy_hitters,
+    )
+    from ts_data_pipeline_spark.queries.quality import zscore_anomalies
+    from ts_data_pipeline_spark.queries.timeseries import rollup_multires
+
+    def ann_sq8(spark, sf_dir):
+        return similarity.sq8_topk(
+            _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, EMBEDDING_DIM, k=5
+        )
+
+    def ann_multiprobe(spark, sf_dir):
+        return similarity.lsh_multiprobe_topk(
+            _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
+        )
+
+    extra = {
+        "rollup_multires": rollup_multires,
+        "bm25_topk": bm25_topk,
+        "heavy_hitters": heavy_hitters,
+        "zscore_anomalies": zscore_anomalies,
+        "ann_sq8_topk": ann_sq8,
+        "ann_lsh_multiprobe": ann_multiprobe,
+    }
+    out = {}
+    for name, fn in extra.items():
+        try:
+            fn(spark, SF_DIR).count()  # warm
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                ts.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(ts), 3)
+        except Exception as exc:  # never kill the artifact
+            print(f"# extras {name} failed: {exc}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     spark = get_spark("ts-data-pipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -157,6 +205,7 @@ def main() -> None:
     # are oracle-pinned identical (tests/test_parity, flagship_salted);
     # this measures the physical plans only.
     skew = _skew_stress(spark)
+    extras = _extras(spark)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items() if s}
@@ -183,6 +232,7 @@ def main() -> None:
                 "runs": RUNS,
                 "spread": spread,
                 "skew": skew,
+                "extras": extras,
                 "errors": errors,
             }
         )

@@ -120,3 +120,27 @@ def test_source_quota_cap_is_deterministic_and_exact(spark):
         .collect()
     }
     assert a == b
+
+
+def test_dsir_scores_favor_target_domain(spark):
+    """DSIR: documents from the target source must on average score
+    far above non-target documents, and every doc gets a row (even
+    ones with < 2 tokens)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import sampling
+    from ts_data_pipeline_spark.queries.llmdata import DSIR_TARGET_PREDICATE
+
+    docs = io.load(spark, SF_DIR, "documents")
+    scored = sampling.dsir_scores(docs, DSIR_TARGET_PREDICATE)
+    assert scored.count() == docs.count()
+    j = scored.join(docs.select("doc_id", "source"), "doc_id")
+    means = {
+        r.grp: r.m
+        for r in j.groupBy(
+            (F.col("source") == "src0").alias("grp")
+        ).agg(F.avg("dsir_score").alias("m")).collect()
+    }
+    assert means[True] > means[False] + 5.0, means

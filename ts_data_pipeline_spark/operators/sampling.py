@@ -407,3 +407,134 @@ FROM (
   FROM {table}
 )
 """
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_predicate: str,
+    *,
+    n_buckets: int = 1024,
+    smoothing: float = 0.5,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by how
+    target-like it is under hashed-bigram bag models.
+
+    Two add-k-smoothed bucket distributions are fit — p_target over
+    rows matching ``target_predicate`` and p_raw over all rows — and
+    each document scores sum_f ln(p_target(b_f) / p_raw(b_f)) over
+    its hashed-bigram features b_f. The paper resamples with Gumbel
+    noise; the deterministic rank form (score desc, id asc) is the
+    oracle-checkable selection used here.
+
+    Scale shape: feature hashing is scan-side; both bucket models are
+    ``n_buckets``-row aggregates over ONE shared exploded-feature
+    pass; the per-doc score is explode -> broadcast join (the
+    n_buckets-row ratio table) -> groupBy(doc) sum — one corpus
+    shuffle keyed by the doc id with map-side combine. Output:
+    (key, n_feats, dsir_score).
+    """
+    from ts_data_pipeline_spark.functions.portable_hash import U32_MD5_SPARK
+
+    hashed = U32_MD5_SPARK.format(
+        x=f"concat('{salt}-', concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
+    )
+    toks = f"filter(split(lower({text_col}), ' '), t -> t != '')"
+    feats = (
+        docs.withColumn("_t", F.expr(toks))
+        .select(
+            F.col(key_col),
+            F.expr(target_predicate).cast("boolean").alias("_is_target"),
+            # NB: guard the empty case explicitly — Spark's
+            # sequence(1, 0) yields DESCENDING [1, 0], and
+            # element_at(_, 0) throws (verify-skill gotcha).
+            F.expr(
+                "case when size(_t) < 2 then array() else transform("
+                " sequence(1, size(_t) - 1),"
+                f" i -> {hashed} % {n_buckets}"
+                ") end"
+            ).alias("_buckets"),
+        )
+        .withColumn("bucket", F.explode_outer("_buckets"))
+        .drop("_buckets")
+    )
+
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.when(F.col("_is_target"), 1)).alias("ct"),
+        F.count(F.col(key_col)).alias("cr"),
+    ).filter(F.col("bucket").isNotNull())
+    totals = counts.agg(
+        F.sum("ct").alias("t_total"), F.sum("cr").alias("r_total")
+    )
+    a, B = float(smoothing), int(n_buckets)
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + a) / (F.col("t_total") + a * B))
+            - F.log((F.col("cr") + a) / (F.col("r_total") + a * B))
+        ).alias("lam"),
+    )
+    return (
+        feats.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.col("lam")).alias("n_feats"),
+            F.round(F.coalesce(F.sum("lam"), F.lit(0.0)), 4).alias("dsir_score"),
+        )
+    )
+
+
+def dsir_scores_sql(
+    target_predicate: str,
+    *,
+    n_buckets: int = 1024,
+    smoothing: float = 0.5,
+    table: str = "documents",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "dsir-v1",
+) -> str:
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+    u = _u32_sql(f"'{salt}-' || gram")
+    a, B = float(smoothing), int(n_buckets)
+    return f"""
+WITH docs_t AS (SELECT {key_col}, ({target_predicate}) AS _is_target,
+                       {toks} AS t FROM {table}),
+feats AS MATERIALIZED (
+  SELECT {key_col}, _is_target,
+         ({u}) % {n_buckets} AS bucket
+  FROM (
+    SELECT {key_col}, _is_target,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                  i -> t[i] || ' ' || t[i + 1])) AS gram
+    FROM docs_t
+  )
+),
+counts AS (
+  SELECT bucket,
+         COUNT(CASE WHEN _is_target THEN 1 END) AS ct,
+         COUNT(*) AS cr
+  FROM feats GROUP BY bucket
+),
+totals AS (SELECT SUM(ct) AS t_total, SUM(cr) AS r_total FROM counts),
+ratios AS (
+  SELECT bucket,
+         ln((ct + {a}) / (t_total + {a} * {B}))
+         - ln((cr + {a}) / (r_total + {a} * {B})) AS lam
+  FROM counts CROSS JOIN totals
+),
+scored AS (
+  SELECT f.{key_col}, COUNT(r.lam) AS n_feats,
+         ROUND(COALESCE(SUM(r.lam), 0.0), 4) AS dsir_score
+  FROM feats f LEFT JOIN ratios r USING (bucket)
+  GROUP BY f.{key_col}
+),
+alldocs AS (SELECT {key_col} FROM {table})
+SELECT d.{key_col},
+       COALESCE(s.n_feats, 0) AS n_feats,
+       COALESCE(s.dsir_score, 0.0) AS dsir_score
+FROM alldocs d LEFT JOIN scored s USING ({key_col})
+"""

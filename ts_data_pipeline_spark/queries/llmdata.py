@@ -155,6 +155,19 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target-domain predicate for the registered DSIR gate: treat one
+#: source as the "wiki-like" target distribution.
+DSIR_TARGET_PREDICATE = "source = 'src0'"
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores vs the src0 target domain
+    (operators/sampling.py — hashed-bigram likelihood ratios)."""
+    return sampling.dsir_scores(
+        io.load(spark, sf_dir, "documents"), DSIR_TARGET_PREDICATE
+    )
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

@@ -467,6 +467,12 @@ def _text_stats_members() -> list[Member]:
             sketch_ops.exact_heavy_hitters_sql(k=25),
             (("term", "s"), ("freq", "l"), ("rank", "l")),
         ),
+        Member(
+            "dsir_scores",
+            llmdata.dsir_scores,
+            sampling.dsir_scores_sql(llmdata.DSIR_TARGET_PREDICATE),
+            (("doc_id", "l"), ("n_feats", "l"), ("dsir_score", "d")),
+        ),
     ]
 
 
