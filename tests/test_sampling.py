@@ -144,3 +144,31 @@ def test_dsir_scores_favor_target_domain(spark):
         ).agg(F.avg("dsir_score").alias("m")).collect()
     }
     assert means[True] > means[False] + 5.0, means
+
+
+def test_dsir_select_gumbel_topk_properties(spark):
+    """Gumbel-top-k: exactly n_keep survivors, deterministic across
+    runs, biased toward high scores but not a pure argmax (the
+    perturbation must flip some pairs vs plain score order)."""
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import sampling
+    from ts_data_pipeline_spark.queries.llmdata import DSIR_TARGET_PREDICATE
+
+    docs = io.load(spark, SF_DIR, "documents")
+    scored = sampling.dsir_scores(docs, DSIR_TARGET_PREDICATE)
+    sel = sampling.dsir_select(scored, n_keep=100)
+    rows = sel.collect()
+    assert len(rows) == 100
+    assert sorted(r.sel_rank for r in rows) == list(range(1, 101))
+    again = {r.doc_id for r in sampling.dsir_select(scored, n_keep=100).collect()}
+    assert {r.doc_id for r in rows} == again  # derandomized
+    # soft selection: mean score of the selected set is far above the
+    # corpus mean, yet the set differs from the plain top-100
+    pure = {
+        r.doc_id
+        for r in scored.orderBy(
+            scored.dsir_score.desc(), scored.doc_id.asc()
+        ).limit(100).collect()
+    }
+    assert 0 < len({r.doc_id for r in rows} - pure) < 100

@@ -538,3 +538,70 @@ SELECT d.{key_col},
        COALESCE(s.dsir_score, 0.0) AS dsir_score
 FROM alldocs d LEFT JOIN scored s USING ({key_col})
 """
+
+
+def dsir_select(
+    scored: DataFrame,
+    n_keep: int,
+    *,
+    score_col: str = "dsir_score",
+    key_col: str = "doc_id",
+    temperature: float = 1.0,
+    salt: str = "dsir-gumbel-v1",
+) -> DataFrame:
+    """DSIR's Gumbel-top-k sampler, derandomized: keep the ``n_keep``
+    documents with the largest ``score/temperature + G`` where
+    G = -ln(-ln(u)) and u is the md5-keyed uniform draw — the exact
+    Gumbel-max trick (top-k under perturbed scores == sampling
+    without replacement proportional to softmax(score/T)), with the
+    RNG replaced by the repo's deterministic keyed hash so the
+    selection is reproducible and oracle-checkable.
+
+    Scale shape: the perturbation is a scan-side expression; the
+    global top-k is orderBy+limit (TakeOrderedAndProject), not a
+    single-partition window.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))  # (0,1) open interval: never ln(0)
+    g = -F.log(-F.log(u))
+    pert = scored.select(
+        F.col(key_col),
+        F.col(score_col),
+        F.round(F.col(score_col) / temperature + g, 4).alias("perturbed"),
+    )
+    top = pert.orderBy(
+        F.col("perturbed").desc(), F.col(key_col).asc()
+    ).limit(n_keep)
+    w = Window.orderBy(F.col("perturbed").desc(), F.col(key_col).asc())
+    return top.withColumn("sel_rank", F.row_number().over(w))
+
+
+def dsir_select_sql(
+    scored_sql: str,
+    n_keep: int,
+    *,
+    score_col: str = "dsir_score",
+    key_col: str = "doc_id",
+    temperature: float = 1.0,
+    salt: str = "dsir-gumbel-v1",
+) -> str:
+    u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH scored AS ({scored_sql}),
+pert AS (
+  SELECT {key_col}, {score_col},
+         ROUND({score_col} / {float(temperature)!r}
+               + (-ln(-ln((({u}) + 0.5) / 4294967296.0))), 4) AS perturbed
+  FROM scored
+),
+top AS (
+  SELECT * FROM pert ORDER BY perturbed DESC, {key_col} ASC LIMIT {n_keep}
+)
+SELECT {key_col}, {score_col}, perturbed,
+       row_number() OVER (ORDER BY perturbed DESC, {key_col} ASC) AS sel_rank
+FROM top
+"""

@@ -168,6 +168,12 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized Gumbel-top-k selection over the DSIR scores
+    (softmax sampling without replacement, md5-keyed Gumbel)."""
+    return sampling.dsir_select(dsir_scores(spark, sf_dir), n_keep=100)
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

@@ -473,6 +473,16 @@ def _text_stats_members() -> list[Member]:
             sampling.dsir_scores_sql(llmdata.DSIR_TARGET_PREDICATE),
             (("doc_id", "l"), ("n_feats", "l"), ("dsir_score", "d")),
         ),
+        Member(
+            "dsir_select",
+            llmdata.dsir_select,
+            sampling.dsir_select_sql(
+                sampling.dsir_scores_sql(llmdata.DSIR_TARGET_PREDICATE),
+                n_keep=100,
+            ),
+            (("doc_id", "l"), ("dsir_score", "d"), ("perturbed", "d"),
+             ("sel_rank", "l")),
+        ),
     ]
 
 
