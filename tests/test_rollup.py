@@ -111,3 +111,52 @@ def test_streaming_partials_reaggregate_to_batch_coarse(spark, tmp_path):
         rtol=0,
         atol=1e-9,
     )
+
+
+def test_ewma_hand_computed_and_bounded(spark):
+    """Three points, lam=0.5, lookback=2: weights fold oldest-first
+    exactly; the window caps history at lookback+1 values."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, 1, base + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate([10.0, 20.0, 40.0, 80.0])]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in tsstats.ewma(df, lam=0.5, lookback=2).collect()
+    }
+    # t0: [10] -> 10; t1: (0.5*10+20)/1.5; t2: (0.25*10+0.5*20+40)/1.75
+    # t3 (window caps at 3 values): (0.25*20+0.5*40+80)/1.75
+    assert got[0] == 10.0
+    assert got[1] == round(25 / 1.5, 4)
+    assert got[2] == round(52.5 / 1.75, 4)
+    assert got[3] == round(105 / 1.75, 4)
+
+
+def test_autocorrelation_perfect_on_linear_series(spark):
+    """A strictly increasing linear series has ACF ~ 1 at every lag;
+    an alternating series has ACF -1 at lag 1 and +1 at lag 2."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        rows.append((i, "lin", base + dt.timedelta(minutes=i), float(i)))
+        rows.append((100 + i, "alt", base + dt.timedelta(minutes=i),
+                     1.0 if i % 2 == 0 else -1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r.key, r.lag): r.acf
+        for r in tsstats.autocorrelation(df, lags=[1, 2]).collect()
+    }
+    assert got[("lin", 1)] == 1.0 and got[("lin", 2)] == 1.0
+    assert got[("alt", 1)] == -1.0 and got[("alt", 2)] == 1.0

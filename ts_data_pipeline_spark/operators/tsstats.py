@@ -1,0 +1,166 @@
+"""Time-series statistical features: EWMA smoothing and
+autocorrelation — the trend/seasonality primitives of a TS analytics
+engine, as pure expression trees.
+
+- ``ewma``: exponentially-weighted moving average over a BOUNDED
+  trailing window per key. True infinite-history EWMA is a recursion
+  (not expressible as a window aggregate without UDAF state); the
+  bounded form collects the trailing frame into an array and folds
+  deterministic weights over it — weights below lambda^L are dropped,
+  which for practical lambda (0.7-0.95) and L >= 20 is a sub-1e-3
+  truncation. Frame state per row is L values, so task memory is
+  bounded; the shuffle is the usual per-key window sort.
+- ``autocorrelation``: Pearson correlation of the series with its
+  own k-lagged self, per key and lag — the ACF values a seasonality
+  detector reads. One per-key lag window + one corr aggregate per
+  requested lag; group cardinality = keys x lags (tiny).
+
+Both are ROUND(_, 4) on both engines — exact aggregates over
+identical frames, fold-order differences absorbed by the rounding
+convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lam: float = 0.8,
+    lookback: int = 20,
+) -> DataFrame:
+    """Per-key trailing EWMA: weight lambda^age, age 0 = current row.
+
+    ewma_t = sum_i lam^i * v_{t-i} / sum_i lam^i over the trailing
+    ``lookback + 1`` frame (current row included).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(-lookback, 0)
+    )
+    vals = F.collect_list(value_col).over(w)  # frame order: oldest first
+    n = F.size(vals)
+    # weight for 1-based position i (oldest first): lam^(n - i)
+    num = F.aggregate(
+        F.zip_with(
+            vals,
+            F.sequence(F.lit(1), n),
+            lambda v, i: v * F.pow(F.lit(lam), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pow(F.lit(lam), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(value_col),
+        F.round(num / den, 4).alias("ewma"),
+    )
+
+
+def ewma_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lam: float = 0.8,
+    lookback: int = 20,
+    where: str = "TRUE",
+) -> str:
+    return f"""
+WITH framed AS (
+  SELECT {id_col}, {key_col} AS key, {ts_col}, {value_col},
+         list({value_col}) OVER (
+           PARTITION BY {key_col}
+           ORDER BY {ts_col} ASC, {id_col} ASC
+           ROWS BETWEEN {lookback} PRECEDING AND CURRENT ROW) AS vals
+  FROM {table} WHERE {where}
+)
+SELECT {id_col}, key, {ts_col}, {value_col},
+       ROUND(
+         list_sum(list_transform(range(1, len(vals) + 1),
+                  i -> vals[i] * pow({lam}, len(vals) - i)))
+         / list_sum(list_transform(range(1, len(vals) + 1),
+                    i -> pow({lam}, len(vals) - i))), 4) AS ewma
+FROM framed
+"""
+
+
+def autocorrelation(
+    df: DataFrame,
+    lags: list[int],
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ACF per key: corr(v_t, v_{t-k}) for each requested lag."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    lagged = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).alias("v"),
+        *[
+            F.lag(value_col, k).over(w).alias(f"v_lag{k}")
+            for k in lags
+        ],
+    )
+    out = None
+    for k in lags:
+        acf = lagged.groupBy("key").agg(
+            F.lit(k).alias("lag"),
+            F.round(F.corr("v", f"v_lag{k}"), 4).alias("acf"),
+            F.count(F.col(f"v_lag{k}")).alias("n_pairs"),
+        )
+        out = acf if out is None else out.unionByName(acf)
+    return out
+
+
+def autocorrelation_sql(
+    lags: list[int],
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    parts = []
+    for k in lags:
+        parts.append(f"""
+SELECT key, {k} AS lag, ROUND(corr(v, v_lag), 4) AS acf,
+       CAST(COUNT(v_lag) AS BIGINT) AS n_pairs
+FROM (
+  SELECT {key_col} AS key, {value_col} AS v,
+         lag({value_col}, {k}) OVER (
+           PARTITION BY {key_col}
+           ORDER BY {ts_col} ASC, {id_col} ASC) AS v_lag
+  FROM {table}
+)
+GROUP BY key""")
+    return "\nUNION ALL\n".join(parts)

@@ -486,6 +486,18 @@ def _text_stats_members() -> list[Member]:
     ]
 
 
+def rollup_ops_tsstats_ewma_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.ewma_sql(where="user_id % 10 = 0")
+
+
+def rollup_ops_tsstats_acf_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.autocorrelation_sql([1, 5, 10])
+
+
 def _olap_pivot_members() -> list[Member]:
     from ts_data_pipeline_spark.operators import rollup as rollup_ops
     from ts_data_pipeline_spark.queries import bars, olap, timeseries
@@ -518,6 +530,19 @@ def _olap_pivot_members() -> list[Member]:
             olap.unpivot_event_values,
             olap.UNPIVOT_EVENT_VALUES_SQL,
             (("user_id", "l"), ("parameter_id", "s"), ("num_value", "d")),
+        ),
+        Member(
+            "ewma_smoothed",
+            timeseries.ewma_smoothed,
+            rollup_ops_tsstats_ewma_sql(),
+            (("event_id", "l"), ("key", "l"), ("ts", "t"), ("value", "d"),
+             ("ewma", "d")),
+        ),
+        Member(
+            "acf_by_event_type",
+            timeseries.acf_by_event_type,
+            rollup_ops_tsstats_acf_sql(),
+            (("key", "s"), ("lag", "l"), ("acf", "d"), ("n_pairs", "l")),
         ),
         Member(
             "rollup_multires",

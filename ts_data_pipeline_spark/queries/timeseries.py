@@ -229,6 +229,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream trailing EWMA (operators/tsstats.py), gated on a
+    deterministic stream sample to keep the suite row bounded."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    ev = io.load(spark, sf_dir, "events").filter("user_id % 10 = 0")
+    return tsstats.ewma(ev)
+
+
+def acf_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF at lags 1/5/10 per event_type (operators/tsstats.py)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.autocorrelation(
+        io.load(spark, sf_dir, "events"), lags=[1, 5, 10]
+    )
+
+
 def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate lattice: 1m partials from raw, 10m from
     1m, 60m from 10m. The oracle aggregates every grain directly from
