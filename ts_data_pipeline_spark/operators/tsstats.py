@@ -164,3 +164,64 @@ FROM (
 )
 GROUP BY key""")
     return "\nUNION ALL\n".join(parts)
+
+
+def value_histogram(
+    df: DataFrame,
+    n_bins: int = 20,
+    *,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width value histogram per key over the GLOBAL [min, max]
+    range (shared bins across keys so distributions are comparable).
+
+    Scale shape: the range is one 2-column aggregate row broadcast
+    back onto the scan; bin assignment is a scan-side expression; the
+    count is a (key, bin)-keyed partial/final agg — shuffle bounded
+    by keys x bins. The max value lands in the last bin (right edge
+    closed there, half-open everywhere else).
+    """
+    rng = df.agg(
+        F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / n_bins
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        F.col(key_col).alias("key"),
+        F.least(
+            F.floor((F.col(value_col) - F.col("vmin")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.col("vmin"),
+        width.alias("w"),
+    )
+    return binned.groupBy("key", "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first(F.col("vmin") + F.col("bin") * F.col("w")), 4).alias(
+            "bin_lo"
+        ),
+    )
+
+
+def value_histogram_sql(
+    n_bins: int = 20,
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    return f"""
+WITH rng AS (
+  SELECT MIN({value_col}) AS vmin, MAX({value_col}) AS vmax FROM {table}
+),
+binned AS (
+  SELECT {key_col} AS key,
+         LEAST(CAST(FLOOR(({value_col} - vmin)
+               / ((vmax - vmin) / {n_bins})) AS INT), {n_bins - 1}) AS bin,
+         vmin, (vmax - vmin) / {n_bins} AS w
+  FROM {table} CROSS JOIN rng
+)
+SELECT key, bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(vmin + bin * w), 4) AS bin_lo
+FROM binned GROUP BY key, bin
+"""

@@ -173,6 +173,13 @@ def _agg_column(spec: NumericAggregation, value: Column, ts: Column) -> tuple[st
         col = F.approx_count_distinct(value)
     elif agg == "Median":
         col = F.round(F.median(value), 4)
+    elif agg in ("P90", "P99"):
+        # exact interpolating percentile (same semantics as DuckDB's
+        # quantile_cont); at 100 TB group widths switch to
+        # approx_percentile — the one-pass mergeable sketch — the same
+        # exact/approx split as CountDistinct above.
+        q = 0.90 if agg == "P90" else 0.99
+        col = F.round(F.percentile(value, F.lit(q)), 4)
     elif agg == "Spread":
         col = F.round(F.max(value) - F.min(value), 4)
     else:

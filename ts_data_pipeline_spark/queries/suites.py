@@ -486,6 +486,12 @@ def _text_stats_members() -> list[Member]:
     ]
 
 
+def _tsstats_histogram_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.value_histogram_sql()
+
+
 def rollup_ops_tsstats_ewma_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -543,6 +549,12 @@ def _olap_pivot_members() -> list[Member]:
             timeseries.acf_by_event_type,
             rollup_ops_tsstats_acf_sql(),
             (("key", "s"), ("lag", "l"), ("acf", "d"), ("n_pairs", "l")),
+        ),
+        Member(
+            "value_histogram_by_type",
+            timeseries.value_histogram_by_type,
+            _tsstats_histogram_sql(),
+            (("key", "s"), ("bin", "l"), ("n", "l"), ("bin_lo", "d")),
         ),
         Member(
             "rollup_multires",

@@ -146,6 +146,8 @@ def telemetry_first_last_median_spread(spark: SparkSession, sf_dir: str) -> Data
             NumericAggregation("click", "Median"),
             NumericAggregation("click", "Spread"),
             NumericAggregation("click", "CountDistinct"),
+            NumericAggregation("click", "P90"),
+            NumericAggregation("click", "P99"),
         ],
         from_ts="2024-01-01 00:00:00",
         to_ts="2024-01-31 00:00:00",
@@ -165,7 +167,9 @@ SELECT
   ROUND(median(CASE WHEN parameter_id = 'click' THEN num_value END), 4) AS click_median,
   ROUND(MAX(CASE WHEN parameter_id = 'click' THEN num_value END)
         - MIN(CASE WHEN parameter_id = 'click' THEN num_value END), 4) AS click_spread,
-  COUNT(DISTINCT CASE WHEN parameter_id = 'click' THEN num_value END) AS click_countdistinct
+  COUNT(DISTINCT CASE WHEN parameter_id = 'click' THEN num_value END) AS click_countdistinct,
+  ROUND(quantile_cont(CASE WHEN parameter_id = 'click' THEN num_value END, 0.90), 4) AS click_p90,
+  ROUND(quantile_cont(CASE WHEN parameter_id = 'click' THEN num_value END, 0.99), 4) AS click_p99
 FROM pv
 WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
 GROUP BY 1

@@ -247,6 +247,14 @@ def acf_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event_type (operators/
+    tsstats.py — shared global bins, broadcast range)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.value_histogram(io.load(spark, sf_dir, "events"))
+
+
 def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate lattice: 1m partials from raw, 10m from
     1m, 60m from 10m. The oracle aggregates every grain directly from
