@@ -256,3 +256,40 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     plan = _plan(decontaminate(docs))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_plan_broadcasts_ratio_table(spark):
+    """DSIR's n_buckets-row ratio table must ride a broadcast join
+    back onto the exploded features — never a shuffled join of the
+    corpus against the model, and never a cartesian product."""
+    from ts_data_pipeline_spark.operators import sampling
+    from ts_data_pipeline_spark.queries.llmdata import DSIR_TARGET_PREDICATE
+
+    docs = io.load(spark, SF_DIR, "documents")
+    plan = _plan(sampling.dsir_scores(docs, DSIR_TARGET_PREDICATE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_plan_is_partial_agg_plus_topk(spark):
+    """Exact heavy hitters: term counts split partial/final (map-side
+    combine over the explode) and the global top-k plans as
+    TakeOrderedAndProject, never a full Sort of the term table."""
+    from ts_data_pipeline_spark.operators import sketch
+
+    docs = io.load(spark, SF_DIR, "documents")
+    plan = _plan(sketch.exact_heavy_hitters(docs, k=25))
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_histogram_plan_broadcasts_range_row(spark):
+    """value_histogram's global range is one broadcast row; the count
+    is a partial/final hash agg keyed (key, bin)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    ev = io.load(spark, SF_DIR, "events")
+    plan = _plan(tsstats.value_histogram(ev))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
