@@ -172,3 +172,45 @@ def test_dsir_select_gumbel_topk_properties(spark):
         ).limit(100).collect()
     }
     assert 0 < len({r.doc_id for r in rows} - pure) < 100
+
+
+def test_portable_hash_cross_engine_equivalence(spark, oracle):
+    """The md5-u32 construction underlying every deterministic draw
+    (splits, mixes, MinHash, DSIR, Gumbel) must produce bit-identical
+    values in Spark and DuckDB over adversarial strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ts_data_pipeline_spark.functions.portable_hash import (
+        u32_md5_spark,
+        u32_md5_sql,
+    )
+
+    # one batched check through BOTH engines (per-example Spark jobs
+    # would be minutes); hypothesis drives the string corpus
+    corpus: list[str] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="'\"\\\x00"
+            ),
+            max_size=40,
+        )
+    )
+    def collect(s):
+        corpus.append(s)
+
+    collect()
+    corpus.extend(["", "a", " ", "--", "doc-123", "x" * 200])
+    df = spark.createDataFrame([(s,) for s in corpus], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", u32_md5_spark("s").alias("h")).collect()
+    }
+    for s in corpus:
+        want = oracle.execute(
+            "SELECT " + u32_md5_sql("s") + " FROM (SELECT ? AS s)", [s]
+        ).fetchone()[0]
+        assert got[s] == want, (s, got[s], want)
