@@ -133,6 +133,14 @@ def _extras(spark) -> dict:
             _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
         )
 
+    def ann_brute_pandas(spark, sf_dir):
+        # the Arrow-batched escape hatch, value-identical to the
+        # expression path (test_llmdata) — timed here so the
+        # "expressions vs vectorized UDF" guidance is a number
+        return similarity.brute_force_topk_pandas(
+            _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10
+        )
+
     extra = {
         "rollup_multires": rollup_multires,
         "bm25_topk": bm25_topk,
@@ -140,6 +148,7 @@ def _extras(spark) -> dict:
         "zscore_anomalies": zscore_anomalies,
         "ann_sq8_topk": ann_sq8,
         "ann_lsh_multiprobe": ann_multiprobe,
+        "ann_brute_pandas_udf": ann_brute_pandas,
     }
     out = {}
     for name, fn in extra.items():

@@ -951,3 +951,23 @@ def test_snapshot_diff_verdicts(spark):
     )
     got = {r.doc_id: r.change for r in ingest.snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
+
+
+def test_pandas_udf_ann_matches_expression_path(spark):
+    """The Arrow-batched numpy escape hatch must reproduce the
+    expression-path brute-force top-k value-for-value."""
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import ANN_QUERY_IDS
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    expr_rows = {
+        (r.query_id, r.rank): (r.cand_id, r.cos_sim)
+        for r in similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=10).collect()
+    }
+    udf_rows = {
+        (r.query_id, r.rank): (r.cand_id, r.cos_sim)
+        for r in similarity.brute_force_topk_pandas(
+            emb, ANN_QUERY_IDS, k=10
+        ).collect()
+    }
+    assert expr_rows == udf_rows

@@ -17,6 +17,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1123,3 +1124,76 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
   )
 ) WHERE rank <= {k}
 """
+
+
+def brute_force_topk_pandas(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-batched pandas UDF (numpy
+    matmul per batch) — the vectorized ESCAPE-HATCH twin of
+    :func:`brute_force_topk`.
+
+    Exists to measure, not to replace: the expression path keeps the
+    whole scan in JVM codegen; this path pays Arrow serialization
+    both ways but scores each batch as ONE numpy (batch x dim) @
+    (dim x queries) matmul. bench.py's extras time both at sf0.1 so
+    the "UDFs are the slow path / Arrow batching is the acceptable
+    escape hatch" guidance is a measured number. Result values are
+    pinned identical to the expression path (tests/test_llmdata.py);
+    per-query top-k still runs JVM-side.
+
+    Queries ride into the workers as a broadcast numpy matrix via
+    closure capture — no shuffle of the corpus, same as the
+    expression path.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )  # |queries| rows — driver-side by design, like any broadcast dim
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["v"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    @pandas_udf("array<double>")
+    def cos_scores(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Qn.T  # (batch, queries)
+        return pd.Series(list(np.round(S, 6)))
+
+    scored = (
+        embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            cos_scores(F.col(vec_col).cast("array<double>")).alias("scores"),
+        )
+        .select(
+            "cand_id",
+            F.posexplode("scores").alias("qidx", "cos_sim"),
+        )
+        .join(
+            F.broadcast(
+                embeddings.sparkSession.createDataFrame(
+                    [(int(i), int(q)) for i, q in enumerate(q_ids)],
+                    "qidx int, query_id long",
+                )
+            ),
+            "qidx",
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
