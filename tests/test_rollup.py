@@ -160,3 +160,58 @@ def test_autocorrelation_perfect_on_linear_series(spark):
     }
     assert got[("lin", 1)] == 1.0 and got[("lin", 2)] == 1.0
     assert got[("alt", 1)] == -1.0 and got[("alt", 2)] == 1.0
+
+
+def test_streaming_rollup_into_versioned_table(spark, tmp_path):
+    """Composition: the streaming finest-grain partials maintained in
+    the versioned upsert table (continuous aggregate with a durable,
+    atomically-versioned store). Emitted finals are append-once per
+    (window, key), so the upsert is a pure keyed insert; the final
+    table must equal the batch partials restricted to closed windows."""
+    from pyspark.sql import Window
+
+    from ts_data_pipeline_spark.streaming import upsert_sink, windowed
+
+    events = io.load(spark, SF_DIR, "events").select(
+        "ts", "event_type", "value"
+    )
+    data_dir = str(tmp_path / "data")
+    chunks = events.withColumn("chunk", F.ntile(3).over(Window.orderBy("ts")))
+    for i in (1, 2, 3):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, events.schema, max_files=1)
+    agg = windowed.streaming_rollup_partials(stream, minutes=1).withColumn(
+        "upsert_key",
+        F.concat_ws("|", F.col("window_start").cast("string"), "key"),
+    )
+    table_dir = str(tmp_path / "table")
+    q = (
+        agg.writeStream.foreachBatch(
+            upsert_sink.upsert_writer(
+                table_dir, key_col="upsert_key", ts_col="window_start"
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    table = upsert_sink.read_table(spark, table_dir)
+    got = {
+        (r.window_start, r.key): (r.n, round(r.v_sum, 6))
+        for r in table.collect()
+    }
+    assert got
+    batch = {
+        (r.window_start, r.key): (r.n, round(r.v_sum, 6))
+        for r in rollup.windowed_partials(events, 1).collect()
+    }
+    # every stored row matches the batch value exactly; only trailing
+    # (unclosed) windows may be absent
+    for k, v in got.items():
+        assert batch[k] == v, (k, v, batch[k])
+    assert len(got) >= len(batch) * 0.9
