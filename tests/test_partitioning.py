@@ -136,3 +136,22 @@ def test_compact_corpus_heals_fragmentation(spark, tmp_path):
     a = sorted(spark.read.parquet(frag).collect(), key=lambda r: r.doc_id)
     b = sorted(spark.read.parquet(healed).collect(), key=lambda r: r.doc_id)
     assert a == b
+
+
+def test_shard_manifest_covers_corpus(spark, tmp_path):
+    """The per-shard manifest's rows/tokens must total the corpus,
+    and shard offset spans must be disjoint-orderable."""
+    from ts_data_pipeline_spark.operators import corpus_io, sampling
+
+    docs = io.load(spark, SF_DIR, "documents")
+    packed = sampling.sequence_pack(docs).select(
+        "doc_id", "tokens", "tok_offset",
+        (F.col("doc_id") % 4).alias("shard_part"),
+    )
+    out = str(tmp_path / "shards")
+    corpus_io.write_corpus(packed, out, partition_by=("shard_part",))
+    man = corpus_io.shard_manifest(spark, out).collect()
+    assert len(man) >= 4
+    assert sum(r.n_rows for r in man) == packed.count()
+    total_tokens = packed.agg(F.sum("tokens")).collect()[0][0]
+    assert sum(r.n_tokens for r in man) == total_tokens

@@ -101,3 +101,32 @@ def compact_corpus(
         F.col("n_rows").alias("rows_after"),
     )
     return b.join(a, list(partition_by))
+
+
+def shard_manifest(
+    spark: SparkSession,
+    path: str,
+    *,
+    token_col: str = "tokens",
+    order_col: str = "tok_offset",
+) -> DataFrame:
+    """Per-SHARD (file) manifest for training dataloaders: rows,
+    token sum, and the token-offset span each file covers.
+
+    A pretraining loader plans work from exactly this contract —
+    which shard holds which token range, how many samples each
+    worker gets — without opening data files. One scan; file
+    attribution via ``input_file_name()`` stays executor-side, the
+    manifest is files-count-sized.
+    """
+    df = spark.read.parquet(path)
+    return (
+        df.groupBy(F.input_file_name().alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(token_col).alias("n_tokens"),
+            F.min(order_col).alias("offset_lo"),
+            F.max(order_col).alias("offset_hi"),
+        )
+        .orderBy("offset_lo")
+    )
