@@ -69,6 +69,13 @@ def brute_force_topk(
                 dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
             ).alias("cos_sim"),
         )
+        # Materialization boundary before the rank window: dot() is a
+        # higher-order function (never codegen'd) and Spark's sort
+        # evaluates un-materialized ordering expressions lazily per
+        # COMPARISON — the exchange materializes each narrow score
+        # row once AND pre-satisfies the window's partitioning
+        # (measured 2x at sf0.1; same fix across the ANN family).
+        .repartition("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
@@ -337,6 +344,8 @@ def lsh_bucketed_topk(
             F.col(id_col).alias("cand_id"),
             F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
         )
+        # lazy-sort materialization boundary (see brute_force_topk)
+        .repartition("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
@@ -374,23 +383,41 @@ def ivf_topk(
         F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("n").alias("cn")
     )
     # Cell assignment: argmax cosine vs every centroid (broadcast).
-    paired = emb.crossJoin(F.broadcast(cents)).select(
-        id_col, "v", "n", "cid",
-        (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias("cc"),
+    # The ranking runs over a NARROW (id, cid, cc) relation — the
+    # vector column never rides the x|centroids| fan-out or the
+    # assignment shuffle — and the explicit repartition materializes
+    # the interpreted dot() scores once before the sort (the
+    # lazy-sort hazard documented at brute_force_topk).
+    paired = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "cid",
+            (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias(
+                "cc"
+            ),
+        )
+        .repartition(id_col)
     )
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("cc").desc(), F.col("cid").asc()
     )
     ranked = paired.withColumn("crk", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("crk") == 1).select(id_col, "v", "n", F.col("cid").alias("cell"))
-    # Queries probe their nprobe nearest cells.
+    assign = emb.join(
+        ranked.filter(F.col("crk") == 1).select(id_col, F.col("cid").alias("cell")),
+        id_col,
+    )
+    # Queries probe their nprobe nearest cells (tiny; vectors joined back).
     qprobe = (
         ranked.filter(F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("n").alias("qn"),
-            F.col("cid").alias("qcell"),
+        .select(F.col(id_col).alias("query_id"), F.col("cid").alias("qcell"))
+        .join(
+            emb.filter(F.col(id_col).isin(query_ids)).select(
+                F.col(id_col).alias("query_id"),
+                F.col("v").alias("qv"),
+                F.col("n").alias("qn"),
+            ),
+            "query_id",
         )
     )
     scored = (
@@ -404,6 +431,7 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
         # No dedup needed: cell assignment (crk=1) is unique per vector.
+        .repartition("query_id")  # lazy-sort boundary
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
@@ -459,14 +487,27 @@ def kmeans_assign(
         w = Window.partitionBy(id_col).orderBy(
             F.col("cos_sim").desc(), F.col("cell").asc()
         )
-        return (
+        # Narrow (id, cell, cos_sim) ranking + join the winner back to
+        # the cached unit vectors: v never rides the x|centroids|
+        # fan-out, and the repartition materializes the interpreted
+        # dot() scores before the sort (lazy-sort hazard, see
+        # brute_force_topk).
+        slim = (
             norm.crossJoin(F.broadcast(c))
             .select(
-                id_col, "v", "cell",
+                id_col,
+                "cell",
                 F.round(dot(F.col("v"), F.col("cv")), 6).alias("cos_sim"),
             )
-            .withColumn("rk", F.row_number().over(w))
+            .repartition(id_col)
+        )
+        winners = (
+            slim.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        return norm.join(winners, id_col).select(
+            id_col, "v", "cell", "cos_sim", F.lit(1).alias("rk")
         )
 
     for _ in range(n_iter):
@@ -836,49 +877,73 @@ def sq8_topk(
     are ROUND(..., 6) with ascending-id tie-break before any rank is
     assigned.
     """
-    quantized = sq8_quantize(embeddings, dim, id_col, vec_col)
+    # Cached: three consumers (approx scoring, candidate vectors,
+    # query vectors) — and at deployment this relation is exactly the
+    # materialized-once codes table the module docstring describes.
+    quantized = sq8_quantize(embeddings, dim, id_col, vec_col).cache()
 
     q = quantized.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
-        F.col("r").alias("qr"),
         F.col("xhat").alias("qhat"),
-        F.col("rn").alias("qrn"),
         F.col("hn").alias("qhn"),
     )
     m = rerank_factor * k
+    # NARROW approximate scores, MATERIALIZED (cache) before the rank
+    # window. Two reasons, both scale-relevant:
+    # - the dot() higher-order functions never enter whole-stage
+    #   codegen, and Spark's sort evaluates un-materialized ordering
+    #   expressions lazily PER COMPARISON — without the
+    #   materialization boundary the interpreted 64-wide dot re-runs
+    #   O(n log n) times inside the window sort (measured 10x blowup
+    #   at sf0.1);
+    # - the window shuffle then carries 3 scalar columns instead of
+    #   the fat xhat/r arrays.
     scored = (
-        quantized.crossJoin(F.broadcast(q))
+        quantized.select(id_col, "xhat", "hn")
+        .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("cand_id"),
-            "r",
-            "rn",
-            "qr",
-            "qrn",
             F.round(
                 dot(F.col("xhat"), F.col("qhat")) / (F.col("hn") * F.col("qhn")),
                 6,
             ).alias("approx_sim"),
         )
+        .cache()
     )
     w_approx = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("cand_id").asc()
     )
-    cands = scored.withColumn("ark", F.row_number().over(w_approx)).filter(
-        F.col("ark") <= m
+    cands = (
+        scored.withColumn("ark", F.row_number().over(w_approx))
+        .filter(F.col("ark") <= m)
+        .select("query_id", "cand_id")
+    )
+    # Exact re-rank: join the TINY candidate set (queries x m rows,
+    # broadcast) back to the exact vectors — the corpus never carries
+    # its arrays through any shuffle.
+    cvecs = quantized.select(
+        F.col(id_col).alias("cand_id"), "r", "rn"
+    ).join(F.broadcast(cands), "cand_id")
+    qvecs = quantized.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("r").alias("qr"),
+        F.col("rn").alias("qrn"),
     )
     w_exact = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
     return (
-        cands.select(
+        cvecs.join(F.broadcast(qvecs), "query_id")
+        .select(
             "query_id",
             "cand_id",
             F.round(
                 dot(F.col("r"), F.col("qr")) / (F.col("rn") * F.col("qrn")), 6
             ).alias("cos_sim"),
         )
+        .cache()  # same lazy-sort hazard on the exact scores
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
@@ -1038,7 +1103,7 @@ def lsh_multiprobe_topk(
         "query_id",
         "cand_id",
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
-    )
+    ).repartition("query_id")  # lazy-sort boundary (see brute_force_topk)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
