@@ -376,17 +376,21 @@ def source_quota_cap(
     from pyspark.sql import Window
 
     u = _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
+    # The draw is materialized as a column BEFORE the window: Spark's
+    # sort re-evaluates un-materialized ordering expressions per
+    # comparison, which would re-run the md5 O(n log n) times per
+    # source (same hazard as the ANN rank windows, similarity.py).
     w = (
         Window.partitionBy(source_col).orderBy(
-            u.asc(), F.col(key_col).asc()
+            F.col("_u").asc(), F.col(key_col).asc()
         )
     )
-    return docs.select(
-        F.col(key_col),
-        F.col(source_col),
-        F.row_number().over(w).alias("qrank"),
-    ).withColumn(
-        "kept", (F.col("qrank") <= cap).cast("boolean")
+    return (
+        docs.select(F.col(key_col), F.col(source_col), u.alias("_u"))
+        .repartition(source_col)
+        .withColumn("qrank", F.row_number().over(w))
+        .drop("_u")
+        .withColumn("kept", (F.col("qrank") <= cap).cast("boolean"))
     )
 
 
