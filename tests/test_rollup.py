@@ -215,3 +215,38 @@ def test_streaming_rollup_into_versioned_table(spark, tmp_path):
     for k, v in got.items():
         assert batch[k] == v, (k, v, batch[k])
     assert len(got) >= len(batch) * 0.9
+
+
+def test_refresh_coarse_recomputes_only_affected_windows(spark):
+    """Late data lands in two fine windows: the incremental refresh
+    must emit exactly the affected coarse (window, key) groups, with
+    values equal to a full recompute of those groups."""
+    events = io.load(spark, SF_DIR, "events")
+    fine = rollup.windowed_partials(events, 1)
+    # pretend the first two fine windows of 'click' changed
+    changed = (
+        fine.filter(F.col("key") == "click")
+        .orderBy("window_start")
+        .limit(2)
+        .select("window_start", "key")
+    )
+    out = rollup.refresh_coarse(fine, changed, 10).collect()
+    full = {
+        (r.window_start, r.key): (r.n, r.v_sum, r.v_min, r.v_max)
+        for r in rollup.reaggregate(fine, 10).collect()
+    }
+    # expected coarse windows: floor each changed fine window with the
+    # SAME expression the operator uses
+    expect_windows = {
+        (r.cw, r.key)
+        for r in changed.select(
+            F.timestamp_seconds(
+                (F.unix_timestamp("window_start") / 600).cast("bigint") * 600
+            ).alias("cw"),
+            "key",
+        ).collect()
+    }
+    got_keys = {(r.window_start, r.key) for r in out}
+    assert got_keys == expect_windows
+    for r in out:
+        assert (r.n, r.v_sum, r.v_min, r.v_max) == full[(r.window_start, r.key)]

@@ -172,3 +172,45 @@ FROM {table}
 GROUP BY 2, 3"""
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def refresh_coarse(
+    fine_partials: DataFrame,
+    changed_fine_windows: DataFrame,
+    coarse_minutes: int,
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh: recompute ONLY the
+    coarse windows touched by changed fine partials.
+
+    ``changed_fine_windows`` is a (window_start, key) relation naming
+    fine windows whose state changed (late data, backfill,
+    correction — e.g. the output of a snapshot diff on the partials
+    table). Each maps to exactly one coarse window (grains nest), so
+    the refresh re-aggregates ONLY fine partials belonging to
+    affected (coarse_window, key) groups and emits replacement rows —
+    merge them into the stored rollup with the versioned upsert sink
+    (streaming/upsert_sink.py) keyed on (window_start, key).
+
+    Scale shape: the affected-window set is invalidation-sized (tiny
+    vs the partials table) and broadcasts into a semi-join; the
+    re-aggregation touches coarse_minutes/fine_minutes partial rows
+    per affected window, never the raw table and never the unaffected
+    99.99% of the rollup.
+    """
+    secs = coarse_minutes * 60
+    coarse_of = lambda c: F.timestamp_seconds(  # noqa: E731
+        (F.unix_timestamp(c) / secs).cast("bigint") * secs
+    )
+    affected = (
+        changed_fine_windows.select(
+            coarse_of(F.col("window_start")).alias("cw"),
+            F.col("key").alias("ck"),
+        ).distinct()
+    )
+    touched = fine_partials.join(
+        F.broadcast(affected),
+        (coarse_of(F.col("window_start")) == F.col("cw"))
+        & (F.col("key") == F.col("ck")),
+        "left_semi",
+    )
+    return reaggregate(touched, coarse_minutes)
