@@ -73,3 +73,25 @@ def test_bm25_plan_is_scan_shaped(spark):
     assert "Generate" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_rrf_fusion_properties(spark):
+    """RRF: a doc ranked by both rankers outranks docs found by only
+    one at similar positions; ranks are contiguous and deterministic."""
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.queries.llmdata import BM25_QUERY_TERMS
+
+    docs = io.load(spark, SF_DIR, "documents")
+    emb = io.load(spark, SF_DIR, "embeddings")
+    rows = retrieval.rrf_hybrid_topk(
+        docs, emb, BM25_QUERY_TERMS, query_vec_id=3, k=10
+    ).collect()
+    assert [r.rank for r in rows] == list(range(1, 11))
+    both = [r for r in rows if r.lex_rank is not None and r.vec_rank is not None]
+    only = [r for r in rows if r.lex_rank is None or r.vec_rank is None]
+    # rrf of any doubly-ranked doc >= 2/(60+k_each); singly-ranked
+    # docs cap at 1/(60+1)
+    for r in both:
+        assert r.rrf >= round(2 / (60 + 50), 6) - 1e-9
+    for r in only:
+        assert r.rrf <= round(1 / 61, 6) + 1e-9

@@ -137,3 +137,87 @@ SELECT {id_col}, bm25,
        row_number() OVER (ORDER BY bm25 DESC, {id_col} ASC) AS rank
 FROM top
 """
+
+
+def rrf_hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: fuse the BM25
+    lexical ranking with the embedding-cosine ranking (vec_id ==
+    doc_id, the corpus convention) as
+
+        rrf = sum_r 1 / (rrf_k + rank_r)
+
+    over the rankers that returned the document (Cormack et al.;
+    rrf_k=60 is the standard constant). The fusion needs only RANKS,
+    never comparable scores — which is why RRF is the standard way to
+    combine lexical and vector retrieval.
+
+    Scale shape: each ranker is its own scale-safe top-``k_each``
+    (BM25: scan-shaped tf + TakeOrderedAndProject; ANN: broadcast
+    query + candidate ranking); the fusion itself joins two k_each-row
+    relations — driver-free, broadcast-sized.
+    """
+    from ts_data_pipeline_spark.operators import similarity
+
+    lex = bm25_topk(
+        docs, query_terms, k=k_each, id_col=id_col, text_col=text_col
+    ).select(F.col(id_col), F.col("rank").alias("lex_rank"))
+    vec = (
+        similarity.brute_force_topk(embeddings, [query_vec_id], k=k_each)
+        .select(F.col("cand_id").alias(id_col), F.col("rank").alias("vec_rank"))
+    )
+    fused = (
+        lex.join(vec, id_col, "full_outer")
+        .select(
+            id_col,
+            "lex_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_hybrid_topk_sql(
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 50,
+    rrf_k: int = 60,
+) -> str:
+    from ts_data_pipeline_spark.operators import similarity
+
+    lex = bm25_topk_sql(query_terms, k=k_each)
+    vec = similarity.brute_force_topk_sql([query_vec_id], k=k_each)
+    return f"""
+WITH lex AS (SELECT doc_id, rank AS lex_rank FROM ({lex})),
+vec AS (SELECT cand_id AS doc_id, rank AS vec_rank FROM ({vec})),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+         lex_rank, vec_rank,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + lex_rank), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({rrf_k} + vec_rank), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+),
+top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k})
+SELECT doc_id, lex_rank, vec_rank, rrf,
+       row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+FROM top
+"""

@@ -174,6 +174,18 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_select(dsir_scores(spark, sf_dir), n_keep=100)
 
 
+def rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by reciprocal rank
+    (operators/retrieval.py; query vector = corpus row 3)."""
+    return retrieval.rrf_hybrid_topk(
+        io.load(spark, sf_dir, "documents"),
+        io.load(spark, sf_dir, "embeddings"),
+        BM25_QUERY_TERMS,
+        query_vec_id=3,
+        k=10,
+    )
+
+
 def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.length_quantiles(io.load(spark, sf_dir, "documents"))
 

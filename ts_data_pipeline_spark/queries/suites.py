@@ -474,6 +474,15 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("n_feats", "l"), ("dsir_score", "d")),
         ),
         Member(
+            "rrf_hybrid",
+            llmdata.rrf_hybrid,
+            retrieval_ops.rrf_hybrid_topk_sql(
+                llmdata.BM25_QUERY_TERMS, query_vec_id=3, k=10
+            ),
+            (("doc_id", "l"), ("lex_rank", "l"), ("vec_rank", "l"),
+             ("rrf", "d"), ("rank", "l")),
+        ),
+        Member(
             "dsir_select",
             llmdata.dsir_select,
             sampling.dsir_select_sql(
