@@ -214,3 +214,37 @@ def test_portable_hash_cross_engine_equivalence(spark, oracle):
             "SELECT " + u32_md5_sql("s") + " FROM (SELECT ? AS s)", [s]
         ).fetchone()[0]
         assert got[s] == want, (s, got[s], want)
+
+
+def test_token_budget_select_matches_flat_window_and_respects_budget(spark):
+    """Two-phase prefix selection == flat-window selection; the kept
+    set's exclusive prefix stays under budget, includes the
+    straddler, and is the score-greedy prefix."""
+    from pyspark.sql import Window
+
+    from ts_data_pipeline_spark.operators import sampling
+
+    rows = [(i, float((i * 37) % 100), 50 + (i * 13) % 200) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, tokens long")
+    budget = 10_000
+    got = sampling.token_budget_select(df, budget).collect()
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flat = {
+        r.doc_id: (r.tb, r.tb < budget)
+        for r in df.withColumn(
+            "tb", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+        ).collect()
+    }
+    assert len(got) == 500
+    for r in got:
+        assert (r.tokens_before, r.kept) == flat[r.doc_id], r
+    kept = [r for r in got if r.kept]
+    assert kept and max(r.tokens_before for r in kept) < budget
+    # greedy: every kept doc's score >= every dropped doc's score
+    # (modulo the ordering tie-break)
+    min_kept = min((r.score, -r.doc_id) for r in kept)
+    for r in got:
+        if not r.kept:
+            assert (r.score, -r.doc_id) <= min_kept

@@ -609,3 +609,87 @@ SELECT {key_col}, {score_col}, perturbed,
        row_number() OVER (ORDER BY perturbed DESC, {key_col} ASC) AS sel_rank
 FROM top
 """
+
+
+def token_budget_select(
+    scored_docs: DataFrame,
+    token_budget: int,
+    *,
+    score_col: str = "score",
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a token budget with the best documents: greedy by score,
+    keep while the running token total stays within budget.
+
+    The curation endgame — "give me the best 10B tokens" — as a
+    deterministic prefix-sum selection: order by (score desc, key
+    asc), keep every document whose EXCLUSIVE prefix token sum is
+    under the budget (so the straddling document is included; the
+    result never undershoots a budget a single doc could fill).
+
+    Scale shape: a naive SUM() OVER (ORDER BY score) is a
+    single-partition window. This is the two-phase distributed prefix
+    sum over RANGE partitioning by the sort key: repartitionByRange
+    puts each task on a contiguous score slice, per-partition sums
+    reduce to a partition-count-sized base table (window over THAT is
+    trivial), and within-partition prefix sums sort only local rows.
+    The result is identical to the flat window regardless of where
+    the range boundaries land — bases only depend on the total
+    ordering. (Same pattern as sequence_pack, but keyed by a
+    data-dependent sort order instead of id buckets.)
+    """
+    from pyspark.sql import Window
+
+    ordered = scored_docs.select(
+        F.col(key_col),
+        F.col(score_col).alias("_s"),
+        F.col(tokens_col).alias("_t"),
+    ).repartitionByRange(F.col("_s").desc(), F.col(key_col).asc())
+    part = ordered.withColumn("_pid", F.spark_partition_id())
+    per_part = part.groupBy("_pid").agg(F.sum("_t").alias("_pt"))
+    across = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = per_part.select(
+        "_pid", F.coalesce(F.sum("_pt").over(across), F.lit(0)).alias("_base")
+    )
+    within = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("_s").desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        part.withColumn("_intra", F.coalesce(F.sum("_t").over(within), F.lit(0)))
+        .join(F.broadcast(bases), "_pid")
+        .select(
+            key_col,
+            F.col("_s").alias(score_col),
+            F.col("_t").alias(tokens_col),
+            (F.col("_base") + F.col("_intra")).alias("tokens_before"),
+        )
+        .withColumn("kept", F.col("tokens_before") < token_budget)
+    )
+    return out
+
+
+def token_budget_select_sql(
+    token_budget: int,
+    scored_sql: str,
+    *,
+    score_col: str = "score",
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+) -> str:
+    """Oracle: the flat single-window form of the same selection."""
+    return f"""
+WITH scored AS ({scored_sql})
+SELECT {key_col}, {score_col}, {tokens_col},
+       CAST(COALESCE(SUM({tokens_col}) OVER (
+         ORDER BY {score_col} DESC, {key_col} ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tokens_before,
+       COALESCE(SUM({tokens_col}) OVER (
+         ORDER BY {score_col} DESC, {key_col} ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         < {token_budget} AS kept
+FROM scored
+"""

@@ -174,6 +174,17 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.dsir_select(dsir_scores(spark, sf_dir), n_keep=100)
 
 
+def token_budget_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-quality-within-token-budget selection over the
+    classifier quality scores (operators/sampling.py — two-phase
+    range-partitioned prefix sum; budget = 20k tokens)."""
+    scored = text_fns.classifier_quality_score(
+        io.load(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("clf_score").alias("score"),
+             F.col("n_words").alias("tokens"))
+    return sampling.token_budget_select(scored, token_budget=20_000)
+
+
 def rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+vector retrieval fused by reciprocal rank
     (operators/retrieval.py; query vector = corpus row 3)."""

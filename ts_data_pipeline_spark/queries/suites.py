@@ -474,6 +474,18 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("n_feats", "l"), ("dsir_score", "d")),
         ),
         Member(
+            "token_budget_pick",
+            llmdata.token_budget_pick,
+            sampling.token_budget_select_sql(
+                20_000,
+                "SELECT doc_id, clf_score AS score, n_words AS tokens FROM ("
+                + text_fns.classifier_quality_score_sql()
+                + ")",
+            ),
+            (("doc_id", "l"), ("score", "d"), ("tokens", "l"),
+             ("tokens_before", "l"), ("kept", "s")),
+        ),
+        Member(
             "rrf_hybrid",
             llmdata.rrf_hybrid,
             retrieval_ops.rrf_hybrid_topk_sql(
