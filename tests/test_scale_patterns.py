@@ -281,3 +281,18 @@ def test_zscore_anomalies_baseline_excludes_current_point(spark):
     ).collect()
     assert [r.event_id for r in got] == [20]
     assert got[0].z > 3.0
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """The documented 100 TB form of P90/P99 (approx_percentile's
+    one-pass mergeable sketch) stays within 2% relative error of the
+    exact interpolating percentile on the telemetry values."""
+    from pyspark.sql import functions as F
+
+    ev = io.load(spark, SF_DIR, "events")
+    row = ev.agg(
+        F.percentile("value", F.lit(0.9)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("approx"),
+    ).collect()[0]
+    assert row.exact > 0
+    assert abs(row.approx - row.exact) / row.exact <= 0.02, row

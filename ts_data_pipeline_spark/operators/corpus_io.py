@@ -130,3 +130,30 @@ def shard_manifest(
         )
         .orderBy("offset_lo")
     )
+
+
+def write_jsonl(
+    df: DataFrame, path: str, *, max_records_per_file: int = 1 << 20
+) -> None:
+    """Write the corpus as JSON Lines — the interchange format LLM
+    data tooling expects. One ``to_json(struct(*))`` projection into
+    the text sink; executor-side, bounded file sizes."""
+    (
+        df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .text(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read a JSON Lines corpus with an EXPLICIT schema (never infer
+    at scale: inference is a full extra pass) in PERMISSIVE mode —
+    corrupt lines surface in ``_corrupt_record`` instead of failing
+    the read."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
