@@ -66,3 +66,52 @@ def test_temporal_dimension_join_routes_events_to_valid_version(spark):
         ("a", "2024-02-10T00:00:00", "new-a"),
         ("b", "2024-03-01T00:00:00", "b0"),
     }
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward direction matches the NEXT quote (>= ts, equal-ts
+    visible); tolerance nulls matches farther than the bound in both
+    directions."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import asof
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    trades = spark.createDataFrame(
+        [("a", t(10), 1), ("a", t(30), 2)], "sym string, ts timestamp, tid long"
+    )
+    quotes = spark.createDataFrame(
+        [("a", t(5), 100.0), ("a", t(10), 110.0), ("a", t(50), 120.0)],
+        "sym string, ts timestamp, px double",
+    )
+    back = {
+        r.tid: r.px
+        for r in asof.asof_join(
+            trades, quotes, key="sym", ts="ts", right_value_cols=["px"]
+        ).collect()
+    }
+    assert back == {1: 110.0, 2: 110.0}  # equal-ts visible backward
+    fwd = {
+        r.tid: r.px
+        for r in asof.asof_join(
+            trades, quotes, key="sym", ts="ts", right_value_cols=["px"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 110.0, 2: 120.0}  # equal-ts visible forward
+    back_tol = {
+        r.tid: r.px
+        for r in asof.asof_join(
+            trades, quotes, key="sym", ts="ts", right_value_cols=["px"],
+            tolerance="5 minutes",
+        ).collect()
+    }
+    assert back_tol == {1: 110.0, 2: None}  # 20-min-old quote nulled
+    fwd_tol = {
+        r.tid: r.px
+        for r in asof.asof_join(
+            trades, quotes, key="sym", ts="ts", right_value_cols=["px"],
+            direction="forward", tolerance="10 minutes",
+        ).collect()
+    }
+    assert fwd_tol == {1: 110.0, 2: None}  # next quote 20 min ahead

@@ -34,13 +34,20 @@ def asof_join(
     key: str,
     ts: str = "ts",
     right_value_cols: list[str],
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row: the most recent right row with
-    ``right.ts <= left.ts`` on the same key (backward as-of join).
+    """For each left row: the nearest right row on the same key —
+    ``right.ts <= left.ts`` (backward, the default) or
+    ``right.ts >= left.ts`` (forward). With ``tolerance`` (an
+    INTERVAL string, e.g. ``'5 minutes'``) matches farther than the
+    tolerance are nulled — pandas ``merge_asof`` semantics.
 
     Left rows keep all their columns; matched right values arrive as
-    ``right_value_cols`` (null when no prior right row exists).
+    ``right_value_cols`` (null when no qualifying right row exists).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction!r}")
     lcols = [c for c in left.columns]
     tagged_left = left.select(
         F.col(key).alias("_k"),
@@ -58,22 +65,49 @@ def asof_join(
           for c in lcols if c not in (key, ts)],
         *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
     )
-    # Right rows sort BEFORE left rows at equal ts (_is_left asc), so
-    # a quote stamped exactly at the trade time is visible to it —
-    # the <= semantics of ASOF JOIN.
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     unioned = tagged_left.unionByName(tagged_right)
+    # Backward: right rows sort BEFORE left rows at equal ts
+    # (_is_left asc) and LOCF looks back — a quote stamped exactly at
+    # the trade time is visible (<= semantics). Forward: left rows
+    # sort first at equal ts and the fill looks ahead (>=).
+    rts = F.when(F.col("_is_left") == 0, F.col("_ts"))
+    if direction == "backward":
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        within = lambda m: F.col("_ts") - F.col(m) <= F.expr(  # noqa: E731
+            f"INTERVAL {tolerance}"
+        )
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        within = lambda m: F.col(m) - F.col("_ts") <= F.expr(  # noqa: E731
+            f"INTERVAL {tolerance}"
+        )
     filled = unioned.select(
         "*",
+        fill(rts).alias("_f__rts"),
         *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_f_{c}")
+            fill(F.col(f"_r_{c}")).alias(f"_f_{c}")
             for c in right_value_cols
         ],
     )
+    if tolerance is not None:
+        ok = within("_f__rts")
+        filled = filled.select(
+            *[c for c in filled.columns if not c.startswith("_f_") or c == "_f__rts"],
+            *[
+                F.when(ok, F.col(f"_f_{c}")).alias(f"_f_{c}")
+                for c in right_value_cols
+            ],
+        )
     return (
         filled.filter(F.col("_is_left") == 1)
         .select(
