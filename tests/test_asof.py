@@ -115,3 +115,25 @@ def test_asof_forward_and_tolerance(spark):
         ).collect()
     }
     assert fwd_tol == {1: 110.0, 2: None}  # next quote 20 min ahead
+
+
+def test_asof_matches_nearest_row_not_nearest_nonnull_value(spark):
+    """merge_asof matches a ROW: when the nearest right row has a
+    NULL value, the result is NULL — an older non-null value must not
+    leak through the fill."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import asof
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    trades = spark.createDataFrame(
+        [("a", t(30), 1)], "sym string, ts timestamp, tid long"
+    )
+    quotes = spark.createDataFrame(
+        [("a", t(0), 100.0), ("a", t(29), None)],
+        "sym string, ts timestamp, px double",
+    )
+    got = asof.asof_join(
+        trades, quotes, key="sym", ts="ts", right_value_cols=["px"]
+    ).collect()
+    assert got[0].px is None  # nearest row's value, even though NULL

@@ -944,13 +944,18 @@ def test_snapshot_diff_verdicts(spark):
     from ts_data_pipeline_spark.operators import ingest
 
     old = spark.createDataFrame(
-        [(1, "same"), (2, "gone"), (3, "before")], ["doc_id", "text"]
+        [(1, "same"), (2, "gone"), (3, "before"), (5, None), (6, None)],
+        ["doc_id", "text"],
     )
     new = spark.createDataFrame(
-        [(1, "same"), (3, "after"), (4, "fresh")], ["doc_id", "text"]
+        [(1, "same"), (3, "after"), (4, "fresh"), (5, None), (6, "now set")],
+        ["doc_id", "text"],
     )
     got = {r.doc_id: r.change for r in ingest.snapshot_diff(old, new).collect()}
-    assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
+    # NULL text is presence, not absence: 5 (NULL->NULL) is unchanged,
+    # 6 (NULL->text) is changed — never added/removed.
+    assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added",
+                   5: "unchanged", 6: "changed"}
 
 
 def test_pandas_udf_ann_matches_expression_path(spark):

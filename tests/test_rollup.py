@@ -250,3 +250,14 @@ def test_refresh_coarse_recomputes_only_affected_windows(spark):
     assert got_keys == expect_windows
     for r in out:
         assert (r.n, r.v_sum, r.v_min, r.v_max) == full[(r.window_start, r.key)]
+
+
+def test_histogram_degenerate_range_all_one_bin(spark):
+    from ts_data_pipeline_spark.operators import tsstats
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], "event_type string, value double"
+    )
+    rows = tsstats.value_histogram(df, n_bins=10).collect()
+    assert {r.bin for r in rows} == {0}
+    assert sum(r.n for r in rows) == 3

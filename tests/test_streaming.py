@@ -360,7 +360,7 @@ def test_upsert_sink_exactly_once_keyed_merge(spark, tmp_path):
 
     # re-deliver the last batch verbatim: values and counts unchanged
     last_applied = max(
-        int(d[1:]) for d in __import__("os").listdir(table_dir) if d.startswith("v")
+        int(d[1:]) for d in __import__("os").listdir(table_dir) if d.startswith("b")
     )
     upsert_sink.upsert_batch(
         spark,
@@ -398,3 +398,49 @@ def test_delete_keys_purges_and_is_idempotent(spark, tmp_path):
     assert {
         r.key for r in upsert_sink.read_table(spark, table_dir).collect()
     } == {"a", "c"}
+
+
+def test_upsert_sink_recovers_from_half_written_version(spark, tmp_path):
+    """A version directory without _SUCCESS is a crashed half-write:
+    re-delivery must REDO the merge (rewriting the directory), never
+    repoint _CURRENT at truncated data. And delete versions live in
+    their own namespace, so a delete token equal to a future batch id
+    cannot swallow that batch."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    schema = "key string, ts timestamp, val double"
+    b0 = spark.createDataFrame([("a", dt.datetime(2024, 1, 1), 1.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b0, 0, key_col="key", ts_col="ts")
+
+    # simulate a crash mid-write of batch 1: directory exists, no _SUCCESS
+    half = os.path.join(table_dir, "b1")
+    os.makedirs(half)
+    with open(os.path.join(half, "part-garbage.parquet"), "w") as f:
+        f.write("truncated")
+    b1 = spark.createDataFrame([("b", dt.datetime(2024, 1, 2), 2.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b1, 1, key_col="key", ts_col="ts")
+    got = {
+        (r.key, r.val)
+        for r in upsert_sink.read_table(spark, table_dir).collect()
+    }
+    assert got == {("a", 1.0), ("b", 2.0)}
+    assert os.path.exists(os.path.join(table_dir, "b1", "_SUCCESS"))
+
+    # delete token 2 does not collide with a later batch_id 2
+    upsert_sink.delete_keys(
+        spark, table_dir, spark.createDataFrame([("a",)], "key string"),
+        key_col="key", version=2,
+    )
+    b2 = spark.createDataFrame([("c", dt.datetime(2024, 1, 3), 3.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b2, 2, key_col="key", ts_col="ts")
+    final = {
+        (r.key, r.val)
+        for r in upsert_sink.read_table(spark, table_dir).collect()
+    }
+    assert final == {("b", 2.0), ("c", 3.0)}  # delete applied AND batch kept
+    shutil.rmtree(table_dir)

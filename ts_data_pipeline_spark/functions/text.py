@@ -1247,3 +1247,19 @@ SELECT doc_id, chunk_idx, tok_offset,
                        ' ') AS chunk_text
 FROM starts
 """
+
+
+def toks_col(text_col: str = "text"):
+    """THE package tokenization, Spark side: lowercase, split on
+    single spaces, drop empties. One definition — operators that
+    tokenize (retrieval, sketch, sampling, this module) must use this
+    or its SQL twin :func:`toks_sql` so the engines and operators can
+    never disagree on token boundaries."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+
+
+def toks_sql(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`toks_col`."""
+    return f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"

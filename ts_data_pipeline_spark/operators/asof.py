@@ -66,20 +66,33 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    # The match is the nearest right ROW — so the fill carries ONE
+    # struct of (right ts, right values), non-null only on right
+    # rows. Filling columns independently (last non-null PER COLUMN)
+    # would resurrect stale values from older rows whenever the
+    # nearest row has a NULL in one column, which is not ASOF/
+    # merge_asof semantics; the row struct also gives tolerance the
+    # matched row's timestamp for free.
     # Backward: right rows sort BEFORE left rows at equal ts
-    # (_is_left asc) and LOCF looks back — a quote stamped exactly at
-    # the trade time is visible (<= semantics). Forward: left rows
-    # sort first at equal ts and the fill looks ahead (>=).
-    rts = F.when(F.col("_is_left") == 0, F.col("_ts"))
+    # (_is_left asc) and the fill looks back — a quote stamped
+    # exactly at the trade time is visible (<= semantics). Forward:
+    # left rows sort first at equal ts and the fill looks ahead (>=).
+    rstruct = F.when(
+        F.col("_is_left") == 0,
+        F.struct(
+            F.col("_ts").alias("_rts"),
+            *[F.col(f"_r_{c}").alias(c) for c in right_value_cols],
+        ),
+    )
     if direction == "backward":
         w = (
             Window.partitionBy("_k")
             .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-        within = lambda m: F.col("_ts") - F.col(m) <= F.expr(  # noqa: E731
-            f"INTERVAL {tolerance}"
+        match = F.last(rstruct, ignorenulls=True).over(w)
+        within = F.col("_ts") - F.col("_m._rts") <= F.expr(
+            f"INTERVAL {tolerance}" if tolerance else "INTERVAL 0 SECONDS"
         )
     else:
         w = (
@@ -87,34 +100,22 @@ def asof_join(
             .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-        within = lambda m: F.col(m) - F.col("_ts") <= F.expr(  # noqa: E731
-            f"INTERVAL {tolerance}"
+        match = F.first(rstruct, ignorenulls=True).over(w)
+        within = F.col("_m._rts") - F.col("_ts") <= F.expr(
+            f"INTERVAL {tolerance}" if tolerance else "INTERVAL 0 SECONDS"
         )
-    filled = unioned.select(
-        "*",
-        fill(rts).alias("_f__rts"),
-        *[
-            fill(F.col(f"_r_{c}")).alias(f"_f_{c}")
-            for c in right_value_cols
-        ],
-    )
-    if tolerance is not None:
-        ok = within("_f__rts")
-        filled = filled.select(
-            *[c for c in filled.columns if not c.startswith("_f_") or c == "_f__rts"],
-            *[
-                F.when(ok, F.col(f"_f_{c}")).alias(f"_f_{c}")
-                for c in right_value_cols
-            ],
-        )
+    filled = unioned.select("*", match.alias("_m"))
+    keep_match = F.lit(True) if tolerance is None else within
     return (
         filled.filter(F.col("_is_left") == 1)
         .select(
             F.col("_k").alias(key),
             F.col("_ts").alias(ts),
             *[F.col(c) for c in lcols if c not in (key, ts)],
-            *[F.col(f"_f_{c}").alias(c) for c in right_value_cols],
+            *[
+                F.when(keep_match, F.col(f"_m.{c}")).alias(c)
+                for c in right_value_cols
+            ],
         )
     )
 

@@ -150,7 +150,16 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     """Read a JSON Lines corpus with an EXPLICIT schema (never infer
     at scale: inference is a full extra pass) in PERMISSIVE mode —
     corrupt lines surface in ``_corrupt_record`` instead of failing
-    the read."""
+    the read. The corrupt-record field is appended to the caller's
+    schema automatically (Spark only captures corrupt lines into a
+    column the schema actually contains)."""
+    from pyspark.sql import types as T
+
+    if "_corrupt_record" not in [f.name for f in schema.fields]:
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")

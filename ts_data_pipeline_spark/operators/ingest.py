@@ -191,18 +191,27 @@ def snapshot_diff(
     shuffle once on the natural key; comparison is digest equality
     (md5 computed scan-side), so text never moves twice.
     """
+    # Presence is tracked with explicit markers, NOT digest nullness:
+    # md5(NULL) is NULL, so a doc present in both snapshots with NULL
+    # text would otherwise be misclassified added/removed — and
+    # 'removed' propagates as a compliance DELETE downstream.
+    # coalesce to a sentinel so NULL-text vs NULL-text compares equal.
     o = old.select(
-        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("od")
+        F.col(key_col).alias("k"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<null>")).alias("od"),
+        F.lit(True).alias("in_old"),
     )
     n = new.select(
-        F.col(key_col).alias("k"), F.md5(F.col(text_col)).alias("nd")
+        F.col(key_col).alias("k"),
+        F.coalesce(F.md5(F.col(text_col)), F.lit("<null>")).alias("nd"),
+        F.lit(True).alias("in_new"),
     )
     return (
         o.join(n, "k", "full_outer")
         .select(
             F.col("k").alias(key_col),
-            F.when(F.col("od").isNull(), "added")
-            .when(F.col("nd").isNull(), "removed")
+            F.when(F.col("in_old").isNull(), "added")
+            .when(F.col("in_new").isNull(), "removed")
             .when(F.col("od") != F.col("nd"), "changed")
             .otherwise("unchanged")
             .alias("change"),
@@ -216,12 +225,18 @@ def snapshot_diff_report_sql(
     """DuckDB oracle for the aggregated diff report over two
     (SQL-defined) snapshot relations."""
     return f"""
-WITH o AS (SELECT {key_col} AS k, md5({text_col}) AS od FROM ({old_sql})),
-n AS (SELECT {key_col} AS k, md5({text_col}) AS nd FROM ({new_sql})),
+WITH o AS (SELECT {key_col} AS k,
+                  COALESCE(md5({text_col}), '<null>') AS od,
+                  TRUE AS in_old
+           FROM ({old_sql})),
+n AS (SELECT {key_col} AS k,
+             COALESCE(md5({text_col}), '<null>') AS nd,
+             TRUE AS in_new
+      FROM ({new_sql})),
 d AS (
   SELECT COALESCE(o.k, n.k) AS k,
-         CASE WHEN o.od IS NULL THEN 'added'
-              WHEN n.nd IS NULL THEN 'removed'
+         CASE WHEN o.in_old IS NULL THEN 'added'
+              WHEN n.in_new IS NULL THEN 'removed'
               WHEN o.od <> n.nd THEN 'changed'
               ELSE 'unchanged' END AS change
   FROM o FULL OUTER JOIN n ON o.k = n.k

@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 
 
 def _toks(text_col: str):
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
-    )
+    # single definition of the package tokenization (functions/text.py)
+    from ts_data_pipeline_spark.functions.text import toks_col
+
+    return toks_col(text_col)
 
 
 def bm25_topk(

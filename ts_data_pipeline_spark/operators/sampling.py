@@ -464,6 +464,13 @@ def dsir_scores(
         )
         .withColumn("bucket", F.explode_outer("_buckets"))
         .drop("_buckets")
+        # the exploded feature relation feeds BOTH the model fit and
+        # the per-doc scoring join; cached so the tokenize+hash+
+        # explode scan (the operator's dominant cost) runs once — the
+        # "one shared pass" the docstring promises. Narrow rows
+        # (key, bool, bucket); at 100 TB the same role is a staged
+        # feature table.
+        .cache()
     )
 
     counts = feats.groupBy("bucket").agg(

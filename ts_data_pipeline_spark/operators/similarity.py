@@ -880,6 +880,9 @@ def sq8_topk(
     # Cached: three consumers (approx scoring, candidate vectors,
     # query vectors) — and at deployment this relation is exactly the
     # materialized-once codes table the module docstring describes.
+    # Retention is same-plan keyed (one entry per distinct input, not
+    # per call); long-lived sessions done with a corpus reclaim it via
+    # unpersist/clearCache, like the other operator-level caches here.
     quantized = sq8_quantize(embeddings, dim, id_col, vec_col).cache()
 
     q = quantized.filter(F.col(id_col).isin(query_ids)).select(
@@ -910,7 +913,7 @@ def sq8_topk(
                 6,
             ).alias("approx_sim"),
         )
-        .cache()
+        .repartition("query_id")
     )
     w_approx = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("cand_id").asc()
@@ -943,7 +946,7 @@ def sq8_topk(
                 dot(F.col("r"), F.col("qr")) / (F.col("rn") * F.col("qrn")), 6
             ).alias("cos_sim"),
         )
-        .cache()  # same lazy-sort hazard on the exact scores
+        .repartition("query_id")  # same lazy-sort hazard on the exact scores
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")

@@ -186,12 +186,18 @@ def value_histogram(
         F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
     )
     width = (F.col("vmax") - F.col("vmin")) / n_bins
-    binned = df.crossJoin(F.broadcast(rng)).select(
-        F.col(key_col).alias("key"),
+    # degenerate range (all values equal): width 0 would put NaN into
+    # the bin expression (and a cast error in the DuckDB twin) — every
+    # row lands in bin 0 instead.
+    bin_expr = F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
         F.least(
             F.floor((F.col(value_col) - F.col("vmin")) / width).cast("int"),
             F.lit(n_bins - 1),
-        ).alias("bin"),
+        )
+    )
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        F.col(key_col).alias("key"),
+        bin_expr.alias("bin"),
         F.col("vmin"),
         width.alias("w"),
     )
@@ -216,8 +222,10 @@ WITH rng AS (
 ),
 binned AS (
   SELECT {key_col} AS key,
-         LEAST(CAST(FLOOR(({value_col} - vmin)
-               / ((vmax - vmin) / {n_bins})) AS INT), {n_bins - 1}) AS bin,
+         CASE WHEN vmax = vmin THEN 0
+              ELSE LEAST(CAST(FLOOR(({value_col} - vmin)
+                   / ((vmax - vmin) / {n_bins})) AS INT), {n_bins - 1})
+         END AS bin,
          vmin, (vmax - vmin) / {n_bins} AS w
   FROM {table} CROSS JOIN rng
 )

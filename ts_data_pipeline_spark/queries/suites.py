@@ -513,13 +513,13 @@ def _tsstats_histogram_sql() -> str:
     return tsstats.value_histogram_sql()
 
 
-def rollup_ops_tsstats_ewma_sql() -> str:
+def _tsstats_ewma_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
     return tsstats.ewma_sql(where="user_id % 10 = 0")
 
 
-def rollup_ops_tsstats_acf_sql() -> str:
+def _tsstats_acf_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
     return tsstats.autocorrelation_sql([1, 5, 10])
@@ -561,14 +561,14 @@ def _olap_pivot_members() -> list[Member]:
         Member(
             "ewma_smoothed",
             timeseries.ewma_smoothed,
-            rollup_ops_tsstats_ewma_sql(),
+            _tsstats_ewma_sql(),
             (("event_id", "l"), ("key", "l"), ("ts", "t"), ("value", "d"),
              ("ewma", "d")),
         ),
         Member(
             "acf_by_event_type",
             timeseries.acf_by_event_type,
-            rollup_ops_tsstats_acf_sql(),
+            _tsstats_acf_sql(),
             (("key", "s"), ("lag", "l"), ("acf", "d"), ("n_pairs", "l")),
         ),
         Member(
