@@ -261,3 +261,54 @@ def test_histogram_degenerate_range_all_one_bin(spark):
     rows = tsstats.value_histogram(df, n_bins=10).collect()
     assert {r.bin for r in rows} == {0}
     assert sum(r.n for r in rows) == 3
+
+
+def test_funnel_conversion_hand_computed(spark):
+    """view->purchase within 60m: conversion only via the FIRST
+    later purchase; same-ts later-id purchase counts; outside-window
+    purchase does not."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10) + dt.timedelta(minutes=m)
+    rows = [
+        (1, 1, t(0), "view"),      # converts via purchase at t(30)
+        (2, 1, t(30), "purchase"),
+        (3, 1, t(31), "view"),     # no later purchase -> not converted
+        (4, 2, t(0), "view"),      # purchase 90m later -> outside window
+        (5, 2, t(90), "purchase"),
+        (6, 3, t(5), "purchase"),  # purchase BEFORE the view never counts
+        (7, 3, t(6), "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.event_id: (r.converted, r.converted_at)
+        for r in tsstats.funnel_conversions(df, "view", "purchase", 60).collect()
+    }
+    assert got[1] == (True, t(30))
+    assert got[3] == (False, None)
+    assert got[4] == (False, t(90))  # found but outside the window
+    assert got[7] == (False, None)
+
+
+def test_cohort_retention_counts(spark):
+    """Two cohorts a week apart; second-week activity of the first
+    cohort shows as periods_later=1."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    d = lambda day, u: (u * 100 + day, u, dt.datetime(2024, 1, day, 12))
+    rows = [d(1, 1), d(1, 2), d(9, 1), d(9, 3)]  # u3 first active wk2
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r.cohort_period, r.periods_later): r.n_active
+        for r in tsstats.cohort_retention(df, period_days=7).collect()
+    }
+    base = min(p for p, _ in got)
+    assert got[(base, 0)] == 2       # u1, u2 in cohort week 0
+    assert got[(base, 1)] == 1       # only u1 returned
+    assert got[(base + 1, 0)] == 1   # u3's own cohort

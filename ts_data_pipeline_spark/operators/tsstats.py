@@ -233,3 +233,143 @@ SELECT key, bin, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(MIN(vmin + bin * w), 4) AS bin_lo
 FROM binned GROUP BY key, bin
 """
+
+
+def funnel_conversions(
+    df: DataFrame,
+    from_event: str,
+    to_event: str,
+    within_minutes: int,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Funnel step conversion: for each ``from_event`` occurrence, did
+    the same key produce a ``to_event`` within the window? (CEP-lite
+    A-followed-by-B — the conversion/alert-escalation primitive.)
+
+    Matched per the usual funnel convention: the FIRST qualifying
+    to-event strictly after the from-event. Implementation is a
+    per-key sort + min_by over a range-bounded self-pairing expressed
+    as a window: to-event timestamps are carried on a per-key
+    timeline and each from-event reads the next one ahead
+    (first ignorenulls over the following frame) — one per-key window
+    sort, no self-join blowup.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_to_ts = F.first(
+        F.when(F.col(type_col) == to_event, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    horizon = F.col(ts_col) + F.expr(f"INTERVAL {within_minutes} MINUTES")
+    return (
+        df.withColumn("_next_to", next_to_ts)
+        .filter(F.col(type_col) == from_event)
+        .select(
+            F.col(id_col),
+            F.col(key_col).alias("key"),
+            F.col(ts_col),
+            F.col("_next_to").alias("converted_at"),
+            (
+                F.col("_next_to").isNotNull() & (F.col("_next_to") <= horizon)
+            ).alias("converted"),
+        )
+    )
+
+
+def funnel_conversions_sql(
+    from_event: str,
+    to_event: str,
+    within_minutes: int,
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    return f"""
+WITH timeline AS (
+  SELECT {id_col}, {key_col} AS key, {ts_col}, {type_col},
+         -- first to-event strictly after this row on the key timeline
+         (SELECT MIN(t2.{ts_col}) FROM {table} t2
+          WHERE t2.{key_col} = t1.{key_col}
+            AND t2.{type_col} = '{to_event}'
+            AND (t2.{ts_col} > t1.{ts_col}
+                 OR (t2.{ts_col} = t1.{ts_col} AND t2.{id_col} > t1.{id_col})))
+           AS converted_at
+  FROM {table} t1
+)
+SELECT {id_col}, key, {ts_col}, converted_at,
+       converted_at IS NOT NULL
+       AND converted_at <= {ts_col} + INTERVAL {within_minutes} MINUTE
+         AS converted
+FROM timeline WHERE {type_col} = '{from_event}'
+"""
+
+
+def cohort_retention(
+    df: DataFrame,
+    period_days: int = 7,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: keys grouped by their FIRST-activity period;
+    for each later period, how many of the cohort were active.
+
+    The classic growth-analytics triangle: one min-per-key pass
+    (cohort assignment, broadcastable — cohorts are entity-bounded),
+    one distinct (key, period) activity pass, one count per (cohort,
+    period offset).
+    """
+    secs = period_days * 86400
+    period = lambda c: (F.unix_timestamp(c) / secs).cast("bigint")  # noqa: E731
+    first = df.groupBy(key_col).agg(F.min(ts_col).alias("_first"))
+    activity = df.select(
+        key_col, period(F.col(ts_col)).alias("_p")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(first), key_col)
+        .select(
+            period(F.col("_first")).alias("cohort_period"),
+            (F.col("_p") - period(F.col("_first"))).alias("periods_later"),
+            key_col,
+        )
+        .groupBy("cohort_period", "periods_later")
+        .agg(F.count_distinct(key_col).alias("n_active"))
+    )
+
+
+def cohort_retention_sql(
+    period_days: int = 7,
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    secs = period_days * 86400
+    return f"""
+WITH first AS (
+  SELECT {key_col}, MIN({ts_col}) AS first_ts FROM {table} GROUP BY {key_col}
+),
+activity AS (
+  -- FLOOR before the cast: DuckDB CAST(double AS BIGINT) rounds,
+  -- Spark's cast truncates
+  SELECT DISTINCT {key_col},
+         CAST(FLOOR(epoch({ts_col}) / {secs}) AS BIGINT) AS p
+  FROM {table}
+)
+SELECT CAST(FLOOR(epoch(f.first_ts) / {secs}) AS BIGINT) AS cohort_period,
+       a.p - CAST(FLOOR(epoch(f.first_ts) / {secs}) AS BIGINT) AS periods_later,
+       COUNT(DISTINCT a.{key_col}) AS n_active
+FROM activity a JOIN first f USING ({key_col})
+GROUP BY 1, 2
+"""

@@ -507,6 +507,18 @@ def _text_stats_members() -> list[Member]:
     ]
 
 
+def _tsstats_funnel_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.funnel_conversions_sql("view", "purchase", 60)
+
+
+def _tsstats_cohort_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.cohort_retention_sql()
+
+
 def _tsstats_histogram_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -570,6 +582,20 @@ def _olap_pivot_members() -> list[Member]:
             timeseries.acf_by_event_type,
             _tsstats_acf_sql(),
             (("key", "s"), ("lag", "l"), ("acf", "d"), ("n_pairs", "l")),
+        ),
+        Member(
+            "funnel_view_to_purchase",
+            timeseries.funnel_view_to_purchase,
+            _tsstats_funnel_sql(),
+            (("event_id", "l"), ("key", "l"), ("ts", "t"),
+             ("converted_at", "t"), ("converted", "s")),
+        ),
+        Member(
+            "cohort_weekly_retention",
+            timeseries.cohort_weekly_retention,
+            _tsstats_cohort_sql(),
+            (("cohort_period", "l"), ("periods_later", "l"),
+             ("n_active", "l")),
         ),
         Member(
             "value_histogram_by_type",

@@ -247,6 +247,23 @@ def acf_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: view -> purchase within 60 minutes per user
+    (operators/tsstats.py CEP-lite pattern match)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.funnel_conversions(
+        io.load(spark, sf_dir, "events"), "view", "purchase", 60
+    )
+
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (operators/tsstats.py)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.cohort_retention(io.load(spark, sf_dir, "events"))
+
+
 def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event_type (operators/
     tsstats.py — shared global bins, broadcast range)."""
