@@ -312,3 +312,26 @@ def test_cohort_retention_counts(spark):
     assert got[(base, 0)] == 2       # u1, u2 in cohort week 0
     assert got[(base, 1)] == 1       # only u1 returned
     assert got[(base + 1, 0)] == 1   # u3's own cohort
+
+
+def test_session_paths_hand_computed(spark):
+    """Two sessions for one user (split by the gap), one for another:
+    paths keep event order within a session."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10) + dt.timedelta(minutes=m)
+    rows = [
+        (1, 1, t(0), "view"), (2, 1, t(1), "purchase"),   # session 1
+        (3, 1, t(90), "view"),                            # session 2 (gap)
+        (4, 2, t(0), "view"), (5, 2, t(2), "purchase"),   # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.path: (r.n_sessions, r.rank)
+        for r in tsstats.session_paths(df, gap_minutes=30.0).collect()
+    }
+    assert got == {"view>purchase": (2, 1), "view": (1, 2)}

@@ -373,3 +373,114 @@ SELECT CAST(FLOOR(epoch(f.first_ts) / {secs}) AS BIGINT) AS cohort_period,
 FROM activity a JOIN first f USING ({key_col})
 GROUP BY 1, 2
 """
+
+
+def session_paths(
+    df: DataFrame,
+    gap_minutes: float = 30.0,
+    top_n: int = 20,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Path analysis: the most common ordered event-type sequences
+    per session ('view>view>purchase' style), with session boundaries
+    from the gap rule.
+
+    Scale shape: gaps-and-islands sessionization is two per-key
+    window passes; the ordered path is a frame-ordered collect_list
+    per (key, session) — state bounded by session length; path counts
+    are a partial/final agg on the path string; the leaderboard is
+    TakeOrderedAndProject.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    new_s = (
+        F.col(ts_col).cast("long") * 1_000_000
+        - F.lag(F.col(ts_col).cast("long") * 1_000_000).over(w)
+        > gap_us
+    )
+    sess = df.withColumn(
+        "_sid",
+        F.sum(
+            F.when(new_s | F.lag(ts_col).over(w).isNull(), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy(key_col, "_sid")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts_col).alias("t"),
+                            F.col(id_col).alias("i"),
+                            F.col(type_col).alias("e"),
+                        )
+                    )
+                ).getField("e"),
+            ).alias("path")
+        )
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_n)
+    )
+    from pyspark.sql import Window as W2
+
+    w2 = W2.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(w2))
+
+
+def session_paths_sql(
+    gap_minutes: float = 30.0,
+    top_n: int = 20,
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    return f"""
+WITH flagged AS (
+  SELECT {key_col}, {ts_col}, {id_col}, {type_col},
+         CASE WHEN lag({ts_col}) OVER w IS NULL
+                OR epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER w)
+                   > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col}
+               ORDER BY {ts_col} ASC, {id_col} ASC)
+),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY {key_col}
+            ORDER BY {ts_col} ASC, {id_col} ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+),
+paths AS (
+  SELECT {key_col}, sid,
+         string_agg({type_col}, '>' ORDER BY {ts_col} ASC, {id_col} ASC)
+           AS path
+  FROM sess GROUP BY {key_col}, sid
+),
+top AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM paths GROUP BY path
+  ORDER BY n_sessions DESC, path ASC LIMIT {top_n}
+)
+SELECT path, n_sessions,
+       row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
+FROM top
+"""

@@ -149,3 +149,27 @@ FROM documents
 # Registered via suites (queries/suites.py): carried dims + unpivot
 # in ``olap_pivot_suite``, rollup in ``quality_suite``, token stats
 # in ``text_stats_suite``.
+
+
+def cube_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: every combination of (lang, source) levels
+    — the rollup's sibling covering the (source-only) margin the
+    hierarchy skips — with grouping_id distinguishing aggregation
+    level from genuinely-NULL dimension values."""
+    d = io.load(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        # must be computed inside the grouping aggregation
+        F.grouping_id("lang", "source").alias("gid"),
+    )
+
+
+CUBE_DOC_STATS_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       GROUPING(lang, source) AS gid
+FROM documents
+GROUP BY CUBE (lang, source)
+"""

@@ -507,6 +507,12 @@ def _text_stats_members() -> list[Member]:
     ]
 
 
+def _tsstats_paths_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.session_paths_sql()
+
+
 def _tsstats_funnel_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -582,6 +588,19 @@ def _olap_pivot_members() -> list[Member]:
             timeseries.acf_by_event_type,
             _tsstats_acf_sql(),
             (("key", "s"), ("lag", "l"), ("acf", "d"), ("n_pairs", "l")),
+        ),
+        Member(
+            "cube_doc_stats",
+            olap.cube_doc_stats,
+            olap.CUBE_DOC_STATS_SQL,
+            (("lang", "s"), ("source", "s"), ("n_docs", "l"),
+             ("total_chars", "l"), ("gid", "l")),
+        ),
+        Member(
+            "session_path_leaderboard",
+            timeseries.session_path_leaderboard,
+            _tsstats_paths_sql(),
+            (("path", "s"), ("n_sessions", "l"), ("rank", "l")),
         ),
         Member(
             "funnel_view_to_purchase",

@@ -264,6 +264,14 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsstats.cohort_retention(io.load(spark, sf_dir, "events"))
 
 
+def session_path_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 ordered event-type paths per session
+    (operators/tsstats.py path analysis)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.session_paths(io.load(spark, sf_dir, "events"))
+
+
 def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram per event_type (operators/
     tsstats.py — shared global bins, broadcast range)."""
