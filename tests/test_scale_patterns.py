@@ -296,3 +296,46 @@ def test_approx_percentile_tracks_exact(spark):
     ).collect()[0]
     assert row.exact > 0
     assert abs(row.approx - row.exact) / row.exact <= 0.02, row
+
+
+def test_lookahead_windows_use_incremental_frames(spark):
+    """The 'next matching event ahead' lookups (funnel_conversions,
+    asof_join direction=forward) must compile to running
+    unbounded-PRECEDING frames over a reversed ordering — Spark
+    evaluates those incrementally (one buffer update per row) —
+    never to an UnboundedFollowing frame, which is recomputed from
+    scratch for EVERY row (O(n²) per key; ~10¹⁰ frame evaluations
+    for one 100k-event hot key)."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import asof, tsstats
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, i % 3, base + dt.timedelta(minutes=i),
+          "view" if i % 2 == 0 else "purchase")
+         for i in range(12)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    fun = tsstats.funnel_conversions(ev, "view", "purchase", 30)
+    assert "unboundedfollowing" not in _plan(fun).lower()
+    # and the semantics survived the frame reversal
+    got = {r.event_id: r.converted for r in fun.collect()}
+    assert got[0] and got[6]           # next purchase within 30 min
+    assert not got[10]                 # no later purchase for user 1
+    assert len(got) == 6               # one row per from-event
+
+    trades = spark.createDataFrame(
+        [(1, "A", base + dt.timedelta(minutes=5))],
+        "trade_id long, sym string, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [("A", base + dt.timedelta(minutes=7), 101.0)],
+        "sym string, ts timestamp, bid double",
+    )
+    fwd = asof.asof_join(
+        trades, quotes, key="sym", right_value_cols=["bid"],
+        direction="forward",
+    )
+    assert "unboundedfollowing" not in _plan(fwd).lower()
+    assert fwd.collect()[0].bid == 101.0

@@ -927,11 +927,13 @@ FROM scored
 # Symbol sequences are space-joined strings with sentinel boundary
 # spaces; a merge is one replace(' a b ' -> ' ab '). replace() is
 # left-to-right non-overlapping in Spark, DuckDB, and Python alike,
-# which IS greedy BPE application except when the winning pair occurs
-# at immediately consecutive positions (e.g. 'a b a b', including
-# runs of 3+ identical symbols): the consumed boundary space skips
-# the adjacent merge site. Deviation documented, identical across
-# engines, and pinned by a Python-reference pytest.
+# which IS greedy BPE application except when ANY two occurrences of
+# the winning pair are immediately adjacent in the sequence (back-to-
+# back like 'a b a b', or overlapping as in a run of the same symbol
+# 'a a a'): the first replacement consumes the shared boundary space,
+# so the adjacent merge site no longer matches in the same pass and
+# is deferred to a later round. Deviation documented, identical
+# across engines, and pinned by a Python-reference pytest.
 # ---------------------------------------------------------------------
 
 def bpe_train_merges(

@@ -76,7 +76,14 @@ def asof_join(
     # Backward: right rows sort BEFORE left rows at equal ts
     # (_is_left asc) and the fill looks back — a quote stamped
     # exactly at the trade time is visible (<= semantics). Forward:
-    # left rows sort first at equal ts and the fill looks ahead (>=).
+    # same running-frame shape over the REVERSED ordering (ts desc),
+    # with right rows again sorting before left rows at equal ts so
+    # an equal-ts quote is visible (>= semantics). Both directions
+    # are therefore incremental unboundedPreceding..0 frames — O(n)
+    # per key. The naive forward form (first ignorenulls over
+    # 0..unboundedFollowing) is an UnboundedFollowing frame that
+    # Spark recomputes from scratch per row — O(n²) on a hot symbol;
+    # tests/test_scale_patterns.py pins the physical frame.
     rstruct = F.when(
         F.col("_is_left") == 0,
         F.struct(
@@ -97,10 +104,10 @@ def asof_join(
     else:
         w = (
             Window.partitionBy("_k")
-            .orderBy(F.col("_ts").asc(), F.col("_is_left").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        match = F.first(rstruct, ignorenulls=True).over(w)
+        match = F.last(rstruct, ignorenulls=True).over(w)
         within = F.col("_m._rts") - F.col("_ts") <= F.expr(
             f"INTERVAL {tolerance}" if tolerance else "INTERVAL 0 SECONDS"
         )

@@ -653,7 +653,15 @@ def token_budget_select(
         F.col(score_col).alias("_s"),
         F.col(tokens_col).alias("_t"),
     ).repartitionByRange(F.col("_s").desc(), F.col(key_col).asc())
-    part = ordered.withColumn("_pid", F.spark_partition_id())
+    # Correctness needs per-partition bases and within-partition
+    # prefix sums to observe ONE physical partition assignment; the
+    # range exchange samples boundaries, so recomputing it in two
+    # subtrees is not guaranteed bit-identical. localCheckpoint pins
+    # the partitioning so both consumers read the same materialized
+    # partitions.
+    part = ordered.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     per_part = part.groupBy("_pid").agg(F.sum("_t").alias("_pt"))
     across = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     bases = per_part.select(

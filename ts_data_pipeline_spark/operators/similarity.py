@@ -1235,7 +1235,15 @@ def brute_force_topk_pandas(
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
         S = Mn @ Qn.T  # (batch, queries)
-        return pd.Series(list(np.round(S, 6)))
+        # HALF_UP (away from zero) to match the expression path's
+        # F.round / BigDecimal semantics — np.round is banker's
+        # half-to-even and can diverge on cosines landing exactly on
+        # a 6-dp half. (Residual caveat: this is float half-up; a
+        # value whose *binary* representation sits across the decimal
+        # .5 boundary could still differ from exact-decimal rounding
+        # — none occur in the pinned comparisons.)
+        S6 = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+        return pd.Series(list(S6))
 
     scored = (
         embeddings.select(

@@ -254,18 +254,30 @@ def funnel_conversions(
     to-event strictly after the from-event. Implementation is a
     per-key sort + min_by over a range-bounded self-pairing expressed
     as a window: to-event timestamps are carried on a per-key
-    timeline and each from-event reads the next one ahead
-    (first ignorenulls over the following frame) — one per-key window
-    sort, no self-join blowup.
+    timeline and each from-event reads the next one ahead — one
+    per-key window sort, no self-join blowup.
+
+    Frame shape (the 100 TB detail): "next ahead" is computed over
+    the REVERSED ordering (ts desc, id desc) as a running
+    ``last(ignorenulls)`` over ``unboundedPreceding..-1``. Spark's
+    unbounded-PRECEDING frame is incremental (one buffer update per
+    row); the naive forward form — ``first`` over
+    ``1..unboundedFollowing`` — is an UnboundedFollowing frame that
+    recomputes from scratch per row, O(n²) on a hot key (a user with
+    a 100k-event timeline would cost ~10¹⁰ frame evaluations).
+    tests/test_scale_patterns.py pins the physical frame.
     """
     from pyspark.sql import Window
 
+    # rows strictly AFTER the current one in (ts asc, id asc) order ==
+    # rows strictly BEFORE it in (ts desc, id desc) order; the nearest
+    # of them is the LAST non-null in the running frame.
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    next_to_ts = F.first(
+    next_to_ts = F.last(
         F.when(F.col(type_col) == to_event, F.col(ts_col)), ignorenulls=True
     ).over(w)
     horizon = F.col(ts_col) + F.expr(f"INTERVAL {within_minutes} MINUTES")
@@ -326,9 +338,17 @@ def cohort_retention(
     for each later period, how many of the cohort were active.
 
     The classic growth-analytics triangle: one min-per-key pass
-    (cohort assignment, broadcastable — cohorts are entity-bounded),
-    one distinct (key, period) activity pass, one count per (cohort,
-    period offset).
+    (cohort assignment), one distinct (key, period) activity pass,
+    one count per (cohort, period offset).
+
+    Scale shape: ``first`` has one row PER USER — it grows with the
+    corpus, so it must NOT be force-broadcast (at web scale that
+    broadcast OOMs driver and executors). Both sides are keyed on
+    ``key_col``, so the planner's shuffle join is one co-partitioned
+    pass — and the preceding groupBy/distinct already partitioned
+    both sides on that very key, so AQE can reuse the exchange.
+    Small inputs still get a broadcast via AQE's size-based
+    conversion; we just never force it.
     """
     secs = period_days * 86400
     period = lambda c: (F.unix_timestamp(c) / secs).cast("bigint")  # noqa: E731
@@ -337,7 +357,7 @@ def cohort_retention(
         key_col, period(F.col(ts_col)).alias("_p")
     ).distinct()
     return (
-        activity.join(F.broadcast(first), key_col)
+        activity.join(first, key_col)
         .select(
             period(F.col("_first")).alias("cohort_period"),
             (F.col("_p") - period(F.col("_first"))).alias("periods_later"),
