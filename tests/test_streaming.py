@@ -444,3 +444,88 @@ def test_upsert_sink_recovers_from_half_written_version(spark, tmp_path):
     }
     assert final == {("b", 2.0), ("c", 3.0)}  # delete applied AND batch kept
     shutil.rmtree(table_dir)
+
+
+def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB merge contract: a small batch against a large keyed
+    state rewrites ONLY the hash buckets holding batch keys; every
+    other bucket carries forward by manifest reference into the older
+    version's directory. (The r5 sink rewrote the FULL state per
+    micro-batch — O(|table|) I/O per trigger.)"""
+    import datetime as dt
+    import json
+    import os
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    schema = "key string, ts timestamp, val double"
+    base = dt.datetime(2024, 1, 1)
+    big = spark.createDataFrame(
+        [(f"k{i}", base, float(i)) for i in range(64)], schema
+    )
+    upsert_sink.upsert_batch(
+        spark, table_dir, big, 0, key_col="key", ts_col="ts", n_buckets=8
+    )
+    m0 = json.load(open(os.path.join(table_dir, "b0", "_MANIFEST.json")))
+    assert m0["n_buckets"] == 8
+    assert len(m0["buckets"]) == 8  # 64 keys cover all 8 buckets
+    assert all(rel.startswith("b0/") for rel in m0["buckets"].values())
+
+    # one-key batch: exactly ONE bucket dir written under b1
+    b1 = spark.createDataFrame([("k3", base + dt.timedelta(1), 99.0)], schema)
+    upsert_sink.upsert_batch(
+        spark, table_dir, b1, 1, key_col="key", ts_col="ts"
+    )
+    written = [
+        d for d in os.listdir(os.path.join(table_dir, "b1"))
+        if d.startswith("tdp_bucket=")
+    ]
+    assert len(written) == 1, written
+    m1 = json.load(open(os.path.join(table_dir, "b1", "_MANIFEST.json")))
+    carried = [rel for rel in m1["buckets"].values() if rel.startswith("b0/")]
+    assert len(carried) == 7  # 7 of 8 buckets untouched, by reference
+    assert m1["seq"] == m0["seq"] + 1
+
+    # and the merged view is still exact
+    final = {
+        (r.key, r.val)
+        for r in upsert_sink.read_table(spark, table_dir).collect()
+    }
+    want = {(f"k{i}", float(i)) for i in range(64) if i != 3} | {("k3", 99.0)}
+    assert final == want
+
+
+def test_upsert_redelivery_cannot_roll_back_a_delete(spark, tmp_path):
+    """Forward-only _CURRENT: re-delivering an already-committed
+    batch AFTER a compliance delete must not repoint the table at the
+    pre-delete version — that would resurrect erased keys and break
+    the GDPR contract. The commit-sequence guard skips the stale
+    repoint."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    schema = "key string, ts timestamp, val double"
+    base = dt.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame(
+        [("a", base, 1.0), ("b", base, 2.0)], schema
+    )
+    upsert_sink.upsert_batch(spark, table_dir, b0, 0, key_col="key", ts_col="ts")
+    b1 = spark.createDataFrame([("c", base, 3.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b1, 1, key_col="key", ts_col="ts")
+    upsert_sink.delete_keys(
+        spark, table_dir, spark.createDataFrame([("a",)], "key string"),
+        key_col="key", version=1,
+    )
+    assert {
+        r.key for r in upsert_sink.read_table(spark, table_dir).collect()
+    } == {"b", "c"}
+
+    # crash-recovery re-delivery of batch 1: merge is skipped
+    # (committed) AND the pointer must stay on the delete version
+    upsert_sink.upsert_batch(spark, table_dir, b1, 1, key_col="key", ts_col="ts")
+    assert {
+        r.key for r in upsert_sink.read_table(spark, table_dir).collect()
+    } == {"b", "c"}  # 'a' stays erased

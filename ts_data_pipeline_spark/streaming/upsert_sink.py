@@ -1,45 +1,75 @@
-"""Exactly-once streaming UPSERT sink: foreachBatch + versioned
-commits (a minimal lakehouse commit protocol over plain parquet).
+"""Exactly-once streaming UPSERT sink: foreachBatch + versioned,
+BUCKET-SCOPED commits (a minimal lakehouse commit protocol over
+plain parquet).
 
 The reference's catalog mutations arrive as a stream of updates; a
 plain parquet "table" cannot MERGE in place. This sink gives each
-micro-batch an atomic, idempotent commit:
+micro-batch an atomic, idempotent commit whose I/O is proportional
+to the DELTA, not the table:
 
-- every applied batch writes a brand-new immutable version directory
-  holding the FULL post-merge keyed state (current rows whose key is
-  absent from the batch + the batch's latest row per key) — pure
-  append, no in-place rewrite, object-store safe;
+- keyed state is hash-partitioned into ``n_buckets`` buckets
+  (``pmod(xxhash64(key), n)`` — deterministic across sessions);
+  every version directory holds parquet data ONLY for the buckets
+  the batch touched, written in one Spark ``partitionBy("tdp_bucket")``
+  pass, plus a ``_MANIFEST.json`` mapping every live bucket to its
+  data path — touched buckets point into this version, untouched
+  buckets are carried forward BY REFERENCE to the older version
+  directory that last wrote them. A 1 GB batch against a 10 TB
+  table rewrites ~1 GB, not 10 TB (tests/test_streaming.py pins the
+  touched-bucket count);
+- a version counts as COMMITTED only when its manifest exists: the
+  manifest is written last (temp + atomic rename), after Spark's
+  file committer finished the bucket data (``_SUCCESS``). A
+  directory without a manifest is a crashed half-write: re-delivery
+  removes it and re-applies the merge instead of repointing at
+  truncated data;
 - a pointer file ``_CURRENT`` names the live version DIRECTORY and
-  is replaced atomically (write temp + rename); readers resolve it
-  first, so they always see a complete version;
-- a version counts as COMMITTED only when its ``_SUCCESS`` marker
-  exists (written last by Spark's file committer). A directory
-  without the marker is a crashed half-write: re-delivery removes it
-  and re-applies the merge instead of repointing at truncated data;
+  is replaced atomically (write temp + rename); readers resolve
+  pointer -> manifest -> bucket paths, so they always see a
+  complete version;
+- every commit records a MONOTONIC sequence number in its manifest
+  (predecessor's seq + 1). ``_CURRENT`` only ever moves FORWARD in
+  sequence: re-delivery of an already-committed batch (Spark's
+  at-least-once foreachBatch contract) finds the version's seq
+  older than the current one and skips the repoint. Without the
+  guard, a re-delivered batch would roll ``_CURRENT`` back past a
+  later compliance-delete version and resurrect erased keys;
 - batch versions live under ``b<batch_id>`` and compliance-delete
   versions under ``d<token>`` — separate namespaces, so an operator
   delete can never collide with (and silently swallow) a future
   micro-batch's commit;
-- idempotence: foreachBatch can re-deliver a batch after recovery
-  (Spark's contract is at-least-once delivery of (batch_id, data));
-  a COMMITTED version for this batch_id means the merge was already
-  applied — re-delivery only repoints ``_CURRENT``, never re-merges
-  — which upgrades the sink to effectively-once.
+- idempotence: a COMMITTED version for this batch_id means the
+  merge was already applied — re-delivery never re-merges, and the
+  seq guard decides whether the pointer may move — which upgrades
+  the sink to effectively-once.
 
-Scale: the merge is one keyed anti-join (current vs batch keys —
-batch side broadcast-able) + union + write; state size is the keyed
-table, not the stream history. Version GC = delete directories older
-than the retention horizon; never the one ``_CURRENT`` names.
+Version GC: a version directory may be referenced by LATER
+manifests (carried buckets), so GC must retain every directory the
+current manifest (and any manifest inside the retention horizon)
+points into — the same reachability walk as any lakehouse VACUUM;
+never delete a dir reachable from ``_CURRENT``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+DEFAULT_N_BUCKETS = 16
+_MANIFEST = "_MANIFEST.json"
+
+
+def _bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic bucket id for a key — stable across sessions and
+    restarts (xxhash64 is seed-fixed), so every writer agrees on
+    which bucket a key lives in."""
+    return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
 
 
 def _current_dir(table_dir: str) -> str | None:
@@ -50,40 +80,135 @@ def _current_dir(table_dir: str) -> str | None:
         return f.read().strip()
 
 
+def _read_manifest(table_dir: str, version_dir: str) -> dict | None:
+    mpath = os.path.join(table_dir, version_dir, _MANIFEST)
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        return json.load(f)
+
+
+def _write_manifest(table_dir: str, version_dir: str, manifest: dict) -> None:
+    """Manifest write IS the commit: temp + atomic rename, last."""
+    vpath = os.path.join(table_dir, version_dir)
+    fd, tmp = tempfile.mkstemp(dir=vpath, prefix="._MANIFEST.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(vpath, _MANIFEST))
+
+
+def _committed(table_dir: str, version_dir: str) -> bool:
+    """True only when the version finished committing: the manifest
+    is written last (after Spark's _SUCCESS), atomically — a
+    directory without it is a crashed half-write, not a commit."""
+    return _read_manifest(table_dir, version_dir) is not None
+
+
+def _current_seq(table_dir: str) -> int:
+    cur = _current_dir(table_dir)
+    if cur is None:
+        return -1
+    m = _read_manifest(table_dir, cur)
+    return -1 if m is None else int(m["seq"])
+
+
 def _point_current(table_dir: str, version_dir: str) -> None:
+    """Repoint ``_CURRENT`` — but only FORWARD in commit sequence.
+
+    Re-delivery of an already-committed batch must not roll the
+    pointer back past a later commit (in particular a compliance
+    delete — that rollback would resurrect erased keys, breaking the
+    GDPR contract). The target's seq comes from its own manifest;
+    stale targets are skipped.
+    """
+    target = _read_manifest(table_dir, version_dir)
+    if target is None:  # pragma: no cover - callers commit first
+        raise ValueError(f"cannot point _CURRENT at uncommitted {version_dir}")
+    if int(target["seq"]) < _current_seq(table_dir):
+        return  # stale re-delivery: a newer version is already live
     fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._CURRENT.")
     with os.fdopen(fd, "w") as f:
         f.write(version_dir)
     os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
 
 
-def _committed(table_dir: str, version_dir: str) -> bool:
-    """True only when the version finished writing: Spark's committer
-    creates _SUCCESS last, so a directory without it is a crashed
-    half-write, not a commit."""
-    return os.path.exists(os.path.join(table_dir, version_dir, "_SUCCESS"))
-
-
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """Resolve _CURRENT and read that (complete, immutable) version."""
+    """Resolve _CURRENT -> manifest -> bucket data paths and read
+    that (complete, immutable) version."""
     v = _current_dir(table_dir)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(table_dir, v))
+    m = _read_manifest(table_dir, v)
+    if m is None:
+        return None
+    paths = [os.path.join(table_dir, rel) for rel in m["buckets"].values()]
+    if not paths:  # table emptied (e.g. delete-all): schema-only
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
 
 
-def _write_version(
-    table_dir: str, version_dir: str, df: DataFrame
+def _written_bucket_dirs(vpath: str) -> dict[str, str]:
+    """Bucket dirs Spark's partitionBy actually produced (an empty
+    merge side produces none)."""
+    out = {}
+    for name in os.listdir(vpath):
+        if name.startswith("tdp_bucket="):
+            out[name.split("=", 1)[1]] = name
+    return out
+
+
+def _commit_version(
+    table_dir: str,
+    version_dir: str,
+    touched_data: DataFrame,
+    carried: dict[str, str],
+    *,
+    key_col: str,
+    n_buckets: int,
+    seq: int,
 ) -> None:
-    """Write a version idempotently: a committed directory is left
-    untouched; a half-written one (no _SUCCESS) is removed and
-    rewritten."""
+    """Write one version: touched-bucket parquet (single Spark write,
+    partitioned by bucket), then the manifest (atomic, last). A
+    pre-existing committed dir is left untouched; a half-written one
+    is removed and redone."""
     vpath = os.path.join(table_dir, version_dir)
     if os.path.exists(vpath):
         if _committed(table_dir, version_dir):
             return
         shutil.rmtree(vpath)  # crashed half-write: redo the merge
-    df.write.mode("errorifexists").parquet(vpath)
+    (
+        touched_data.withColumn("tdp_bucket", _bucket_expr(key_col, n_buckets))
+        .write.partitionBy("tdp_bucket")
+        .mode("errorifexists")
+        .parquet(vpath)
+    )
+    buckets = dict(carried)
+    for k, name in _written_bucket_dirs(vpath).items():
+        buckets[k] = f"{version_dir}/{name}"
+    _write_manifest(
+        table_dir,
+        version_dir,
+        {
+            "seq": seq,
+            "n_buckets": n_buckets,
+            "schema": touched_data.schema.json(),
+            "buckets": buckets,
+        },
+    )
+
+
+def _touched_buckets(
+    keyed: DataFrame, key_col: str, n_buckets: int
+) -> list[str]:
+    """Distinct bucket ids present in a (batch-sized) relation —
+    at most ``n_buckets`` driver-side ints by construction."""
+    rows = (
+        keyed.select(_bucket_expr(key_col, n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    )
+    return [str(r["_b"]) for r in rows]
 
 
 def upsert_batch(
@@ -94,35 +219,75 @@ def upsert_batch(
     *,
     key_col: str,
     ts_col: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
 ) -> None:
     """Apply one micro-batch as a versioned keyed UPSERT (see module
-    docstring). Safe to call again with the same batch_id."""
+    docstring). Safe to call again with the same batch_id. The merge
+    reads and rewrites ONLY the buckets holding batch keys; all
+    other buckets carry forward by manifest reference.
+
+    Once a table exists, its bucket count comes from the current
+    manifest (the ``n_buckets`` argument only seeds a new table) —
+    mixing counts would scatter a key across buckets.
+    """
     os.makedirs(table_dir, exist_ok=True)
     vdir = f"b{batch_id}"
     if not _committed(table_dir, vdir):
-        # latest row per key within the batch (ts desc, stable)
         from pyspark.sql import Window
 
+        # latest row per key within the batch (ts desc, stable)
         w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
         latest = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1")
             .drop("_rn")
         )
-        current = read_table(spark, table_dir)
-        if current is None:
-            merged = latest
+        cur_v = _current_dir(table_dir)
+        manifest = _read_manifest(table_dir, cur_v) if cur_v else None
+        if manifest is None:
+            merged, carried, seq = latest, {}, 0
         else:
-            merged = current.join(
-                F.broadcast(latest.select(key_col)), key_col, "left_anti"
-            ).unionByName(latest)
-        _write_version(table_dir, vdir, merged)
+            n_buckets = int(manifest["n_buckets"])
+            touched = set(_touched_buckets(latest, key_col, n_buckets))
+            cur_paths = [
+                os.path.join(table_dir, rel)
+                for k, rel in manifest["buckets"].items()
+                if k in touched
+            ]
+            if cur_paths:
+                current_touched = spark.read.parquet(*cur_paths)
+                merged = current_touched.join(
+                    F.broadcast(latest.select(key_col)), key_col, "left_anti"
+                ).unionByName(latest)
+            else:
+                merged = latest  # batch keys land only in empty buckets
+            carried = {
+                k: rel
+                for k, rel in manifest["buckets"].items()
+                if k not in touched
+            }
+            seq = int(manifest["seq"]) + 1
+        _commit_version(
+            table_dir,
+            vdir,
+            merged,
+            carried,
+            key_col=key_col,
+            n_buckets=n_buckets,
+            seq=seq,
+        )
     # Re-delivery of a committed batch lands here: only the pointer
-    # moves (atomic), the merge never re-applies.
+    # moves (atomic, forward-only), the merge never re-applies.
     _point_current(table_dir, vdir)
 
 
-def upsert_writer(table_dir: str, *, key_col: str, ts_col: str):
+def upsert_writer(
+    table_dir: str,
+    *,
+    key_col: str,
+    ts_col: str,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+):
     """foreachBatch hook: ``stream.writeStream.foreachBatch(
     upsert_writer(dir, key_col=..., ts_col=...))``."""
 
@@ -134,6 +299,7 @@ def upsert_writer(table_dir: str, *, key_col: str, ts_col: str):
             batch_id,
             key_col=key_col,
             ts_col=ts_col,
+            n_buckets=n_buckets,
         )
 
     return apply
@@ -148,22 +314,50 @@ def delete_keys(
     version: int,
 ) -> None:
     """Compliance delete (GDPR/right-to-erasure) as a first-class
-    version: write a new immutable version WITHOUT the given keys and
+    version: rewrite ONLY the buckets containing the given keys
+    (minus those keys), carry every other bucket by reference, and
     repoint ``_CURRENT``. Delete versions live in their own ``d<n>``
     namespace so they can never collide with a streaming batch id
     (a collision would silently swallow that micro-batch's merge).
     History directories still hold the rows — full erasure = version
     GC past the retention horizon, the same operational story as any
     lakehouse's VACUUM. Idempotent per ``version``: a committed
-    delete version is never rewritten.
+    delete version is never rewritten, and the forward-only pointer
+    guard means a later re-delivered batch can never roll the table
+    back past the delete.
     """
-    current = read_table(spark, table_dir)
-    if current is None:
+    cur_v = _current_dir(table_dir)
+    manifest = _read_manifest(table_dir, cur_v) if cur_v else None
+    if manifest is None:
         raise ValueError(f"no current version in {table_dir}")
     vdir = f"d{version}"
     if not _committed(table_dir, vdir):
-        purged = current.join(
-            F.broadcast(keys.select(key_col).distinct()), key_col, "left_anti"
+        n_buckets = int(manifest["n_buckets"])
+        dkeys = keys.select(key_col).distinct()
+        touched = set(_touched_buckets(dkeys, key_col, n_buckets))
+        cur_paths = [
+            os.path.join(table_dir, rel)
+            for k, rel in manifest["buckets"].items()
+            if k in touched
+        ]
+        if cur_paths:
+            purged = spark.read.parquet(*cur_paths).join(
+                F.broadcast(dkeys), key_col, "left_anti"
+            )
+        else:  # keys hash only to empty buckets: nothing to purge
+            purged = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(manifest["schema"]))
+            )
+        carried = {
+            k: rel for k, rel in manifest["buckets"].items() if k not in touched
+        }
+        _commit_version(
+            table_dir,
+            vdir,
+            purged,
+            carried,
+            key_col=key_col,
+            n_buckets=n_buckets,
+            seq=int(manifest["seq"]) + 1,
         )
-        _write_version(table_dir, vdir, purged)
     _point_current(table_dir, vdir)
