@@ -165,6 +165,59 @@ def _extras(spark) -> dict:
     return out
 
 
+def _recall(spark) -> dict:
+    """Measured recall@10 vs exact brute force at SF_DIR for every
+    approximate ANN variant — so the recall-vs-cost tradeoff the
+    extras time is a PUBLISHED number, not a pytest-only claim at
+    sf0.001. Result sets are |queries| x k rows (100 here), so the
+    driver-side set compare is broadcast-dim-sized by construction."""
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        EMBEDDING_DIM,
+        LSH_PLANE_IDS,
+    )
+    from ts_data_pipeline_spark.queries.timeseries import IVF_CENTROID_IDS
+
+    try:
+        emb = _io.load(spark, SF_DIR, "embeddings")
+        k = 10
+        truth = {
+            (r.query_id, r.cand_id)
+            for r in similarity.brute_force_topk(
+                emb, ANN_QUERY_IDS, k=k
+            ).collect()
+        }
+        approx = {
+            "lsh_bucketed": similarity.lsh_bucketed_topk(
+                emb, ANN_QUERY_IDS, LSH_PLANE_IDS, k=k
+            ),
+            "lsh_multiprobe": similarity.lsh_multiprobe_topk(
+                emb, ANN_QUERY_IDS, LSH_PLANE_IDS, k=k
+            ),
+            "ivf_nprobe2": similarity.ivf_topk(
+                emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, k=k, nprobe=2
+            ),
+            "ivf_nprobe4": similarity.ivf_topk(
+                emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, k=k, nprobe=4
+            ),
+            "sq8_rerank": similarity.sq8_topk(
+                emb, ANN_QUERY_IDS, EMBEDDING_DIM, k=k
+            ),
+        }
+        out = {}
+        for name, df in approx.items():
+            got = {(r.query_id, r.cand_id) for r in df.collect()}
+            out[f"recall_at_{k}_{name}"] = round(
+                len(truth & got) / len(truth), 3
+            )
+        return out
+    except Exception as exc:  # never let recall kill the artifact
+        print(f"# recall section failed: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     spark = get_spark("ts-data-pipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -215,6 +268,7 @@ def main() -> None:
     # this measures the physical plans only.
     skew = _skew_stress(spark)
     extras = _extras(spark)
+    extras.update(_recall(spark))
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items() if s}
