@@ -529,3 +529,116 @@ def test_upsert_redelivery_cannot_roll_back_a_delete(spark, tmp_path):
     assert {
         r.key for r in upsert_sink.read_table(spark, table_dir).collect()
     } == {"b", "c"}  # 'a' stays erased
+
+
+def test_streaming_funnel_matches_batch_verdicts(spark, tmp_path):
+    """Streaming CEP funnel: every emitted final verdict must match
+    the batch funnel_conversions on the same input — same conversion
+    flag, same in-horizon converted_at — for every from-event whose
+    decision horizon the watermark passed."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    chunks = [
+        # u1: view@0 -> purchase@3 (converts); u2: view@1, no purchase
+        [(0, 1, m(0), "view"), (1, 2, m(1), "view"), (2, 1, m(3), "purchase")],
+        # u2: purchase@9 — outside the 5-min horizon of view@1
+        [(3, 2, m(9), "purchase"), (4, 1, m(10), "view")],
+        # u1: purchase@12 (converts view@10); advance watermark
+        [(5, 1, m(12), "purchase"), (6, 3, m(40), "view")],
+        # final watermark pusher: horizon of view@10 (=15) closes
+        [(7, 3, m(60), "click")],
+    ]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_funnel(stream, "view", "purchase", 5)
+    windowed.run_available_now(out, "t_cep_funnel", str(tmp_path / "ckpt"))
+    got = {
+        r.event_id: (r.converted, r.converted_at)
+        for r in spark.table("t_cep_funnel").collect()
+    }
+
+    allrows = spark.createDataFrame(
+        [r for c in chunks for r in c], schema
+    )
+    batch = tsstats.funnel_conversions(allrows, "view", "purchase", 5)
+    # the stream finalizes from-events whose horizon < final watermark
+    # (max event time - 1s grace); view@40 (horizon 45) closes too.
+    want = {
+        r.event_id: (r.converted, r.converted_at if r.converted else None)
+        for r in batch.collect()
+    }
+    assert set(got) == set(want) == {0, 1, 4, 6}
+    for eid in got:
+        assert got[eid][0] == want[eid][0], (eid, got[eid], want[eid])
+        if got[eid][0]:
+            assert got[eid][1] == want[eid][1], eid
+    assert got[0][0] and got[6][0] is False and got[1][0] is False
+
+
+def test_streaming_zscore_alerts_match_batch(spark, tmp_path):
+    """Streaming z-score alerting: emitted anomalies must equal the
+    batch rolling_zscore_anomalies rows (same ids, same 4-dp z) over
+    the finalized region, with the same preceding-rows-only
+    baseline."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import quality as qops
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = 100.0 if i == 20 else 10.0 + (i % 3)
+        rows.append((i, 1, base + dt.timedelta(minutes=i), v))
+        rows.append((100 + i, 2, base + dt.timedelta(minutes=i), 5.0 + (i % 2)))
+    # key 2 gets its own spike at a different position
+    rows = [r if r[0] != 110 else (110, 2, r[2], -50.0) for r in rows]
+    chunks = [rows[:20], rows[20:45], rows[45:]]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_zscore_alerts(
+        stream, lookback=10, z_threshold=3.0, min_history=5
+    )
+    windowed.run_available_now(out, "t_cep_z", str(tmp_path / "ckpt"))
+    got = {
+        (r.event_id, r.n_hist, r.z)
+        for r in spark.table("t_cep_z").collect()
+    }
+
+    batch = qops.rolling_zscore_anomalies(
+        spark.createDataFrame(rows, schema),
+        lookback=10, z_threshold=3.0, min_history=5,
+    )
+    # finalized region: ts strictly below the final watermark
+    # (max ts 00:29 - 1s grace => both spikes are final)
+    want = {(r.event_id, r.n_hist, r.z) for r in batch.collect()
+            if r.ts < base + dt.timedelta(minutes=28, seconds=59)}
+    assert want  # both spikes present
+    assert got == want, (got, want)

@@ -1,0 +1,271 @@
+"""Streaming CEP twins of the batch alerting operators: funnel
+(A-followed-by-B within a horizon) and rolling z-score anomalies —
+the "conversion tracking" and "live alert escalation" primitives, as
+stateful Structured Streaming operators.
+
+Both follow the engine's established stateful pattern
+(streaming/custom_state.py): ``applyInPandasWithState`` keyed on the
+entity, event-time watermark for lateness, buffer-until-final
+emission, and an event-time timeout so finals flush when the
+watermark advances without new per-key data. The batch operators
+(operators/tsstats.funnel_conversions, operators/quality.
+rolling_zscore_anomalies) are the oracles: tests/test_streaming.py
+pins that every emitted final byte-matches the batch computation of
+the same input over the finalized region.
+
+Emission contracts (what a stream CAN finalize):
+
+- ``streaming_funnel`` decides each from-event exactly when the
+  watermark passes ``from.ts + within`` — at that instant every
+  qualifying to-event is on hand (later arrivals would be late
+  beyond the watermark). ``converted_at`` is reported only for
+  conversions INSIDE the horizon; the batch operator additionally
+  reports the unbounded next to-event for non-conversions, which no
+  finite-state stream can finalize (it may lie arbitrarily far in
+  the future). The conversion verdict itself is identical.
+- ``streaming_zscore_alerts`` finalizes rows strictly below the
+  watermark in (ts, id) order, maintaining the trailing ``lookback``
+  values per key — the same preceding-rows-only baseline as the
+  batch window frame (the current point never contaminates its own
+  baseline). Rows arriving after their position was finalized are
+  dropped, the same T2 guarantee as the windowed aggregates.
+
+Scale: state per key is bounded — the funnel holds only from-events
+inside their open horizon plus to-events younger than
+``within`` past the watermark; the z-score holds ``lookback`` values
+plus the unfinalized tail. Both are sharded by the groupBy key into
+the executor state store, identical placement to the built-in
+stateful aggs. The Python hop prices in Arrow batch transfer; the
+batch operators remain the default for offline scans (UDFs are the
+slow path — these exist because emission TIMING is the product
+feature, not the arithmetic).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_STATE_SCHEMA = T.StructType([T.StructField("js", T.StringType())])
+
+
+def _arm_timeout(state: GroupState, want_ms: int, wm: int) -> None:
+    """Event-time timeouts must be strictly above the watermark, and
+    fire only when the watermark strictly exceeds them — arm 1 ms
+    early (same boundary reasoning as custom_state.py) and clamp."""
+    state.setTimeoutTimestamp(max(want_ms - 1, wm + 1))
+
+
+def streaming_funnel(
+    events: DataFrame,
+    from_event: str,
+    to_event: str,
+    within_minutes: int,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    grace: str = "1 second",
+) -> DataFrame:
+    """Streaming funnel conversion: for each ``from_event``, emit a
+    FINAL verdict (converted within ``within_minutes``?) exactly when
+    the watermark passes its decision horizon.
+
+    Output: (event_id, key, ts, converted_at, converted) — the batch
+    funnel's shape; ``converted_at`` only for in-horizon conversions
+    (see module docstring). Matching is the batch convention: the
+    first to-event strictly after the from-event in (ts, id) order.
+    """
+    within_ms = within_minutes * 60_000
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField("converted_at", T.TimestampType()),
+            T.StructField("converted", T.BooleanType()),
+        ]
+    )
+
+    def fold(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            else {"froms": [], "tos": []}
+        )
+        froms = [tuple(x) for x in st["froms"]]  # [(id, ts_ms)]
+        tos = [tuple(x) for x in st["tos"]]      # [(id, ts_ms)]
+        wm = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                ts_ms = int(rec[ts_col].value // 1_000_000)
+                rid = int(rec[id_col])
+                if rec[type_col] == from_event:
+                    if ts_ms + within_ms <= wm:
+                        continue  # horizon already closed: late, drop
+                    froms.append((rid, ts_ms))
+                elif rec[type_col] == to_event:
+                    if ts_ms + within_ms <= wm:
+                        continue  # can no longer convert any open from
+                    tos.append((rid, ts_ms))
+        # decide every from whose horizon the watermark has passed;
+        # the to-events it may match are still in state (their evict
+        # horizon is >= this from's decision horizon — eviction below
+        # happens only after all due decisions).
+        rows = []
+        still_open = []
+        for fid, fts in sorted(froms, key=lambda p: (p[1], p[0])):
+            if fts + within_ms > wm:
+                still_open.append((fid, fts))
+                continue
+            hits = [
+                (tts, tid)
+                for tid, tts in tos
+                if (tts, tid) > (fts, fid) and tts <= fts + within_ms
+            ]
+            hit = min(hits) if hits else None
+            rows.append(
+                {
+                    id_col: fid,
+                    "key": key[0],
+                    ts_col: pd.Timestamp(fts, unit="ms"),
+                    "converted_at": (
+                        pd.Timestamp(hit[0], unit="ms") if hit else pd.NaT
+                    ),
+                    "converted": hit is not None,
+                }
+            )
+        tos = [(tid, tts) for tid, tts in tos if tts + within_ms > wm]
+        if still_open or tos:
+            horizons = [fts + within_ms for _, fts in still_open] + [
+                tts + within_ms for _, tts in tos
+            ]
+            state.update(
+                (json.dumps({"froms": still_open, "tos": tos}),)
+            )
+            _arm_timeout(state, min(horizons), wm)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
+
+    return (
+        events.withWatermark(ts_col, grace)
+        .withColumn("_key", F.col(key_col).cast("string"))
+        .groupBy("_key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_zscore_alerts(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lookback: int = 20,
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+    grace: str = "1 second",
+) -> DataFrame:
+    """Streaming rolling z-score alerting: emit each anomalous point
+    (|z| >= threshold vs the trailing ``lookback`` points of its own
+    key) as soon as the watermark finalizes its position in the
+    per-key timeline.
+
+    Identical arithmetic to operators/quality.rolling_zscore_anomalies
+    (sample stddev over the preceding <=lookback rows, >= min_history
+    required, z rounded 4 dp) — pinned in tests/test_streaming.py.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("n_hist", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+
+    def fold(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            else {"buf": [], "hist": []}
+        )
+        buf = [tuple(x) for x in st["buf"]]    # [(ts_ms, id, value)]
+        hist = [tuple(x) for x in st["hist"]]  # trailing finalized
+        wm = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                ts_ms = int(rec[ts_col].value // 1_000_000)
+                if ts_ms < wm:
+                    continue  # position already finalized: late, drop
+                buf.append((ts_ms, int(rec[id_col]), float(rec[value_col])))
+        rows = []
+        pending = []
+        for ts_ms, rid, val in sorted(buf):
+            if ts_ms >= wm:
+                pending.append((ts_ms, rid, val))
+                continue
+            window = [v for _, _, v in hist[-lookback:]]
+            n = len(window)
+            if n >= min_history:
+                mu = sum(window) / n
+                var = sum((v - mu) ** 2 for v in window) / (n - 1)
+                sd = math.sqrt(var)
+                if sd > 0:
+                    z = round((val - mu) / sd, 4)
+                    if abs(z) >= z_threshold:
+                        rows.append(
+                            {
+                                id_col: rid,
+                                "key": key[0],
+                                ts_col: pd.Timestamp(ts_ms, unit="ms"),
+                                value_col: val,
+                                "n_hist": n,
+                                "z": z,
+                            }
+                        )
+            hist.append((ts_ms, rid, val))
+            hist = hist[-lookback:]
+        if pending or hist:
+            state.update((json.dumps({"buf": pending, "hist": hist}),))
+            if pending:
+                # wake when the watermark passes the oldest pending row
+                _arm_timeout(state, min(p[0] for p in pending) + 1, wm)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
+
+    return (
+        events.withWatermark(ts_col, grace)
+        .withColumn("_key", F.col(key_col).cast("string"))
+        .groupBy("_key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
