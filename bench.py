@@ -141,7 +141,23 @@ def _extras(spark) -> dict:
             _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10
         )
 
+    def recipe_build_corpus(spark, sf_dir):
+        # the composed end-to-end recipe (gates -> ppl tail-drop ->
+        # near-dup -> SemDeDup -> resample -> shuffle -> pack), timed
+        # so the "three corpus-wide shuffles" claim in recipes.py has
+        # a wall-clock number at bench SF
+        from ts_data_pipeline_spark import recipes
+        from ts_data_pipeline_spark.queries.llmdata import KMEANS_SEED_IDS
+
+        return recipes.build_training_corpus(
+            _io.load(spark, sf_dir, "documents"),
+            embeddings=_io.load(spark, sf_dir, "embeddings"),
+            semdedup_seeds=KMEANS_SEED_IDS,
+            source_cap=5000,
+        )
+
     extra = {
+        "recipe_build_corpus": recipe_build_corpus,
         "rollup_multires": rollup_multires,
         "bm25_topk": bm25_topk,
         "heavy_hitters": heavy_hitters,
@@ -150,12 +166,19 @@ def _extras(spark) -> dict:
         "ann_lsh_multiprobe": ann_multiprobe,
         "ann_brute_pandas_udf": ann_brute_pandas,
     }
+    # The composed recipe runs ~60 s at sf0.1 — a warmed median-of-3
+    # would triple the bench budget for one number, so it is timed as
+    # ONE un-warmed end-to-end run (the honest deployment shape: a
+    # corpus build executes once, not hot-in-cache).
+    single_run = {"recipe_build_corpus"}
     out = {}
     for name, fn in extra.items():
         try:
-            fn(spark, SF_DIR).count()  # warm
+            runs = 1 if name in single_run else RUNS
+            if name not in single_run:
+                fn(spark, SF_DIR).count()  # warm
             ts = []
-            for _ in range(RUNS):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).count()
                 ts.append(time.perf_counter() - t0)

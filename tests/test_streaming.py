@@ -642,3 +642,47 @@ def test_streaming_zscore_alerts_match_batch(spark, tmp_path):
             if r.ts < base + dt.timedelta(minutes=28, seconds=59)}
     assert want  # both spikes present
     assert got == want, (got, want)
+
+
+def test_upsert_gc_is_reachability_based(spark, tmp_path):
+    """VACUUM for the versioned table: GC must never remove a version
+    directory whose bucket data a retained manifest still references
+    (carried buckets), and must remove fully superseded versions —
+    including the physical erasure of deleted keys' history once the
+    retention horizon passes."""
+    import datetime as dt
+    import os
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    schema = "key string, ts timestamp, val double"
+    base = dt.datetime(2024, 1, 1)
+    big = spark.createDataFrame(
+        [(f"k{i}", base, float(i)) for i in range(64)], schema
+    )
+    upsert_sink.upsert_batch(
+        spark, table_dir, big, 0, key_col="key", ts_col="ts", n_buckets=8
+    )
+    b1 = spark.createDataFrame([("k3", base + dt.timedelta(1), 99.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b1, 1, key_col="key", ts_col="ts")
+
+    # b1's manifest carries 7 buckets out of b0 -> b0 must survive GC
+    removed = upsert_sink.gc_versions(table_dir, keep_last=1)
+    assert removed == []
+    assert os.path.isdir(os.path.join(table_dir, "b0"))
+
+    # rewrite every key -> b2 references nothing in b0/b1
+    big2 = spark.createDataFrame(
+        [(f"k{i}", base + dt.timedelta(2), float(i) + 0.5) for i in range(64)],
+        schema,
+    )
+    upsert_sink.upsert_batch(spark, table_dir, big2, 2, key_col="key", ts_col="ts")
+    removed = upsert_sink.gc_versions(table_dir, keep_last=1)
+    assert set(removed) == {"b0", "b1"}
+    want = {(f"k{i}", float(i) + 0.5) for i in range(64)}
+    got = {
+        (r.key, r.val)
+        for r in upsert_sink.read_table(spark, table_dir).collect()
+    }
+    assert got == want

@@ -635,6 +635,13 @@ def _olap_pivot_members() -> list[Member]:
             (("grain", "s"), ("window_start", "t"), ("key", "s"),
              ("n", "l"), ("v_sum", "d"), ("v_min", "d"), ("v_max", "d")),
         ),
+        Member(
+            "rollup_refresh_roundtrip",
+            timeseries.rollup_refresh_roundtrip,
+            timeseries.ROLLUP_REFRESH_ROUNDTRIP_SQL,
+            (("window_start", "t"), ("key", "s"), ("n", "l"),
+             ("v_sum", "d"), ("v_min", "d"), ("v_max", "d")),
+        ),
     ]
 
 

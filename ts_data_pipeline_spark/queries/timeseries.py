@@ -288,6 +288,76 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.rollup_lattice(io.load(spark, sf_dir, "events"))
 
 
+def rollup_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-refresh ROUND TRIP through durable storage: the
+    15-minute rollup is built from the on-time 80% of events and
+    committed to the versioned upsert table (streaming/
+    upsert_sink.py); then the "late" 20% arrives, the fine windows
+    they touch are invalidated, refresh_coarse re-aggregates ONLY the
+    affected coarse groups, and the replacement rows MERGE through
+    the sink as a second commit. The gate reads the final table back;
+    the oracle is the same rollup computed directly from ALL raw
+    events — a green row proves the invalidation-scoped incremental
+    path converges to the from-scratch answer THROUGH the sink's
+    bucket-scoped commit protocol, not just in memory.
+
+    (The late split is deterministic — pmod(event_id, 5) = 0 — so
+    both engines see the same final state regardless of how the data
+    was staged.)
+    """
+    import tempfile
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    ev = io.load(spark, sf_dir, "events")
+    is_late = F.pmod("event_id", F.lit(5)) == 0
+    on_time, late = ev.filter(~is_late), ev.filter(is_late)
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "upsert_key",
+            F.concat_ws("|", F.unix_timestamp("window_start"), "key"),
+        )
+
+    table_dir = tempfile.mkdtemp(prefix="rollup_rt_")
+    coarse0 = rollup.reaggregate(rollup.windowed_partials(on_time, 5), 15)
+    upsert_sink.upsert_batch(
+        spark, table_dir, keyed(coarse0), 0,
+        key_col="upsert_key", ts_col="window_start", n_buckets=4,
+    )
+    fine_all = rollup.windowed_partials(ev, 5)
+    changed = late.select(
+        F.window("ts", "5 minutes")["start"].alias("window_start"),
+        F.col("event_type").alias("key"),
+    ).distinct()
+    refreshed = rollup.refresh_coarse(fine_all, changed, 15)
+    upsert_sink.upsert_batch(
+        spark, table_dir, keyed(refreshed), 1,
+        key_col="upsert_key", ts_col="window_start", n_buckets=4,
+    )
+    final = upsert_sink.read_table(spark, table_dir)
+    return final.select(
+        "window_start",
+        "key",
+        "n",
+        F.round("v_sum", 4).alias("v_sum"),
+        F.round("v_min", 4).alias("v_min"),
+        F.round("v_max", 4).alias("v_max"),
+    )
+
+
+ROLLUP_REFRESH_ROUNDTRIP_SQL = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       event_type AS key,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS v_sum,
+       ROUND(MIN(value), 4) AS v_min,
+       ROUND(MAX(value), 4) AS v_max
+FROM events
+GROUP BY 1, 2
+"""
+
+
 register("asof_trade_quote", asof_trade_quote, ASOF_TRADE_QUOTE_SQL)
 register(
     "sessionize_events",

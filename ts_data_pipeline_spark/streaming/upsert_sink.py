@@ -305,6 +305,51 @@ def upsert_writer(
     return apply
 
 
+def gc_versions(table_dir: str, *, keep_last: int = 1) -> list[str]:
+    """Version garbage collection (the VACUUM of this mini-lakehouse).
+
+    A version directory may hold bucket data that LATER manifests
+    still reference (carried buckets), so deletion is reachability-
+    based, never age-based alone: the retained manifest set is the
+    current version plus the ``keep_last - 1`` most recent other
+    committed versions (by seq); every version directory referenced
+    by any retained manifest's bucket paths is kept. Everything else
+    — older committed versions whose data has been fully superseded,
+    and crashed half-writes that are not the in-flight current
+    version — is removed. Returns the removed directory names.
+
+    This is also the erasure endgame: after ``delete_keys``, the
+    purged rows persist only in history directories — GC past the
+    retention horizon physically removes them.
+    """
+    cur = _current_dir(table_dir)
+    if cur is None:
+        return []
+    versions = [
+        d
+        for d in os.listdir(table_dir)
+        if os.path.isdir(os.path.join(table_dir, d)) and d[0] in "bd"
+    ]
+    committed = {
+        d: m for d in versions if (m := _read_manifest(table_dir, d))
+    }
+    if cur not in committed:  # half-written current: nothing safe to GC
+        return []
+    by_seq = sorted(committed, key=lambda d: int(committed[d]["seq"]))
+    retained_manifests = set(by_seq[-keep_last:]) | {cur}
+    reachable = set(retained_manifests)
+    for d in retained_manifests:
+        for rel in committed[d]["buckets"].values():
+            reachable.add(rel.split("/", 1)[0])
+    removed = []
+    for d in versions:
+        if d in reachable:
+            continue
+        shutil.rmtree(os.path.join(table_dir, d))
+        removed.append(d)
+    return removed
+
+
 def delete_keys(
     spark: SparkSession,
     table_dir: str,
