@@ -686,3 +686,65 @@ def test_upsert_gc_is_reachability_based(spark, tmp_path):
         for r in upsert_sink.read_table(spark, table_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_funnel_drops_late_beyond_horizon(spark, tmp_path):
+    """T2 for the CEP funnel: a from-event arriving after its own
+    decision horizon closed (watermark already past from.ts + within)
+    is dropped, never emitted — the same late-beyond-eviction
+    guarantee as the windowed aggregates; and a late to-event whose
+    horizon passed cannot resurrect a decided from-event."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    chunks = [
+        # u1: view@0; watermark pusher on another key
+        [(0, 1, m(0), "view"), (1, 9, m(1), "click")],
+        # push watermark past view@0's horizon (0+5=5): decided NOT
+        # converted in this batch
+        [(2, 9, m(20), "click")],
+        # LATE: view@2 (horizon 7 << wm 19:59) and purchase@3 — both
+        # beyond their horizons; neither may emit or flip a verdict
+        [(3, 1, m(2), "view"), (4, 1, m(3), "purchase"),
+         (5, 9, m(40), "click")],
+    ]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_funnel(stream, "view", "purchase", 5)
+    windowed.run_available_now(out, "t_cep_late", str(tmp_path / "ckpt"))
+    got = {r.event_id: r.converted for r in spark.table("t_cep_late").collect()}
+    # only the on-time view decided; the late view never appears
+    assert got == {0: False}, got
+
+
+def test_upsert_bucket_routing_is_pinned(spark):
+    """Golden pin for the sink's key->bucket routing
+    (pmod(xxhash64(key), n)). Every writer and every restart must
+    agree on which bucket a key lives in — if these values ever
+    change (Spark hash change, seed change), existing tables would
+    silently scatter keys across buckets and merges would duplicate
+    them. A failure here means: migrate or rebucket, never ship."""
+    from ts_data_pipeline_spark.streaming.upsert_sink import _bucket_expr
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a", "b", "k3", "user-42", ""]], "key string"
+    )
+    got = {
+        r.key: r.b
+        for r in df.select("key", _bucket_expr("key", 16).alias("b")).collect()
+    }
+    assert got == {"a": 12, "b": 3, "k3": 11, "user-42": 9, "": 4}
