@@ -748,3 +748,103 @@ def test_upsert_bucket_routing_is_pinned(spark):
         for r in df.select("key", _bucket_expr("key", 16).alias("b")).collect()
     }
     assert got == {"a": 12, "b": 3, "k3": 11, "user-42": 9, "": 4}
+
+
+def test_upsert_gc_tombstones_preserve_idempotence(spark, tmp_path):
+    """GC keeps a data-less manifest TOMBSTONE for every removed
+    version: _committed(b<id>) must stay true forever, or a
+    crash-recovery re-delivery of a GC'd batch would re-merge
+    against TODAY's state with a fresh seq and punch through the
+    forward-only pointer guard. After GC: data gone, manifest there,
+    re-delivery is a no-op."""
+    import datetime as dt
+    import os
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    schema = "key string, ts timestamp, val double"
+    base = dt.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame(
+        [(f"k{i}", base, float(i)) for i in range(8)], schema
+    )
+    upsert_sink.upsert_batch(
+        spark, table_dir, b0, 0, key_col="key", ts_col="ts", n_buckets=4
+    )
+    b1 = spark.createDataFrame([("k0", base + dt.timedelta(1), 99.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b1, 1, key_col="key", ts_col="ts")
+    # b2 rewrites every key -> b0/b1 fully superseded
+    b2 = spark.createDataFrame(
+        [(f"k{i}", base + dt.timedelta(2), float(i) + 0.5) for i in range(8)],
+        schema,
+    )
+    upsert_sink.upsert_batch(spark, table_dir, b2, 2, key_col="key", ts_col="ts")
+    removed = upsert_sink.gc_versions(table_dir, keep_last=1)
+    assert set(removed) == {"b0", "b1"}
+    for d in removed:
+        vpath = os.path.join(table_dir, d)
+        assert os.listdir(vpath) == ["_MANIFEST.json"]  # data gone
+
+    want = {
+        (r.key, r.val)
+        for r in upsert_sink.read_table(spark, table_dir).collect()
+    }
+    # crash-recovery re-delivery of the GC'd batch 1: the tombstone
+    # says "already applied", so no re-merge, no pointer movement
+    upsert_sink.upsert_batch(spark, table_dir, b1, 1, key_col="key", ts_col="ts")
+    got = {
+        (r.key, r.val)
+        for r in upsert_sink.read_table(spark, table_dir).collect()
+    }
+    assert got == want
+    # and a half-written (manifest-less) dir is NOT touched by GC —
+    # it could be an in-flight commit
+    os.makedirs(os.path.join(table_dir, "b9"))
+    assert upsert_sink.gc_versions(table_dir) == []
+    assert os.path.isdir(os.path.join(table_dir, "b9"))
+
+
+def test_streaming_zscore_null_values_match_batch(spark, tmp_path):
+    """A NULL value must occupy a slot in the trailing window but be
+    excluded from the baseline stats (Spark aggregates skip nulls) —
+    and must never become NaN, which would poison mu/sd and silently
+    suppress every alert for the next `lookback` rows."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import quality as qops
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        v = None if i == 10 else (100.0 if i == 20 else 10.0 + (i % 3))
+        rows.append((i, 1, base + dt.timedelta(minutes=i), v))
+    chunks = [rows[:15], rows[15:]]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_zscore_alerts(
+        stream, lookback=10, z_threshold=3.0, min_history=5
+    )
+    windowed.run_available_now(out, "t_cep_znull", str(tmp_path / "ckpt"))
+    got = {(r.event_id, r.n_hist, r.z)
+           for r in spark.table("t_cep_znull").collect()}
+
+    batch = qops.rolling_zscore_anomalies(
+        spark.createDataFrame(rows, schema),
+        lookback=10, z_threshold=3.0, min_history=5,
+    )
+    want = {(r.event_id, r.n_hist, r.z) for r in batch.collect()
+            if r.ts < base + dt.timedelta(minutes=28, seconds=59)}
+    assert want  # the spike at i=20 IS flagged despite the null at 10
+    assert got == want, (got, want)

@@ -305,6 +305,9 @@ def rollup_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines see the same final state regardless of how the data
     was staged.)
     """
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ts_data_pipeline_spark.streaming import upsert_sink
@@ -319,7 +322,12 @@ def rollup_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.unix_timestamp("window_start"), "key"),
         )
 
-    table_dir = tempfile.mkdtemp(prefix="rollup_rt_")
+    # One deterministic staging table per sf_dir, wiped on entry:
+    # repeated driver/bench invocations reuse the same path instead
+    # of accumulating an unbounded pile of mkdtemp tables.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table_dir = os.path.join(tempfile.gettempdir(), f"rollup_rt_{tag}")
+    shutil.rmtree(table_dir, ignore_errors=True)
     coarse0 = rollup.reaggregate(rollup.windowed_partials(on_time, 5), 15)
     upsert_sink.upsert_batch(
         spark, table_dir, keyed(coarse0), 0,

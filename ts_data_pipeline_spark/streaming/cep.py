@@ -220,18 +220,34 @@ def streaming_zscore_alerts(
                 ts_ms = int(rec[ts_col].value // 1_000_000)
                 if ts_ms < wm:
                     continue  # position already finalized: late, drop
-                buf.append((ts_ms, int(rec[id_col]), float(rec[value_col])))
+                # NULL values must survive as None, not become NaN:
+                # the batch frame counts a null row as a SLOT in the
+                # trailing window but excludes it from count/avg/std
+                # (Spark aggregates skip nulls) — a NaN would instead
+                # poison mu/sd and silently suppress every alert for
+                # the next `lookback` rows.
+                raw = rec[value_col]
+                val = (
+                    None
+                    if raw is None
+                    or (isinstance(raw, float) and math.isnan(raw))
+                    else float(raw)
+                )
+                buf.append((ts_ms, int(rec[id_col]), val))
         rows = []
         pending = []
-        for ts_ms, rid, val in sorted(buf):
+        for ts_ms, rid, val in sorted(buf, key=lambda p: (p[0], p[1])):
             if ts_ms >= wm:
                 pending.append((ts_ms, rid, val))
                 continue
-            window = [v for _, _, v in hist[-lookback:]]
-            n = len(window)
-            if n >= min_history:
-                mu = sum(window) / n
-                var = sum((v - mu) ** 2 for v in window) / (n - 1)
+            vals = [v for _, _, v in hist[-lookback:] if v is not None]
+            n = len(vals)  # == batch count(value) over the row frame
+            # n >= 2 mirrors the batch twin exactly: stddev_samp over
+            # one value is NULL there (no z, row filtered); here the
+            # n-1 divisor would raise instead.
+            if val is not None and n >= min_history and n >= 2:
+                mu = sum(vals) / n
+                var = sum((v - mu) ** 2 for v in vals) / (n - 1)
                 sd = math.sqrt(var)
                 if sd > 0:
                     z = round((val - mu) / sd, 4)

@@ -124,8 +124,23 @@ def _point_current(table_dir: str, version_dir: str) -> None:
     target = _read_manifest(table_dir, version_dir)
     if target is None:  # pragma: no cover - callers commit first
         raise ValueError(f"cannot point _CURRENT at uncommitted {version_dir}")
+    cur = _current_dir(table_dir)
     if int(target["seq"]) < _current_seq(table_dir):
         return  # stale re-delivery: a newer version is already live
+    if int(target["seq"]) == _current_seq(table_dir) and cur not in (
+        None,
+        version_dir,
+    ):
+        # Two writers read the same predecessor and minted the same
+        # seq (the sink's contract is ONE writer — the foreachBatch
+        # stream — with deletes/GC in maintenance windows). Silently
+        # letting the later repoint win would unreachable-ify a fully
+        # committed version (a dropped micro-batch, or worse, a
+        # swallowed compliance delete) — fail loudly instead.
+        raise RuntimeError(
+            f"commit seq collision: {version_dir} and {cur} both have "
+            f"seq {target['seq']} — concurrent writers detected"
+        )
     fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._CURRENT.")
     with os.fdopen(fd, "w") as f:
         f.write(version_dir)
@@ -235,47 +250,56 @@ def upsert_batch(
     if not _committed(table_dir, vdir):
         from pyspark.sql import Window
 
-        # latest row per key within the batch (ts desc, stable)
+        # latest row per key within the batch (ts desc, stable) —
+        # cached: three consumers (touched-bucket collect, anti-join
+        # key set, version write) would otherwise each re-shuffle the
+        # batch through the row_number window.
         w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
         latest = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1")
             .drop("_rn")
+            .cache()
         )
-        cur_v = _current_dir(table_dir)
-        manifest = _read_manifest(table_dir, cur_v) if cur_v else None
-        if manifest is None:
-            merged, carried, seq = latest, {}, 0
-        else:
-            n_buckets = int(manifest["n_buckets"])
-            touched = set(_touched_buckets(latest, key_col, n_buckets))
-            cur_paths = [
-                os.path.join(table_dir, rel)
-                for k, rel in manifest["buckets"].items()
-                if k in touched
-            ]
-            if cur_paths:
-                current_touched = spark.read.parquet(*cur_paths)
-                merged = current_touched.join(
-                    F.broadcast(latest.select(key_col)), key_col, "left_anti"
-                ).unionByName(latest)
+        try:
+            cur_v = _current_dir(table_dir)
+            manifest = _read_manifest(table_dir, cur_v) if cur_v else None
+            if manifest is None:
+                merged, carried, seq = latest, {}, 0
             else:
-                merged = latest  # batch keys land only in empty buckets
-            carried = {
-                k: rel
-                for k, rel in manifest["buckets"].items()
-                if k not in touched
-            }
-            seq = int(manifest["seq"]) + 1
-        _commit_version(
-            table_dir,
-            vdir,
-            merged,
-            carried,
-            key_col=key_col,
-            n_buckets=n_buckets,
-            seq=seq,
-        )
+                n_buckets = int(manifest["n_buckets"])
+                touched = set(_touched_buckets(latest, key_col, n_buckets))
+                cur_paths = [
+                    os.path.join(table_dir, rel)
+                    for k, rel in manifest["buckets"].items()
+                    if k in touched
+                ]
+                if cur_paths:
+                    current_touched = spark.read.parquet(*cur_paths)
+                    merged = current_touched.join(
+                        F.broadcast(latest.select(key_col)),
+                        key_col,
+                        "left_anti",
+                    ).unionByName(latest)
+                else:
+                    merged = latest  # batch keys land only in empty buckets
+                carried = {
+                    k: rel
+                    for k, rel in manifest["buckets"].items()
+                    if k not in touched
+                }
+                seq = int(manifest["seq"]) + 1
+            _commit_version(
+                table_dir,
+                vdir,
+                merged,
+                carried,
+                key_col=key_col,
+                n_buckets=n_buckets,
+                seq=seq,
+            )
+        finally:
+            latest.unpersist()
     # Re-delivery of a committed batch lands here: only the pointer
     # moves (atomic, forward-only), the merge never re-applies.
     _point_current(table_dir, vdir)
@@ -321,6 +345,24 @@ def gc_versions(table_dir: str, *, keep_last: int = 1) -> list[str]:
     This is also the erasure endgame: after ``delete_keys``, the
     purged rows persist only in history directories — GC past the
     retention horizon physically removes them.
+
+    Two safety rules beyond reachability:
+
+    - a GC'd version keeps its manifest as a data-less TOMBSTONE
+      (``buckets: {}``, ``gc: true``). ``upsert_batch``'s
+      effectively-once guarantee rests on ``_committed(b<id>)``
+      staying true forever: if GC removed the manifest, a
+      crash-recovery re-delivery of that batch would look
+      unapplied, re-merge against TODAY's state with a fresh seq,
+      and sail past the forward-only pointer guard — resurrecting
+      compliance-deleted keys. Tombstones are a few hundred bytes;
+      the data is gone.
+    - a version directory WITHOUT a manifest is left alone: GC
+      cannot distinguish a crashed half-write from a commit that is
+      in flight right now (the manifest is written last by design);
+      deleting it would corrupt a concurrently running trigger.
+      Half-writes are cleaned by the re-delivery path, which knows
+      the batch identity.
     """
     cur = _current_dir(table_dir)
     if cur is None:
@@ -335,7 +377,8 @@ def gc_versions(table_dir: str, *, keep_last: int = 1) -> list[str]:
     }
     if cur not in committed:  # half-written current: nothing safe to GC
         return []
-    by_seq = sorted(committed, key=lambda d: int(committed[d]["seq"]))
+    live = {d: m for d, m in committed.items() if not m.get("gc")}
+    by_seq = sorted(live, key=lambda d: int(live[d]["seq"]))
     retained_manifests = set(by_seq[-keep_last:]) | {cur}
     reachable = set(retained_manifests)
     for d in retained_manifests:
@@ -343,9 +386,21 @@ def gc_versions(table_dir: str, *, keep_last: int = 1) -> list[str]:
             reachable.add(rel.split("/", 1)[0])
     removed = []
     for d in versions:
-        if d in reachable:
+        if d in reachable or d not in committed:
             continue
-        shutil.rmtree(os.path.join(table_dir, d))
+        if committed[d].get("gc"):
+            continue  # already a tombstone
+        vpath = os.path.join(table_dir, d)
+        for name in os.listdir(vpath):  # drop data, keep the manifest
+            if name == _MANIFEST:
+                continue
+            full = os.path.join(vpath, name)
+            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        _write_manifest(
+            table_dir,
+            d,
+            {**committed[d], "buckets": {}, "gc": True},
+        )
         removed.append(d)
     return removed
 
