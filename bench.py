@@ -188,6 +188,66 @@ def _extras(spark) -> dict:
     return out
 
 
+def _sink_stress(spark) -> dict:
+    """Measured number for the bucket-scoped upsert sink claim: time
+    a 5-key micro-batch merged into a 100k-row keyed state with 64
+    hash buckets (rewrites only the <=5 touched buckets) vs
+    n_buckets=1 (the r5 full-state rewrite, kept as the degenerate
+    configuration). Median over RUNS distinct batch ids — each
+    iteration is a fresh commit, the deployment shape.
+
+    Two metrics per configuration: seconds AND bytes physically
+    written by the last commit. At this SF the state is small enough
+    that the bucketed path's fixed overhead (per-bucket reads + the
+    touched-bucket probe job) can exceed the cost of just rewriting
+    everything — the same crossover as the salted flagship (SCALE.md)
+    — while the BYTES ratio is the structural claim that scales:
+    I/O proportional to touched buckets, not to the table."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    try:
+        ev = _io.load(spark, SF_DIR, "events").select(
+            F.col("event_id").alias("key"), "ts", F.col("value").alias("val")
+        )
+        batch = ev.orderBy("key").limit(5).withColumn(
+            "ts", F.lit(dt.datetime(2030, 1, 1)).cast("timestamp")
+        )
+        out = {}
+        for label, nb in (("bucketed64", 64), ("full_rewrite", 1)):
+            d = tempfile.mkdtemp(prefix="sinkbench_")
+            upsert_sink.upsert_batch(
+                spark, d, ev, 0, key_col="key", ts_col="ts", n_buckets=nb
+            )
+            ts = []
+            for i in range(RUNS):
+                t0 = time.perf_counter()
+                upsert_sink.upsert_batch(
+                    spark, d, batch, i + 1, key_col="key", ts_col="ts"
+                )
+                ts.append(time.perf_counter() - t0)
+            out[f"upsert_5key_into_100k_{label}"] = round(
+                statistics.median(ts), 3
+            )
+            last = os.path.join(d, f"b{RUNS}")
+            out[f"upsert_write_bytes_{label}"] = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(last)
+                for f in files
+            )
+            shutil.rmtree(d, ignore_errors=True)
+        return out
+    except Exception as exc:  # never let the stress section kill the artifact
+        print(f"# sink stress failed: {exc}", file=sys.stderr)
+        return {}
+
+
 def _recall(spark) -> dict:
     """Measured recall@10 vs exact brute force at SF_DIR for every
     approximate ANN variant — so the recall-vs-cost tradeoff the
@@ -292,6 +352,7 @@ def main() -> None:
     skew = _skew_stress(spark)
     extras = _extras(spark)
     extras.update(_recall(spark))
+    extras.update(_sink_stress(spark))
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items() if s}
