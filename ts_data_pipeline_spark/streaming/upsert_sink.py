@@ -187,6 +187,11 @@ def _commit_version(
     partitioned by bucket), then the manifest (atomic, last). A
     pre-existing committed dir is left untouched; a half-written one
     is removed and redone."""
+    if "tdp_bucket" in touched_data.columns:
+        raise ValueError(
+            "column name 'tdp_bucket' is reserved by the upsert sink "
+            "(it becomes the physical bucket partition directory)"
+        )
     vpath = os.path.join(table_dir, version_dir)
     if os.path.exists(vpath):
         if _committed(table_dir, version_dir):
