@@ -339,3 +339,11 @@ def test_lookahead_windows_use_incremental_frames(spark):
     )
     assert "unboundedfollowing" not in _plan(fwd).lower()
     assert fwd.collect()[0].bid == 101.0
+
+    # the Linear gap fill's "next non-null ahead" is the same shape
+    from ts_data_pipeline_spark.queries.telemetry import (
+        telemetry_interp_linear,
+    )
+
+    interp = telemetry_interp_linear(spark, SF_DIR)
+    assert "unboundedfollowing" not in _plan(interp).lower()

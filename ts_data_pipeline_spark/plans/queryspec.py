@@ -598,7 +598,16 @@ def _fill(
     """
     part = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
     w_back = part.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    w_fwd = part.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    # "Next non-null ahead" over the REVERSED ordering as a running
+    # unbounded-PRECEDING frame: the natural `first ignorenulls` over
+    # `0..unboundedFollowing` is an UnboundedFollowing frame that
+    # Spark recomputes from scratch per row — O(n²) per tag group (a
+    # year of 1-minute buckets is 525k rows per group). Same fix as
+    # funnel/as-of-forward (operators/tsstats.py, asof.py); costs one
+    # extra per-partition sort on the SAME shuffle partitioning.
+    w_fwd = part.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     bucket_us = F.unix_micros(F.col("bucket"))
     for c in value_cols:
         v = F.col(c)
@@ -606,9 +615,9 @@ def _fill(
             out = out.withColumn(c, F.last(v, ignorenulls=True).over(w_back))
             continue
         prev_v = F.last(v, ignorenulls=True).over(w_back)
-        next_v = F.first(v, ignorenulls=True).over(w_fwd)
+        next_v = F.last(v, ignorenulls=True).over(w_fwd)
         prev_b = F.last(F.when(v.isNotNull(), bucket_us), ignorenulls=True).over(w_back)
-        next_b = F.first(F.when(v.isNotNull(), bucket_us), ignorenulls=True).over(w_fwd)
+        next_b = F.last(F.when(v.isNotNull(), bucket_us), ignorenulls=True).over(w_fwd)
         interp = (
             F.when(v.isNotNull(), v)
             .when(prev_v.isNull() | next_v.isNull(), F.lit(None))
