@@ -106,7 +106,12 @@ def ingest_report(
     in_corpus = corpus_digests.select("digest").distinct().withColumn(
         "_dup_corpus", F.lit(True)
     )
-    j = sig.join(F.broadcast(in_corpus), "digest", "left")
+    # No broadcast hint: the corpus digest set has one row PER CORPUS
+    # DOCUMENT — it grows without bound, and the small side of this
+    # join is the ingest BATCH. A shuffle join on digest (or AQE's
+    # size-gated broadcast of whichever side is actually small) is
+    # the shape that survives a web-scale corpus.
+    j = sig.join(in_corpus, "digest", "left")
     gate = (
         F.when(F.col("n_chars_norm") < min_chars, "too_short")
         .when(F.col("n_chars_norm") > max_chars, "too_long")

@@ -35,8 +35,14 @@ def dim_enrich_revenue(
     """Revenue by part brand over a ship-date range.
 
     Fact scan is pruned by the pushed date filter; ``part`` is
-    explicitly broadcast (it is bounded by the catalog size, not the
-    data volume, so this holds at any scale factor).
+    explicitly broadcast as the dimension-shaped plan. Honest scale
+    caveat: TPC-H's part table grows WITH the scale factor (unlike a
+    true product catalog), so past Spark's broadcast ceiling the
+    hint must come off and this becomes a shuffle join on partkey —
+    same expression, one co-partitioned pass, and AQE's size gate
+    makes that call automatically when no hint is forced. The hint
+    stays here because the registered gate pins the dimension-join
+    plan shape at test SFs.
     """
     li = lineitem.filter(
         (F.col("l_shipdate") >= date_from) & (F.col("l_shipdate") < date_to)
