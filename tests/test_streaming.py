@@ -751,12 +751,14 @@ def test_upsert_bucket_routing_is_pinned(spark):
 
 
 def test_upsert_gc_tombstones_preserve_idempotence(spark, tmp_path):
-    """GC keeps a data-less manifest TOMBSTONE for every removed
-    version: _committed(b<id>) must stay true forever, or a
-    crash-recovery re-delivery of a GC'd batch would re-merge
-    against TODAY's state with a fresh seq and punch through the
-    forward-only pointer guard. After GC: data gone, manifest there,
-    re-delivery is a no-op."""
+    """GC records every removed version in the root _TOMBSTONES.json
+    registry before deleting its directory: _committed(b<id>) must
+    stay true forever, or a crash-recovery re-delivery of a GC'd
+    batch would re-merge against TODAY's state with a fresh seq and
+    punch through the forward-only pointer guard. After GC: dirs
+    gone, registry entry there, re-delivery is a no-op. (A registry
+    instead of per-version tombstone dirs keeps table metadata
+    bounded over millions of micro-batches.)"""
     import datetime as dt
     import os
 
@@ -782,8 +784,10 @@ def test_upsert_gc_tombstones_preserve_idempotence(spark, tmp_path):
     removed = upsert_sink.gc_versions(table_dir, keep_last=1)
     assert set(removed) == {"b0", "b1"}
     for d in removed:
-        vpath = os.path.join(table_dir, d)
-        assert os.listdir(vpath) == ["_MANIFEST.json"]  # data gone
+        assert not os.path.exists(os.path.join(table_dir, d))  # dir gone
+    stones = upsert_sink._read_tombstones(table_dir)
+    assert set(stones) == {"b0", "b1"}  # ...but forever committed
+    assert stones["b1"] == stones["b0"] + 1
 
     want = {
         (r.key, r.val)
@@ -848,3 +852,51 @@ def test_streaming_zscore_null_values_match_batch(spark, tmp_path):
             if r.ts < base + dt.timedelta(minutes=28, seconds=59)}
     assert want  # the spike at i=20 IS flagged despite the null at 10
     assert got == want, (got, want)
+
+
+def test_upsert_roll_forward_completes_orphaned_commits(spark, tmp_path):
+    """The one non-atomic gap in the commit protocol: a crash AFTER a
+    version's manifest commit but BEFORE the pointer move. Seqs are
+    minted from the pointed version, so without repair the next
+    writer would mint the orphan's seq again and bury it — for a
+    compliance delete, serving erased keys with no error. Every
+    writer entry point must roll the pointer forward to the highest
+    committed seq first."""
+    import datetime as dt
+    import json
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    schema = "key string, ts timestamp, val double"
+    base = dt.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame(
+        [("a", base, 1.0), ("b", base, 2.0)], schema
+    )
+    upsert_sink.upsert_batch(spark, table_dir, b0, 0, key_col="key", ts_col="ts")
+
+    # simulate delete_keys crashing between commit and repoint:
+    # commit d1 (purging 'a') directly, do NOT move _CURRENT
+    cur = upsert_sink.read_table(spark, table_dir)
+    m0 = json.load(open(os.path.join(table_dir, "b0", "_MANIFEST.json")))
+    upsert_sink._commit_version(
+        table_dir, "d1", cur.filter(SF.col("key") != "a"), {},
+        key_col="key", n_buckets=int(m0["n_buckets"]), seq=m0["seq"] + 1,
+    )
+    with open(os.path.join(table_dir, "_CURRENT")) as f:
+        assert f.read().strip() == "b0"  # the orphaned state
+
+    # next stream batch must first complete the delete, then merge
+    # FROM the post-delete state — 'a' stays erased
+    b1 = spark.createDataFrame([("c", base + dt.timedelta(1), 3.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b1, 1, key_col="key", ts_col="ts")
+    got = {
+        (r.key, r.val)
+        for r in upsert_sink.read_table(spark, table_dir).collect()
+    }
+    assert got == {("b", 2.0), ("c", 3.0)}
+    m1 = json.load(open(os.path.join(table_dir, "b1", "_MANIFEST.json")))
+    assert m1["seq"] == m0["seq"] + 2  # minted past the orphan, not onto it

@@ -322,11 +322,16 @@ def rollup_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.unix_timestamp("window_start"), "key"),
         )
 
-    # One deterministic staging table per sf_dir, wiped on entry:
-    # repeated driver/bench invocations reuse the same path instead
-    # of accumulating an unbounded pile of mkdtemp tables.
+    # One deterministic staging table per (sf_dir, process), wiped on
+    # entry: repeated invocations within a process reuse one path
+    # (bounded /tmp growth) while concurrent processes — driver sim
+    # and bench, or pytest workers — stay isolated from each other's
+    # rmtree (a shared fixed path would let one process delete the
+    # table out from under the other's lazy read).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    table_dir = os.path.join(tempfile.gettempdir(), f"rollup_rt_{tag}")
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"rollup_rt_{tag}_{os.getpid()}"
+    )
     shutil.rmtree(table_dir, ignore_errors=True)
     coarse0 = rollup.reaggregate(rollup.windowed_partials(on_time, 5), 15)
     upsert_sink.upsert_batch(

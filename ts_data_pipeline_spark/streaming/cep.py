@@ -84,7 +84,7 @@ def streaming_funnel(
     (see module docstring). Matching is the batch convention: the
     first to-event strictly after the from-event in (ts, id) order.
     """
-    within_ms = within_minutes * 60_000
+    within_us = within_minutes * 60_000_000
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -103,21 +103,25 @@ def streaming_funnel(
             if state.exists
             else {"froms": [], "tos": []}
         )
-        froms = [tuple(x) for x in st["froms"]]  # [(id, ts_ms)]
-        tos = [tuple(x) for x in st["tos"]]      # [(id, ts_ms)]
-        wm = state.getCurrentWatermarkMs()
+        # All event times are kept at MICROSECOND precision (the
+        # batch operator orders by the full timestamp; truncating to
+        # the watermark's ms grain would reorder sub-ms neighbors and
+        # change baselines/matches). Only the watermark itself is ms.
+        froms = [tuple(x) for x in st["froms"]]  # [(id, ts_us)]
+        tos = [tuple(x) for x in st["tos"]]      # [(id, ts_us)]
+        wm = state.getCurrentWatermarkMs() * 1000  # us
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
-                ts_ms = int(rec[ts_col].value // 1_000_000)
+                ts_us = int(rec[ts_col].value // 1_000)
                 rid = int(rec[id_col])
                 if rec[type_col] == from_event:
-                    if ts_ms + within_ms <= wm:
+                    if ts_us + within_us <= wm:
                         continue  # horizon already closed: late, drop
-                    froms.append((rid, ts_ms))
+                    froms.append((rid, ts_us))
                 elif rec[type_col] == to_event:
-                    if ts_ms + within_ms <= wm:
+                    if ts_us + within_us <= wm:
                         continue  # can no longer convert any open from
-                    tos.append((rid, ts_ms))
+                    tos.append((rid, ts_us))
         # decide every from whose horizon the watermark has passed;
         # the to-events it may match are still in state (their evict
         # horizon is >= this from's decision horizon — eviction below
@@ -125,35 +129,35 @@ def streaming_funnel(
         rows = []
         still_open = []
         for fid, fts in sorted(froms, key=lambda p: (p[1], p[0])):
-            if fts + within_ms > wm:
+            if fts + within_us > wm:
                 still_open.append((fid, fts))
                 continue
             hits = [
                 (tts, tid)
                 for tid, tts in tos
-                if (tts, tid) > (fts, fid) and tts <= fts + within_ms
+                if (tts, tid) > (fts, fid) and tts <= fts + within_us
             ]
             hit = min(hits) if hits else None
             rows.append(
                 {
                     id_col: fid,
                     "key": key[0],
-                    ts_col: pd.Timestamp(fts, unit="ms"),
+                    ts_col: pd.Timestamp(fts, unit="us"),
                     "converted_at": (
-                        pd.Timestamp(hit[0], unit="ms") if hit else pd.NaT
+                        pd.Timestamp(hit[0], unit="us") if hit else pd.NaT
                     ),
                     "converted": hit is not None,
                 }
             )
-        tos = [(tid, tts) for tid, tts in tos if tts + within_ms > wm]
+        tos = [(tid, tts) for tid, tts in tos if tts + within_us > wm]
         if still_open or tos:
-            horizons = [fts + within_ms for _, fts in still_open] + [
-                tts + within_ms for _, tts in tos
+            horizons = [fts + within_us for _, fts in still_open] + [
+                tts + within_us for _, tts in tos
             ]
             state.update(
                 (json.dumps({"froms": still_open, "tos": tos}),)
             )
-            _arm_timeout(state, min(horizons), wm)
+            _arm_timeout(state, min(horizons) // 1000, wm // 1000)
         elif state.exists:
             state.remove()
         yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
@@ -212,13 +216,16 @@ def streaming_zscore_alerts(
             if state.exists
             else {"buf": [], "hist": []}
         )
-        buf = [tuple(x) for x in st["buf"]]    # [(ts_ms, id, value)]
+        # microsecond event times (see the funnel note: the batch
+        # twin orders by the full timestamp, so the ms-grain watermark
+        # must not truncate the ordering key)
+        buf = [tuple(x) for x in st["buf"]]    # [(ts_us, id, value)]
         hist = [tuple(x) for x in st["hist"]]  # trailing finalized
-        wm = state.getCurrentWatermarkMs()
+        wm = state.getCurrentWatermarkMs() * 1000  # us
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
-                ts_ms = int(rec[ts_col].value // 1_000_000)
-                if ts_ms < wm:
+                ts_us = int(rec[ts_col].value // 1_000)
+                if ts_us < wm:
                     continue  # position already finalized: late, drop
                 # NULL values must survive as None, not become NaN:
                 # the batch frame counts a null row as a SLOT in the
@@ -233,12 +240,12 @@ def streaming_zscore_alerts(
                     or (isinstance(raw, float) and math.isnan(raw))
                     else float(raw)
                 )
-                buf.append((ts_ms, int(rec[id_col]), val))
+                buf.append((ts_us, int(rec[id_col]), val))
         rows = []
         pending = []
-        for ts_ms, rid, val in sorted(buf, key=lambda p: (p[0], p[1])):
-            if ts_ms >= wm:
-                pending.append((ts_ms, rid, val))
+        for ts_us, rid, val in sorted(buf, key=lambda p: (p[0], p[1])):
+            if ts_us >= wm:
+                pending.append((ts_us, rid, val))
                 continue
             vals = [v for _, _, v in hist[-lookback:] if v is not None]
             n = len(vals)  # == batch count(value) over the row frame
@@ -256,19 +263,21 @@ def streaming_zscore_alerts(
                             {
                                 id_col: rid,
                                 "key": key[0],
-                                ts_col: pd.Timestamp(ts_ms, unit="ms"),
+                                ts_col: pd.Timestamp(ts_us, unit="us"),
                                 value_col: val,
                                 "n_hist": n,
                                 "z": z,
                             }
                         )
-            hist.append((ts_ms, rid, val))
+            hist.append((ts_us, rid, val))
             hist = hist[-lookback:]
         if pending or hist:
             state.update((json.dumps({"buf": pending, "hist": hist}),))
             if pending:
                 # wake when the watermark passes the oldest pending row
-                _arm_timeout(state, min(p[0] for p in pending) + 1, wm)
+                _arm_timeout(
+                    state, min(p[0] for p in pending) // 1000 + 1, wm // 1000
+                )
         elif state.exists:
             state.remove()
         yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))

@@ -34,6 +34,16 @@ to the DELTA, not the table:
   older than the current one and skips the repoint. Without the
   guard, a re-delivered batch would roll ``_CURRENT`` back past a
   later compliance-delete version and resurrect erased keys;
+- the one non-atomic gap — a crash AFTER the manifest commit but
+  BEFORE the pointer move — is repaired by ROLL-FORWARD: every
+  writer entry point first repoints ``_CURRENT`` at the committed
+  version with the highest seq (completing the interrupted commit)
+  and mints its own seq from there, so an orphaned commit can never
+  have its seq minted twice and be silently buried;
+- GC records removed versions in a root ``_TOMBSTONES.json``
+  registry (version -> seq) so ``_committed`` stays true forever
+  for every applied batch, with table metadata bounded over
+  millions of micro-batches;
 - batch versions live under ``b<batch_id>`` and compliance-delete
   versions under ``d<token>`` — separate namespaces, so an operator
   delete can never collide with (and silently swallow) a future
@@ -63,6 +73,7 @@ from pyspark.sql.types import StructType
 
 DEFAULT_N_BUCKETS = 16
 _MANIFEST = "_MANIFEST.json"
+_TOMBSTONES = "_TOMBSTONES.json"
 
 
 def _bucket_expr(key_col: str, n_buckets: int):
@@ -97,19 +108,80 @@ def _write_manifest(table_dir: str, version_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(vpath, _MANIFEST))
 
 
+def _read_tombstones(table_dir: str) -> dict[str, int]:
+    """The GC tombstone REGISTRY: one root-level JSON mapping
+    GC'd version dirs to their commit seq. A registry instead of one
+    tombstone dir per GC'd version keeps table metadata bounded — a
+    long-lived stream accumulates millions of applied batch ids, and
+    os.listdir over millions of empty tombstone dirs would invert the
+    sink's metadata-proportional-to-live-state story."""
+    p = os.path.join(table_dir, _TOMBSTONES)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def _write_tombstones(table_dir: str, stones: dict[str, int]) -> None:
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._TOMBSTONES.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(stones, f)
+    os.replace(tmp, os.path.join(table_dir, _TOMBSTONES))
+
+
 def _committed(table_dir: str, version_dir: str) -> bool:
     """True only when the version finished committing: the manifest
     is written last (after Spark's _SUCCESS), atomically — a
-    directory without it is a crashed half-write, not a commit."""
-    return _read_manifest(table_dir, version_dir) is not None
+    directory without it is a crashed half-write, not a commit. A
+    GC'd version stays committed via the tombstone registry: the
+    effectively-once guarantee needs this to be true FOREVER, or a
+    re-delivered GC'd batch would re-merge against today's state."""
+    if _read_manifest(table_dir, version_dir) is not None:
+        return True
+    return version_dir in _read_tombstones(table_dir)
 
 
-def _current_seq(table_dir: str) -> int:
+def _roll_forward(table_dir: str) -> tuple[str | None, int]:
+    """Crash recovery for the commit protocol's one non-atomic gap:
+    a version can be fully COMMITTED (manifest written) with the
+    crash landing before ``_point_current``. Seqs are minted from the
+    pointed version, so without repair the next writer would mint the
+    orphan's seq again, commit, and repoint past it — silently
+    burying a committed version (for a compliance delete, that means
+    serving erased keys with no error). Every writer entry point
+    therefore first completes any interrupted commit: find the
+    committed manifest with the highest seq; if it is ahead of the
+    pointer, repoint to it. Returns (current_dir, current_seq) after
+    repair — the minting base.
+    """
+    best_dir, best_seq = None, -1
+    for d in os.listdir(table_dir):
+        if not (d[0] in "bd" and os.path.isdir(os.path.join(table_dir, d))):
+            continue
+        m = _read_manifest(table_dir, d)
+        if m is None:
+            continue
+        seq = int(m["seq"])
+        if seq > best_seq:
+            best_dir, best_seq = d, seq
+        elif seq == best_seq:
+            raise RuntimeError(
+                f"commit seq collision: {d} and {best_dir} both committed "
+                f"seq {seq} — concurrent writers detected"
+            )
     cur = _current_dir(table_dir)
-    if cur is None:
-        return -1
-    m = _read_manifest(table_dir, cur)
-    return -1 if m is None else int(m["seq"])
+    if best_dir is None:
+        return cur, -1
+    if cur != best_dir:
+        _write_pointer(table_dir, best_dir)
+    return best_dir, best_seq
+
+
+def _write_pointer(table_dir: str, version_dir: str) -> None:
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._CURRENT.")
+    with os.fdopen(fd, "w") as f:
+        f.write(version_dir)
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
 
 
 def _point_current(table_dir: str, version_dir: str) -> None:
@@ -118,19 +190,21 @@ def _point_current(table_dir: str, version_dir: str) -> None:
     Re-delivery of an already-committed batch must not roll the
     pointer back past a later commit (in particular a compliance
     delete — that rollback would resurrect erased keys, breaking the
-    GDPR contract). The target's seq comes from its own manifest;
-    stale targets are skipped.
+    GDPR contract). The target's seq comes from its own manifest; a
+    GC'd (tombstoned) target is by construction older than the
+    pointer, so its re-delivery is a silent no-op.
     """
     target = _read_manifest(table_dir, version_dir)
-    if target is None:  # pragma: no cover - callers commit first
+    if target is None:
+        if version_dir in _read_tombstones(table_dir):
+            return  # GC'd long ago == strictly older than the pointer
         raise ValueError(f"cannot point _CURRENT at uncommitted {version_dir}")
     cur = _current_dir(table_dir)
-    if int(target["seq"]) < _current_seq(table_dir):
+    cur_m = _read_manifest(table_dir, cur) if cur else None
+    cur_seq = -1 if cur_m is None else int(cur_m["seq"])
+    if int(target["seq"]) < cur_seq:
         return  # stale re-delivery: a newer version is already live
-    if int(target["seq"]) == _current_seq(table_dir) and cur not in (
-        None,
-        version_dir,
-    ):
+    if int(target["seq"]) == cur_seq and cur not in (None, version_dir):
         # Two writers read the same predecessor and minted the same
         # seq (the sink's contract is ONE writer — the foreachBatch
         # stream — with deletes/GC in maintenance windows). Silently
@@ -141,10 +215,7 @@ def _point_current(table_dir: str, version_dir: str) -> None:
             f"commit seq collision: {version_dir} and {cur} both have "
             f"seq {target['seq']} — concurrent writers detected"
         )
-    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._CURRENT.")
-    with os.fdopen(fd, "w") as f:
-        f.write(version_dir)
-    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+    _write_pointer(table_dir, version_dir)
 
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
@@ -255,23 +326,33 @@ def upsert_batch(
     if not _committed(table_dir, vdir):
         from pyspark.sql import Window
 
-        # latest row per key within the batch (ts desc, stable) —
-        # cached: three consumers (touched-bucket collect, anti-join
-        # key set, version write) would otherwise each re-shuffle the
-        # batch through the row_number window.
+        # Complete any interrupted commit FIRST: seqs are minted from
+        # the pointed version, so an orphaned committed-but-unpointed
+        # version (crash between manifest write and repoint) would
+        # otherwise have its seq minted again and be buried.
+        cur_v, cur_seq = _roll_forward(table_dir)
+        manifest = _read_manifest(table_dir, cur_v) if cur_v else None
+
+        # latest row per key within the batch (ts desc, stable)
         w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
         latest = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1")
             .drop("_rn")
-            .cache()
         )
-        try:
-            cur_v = _current_dir(table_dir)
-            manifest = _read_manifest(table_dir, cur_v) if cur_v else None
-            if manifest is None:
-                merged, carried, seq = latest, {}, 0
-            else:
+        if manifest is None:
+            # first commit: one consumer (the version write) — no
+            # point pinning the seed batch into storage memory
+            _commit_version(
+                table_dir, vdir, latest, {},
+                key_col=key_col, n_buckets=n_buckets, seq=0,
+            )
+        else:
+            # cached: three consumers (touched-bucket collect,
+            # anti-join key set, version write) would otherwise each
+            # re-shuffle the batch through the row_number window
+            latest = latest.cache()
+            try:
                 n_buckets = int(manifest["n_buckets"])
                 touched = set(_touched_buckets(latest, key_col, n_buckets))
                 cur_paths = [
@@ -293,18 +374,12 @@ def upsert_batch(
                     for k, rel in manifest["buckets"].items()
                     if k not in touched
                 }
-                seq = int(manifest["seq"]) + 1
-            _commit_version(
-                table_dir,
-                vdir,
-                merged,
-                carried,
-                key_col=key_col,
-                n_buckets=n_buckets,
-                seq=seq,
-            )
-        finally:
-            latest.unpersist()
+                _commit_version(
+                    table_dir, vdir, merged, carried,
+                    key_col=key_col, n_buckets=n_buckets, seq=cur_seq + 1,
+                )
+            finally:
+                latest.unpersist()
     # Re-delivery of a committed batch lands here: only the pointer
     # moves (atomic, forward-only), the merge never re-applies.
     _point_current(table_dir, vdir)
@@ -353,21 +428,27 @@ def gc_versions(table_dir: str, *, keep_last: int = 1) -> list[str]:
 
     Two safety rules beyond reachability:
 
-    - a GC'd version keeps its manifest as a data-less TOMBSTONE
-      (``buckets: {}``, ``gc: true``). ``upsert_batch``'s
-      effectively-once guarantee rests on ``_committed(b<id>)``
-      staying true forever: if GC removed the manifest, a
-      crash-recovery re-delivery of that batch would look
+    - every GC'd version is recorded in the root ``_TOMBSTONES.json``
+      REGISTRY (version dir -> seq) before its directory goes.
+      ``upsert_batch``'s effectively-once guarantee rests on
+      ``_committed(b<id>)`` staying true forever: without the
+      record, a crash-recovery re-delivery of that batch would look
       unapplied, re-merge against TODAY's state with a fresh seq,
       and sail past the forward-only pointer guard — resurrecting
-      compliance-deleted keys. Tombstones are a few hundred bytes;
-      the data is gone.
+      compliance-deleted keys. One registry (a few bytes per applied
+      batch) instead of one tombstone dir each keeps table metadata
+      bounded over millions of micro-batches.
     - a version directory WITHOUT a manifest is left alone: GC
       cannot distinguish a crashed half-write from a commit that is
       in flight right now (the manifest is written last by design);
       deleting it would corrupt a concurrently running trigger.
       Half-writes are cleaned by the re-delivery path, which knows
       the batch identity.
+
+    Write order per removed version: registry entry first (atomic
+    rename), then the directory — a crash between the two leaves a
+    tombstoned-but-present version, which a later GC run finishes
+    removing.
     """
     cur = _current_dir(table_dir)
     if cur is None:
@@ -382,31 +463,23 @@ def gc_versions(table_dir: str, *, keep_last: int = 1) -> list[str]:
     }
     if cur not in committed:  # half-written current: nothing safe to GC
         return []
-    live = {d: m for d, m in committed.items() if not m.get("gc")}
-    by_seq = sorted(live, key=lambda d: int(live[d]["seq"]))
+    by_seq = sorted(committed, key=lambda d: int(committed[d]["seq"]))
     retained_manifests = set(by_seq[-keep_last:]) | {cur}
     reachable = set(retained_manifests)
     for d in retained_manifests:
         for rel in committed[d]["buckets"].values():
             reachable.add(rel.split("/", 1)[0])
+    stones = _read_tombstones(table_dir)
     removed = []
     for d in versions:
         if d in reachable or d not in committed:
             continue
-        if committed[d].get("gc"):
-            continue  # already a tombstone
-        vpath = os.path.join(table_dir, d)
-        for name in os.listdir(vpath):  # drop data, keep the manifest
-            if name == _MANIFEST:
-                continue
-            full = os.path.join(vpath, name)
-            shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
-        _write_manifest(
-            table_dir,
-            d,
-            {**committed[d], "buckets": {}, "gc": True},
-        )
+        stones[d] = int(committed[d]["seq"])
         removed.append(d)
+    if removed:
+        _write_tombstones(table_dir, stones)  # record BEFORE deleting
+        for d in removed:
+            shutil.rmtree(os.path.join(table_dir, d))
     return removed
 
 
@@ -431,7 +504,7 @@ def delete_keys(
     guard means a later re-delivered batch can never roll the table
     back past the delete.
     """
-    cur_v = _current_dir(table_dir)
+    cur_v, cur_seq = _roll_forward(table_dir)  # finish interrupted commits
     manifest = _read_manifest(table_dir, cur_v) if cur_v else None
     if manifest is None:
         raise ValueError(f"no current version in {table_dir}")
@@ -463,6 +536,6 @@ def delete_keys(
             carried,
             key_col=key_col,
             n_buckets=n_buckets,
-            seq=int(manifest["seq"]) + 1,
+            seq=cur_seq + 1,
         )
     _point_current(table_dir, vdir)
