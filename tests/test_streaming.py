@@ -900,3 +900,42 @@ def test_upsert_roll_forward_completes_orphaned_commits(spark, tmp_path):
     assert got == {("b", 2.0), ("c", 3.0)}
     m1 = json.load(open(os.path.join(table_dir, "b1", "_MANIFEST.json")))
     assert m1["seq"] == m0["seq"] + 2  # minted past the orphan, not onto it
+
+
+def test_upsert_redelivery_of_committed_batch_still_rolls_forward(
+    spark, tmp_path
+):
+    """Roll-forward must run UNCONDITIONALLY at writer entry, not only
+    on the merge path: if a delete crashed between commit and
+    repoint, the stream's restart re-delivery of its last (already
+    committed) batch may be the only writer invocation before the
+    stream idles — it must complete the interrupted delete, or
+    erased keys are served indefinitely."""
+    import datetime as dt
+    import json
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from ts_data_pipeline_spark.streaming import upsert_sink
+
+    table_dir = str(tmp_path / "table")
+    schema = "key string, ts timestamp, val double"
+    base = dt.datetime(2024, 1, 1)
+    b0 = spark.createDataFrame([("a", base, 1.0), ("b", base, 2.0)], schema)
+    upsert_sink.upsert_batch(spark, table_dir, b0, 0, key_col="key", ts_col="ts")
+
+    # delete crashes after committing d1, before the repoint
+    cur = upsert_sink.read_table(spark, table_dir)
+    m0 = json.load(open(os.path.join(table_dir, "b0", "_MANIFEST.json")))
+    upsert_sink._commit_version(
+        table_dir, "d1", cur.filter(SF.col("key") != "a"), {},
+        key_col="key", n_buckets=int(m0["n_buckets"]), seq=m0["seq"] + 1,
+    )
+    # restart re-delivers the ALREADY COMMITTED batch 0 (checkpoint
+    # lag) — no merge happens, but the repair must
+    upsert_sink.upsert_batch(spark, table_dir, b0, 0, key_col="key", ts_col="ts")
+    with open(os.path.join(table_dir, "_CURRENT")) as f:
+        assert f.read().strip() == "d1"
+    got = {r.key for r in upsert_sink.read_table(spark, table_dir).collect()}
+    assert got == {"b"}  # the delete is live

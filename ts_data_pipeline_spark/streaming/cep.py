@@ -101,14 +101,18 @@ def streaming_funnel(
         st = (
             json.loads(state.get[0])
             if state.exists
-            else {"froms": [], "tos": []}
+            else {"u": "us", "froms": [], "tos": []}
         )
         # All event times are kept at MICROSECOND precision (the
         # batch operator orders by the full timestamp; truncating to
         # the watermark's ms grain would reorder sub-ms neighbors and
         # change baselines/matches). Only the watermark itself is ms.
-        froms = [tuple(x) for x in st["froms"]]  # [(id, ts_us)]
-        tos = [tuple(x) for x in st["tos"]]      # [(id, ts_us)]
+        # The "u" tag versions the state format: a checkpoint written
+        # by the earlier ms-grain code is converted on load instead
+        # of silently reinterpreting ms ints as us (1970-era times).
+        scale = 1 if st.get("u") == "us" else 1000
+        froms = [(i, t * scale) for i, t in st["froms"]]  # [(id, ts_us)]
+        tos = [(i, t * scale) for i, t in st["tos"]]      # [(id, ts_us)]
         wm = state.getCurrentWatermarkMs() * 1000  # us
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
@@ -155,9 +159,12 @@ def streaming_funnel(
                 tts + within_us for _, tts in tos
             ]
             state.update(
-                (json.dumps({"froms": still_open, "tos": tos}),)
+                (json.dumps({"u": "us", "froms": still_open, "tos": tos}),)
             )
-            _arm_timeout(state, min(horizons) // 1000, wm // 1000)
+            # ceil: a sub-ms horizon must arm at the first watermark
+            # millisecond that DECIDES it, or a from-event could sit
+            # decidable-but-unemitted after the stream plateaus
+            _arm_timeout(state, -(-min(horizons) // 1000), wm // 1000)
         elif state.exists:
             state.remove()
         yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
@@ -214,13 +221,16 @@ def streaming_zscore_alerts(
         st = (
             json.loads(state.get[0])
             if state.exists
-            else {"buf": [], "hist": []}
+            else {"u": "us", "buf": [], "hist": []}
         )
         # microsecond event times (see the funnel note: the batch
         # twin orders by the full timestamp, so the ms-grain watermark
-        # must not truncate the ordering key)
-        buf = [tuple(x) for x in st["buf"]]    # [(ts_us, id, value)]
-        hist = [tuple(x) for x in st["hist"]]  # trailing finalized
+        # must not truncate the ordering key); "u" tags the state
+        # format so a ms-era checkpoint converts instead of being
+        # reinterpreted
+        scale = 1 if st.get("u") == "us" else 1000
+        buf = [(t * scale, i, v) for t, i, v in st["buf"]]
+        hist = [(t * scale, i, v) for t, i, v in st["hist"]]
         wm = state.getCurrentWatermarkMs() * 1000  # us
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
@@ -272,7 +282,9 @@ def streaming_zscore_alerts(
             hist.append((ts_us, rid, val))
             hist = hist[-lookback:]
         if pending or hist:
-            state.update((json.dumps({"buf": pending, "hist": hist}),))
+            state.update(
+                (json.dumps({"u": "us", "buf": pending, "hist": hist}),)
+            )
             if pending:
                 # wake when the watermark passes the oldest pending row
                 _arm_timeout(

@@ -108,6 +108,14 @@ def _write_manifest(table_dir: str, version_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(vpath, _MANIFEST))
 
 
+#: per-process registry cache: table_dir -> (file mtime_ns, stones).
+#: _committed sits on the per-trigger hot path; without the cache a
+#: long-lived table's registry (one entry per GC'd batch) would be
+#: re-parsed on every micro-batch — O(total batches ever) JSON work
+#: per trigger. With it, the steady-state cost is one os.stat.
+_TOMBSTONE_CACHE: dict[str, tuple[int, dict[str, int]]] = {}
+
+
 def _read_tombstones(table_dir: str) -> dict[str, int]:
     """The GC tombstone REGISTRY: one root-level JSON mapping
     GC'd version dirs to their commit seq. A registry instead of one
@@ -116,10 +124,18 @@ def _read_tombstones(table_dir: str) -> dict[str, int]:
     os.listdir over millions of empty tombstone dirs would invert the
     sink's metadata-proportional-to-live-state story."""
     p = os.path.join(table_dir, _TOMBSTONES)
-    if not os.path.exists(p):
+    try:
+        mtime = os.stat(p).st_mtime_ns
+    except FileNotFoundError:
+        _TOMBSTONE_CACHE.pop(table_dir, None)
         return {}
+    hit = _TOMBSTONE_CACHE.get(table_dir)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
     with open(p) as f:
-        return {k: int(v) for k, v in json.load(f).items()}
+        stones = {k: int(v) for k, v in json.load(f).items()}
+    _TOMBSTONE_CACHE[table_dir] = (mtime, stones)
+    return stones
 
 
 def _write_tombstones(table_dir: str, stones: dict[str, int]) -> None:
@@ -323,14 +339,18 @@ def upsert_batch(
     """
     os.makedirs(table_dir, exist_ok=True)
     vdir = f"b{batch_id}"
+    # Complete any interrupted commit FIRST — unconditionally, before
+    # the idempotence check: seqs are minted from the pointed version,
+    # so an orphaned committed-but-unpointed version (crash between
+    # manifest write and repoint) would otherwise have its seq minted
+    # again and be buried. And a RE-DELIVERED committed batch must
+    # also repair: if the crash interrupted a delete's repoint, the
+    # re-delivery may be the only writer invocation before the stream
+    # idles — skipping repair would serve erased keys indefinitely.
+    cur_v, cur_seq = _roll_forward(table_dir)
     if not _committed(table_dir, vdir):
         from pyspark.sql import Window
 
-        # Complete any interrupted commit FIRST: seqs are minted from
-        # the pointed version, so an orphaned committed-but-unpointed
-        # version (crash between manifest write and repoint) would
-        # otherwise have its seq minted again and be buried.
-        cur_v, cur_seq = _roll_forward(table_dir)
         manifest = _read_manifest(table_dir, cur_v) if cur_v else None
 
         # latest row per key within the batch (ts desc, stable)
