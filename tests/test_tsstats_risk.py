@@ -1,0 +1,95 @@
+"""CUSUM changepoint + drawdown/volatility operator pins.
+
+The CUSUM closed form (cum - min(0, running_min(cum))) must equal
+Page's clamped recursion row for row, and both operators must plan as
+INCREMENTAL running frames over ONE per-key exchange — never a
+shrinking/lookahead frame (the O(n^2) class fixed this round in
+funnel/asof/interp).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark.operators import tsstats
+
+
+def _events(spark, values, key="k"):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), key, float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_cusum_matches_clamped_recursion(spark):
+    vals = [50, 50, 120, 130, 140, 10, 5, 50, 300, 2, 2, 2, 2, 90]
+    df = _events(spark, vals)
+    out = (
+        tsstats.cusum_changepoints(
+            df, target=50.0, slack=5.0, threshold=100.0
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    sp = sn = 0.0
+    for row, v in zip(out, vals):
+        sp = max(0.0, sp + (v - 55.0))
+        sn = max(0.0, sn + (45.0 - v))
+        assert abs(row["s_pos"] - round(sp, 4)) < 1e-9
+        assert abs(row["s_neg"] - round(sn, 4)) < 1e-9
+        assert row["alarm_pos"] == (sp > 100.0)
+        assert row["alarm_neg"] == (sn > 100.0)
+
+
+def test_cusum_summary_counts_and_first_alarm(spark):
+    # One engineered positive drift: three +100 deviations in a row.
+    vals = [50.0] * 5 + [150.0, 160.0, 170.0] + [50.0] * 5
+    df = _events(spark, vals)
+    got = tsstats.cusum_summary(
+        df, target=50.0, slack=5.0, threshold=150.0
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # S+ after the burst: 95 + 105 + 115 = 315 (minus 5 slack each).
+    assert r["max_s_pos"] == 315.0
+    assert r["n_alarms_pos"] > 0 and r["n_alarms_neg"] == 0
+    # First alarm is the second burst row (95 + 105 = 200 > 150).
+    assert r["first_alarm_ts"] == dt.datetime(2024, 1, 1, 0, 6)
+
+
+def test_drawdown_features_semantics(spark):
+    vals = [10.0, 8.0, 12.0, 4.0, 12.0, 20.0]
+    df = _events(spark, vals)
+    out = (
+        tsstats.drawdown_features(
+            df, key_col="event_type", vol_window=2
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r["run_max"] for r in out] == [10, 10, 12, 12, 12, 20]
+    assert [r["drawdown"] for r in out] == [0.0, 2.0, 0.0, 8.0, 0.0, 0.0]
+    assert [r["at_peak"] for r in out] == [True, False, True, False, True, True]
+    # Trailing stddev over frame (-2, 0): row 3 sees [8, 12, 4].
+    import statistics
+
+    assert out[3]["roll_vol"] == round(statistics.stdev([8, 12, 4]), 4)
+
+
+def test_risk_windows_plan_incremental_single_exchange(spark):
+    """Both operators: no lookahead frame, and ALL window passes share
+    one per-key exchange + sort (chained Window operators)."""
+    df = _events(spark, [float(i % 7) for i in range(50)])
+    for op in (
+        tsstats.cusum_changepoints(df),
+        tsstats.drawdown_features(df, key_col="event_type"),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString().lower()
+        assert "unboundedfollowing" not in plan
+        assert plan.count("exchange hashpartitioning") == 1

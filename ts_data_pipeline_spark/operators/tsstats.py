@@ -504,3 +504,244 @@ SELECT path, n_sessions,
        row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS rank
 FROM top
 """
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    target: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 200.0,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection (Page 1954) per key: alarm
+    when the cumulative deviation from a known in-control ``target``
+    exceeds ``threshold``.
+
+    The textbook form is a clamped recursion
+    ``S_t = max(0, S_{t-1} + (x_t - target - slack))`` — not a window
+    aggregate. It IS, however, exactly equal to the closed form
+    ``S_t = cum_t - min(0, min_{j<=t} cum_j)`` over the running sum
+    ``cum`` of the deviations, which is two INCREMENTAL running
+    frames (``unboundedPreceding .. currentRow`` sum, then the same
+    frame's min over the sum) — O(n) per key, never a shrinking or
+    lookahead frame (the SCALE.md O(n^2) hazard class).
+
+    ``target``/``slack`` are parameters, not data-derived: Page's
+    CUSUM monitors against a KNOWN in-control mean, and a fixed
+    reference keeps every gated value an exact 2-decimal rational
+    (a data-derived mean is a per-key quotient — the cross-engine
+    4-dp rounding-tie class the verify notes document).
+
+    Scale shape: one per-key sort shuffle; both window passes use the
+    same (partition, ordering) so Spark plans one exchange + sort
+    with chained running-frame Window operators; per-row state is
+    O(1). Generalizes the deviation pairing of the reference's
+    telemetry alerting (reference: darkpool_trades/main.py:71-78).
+    """
+    from pyspark.sql import Window
+
+    run = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stage = df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    ).select(
+        "*",
+        F.sum(F.col("value") - F.lit(float(target) + float(slack)))
+        .over(run)
+        .alias("_cum_pos"),
+        F.sum(F.lit(float(target) - float(slack)) - F.col("value"))
+        .over(run)
+        .alias("_cum_neg"),
+    )
+    s_pos = F.col("_cum_pos") - F.least(
+        F.lit(0.0), F.min("_cum_pos").over(run)
+    )
+    s_neg = F.col("_cum_neg") - F.least(
+        F.lit(0.0), F.min("_cum_neg").over(run)
+    )
+    return stage.select(
+        "key",
+        "event_id",
+        "ts",
+        "value",
+        F.round(s_pos, 4).alias("s_pos"),
+        F.round(s_neg, 4).alias("s_neg"),
+        (s_pos > F.lit(float(threshold))).alias("alarm_pos"),
+        (s_neg > F.lit(float(threshold))).alias("alarm_neg"),
+    )
+
+
+def cusum_summary(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    target: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 200.0,
+) -> DataFrame:
+    """Per-key drift report over :func:`cusum_changepoints`: alarm
+    counts on each side, the peak statistics, and the first alarm
+    time — the monitoring-dashboard row."""
+    rows = cusum_changepoints(
+        df,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        id_col=id_col,
+        target=target,
+        slack=slack,
+        threshold=threshold,
+    )
+    return rows.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("alarm_pos").cast("bigint")).alias("n_alarms_pos"),
+        F.sum(F.col("alarm_neg").cast("bigint")).alias("n_alarms_neg"),
+        F.round(F.max("s_pos"), 4).alias("max_s_pos"),
+        F.round(F.max("s_neg"), 4).alias("max_s_neg"),
+        F.min(F.when(F.col("alarm_pos") | F.col("alarm_neg"), F.col("ts")))
+        .alias("first_alarm_ts"),
+    )
+
+
+def cusum_summary_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    target: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 200.0,
+) -> str:
+    hi = float(target) + float(slack)
+    lo = float(target) - float(slack)
+    return f"""
+WITH cum AS (
+  SELECT {key_col} AS key, {id_col} AS event_id, {ts_col} AS ts,
+         SUM({value_col} - {hi}) OVER w AS cum_pos,
+         SUM({lo} - {value_col}) OVER w AS cum_neg
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col}
+               ORDER BY {ts_col} ASC, {id_col} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT key, event_id, ts,
+         cum_pos - LEAST(0, MIN(cum_pos) OVER w2) AS s_pos,
+         cum_neg - LEAST(0, MIN(cum_neg) OVER w2) AS s_neg
+  FROM cum
+  WINDOW w2 AS (PARTITION BY key
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT key,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN s_pos > {float(threshold)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms_pos,
+       CAST(SUM(CASE WHEN s_neg > {float(threshold)} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms_neg,
+       ROUND(MAX(s_pos), 4) AS max_s_pos,
+       ROUND(MAX(s_neg), 4) AS max_s_neg,
+       MIN(CASE WHEN s_pos > {float(threshold)}
+                 OR s_neg > {float(threshold)} THEN ts END)
+         AS first_alarm_ts
+FROM s GROUP BY key
+"""
+
+
+def drawdown_features(
+    df: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    vol_window: int = 20,
+) -> DataFrame:
+    """Per-key running-peak drawdown and trailing volatility — the
+    risk-monitoring pair of a TS analytics engine.
+
+    - ``run_max``: running maximum (incremental
+      ``unboundedPreceding`` frame, O(n) per key — NOT the reversed
+      lookahead form).
+    - ``drawdown``: ``run_max - value``, distance below the peak so
+      far. (A percentage drawdown is a quotient of 2-decimal values
+      and can land on exact 4-dp rounding ties cross-engine, so the
+      absolute form is what's gated; callers can divide downstream.)
+    - ``roll_vol``: sample stddev over the trailing ``vol_window + 1``
+      rows — a BOUNDED sliding frame, per-row cost O(L), per-row
+      state O(L). The sqrt keeps gated values off the decimal grid,
+      so 4-dp rounding is tie-free by construction.
+    - ``at_peak``: the row sets a new running high (exact double
+      equality against its own running max — both engines read the
+      identical parquet double).
+
+    Scale shape: one per-key sort shuffle; all three aggregates share
+    the (partition, ordering) pair so one exchange + one sort feeds
+    chained Window operators; no lookahead frames, no global window.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    trail = base.rowsBetween(-vol_window, 0)
+    run_max = F.max("value").over(run)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    ).select(
+        "key",
+        "event_id",
+        "ts",
+        "value",
+        F.round(run_max, 4).alias("run_max"),
+        F.round(run_max - F.col("value"), 4).alias("drawdown"),
+        F.round(F.stddev_samp("value").over(trail), 4).alias("roll_vol"),
+        (F.col("value") == run_max).alias("at_peak"),
+    )
+
+
+def drawdown_features_sql(
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    vol_window: int = 20,
+    where: str = "TRUE",
+) -> str:
+    return f"""
+SELECT {key_col} AS key, {id_col} AS event_id, {ts_col} AS ts,
+       {value_col} AS value,
+       ROUND(MAX({value_col}) OVER run, 4) AS run_max,
+       ROUND(MAX({value_col}) OVER run - {value_col}, 4) AS drawdown,
+       ROUND(STDDEV_SAMP({value_col}) OVER trail, 4) AS roll_vol,
+       {value_col} = MAX({value_col}) OVER run AS at_peak
+FROM {table} WHERE {where}
+WINDOW run AS (PARTITION BY {key_col}
+               ORDER BY {ts_col} ASC, {id_col} ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       trail AS (PARTITION BY {key_col}
+                 ORDER BY {ts_col} ASC, {id_col} ASC
+                 ROWS BETWEEN {vol_window} PRECEDING AND CURRENT ROW)
+"""

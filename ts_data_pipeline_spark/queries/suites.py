@@ -543,6 +543,18 @@ def _tsstats_acf_sql() -> str:
     return tsstats.autocorrelation_sql([1, 5, 10])
 
 
+def _tsstats_cusum_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.cusum_summary_sql()
+
+
+def _tsstats_drawdown_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.drawdown_features_sql(where="user_id % 20 = 0")
+
+
 def _olap_pivot_members() -> list[Member]:
     from ts_data_pipeline_spark.operators import rollup as rollup_ops
     from ts_data_pipeline_spark.queries import bars, olap, timeseries
@@ -621,6 +633,22 @@ def _olap_pivot_members() -> list[Member]:
             timeseries.value_histogram_by_type,
             _tsstats_histogram_sql(),
             (("key", "s"), ("bin", "l"), ("n", "l"), ("bin_lo", "d")),
+        ),
+        Member(
+            "cusum_drift_summary",
+            timeseries.cusum_drift_summary,
+            _tsstats_cusum_sql(),
+            (("key", "s"), ("n_events", "l"), ("n_alarms_pos", "l"),
+             ("n_alarms_neg", "l"), ("max_s_pos", "d"), ("max_s_neg", "d"),
+             ("first_alarm_ts", "t")),
+        ),
+        Member(
+            "drawdown_risk_features",
+            timeseries.drawdown_risk_features,
+            _tsstats_drawdown_sql(),
+            (("key", "l"), ("event_id", "l"), ("ts", "t"), ("value", "d"),
+             ("run_max", "d"), ("drawdown", "d"), ("roll_vol", "d"),
+             ("at_peak", "s")),
         ),
         Member(
             "rollup_multires",

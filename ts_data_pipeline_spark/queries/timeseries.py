@@ -280,6 +280,23 @@ def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsstats.value_histogram(io.load(spark, sf_dir, "events"))
 
 
+def cusum_drift_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift report per event_type (operators/
+    tsstats.py — clamped recursion as two chained running frames)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.cusum_summary(io.load(spark, sf_dir, "events"))
+
+
+def drawdown_risk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown + trailing volatility on a deterministic
+    stream sample (operators/tsstats.py)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    ev = io.load(spark, sf_dir, "events").filter("user_id % 20 = 0")
+    return tsstats.drawdown_features(ev)
+
+
 def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate lattice: 1m partials from raw, 10m from
     1m, 60m from 10m. The oracle aggregates every grain directly from
