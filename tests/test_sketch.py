@@ -73,3 +73,71 @@ def test_misra_gries_equals_exact_when_capacity_holds_vocab(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_vocab_coverage_matches_brute_force(spark):
+    from collections import Counter
+
+    texts = [
+        "a a a b b c",
+        "a b c d e",
+        "a a f g",
+        "h",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["coverage_permyriad"]: r
+        for r in sketch.vocab_coverage(docs).collect()
+    }
+    c = Counter(w for t in texts for w in t.split(" ") if w)
+    total = sum(c.values())
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    for pm in (5000, 9000, 9900, 10000):
+        s = k = 0
+        for i, (_, n) in enumerate(ordered, 1):
+            s += n
+            if s * 10000 >= total * pm:
+                k = i
+                break
+        assert got[pm]["vocab_size"] == k
+        assert got[pm]["tokens_covered"] == s
+        assert got[pm]["total_tokens"] == total
+    # 100% coverage = full vocabulary, all tokens
+    assert got[10000]["vocab_size"] == len(c)
+    assert got[10000]["tokens_covered"] == total
+
+
+def test_vocab_coverage_plan_is_distributed_prefix_sum(spark):
+    """The global running sum must be the two-phase range-partitioned
+    form: a range exchange on the sort key, and NO window over an
+    unpartitioned ordering (single-partition global sort)."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 17} w{i % 5} common") for i in range(300)],
+        "doc_id long, text string",
+    )
+    df = sketch.vocab_coverage(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    # The range exchange runs INSIDE the eager localCheckpoint (the
+    # ADVICE pin: bases and within-partition sums must observe one
+    # physical partition assignment), so downstream the plan reads
+    # from the materialized RDD ...
+    assert "existingrdd" in plan
+    # ... and every vocab-sized window is per-range-partition
+    # (partitionBy _pid), never a global ordering; no lookahead frame.
+    assert "partitionspec: [_pid" in plan or "_pid#" in plan
+    assert "unboundedfollowing" not in plan
+    # row-for-row: matches the flat global-window form
+    flat = (
+        docs.selectExpr(
+            "explode(filter(split(lower(text), ' '), t -> t != '')) term"
+        )
+        .groupBy("term")
+        .count()
+        .toPandas()
+    )
+    total = int(flat["count"].sum())
+    rec = sketch.vocab_coverage(docs).collect()
+    assert all(r["total_tokens"] == total for r in rec)

@@ -123,3 +123,130 @@ def misra_gries_heavy_hitters(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "term", "freq_lb", "rank"
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    targets_permyriad: tuple[int, ...] = (5000, 9000, 9900, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each coverage target, the
+    smallest frequency-ranked vocabulary that covers at least that
+    share of all token occurrences — the sizing question every
+    tokenizer/vocab decision starts from ("how many types cover 99%
+    of the corpus?").
+
+    Returns one row per target: ``coverage_permyriad`` (target in
+    1/10000ths, so thresholds stay in EXACT integer arithmetic —
+    ``cum * 10000 >= total * permyriad`` — with zero float-rounding
+    exposure cross-engine), ``vocab_size`` (min rank achieving it),
+    ``tokens_covered`` (occurrences under that prefix), and
+    ``total_tokens``.
+
+    Scale shape: the token explode combines map-side into a
+    vocab-sized relation; the global prefix sum over (freq desc, term
+    asc) is the two-phase range-partitioned form (sampling.py::
+    token_budget_select) — NEVER a single-partition global window.
+    The range exchange is pinned with an eager localCheckpoint so the
+    per-partition bases and the within-partition running sums observe
+    one physical partition assignment (the sampled range boundaries
+    are not bit-reproducible across recomputes). Targets and the
+    1-row total are broadcast; the final argmin join broadcasts the
+    |targets|-row side. Works unchanged when the vocabulary itself is
+    shuffle-wide (URLs/code tokens): nothing here is driver-sized.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(_toks(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    part = (
+        vocab.repartitionByRange(F.col("cnt").desc(), F.col("term").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    per_part = part.groupBy("_pid").agg(
+        F.sum("cnt").alias("_pt"), F.count(F.lit(1)).alias("_pn")
+    )
+    across = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = per_part.select(
+        "_pid",
+        F.coalesce(F.sum("_pt").over(across), F.lit(0)).alias("_base"),
+        F.coalesce(F.sum("_pn").over(across), F.lit(0)).alias("_rbase"),
+    )
+    order = (F.col("cnt").desc(), F.col("term").asc())
+    within = Window.partitionBy("_pid").orderBy(*order)
+    pref = (
+        part.withColumn(
+            "_cum",
+            F.sum("cnt").over(within.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_rn", F.row_number().over(within))
+        .join(F.broadcast(bases), "_pid")
+        .select(
+            (F.col("_base") + F.col("_cum")).alias("tokens_covered"),
+            (F.col("_rbase") + F.col("_rn")).alias("rank"),
+        )
+    )
+    total = vocab.agg(F.sum("cnt").alias("total_tokens"))
+    targets = spark.createDataFrame(
+        [(int(p),) for p in targets_permyriad], "coverage_permyriad long"
+    )
+    minranks = (
+        pref.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(targets))
+        .where(
+            F.col("tokens_covered") * F.lit(10000)
+            >= F.col("total_tokens") * F.col("coverage_permyriad")
+        )
+        .groupBy("coverage_permyriad")
+        .agg(F.min("rank").alias("vocab_size"))
+    )
+    return (
+        pref.join(
+            F.broadcast(minranks), pref["rank"] == minranks["vocab_size"]
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "coverage_permyriad", "vocab_size", "tokens_covered",
+            "total_tokens",
+        )
+    )
+
+
+def vocab_coverage_sql(
+    targets_permyriad: tuple[int, ...] = (5000, 9000, 9900, 10000),
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Oracle: the flat single-window form of the same curve."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+    values = ", ".join(f"({int(p)})" for p in targets_permyriad)
+    return f"""
+WITH vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({toks}) AS term FROM {table})
+  GROUP BY term
+),
+pref AS (
+  SELECT SUM(cnt) OVER (ORDER BY cnt DESC, term ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS tokens_covered,
+         row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank,
+         SUM(cnt) OVER () AS total_tokens
+  FROM vocab
+),
+m AS (
+  SELECT t.pm AS coverage_permyriad, MIN(rank) AS vocab_size
+  FROM pref, (VALUES {values}) t(pm)
+  WHERE tokens_covered * 10000 >= total_tokens * t.pm
+  GROUP BY t.pm
+)
+SELECT m.coverage_permyriad, m.vocab_size,
+       CAST(p.tokens_covered AS BIGINT) AS tokens_covered,
+       CAST(p.total_tokens AS BIGINT) AS total_tokens
+FROM m JOIN pref p ON p.rank = m.vocab_size
+"""

@@ -155,6 +155,15 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min frequency-ranked vocab size per coverage target
+    (operators/sketch.py; two-phase range-partitioned prefix sum,
+    integer-exact thresholds)."""
+    from ts_data_pipeline_spark.operators import sketch
+
+    return sketch.vocab_coverage(io.load(spark, sf_dir, "documents"))
+
+
 #: Target-domain predicate for the registered DSIR gate: treat one
 #: source as the "wiki-like" target distribution.
 DSIR_TARGET_PREDICATE = "source = 'src0'"

@@ -468,6 +468,13 @@ def _text_stats_members() -> list[Member]:
             (("term", "s"), ("freq", "l"), ("rank", "l")),
         ),
         Member(
+            "vocab_coverage_curve",
+            llmdata.vocab_coverage_curve,
+            sketch_ops.vocab_coverage_sql(),
+            (("coverage_permyriad", "l"), ("vocab_size", "l"),
+             ("tokens_covered", "l"), ("total_tokens", "l")),
+        ),
+        Member(
             "dsir_scores",
             llmdata.dsir_scores,
             sampling.dsir_scores_sql(llmdata.DSIR_TARGET_PREDICATE),
