@@ -939,3 +939,68 @@ def test_upsert_redelivery_of_committed_batch_still_rolls_forward(
         assert f.read().strip() == "d1"
     got = {r.key for r in upsert_sink.read_table(spark, table_dir).collect()}
     assert got == {"b"}  # the delete is live
+
+
+def test_streaming_cusum_alerts_match_batch(spark, tmp_path):
+    """Streaming CUSUM drift alerting: emitted alarm rows must equal
+    the batch cusum_changepoints alarm rows (same ids, same 4-dp
+    statistics) over the finalized region — the O(1)-state recursion
+    and the batch running-frame closed form agree at the rounding
+    convention."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        # key A: a sustained +30 drift burst at rows 10..19, recovery after
+        v = 80.0 if 10 <= i < 20 else 50.0 + (i % 5)
+        rows.append((i, "A", base + dt.timedelta(minutes=i), v))
+        # key B: a negative drift tail from row 25
+        vb = 10.0 if i >= 25 else 50.0 - (i % 3)
+        rows.append((100 + i, "B", base + dt.timedelta(minutes=i), vb))
+    # a null value mid-burst: occupies a position, stat carries
+    rows = [r if r[0] != 14 else (14, "A", r[2], None) for r in rows]
+    chunks = [rows[:30], rows[30:55], rows[55:]]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_cusum_alerts(
+        stream, target=50.0, slack=5.0, threshold=100.0
+    )
+    windowed.run_available_now(out, "t_cep_cusum", str(tmp_path / "ckpt"))
+    got = {
+        (r.event_id, r.s_pos, r.s_neg, r.alarm_pos, r.alarm_neg)
+        for r in spark.table("t_cep_cusum").collect()
+    }
+
+    batch = tsstats.cusum_changepoints(
+        spark.createDataFrame(rows, schema),
+        target=50.0, slack=5.0, threshold=100.0,
+    )
+    final_wm = base + dt.timedelta(minutes=38, seconds=59)
+    want = {
+        (r.event_id, r.s_pos, r.s_neg, r.alarm_pos, r.alarm_neg)
+        for r in batch.filter(
+            (F.col("alarm_pos") | F.col("alarm_neg"))
+            & (F.col("ts") < F.lit(final_wm))
+        ).collect()
+    }
+    assert want  # both drift regimes produce alarms
+    assert any(a for *_, a, _ in [(w[0], w[1], w[2], w[3], w[4]) for w in want])
+    assert got == want, (sorted(got), sorted(want))
+    # the null-value row carried the statistic (present iff in alarm)
+    batch_ids = {w[0] for w in want}
+    assert (14 in batch_ids) == (14 in {g[0] for g in got})

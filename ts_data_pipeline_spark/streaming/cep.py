@@ -1,7 +1,8 @@
 """Streaming CEP twins of the batch alerting operators: funnel
-(A-followed-by-B within a horizon) and rolling z-score anomalies —
-the "conversion tracking" and "live alert escalation" primitives, as
-stateful Structured Streaming operators.
+(A-followed-by-B within a horizon), rolling z-score anomalies, and
+CUSUM drift — the "conversion tracking", "live alert escalation",
+and "drift monitoring" primitives, as stateful Structured Streaming
+operators.
 
 Both follow the engine's established stateful pattern
 (streaming/custom_state.py): ``applyInPandasWithState`` keyed on the
@@ -287,6 +288,134 @@ def streaming_zscore_alerts(
             )
             if pending:
                 # wake when the watermark passes the oldest pending row
+                _arm_timeout(
+                    state, min(p[0] for p in pending) // 1000 + 1, wm // 1000
+                )
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
+
+    return (
+        events.withWatermark(ts_col, grace)
+        .withColumn("_key", F.col(key_col).cast("string"))
+        .groupBy("_key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_cusum_alerts(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    target: float = 50.0,
+    slack: float = 5.0,
+    threshold: float = 200.0,
+    grace: str = "1 second",
+) -> DataFrame:
+    """Streaming CUSUM drift alerting: emit each finalized point whose
+    two-sided CUSUM statistic exceeds ``threshold``, as soon as the
+    watermark passes its position in the per-key timeline.
+
+    The stateful twin of operators/tsstats.cusum_changepoints — and
+    the case where streaming is the NATURAL form: Page's recursion
+    ``S_t = max(0, S_{t-1} + d_t)`` needs exactly TWO floats of state
+    per key (the batch operator must re-derive it through running
+    window frames; the stream just carries it). Rows are finalized
+    strictly below the watermark in (ts, id) order; late rows whose
+    position was already folded into the statistic are dropped (T2).
+
+    Matches the batch operator's conventions: null values leave the
+    statistic unchanged (Spark's window SUM skips nulls) but still
+    occupy a position and still alarm on the carried value; alarms
+    compare the UNROUNDED statistic; emitted s values are rounded
+    4 dp. The recursion and the batch closed form (cum − running min)
+    are algebraically equal but not bit-equal — after deep
+    excursions they can differ below ~1e-10, absorbed by the 4-dp
+    convention (pinned in tests/test_streaming.py).
+
+    Scale: O(1) state per key plus the unfinalized tail — the
+    smallest state of any operator in this module; sharded by key
+    into the state store like the built-in stateful aggs.
+    """
+    hi = float(target) + float(slack)
+    lo = float(target) - float(slack)
+    thr = float(threshold)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("s_pos", T.DoubleType()),
+            T.StructField("s_neg", T.DoubleType()),
+            T.StructField("alarm_pos", T.BooleanType()),
+            T.StructField("alarm_neg", T.BooleanType()),
+        ]
+    )
+
+    def fold(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            else {"u": "us", "sp": 0.0, "sn": 0.0, "buf": []}
+        )
+        # microsecond event times; "u" tags the state format (see the
+        # funnel note — the ms watermark grain must not truncate the
+        # ordering key)
+        sp, sn = float(st["sp"]), float(st["sn"])
+        buf = [(t, i, v) for t, i, v in st["buf"]]
+        wm = state.getCurrentWatermarkMs() * 1000  # us
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                ts_us = int(rec[ts_col].value // 1_000)
+                if ts_us < wm:
+                    continue  # position already finalized: late, drop
+                raw = rec[value_col]
+                val = (
+                    None
+                    if raw is None
+                    or (isinstance(raw, float) and math.isnan(raw))
+                    else float(raw)
+                )
+                buf.append((ts_us, int(rec[id_col]), val))
+        rows = []
+        pending = []
+        for ts_us, rid, val in sorted(buf, key=lambda p: (p[0], p[1])):
+            if ts_us >= wm:
+                pending.append((ts_us, rid, val))
+                continue
+            if val is not None:
+                sp = max(0.0, sp + (val - hi))
+                sn = max(0.0, sn + (lo - val))
+            if sp > thr or sn > thr:
+                rows.append(
+                    {
+                        id_col: rid,
+                        "key": key[0],
+                        ts_col: pd.Timestamp(ts_us, unit="us"),
+                        value_col: val,
+                        "s_pos": round(sp, 4),
+                        "s_neg": round(sn, 4),
+                        "alarm_pos": sp > thr,
+                        "alarm_neg": sn > thr,
+                    }
+                )
+        if pending or sp > 0.0 or sn > 0.0:
+            state.update(
+                (json.dumps({"u": "us", "sp": sp, "sn": sn, "buf": pending}),)
+            )
+            if pending:
                 _arm_timeout(
                     state, min(p[0] for p in pending) // 1000 + 1, wm // 1000
                 )
