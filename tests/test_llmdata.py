@@ -976,3 +976,49 @@ def test_pandas_udf_ann_matches_expression_path(spark):
         ).collect()
     }
     assert expr_rows == udf_rows
+
+
+def test_source_drift_kl_closed_form_equals_dense(spark):
+    """The absent-mass closed form must equal the dense smoothed KL —
+    exercised with sources that MISS most of the vocabulary (the
+    synthetic corpus can't: every source carries all 31 types), plus
+    the identical-distribution floor."""
+    import math
+    from collections import Counter
+
+    from ts_data_pipeline_spark.operators import quality as qops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "uniform", "a b c d e f"),
+            (1, "uniform", "a b c d e f"),
+            (2, "narrow", "a a a a a a a a"),
+            (3, "tail", "f g g h h h"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in qops.source_drift_kl(docs).collect()}
+
+    texts = {
+        "uniform": "a b c d e f a b c d e f",
+        "narrow": "a a a a a a a a",
+        "tail": "f g g h h h",
+    }
+    corpus = Counter(
+        w for t in texts.values() for w in t.split(" ") if w
+    )
+    n_corpus, v_corpus, alpha = sum(corpus.values()), len(corpus), 0.5
+    for s, t in texts.items():
+        c = Counter(w for w in t.split(" ") if w)
+        n_s = sum(c.values())
+        denom = n_s + alpha * v_corpus
+        kl = sum(
+            ((c.get(term, 0) + alpha) / denom)
+            * math.log(((c.get(term, 0) + alpha) / denom) / (ct / n_corpus))
+            for term, ct in corpus.items()
+        )
+        assert abs(got[s]["kl"] - round(kl, 4)) <= 1e-4, (s, kl, got[s]["kl"])
+        assert got[s]["n_tokens"] == n_s
+        assert got[s]["v_present"] == len(c)
+    # every drift is positive (KL >= 0, and no source IS the corpus)
+    assert all(r["kl"] > 0 for r in got.values())

@@ -296,3 +296,138 @@ WITH scored AS (
 )
 SELECT * FROM scored WHERE z IS NOT NULL AND ABS(z) >= {z_threshold}
 """
+
+
+def source_drift_kl(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Distribution drift per source: KL(P_source || P_corpus) over
+    token unigram distributions, with add-alpha smoothing on the
+    source side — "which feeds shifted vocabulary relative to the
+    corpus?", the drift companion to :func:`snapshot_diff`'s row-level
+    churn report.
+
+    The naive smoothed KL needs a probability for every
+    (source, term) pair INCLUDING absent terms — a dense
+    |sources| × |vocab| cross, hopeless at web scale. The absent mass
+    is instead folded in closed form: every absent term contributes
+    the same ``p0 = alpha/denom``, so
+
+        KL_s = sum_present p_st * ln(p_st/q_t)
+             + p0 * [ (V - V_s) * ln(p0) - (L - L_s) ]
+
+    where ``L = sum_vocab ln(q_t)`` and ``L_s`` its present-terms
+    restriction — both plain aggregates. The plan therefore touches
+    only REALIZED (source, term) rows: one (source, term) groupBy,
+    one vocab-sized re-agg, a term-keyed join of the two (already
+    co-partitioned), a per-source agg, and a 1-row scalar broadcast.
+    Nothing is sources × vocab; nothing is driver-sized.
+
+    Values are sums of ``ln`` of rational quotients — irrational, so
+    the 4-dp rounding convention is tie-free by construction (the
+    cross-engine hazard only bites decimal-grid values).
+    """
+    from ts_data_pipeline_spark.functions.text import toks_col
+
+    a = F.lit(float(alpha))
+    terms = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(toks_col(text_col)).alias("term"),
+    )
+    st = terms.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c_st")
+    )
+    corpus = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    scalars = corpus.agg(
+        F.sum("c_t").alias("n_corpus"),
+        F.count(F.lit(1)).alias("v_corpus"),
+        F.sum(F.log("c_t")).alias("sum_ln_ct"),
+    )
+    per = (
+        st.join(corpus, "term")
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").alias("n_tokens"),
+            F.count(F.lit(1)).alias("v_present"),
+            F.sum(
+                (F.col("c_st") + a)
+                * (F.log(F.col("c_st") + a) - F.log("c_t"))
+            ).alias("_a_s"),
+            F.sum(F.log("c_t")).alias("_b_s"),
+        )
+    )
+    out = per.crossJoin(F.broadcast(scalars))
+    denom = F.col("n_tokens") + a * F.col("v_corpus")
+    ln_n = F.log("n_corpus")
+    present = (
+        F.col("_a_s")
+        + (F.col("n_tokens") + a * F.col("v_present")) * (ln_n - F.log(denom))
+    ) / denom
+    p0 = a / denom
+    l_all = F.col("sum_ln_ct") - F.col("v_corpus") * ln_n
+    l_s = F.col("_b_s") - F.col("v_present") * ln_n
+    absent = p0 * (
+        (F.col("v_corpus") - F.col("v_present")) * F.log(p0) - (l_all - l_s)
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "v_present",
+        F.round(present + absent, 4).alias("kl"),
+    )
+
+
+def source_drift_kl_sql(
+    *,
+    table: str = "documents",
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> str:
+    """DuckDB twin — same closed-form absent-mass algebra. The alpha
+    literal is CAST AS DOUBLE (a bare 0.5 parses as DECIMAL and
+    changes division semantics)."""
+    a = f"CAST({float(alpha)} AS DOUBLE)"
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+    return f"""
+WITH terms AS (
+  SELECT {source_col} AS source, unnest({toks}) AS term FROM {table}
+),
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS DOUBLE) AS c_st
+  FROM terms GROUP BY source, term
+),
+corpus AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY term),
+scal AS (
+  SELECT SUM(c_t) AS n_corpus,
+         CAST(COUNT(*) AS DOUBLE) AS v_corpus,
+         SUM(ln(c_t)) AS sum_ln_ct
+  FROM corpus
+),
+per AS (
+  SELECT source,
+         SUM(c_st) AS n_tokens,
+         CAST(COUNT(*) AS DOUBLE) AS v_present,
+         SUM((c_st + {a}) * (ln(c_st + {a}) - ln(c_t))) AS a_s,
+         SUM(ln(c_t)) AS b_s
+  FROM st JOIN corpus USING (term) GROUP BY source
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(v_present AS BIGINT) AS v_present,
+       ROUND(
+         (a_s + (n_tokens + {a} * v_present)
+                * (ln(n_corpus) - ln(n_tokens + {a} * v_corpus)))
+           / (n_tokens + {a} * v_corpus)
+         + ({a} / (n_tokens + {a} * v_corpus))
+           * ((v_corpus - v_present)
+                * ln({a} / (n_tokens + {a} * v_corpus))
+              - ((sum_ln_ct - v_corpus * ln(n_corpus))
+                 - (b_s - v_present * ln(n_corpus)))),
+         4) AS kl
+FROM per, scal
+"""

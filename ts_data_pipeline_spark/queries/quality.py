@@ -86,3 +86,9 @@ UNION ALL
 SELECT doc_id + 1000000 AS doc_id, text
 FROM documents WHERE doc_id % 17 = 0
 """
+
+
+def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL vs the corpus (operators/
+    quality.py::source_drift_kl; closed-form absent-mass smoothing)."""
+    return quality.source_drift_kl(io.load(spark, sf_dir, "documents"))

@@ -284,6 +284,13 @@ def _quality_members() -> list[Member]:
              ("n_hist", "l"), ("z", "d")),
         ),
         Member(
+            "source_kl_drift",
+            quality.source_kl_drift,
+            qops.source_drift_kl_sql(),
+            (("source", "s"), ("n_tokens", "l"), ("v_present", "l"),
+             ("kl", "d")),
+        ),
+        Member(
             "corpus_snapshot_diff",
             quality.corpus_snapshot_diff,
             ingest_ops.snapshot_diff_report_sql(
