@@ -120,8 +120,16 @@ def _extras(spark) -> dict:
         bm25_topk,
         heavy_hitters,
     )
-    from ts_data_pipeline_spark.queries.quality import zscore_anomalies
-    from ts_data_pipeline_spark.queries.timeseries import rollup_multires
+    from ts_data_pipeline_spark.queries.llmdata import vocab_coverage_curve
+    from ts_data_pipeline_spark.queries.quality import (
+        source_kl_drift,
+        zscore_anomalies,
+    )
+    from ts_data_pipeline_spark.queries.timeseries import (
+        cusum_drift_summary,
+        drawdown_risk_features,
+        rollup_multires,
+    )
 
     def ann_sq8(spark, sf_dir):
         return similarity.sq8_topk(
@@ -165,6 +173,11 @@ def _extras(spark) -> dict:
         "ann_sq8_topk": ann_sq8,
         "ann_lsh_multiprobe": ann_multiprobe,
         "ann_brute_pandas_udf": ann_brute_pandas,
+        # round-6 additions
+        "cusum_drift_summary": cusum_drift_summary,
+        "drawdown_risk_features": drawdown_risk_features,
+        "vocab_coverage_curve": vocab_coverage_curve,
+        "source_kl_drift": source_kl_drift,
     }
     # The composed recipe runs ~60 s at sf0.1 — a warmed median-of-3
     # would triple the bench budget for one number, so it is timed as

@@ -93,3 +93,36 @@ def test_risk_windows_plan_incremental_single_exchange(spark):
         plan = op._jdf.queryExecution().executedPlan().toString().lower()
         assert "unboundedfollowing" not in plan
         assert plan.count("exchange hashpartitioning") == 1
+
+
+def test_cusum_closed_form_identity_property():
+    """Property: the window-expressible closed form
+    ``cum_t - min(0, running_min(cum))`` equals Page's clamped
+    recursion for ANY series — the algebraic fact the operator rests
+    on, fuzzed over adversarial float series (no Spark round-trip;
+    the Spark expression of the same algebra is pinned above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            max_size=60,
+        ),
+        st.floats(-100, 100, allow_nan=False),
+    )
+    def check(deviations, drift):
+        ds = [d + drift for d in deviations]
+        s_rec, cum, run_min = 0.0, 0.0, 0.0
+        for d in ds:
+            s_rec = max(0.0, s_rec + d)
+            cum += d
+            run_min = min(run_min, cum)
+            s_closed = cum - min(0.0, run_min)
+            # different arithmetic, same value up to accumulation ulps
+            assert abs(s_closed - s_rec) <= 1e-6 * max(
+                1.0, abs(cum), abs(s_rec)
+            ), (ds, s_rec, s_closed)
+
+    check()

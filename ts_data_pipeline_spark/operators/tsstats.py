@@ -541,6 +541,15 @@ def cusum_changepoints(
     with chained running-frame Window operators; per-row state is
     O(1). Generalizes the deviation pairing of the reference's
     telemetry alerting (reference: darkpool_trades/main.py:71-78).
+
+    Numerical note (property-fuzzed in tests/test_tsstats_risk.py):
+    the closed form subtracts two running quantities, so after a very
+    long sustained drift |cum| grows while S stays near 0 and the
+    absolute precision of S degrades to ulp(cum) — identical in both
+    engines (same accumulation sequence) but worth a per-epoch reset
+    (window the input) for billion-row single-key histories. The
+    streaming twin (streaming/cep.py) carries the recursion directly
+    and does not accumulate this term.
     """
     from pyspark.sql import Window
 
