@@ -27,23 +27,28 @@ def skew_report(
     the salt-or-not decision (and to AQE skew threshold tuning).
 
     One partial-aggregated groupBy on the key; the global total rides
-    a broadcast of the single-row aggregate. The top-N window runs
-    over the already-aggregated key histogram (|keys| rows, not
-    |data| — the only relation small enough to rank globally)."""
+    a broadcast of the single-row aggregate. The top-N reduction is
+    ``orderBy().limit()`` — TakeOrderedAndProject, a distributed
+    per-partition top-N + driver merge of N×partitions rows — so the
+    key histogram is never globally sorted (a skew report on a
+    billion-key column must not itself collapse to one task; caught
+    by plans/lint.py, which flagged the earlier rank-then-filter
+    form). The residual rank window orders the already-reduced
+    ``top_n``-row relation."""
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("n")
     )
     total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_n)
     w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
     return (
-        counts.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .select(
             "key",
             "n",
             F.round(F.col("n") / F.col("_total"), 6).alias("share"),
         )
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
     )
 
 
