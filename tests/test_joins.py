@@ -52,3 +52,46 @@ def test_semi_anti_use_existence_joins(spark):
     semi = _plan(joins.customers_with_high_value_orders(cust, orders))
     assert "LeftAnti" in anti
     assert "LeftSemi" in semi
+
+
+def test_salted_join_value_identical_and_guarded(spark):
+    """salted_join must be row-identical to the plain join for inner
+    and left; the join keys must carry the salt (both exchanges
+    partition on (key, _salt)); right/full are rejected."""
+    import pytest
+
+    from ts_data_pipeline_spark.operators import skew
+
+    facts = spark.createDataFrame(
+        [(k, v) for k in (1, 1, 1, 1, 2, 3, 7) for v in (10, 20)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "k long, name string"
+    )
+    plain = facts.join(dim, ["k"]).groupBy("k", "name").count()
+    salted = (
+        skew.salted_join(facts, dim, ["k"], salt_buckets=4)
+        .groupBy("k", "name")
+        .count()
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join: unmatched fact keys survive exactly once per row
+    left = skew.salted_join(facts, dim, ["k"], salt_buckets=4, how="left")
+    assert left.filter("k = 7").count() == 2
+    assert left.filter("k = 7 and name is null").count() == 2
+    # the physical join keys include the salt
+    plan = (
+        skew.salted_join(facts, dim, ["k"], salt_buckets=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "_salt" in plan
+    with pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(facts, dim, ["k"], how="right")
+    with pytest.raises(ValueError, match="reserved"):
+        skew.salted_join(facts.withColumn("_salt", facts.k), dim, ["k"])

@@ -98,3 +98,51 @@ def salted_sum(
         *[F.sum(f"_p_{name}").alias(name) for name in sums],
         F.sum("_p_cnt").alias("n_rows"),
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the
+    other side across every salt value — the join-side analogue of
+    :func:`salted_sum`, for large-large joins whose hot keys defeat a
+    plain hash join and whose smaller side is still too big (or too
+    dynamic) to broadcast.
+
+    Each fact row gets ONE salt (``spark_partition_id() %
+    salt_buckets`` — uniform across input splits, no column reads);
+    each ``other`` row is replicated ``salt_buckets`` times via an
+    exploded sequence. The join keys become ``on + [_salt]``, so a
+    hot key's fact rows spread over ``salt_buckets`` reducers while
+    every one of them still meets its matching ``other`` rows.
+    Shuffle cost: |facts| unchanged + |other| × salt_buckets — the
+    explicit trade against the hot-partition straggler. (AQE's
+    skew-join split handles most cases adaptively; this form is for
+    known-pathological keys and for engines/pipelines where the
+    optimizer's split heuristics don't fire, e.g. pre-partitioned
+    bucketed scans.)
+
+    Result is row-identical to the plain join for ``inner`` and
+    ``left`` (each fact row carries exactly one salt). ``right``/
+    ``full`` would emit unmatched ``other`` rows once PER SALT —
+    rejected loudly rather than silently wrong.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: unmatched "
+            "replicated rows would duplicate under right/full outer"
+        )
+    if "_salt" in facts.columns or "_salt" in other.columns:
+        raise ValueError("_salt column name is reserved by salted_join")
+    facts_s = facts.withColumn(
+        "_salt", F.spark_partition_id() % salt_buckets
+    )
+    other_s = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return facts_s.join(other_s, on + ["_salt"], how).drop("_salt")

@@ -37,6 +37,37 @@ def join_semi_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_fact_dim_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large lineitem x orders join under explicit fact-side
+    salting (operators/skew.py::salted_join) — value-identical to the
+    plain join by construction, proven by the plain-join oracle."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import skew
+
+    li = io.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    orders = io.load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = skew.salted_join(li, orders, ["okey"], salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("rev"), 4).alias("revenue"),
+    )
+
+
+SALTED_FACT_DIM_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 register("join_dim_revenue", join_dim_revenue, joins.dim_enrich_revenue_sql())
 register("join_segment_top_orders", join_segment_top_orders, joins.segment_order_revenue_sql())
 # Semi + anti joins are verified together as ``join_semi_anti``

@@ -711,6 +711,12 @@ def _join_semi_anti_members() -> list[Member]:
             joins.customers_with_high_value_orders_sql(),
             (("c_custkey", "l"), ("c_mktsegment", "s"), ("c_acctbal", "d")),
         ),
+        Member(
+            "salted_fact_dim_revenue",
+            relational.salted_fact_dim_revenue,
+            relational.SALTED_FACT_DIM_SQL,
+            (("o_orderpriority", "s"), ("n_items", "l"), ("revenue", "d")),
+        ),
     ]
 
 
