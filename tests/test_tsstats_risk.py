@@ -126,3 +126,51 @@ def test_cusum_closed_form_identity_property():
             ), (ds, s_rec, s_closed)
 
     check()
+
+
+def test_funnel_path_chain_semantics(spark):
+    """Multi-stage funnel: greedy earliest at-or-after matching,
+    chain death propagation (a dead stage nulls all later stages and
+    never resurrects an earlier event), horizon checked on the FINAL
+    stage timestamp."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    rows = [
+        # u1: view@0 -> click@5 -> purchase@8 : completes (within 10)
+        (0, 1, m(0), "view"), (1, 1, m(5), "click"), (2, 1, m(8), "purchase"),
+        # u1: view@6 -> no further click: dies at stage 1, and must
+        # NOT match the purchase@8 directly (stage order enforced)
+        (3, 1, m(6), "view"),
+        # u2: purchase BEFORE the click — chain must not go backward:
+        # view@0 -> click@4 -> (purchase@2 is before click) -> dies
+        (10, 2, m(0), "view"), (11, 2, m(2), "purchase"), (12, 2, m(4), "click"),
+        # u3: completes but outside the horizon (purchase@30)
+        (20, 3, m(0), "view"), (21, 3, m(1), "click"), (22, 3, m(30), "purchase"),
+        # u4: two views share the same click (greedy reuse is fine)
+        (30, 4, m(0), "view"), (31, 4, m(1), "view"),
+        (32, 4, m(2), "click"), (33, 4, m(3), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_id"]: r
+        for r in tsstats.funnel_path(df, ["view", "click", "purchase"], 10)
+        .collect()
+    }
+    assert len(got) == 6  # one row per view
+    assert got[0]["completed"] and got[0]["ts_2_purchase"] == m(8)
+    assert not got[3]["completed"] and got[3]["ts_1_click"] is None
+    assert got[3]["ts_2_purchase"] is None  # death propagates
+    assert not got[10]["completed"] and got[10]["ts_1_click"] == m(4)
+    assert got[10]["ts_2_purchase"] is None  # no backward chain
+    assert not got[20]["completed"]  # chain exists but beyond horizon
+    assert got[20]["ts_2_purchase"] == m(30)  # witness still reported
+    assert got[30]["completed"] and got[31]["completed"]
+    assert got[30]["ts_1_click"] == got[31]["ts_1_click"] == m(2)
+    # stage timestamps are monotone wherever non-null
+    for r in got.values():
+        if r["ts_2_purchase"] is not None:
+            assert r["ts"] <= r["ts_1_click"] <= r["ts_2_purchase"]

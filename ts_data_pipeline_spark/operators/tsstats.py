@@ -754,3 +754,140 @@ WINDOW run AS (PARTITION BY {key_col}
                  ORDER BY {ts_col} ASC, {id_col} ASC
                  ROWS BETWEEN {vol_window} PRECEDING AND CURRENT ROW)
 """
+
+
+def funnel_path(
+    events: DataFrame,
+    stages: list[str],
+    within_minutes: int,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-stage funnel (MATCH_RECOGNIZE-lite): for every
+    ``stages[0]`` event, greedily chain the earliest at-or-after
+    match of each subsequent stage on the same key, and report the
+    chain's per-stage timestamps plus whether it COMPLETED within
+    ``within_minutes`` of the start.
+
+    Greedy earliest matching is exact for the "does any chain exist"
+    question: taking the earliest stage-i match only loosens every
+    later constraint (exchange argument), so the greedy chain
+    completes within the horizon iff any chain does — and its
+    timestamps are the canonical (lexicographically smallest) witness.
+    Stage timestamps are monotone, so only the FINAL timestamp needs
+    the horizon check.
+
+    Composition: k-1 chained FORWARD as-of joins (operators/asof.py)
+    — each one union + per-key sort + reversed running
+    ``last(ignorenulls)`` frame, O(n) per key per stage, never a
+    lookahead frame (plans/lint.py-clean). Starts that die at stage i
+    leave the chain (their remaining stages are null) and skip the
+    later passes. Cost: k-1 key-partitioned shuffles of
+    (alive starts + stage-i events) — linear in the number of stages,
+    with the relation SHRINKING as stages kill starts.
+
+    Generalizes the 2-stage :func:`funnel_conversions` (same
+    semantics at k=2 modulo its strictly-after tie rule; at
+    microsecond event time the distinction is unobservable).
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel_path needs at least 2 stages")
+    from ts_data_pipeline_spark.operators import asof
+
+    def stage_events(name: str) -> DataFrame:
+        return events.filter(F.col(type_col) == name).select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("_prev"),
+            F.col(ts_col).alias("_match"),
+        )
+
+    alive = events.filter(F.col(type_col) == stages[0]).select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(ts_col).alias("_prev"),
+    )
+    stage_cols = [f"ts_{i}_{name}" for i, name in enumerate(stages[1:], 1)]
+    dead: list[DataFrame] = []
+    for i, name in enumerate(stages[1:], 1):
+        col = stage_cols[i - 1]
+        joined = asof.asof_join(
+            alive,
+            stage_events(name),
+            key="key",
+            ts="_prev",
+            right_value_cols=["_match"],
+            direction="forward",
+        ).withColumnRenamed("_match", col)
+        died = joined.filter(F.col(col).isNull())
+        for later in stage_cols[i:]:
+            died = died.withColumn(later, F.lit(None).cast("timestamp"))
+        dead.append(died)
+        alive = (
+            joined.filter(F.col(col).isNotNull())
+            .withColumn("_prev", F.col(col))
+        )
+    out = alive
+    for d in dead:
+        out = out.unionByName(d)
+    final = F.col(stage_cols[-1])
+    horizon = F.col("ts") + F.expr(f"INTERVAL {int(within_minutes)} MINUTES")
+    return out.select(
+        "event_id",
+        "key",
+        "ts",
+        *stage_cols,
+        (final.isNotNull() & (final <= horizon)).alias("completed"),
+    )
+
+
+def funnel_path_sql(
+    stages: list[str],
+    within_minutes: int,
+    *,
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin: chained native forward ASOF joins (the inequality
+    ``prev <= e.ts`` makes DuckDB pick the SMALLEST qualifying right
+    timestamp — the at-or-after greedy match).
+
+    Dead chains must be masked EXPLICITLY: DuckDB's ASOF JOIN with a
+    NULL left timestamp does not null out — it matches the earliest
+    right row (NULLS sort first in the inequality ordering), which
+    would resurrect a chain that already died at an earlier stage
+    with a match BEFORE the start event. The CASE guard keeps a null
+    ``prev`` null through every later stage."""
+    stage_cols = [f"ts_{i}_{name}" for i, name in enumerate(stages[1:], 1)]
+    sql = (
+        f"WITH c0 AS (SELECT {key_col} AS key, {id_col} AS event_id,"
+        f" {ts_col} AS ts, {ts_col} AS prev FROM {table}"
+        f" WHERE {type_col} = '{stages[0]}')"
+    )
+    for i, name in enumerate(stages[1:], 1):
+        col = stage_cols[i - 1]
+        sql += f""",
+c{i} AS (
+  SELECT c{i - 1}.* EXCLUDE (prev),
+         CASE WHEN c{i - 1}.prev IS NULL THEN NULL ELSE e.ts END AS {col},
+         CASE WHEN c{i - 1}.prev IS NULL THEN NULL ELSE e.ts END AS prev
+  FROM c{i - 1} ASOF LEFT JOIN
+       (SELECT {key_col} AS key, {ts_col} AS ts FROM {table}
+        WHERE {type_col} = '{name}') e
+    ON c{i - 1}.key = e.key AND c{i - 1}.prev <= e.ts
+)"""
+    cols = ", ".join(stage_cols)
+    last = stage_cols[-1]
+    return f"""{sql}
+SELECT event_id, key, ts, {cols},
+       {last} IS NOT NULL
+         AND {last} <= ts + INTERVAL {int(within_minutes)} MINUTE
+         AS completed
+FROM c{len(stages) - 1}
+"""

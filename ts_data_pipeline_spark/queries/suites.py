@@ -557,6 +557,12 @@ def _tsstats_acf_sql() -> str:
     return tsstats.autocorrelation_sql([1, 5, 10])
 
 
+def _tsstats_funnel_path_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.funnel_path_sql(["view", "click", "purchase"], 240)
+
+
 def _tsstats_cusum_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -634,6 +640,14 @@ def _olap_pivot_members() -> list[Member]:
             _tsstats_funnel_sql(),
             (("event_id", "l"), ("key", "l"), ("ts", "t"),
              ("converted_at", "t"), ("converted", "s")),
+        ),
+        Member(
+            "funnel_multistage",
+            timeseries.funnel_multistage,
+            _tsstats_funnel_path_sql(),
+            (("event_id", "l"), ("key", "l"), ("ts", "t"),
+             ("ts_1_click", "t"), ("ts_2_purchase", "t"),
+             ("completed", "s")),
         ),
         Member(
             "cohort_weekly_retention",

@@ -257,6 +257,17 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_multistage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase chain within 4 hours per user
+    (operators/tsstats.py::funnel_path — chained forward as-of
+    joins, MATCH_RECOGNIZE-lite)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.funnel_path(
+        io.load(spark, sf_dir, "events"), ["view", "click", "purchase"], 240
+    )
+
+
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention triangle (operators/tsstats.py)."""
     from ts_data_pipeline_spark.operators import tsstats
