@@ -87,11 +87,29 @@ def _skew_stress(spark) -> dict:
             ),
         )
         enriched = trades.events_as_option_trades(hot)
+        from ts_data_pipeline_spark.operators import skew
+
+        # join-side twin of the same trade: the hot-key events joined
+        # to a per-user dim, plain hash join vs salted_join. AQE's
+        # skew split usually absorbs this locally — the pair makes
+        # the crossover a measured number (SCALE.md skew section).
+        dim = (
+            events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
         variants = {
             "flagship_hotkey_unsalted": lambda: window_agg.option_window_agg(enriched),
             "flagship_hotkey_salted": lambda: window_agg.option_window_agg(
                 enriched, salt_buckets=8
             ),
+            "join_hotkey_plain": lambda: hot.join(dim, "user_id")
+            .groupBy("event_type")
+            .count(),
+            "join_hotkey_salted": lambda: skew.salted_join(
+                hot, dim, ["user_id"], salt_buckets=8
+            )
+            .groupBy("event_type")
+            .count(),
         }
         out = {}
         for name, mk in variants.items():
@@ -128,6 +146,7 @@ def _extras(spark) -> dict:
     from ts_data_pipeline_spark.queries.timeseries import (
         cusum_drift_summary,
         drawdown_risk_features,
+        funnel_multistage,
         rollup_multires,
     )
 
@@ -178,6 +197,7 @@ def _extras(spark) -> dict:
         "drawdown_risk_features": drawdown_risk_features,
         "vocab_coverage_curve": vocab_coverage_curve,
         "source_kl_drift": source_kl_drift,
+        "funnel_multistage": funnel_multistage,
     }
     # The composed recipe runs ~60 s at sf0.1 — a warmed median-of-3
     # would triple the bench budget for one number, so it is timed as
