@@ -141,3 +141,34 @@ def test_vocab_coverage_plan_is_distributed_prefix_sum(spark):
     total = int(flat["count"].sum())
     rec = sketch.vocab_coverage(docs).collect()
     assert all(r["total_tokens"] == total for r in rec)
+
+
+def test_count_min_never_undercounts_and_cells_bounded(spark):
+    """CMS guarantees on the skewed corpus: (a) every point estimate
+    >= the true frequency, (b) the dominant term is estimated exactly
+    at reasonable width (its buckets dwarf collisions is NOT
+    guaranteed, so pin exactness only at wide width), (c) the cells
+    relation never exceeds depth x width rows, even at a width small
+    enough to force collisions."""
+    docs = _skewed_docs(spark).repartition(8)
+    exact = {
+        r.term: r.freq
+        for r in sketch.exact_heavy_hitters(docs, k=10_000).collect()
+    }
+
+    # wide: collisions vanish, estimates == truth for the top terms
+    wide = sketch.count_min_estimates(docs, depth=4, width=4096, k=25)
+    for r in wide.collect():
+        assert r.freq_cms >= r.freq_exact
+        assert r.freq_exact == exact[r.term]
+
+    # narrow: forced collisions still never undercount, and the
+    # sketch table stays bounded at depth*width cells
+    narrow_cells = sketch.count_min_cells(docs, depth=4, width=32)
+    assert narrow_cells.count() <= 4 * 32
+    narrow = sketch.count_min_estimates(docs, depth=4, width=32, k=25)
+    over = 0
+    for r in narrow.collect():
+        assert r.freq_cms >= r.freq_exact, (r.term, r.freq_cms, r.freq_exact)
+        over += r.freq_cms - r.freq_exact
+    assert over > 0  # width 32 << vocab must collide somewhere

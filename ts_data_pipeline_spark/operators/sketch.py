@@ -250,3 +250,145 @@ SELECT m.coverage_permyriad, m.vocab_size,
        CAST(p.total_tokens AS BIGINT) AS total_tokens
 FROM m JOIN pref p ON p.rank = m.vocab_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005)
+
+
+def count_min_cells(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """The CMS table itself: (r, bucket, cnt) for depth rows of width
+    buckets.
+
+    Each token occurrence increments one bucket per hash row; the
+    groupBy partial-aggregates map-side, so the shuffle carries at
+    most depth x width rows PER TASK no matter how large the
+    vocabulary or corpus is — the fixed-size-summary shape that exact
+    term counting cannot give (compare ``exact_heavy_hitters``, whose
+    shuffle is one row per distinct term). Hashing is the package's
+    engine-portable md5 (functions/portable_hash.py) sliced into one
+    independent u32 lane per hash row — md5 is 128 bits = four u32s,
+    so depth <= 4 costs ONE digest per token occurrence, not depth —
+    and the DuckDB oracle reproduces every cell exactly.
+    """
+    if not 1 <= depth <= 4:
+        raise ValueError("depth must be 1..4 (u32 lanes of one md5)")
+    h = F.md5(F.concat(F.lit("cms:"), F.col("term")))
+    lanes = F.array(
+        *[
+            (
+                F.conv(F.substring(h, 8 * r + 1, 8), 16, 10).cast("bigint")
+                % width
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        docs.select(F.explode(_toks(text_col)).alias("term"))
+        .select(F.posexplode(lanes).alias("r", "bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimates(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """Point-query the sketch for the exact top-k terms and report
+    estimate vs truth: (term, freq_exact, freq_cms, rank).
+
+    freq_cms = min over hash rows of the probed cell — always >=
+    freq_exact (CMS never under-counts), and over-counts by more than
+    2n/width with probability < (1/2)^depth per query. The cells
+    relation is depth x width rows BY CONSTRUCTION, so it broadcasts
+    regardless of corpus size; the probe side is k x depth rows. The
+    expensive relations (token stream, term counts) are never joined
+    against each other.
+    """
+    cells = count_min_cells(docs, depth=depth, width=width, text_col=text_col)
+    probes = exact_heavy_hitters(docs, k=k, text_col=text_col)
+    h = F.md5(F.concat(F.lit("cms:"), F.col("term")))
+    lanes = F.array(
+        *[
+            (
+                F.conv(F.substring(h, 8 * r + 1, 8), 16, 10).cast("bigint")
+                % width
+            )
+            for r in range(depth)
+        ]
+    )
+    probed = probes.select(
+        "term",
+        F.col("freq").alias("freq_exact"),
+        "rank",
+        F.posexplode(lanes).alias("r", "bucket"),
+    )
+    return (
+        probed.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("term", "freq_exact", "rank")
+        .agg(F.min("cnt").alias("freq_cms"))
+        .select("term", "freq_exact", "freq_cms", "rank")
+    )
+
+
+def count_min_estimates_sql(
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 25,
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`count_min_estimates` — same md5 digest
+    sliced into per-row u32 lanes, same min-over-rows estimate."""
+
+    def lane(r: int) -> str:
+        # u32 from hex digits [8r+1 .. 8r+8] of md5('cms:' || term)
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5('cms:' || term),"
+            f" {8 * r + i}, 1)) - 1) * {16 ** (8 - i)}"
+            for i in range(1, 9)
+        )
+        return f"(({terms}) % {width})"
+
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+    lanes = ", ".join(
+        f"({r}, {lane(r)})" for r in range(depth)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS term FROM {table}
+),
+hashed AS (
+  SELECT lv.* FROM toks, LATERAL (VALUES {lanes}) lv(r, bucket)
+),
+cells AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hashed GROUP BY r, bucket
+),
+counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({toks}) AS term FROM {table})
+  GROUP BY term
+),
+top AS (
+  SELECT term, freq,
+         row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM counts ORDER BY freq DESC, term ASC LIMIT {k}
+),
+probes AS (
+  SELECT term, freq AS freq_exact, rank, lv.r, lv.bucket
+  FROM top, LATERAL (VALUES {lanes}) lv(r, bucket)
+)
+SELECT p.term, p.freq_exact, MIN(c.cnt) AS freq_cms, p.rank
+FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.term, p.freq_exact, p.rank
+"""

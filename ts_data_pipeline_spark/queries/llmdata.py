@@ -155,6 +155,18 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point-query report for the exact top-25 terms
+    (operators/sketch.py — fixed depth x width summary whose shuffle
+    is bounded regardless of vocabulary size; estimates never
+    under-count)."""
+    from ts_data_pipeline_spark.operators import sketch
+
+    return sketch.count_min_estimates(
+        io.load(spark, sf_dir, "documents"), depth=4, width=1024, k=25
+    )
+
+
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min frequency-ranked vocab size per coverage target
     (operators/sketch.py; two-phase range-partitioned prefix sum,

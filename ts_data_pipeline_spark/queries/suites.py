@@ -475,6 +475,13 @@ def _text_stats_members() -> list[Member]:
             (("term", "s"), ("freq", "l"), ("rank", "l")),
         ),
         Member(
+            "count_min_sketch",
+            llmdata.count_min_sketch,
+            sketch_ops.count_min_estimates_sql(depth=4, width=1024, k=25),
+            (("term", "s"), ("freq_exact", "l"), ("freq_cms", "l"),
+             ("rank", "l")),
+        ),
+        Member(
             "vocab_coverage_curve",
             llmdata.vocab_coverage_curve,
             sketch_ops.vocab_coverage_sql(),
