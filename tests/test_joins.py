@@ -95,3 +95,59 @@ def test_salted_join_value_identical_and_guarded(spark):
         skew.salted_join(facts, dim, ["k"], how="right")
     with pytest.raises(ValueError, match="reserved"):
         skew.salted_join(facts.withColumn("_salt", facts.k), dim, ["k"])
+
+
+def test_bloom_prune_never_drops_matches_and_prunes_misses(spark):
+    """Bloom runtime filter (operators/bloom.py): (a) the pruned
+    fact retains EVERY true match (no false negatives), (b) with a
+    selective build side most non-matching fact rows are pruned
+    scan-side, (c) bloom_semi_join output == the plain semi join
+    exactly, false positives removed by the exact join."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import bloom
+
+    fact = spark.createDataFrame(
+        [Row(k=i, payload=f"p{i}") for i in range(5000)]
+    ).repartition(8)
+    build = spark.createDataFrame([Row(bk=i * 100) for i in range(50)])
+
+    words = bloom.bloom_build_words(build, "cast(bk as string)")
+    assert len(words) == 65536 // 64
+
+    pruned = bloom.bloom_prune(fact, words, "cast(k as string)")
+    kept = {r.k for r in pruned.collect()}
+    true_matches = {i * 100 for i in range(50)}
+    assert true_matches <= kept  # no false negatives, ever
+    # 3 hashes into 64k bits over 150 set bits: fp rate ~1e-8;
+    # allow slack but require real pruning of the 4950 misses
+    assert len(kept) < 200, len(kept)
+
+    exact = fact.join(
+        build, fact.k == build.bk, "left_semi"
+    ).collect()
+    via_bloom = bloom.bloom_semi_join(fact, build, "k", "bk").collect()
+    assert sorted((r.k, r.payload) for r in via_bloom) == sorted(
+        (r.k, r.payload) for r in exact
+    )
+
+
+def test_bloom_prune_stays_scan_side(spark):
+    """The probe predicate must ride in the scan stage: no exchange,
+    no join operator introduced by the prune itself."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import bloom
+
+    fact = spark.createDataFrame([Row(k=i) for i in range(100)])
+    words = bloom.bloom_build_words(fact.limit(5), "cast(k as string)")
+    pruned = bloom.bloom_prune(fact, words, "cast(k as string)")
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -5,6 +5,7 @@ north-star rollups and pin the physical join strategies)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ts_data_pipeline_spark import io
 from ts_data_pipeline_spark.operators import joins
@@ -35,6 +36,35 @@ def join_semi_high_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.customers_with_high_value_orders(
         io.load(spark, sf_dir, "customer"), io.load(spark, sf_dir, "orders")
     )
+
+
+def bloom_semi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of BUILDING-segment customers via an explicit bloom
+    runtime filter on the fact scan (operators/bloom.py): sketch the
+    filtered customer keys, prune orders scan-side, exact semi join
+    the survivors. Identical to the plain semi join (the oracle);
+    only the fact-side shuffle volume differs."""
+    from ts_data_pipeline_spark.operators import bloom
+
+    building = io.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return bloom.bloom_semi_join(
+        io.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        building,
+        "o_custkey",
+        "c_custkey",
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+BLOOM_SEMI_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
 
 
 def salted_fact_dim_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

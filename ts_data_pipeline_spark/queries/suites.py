@@ -738,6 +738,13 @@ def _join_semi_anti_members() -> list[Member]:
             relational.SALTED_FACT_DIM_SQL,
             (("o_orderpriority", "s"), ("n_items", "l"), ("revenue", "d")),
         ),
+        Member(
+            "bloom_semi_orders",
+            relational.bloom_semi_orders,
+            relational.BLOOM_SEMI_ORDERS_SQL,
+            (("o_orderkey", "l"), ("o_custkey", "l"),
+             ("o_totalprice", "d")),
+        ),
     ]
 
 
