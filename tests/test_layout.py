@@ -1,0 +1,120 @@
+"""Z-order layout (operators/layout.py): zone-map soundness, pruning
+effectiveness vs a single-dim layout, and real partition pruning on
+the written parquet directories."""
+
+from __future__ import annotations
+
+import contextlib
+import io as _io
+import os
+
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark import io
+from ts_data_pipeline_spark.operators import layout
+
+SF = "/root/testdata/sf0.001"
+RECT = dict(x_lo=100, x_hi=500, y_lo=1_000, y_hi=30_000)
+
+
+def test_zone_map_sound_and_prunes(spark):
+    """(a) Soundness: every row inside the query rectangle lives in a
+    cell marked scanned — skipping unscanned cells can never lose a
+    result row. (b) Effectiveness: the rectangle leaves a real
+    fraction of cells unscanned under the Z layout."""
+    orders = io.load(spark, SF, "orders")
+    zm = layout.zone_map_prune(
+        orders, "o_custkey", "o_orderkey", **RECT
+    ).cache()
+
+    scanned_cells = {
+        r.cell for r in zm.filter("scanned").select("cell").collect()
+    }
+    total_cells = zm.count()
+    assert 0 < len(scanned_cells) < total_cells  # real pruning
+
+    rows = layout.with_zcell(
+        orders, "o_custkey", "o_orderkey"
+    ).withColumn("cell", F.shiftright("zcell", 8))
+    in_rect = rows.filter(
+        (F.col("o_custkey") >= RECT["x_lo"])
+        & (F.col("o_custkey") <= RECT["x_hi"])
+        & (F.col("o_orderkey") >= RECT["y_lo"])
+        & (F.col("o_orderkey") <= RECT["y_hi"])
+    )
+    cells_with_hits = {r.cell for r in in_rect.select("cell").distinct().collect()}
+    assert cells_with_hits <= scanned_cells
+
+
+def test_zorder_beats_single_dim_layout(spark):
+    """The point of Z-order: a rectangle selective in BOTH dims
+    prunes under Z, while an x-only layout cannot prune a predicate
+    on y. Compare cells scanned for a y-only band (all x)."""
+    orders = io.load(spark, SF, "orders")
+    y_band = dict(x_lo=0, x_hi=10**9, y_lo=1_000, y_hi=5_000)
+
+    zm = layout.zone_map_prune(orders, "o_custkey", "o_orderkey", **y_band)
+    z_scanned = zm.filter("scanned").count()
+    z_total = zm.count()
+
+    # single-dim layout: cells are ranges of x only; every cell spans
+    # the full y range, so the y band scans ALL cells
+    xs = orders.select(F.col("o_custkey").alias("x"),
+                       F.col("o_orderkey").alias("y"))
+    x_cells = xs.withColumn("cell", F.expr("x div 64")).groupBy("cell").agg(
+        F.min("y").alias("y_min"), F.max("y").alias("y_max")
+    )
+    x_scanned = x_cells.filter(
+        ~((F.col("y_max") < y_band["y_lo"]) | (F.col("y_min") > y_band["y_hi"]))
+    ).count()
+    x_total = x_cells.count()
+
+    assert z_scanned / z_total < 1.0
+    assert x_scanned == x_total  # x-layout cannot skip on y
+    assert z_scanned / z_total < x_scanned / x_total
+
+
+def test_zorder_write_partition_pruning(spark, tmp_path):
+    """zorder_write materializes zdir directories; a rectangle read
+    with the matching zdir set hits Spark partition pruning
+    (PartitionFilters, fewer input files) and returns exactly the
+    plain-scan result."""
+    orders = io.load(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zorders")
+    layout.zorder_write(orders, path, "o_custkey", "o_orderkey",
+                        bits=8, cell_shift=10)
+
+    ndirs = len([d for d in os.listdir(path) if d.startswith("zdir=")])
+    assert ndirs > 4
+
+    back = spark.read.parquet(path)
+    rect = (
+        (F.col("o_custkey") >= RECT["x_lo"])
+        & (F.col("o_custkey") <= RECT["x_hi"])
+        & (F.col("o_orderkey") >= RECT["y_lo"])
+        & (F.col("o_orderkey") <= RECT["y_hi"])
+    )
+    # the zdir set for the rectangle from the zone map relation
+    zm = layout.with_zcell(orders, "o_custkey", "o_orderkey").withColumn(
+        "zdir", F.shiftright("zcell", 10)
+    )
+    dirs = sorted(
+        r.zdir
+        for r in zm.filter(rect).select("zdir").distinct().collect()
+    )
+    assert len(dirs) < ndirs  # the rectangle needs only a subset
+
+    pruned = back.filter(F.col("zdir").isin(dirs)).filter(rect)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "zdir" in plan
+
+    expect = sorted(
+        (r.o_orderkey, r.o_custkey) for r in orders.filter(rect).collect()
+    )
+    got = sorted((r.o_orderkey, r.o_custkey) for r in pruned.collect())
+    assert got == expect

@@ -1,0 +1,205 @@
+"""Z-order (Morton) data layout + zone-map pruning.
+
+At 100 TB the scan you never run is the cheapest: multi-dimensional
+range queries (key x time, user x value) prune poorly under
+single-column sort because the second dimension is scattered across
+every file. Interleaving the bits of both dimensions (Morton/Z-order
+— the clustering scheme Delta Lake's OPTIMIZE ZORDER and Databricks
+liquid clustering use) makes file-level min/max zone maps selective
+in BOTH dimensions at once: a query rectangle touches only the Z
+cells it geometrically intersects.
+
+Everything here is integer-exact and engine-portable:
+
+- quantization maps each dimension onto 0..2^bits-1 with INTEGER
+  math — ``((x - min) * 2^bits) div (max - min + 1)`` — so the DuckDB
+  oracle reproduces cell assignment bit-for-bit (no float division);
+  the min/max come from a 1-row broadcast stats relation (the
+  package's standard broadcast-stats shape, never a driver collect);
+- the Morton code is an O(bits) chain of shift/mask terms inside
+  WholeStageCodegen;
+- the zone map is a plain groupBy(cell) -> min/max/count — one
+  map-side-combined shuffle bounded by the cell count (4^bits);
+- rectangle pruning is a pure predicate over the zone map: a cell is
+  scanned iff its [min,max] box intersects the query box. Pruning
+  decisions are driven by the OBSERVED per-cell min/max (the zone
+  map), exactly as parquet row-group / file skipping does it.
+
+``zorder_write`` materializes the layout as a ``zcell``-partitioned
+parquet directory so Spark's own partition pruning (PartitionFilters)
+does the skipping on read — pinned in ``tests/test_layout.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _quant_spark(col: str, mn: str, mx: str, bits: int) -> str:
+    """Integer-exact quantization onto 0..2^bits-1 (SQL fragment)."""
+    n = 1 << bits
+    return (
+        f"cast((({col} - {mn}) * {n}) div ({mx} - {mn} + 1) as bigint)"
+    )
+
+
+def _quant_duck(col: str, mn: str, mx: str, bits: int) -> str:
+    n = 1 << bits
+    return f"(({col} - {mn}) * {n}) // ({mx} - {mn} + 1)"
+
+
+def _morton_terms(xq: str, yq: str, bits: int, shl: str, shr: str) -> str:
+    """Bit-interleave: x occupies even bits, y odd bits."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"{shl.format(v=f'({shr.format(v=xq, n=b)} & 1)', n=2 * b)}")
+        terms.append(
+            f"{shl.format(v=f'({shr.format(v=yq, n=b)} & 1)', n=2 * b + 1)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_SPARK_SHL = "shiftleft({v}, {n})"
+_SPARK_SHR = "shiftright({v}, {n})"
+_DUCK_SHL = "({v} << {n})"
+_DUCK_SHR = "({v} >> {n})"
+
+
+def with_zcell(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+) -> DataFrame:
+    """Add ``zcell`` (the full Morton code of the quantized dims) to
+    every row. One extra scan computes the 1-row min/max stats
+    relation, broadcast back as a degenerate cross join."""
+    stats = df.agg(
+        F.min(x_col).cast("bigint").alias("__xmn"),
+        F.max(x_col).cast("bigint").alias("__xmx"),
+        F.min(y_col).cast("bigint").alias("__ymn"),
+        F.max(y_col).cast("bigint").alias("__ymx"),
+    )
+    xq = _quant_spark(x_col, "__xmn", "__xmx", bits)
+    yq = _quant_spark(y_col, "__ymn", "__ymx", bits)
+    code = _morton_terms(xq, yq, bits, _SPARK_SHL, _SPARK_SHR)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("zcell", F.expr(code))
+        .drop("__xmn", "__xmx", "__ymn", "__ymx")
+    )
+
+
+def zone_map(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    cell_shift: int = 8,
+) -> DataFrame:
+    """Zone map of the Z-ordered layout: one row per coarse cell
+    (``zcell >> cell_shift``) with observed min/max of both dims and
+    the row count. Shuffle bounded by 4^bits >> cell_shift cells."""
+    cells = with_zcell(df, x_col, y_col, bits).withColumn(
+        "cell", F.shiftright(F.col("zcell"), cell_shift)
+    )
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(x_col).cast("bigint").alias("x_min"),
+        F.max(x_col).cast("bigint").alias("x_max"),
+        F.min(y_col).cast("bigint").alias("y_min"),
+        F.max(y_col).cast("bigint").alias("y_max"),
+    )
+
+
+def zone_map_prune(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    bits: int = 8,
+    cell_shift: int = 8,
+) -> DataFrame:
+    """The zone map annotated with the skip decision for one query
+    rectangle: ``scanned`` is true iff the cell's observed box
+    intersects [x_lo,x_hi] x [y_lo,y_hi] — the file-skipping
+    predicate a reader would evaluate against footer stats."""
+    zm = zone_map(df, x_col, y_col, bits, cell_shift)
+    scanned = ~(
+        (F.col("x_max") < x_lo)
+        | (F.col("x_min") > x_hi)
+        | (F.col("y_max") < y_lo)
+        | (F.col("y_min") > y_hi)
+    )
+    return zm.withColumn("scanned", scanned)
+
+
+def zone_map_prune_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    bits: int = 8,
+    cell_shift: int = 8,
+) -> str:
+    """DuckDB twin of :func:`zone_map_prune` — identical integer
+    quantization, interleave, and intersection test."""
+    xq = _quant_duck(x_col, "__xmn", "__xmx", bits)
+    yq = _quant_duck(y_col, "__ymn", "__ymx", bits)
+    code = _morton_terms(xq, yq, bits, _DUCK_SHL, _DUCK_SHR)
+    return f"""
+WITH stats AS (
+  SELECT CAST(MIN({x_col}) AS BIGINT) AS __xmn,
+         CAST(MAX({x_col}) AS BIGINT) AS __xmx,
+         CAST(MIN({y_col}) AS BIGINT) AS __ymn,
+         CAST(MAX({y_col}) AS BIGINT) AS __ymx
+  FROM {table}
+),
+coded AS (
+  SELECT {x_col}, {y_col}, ({code}) >> {cell_shift} AS cell
+  FROM {table} CROSS JOIN stats
+),
+zm AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN({x_col}) AS BIGINT) AS x_min,
+         CAST(MAX({x_col}) AS BIGINT) AS x_max,
+         CAST(MIN({y_col}) AS BIGINT) AS y_min,
+         CAST(MAX({y_col}) AS BIGINT) AS y_max
+  FROM coded GROUP BY cell
+)
+SELECT cell, n_rows, x_min, x_max, y_min, y_max,
+       NOT (x_max < {x_lo} OR x_min > {x_hi}
+            OR y_max < {y_lo} OR y_min > {y_hi}) AS scanned
+FROM zm
+"""
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    cell_shift: int = 10,
+) -> None:
+    """Materialize the Z-ordered layout: coarse-cell directory
+    partitioning (Spark partition pruning skips whole directories on
+    a rectangle predicate) with rows Z-sorted inside each file so
+    parquet row-group stats stay tight for finer predicates."""
+    (
+        with_zcell(df, x_col, y_col, bits)
+        .withColumn("zdir", F.shiftright(F.col("zcell"), cell_shift))
+        .repartition("zdir")
+        .sortWithinPartitions("zcell")
+        .drop("zcell")
+        .write.partitionBy("zdir")
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -173,3 +173,31 @@ SELECT lang, source,
 FROM documents
 GROUP BY CUBE (lang, source)
 """
+
+
+#: Query rectangle for the registered zone-map gate: a mid-range
+#: customer band x an orderkey band — selective in both dims.
+ZORDER_RECT = dict(x_lo=100, x_hi=500, y_lo=1_000, y_hi=30_000)
+
+
+def zorder_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order zone map over orders (o_custkey x o_orderkey) with the
+    skip decision for a fixed query rectangle (operators/layout.py —
+    integer-exact quantization + Morton interleave, broadcast 1-row
+    stats, one cell-bounded shuffle)."""
+    from ts_data_pipeline_spark.operators import layout
+
+    return layout.zone_map_prune(
+        io.load(spark, sf_dir, "orders"),
+        "o_custkey",
+        "o_orderkey",
+        **ZORDER_RECT,
+    )
+
+
+def zorder_zone_map_sql() -> str:
+    from ts_data_pipeline_spark.operators import layout
+
+    return layout.zone_map_prune_sql(
+        "orders", "o_custkey", "o_orderkey", **ZORDER_RECT
+    )

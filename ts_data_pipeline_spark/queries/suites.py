@@ -699,6 +699,14 @@ def _olap_pivot_members() -> list[Member]:
              ("n", "l"), ("v_sum", "d"), ("v_min", "d"), ("v_max", "d")),
         ),
         Member(
+            "zorder_zone_map",
+            olap.zorder_zone_map,
+            olap.zorder_zone_map_sql(),
+            (("cell", "l"), ("n_rows", "l"), ("x_min", "l"),
+             ("x_max", "l"), ("y_min", "l"), ("y_max", "l"),
+             ("scanned", "s")),
+        ),
+        Member(
             "rollup_refresh_roundtrip",
             timeseries.rollup_refresh_roundtrip,
             timeseries.ROLLUP_REFRESH_ROUNDTRIP_SQL,
