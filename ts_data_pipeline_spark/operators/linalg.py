@@ -1,0 +1,158 @@
+"""Distributed dense linear algebra for embedding columns: Gram /
+covariance accumulation and PCA projection.
+
+The 100 TB shape for second-moment statistics over N x d embeddings
+(d small, N unbounded): never materialize pairs of ROWS — accumulate
+the d x d Gram matrix with one pass and a shuffle bounded by the
+DIMENSION, not the data.
+
+    posexplode(vec) -> (i, v_i, vec)          # d rows per input row
+    groupBy(i).agg(sum(v_i * vec[j]) for j)   # d sums per group
+
+The partial aggregation combines map-side, so the exchange carries at
+most d rows (of d doubles) per task regardless of N — the classic
+map-side-combined moment accumulation. All arithmetic is double
+(upcast from float32 before multiply) so the DuckDB oracle reproduces
+sums to rounding precision.
+
+Eigen-decomposition of the d x d result is driver-side numpy — d x d
+is sketch-sized by construction (the same contract as broadcast join
+stats); the expensive relation never leaves the executors. Projection
+back onto the top-k components is a pure expression dot product with
+the component matrix inlined as literals — no UDF, no shuffle.
+
+Uses: embedding whitening before cosine dedup (SemDeDup-style
+pipelines are sensitive to anisotropy), PCA-reduced ANN indexes,
+feature decorrelation ahead of linear quality classifiers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
+                dim: int = 64) -> DataFrame:
+    """(i, j, g) with g = sum over rows of v[i] * v[j] (0-based i, j).
+
+    One pass, one dimension-bounded shuffle: d rows per input row
+    from posexplode, d partial sums per group, d^2 output rows total.
+    """
+    ex = emb.select(
+        F.posexplode(F.col(vec_col)).alias("i", "vi"),
+        F.col(vec_col).alias("__v"),
+    )
+    agg = ex.groupBy("i").agg(
+        *[
+            F.sum(
+                F.col("vi").cast("double")
+                * F.element_at("__v", j + 1).cast("double")
+            ).alias(f"g{j}")
+            for j in range(dim)
+        ]
+    )
+    pairs = agg.select(
+        "i",
+        F.posexplode(F.array(*[F.col(f"g{j}") for j in range(dim)])).alias(
+            "j", "g"
+        ),
+    )
+    return pairs.select(
+        F.col("i").cast("bigint"),
+        F.col("j").cast("bigint"),
+        F.round(F.col("g"), 4).alias("g"),
+    )
+
+
+def gram_matrix_sql(table: str = "embeddings",
+                    vec_col: str = "embedding",
+                    dim: int = 64) -> str:
+    """DuckDB twin: 1-based subscript pairs via constant-bound
+    range() cross joins (this DuckDB lacks WITH ORDINALITY and
+    column-parameter laterals; dim is a fixed engine parameter).
+    Quadratic in d but exact — the oracle runs at oracle scale."""
+    return f"""
+WITH ex AS (
+  SELECT r.range AS i1, CAST({vec_col}[r.range] AS DOUBLE) AS vi,
+         {vec_col} AS vec
+  FROM {table}, range(1, {dim} + 1) r
+)
+SELECT CAST(i1 - 1 AS BIGINT) AS i, CAST(j.range - 1 AS BIGINT) AS j,
+       ROUND(SUM(vi * CAST(vec[j.range] AS DOUBLE)), 4) AS g
+FROM ex, range(1, {dim} + 1) j
+GROUP BY i1, j.range
+"""
+
+
+def mean_vector(emb: DataFrame, vec_col: str = "embedding",
+                dim: int = 64) -> list[float]:
+    """Column means, one dimension-bounded aggregate (d doubles to
+    the driver — sketch-sized)."""
+    row = emb.agg(
+        *[
+            F.avg(F.element_at(vec_col, j + 1).cast("double")).alias(
+                f"m{j}"
+            )
+            for j in range(dim)
+        ]
+    ).collect()[0]
+    return [row[f"m{j}"] for j in range(dim)]
+
+
+def pca_components(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 2,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Top-k principal components of the embedding cloud.
+
+    Distributed part: Gram + mean (both dimension-bounded, above).
+    Driver part: form covariance C = G/N - mean meanT (d x d numpy)
+    and eigh it — O(d^3) on a sketch-sized matrix. Components have a
+    deterministic sign fix (largest-|loading| coordinate positive) so
+    results are reproducible across sessions/BLAS builds.
+
+    Returns (components [k][d], eigenvalues [k], mean [d]).
+    """
+    import numpy as np
+
+    n = emb.count()
+    g = np.zeros((dim, dim))
+    for r in gram_matrix(emb, vec_col, dim).collect():
+        g[r["i"], r["j"]] = r["g"]
+    mu = np.array(mean_vector(emb, vec_col, dim))
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(vals[i]) for i in order], [float(x) for x in mu]
+
+
+def pca_project(
+    emb: DataFrame,
+    components: list[list[float]],
+    mean: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project rows onto the components: centered dot products as
+    pure expressions (components/mean inlined as literals — they are
+    k x d and d floats, broadcast-sized by construction). Output
+    (id, pc0..pc{k-1}); no UDF, no shuffle, scan-shaped."""
+    out = [F.col(id_col)]
+    for c_idx, comp in enumerate(components):
+        terms = None
+        for j, (w, m) in enumerate(zip(comp, mean)):
+            t = (F.element_at(vec_col, j + 1).cast("double") - F.lit(m)) \
+                * F.lit(w)
+            terms = t if terms is None else terms + t
+        out.append(terms.alias(f"pc{c_idx}"))
+    return emb.select(*out)

@@ -167,6 +167,15 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense d x d Gram accumulation over the embedding cloud
+    (operators/linalg.py — dimension-bounded shuffle: d rows of d
+    partial sums per task, never a row-pair join)."""
+    from ts_data_pipeline_spark.operators import linalg
+
+    return linalg.gram_matrix(io.load(spark, sf_dir, "embeddings"))
+
+
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min frequency-ranked vocab size per coverage target
     (operators/sketch.py; two-phase range-partitioned prefix sum,

@@ -482,6 +482,12 @@ def _text_stats_members() -> list[Member]:
              ("rank", "l")),
         ),
         Member(
+            "embedding_gram",
+            llmdata.embedding_gram,
+            _linalg_gram_sql(),
+            (("i", "l"), ("j", "l"), ("g", "d")),
+        ),
+        Member(
             "vocab_coverage_curve",
             llmdata.vocab_coverage_curve,
             sketch_ops.vocab_coverage_sql(),
@@ -568,6 +574,12 @@ def _tsstats_funnel_path_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
     return tsstats.funnel_path_sql(["view", "click", "purchase"], 240)
+
+
+def _linalg_gram_sql() -> str:
+    from ts_data_pipeline_spark.operators import linalg
+
+    return linalg.gram_matrix_sql()
 
 
 def _tsstats_cusum_sql() -> str:
