@@ -1004,3 +1004,59 @@ def test_streaming_cusum_alerts_match_batch(spark, tmp_path):
     # the null-value row carried the statistic (present iff in alarm)
     batch_ids = {w[0] for w in want}
     assert (14 in batch_ids) == (14 in {g[0] for g in got})
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """streaming_dedup: redelivered keys inside the grace horizon are
+    suppressed (at-least-once -> effectively-once); state is evicted
+    by the watermark, so a key re-sent AFTER the horizon passes again
+    — the documented bounded-state trade, pinned here."""
+    data_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    def drain(_name):
+        """availableNow drain into the (recoverable) file sink;
+        returns cumulative per-key emission counts."""
+        stream = windowed.parquet_stream(spark, data_dir, TRADE_SCHEMA)
+        dd = windowed.streaming_dedup(stream, ["osym"], grace="10 minutes")
+        q = (
+            dd.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        counts = {}
+        for r in spark.read.parquet(out_dir).collect():
+            counts[r.osym] = counts.get(r.osym, 0) + 1
+        return counts
+
+    # run 1: ids 1,2 plus a redelivery of id 1 at the same event time
+    # — suppressed (within the horizon), so one row per key.
+    _write_chunk(
+        spark,
+        [_trade("1", "2024-01-01T10:00:00"), _trade("2", "2024-01-01T10:00:01")],
+        data_dir,
+    )
+    _write_chunk(
+        spark,
+        [_trade("1", "2024-01-01T10:00:00"), _trade("3", "2024-01-01T10:00:02")],
+        data_dir,
+    )
+    got1 = drain("r1")
+    assert got1 == {"1": 1, "2": 1, "3": 1}
+
+    # run 2 (same checkpoint): watermark advances far past id 1's
+    # eviction horizon (10:00 + 10 min).
+    _write_chunk(spark, [_trade("4", "2024-01-01T12:00:00")], data_dir)
+    got2 = drain("r2")
+    assert got2 == {"1": 1, "2": 1, "3": 1, "4": 1}
+
+    # run 3: id 1 re-sent AFTER eviction — passes again. Bounded
+    # state means effectively-once only within the grace horizon;
+    # that trade is exactly what this pins.
+    _write_chunk(spark, [_trade("1", "2024-01-01T12:00:01")], data_dir)
+    got3 = drain("r3")
+    assert got3 == {"1": 2, "2": 1, "3": 1, "4": 1}

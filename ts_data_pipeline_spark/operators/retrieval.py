@@ -222,3 +222,68 @@ SELECT doc_id, lex_rank, vec_rank, rrf,
        row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
 FROM top
 """
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialized inverted index: one posting row per (term, doc),
+    with tf, df, and the doc's position in the term's posting list
+    (doc_id ascending — the order a merge-based retriever consumes).
+
+    Scale shape: tf is one groupBy(term, doc) with map-side combine;
+    df and the posting position come from windows PARTITIONED BY
+    term, so no per-term state ever materializes as a single row —
+    unlike a collect_list index build, a stopword's million-doc
+    posting list never exists in one task's memory. ``max_df`` drops
+    terms appearing in more documents (stopword postings dominate
+    index bytes but contribute no ranking signal — standard index
+    pruning); the filter runs BEFORE the position window, so skew
+    from hot terms is capped at max_df rows per window partition.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    by_term = Window.partitionBy("term")
+    with_df = tf.withColumn("df", F.count(F.lit(1)).over(by_term))
+    pruned = with_df.filter(F.col("df") <= max_df)
+    pos = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    return pruned.withColumn("plist_pos", F.row_number().over(pos)).select(
+        "term",
+        F.col(id_col),
+        F.col("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.col("plist_pos").cast("bigint").alias("plist_pos"),
+    )
+
+
+def inverted_index_sql(
+    max_df: int = 100,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`inverted_index`."""
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+    return f"""
+WITH tf AS (
+  SELECT term, {id_col}, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col}, unnest({toks}) AS term FROM {table})
+  GROUP BY term, {id_col}
+),
+with_df AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf
+)
+SELECT term, {id_col}, tf, CAST(df AS BIGINT) AS df,
+       CAST(row_number() OVER (PARTITION BY term ORDER BY {id_col} ASC)
+            AS BIGINT) AS plist_pos
+FROM with_df
+WHERE df <= {max_df}
+"""

@@ -167,6 +167,16 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized posting lists with df pruning at 390
+    (operators/retrieval.py — window-partitioned build, no per-term
+    collect; the synthetic vocab's dfs cluster near 380-400 so the
+    cap exercises real pruning)."""
+    return retrieval.inverted_index(
+        io.load(spark, sf_dir, "documents"), max_df=390
+    )
+
+
 def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense d x d Gram accumulation over the embedding cloud
     (operators/linalg.py — dimension-bounded shuffle: d rows of d

@@ -482,6 +482,13 @@ def _text_stats_members() -> list[Member]:
              ("rank", "l")),
         ),
         Member(
+            "inverted_index_build",
+            llmdata.inverted_index_build,
+            retrieval_ops.inverted_index_sql(max_df=390),
+            (("term", "s"), ("doc_id", "l"), ("tf", "l"), ("df", "l"),
+             ("plist_pos", "l")),
+        ),
+        Member(
             "embedding_gram",
             llmdata.embedding_gram,
             _linalg_gram_sql(),

@@ -189,3 +189,28 @@ def streaming_sessionize(
             "n_events",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    grace: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until
+    the watermark passes its event time + grace, then evicts it.
+
+    This is the streaming twin of the ingest layer's batch
+    first-occurrence dedup (operators/dedup.py::exact_dedup): an
+    at-least-once upstream (Kafka redelivery, replayed file batches)
+    becomes effectively-once downstream as long as redeliveries
+    arrive within ``grace`` of the original. Plain
+    ``dropDuplicates`` on a stream would keep EVERY key forever —
+    state grows with the corpus; the watermarked form's state is
+    bounded by (keys arriving within one grace horizon), the same
+    eviction contract as the windowed aggregations.
+    """
+    return events.withWatermark(ts_col, grace).dropDuplicatesWithinWatermark(
+        keys
+    )
