@@ -95,3 +95,28 @@ def test_rrf_fusion_properties(spark):
         assert r.rrf >= round(2 / (60 + 50), 6) - 1e-9
     for r in only:
         assert r.rrf <= round(1 / 61, 6) + 1e-9
+
+
+def test_inverted_index_hand_computed(spark):
+    """Postings, tf, df, and posting-list position on a tiny corpus;
+    max_df prunes the stopword-like term entirely."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the cat sat"),
+            Row(doc_id=20, text="the the dog"),
+            Row(doc_id=30, text="the cat"),
+        ]
+    )
+    rows = retrieval.inverted_index(docs, max_df=2).collect()
+    got = {(r.term, r.doc_id): (r.tf, r.df, r.plist_pos) for r in rows}
+    assert got == {
+        ("cat", 10): (1, 2, 1),
+        ("cat", 30): (1, 2, 2),
+        ("sat", 10): (1, 1, 1),
+        ("dog", 20): (1, 1, 1),
+        # 'the' has df=3 > max_df -> pruned
+    }
