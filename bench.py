@@ -149,6 +149,13 @@ def _extras(spark) -> dict:
         funnel_multistage,
         rollup_multires,
     )
+    from ts_data_pipeline_spark.queries.llmdata import (
+        count_min_sketch,
+        embedding_gram,
+        inverted_index_build,
+    )
+    from ts_data_pipeline_spark.queries.olap import zorder_zone_map
+    from ts_data_pipeline_spark.queries.relational import bloom_semi_orders
 
     def ann_sq8(spark, sf_dir):
         return similarity.sq8_topk(
@@ -198,6 +205,12 @@ def _extras(spark) -> dict:
         "vocab_coverage_curve": vocab_coverage_curve,
         "source_kl_drift": source_kl_drift,
         "funnel_multistage": funnel_multistage,
+        # round-6 second batch
+        "count_min_sketch": count_min_sketch,
+        "embedding_gram": embedding_gram,
+        "inverted_index_build": inverted_index_build,
+        "bloom_semi_orders": bloom_semi_orders,
+        "zorder_zone_map": zorder_zone_map,
     }
     # The composed recipe runs ~60 s at sf0.1 — a warmed median-of-3
     # would triple the bench budget for one number, so it is timed as
@@ -278,6 +291,44 @@ def _sink_stress(spark) -> dict:
         return out
     except Exception as exc:  # never let the stress section kill the artifact
         print(f"# sink stress failed: {exc}", file=sys.stderr)
+        return {}
+
+
+def _prune_metrics(spark) -> dict:
+    """Published effectiveness numbers for the round-6 pruning
+    operators (ratios, not seconds — the claims these structures
+    exist to make): the bloom filter's fact-side survivor fraction
+    and the Z-order zone map's cell skip fraction for the registered
+    rectangle."""
+    try:
+        from ts_data_pipeline_spark import io as _io
+        from ts_data_pipeline_spark.operators import bloom, layout
+        from ts_data_pipeline_spark.queries.olap import ZORDER_RECT
+
+        orders = _io.load(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        building = _io.load(spark, SF_DIR, "customer").filter(
+            "c_mktsegment = 'BUILDING'"
+        )
+        words = bloom.bloom_build_words(building, "cast(c_custkey as string)")
+        survivors = bloom.bloom_prune(
+            orders, words, "cast(o_custkey as string)"
+        ).count()
+        total = orders.count()
+
+        zm = layout.zone_map_prune(
+            _io.load(spark, SF_DIR, "orders"),
+            "o_custkey", "o_orderkey", **ZORDER_RECT,
+        )
+        cells = zm.count()
+        scanned = zm.filter("scanned").count()
+        return {
+            "bloom_fact_survivor_frac": round(survivors / total, 4),
+            "zorder_cells_skipped_frac": round(1 - scanned / cells, 4),
+        }
+    except Exception as exc:
+        print(f"# prune metrics failed: {exc}", file=sys.stderr)
         return {}
 
 
@@ -385,6 +436,7 @@ def main() -> None:
     skew = _skew_stress(spark)
     extras = _extras(spark)
     extras.update(_recall(spark))
+    extras.update(_prune_metrics(spark))
     extras.update(_sink_stress(spark))
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
