@@ -311,21 +311,26 @@ def _prune_metrics(spark) -> dict:
         building = _io.load(spark, SF_DIR, "customer").filter(
             "c_mktsegment = 'BUILDING'"
         )
+        from pyspark.sql import functions as F
+
         words = bloom.bloom_build_words(building, "cast(c_custkey as string)")
         survivors = bloom.bloom_prune(
             orders, words, "cast(o_custkey as string)"
         ).count()
-        total = orders.count()
+        total = orders.count()  # second scan is a cheap 2-col count
 
         zm = layout.zone_map_prune(
             _io.load(spark, SF_DIR, "orders"),
             "o_custkey", "o_orderkey", **ZORDER_RECT,
-        )
-        cells = zm.count()
-        scanned = zm.filter("scanned").count()
+        ).agg(
+            F.count(F.lit(1)).alias("cells"),
+            F.sum(F.col("scanned").cast("int")).alias("scanned"),
+        ).collect()[0]
         return {
             "bloom_fact_survivor_frac": round(survivors / total, 4),
-            "zorder_cells_skipped_frac": round(1 - scanned / cells, 4),
+            "zorder_cells_skipped_frac": round(
+                1 - zm["scanned"] / zm["cells"], 4
+            ),
         }
     except Exception as exc:
         print(f"# prune metrics failed: {exc}", file=sys.stderr)

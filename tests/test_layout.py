@@ -83,8 +83,8 @@ def test_zorder_write_partition_pruning(spark, tmp_path):
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     path = str(tmp_path / "zorders")
-    layout.zorder_write(orders, path, "o_custkey", "o_orderkey",
-                        bits=8, cell_shift=10)
+    stats = layout.zorder_write(orders, path, "o_custkey", "o_orderkey",
+                                bits=8, cell_shift=10)
 
     ndirs = len([d for d in os.listdir(path) if d.startswith("zdir=")])
     assert ndirs > 4
@@ -96,14 +96,10 @@ def test_zorder_write_partition_pruning(spark, tmp_path):
         & (F.col("o_orderkey") >= RECT["y_lo"])
         & (F.col("o_orderkey") <= RECT["y_hi"])
     )
-    # the zdir set for the rectangle from the zone map relation
-    zm = layout.with_zcell(orders, "o_custkey", "o_orderkey").withColumn(
-        "zdir", F.shiftright("zcell", 10)
-    )
-    dirs = sorted(
-        r.zdir
-        for r in zm.filter(rect).select("zdir").distinct().collect()
-    )
+    # the layout is self-describing: plan the directory set from the
+    # persisted sidecar alone — NO rescan of the source
+    assert layout.read_zorder_stats(path) == stats
+    dirs = layout.zdirs_for_rect(stats, **RECT)
     assert len(dirs) < ndirs  # the rectangle needs only a subset
 
     pruned = back.filter(F.col("zdir").isin(dirs)).filter(rect)

@@ -26,8 +26,10 @@ def test_gram_matches_numpy(spark):
     for r in linalg.gram_matrix(emb).collect():
         got[r.i, r.j] = r.g
     assert np.allclose(got, want, atol=1e-3)  # 4-dp gate rounding
-    # symmetry comes free from the math; assert it held exactly
-    assert np.allclose(got, got.T, atol=1e-9)
+    # symmetric up to FP reduction order: g[i][j] and g[j][i] are
+    # final-aggregated on different reducers, and the 4-dp rounding
+    # can amplify a ~1e-12 merge-order wobble to one quantum
+    assert np.allclose(got, got.T, atol=2e-4)
 
 
 def test_gram_single_shuffle(spark):

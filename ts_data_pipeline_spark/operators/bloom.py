@@ -137,8 +137,9 @@ def bloom_semi_join(
     pruned = bloom_prune(
         fact, words, f"cast({fact_key} as string)", num_hashes
     )
+    # dataframe-qualified refs: fact_key == build_key (the natural
+    # same-named join) must not trip AMBIGUOUS_REFERENCE
+    keys = build.select(build_key)
     return pruned.join(
-        build.select(build_key),
-        F.col(fact_key) == F.col(build_key),
-        "left_semi",
+        keys, pruned[fact_key] == keys[build_key], "left_semi"
     )

@@ -71,21 +71,32 @@ def with_zcell(
     x_col: str,
     y_col: str,
     bits: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Add ``zcell`` (the full Morton code of the quantized dims) to
     every row. One extra scan computes the 1-row min/max stats
-    relation, broadcast back as a degenerate cross join."""
-    stats = df.agg(
-        F.min(x_col).cast("bigint").alias("__xmn"),
-        F.max(x_col).cast("bigint").alias("__xmx"),
-        F.min(y_col).cast("bigint").alias("__ymn"),
-        F.max(y_col).cast("bigint").alias("__ymx"),
-    )
+    relation, broadcast back as a degenerate cross join; pass
+    ``stats`` (x_min/x_max/y_min/y_max, e.g. from a sidecar) to skip
+    that scan and pin the quantization to a known frame."""
+    if stats is not None:
+        spark = df.sparkSession
+        stats_df = spark.createDataFrame(
+            [(int(stats["x_min"]), int(stats["x_max"]),
+              int(stats["y_min"]), int(stats["y_max"]))],
+            "__xmn bigint, __xmx bigint, __ymn bigint, __ymx bigint",
+        )
+    else:
+        stats_df = df.agg(
+            F.min(x_col).cast("bigint").alias("__xmn"),
+            F.max(x_col).cast("bigint").alias("__xmx"),
+            F.min(y_col).cast("bigint").alias("__ymn"),
+            F.max(y_col).cast("bigint").alias("__ymx"),
+        )
     xq = _quant_spark(x_col, "__xmn", "__xmx", bits)
     yq = _quant_spark(y_col, "__ymn", "__ymx", bits)
     code = _morton_terms(xq, yq, bits, _SPARK_SHL, _SPARK_SHR)
     return (
-        df.crossJoin(F.broadcast(stats))
+        df.crossJoin(F.broadcast(stats_df))
         .withColumn("zcell", F.expr(code))
         .drop("__xmn", "__xmx", "__ymn", "__ymx")
     )
@@ -188,13 +199,38 @@ def zorder_write(
     y_col: str,
     bits: int = 8,
     cell_shift: int = 10,
-) -> None:
+) -> dict:
     """Materialize the Z-ordered layout: coarse-cell directory
     partitioning (Spark partition pruning skips whole directories on
     a rectangle predicate) with rows Z-sorted inside each file so
-    parquet row-group stats stay tight for finer predicates."""
+    parquet row-group stats stay tight for finer predicates.
+
+    The layout is SELF-DESCRIBING: the quantization stats
+    (min/max/bits/cell_shift, without which zdir values cannot be
+    mapped back to value space) are persisted as a
+    ``_zorder_stats.json`` sidecar next to the data — a later reader
+    calls :func:`zdirs_for_rect` on the sidecar to enumerate the
+    directories a rectangle needs WITHOUT rescanning the source.
+    (Local-filesystem sidecar write; on an object store, route the
+    same bytes through its put API.) Returns the stats dict.
+    """
+    import json
+    import os
+
+    row = df.agg(
+        F.min(x_col).cast("bigint").alias("xmn"),
+        F.max(x_col).cast("bigint").alias("xmx"),
+        F.min(y_col).cast("bigint").alias("ymn"),
+        F.max(y_col).cast("bigint").alias("ymx"),
+    ).collect()[0]
+    stats = {
+        "x_col": x_col, "y_col": y_col,
+        "x_min": row["xmn"], "x_max": row["xmx"],
+        "y_min": row["ymn"], "y_max": row["ymx"],
+        "bits": bits, "cell_shift": cell_shift,
+    }
     (
-        with_zcell(df, x_col, y_col, bits)
+        with_zcell(df, x_col, y_col, bits, stats=stats)
         .withColumn("zdir", F.shiftright(F.col("zcell"), cell_shift))
         .repartition("zdir")
         .sortWithinPartitions("zcell")
@@ -203,3 +239,48 @@ def zorder_write(
         .mode("overwrite")
         .parquet(path)
     )
+    with open(os.path.join(path, "_zorder_stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def read_zorder_stats(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_zorder_stats.json")) as fh:
+        return json.load(fh)
+
+
+def _quant_py(v: int, mn: int, mx: int, bits: int) -> int:
+    return ((v - mn) * (1 << bits)) // (mx - mn + 1)
+
+
+def zdirs_for_rect(
+    stats: dict, x_lo: int, x_hi: int, y_lo: int, y_hi: int
+) -> list[int]:
+    """Driver-side planning: the zdir values a query rectangle can
+    touch, from the persisted stats alone (no data scan). Enumerates
+    the quantized cell grid — at most 4^bits iterations (65k at the
+    default bits=8), planning-time work proportional to the GRID, not
+    the data."""
+    bits, shift = stats["bits"], stats["cell_shift"]
+    xq_lo = max(0, _quant_py(max(x_lo, stats["x_min"]),
+                             stats["x_min"], stats["x_max"], bits))
+    xq_hi = min((1 << bits) - 1,
+                _quant_py(min(x_hi, stats["x_max"]),
+                          stats["x_min"], stats["x_max"], bits))
+    yq_lo = max(0, _quant_py(max(y_lo, stats["y_min"]),
+                             stats["y_min"], stats["y_max"], bits))
+    yq_hi = min((1 << bits) - 1,
+                _quant_py(min(y_hi, stats["y_max"]),
+                          stats["y_min"], stats["y_max"], bits))
+    dirs = set()
+    for xq in range(xq_lo, xq_hi + 1):
+        for yq in range(yq_lo, yq_hi + 1):
+            code = 0
+            for b in range(bits):
+                code |= ((xq >> b) & 1) << (2 * b)
+                code |= ((yq >> b) & 1) << (2 * b + 1)
+            dirs.add(code >> shift)
+    return sorted(dirs)

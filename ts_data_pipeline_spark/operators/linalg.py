@@ -118,11 +118,34 @@ def pca_components(
     """
     import numpy as np
 
-    n = emb.count()
+    # ONE pass: the same dimension-bounded aggregation that computes
+    # the Gram rows also carries the row count (each i-group has
+    # exactly N members) and the column sums — count/mean/Gram from
+    # a single scan, at full double precision (no 4-dp gate rounding
+    # feeding the eigensolver).
+    ex = emb.select(
+        F.posexplode(F.col(vec_col)).alias("i", "vi"),
+        F.col(vec_col).alias("__v"),
+    )
+    rows = ex.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vi").cast("double")).alias("s"),
+        *[
+            F.sum(
+                F.col("vi").cast("double")
+                * F.element_at("__v", j + 1).cast("double")
+            ).alias(f"g{j}")
+            for j in range(dim)
+        ],
+    ).collect()
+    n = rows[0]["n"]
     g = np.zeros((dim, dim))
-    for r in gram_matrix(emb, vec_col, dim).collect():
-        g[r["i"], r["j"]] = r["g"]
-    mu = np.array(mean_vector(emb, vec_col, dim))
+    mu = np.zeros(dim)
+    for r in rows:
+        i = r["i"]
+        mu[i] = r["s"] / n
+        for j in range(dim):
+            g[i, j] = r[f"g{j}"]
     cov = g / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:k]

@@ -234,15 +234,15 @@ def inverted_index(
     with tf, df, and the doc's position in the term's posting list
     (doc_id ascending — the order a merge-based retriever consumes).
 
-    Scale shape: tf is one groupBy(term, doc) with map-side combine;
-    df and the posting position come from windows PARTITIONED BY
-    term, so no per-term state ever materializes as a single row —
-    unlike a collect_list index build, a stopword's million-doc
-    posting list never exists in one task's memory. ``max_df`` drops
-    terms appearing in more documents (stopword postings dominate
-    index bytes but contribute no ranking signal — standard index
-    pruning); the filter runs BEFORE the position window, so skew
-    from hot terms is capped at max_df rows per window partition.
+    Scale shape: tf is one groupBy(term, doc) with map-side combine.
+    df is a groupBy(term) AGGREGATE joined back on term — NOT a
+    whole-partition window, whose WindowExec would route a stopword's
+    entire million-row posting set through one task; the aggregate's
+    partial combine carries one row per (task, term), so the hot term
+    costs one row per task. The df <= max_df filter then runs BEFORE
+    the posting-position window, capping window-partition skew at
+    max_df rows per term — unlike a collect_list index build, a
+    stopword's posting list never exists in one task's memory.
     """
     from pyspark.sql import Window
 
@@ -251,9 +251,8 @@ def inverted_index(
         .groupBy("term", id_col)
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    by_term = Window.partitionBy("term")
-    with_df = tf.withColumn("df", F.count(F.lit(1)).over(by_term))
-    pruned = with_df.filter(F.col("df") <= max_df)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pruned = tf.join(dfreq.filter(F.col("df") <= max_df), "term")
     pos = Window.partitionBy("term").orderBy(F.col(id_col).asc())
     return pruned.withColumn("plist_pos", F.row_number().over(pos)).select(
         "term",

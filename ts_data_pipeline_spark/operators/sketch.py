@@ -256,6 +256,27 @@ FROM m JOIN pref p ON p.rank = m.vocab_size
 # Count-min sketch (Cormode & Muthukrishnan 2005)
 
 
+def _cms_lanes(depth: int, width: int):
+    """THE lane construction, shared by cell build and point probe —
+    one md5 of 'cms:' || term sliced into per-row u32 lanes, each
+    reduced mod width. A single definition: if build and probe ever
+    diverged, estimates would silently stop addressing the cells that
+    were incremented and the never-undercount guarantee would break.
+    """
+    if not 1 <= depth <= 4:
+        raise ValueError("depth must be 1..4 (u32 lanes of one md5)")
+    h = F.md5(F.concat(F.lit("cms:"), F.col("term")))
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(h, 8 * r + 1, 8), 16, 10).cast("bigint")
+                % width
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def count_min_cells(
     docs: DataFrame,
     depth: int = 4,
@@ -276,21 +297,9 @@ def count_min_cells(
     so depth <= 4 costs ONE digest per token occurrence, not depth —
     and the DuckDB oracle reproduces every cell exactly.
     """
-    if not 1 <= depth <= 4:
-        raise ValueError("depth must be 1..4 (u32 lanes of one md5)")
-    h = F.md5(F.concat(F.lit("cms:"), F.col("term")))
-    lanes = F.array(
-        *[
-            (
-                F.conv(F.substring(h, 8 * r + 1, 8), 16, 10).cast("bigint")
-                % width
-            )
-            for r in range(depth)
-        ]
-    )
     return (
         docs.select(F.explode(_toks(text_col)).alias("term"))
-        .select(F.posexplode(lanes).alias("r", "bucket"))
+        .select(F.posexplode(_cms_lanes(depth, width)).alias("r", "bucket"))
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -316,21 +325,11 @@ def count_min_estimates(
     """
     cells = count_min_cells(docs, depth=depth, width=width, text_col=text_col)
     probes = exact_heavy_hitters(docs, k=k, text_col=text_col)
-    h = F.md5(F.concat(F.lit("cms:"), F.col("term")))
-    lanes = F.array(
-        *[
-            (
-                F.conv(F.substring(h, 8 * r + 1, 8), 16, 10).cast("bigint")
-                % width
-            )
-            for r in range(depth)
-        ]
-    )
     probed = probes.select(
         "term",
         F.col("freq").alias("freq_exact"),
         "rank",
-        F.posexplode(lanes).alias("r", "bucket"),
+        F.posexplode(_cms_lanes(depth, width)).alias("r", "bucket"),
     )
     return (
         probed.join(F.broadcast(cells), ["r", "bucket"])
