@@ -167,6 +167,14 @@ def _extras(spark) -> dict:
             _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
         )
 
+    def ann_pq(spark, sf_dir):
+        from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+
+        return similarity.pq_topk(
+            _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
+            PQ_CODEBOOK_IDS, k=5,
+        )
+
     def ann_brute_pandas(spark, sf_dir):
         # the Arrow-batched escape hatch, value-identical to the
         # expression path (test_llmdata) — timed here so the
@@ -198,6 +206,7 @@ def _extras(spark) -> dict:
         "zscore_anomalies": zscore_anomalies,
         "ann_sq8_topk": ann_sq8,
         "ann_lsh_multiprobe": ann_multiprobe,
+        "ann_pq_topk": ann_pq,
         "ann_brute_pandas_udf": ann_brute_pandas,
         # round-6 additions
         "cusum_drift_summary": cusum_drift_summary,
@@ -349,6 +358,7 @@ def _recall(spark) -> dict:
         ANN_QUERY_IDS,
         EMBEDDING_DIM,
         LSH_PLANE_IDS,
+        PQ_CODEBOOK_IDS,
     )
     from ts_data_pipeline_spark.queries.timeseries import IVF_CENTROID_IDS
 
@@ -376,6 +386,9 @@ def _recall(spark) -> dict:
             ),
             "sq8_rerank": similarity.sq8_topk(
                 emb, ANN_QUERY_IDS, EMBEDDING_DIM, k=k
+            ),
+            "pq_rerank": similarity.pq_topk(
+                emb, ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=k
             ),
         }
         out = {}

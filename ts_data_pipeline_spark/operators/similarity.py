@@ -1273,3 +1273,224 @@ def brute_force_topk_pandas(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze, Schmid 2011 — "Product
+# Quantization for Nearest Neighbor Search")
+
+
+def _slices(vec_col: str, m: int, dsub: int) -> Column:
+    """Array of m double-cast subvector slices of a float vector."""
+    return F.array(
+        *[
+            F.transform(
+                F.slice(F.col(vec_col), s * dsub + 1, dsub),
+                lambda x: x.cast("double"),
+            )
+            for s in range(m)
+        ]
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """||a-b||^2 in the expanded form (dot(a,a) - 2ab + dot(b,b)) —
+    the SAME algebraic shape the DuckDB twin evaluates, so rounded
+    values cannot diverge through different factorizations."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via product quantization + exact re-rank: the standard
+    compressed-domain search for corpora whose raw vectors don't fit
+    hot storage (FAISS's IVFPQ building block).
+
+    The vector space is split into ``m`` subspaces of ``dsub`` dims;
+    each subspace gets its own codebook (here: the deterministic
+    subvectors of ``codebook_ids`` corpus rows — sampled codebooks,
+    the training-free PQ variant, which keeps the whole operator
+    oracle-replayable; swap in kmeans_assign per subspace for trained
+    codebooks). A vector encodes as m small codes (m bytes at ksub <=
+    256 — 32x compression of a 64-dim float32 vector); a query scans
+    CODES, not vectors, via its ADC table: approx ||q - x||^2 =
+    sum_s qd2[s, code_s(x)].
+
+    Scale shape (100 TB):
+    - codebooks and ADC tables are m x |codebook| rows — broadcast-
+      sized BY CONSTRUCTION, independent of corpus size;
+    - encoding is one broadcast join + a min-struct aggregate (no
+      window over the corpus, no shuffle of the vectors themselves);
+    - the approximate scan carries (id, sub, code) rows — the
+      compressed relation — through one map-side-combined sum;
+    - only the rerank_factor*k shortlist rides a join back to the
+      raw vectors (broadcast of query x shortlist ids).
+    Determinism: every compared quantity is ROUND(.., 6) with
+    ascending-id tie-breaks, mirrored in :func:`pq_topk_sql`.
+    """
+    base = embeddings.select(
+        F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
+            "sub", "sv"
+        )
+    )
+    cb = base.filter(F.col(id_col).isin(codebook_ids)).select(
+        "sub", F.col(id_col).alias("cid"), F.col("sv").alias("cv")
+    )
+
+    enc = (
+        base.join(F.broadcast(cb), "sub")
+        .select(
+            id_col,
+            "sub",
+            "cid",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("d", "cid")).alias("mc"))
+        .select(id_col, "sub", F.col("mc.cid").alias("code"))
+    )
+
+    qtab = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "sub",
+            F.col("sv").alias("qv"),
+        )
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            # distinct names: enc and qtab share lineage through
+            # `base`, so dataframe-qualified same-name refs degrade
+            # to a trivially-true self-compare
+            F.col("sub").alias("qsub"),
+            F.col("cid").alias("qcid"),
+            F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("qd2"),
+        )
+    )
+
+    shortlist = rerank_factor * k
+    approx = (
+        enc.join(
+            F.broadcast(qtab),
+            (F.col("sub") == F.col("qsub"))
+            & (F.col("code") == F.col("qcid")),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
+        .repartition("query_id")
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        approx.withColumn("ark", F.row_number().over(w_approx))
+        .filter(F.col("ark") <= shortlist)
+        .select("query_id", F.col(id_col).alias("cand_id"))
+    )
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cvecs = vecs.select(F.col(id_col).alias("cand_id"), "v").join(
+        F.broadcast(cands), "cand_id"
+    )
+    qvecs = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cvecs.join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .repartition("query_id")  # lazy-sort hazard: materialize scores
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def pq_topk_sql(
+    query_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` — same slices, same expanded-
+    form distances, same 6-dp rounding and tie-breaks."""
+    qs = ", ".join(str(i) for i in query_ids)
+    cs = ", ".join(str(i) for i in codebook_ids)
+    shortlist = rerank_factor * k
+    d2 = (
+        "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}), 6)"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, s.range AS sub,
+         list_slice(v, s.range * {dsub} + 1, (s.range + 1) * {dsub}) AS sv
+  FROM emb, range(0, {m}) s
+),
+cb AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs
+       WHERE vec_id IN ({cs})),
+enc AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT e.vec_id, e.sub, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id, e.sub
+             ORDER BY {d2.format(a="e.sv", b="c.cv")} ASC, c.cid ASC) AS rk
+    FROM subs e JOIN cb c ON e.sub = c.sub
+  ) WHERE rk = 1
+),
+qtab AS (
+  SELECT q.vec_id AS query_id, q.sub, c.cid,
+         {d2.format(a="q.sv", b="c.cv")} AS qd2
+  FROM subs q JOIN cb c ON q.sub = c.sub
+  WHERE q.vec_id IN ({qs})
+),
+approx AS (
+  SELECT t.query_id, e.vec_id AS cand_id, ROUND(SUM(t.qd2), 6) AS ad2
+  FROM enc e JOIN qtab t ON e.sub = t.sub AND e.code = t.cid
+  WHERE e.vec_id != t.query_id
+  GROUP BY t.query_id, e.vec_id
+),
+cands AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY ad2 ASC, cand_id ASC) AS ark
+    FROM approx
+  ) WHERE ark <= {shortlist}
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT c.query_id, c.cand_id,
+         ROUND(list_dot_product(e.v, q.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.v, q.v))), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY ROUND(list_dot_product(e.v, q.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.v, q.v))), 6) DESC,
+             c.cand_id ASC) AS rank
+  FROM cands c
+  JOIN emb e ON e.vec_id = c.cand_id
+  JOIN emb q ON q.vec_id = c.query_id
+) WHERE rank <= {k}
+"""

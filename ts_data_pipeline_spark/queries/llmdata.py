@@ -376,6 +376,11 @@ KMEANS_ITERS = 2
 #: Embedding dimensionality of the synthetic corpus (all SFs).
 EMBEDDING_DIM = 64
 
+#: 16 deterministic corpus rows whose subvectors form the sampled PQ
+#: codebooks (present at every SF; disjoint from query/plane ids).
+PQ_CODEBOOK_IDS = [103, 131, 163, 193, 223, 251, 283, 311,
+                   337, 367, 397, 421, 443, 461, 479, 491]
+
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized candidates + exact re-rank
@@ -399,6 +404,10 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = similarity.lsh_multiprobe_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
     ).withColumn("method", F.lit("lsh_mp"))
+    pq = similarity.pq_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
+        PQ_CODEBOOK_IDS, k=5,
+    ).withColumn("method", F.lit("pq"))
     km = (
         similarity.kmeans_assign(
             io.load(spark, sf_dir, "embeddings"),
@@ -414,7 +423,8 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lsh.unionByName(ivf).unionByName(km).unionByName(sq8).unionByName(mp)
+        lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
+        .unionByName(mp).unionByName(pq)
     )
 
 
@@ -429,6 +439,7 @@ def _ann_lsh_ivf_sql() -> str:
     km = similarity.kmeans_assign_sql(KMEANS_SEED_IDS, n_iter=KMEANS_ITERS)
     sq8 = similarity.sq8_topk_sql(ANN_QUERY_IDS, EMBEDDING_DIM, k=5)
     mp = similarity.lsh_multiprobe_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5)
+    pq = similarity.pq_topk_sql(ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5)
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
         f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
@@ -436,7 +447,8 @@ def _ann_lsh_ivf_sql() -> str:
         f"FROM (SELECT vec_id AS query_id, cell AS cand_id, cos_sim,\n"
         f"             1 AS rank FROM ({km}))\n"
         f"UNION ALL\nSELECT *, 'sq8' AS method FROM ({sq8})\n"
-        f"UNION ALL\nSELECT *, 'lsh_mp' AS method FROM ({mp})"
+        f"UNION ALL\nSELECT *, 'lsh_mp' AS method FROM ({mp})\n"
+        f"UNION ALL\nSELECT *, 'pq' AS method FROM ({pq})"
     )
 
 
