@@ -86,3 +86,16 @@ def test_pca_project_is_scan_shaped(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_whitening_yields_identity_covariance(spark):
+    """whiten_project: the retained-subspace covariance of the output
+    is ~identity — dominant directions equalized (the property
+    SemDeDup-style cosine dedup needs)."""
+    emb = io.load(spark, SF, "embeddings")
+    r = 4
+    rows = linalg.whiten_project(emb, r=r).collect()
+    w = np.array([list(x.wv) for x in rows])
+    assert w.shape[1] == r
+    cov = np.cov(w, rowvar=False, bias=True)
+    assert np.allclose(cov, np.eye(r), atol=0.05), cov

@@ -179,3 +179,40 @@ def pca_project(
             terms = t if terms is None else terms + t
         out.append(terms.alias(f"pc{c_idx}"))
     return emb.select(*out)
+
+
+def whiten_project(
+    emb: DataFrame,
+    r: int = 8,
+    eps: float = 1e-9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """PCA whitening onto the top-r components: coordinates are
+    centered projections scaled by 1/sqrt(eigenvalue), so the output
+    cloud has ~identity covariance on the retained subspace.
+
+    Why it's in a training-data engine: cosine-threshold dedup
+    (SemDeDup) and ANN recall both degrade on anisotropic embedding
+    clouds — a handful of dominant directions swamp the similarity.
+    Whitening equalizes them. Cost: the one-pass moment fit of
+    :func:`pca_components` + a scan-shaped projection (literal
+    component matrix, no UDF, no shuffle). Output: (id, wv array<double>).
+    """
+    import math
+
+    comps, vals, mu = pca_components(emb, vec_col, dim, k=r)
+    scaled = [
+        [w / math.sqrt(max(v, 0.0) + eps) for w in comp]
+        for comp, v in zip(comps, vals)
+    ]
+    coords = []
+    for comp in scaled:
+        term = None
+        for j, (w, mj) in enumerate(zip(comp, mu)):
+            t = (F.element_at(vec_col, j + 1).cast("double") - F.lit(mj)) \
+                * F.lit(w)
+            term = t if term is None else term + t
+        coords.append(term)
+    return emb.select(F.col(id_col), F.array(*coords).alias("wv"))
