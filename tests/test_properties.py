@@ -1,0 +1,122 @@
+"""Property-based pins (hypothesis) for the round-6 structures:
+Morton portability/roundtrip, CMS never-undercount, bloom
+no-false-negative. Each property batches its generated cases into ONE
+Spark job (per-example jobs would take minutes)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ts_data_pipeline_spark.operators import bloom, layout, sketch
+
+
+def _py_morton(xq: int, yq: int, bits: int) -> int:
+    code = 0
+    for b in range(bits):
+        code |= ((xq >> b) & 1) << (2 * b)
+        code |= ((yq >> b) & 1) << (2 * b + 1)
+    return code
+
+
+def test_morton_spark_matches_python_and_roundtrips(spark, oracle):
+    """The Spark and DuckDB interleave expressions must agree with
+    the reference Python interleave on arbitrary quantized coords,
+    and the code must decode back to (xq, yq) — bijectivity."""
+    pairs: list[tuple[int, int]] = []
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(0, 255), st.integers(0, 255))
+    def collect(x, y):
+        pairs.append((x, y))
+
+    collect()
+    pairs.extend([(0, 0), (255, 255), (0, 255), (255, 0), (1, 128)])
+
+    bits = 8
+    code_spark = layout._morton_terms(
+        "xq", "yq", bits, layout._SPARK_SHL, layout._SPARK_SHR
+    )
+    df = spark.createDataFrame(pairs, "xq long, yq long")
+    got = {
+        (r.xq, r.yq): r.code
+        for r in df.withColumn("code", F.expr(code_spark)).collect()
+    }
+    code_duck = layout._morton_terms(
+        "xq", "yq", bits, layout._DUCK_SHL, layout._DUCK_SHR
+    )
+    for xq, yq in pairs:
+        want = _py_morton(xq, yq, bits)
+        assert got[(xq, yq)] == want, (xq, yq)
+        duck = oracle.execute(
+            f"SELECT {code_duck} FROM (SELECT ? AS xq, ? AS yq)", [xq, yq]
+        ).fetchone()[0]
+        assert duck == want, (xq, yq)
+        # decode (bijectivity): de-interleave even/odd bits
+        dx = sum(((want >> (2 * b)) & 1) << b for b in range(bits))
+        dy = sum(((want >> (2 * b + 1)) & 1) << b for b in range(bits))
+        assert (dx, dy) == (xq, yq)
+
+
+def test_cms_never_undercounts_on_random_corpora(spark):
+    """CMS guarantee under adversarial tiny widths: estimates are >=
+    exact for EVERY term of a hypothesis-generated corpus."""
+    docs: list[str] = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcdefg", min_size=1, max_size=3),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def collect(words):
+        docs.append(" ".join(words))
+
+    collect()
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    exact = {
+        r.term: r.freq
+        for r in sketch.exact_heavy_hitters(df, k=100_000).collect()
+    }
+    est = sketch.count_min_estimates(df, depth=3, width=16, k=100_000)
+    rows = est.collect()
+    assert {r.term for r in rows} == set(exact)
+    for r in rows:
+        assert r.freq_cms >= r.freq_exact == exact[r.term], r
+
+
+def test_bloom_membership_complete_on_random_keys(spark):
+    """No false negatives, ever: every inserted key passes the probe
+    for hypothesis-generated key sets, across filter widths."""
+    keysets: list[list[str]] = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_characters="'\"\\\x00"
+                ),
+                max_size=12,
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def collect(ks):
+        keysets.append(ks)
+
+    collect()
+    # one build over the union; probing the same rows must keep all
+    all_keys = sorted({k for ks in keysets for k in ks})
+    df = spark.createDataFrame([(k,) for k in all_keys], "k string")
+    for num_bits in (256, 65536):
+        words = bloom.bloom_build_words(df, "k", num_bits=num_bits)
+        kept = bloom.bloom_prune(df, words, "k").count()
+        assert kept == len(all_keys), (num_bits, kept, len(all_keys))
