@@ -114,3 +114,71 @@ def test_zorder_write_partition_pruning(spark, tmp_path):
     )
     got = sorted((r.o_orderkey, r.o_custkey) for r in pruned.collect())
     assert got == expect
+
+
+def test_zorder_compact_rewrites_only_touched_dirs(spark, tmp_path):
+    """zorder_compact: (a) rows land in the pinned-frame layout and
+    read-back equals base UNION delta, (b) untouched zdir directories
+    are not rewritten (file mtimes unchanged), (c) write I/O is
+    delta-scoped — only the touched dirs change. Out-of-frame delta
+    values clamp onto edge cells instead of creating off-grid dirs."""
+    import time
+
+    from ts_data_pipeline_spark.operators.layout import zorder_compact
+
+    orders = io.load(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "ztab")
+    layout.zorder_write(orders, path, "o_custkey", "o_orderkey",
+                        bits=8, cell_shift=10)
+
+    def dir_sig(d):
+        full = os.path.join(path, d)
+        return sorted(
+            (f, os.path.getmtime(os.path.join(full, f)))
+            for f in os.listdir(full)
+            if not f.startswith(".")
+        )
+
+    before = {
+        d: dir_sig(d)
+        for d in os.listdir(path)
+        if d.startswith("zdir=")
+    }
+
+    # a tight delta (two close points) + one out-of-frame row that
+    # must clamp to an edge cell
+    top = orders.agg(F.max("o_custkey"), F.max("o_orderkey")).collect()[0]
+    delta = spark.createDataFrame(
+        [
+            (900001, 150, 1.0),
+            (900002, 151, 2.0),
+            (900003, int(top[0]) * 10, 3.0),  # off-frame x -> clamps
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    time.sleep(1.1)  # mtime resolution
+    touched = zorder_compact(spark, path, delta)
+    assert 0 < len(touched) < len(before)
+
+    after = {
+        d: dir_sig(d)
+        for d in os.listdir(path)
+        if d.startswith("zdir=")
+    }
+    assert set(after) == set(before)  # clamping: no new off-grid dirs
+    for d, sig in before.items():
+        zd = int(d.split("=")[1])
+        if zd in touched:
+            assert after[d] != sig, d
+        else:
+            assert after[d] == sig, d
+
+    back = spark.read.parquet(path).drop("zdir")
+    want = sorted(
+        (r.o_orderkey, r.o_custkey)
+        for r in orders.unionByName(delta).collect()
+    )
+    got = sorted((r.o_orderkey, r.o_custkey) for r in back.collect())
+    assert got == want

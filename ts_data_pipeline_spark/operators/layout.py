@@ -37,16 +37,18 @@ from pyspark.sql import functions as F
 
 
 def _quant_spark(col: str, mn: str, mx: str, bits: int) -> str:
-    """Integer-exact quantization onto 0..2^bits-1 (SQL fragment)."""
+    """Integer-exact quantization onto 0..2^bits-1 (SQL fragment).
+    Clamped so values OUTSIDE the stats frame (deltas compacted into
+    a pinned layout) land on the edge cells instead of off-grid."""
     n = 1 << bits
-    return (
-        f"cast((({col} - {mn}) * {n}) div ({mx} - {mn} + 1) as bigint)"
-    )
+    q = f"(({col} - {mn}) * {n}) div ({mx} - {mn} + 1)"
+    return f"cast(least(greatest({q}, 0), {n - 1}) as bigint)"
 
 
 def _quant_duck(col: str, mn: str, mx: str, bits: int) -> str:
     n = 1 << bits
-    return f"(({col} - {mn}) * {n}) // ({mx} - {mn} + 1)"
+    q = f"((({col} - {mn}) * {n}) // ({mx} - {mn} + 1))"
+    return f"least(greatest({q}, 0), {n - 1})"
 
 
 def _morton_terms(xq: str, yq: str, bits: int, shl: str, shr: str) -> str:
@@ -253,7 +255,8 @@ def read_zorder_stats(path: str) -> dict:
 
 
 def _quant_py(v: int, mn: int, mx: int, bits: int) -> int:
-    return ((v - mn) * (1 << bits)) // (mx - mn + 1)
+    n = 1 << bits
+    return min(max(((v - mn) * n) // (mx - mn + 1), 0), n - 1)
 
 
 def zdirs_for_rect(
@@ -283,4 +286,57 @@ def zdirs_for_rect(
                 code |= ((xq >> b) & 1) << (2 * b)
                 code |= ((yq >> b) & 1) << (2 * b + 1)
             dirs.add(code >> shift)
+    return sorted(dirs)
+
+
+def zorder_compact(spark, path: str, delta: DataFrame) -> list[int]:
+    """Incremental layout maintenance (OPTIMIZE-style): merge new
+    rows into an existing Z-ordered table, rewriting ONLY the zdir
+    directories the delta touches.
+
+    The quantization frame comes from the persisted sidecar — PINNED,
+    not recomputed — so existing zdir values keep their meaning;
+    delta values outside the original min/max clamp onto the edge
+    cells (the standard degradation of a pinned grid; a full
+    re-layout refreshes the frame when edge cells grow hot). Write
+    I/O is proportional to |touched dirs|, not |table| — the same
+    delta-scoped contract as the upsert sink's hash buckets, here at
+    the storage-layout level. Uses dynamic partition overwrite so
+    untouched directories are never rewritten. Returns the touched
+    zdir list.
+    """
+    stats = read_zorder_stats(path)
+    x_col, y_col = stats["x_col"], stats["y_col"]
+    bits, shift = stats["bits"], stats["cell_shift"]
+
+    coded_delta = with_zcell(
+        delta, x_col, y_col, bits, stats=stats
+    ).withColumn("zdir", F.shiftright(F.col("zcell"), shift))
+    # touched dirs: bounded by the GRID (4^bits >> shift), not data
+    dirs = [
+        r.zdir for r in coded_delta.select("zdir").distinct().collect()
+    ]
+
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col("zdir").isin(dirs))
+        .drop("zdir")
+    )
+    merged = with_zcell(
+        existing.unionByName(delta), x_col, y_col, bits, stats=stats
+    ).withColumn("zdir", F.shiftright(F.col("zcell"), shift))
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("zdir")
+            .sortWithinPartitions("zcell")
+            .drop("zcell")
+            .write.partitionBy("zdir")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return sorted(dirs)
