@@ -167,6 +167,18 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_lr_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine trained linear quality model: 3 full-batch GD rounds
+    against the wiki-like-source weak label, then score every doc
+    (operators/classifier.py — broadcast weight relation, two bounded
+    shuffles per round, 6-dp re-round so drift can't compound)."""
+    from ts_data_pipeline_spark.operators import classifier
+
+    return classifier.train_quality_lr(
+        io.load(spark, sf_dir, "documents"), DSIR_TARGET_PREDICATE
+    )
+
+
 def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized posting lists with df pruning at 390
     (operators/retrieval.py — window-partitioned build, no per-term

@@ -482,6 +482,13 @@ def _text_stats_members() -> list[Member]:
              ("rank", "l")),
         ),
         Member(
+            "quality_lr_trained",
+            llmdata.quality_lr_trained,
+            _quality_lr_sql(),
+            (("doc_id", "l"), ("label", "l"), ("score", "d"),
+             ("pred", "s")),
+        ),
+        Member(
             "inverted_index_build",
             llmdata.inverted_index_build,
             retrieval_ops.inverted_index_sql(max_df=390),
@@ -581,6 +588,13 @@ def _tsstats_funnel_path_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
     return tsstats.funnel_path_sql(["view", "click", "purchase"], 240)
+
+
+def _quality_lr_sql() -> str:
+    from ts_data_pipeline_spark.operators import classifier
+    from ts_data_pipeline_spark.queries.llmdata import DSIR_TARGET_PREDICATE
+
+    return classifier.train_quality_lr_sql(DSIR_TARGET_PREDICATE)
 
 
 def _linalg_gram_sql() -> str:
