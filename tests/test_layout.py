@@ -182,3 +182,36 @@ def test_zorder_compact_rewrites_only_touched_dirs(spark, tmp_path):
     )
     got = sorted((r.o_orderkey, r.o_custkey) for r in back.collect())
     assert got == want
+
+
+def test_zdirs_for_rect_plans_clamped_edge_cells(spark, tmp_path):
+    """Regression (round-6 review): out-of-frame delta rows clamp
+    into edge cells; a rectangle extending past the frame must plan
+    those edge dirs — quantizing the clamped VALUE instead returned
+    [] and silently lost the compacted row."""
+    from ts_data_pipeline_spark.operators.layout import zorder_compact
+
+    base = spark.createDataFrame(
+        [(i, i % 100, float(i)) for i in range(1000)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    path = str(tmp_path / "ztab")
+    stats = layout.zorder_write(base, path, "o_custkey", "o_orderkey",
+                                bits=8, cell_shift=10)
+
+    delta = spark.createDataFrame(
+        [(5000, 500, 1.0)],  # x=500 far beyond x_max=99 -> clamps
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    touched = zorder_compact(spark, path, delta)
+
+    # a rect that contains the out-of-frame point must plan its dir
+    dirs = layout.zdirs_for_rect(stats, x_lo=400, x_hi=600,
+                                 y_lo=4000, y_hi=6000)
+    assert set(touched) & set(dirs), (touched, dirs)
+
+    back = spark.read.parquet(path).filter(
+        (F.col("zdir").isin(dirs))
+        & (F.col("o_custkey") >= 400) & (F.col("o_custkey") <= 600)
+    )
+    assert [r.o_orderkey for r in back.collect()] == [5000]

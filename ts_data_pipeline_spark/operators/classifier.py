@@ -145,8 +145,10 @@ def train_quality_lr_sql(
     """DuckDB twin: the same fixed GD rounds unrolled as MATERIALIZED
     CTEs (each round's weights feed TWO consumers — without
     materialization DuckDB re-inlines the chain 2^n times)."""
+    from ts_data_pipeline_spark.functions.text import toks_sql
+
     bucket = u32_md5_sql("concat('lrf:', tok)") + f" % {n_buckets}"
-    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+    toks = toks_sql(text_col)  # THE tokenization (single definition)
     parts = [
         f"""WITH feats AS MATERIALIZED (
   SELECT DISTINCT {id_col}, {bucket} AS bucket

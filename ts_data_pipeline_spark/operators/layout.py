@@ -268,16 +268,24 @@ def zdirs_for_rect(
     default bits=8), planning-time work proportional to the GRID, not
     the data."""
     bits, shift = stats["bits"], stats["cell_shift"]
-    xq_lo = max(0, _quant_py(max(x_lo, stats["x_min"]),
-                             stats["x_min"], stats["x_max"], bits))
-    xq_hi = min((1 << bits) - 1,
-                _quant_py(min(x_hi, stats["x_max"]),
-                          stats["x_min"], stats["x_max"], bits))
-    yq_lo = max(0, _quant_py(max(y_lo, stats["y_min"]),
-                             stats["y_min"], stats["y_max"], bits))
-    yq_hi = min((1 << bits) - 1,
-                _quant_py(min(y_hi, stats["y_max"]),
-                          stats["y_min"], stats["y_max"], bits))
+    n_hi = (1 << bits) - 1
+
+    def qlo(lo, mn, mx):
+        # a rect reaching below the frame must include cell 0, where
+        # compacted out-of-frame rows clamp — quantizing the clamped
+        # VALUE instead would start at quant(mn) and skip them
+        return 0 if lo <= mn else _quant_py(lo, mn, mx, bits)
+
+    def qhi(hi, mn, mx):
+        # symmetric: beyond the frame -> the top edge cell n-1, NOT
+        # quant(mx) (which is < n-1 whenever the frame is narrower
+        # than the grid — clamped rows would be silently unplanned)
+        return n_hi if hi >= mx else _quant_py(hi, mn, mx, bits)
+
+    xq_lo = qlo(x_lo, stats["x_min"], stats["x_max"])
+    xq_hi = qhi(x_hi, stats["x_min"], stats["x_max"])
+    yq_lo = qlo(y_lo, stats["y_min"], stats["y_max"])
+    yq_hi = qhi(y_hi, stats["y_min"], stats["y_max"])
     dirs = set()
     for xq in range(xq_lo, xq_hi + 1):
         for yq in range(yq_lo, yq_hi + 1):

@@ -207,12 +207,10 @@ def whiten_project(
         [w / math.sqrt(max(v, 0.0) + eps) for w in comp]
         for comp, v in zip(comps, vals)
     ]
-    coords = []
-    for comp in scaled:
-        term = None
-        for j, (w, mj) in enumerate(zip(comp, mu)):
-            t = (F.element_at(vec_col, j + 1).cast("double") - F.lit(mj)) \
-                * F.lit(w)
-            term = t if term is None else term + t
-        coords.append(term)
-    return emb.select(F.col(id_col), F.array(*coords).alias("wv"))
+    # one projection-expression builder in this module: compose
+    # pca_project with the eigen-scaled components
+    proj = pca_project(emb, scaled, mu, vec_col, id_col)
+    return proj.select(
+        F.col(id_col),
+        F.array(*[F.col(f"pc{i}") for i in range(r)]).alias("wv"),
+    )
