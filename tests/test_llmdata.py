@@ -1076,3 +1076,70 @@ def test_pq_topk_guarantees(spark):
         .alias("sub", "sv")
     )
     assert sub.count() == n * 8
+
+
+def test_ivfpq_candidates_respect_probed_cells(spark):
+    """IVFPQ (similarity.ivfpq_topk): every returned candidate's
+    coarse cell is one of its query's nprobe probed cells (the IVF
+    restriction really applies), and reported cosines are exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators.similarity import dot
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+    from ts_data_pipeline_spark.queries.timeseries import IVF_CENTROID_IDS
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    nprobe = 2
+    got = similarity.ivfpq_topk(
+        emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, PQ_CODEBOOK_IDS,
+        k=5, nprobe=nprobe,
+    ).collect()
+    assert got and all(r.query_id != r.cand_id for r in got)
+
+    # recompute assignments/probes independently
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
+    cents = base.filter(F.col("vec_id").isin(IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    ranked = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "ccid",
+            F.round(dot(F.col("v"), F.col("cv"))
+                    / (F.col("n") * F.col("cn")), 6).alias("cc"),
+        )
+        .withColumn(
+            "crk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cc").desc(), F.col("ccid").asc()
+                )
+            ),
+        )
+    ).collect()
+    cell_of = {r.vec_id: r.ccid for r in ranked if r.crk == 1}
+    probes = {}
+    for r in ranked:
+        if r.vec_id in ANN_QUERY_IDS and r.crk <= nprobe:
+            probes.setdefault(r.vec_id, set()).add(r.ccid)
+    for r in got:
+        assert cell_of[r.cand_id] in probes[r.query_id], r
+
+    brute = {
+        (b.query_id, b.cand_id): b.cos_sim
+        for b in similarity.brute_force_topk(
+            emb, ANN_QUERY_IDS, k=50
+        ).collect()
+    }
+    for r in got:
+        if (r.query_id, r.cand_id) in brute:
+            assert r.cos_sim == brute[(r.query_id, r.cand_id)]

@@ -1300,6 +1300,98 @@ def _l2sq(a: Column, b: Column) -> Column:
     return dot(a, a) - 2 * dot(a, b) + dot(b, b)
 
 
+def _pq_enc_qtab(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebook_ids: list[int],
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared PQ machinery: (enc, qtab) — the compressed corpus
+    relation (id, sub, code) and the query ADC table (query_id, qsub,
+    qcid, qd2). One definition for pq_topk AND ivfpq_topk so the
+    encode/probe lane math cannot diverge between the flat and the
+    cell-restricted search."""
+    base = embeddings.select(
+        F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
+            "sub", "sv"
+        )
+    )
+    cb = base.filter(F.col(id_col).isin(codebook_ids)).select(
+        "sub", F.col(id_col).alias("cid"), F.col("sv").alias("cv")
+    )
+    enc = (
+        base.join(F.broadcast(cb), "sub")
+        .select(
+            id_col,
+            "sub",
+            "cid",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("d", "cid")).alias("mc"))
+        .select(id_col, "sub", F.col("mc.cid").alias("code"))
+    )
+    qtab = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "sub",
+            F.col("sv").alias("qv"),
+        )
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            # distinct names: enc and qtab share lineage through
+            # `base`, so dataframe-qualified same-name refs degrade
+            # to a trivially-true self-compare
+            F.col("sub").alias("qsub"),
+            F.col("cid").alias("qcid"),
+            F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("qd2"),
+        )
+    )
+    return enc, qtab
+
+
+def _pq_exact_rerank(
+    embeddings: DataFrame,
+    cands: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, cand_id) shortlist —
+    shared tail of both PQ search paths."""
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    cvecs = vecs.select(F.col(id_col).alias("cand_id"), "v").join(
+        F.broadcast(cands), "cand_id"
+    )
+    qvecs = vecs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cvecs.join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .repartition("query_id")  # lazy-sort hazard: materialize scores
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1337,45 +1429,8 @@ def pq_topk(
     Determinism: every compared quantity is ROUND(.., 6) with
     ascending-id tie-breaks, mirrored in :func:`pq_topk_sql`.
     """
-    base = embeddings.select(
-        F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
-            "sub", "sv"
-        )
-    )
-    cb = base.filter(F.col(id_col).isin(codebook_ids)).select(
-        "sub", F.col(id_col).alias("cid"), F.col("sv").alias("cv")
-    )
-
-    enc = (
-        base.join(F.broadcast(cb), "sub")
-        .select(
-            id_col,
-            "sub",
-            "cid",
-            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
-        )
-        .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("d", "cid")).alias("mc"))
-        .select(id_col, "sub", F.col("mc.cid").alias("code"))
-    )
-
-    qtab = (
-        base.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            "sub",
-            F.col("sv").alias("qv"),
-        )
-        .join(F.broadcast(cb), "sub")
-        .select(
-            "query_id",
-            # distinct names: enc and qtab share lineage through
-            # `base`, so dataframe-qualified same-name refs degrade
-            # to a trivially-true self-compare
-            F.col("sub").alias("qsub"),
-            F.col("cid").alias("qcid"),
-            F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("qd2"),
-        )
+    enc, qtab = _pq_enc_qtab(
+        embeddings, query_ids, codebook_ids, m, dsub, id_col, vec_col
     )
 
     shortlist = rerank_factor * k
@@ -1398,51 +1453,112 @@ def pq_topk(
         .filter(F.col("ark") <= shortlist)
         .select("query_id", F.col(id_col).alias("cand_id"))
     )
-
-    vecs = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    cvecs = vecs.select(F.col(id_col).alias("cand_id"), "v").join(
-        F.broadcast(cands), "cand_id"
-    )
-    qvecs = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
-    )
-    w_exact = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        cvecs.join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
-        )
-        .repartition("query_id")  # lazy-sort hazard: materialize scores
-        .withColumn("rank", F.row_number().over(w_exact))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cos_sim", "rank")
-    )
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
 
 
-def pq_topk_sql(
+def ivfpq_topk(
+    embeddings: DataFrame,
     query_ids: list[int],
+    centroid_ids: list[int],
     codebook_ids: list[int],
     m: int = 8,
     dsub: int = 8,
     k: int = 5,
+    nprobe: int = 2,
     rerank_factor: int = 4,
-) -> str:
-    """DuckDB twin of :func:`pq_topk` — same slices, same expanded-
-    form distances, same 6-dp rounding and tie-breaks."""
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed — the actual FAISS IVFPQ shape: a coarse
+    quantizer restricts each query to ``nprobe`` cells, PQ's ADC
+    table scores only the CODES inside those cells, and the
+    shortlist re-ranks exactly.
+
+    This stacks the two independent cost reductions: IVF cuts the
+    candidate count to ~|corpus| * nprobe / |centroids|; PQ makes
+    each surviving candidate cost an m-term table lookup on an m-byte
+    code instead of a d-dim float scan. At 100 TB both matter — the
+    scan reads the codes table (32x smaller), and only the probed
+    fraction of it. All broadcast relations (centroids, codebooks,
+    ADC tables, probe pairs) are bounded by constructions independent
+    of corpus size; the one corpus-sized relation in flight is
+    (id, sub, code, cell).
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
+    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("ccid"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    paired = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "ccid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+            ).alias("cc"),
+        )
+        .repartition(id_col)
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cc").desc(), F.col("ccid").asc()
+    )
+    ranked = paired.withColumn("crk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crk") == 1).select(
+        id_col, F.col("ccid").alias("cell")
+    )
+    probe = ranked.filter(
+        F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe)
+    ).select(F.col(id_col).alias("p_qid"), F.col("ccid").alias("qcell"))
+
+    enc, qtab = _pq_enc_qtab(
+        embeddings, query_ids, codebook_ids, m, dsub, id_col, vec_col
+    )
+    # cell-restricted candidate space: codes of vectors whose cell is
+    # probed by the query — the probe relation (queries x nprobe) is
+    # broadcast; the join fans each code row only to the queries that
+    # probe its cell
+    in_cells = enc.join(assign, id_col).join(
+        F.broadcast(probe), F.col("cell") == F.col("qcell")
+    )
+    approx = (
+        in_cells.join(
+            F.broadcast(qtab),
+            (F.col("sub") == F.col("qsub"))
+            & (F.col("code") == F.col("qcid"))
+            & (F.col("p_qid") == F.col("query_id")),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
+        .repartition("query_id")
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        approx.withColumn("ark", F.row_number().over(w_approx))
+        .filter(F.col("ark") <= rerank_factor * k)
+        .select("query_id", F.col(id_col).alias("cand_id"))
+    )
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
+
+
+#: ||a-b||^2 in the same expanded algebraic form the Spark side uses.
+_PQ_D2 = (
+    "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}), 6)"
+)
+
+
+def _pq_sql_prefix(query_ids: list[int], codebook_ids: list[int],
+                   m: int, dsub: int) -> str:
+    """Shared CTE prefix (emb/subs/cb/enc/qtab) for both PQ twins —
+    one definition, like :func:`_pq_enc_qtab` on the Spark side."""
     qs = ", ".join(str(i) for i in query_ids)
     cs = ", ".join(str(i) for i in codebook_ids)
-    shortlist = rerank_factor * k
-    d2 = (
-        "ROUND(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-        " + list_dot_product({b}, {b}), 6)"
-    )
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 subs AS (
@@ -1456,22 +1572,22 @@ enc AS (
   SELECT vec_id, sub, cid AS code FROM (
     SELECT e.vec_id, e.sub, c.cid,
            row_number() OVER (PARTITION BY e.vec_id, e.sub
-             ORDER BY {d2.format(a="e.sv", b="c.cv")} ASC, c.cid ASC) AS rk
+             ORDER BY {_PQ_D2.format(a="e.sv", b="c.cv")} ASC, c.cid ASC) AS rk
     FROM subs e JOIN cb c ON e.sub = c.sub
   ) WHERE rk = 1
 ),
 qtab AS (
   SELECT q.vec_id AS query_id, q.sub, c.cid,
-         {d2.format(a="q.sv", b="c.cv")} AS qd2
+         {_PQ_D2.format(a="q.sv", b="c.cv")} AS qd2
   FROM subs q JOIN cb c ON q.sub = c.sub
   WHERE q.vec_id IN ({qs})
-),
-approx AS (
-  SELECT t.query_id, e.vec_id AS cand_id, ROUND(SUM(t.qd2), 6) AS ad2
-  FROM enc e JOIN qtab t ON e.sub = t.sub AND e.code = t.cid
-  WHERE e.vec_id != t.query_id
-  GROUP BY t.query_id, e.vec_id
-),
+)"""
+
+
+def _pq_sql_tail(k: int, shortlist: int) -> str:
+    """Shared shortlist + exact-rerank tail (expects an `approx` CTE
+    with (query_id, cand_id, ad2))."""
+    return f""",
 cands AS (
   SELECT query_id, cand_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1494,3 +1610,70 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
   JOIN emb q ON q.vec_id = c.query_id
 ) WHERE rank <= {k}
 """
+
+
+def pq_topk_sql(
+    query_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` — same slices, same expanded-
+    form distances, same 6-dp rounding and tie-breaks."""
+    return (
+        _pq_sql_prefix(query_ids, codebook_ids, m, dsub)
+        + """,
+approx AS (
+  SELECT t.query_id, e.vec_id AS cand_id, ROUND(SUM(t.qd2), 6) AS ad2
+  FROM enc e JOIN qtab t ON e.sub = t.sub AND e.code = t.cid
+  WHERE e.vec_id != t.query_id
+  GROUP BY t.query_id, e.vec_id
+)"""
+        + _pq_sql_tail(k, rerank_factor * k)
+    )
+
+
+def ivfpq_topk_sql(
+    query_ids: list[int],
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk` — the PQ prefix plus the
+    coarse-cell assignment/probe restriction."""
+    qs = ", ".join(str(i) for i in query_ids)
+    ces = ", ".join(str(i) for i in centroid_ids)
+    return (
+        _pq_sql_prefix(query_ids, codebook_ids, m, dsub)
+        + f""",
+norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM emb),
+cents AS (SELECT vec_id AS ccid, v AS cv, n AS cn FROM norm
+          WHERE vec_id IN ({ces})),
+rankedc AS (
+  SELECT e.vec_id, c.ccid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6)
+                    DESC, c.ccid ASC) AS crk
+  FROM norm e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, ccid AS cell FROM rankedc WHERE crk = 1),
+probe AS (SELECT vec_id AS p_qid, ccid AS qcell FROM rankedc
+          WHERE crk <= {nprobe} AND vec_id IN ({qs})),
+approx AS (
+  SELECT t.query_id, e.vec_id AS cand_id, ROUND(SUM(t.qd2), 6) AS ad2
+  FROM enc e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probe p ON p.qcell = a.cell
+  JOIN qtab t ON e.sub = t.sub AND e.code = t.cid
+             AND t.query_id = p.p_qid
+  WHERE e.vec_id != t.query_id
+  GROUP BY t.query_id, e.vec_id
+)"""
+        + _pq_sql_tail(k, rerank_factor * k)
+    )

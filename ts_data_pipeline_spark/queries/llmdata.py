@@ -420,6 +420,12 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         PQ_CODEBOOK_IDS, k=5,
     ).withColumn("method", F.lit("pq"))
+    from ts_data_pipeline_spark.queries.timeseries import IVF_CENTROID_IDS
+
+    ivfpq = similarity.ivfpq_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
+        IVF_CENTROID_IDS, PQ_CODEBOOK_IDS, k=5,
+    ).withColumn("method", F.lit("ivfpq"))
     km = (
         similarity.kmeans_assign(
             io.load(spark, sf_dir, "embeddings"),
@@ -436,7 +442,7 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
-        .unionByName(mp).unionByName(pq)
+        .unionByName(mp).unionByName(pq).unionByName(ivfpq)
     )
 
 
@@ -452,6 +458,9 @@ def _ann_lsh_ivf_sql() -> str:
     sq8 = similarity.sq8_topk_sql(ANN_QUERY_IDS, EMBEDDING_DIM, k=5)
     mp = similarity.lsh_multiprobe_topk_sql(ANN_QUERY_IDS, LSH_PLANE_IDS, k=5)
     pq = similarity.pq_topk_sql(ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5)
+    ivfpq = similarity.ivfpq_topk_sql(
+        ANN_QUERY_IDS, IVF_CENTROID_IDS, PQ_CODEBOOK_IDS, k=5
+    )
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
         f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
@@ -460,7 +469,8 @@ def _ann_lsh_ivf_sql() -> str:
         f"             1 AS rank FROM ({km}))\n"
         f"UNION ALL\nSELECT *, 'sq8' AS method FROM ({sq8})\n"
         f"UNION ALL\nSELECT *, 'lsh_mp' AS method FROM ({mp})\n"
-        f"UNION ALL\nSELECT *, 'pq' AS method FROM ({pq})"
+        f"UNION ALL\nSELECT *, 'pq' AS method FROM ({pq})\n"
+        f"UNION ALL\nSELECT *, 'ivfpq' AS method FROM ({ivfpq})"
     )
 
 
