@@ -390,6 +390,9 @@ def _recall(spark) -> dict:
             "pq_rerank": similarity.pq_topk(
                 emb, ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=k
             ),
+            "ivfpq_rerank": similarity.ivfpq_topk(
+                emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, PQ_CODEBOOK_IDS, k=k
+            ),
         }
         out = {}
         for name, df in approx.items():

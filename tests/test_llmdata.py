@@ -1143,3 +1143,49 @@ def test_ivfpq_candidates_respect_probed_cells(spark):
     for r in got:
         if (r.query_id, r.cand_id) in brute:
             assert r.cos_sim == brute[(r.query_id, r.cand_id)]
+
+
+def test_pq_index_roundtrip_matches_inline(spark, tmp_path):
+    """PQ index lifecycle: build-once codes on disk, query-many —
+    results byte-match the inline pq_topk, and the persisted codes
+    relation is a fraction of the raw vector bytes (the compression
+    that funds the compressed-domain scan)."""
+    import os
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pqidx")
+    meta = similarity.pq_build_index(emb, path, PQ_CODEBOOK_IDS)
+    assert meta["m"] == 8
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.pq_query_index(
+            spark, path, emb, ANN_QUERY_IDS, k=5
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.pq_topk(
+            emb, ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+
+    codes_b = dir_bytes(os.path.join(path, "codes"))
+    raw_b = os.path.getsize(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    assert codes_b < raw_b / 2, (codes_b, raw_b)

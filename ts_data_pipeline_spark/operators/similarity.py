@@ -1677,3 +1677,127 @@ approx AS (
 )"""
         + _pq_sql_tail(k, rerank_factor * k)
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ index lifecycle: build once, query many
+
+
+def pq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    codebook_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the PQ index: packed code vectors + codebooks +
+    meta sidecar. At deployment the encode pass runs ONCE; every
+    query afterwards scans the codes table — m smallint codes per
+    vector (vs d float32s raw), the compression that makes the
+    compressed-domain scan pay at 100 TB.
+
+    Layout: ``path/codes`` (id, codes array<smallint> ordered by
+    subspace), ``path/codebook`` (sub, cid, cv), and
+    ``path/_pq_meta.json`` (m, dsub, codebook ids) so a reader needs
+    no out-of-band knowledge (same self-describing contract as the
+    Z-order sidecar).
+    """
+    import json
+    import os
+
+    enc, _ = _pq_enc_qtab(
+        embeddings, [], codebook_ids, m, dsub, id_col, vec_col
+    )
+    packed = (
+        enc.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "code"))
+            ).alias("sc")
+        )
+        .select(
+            id_col,
+            F.transform("sc", lambda s: s["code"].cast("smallint")).alias(
+                "codes"
+            ),
+        )
+    )
+    packed.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    base = embeddings.select(
+        F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
+            "sub", "sv"
+        )
+    )
+    base.filter(F.col(id_col).isin(codebook_ids)).select(
+        "sub", F.col(id_col).alias("cid"), F.col("sv").alias("cv")
+    ).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    meta = {"m": m, "dsub": dsub, "codebook_ids": list(codebook_ids),
+            "id_col": id_col}
+    with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def pq_query_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted PQ index: the corpus is never re-encoded —
+    the codes table unpacks (posexplode) straight into the ADC join.
+    ``embeddings`` supplies only the query vectors and the exact
+    re-rank lookups. Value-identical to the inline :func:`pq_topk`
+    (pinned in tests/test_llmdata.py)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_meta.json")) as fh:
+        meta = json.load(fh)
+    m, dsub, id_col = meta["m"], meta["dsub"], meta["id_col"]
+
+    enc = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .select(id_col, F.posexplode("codes").alias("sub", "code"))
+        .select(id_col, "sub", F.col("code").cast("bigint").alias("code"))
+    )
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    qtab = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(_slices(vec_col, m, dsub)).alias("sub", "qv"),
+        )
+        .join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            F.col("sub").alias("qsub"),
+            F.col("cid").alias("qcid"),
+            F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("qd2"),
+        )
+    )
+    approx = (
+        enc.join(
+            F.broadcast(qtab),
+            (F.col("sub") == F.col("qsub"))
+            & (F.col("code") == F.col("qcid")),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
+        .repartition("query_id")
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        approx.withColumn("ark", F.row_number().over(w_approx))
+        .filter(F.col("ark") <= rerank_factor * k)
+        .select("query_id", F.col(id_col).alias("cand_id"))
+    )
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
