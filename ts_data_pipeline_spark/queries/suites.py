@@ -482,6 +482,13 @@ def _text_stats_members() -> list[Member]:
              ("rank", "l")),
         ),
         Member(
+            "clean_text_pass",
+            llmdata.clean_text_pass,
+            text_fns.clean_text_sql(),
+            (("doc_id", "l"), ("text_clean", "s"),
+             ("chars_removed", "l")),
+        ),
+        Member(
             "quality_lr_trained",
             llmdata.quality_lr_trained,
             _quality_lr_sql(),
