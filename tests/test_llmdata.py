@@ -1219,3 +1219,59 @@ def test_clean_text_unicode_and_whitespace(spark):
     assert got[3].text_clean is None
     assert got[4].text_clean == "already ok"
     assert got[4].chars_removed == 4
+
+
+def test_pq_index_append_is_delta_scoped_and_queryable(spark, tmp_path):
+    """pq_index_append: existing code files untouched (delta-scoped
+    I/O), and queries over the appended index return results
+    identical to an inline pq_topk over the full corpus (pinned
+    codebooks keep old and new codes comparable)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    # the build corpus must CONTAIN the codebook rows (the builder
+    # rejects a partial codebook rather than silently degrading)
+    head = emb.filter(
+        (F.col("vec_id") < 350) | F.col("vec_id").isin(PQ_CODEBOOK_IDS)
+    )
+    tail = emb.join(head.select("vec_id"), "vec_id", "left_anti")
+    path = str(tmp_path / "pqidx")
+    similarity.pq_build_index(head, path, PQ_CODEBOOK_IDS)
+
+    codes_dir = os.path.join(path, "codes")
+    before = {
+        f: os.path.getmtime(os.path.join(codes_dir, f))
+        for f in os.listdir(codes_dir) if f.endswith(".parquet")
+    }
+    n = similarity.pq_index_append(spark, path, tail)
+    assert n == tail.count() > 0
+    after = {
+        f: os.path.getmtime(os.path.join(codes_dir, f))
+        for f in os.listdir(codes_dir) if f.endswith(".parquet")
+    }
+    for f, mt in before.items():  # old files never rewritten
+        assert after[f] == mt, f
+    assert len(after) > len(before)
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.pq_query_index(
+            spark, path, emb, ANN_QUERY_IDS, k=5
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.pq_topk(
+            emb, ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5
+        ).collect()
+    )
+    assert got == want

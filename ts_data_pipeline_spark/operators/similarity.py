@@ -1707,6 +1707,19 @@ def pq_build_index(
     import json
     import os
 
+    present = (
+        embeddings.filter(F.col(id_col).isin(codebook_ids))
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    if present != len(set(codebook_ids)):
+        # a silently smaller codebook would encode every vector with
+        # different (and worse) codes than the caller specified
+        raise ValueError(
+            f"codebook rows missing from corpus: expected "
+            f"{len(set(codebook_ids))}, found {present}"
+        )
     enc, _ = _pq_enc_qtab(
         embeddings, [], codebook_ids, m, dsub, id_col, vec_col
     )
@@ -1801,3 +1814,62 @@ def pq_query_index(
         .select("query_id", F.col(id_col).alias("cand_id"))
     )
     return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
+
+
+def pq_index_append(
+    spark,
+    path: str,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: encode ONLY the delta vectors
+    under the index's PINNED codebooks (meta sidecar) and append
+    their packed codes — existing code files are never rewritten,
+    the same delta-scoped I/O contract as the Z-order compaction and
+    the upsert sink's buckets. Returns the number of rows appended.
+
+    The pinned codebooks are the PQ analog of the pinned
+    quantization frame: new vectors far from the training
+    distribution encode with higher distortion (monitor recall; a
+    full rebuild refreshes the codebooks), but existing codes keep
+    their meaning, so old and new rows remain directly comparable
+    under one ADC table.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_meta.json")) as fh:
+        meta = json.load(fh)
+    m, dsub, id_col = meta["m"], meta["dsub"], meta["id_col"]
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+
+    base = delta.select(
+        F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
+            "sub", "sv"
+        )
+    )
+    enc = (
+        base.join(F.broadcast(cb), "sub")
+        .select(
+            id_col,
+            "sub",
+            "cid",
+            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("d", "cid")).alias("mc"))
+        .select(id_col, "sub", F.col("mc.cid").alias("code"))
+    )
+    packed = (
+        enc.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(
+            id_col,
+            F.transform("sc", lambda s: s["code"].cast("smallint")).alias(
+                "codes"
+            ),
+        )
+    )
+    n = packed.count()
+    packed.write.mode("append").parquet(os.path.join(path, "codes"))
+    return n
