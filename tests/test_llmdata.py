@@ -1211,9 +1211,11 @@ def test_clean_text_unicode_and_whitespace(spark):
     want1 = unicodedata.normalize("NFC", decomposed)
     want1 = " ".join(want1.split())
     assert got[1].text_clean == want1 == "Café du monde"
-    # NFC shrank é to one char; two double-spaces collapsed
-    assert got[1].chars_removed == len("Cafe  du   monde") - 1 - len(want1) + 1 - 0 or True
-    assert got[1].chars_removed >= 3
+    # chars_removed baselines on the POST-NFC text (NFC rewrites, it
+    # doesn't "remove"): the NFC'd string has 16 chars, the cleaned
+    # 13 — exactly the three collapsed spaces
+    nfc_len = len(unicodedata.normalize("NFC", decomposed))
+    assert got[1].chars_removed == nfc_len - len(want1) == 3
 
     assert got[2].text_clean == "abc d e"
     assert got[3].text_clean is None

@@ -1313,9 +1313,11 @@ def clean_text(
     corpus) — as the single documented Arrow hop
     (:func:`nfc_normalize_col`), keeps case (casefolding belongs to
     feature extraction, not canonical text), and REMOVES control
-    chars rather than blanking them. chars_removed counts the net
-    character change (cleaning only ever shrinks or preserves
-    length).
+    chars rather than blanking them. chars_removed counts the
+    strip/collapse/trim removals measured AGAINST THE NFC'D text —
+    NFC composition itself rewrites rather than removes, so its
+    length change is deliberately not attributed to cleaning (the
+    SQL twin uses the same post-NFC baseline).
     """
     nfc = nfc_normalize_col(docs.select(id_col, text_col), text_col)
     cleaned = nfc.select(

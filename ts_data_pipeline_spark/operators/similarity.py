@@ -357,6 +357,52 @@ def lsh_bucketed_topk(
     )
 
 
+def _ivf_assign(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+):
+    """THE coarse-assignment lane, shared by ivf_topk and
+    ivfpq_topk: returns (norm, assign, probe) where norm is
+    (id, v, n), assign is (id, cell) and probe is (p_qid, qcell).
+    Assignment cosine is ROUND(.., 6) with ascending-cid tie-break —
+    the k-means convention — so the flat and the PQ-composed search
+    can never place a vector in different cells (the drift the first
+    cut of ivfpq shipped with)."""
+    norm = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
+    cents = norm.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("ccid"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+    paired = (
+        norm.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "ccid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+            ).alias("cc"),
+        )
+        .repartition(id_col)  # lazy-sort boundary (see brute_force_topk)
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("cc").desc(), F.col("ccid").asc()
+    )
+    ranked = paired.withColumn("crk", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("crk") == 1).select(
+        id_col, F.col("ccid").alias("cell")
+    )
+    probe = ranked.filter(
+        F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe)
+    ).select(F.col(id_col).alias("p_qid"), F.col("ccid").alias("qcell"))
+    return norm, assign, probe
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -376,43 +422,21 @@ def ivf_topk(
     candidate join is an equi-join on cell id. Per-query work drops
     from |corpus| to ~|corpus| * nprobe / |centroids|.
     """
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
-    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("n").alias("cn")
-    )
-    # Cell assignment: argmax cosine vs every centroid (broadcast).
-    # The ranking runs over a NARROW (id, cid, cc) relation — the
+    # Cell assignment: the shared rounded-cosine lane (_ivf_assign).
+    # The ranking runs over a NARROW (id, ccid, cc) relation — the
     # vector column never rides the x|centroids| fan-out or the
-    # assignment shuffle — and the explicit repartition materializes
-    # the interpreted dot() scores once before the sort (the
-    # lazy-sort hazard documented at brute_force_topk).
-    paired = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "cid",
-            (dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn"))).alias(
-                "cc"
-            ),
-        )
-        .repartition(id_col)
+    # assignment shuffle.
+    norm, cells, probe = _ivf_assign(
+        embeddings, centroid_ids, query_ids, nprobe, id_col, vec_col
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("cc").desc(), F.col("cid").asc()
-    )
-    ranked = paired.withColumn("crk", F.row_number().over(w_assign))
-    assign = emb.join(
-        ranked.filter(F.col("crk") == 1).select(id_col, F.col("cid").alias("cell")),
-        id_col,
-    )
+    assign = norm.join(cells, id_col)
     # Queries probe their nprobe nearest cells (tiny; vectors joined back).
     qprobe = (
-        ranked.filter(F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe))
-        .select(F.col(id_col).alias("query_id"), F.col("cid").alias("qcell"))
+        probe.select(
+            F.col("p_qid").alias("query_id"), F.col("qcell")
+        )
         .join(
-            emb.filter(F.col(id_col).isin(query_ids)).select(
+            norm.filter(F.col(id_col).isin(query_ids)).select(
                 F.col(id_col).alias("query_id"),
                 F.col("v").alias("qv"),
                 F.col("n").alias("qn"),
@@ -587,14 +611,13 @@ def ivf_topk_sql(
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id IN ({cids})),
 paired AS (
+  -- assignment cosine ROUND 6 + cid tie-break: the shared lane
+  -- convention (_ivf_assign), identical in the ivfpq twin
   SELECT e.vec_id, e.v, c.cid,
-         list_dot_product(e.v, c.cv) /
-           (sqrt(list_dot_product(e.v, e.v)) *
-            sqrt(list_dot_product(c.cv, c.cv))) AS cc,
          row_number() OVER (PARTITION BY e.vec_id
-                            ORDER BY list_dot_product(e.v, c.cv) /
+                            ORDER BY ROUND(list_dot_product(e.v, c.cv) /
                               (sqrt(list_dot_product(e.v, e.v)) *
-                               sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                               sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
                             c.cid ASC) AS crk
   FROM emb e CROSS JOIN cents c
 ),
@@ -1300,30 +1323,35 @@ def _l2sq(a: Column, b: Column) -> Column:
     return dot(a, a) - 2 * dot(a, b) + dot(b, b)
 
 
-def _pq_enc_qtab(
-    embeddings: DataFrame,
-    query_ids: list[int],
-    codebook_ids: list[int],
-    m: int,
-    dsub: int,
-    id_col: str,
-    vec_col: str,
-):
-    """Shared PQ machinery: (enc, qtab) — the compressed corpus
-    relation (id, sub, code) and the query ADC table (query_id, qsub,
-    qcid, qd2). One definition for pq_topk AND ivfpq_topk so the
-    encode/probe lane math cannot diverge between the flat and the
-    cell-restricted search."""
-    base = embeddings.select(
+def _pq_base(df: DataFrame, m: int, dsub: int, id_col: str,
+             vec_col: str) -> DataFrame:
+    """(id, sub, sv) subvector rows — the single slicing definition."""
+    return df.select(
         F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
             "sub", "sv"
         )
     )
-    cb = base.filter(F.col(id_col).isin(codebook_ids)).select(
-        "sub", F.col(id_col).alias("cid"), F.col("sv").alias("cv")
+
+
+def _pq_cb(embeddings: DataFrame, codebook_ids: list[int], m: int,
+           dsub: int, id_col: str, vec_col: str) -> DataFrame:
+    """Codebook relation (sub, cid, cv) from corpus rows."""
+    return (
+        _pq_base(embeddings, m, dsub, id_col, vec_col)
+        .filter(F.col(id_col).isin(codebook_ids))
+        .select("sub", F.col(id_col).alias("cid"), F.col("sv").alias("cv"))
     )
-    enc = (
-        base.join(F.broadcast(cb), "sub")
+
+
+def _pq_enc_from(rows: DataFrame, cb: DataFrame, m: int, dsub: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    """Encode rows against a given codebook: (id, sub, code) with
+    code = the nearest codebook member's cid (6-dp rounded L2, cid
+    tie-break). ONE definition for inline search, index build, and
+    index append."""
+    return (
+        _pq_base(rows, m, dsub, id_col, vec_col)
+        .join(F.broadcast(cb), "sub")
         .select(
             id_col,
             "sub",
@@ -1334,24 +1362,71 @@ def _pq_enc_qtab(
         .agg(F.min(F.struct("d", "cid")).alias("mc"))
         .select(id_col, "sub", F.col("mc.cid").alias("code"))
     )
-    qtab = (
-        base.filter(F.col(id_col).isin(query_ids))
+
+
+def _pq_qtab(embeddings: DataFrame, query_ids: list[int], cb: DataFrame,
+             m: int, dsub: int, id_col: str, vec_col: str) -> DataFrame:
+    """Query ADC table (query_id, qsub, qcid, qd2) against a given
+    codebook — shared by inline and persisted-index search."""
+    return (
+        _pq_base(
+            embeddings.filter(F.col(id_col).isin(query_ids)),
+            m, dsub, id_col, vec_col,
+        )
         .select(
-            F.col(id_col).alias("query_id"),
-            "sub",
+            F.col(id_col).alias("query_id"), "sub",
             F.col("sv").alias("qv"),
         )
         .join(F.broadcast(cb), "sub")
         .select(
             "query_id",
-            # distinct names: enc and qtab share lineage through
-            # `base`, so dataframe-qualified same-name refs degrade
-            # to a trivially-true self-compare
+            # distinct names: enc and qtab can share lineage, where
+            # dataframe-qualified same-name refs degrade to a
+            # trivially-true self-compare
             F.col("sub").alias("qsub"),
             F.col("cid").alias("qcid"),
             F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("qd2"),
         )
     )
+
+
+def _pq_adc_cands(scored: DataFrame, id_col: str,
+                  shortlist: int) -> DataFrame:
+    """The shared ADC aggregation + shortlist stage: rows carrying
+    (query_id, id, qd2) -> (query_id, cand_id). One definition so a
+    rounding/tie-break tweak cannot desynchronize the three search
+    paths (inline PQ, IVFPQ, persisted index)."""
+    approx = (
+        scored.filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
+        .repartition("query_id")
+    )
+    w_approx = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col(id_col).asc()
+    )
+    return (
+        approx.withColumn("ark", F.row_number().over(w_approx))
+        .filter(F.col("ark") <= shortlist)
+        .select("query_id", F.col(id_col).alias("cand_id"))
+    )
+
+
+def _pq_enc_qtab(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    codebook_ids: list[int],
+    m: int,
+    dsub: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared PQ machinery: (enc, qtab) — the compressed corpus
+    relation (id, sub, code) and the query ADC table. Composition of
+    the single-definition helpers above."""
+    cb = _pq_cb(embeddings, codebook_ids, m, dsub, id_col, vec_col)
+    enc = _pq_enc_from(embeddings, cb, m, dsub, id_col, vec_col)
+    qtab = _pq_qtab(embeddings, query_ids, cb, m, dsub, id_col, vec_col)
     return enc, qtab
 
 
@@ -1432,27 +1507,11 @@ def pq_topk(
     enc, qtab = _pq_enc_qtab(
         embeddings, query_ids, codebook_ids, m, dsub, id_col, vec_col
     )
-
-    shortlist = rerank_factor * k
-    approx = (
-        enc.join(
-            F.broadcast(qtab),
-            (F.col("sub") == F.col("qsub"))
-            & (F.col("code") == F.col("qcid")),
-        )
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
-        .repartition("query_id")
+    scored = enc.join(
+        F.broadcast(qtab),
+        (F.col("sub") == F.col("qsub")) & (F.col("code") == F.col("qcid")),
     )
-    w_approx = Window.partitionBy("query_id").orderBy(
-        F.col("ad2").asc(), F.col(id_col).asc()
-    )
-    cands = (
-        approx.withColumn("ark", F.row_number().over(w_approx))
-        .filter(F.col("ark") <= shortlist)
-        .select("query_id", F.col(id_col).alias("cand_id"))
-    )
+    cands = _pq_adc_cands(scored, id_col, rerank_factor * k)
     return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
 
 
@@ -1484,34 +1543,9 @@ def ivfpq_topk(
     of corpus size; the one corpus-sized relation in flight is
     (id, sub, code, cell).
     """
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
-    cents = emb.filter(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("ccid"), F.col("v").alias("cv"),
-        F.col("n").alias("cn"),
+    _, assign, probe = _ivf_assign(
+        embeddings, centroid_ids, query_ids, nprobe, id_col, vec_col
     )
-    paired = (
-        emb.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "ccid",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
-            ).alias("cc"),
-        )
-        .repartition(id_col)
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("cc").desc(), F.col("ccid").asc()
-    )
-    ranked = paired.withColumn("crk", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("crk") == 1).select(
-        id_col, F.col("ccid").alias("cell")
-    )
-    probe = ranked.filter(
-        F.col(id_col).isin(query_ids) & (F.col("crk") <= nprobe)
-    ).select(F.col(id_col).alias("p_qid"), F.col("ccid").alias("qcell"))
 
     enc, qtab = _pq_enc_qtab(
         embeddings, query_ids, codebook_ids, m, dsub, id_col, vec_col
@@ -1523,26 +1557,13 @@ def ivfpq_topk(
     in_cells = enc.join(assign, id_col).join(
         F.broadcast(probe), F.col("cell") == F.col("qcell")
     )
-    approx = (
-        in_cells.join(
-            F.broadcast(qtab),
-            (F.col("sub") == F.col("qsub"))
-            & (F.col("code") == F.col("qcid"))
-            & (F.col("p_qid") == F.col("query_id")),
-        )
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
-        .repartition("query_id")
+    scored = in_cells.join(
+        F.broadcast(qtab),
+        (F.col("sub") == F.col("qsub"))
+        & (F.col("code") == F.col("qcid"))
+        & (F.col("p_qid") == F.col("query_id")),
     )
-    w_approx = Window.partitionBy("query_id").orderBy(
-        F.col("ad2").asc(), F.col(id_col).asc()
-    )
-    cands = (
-        approx.withColumn("ark", F.row_number().over(w_approx))
-        .filter(F.col("ark") <= rerank_factor * k)
-        .select("query_id", F.col(id_col).alias("cand_id"))
-    )
+    cands = _pq_adc_cands(scored, id_col, rerank_factor * k)
     return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
 
 
@@ -1683,6 +1704,28 @@ approx AS (
 # PQ index lifecycle: build once, query many
 
 
+def _pq_pack(enc: DataFrame, sorted_ids: list[int], id_col: str) -> DataFrame:
+    """Pack (id, sub, code) rows into one codes array per vector,
+    translating each code (a codebook member's corpus id) into its
+    DENSE index in ``sorted_ids`` — raw ids are unbounded bigints;
+    dense indexes fit smallint at any corpus scale. Shared by build
+    and append so the two writers cannot pack differently."""
+    ids = F.lit(sorted_ids)
+    return (
+        enc.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
+        .select(
+            id_col,
+            F.transform(
+                "sc",
+                lambda s: (F.array_position(ids, s["code"]) - 1).cast(
+                    "smallint"
+                ),
+            ).alias("codes"),
+        )
+    )
+
+
 def pq_build_index(
     embeddings: DataFrame,
     path: str,
@@ -1699,7 +1742,9 @@ def pq_build_index(
     compressed-domain scan pay at 100 TB.
 
     Layout: ``path/codes`` (id, codes array<smallint> ordered by
-    subspace), ``path/codebook`` (sub, cid, cv), and
+    subspace — DENSE 0..ksub-1 indexes into the sorted codebook-id
+    list, NOT raw corpus ids, so smallint can never overflow however
+    large the corpus ids grow), ``path/codebook`` (sub, cid, cv), and
     ``path/_pq_meta.json`` (m, dsub, codebook ids) so a reader needs
     no out-of-band knowledge (same self-describing contract as the
     Z-order sidecar).
@@ -1723,20 +1768,7 @@ def pq_build_index(
     enc, _ = _pq_enc_qtab(
         embeddings, [], codebook_ids, m, dsub, id_col, vec_col
     )
-    packed = (
-        enc.groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("sub", "code"))
-            ).alias("sc")
-        )
-        .select(
-            id_col,
-            F.transform("sc", lambda s: s["code"].cast("smallint")).alias(
-                "codes"
-            ),
-        )
-    )
+    packed = _pq_pack(enc, sorted(set(codebook_ids)), id_col)
     packed.write.mode("overwrite").parquet(os.path.join(path, "codes"))
     base = embeddings.select(
         F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
@@ -1773,46 +1805,27 @@ def pq_query_index(
     with open(os.path.join(path, "_pq_meta.json")) as fh:
         meta = json.load(fh)
     m, dsub, id_col = meta["m"], meta["dsub"], meta["id_col"]
+    sorted_ids = sorted(set(meta["codebook_ids"]))
 
+    # unpack and translate DENSE indexes back to codebook cids
     enc = (
         spark.read.parquet(os.path.join(path, "codes"))
-        .select(id_col, F.posexplode("codes").alias("sub", "code"))
-        .select(id_col, "sub", F.col("code").cast("bigint").alias("code"))
+        .select(id_col, F.posexplode("codes").alias("sub", "cidx"))
+        .select(
+            id_col,
+            "sub",
+            F.element_at(
+                F.lit(sorted_ids), F.col("cidx").cast("int") + 1
+            ).alias("code"),
+        )
     )
     cb = spark.read.parquet(os.path.join(path, "codebook"))
-    qtab = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.posexplode(_slices(vec_col, m, dsub)).alias("sub", "qv"),
-        )
-        .join(F.broadcast(cb), "sub")
-        .select(
-            "query_id",
-            F.col("sub").alias("qsub"),
-            F.col("cid").alias("qcid"),
-            F.round(_l2sq(F.col("qv"), F.col("cv")), 6).alias("qd2"),
-        )
+    qtab = _pq_qtab(embeddings, query_ids, cb, m, dsub, id_col, vec_col)
+    scored = enc.join(
+        F.broadcast(qtab),
+        (F.col("sub") == F.col("qsub")) & (F.col("code") == F.col("qcid")),
     )
-    approx = (
-        enc.join(
-            F.broadcast(qtab),
-            (F.col("sub") == F.col("qsub"))
-            & (F.col("code") == F.col("qcid")),
-        )
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
-        .repartition("query_id")
-    )
-    w_approx = Window.partitionBy("query_id").orderBy(
-        F.col("ad2").asc(), F.col(id_col).asc()
-    )
-    cands = (
-        approx.withColumn("ark", F.row_number().over(w_approx))
-        .filter(F.col("ark") <= rerank_factor * k)
-        .select("query_id", F.col(id_col).alias("cand_id"))
-    )
+    cands = _pq_adc_cands(scored, id_col, rerank_factor * k)
     return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
 
 
@@ -1834,6 +1847,12 @@ def pq_index_append(
     full rebuild refreshes the codebooks), but existing codes keep
     their meaning, so old and new rows remain directly comparable
     under one ADC table.
+
+    Idempotent under re-delivery: delta ids already present in the
+    index are SKIPPED (anti-join against the existing ids) — a
+    blind append after a partially-failed run would double every
+    duplicate's ADC sum and silently corrupt rankings. Returns the
+    number of rows actually appended.
     """
     import json
     import os
@@ -1841,35 +1860,20 @@ def pq_index_append(
     with open(os.path.join(path, "_pq_meta.json")) as fh:
         meta = json.load(fh)
     m, dsub, id_col = meta["m"], meta["dsub"], meta["id_col"]
+    sorted_ids = sorted(set(meta["codebook_ids"]))
     cb = spark.read.parquet(os.path.join(path, "codebook"))
 
-    base = delta.select(
-        F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
-            "sub", "sv"
-        )
-    )
-    enc = (
-        base.join(F.broadcast(cb), "sub")
-        .select(
-            id_col,
-            "sub",
-            "cid",
-            F.round(_l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
-        )
-        .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("d", "cid")).alias("mc"))
-        .select(id_col, "sub", F.col("mc.cid").alias("code"))
-    )
-    packed = (
-        enc.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc"))
-        .select(
-            id_col,
-            F.transform("sc", lambda s: s["code"].cast("smallint")).alias(
-                "codes"
-            ),
-        )
-    )
-    n = packed.count()
-    packed.write.mode("append").parquet(os.path.join(path, "codes"))
+    existing = spark.read.parquet(os.path.join(path, "codes")).select(id_col)
+    fresh = delta.join(existing, id_col, "left_anti")
+
+    enc = _pq_enc_from(fresh, cb, m, dsub, id_col, vec_col)
+    # cache: count + write must observe ONE encoding pass (and a
+    # non-deterministic delta source must not desync n from the data)
+    packed = _pq_pack(enc, sorted_ids, id_col).cache()
+    try:
+        n = packed.count()
+        if n:
+            packed.write.mode("append").parquet(os.path.join(path, "codes"))
+    finally:
+        packed.unpersist()
     return n
