@@ -347,3 +347,76 @@ def test_lookahead_windows_use_incremental_frames(spark):
 
     interp = telemetry_interp_linear(spark, SF_DIR)
     assert "unboundedfollowing" not in _plan(interp).lower()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SCALE.md leans on AQE skew-join handling for large-large
+    joins ('stopword-shingle skew is AQE skew-join territory') —
+    this pins that the mechanism actually FIRES here: a join against
+    a 90%-hot-key fact, with the skew thresholds tuned to this data
+    size, must show skew-split partitions in the final adaptive plan
+    (`isSkew=true` / skewed-partition markers in AQEShuffleRead),
+    and return exactly the unskewed-equivalent row count."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # force a sort-merge join: broadcast would bypass skew logic
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # payloads must be incompressible: skew detection reads the
+        # COMPRESSED map-output sizes, and a constant string deflates
+        # the hot partition below any threshold (found empirically —
+        # with "x"*64 the optimizer only coalesces)
+        import random
+
+        rnd = random.Random(1)
+        n = 60_000
+        fact = spark.createDataFrame(
+            [Row(k=(0 if i % 10 != 9 else i % 97),
+                 payload="".join(rnd.choices("abcdefghijklmnop", k=96)))
+             for i in range(n)]
+        ).repartition(8)
+        dim = spark.createDataFrame(
+            [Row(k=i, label=f"d{i}") for i in range(100)]
+        ).repartition(8)
+
+        joined = fact.join(dim, "k")
+        # execute THIS dataframe (count() builds a different plan
+        # object whose AQE result we could not inspect)
+        cnt = len(joined.collect())
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "coalesced and skewed" in plan, plan[:2000]
+
+        expect = fact.groupBy("k").count().join(dim, "k").agg(
+            F.sum("count")
+        ).collect()[0][0]
+        assert cnt == expect
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
