@@ -153,6 +153,7 @@ def _extras(spark) -> dict:
         count_min_sketch,
         embedding_gram,
         inverted_index_build,
+        quality_lr_trained,
     )
     from ts_data_pipeline_spark.queries.olap import zorder_zone_map
     from ts_data_pipeline_spark.queries.relational import bloom_semi_orders
@@ -173,6 +174,17 @@ def _extras(spark) -> dict:
         return similarity.pq_topk(
             _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
             PQ_CODEBOOK_IDS, k=5,
+        )
+
+    def ann_ivfpq(spark, sf_dir):
+        from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+        from ts_data_pipeline_spark.queries.timeseries import (
+            IVF_CENTROID_IDS,
+        )
+
+        return similarity.ivfpq_topk(
+            _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
+            IVF_CENTROID_IDS, PQ_CODEBOOK_IDS, k=5,
         )
 
     def ann_brute_pandas(spark, sf_dir):
@@ -207,6 +219,7 @@ def _extras(spark) -> dict:
         "ann_sq8_topk": ann_sq8,
         "ann_lsh_multiprobe": ann_multiprobe,
         "ann_pq_topk": ann_pq,
+        "ann_ivfpq_topk": ann_ivfpq,
         "ann_brute_pandas_udf": ann_brute_pandas,
         # round-6 additions
         "cusum_drift_summary": cusum_drift_summary,
@@ -218,6 +231,7 @@ def _extras(spark) -> dict:
         "count_min_sketch": count_min_sketch,
         "embedding_gram": embedding_gram,
         "inverted_index_build": inverted_index_build,
+        "quality_lr_trained": quality_lr_trained,
         "bloom_semi_orders": bloom_semi_orders,
         "zorder_zone_map": zorder_zone_map,
     }
