@@ -1060,3 +1060,69 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _write_chunk(spark, [_trade("1", "2024-01-01T12:00:01")], data_dir)
     got3 = drain("r3")
     assert got3 == {"1": 2, "2": 1, "3": 1, "4": 1}
+
+
+def test_streaming_multistage_funnel_matches_batch(spark, tmp_path):
+    """Streaming multi-stage CEP funnel vs the batch funnel_path:
+    identical completed verdicts for every start whose horizon the
+    watermark passed, and identical per-stage witness timestamps
+    wherever the batch witness lies inside the horizon (beyond it no
+    finite-state stream can finalize — documented contract)."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    stages = ["view", "click", "purchase"]
+    chunks = [
+        # u1 completes view@0 -> click@2 -> purchase@4 (within 6)
+        [(0, 1, m(0), "view"), (1, 1, m(2), "click"),
+         (2, 2, m(1), "view")],
+        [(3, 1, m(4), "purchase"),
+         # u2 clicks@3 but purchases too late (@9 > 1+6)
+         (4, 2, m(3), "click"), (5, 2, m(9), "purchase")],
+        # u3 view with no click at all; watermark pushers
+        [(6, 3, m(20), "view"), (7, 1, m(30), "view")],
+        [(8, 9, m(60), "view")],
+    ]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_funnel_path(stream, stages, 6)
+    windowed.run_available_now(out, "t_cep_path", str(tmp_path / "ckpt"))
+    got = {
+        r.event_id: (r.completed, r.ts_1_click, r.ts_2_purchase)
+        for r in spark.table("t_cep_path").collect()
+    }
+
+    allrows = spark.createDataFrame([r for c in chunks for r in c], schema)
+    batch = {
+        r.event_id: (r.completed, r.ts_1_click, r.ts_2_purchase, r.ts)
+        for r in tsstats.funnel_path(allrows, stages, 6).collect()
+    }
+    # finalized starts: horizon (ts+6min) < final watermark (60min-1s)
+    assert set(got) == {0, 2, 6, 7}
+    for eid, (comp, t1, t2) in got.items():
+        bcomp, bt1, bt2, bts = batch[eid]
+        assert comp == bcomp, (eid, comp, bcomp)
+        horizon = bts + dt.timedelta(minutes=6)
+        for mine, theirs in ((t1, bt1), (t2, bt2)):
+            if theirs is not None and theirs <= horizon:
+                assert mine == theirs, (eid, mine, theirs)
+            else:
+                assert mine is None, (eid, mine, theirs)
+    assert got[0] == (True, m(2), m(4))
+    assert got[2][0] is False and got[2][1] == m(3)  # click in horizon
+    assert got[6] == (False, None, None)

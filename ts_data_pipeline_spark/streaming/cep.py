@@ -435,3 +435,129 @@ def streaming_cusum_alerts(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_funnel_path(
+    events: DataFrame,
+    stages: list[str],
+    within_minutes: int,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    grace: str = "1 second",
+) -> DataFrame:
+    """Streaming multi-stage funnel — the CEP twin of
+    operators/tsstats.funnel_path (MATCH_RECOGNIZE-lite): for every
+    ``stages[0]`` event, emit a FINAL verdict when the watermark
+    passes its horizon (start ts + within): the greedy at-or-after
+    chain's per-stage timestamps while the chain stays inside the
+    horizon, and ``completed`` = the full chain fit within it.
+
+    Greedy earliest matching is decision-complete at the horizon:
+    every event that could keep a chain inside [ts0, ts0+within] has
+    event time <= ts0+within <= watermark, so it is either in state
+    or provably late. Like the 2-stage twin, stage timestamps BEYOND
+    the horizon (the batch operator's unbounded witnesses for
+    incomplete chains) are not finalizable by a stream and are
+    reported null; the completed verdict is identical — pinned
+    against the batch operator in tests/test_streaming.py.
+
+    State per key is bounded by one horizon's worth of events per
+    stage (evicted once ts + within passes the watermark — no start
+    deciding later can use them).
+    """
+    if len(stages) < 2:
+        raise ValueError("streaming_funnel_path needs at least 2 stages")
+    from bisect import bisect_left
+
+    within_us = within_minutes * 60_000_000
+    rest = stages[1:]
+    stage_cols = [f"ts_{i}_{name}" for i, name in enumerate(rest, 1)]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+        ]
+        + [T.StructField(c, T.TimestampType()) for c in stage_cols]
+        + [T.StructField("completed", T.BooleanType())]
+    )
+
+    def fold(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            else {"starts": [], "stg": [[] for _ in rest]}
+        )
+        starts = [(i, t) for i, t in st["starts"]]
+        stg = [list(map(int, lst)) for lst in st["stg"]]
+        wm = state.getCurrentWatermarkMs() * 1000  # us
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                ts_us = int(rec[ts_col].value // 1_000)
+                if ts_us + within_us <= wm:
+                    continue  # late beyond every open horizon
+                etype = rec[type_col]
+                if etype == stages[0]:
+                    starts.append((int(rec[id_col]), ts_us))
+                for si, name in enumerate(rest):
+                    if etype == name:
+                        stg[si].append(ts_us)
+        for lst in stg:
+            lst.sort()
+        rows = []
+        still_open = []
+        for sid, sts in sorted(starts, key=lambda p: (p[1], p[0])):
+            if sts + within_us > wm:
+                still_open.append((sid, sts))
+                continue
+            horizon = sts + within_us
+            row = {
+                id_col: sid,
+                "key": key[0],
+                ts_col: pd.Timestamp(sts, unit="us"),
+                "completed": True,
+            }
+            prev = sts
+            for col, lst in zip(stage_cols, stg):
+                hit = None
+                if prev is not None:
+                    j = bisect_left(lst, prev)  # at-or-after
+                    if j < len(lst) and lst[j] <= horizon:
+                        hit = lst[j]
+                row[col] = pd.Timestamp(hit, unit="us") if hit else pd.NaT
+                if hit is None:
+                    row["completed"] = False
+                prev = hit
+            rows.append(row)
+        stg = [
+            [t for t in lst if t + within_us > wm] for lst in stg
+        ]
+        if still_open or any(stg):
+            horizons = [t + within_us for _, t in still_open] + [
+                t + within_us for lst in stg for t in lst
+            ]
+            state.update(
+                (json.dumps({"starts": still_open, "stg": stg}),)
+            )
+            _arm_timeout(state, -(-min(horizons) // 1000), wm // 1000)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
+
+    return (
+        events.withWatermark(ts_col, grace)
+        .withColumn("_key", F.col(key_col).cast("string"))
+        .groupBy("_key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
