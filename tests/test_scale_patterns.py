@@ -370,6 +370,7 @@ def test_aqe_splits_skewed_join_partitions(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
         )
     }
     try:
@@ -383,6 +384,11 @@ def test_aqe_splits_skewed_join_partitions(spark):
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
         # force a sort-merge join: broadcast would bypass skew logic
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # pin the partition count: the assertion expects both small
+        # partitions (to coalesce) and a split hot one; an env-tuned
+        # session (SPARK_GRAFT_SHUFFLE_PARTITIONS) must not change
+        # what this test observes
+        conf.set("spark.sql.shuffle.partitions", "32")
 
         # payloads must be incompressible: skew detection reads the
         # COMPRESSED map-output sizes, and a constant string deflates

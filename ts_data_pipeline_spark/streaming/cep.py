@@ -120,11 +120,11 @@ def streaming_funnel(
                 ts_us = int(rec[ts_col].value // 1_000)
                 rid = int(rec[id_col])
                 if rec[type_col] == from_event:
-                    if ts_us + within_us <= wm:
-                        continue  # horizon already closed: late, drop
+                    if ts_us + within_us < wm:
+                        continue  # horizon STRICTLY passed: late, drop
                     froms.append((rid, ts_us))
                 elif rec[type_col] == to_event:
-                    if ts_us + within_us <= wm:
+                    if ts_us + within_us < wm:
                         continue  # can no longer convert any open from
                     tos.append((rid, ts_us))
         # decide every from whose horizon the watermark has passed;
@@ -134,7 +134,11 @@ def streaming_funnel(
         rows = []
         still_open = []
         for fid, fts in sorted(froms, key=lambda p: (p[1], p[0])):
-            if fts + within_us > wm:
+            if fts + within_us >= wm:
+                # at equality the horizon-closing instant's events are
+                # not yet provably late (late means ts < watermark):
+                # a witness AT the horizon may still arrive — decide
+                # only strictly past (review finding, round 6)
                 still_open.append((fid, fts))
                 continue
             hits = [
@@ -154,7 +158,7 @@ def streaming_funnel(
                     "converted": hit is not None,
                 }
             )
-        tos = [(tid, tts) for tid, tts in tos if tts + within_us > wm]
+        tos = [(tid, tts) for tid, tts in tos if tts + within_us >= wm]
         if still_open or tos:
             horizons = [fts + within_us for _, fts in still_open] + [
                 tts + within_us for _, tts in tos
@@ -162,10 +166,12 @@ def streaming_funnel(
             state.update(
                 (json.dumps({"u": "us", "froms": still_open, "tos": tos}),)
             )
-            # ceil: a sub-ms horizon must arm at the first watermark
-            # millisecond that DECIDES it, or a from-event could sit
-            # decidable-but-unemitted after the stream plateaus
-            _arm_timeout(state, -(-min(horizons) // 1000), wm // 1000)
+            # arm at the horizon's floor-ms + 1 (then _arm_timeout's
+            # -1 sets exactly floor(h/1000)): event-time timeouts fire
+            # when the watermark STRICTLY exceeds the set instant, so
+            # this fires at the first watermark that STRICTLY passes
+            # the horizon — matching the strict decision rule
+            _arm_timeout(state, min(horizons) // 1000 + 1, wm // 1000)
         elif state.exists:
             state.remove()
         yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
@@ -491,7 +497,7 @@ def streaming_funnel_path(
         st = (
             json.loads(state.get[0])
             if state.exists
-            else {"starts": [], "stg": [[] for _ in rest]}
+            else {"u": "us", "starts": [], "stg": [[] for _ in rest]}
         )
         starts = [(i, t) for i, t in st["starts"]]
         stg = [list(map(int, lst)) for lst in st["stg"]]
@@ -499,7 +505,7 @@ def streaming_funnel_path(
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
                 ts_us = int(rec[ts_col].value // 1_000)
-                if ts_us + within_us <= wm:
+                if ts_us + within_us < wm:
                     continue  # late beyond every open horizon
                 etype = rec[type_col]
                 if etype == stages[0]:
@@ -512,7 +518,8 @@ def streaming_funnel_path(
         rows = []
         still_open = []
         for sid, sts in sorted(starts, key=lambda p: (p[1], p[0])):
-            if sts + within_us > wm:
+            if sts + within_us >= wm:
+                # strict decision boundary — see streaming_funnel
                 still_open.append((sid, sts))
                 continue
             horizon = sts + within_us
@@ -529,22 +536,28 @@ def streaming_funnel_path(
                     j = bisect_left(lst, prev)  # at-or-after
                     if j < len(lst) and lst[j] <= horizon:
                         hit = lst[j]
-                row[col] = pd.Timestamp(hit, unit="us") if hit else pd.NaT
+                row[col] = (
+                    pd.Timestamp(hit, unit="us")
+                    if hit is not None else pd.NaT
+                )
                 if hit is None:
                     row["completed"] = False
                 prev = hit
             rows.append(row)
         stg = [
-            [t for t in lst if t + within_us > wm] for lst in stg
+            [t for t in lst if t + within_us >= wm] for lst in stg
         ]
         if still_open or any(stg):
             horizons = [t + within_us for _, t in still_open] + [
                 t + within_us for lst in stg for t in lst
             ]
             state.update(
-                (json.dumps({"starts": still_open, "stg": stg}),)
+                (json.dumps(
+                    {"u": "us", "starts": still_open, "stg": stg}
+                ),)
             )
-            _arm_timeout(state, -(-min(horizons) // 1000), wm // 1000)
+            # strict-firing arm — see streaming_funnel
+            _arm_timeout(state, min(horizons) // 1000 + 1, wm // 1000)
         elif state.exists:
             state.remove()
         yield pd.DataFrame(rows, columns=list(out_schema.fieldNames()))
