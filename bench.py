@@ -176,6 +176,24 @@ def _extras(spark) -> dict:
             PQ_CODEBOOK_IDS, k=5,
         )
 
+    def plain_semi_orders(spark, sf_dir):
+        # the un-bloomed twin of bloom_semi_orders, timed so the
+        # runtime-filter's local cost/benefit is a published number
+        # (locally the extra build job usually LOSES — the win is
+        # cluster shuffle bytes, same honesty as the salted join)
+        from pyspark.sql import functions as FF
+
+        building = _io.load(spark, sf_dir, "customer").filter(
+            FF.col("c_mktsegment") == "BUILDING"
+        ).select("c_custkey")
+        return _io.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).join(
+            building,
+            FF.col("o_custkey") == FF.col("c_custkey"),
+            "left_semi",
+        )
+
     def ann_ivfpq(spark, sf_dir):
         from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
         from ts_data_pipeline_spark.queries.timeseries import (
@@ -233,6 +251,7 @@ def _extras(spark) -> dict:
         "inverted_index_build": inverted_index_build,
         "quality_lr_trained": quality_lr_trained,
         "bloom_semi_orders": bloom_semi_orders,
+        "plain_semi_orders": plain_semi_orders,
         "zorder_zone_map": zorder_zone_map,
     }
     # The composed recipe runs ~60 s at sf0.1 — a warmed median-of-3
