@@ -248,3 +248,37 @@ def test_token_budget_select_matches_flat_window_and_respects_budget(spark):
     for r in got:
         if not r.kept:
             assert (r.score, -r.doc_id) <= min_kept
+
+
+def test_stratified_split_exact_counts_and_determinism(spark):
+    """stratified_split: per-stratum split sizes are EXACTLY the
+    floor boundaries (hash_split's binomial wobble is the problem
+    this exists to remove), membership is deterministic across runs,
+    and the splits partition each stratum."""
+    from ts_data_pipeline_spark.operators import sampling
+
+    rows = [(i, f"s{i % 3}") for i in range(607)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    out1 = sampling.stratified_split(docs, fracs).collect()
+    out2 = sampling.stratified_split(docs, fracs).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+    by = {}
+    for r in out1:
+        by.setdefault(r.stratum, {}).setdefault(r.split, set()).add(r.doc_id)
+    assert len(out1) == 607
+    for stratum, splits in by.items():
+        n_s = sum(len(v) for v in splits.values())
+        import math
+
+        want_train = math.floor(n_s * 0.8)
+        want_val = math.floor(n_s * (0.8 + 0.1)) - want_train
+        assert len(splits.get("train", ())) == want_train, stratum
+        assert len(splits.get("val", ())) == want_val, stratum
+        # test absorbs the remainder
+        assert len(splits.get("test", ())) == n_s - want_train - want_val
+        # disjoint by construction of the rank cut
+        all_ids = set().union(*splits.values())
+        assert len(all_ids) == n_s

@@ -708,3 +708,105 @@ SELECT {key_col}, {score_col}, {tokens_col},
          < {token_budget} AS kept
 FROM scored
 """
+
+
+def stratified_split(
+    docs: DataFrame,
+    fracs: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-count stratified train/val/test split: within every
+    stratum, rank documents by the deterministic md5 draw and cut at
+    floor(n_stratum * cumulative_frac) boundaries.
+
+    :func:`hash_split` gives EXPECTED proportions (each doc draws
+    independently) — fine for train shards, wrong for small eval
+    splits where a 5% stratum of 200 docs can easily come out 6 or 13
+    instead of 10. Ranking makes every stratum's split size exact
+    (floor boundaries; the last named split absorbs remainders), while
+    the md5 draw keeps membership deterministic and engine-portable.
+
+    Scale: one rank window PER STRATUM (partitionBy stratum) over the
+    narrow (id, stratum, draw) relation plus a window count — strata
+    are bounded by source cardinality, and skewed mega-strata are the
+    documented threshold-fallback territory of source_quota_cap.
+    Output: (doc_id, stratum, split).
+    """
+    from ts_data_pipeline_spark.functions.portable_hash import (
+        u32_md5_spark as _u32,
+    )
+    from pyspark.sql import Window
+
+    names = list(fracs)
+    cums = []
+    acc = 0.0
+    for n in names[:-1]:
+        acc += fracs[n]
+        cums.append((n, acc))
+    w_rank = Window.partitionBy("stratum").orderBy(
+        F.col("draw").asc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy("stratum")
+    ranked = (
+        docs.select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            _u32(f"concat('strat:', cast({id_col} as string))").alias(
+                "draw"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("n_s", F.count(F.lit(1)).over(w_all))
+    )
+    split = None
+    for name, cum in cums:
+        cond = F.col("rk") <= F.floor(F.col("n_s") * F.lit(cum))
+        split = (
+            F.when(cond, F.lit(name))
+            if split is None
+            else split.when(cond, F.lit(name))
+        )
+    split = (
+        split.otherwise(F.lit(names[-1]))
+        if split is not None
+        else F.lit(names[-1])
+    )
+    return ranked.select(id_col, "stratum", split.alias("split"))
+
+
+def stratified_split_sql(
+    fracs: dict[str, float],
+    table: str = "documents",
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`stratified_split`."""
+    from ts_data_pipeline_spark.functions.portable_hash import u32_md5_sql
+
+    draw = u32_md5_sql(f"concat('strat:', CAST({id_col} AS VARCHAR))")
+    names = list(fracs)
+    cases = []
+    acc = 0.0
+    for n in names[:-1]:
+        acc += fracs[n]
+        # CAST from the repr string: a bare literal parses as DECIMAL
+        # in DuckDB and FLOOR(DECIMAL * n) can disagree with Spark's
+        # double math at boundaries
+        cases.append(
+            f"WHEN rk <= FLOOR(n_s * CAST('{acc!r}' AS DOUBLE))"
+            f" THEN '{n}'"
+        )
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END" \
+        if cases else f"'{names[-1]}'"
+    return f"""
+WITH ranked AS (
+  SELECT {id_col}, {stratum_col} AS stratum,
+         row_number() OVER (PARTITION BY {stratum_col}
+           ORDER BY {draw} ASC, {id_col} ASC) AS rk,
+         COUNT(*) OVER (PARTITION BY {stratum_col}) AS n_s
+  FROM {table}
+)
+SELECT {id_col}, stratum, {case} AS split
+FROM ranked
+"""

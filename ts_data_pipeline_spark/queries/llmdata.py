@@ -167,6 +167,20 @@ def count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The registered eval-split spec: exact per-source 80/10/10.
+STRAT_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified train/val/test split per source
+    (operators/sampling.py::stratified_split — rank-cut at floor
+    boundaries; hash_split's independent draws stay the train-shard
+    tool, this is the reproducible small-eval tool)."""
+    return sampling.stratified_split(
+        io.load(spark, sf_dir, "documents"), STRAT_SPLIT_FRACS
+    )
+
+
 def clean_text_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest cleaning pass: NFC (Arrow stdlib hop) + control strip +
     whitespace collapse (JVM regex) — functions/text.py::clean_text;

@@ -482,6 +482,12 @@ def _text_stats_members() -> list[Member]:
              ("rank", "l")),
         ),
         Member(
+            "stratified_eval_split",
+            llmdata.stratified_eval_split,
+            sampling.stratified_split_sql(llmdata.STRAT_SPLIT_FRACS),
+            (("doc_id", "l"), ("stratum", "s"), ("split", "s")),
+        ),
+        Member(
             "clean_text_pass",
             llmdata.clean_text_pass,
             text_fns.clean_text_sql(),
