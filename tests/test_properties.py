@@ -120,3 +120,53 @@ def test_bloom_membership_complete_on_random_keys(spark):
         words = bloom.bloom_build_words(df, "k", num_bits=num_bits)
         kept = bloom.bloom_prune(df, words, "k").count()
         assert kept == len(all_keys), (num_bits, kept, len(all_keys))
+
+
+def test_stratified_split_exact_for_arbitrary_fracs(spark):
+    """Property: for hypothesis-generated fraction vectors and
+    stratum shapes, every stratum's split sizes hit the floor
+    boundaries exactly and the splits partition the stratum."""
+    import math
+
+    from ts_data_pipeline_spark.operators import sampling
+
+    cases: list[tuple[list[int], list[float]]] = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(st.integers(1, 40), min_size=1, max_size=4),
+        st.lists(st.floats(0.05, 0.9), min_size=1, max_size=3),
+    )
+    def collect(sizes, raw):
+        total = sum(raw) + 0.1  # leave room for the remainder split
+        cases.append((sizes, [r / total for r in raw]))
+
+    collect()
+    for idx, (sizes, fr) in enumerate(cases[:6]):  # 6 spark runs max
+        rows = []
+        doc = 0
+        for s_i, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((doc, f"s{s_i}"))
+                doc += 1
+        docs = spark.createDataFrame(rows, "doc_id long, source string")
+        names = [f"f{i}" for i in range(len(fr))] + ["rest"]
+        fracs = dict(zip(names, fr + [1 - sum(fr)]))
+        got = sampling.stratified_split(docs, fracs).collect()
+        assert len(got) == len(rows), idx
+        by: dict = {}
+        for r in got:
+            by.setdefault(r.stratum, {}).setdefault(r.split, 0)
+            by[r.stratum][r.split] += 1
+        for s_i, n in enumerate(sizes):
+            splits = by.get(f"s{s_i}", {})
+            assert sum(splits.values()) == n
+            cum = 0.0
+            prev_cut = 0
+            for name in names[:-1]:
+                cum += fracs[name]
+                cut = math.floor(n * cum)
+                assert splits.get(name, 0) == cut - prev_cut, (
+                    idx, s_i, name, splits)
+                prev_cut = cut
+            assert splits.get("rest", 0) == n - prev_cut
