@@ -426,6 +426,10 @@ def _recall(spark) -> dict:
             "ivfpq_rerank": similarity.ivfpq_topk(
                 emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, PQ_CODEBOOK_IDS, k=k
             ),
+            "ivfpq_nprobe4_rerank": similarity.ivfpq_topk(
+                emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, PQ_CODEBOOK_IDS,
+                k=k, nprobe=4,
+            ),
         }
         out = {}
         for name, df in approx.items():
