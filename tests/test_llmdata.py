@@ -1277,3 +1277,33 @@ def test_pq_index_append_is_delta_scoped_and_queryable(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_recipe_optional_clean_and_eval_split(spark):
+    """The recipe's optional stages compose without disturbing the
+    default path: NFC cleaning is an exact no-op on the composed
+    ASCII corpus (identical selected set), and the eval split
+    attaches ONE split per document so chunks never straddle
+    splits, with all three split names in use."""
+    from ts_data_pipeline_spark import recipes
+
+    docs = io.load(spark, SF_DIR, "documents")
+    base = recipes.build_training_corpus(docs).collect()
+    both = recipes.build_training_corpus(
+        docs,
+        nfc_clean=True,
+        eval_split_fracs={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+
+    assert {r.doc_id for r in both} == {r.doc_id for r in base}
+    assert sorted(
+        (r.doc_id, r.chunk_id, r.tok_offset) for r in both
+    ) == sorted((r.doc_id, r.chunk_id, r.tok_offset) for r in base)
+
+    per_doc = {}
+    for r in both:
+        per_doc.setdefault(r.doc_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_doc.values())
+    assert {s for v in per_doc.values() for s in v} == {
+        "train", "val", "test"
+    }

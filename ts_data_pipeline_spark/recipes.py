@@ -44,6 +44,8 @@ def build_training_corpus(
     semdedup_threshold: float = 0.45,
     semdedup_max_cell_size: int | None = 256,
     source_cap: int | None = None,
+    nfc_clean: bool = False,
+    eval_split_fracs: dict[str, float] | None = None,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -74,6 +76,17 @@ def build_training_corpus(
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import dedup, sampling
     from ts_data_pipeline_spark.operators.ingest import ingest_signals
+
+    # 0. optional NFC cleaning pass (functions/text.py::clean_text)
+    #    BEFORE any hashing/signal — decomposed and composed Unicode
+    #    must dedup identically. Off by default: the one Arrow hop is
+    #    only worth paying on corpora that actually carry combining
+    #    marks (it is an exact no-op on composed ASCII).
+    if nfc_clean:
+        cleaned = text_fns.clean_text(docs).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        docs = docs.drop("text").join(cleaned, "doc_id")
 
     # 1. gates — scan-shaped signals, no shuffle
     if source_cap is not None and "source" not in docs.columns:
@@ -204,6 +217,20 @@ def build_training_corpus(
             "tok_offset", "chunk_id",
         )
     )
+
+    # 6. optional doc-level eval split: exact-count stratified by
+    #    lang (sampling.stratified_split), attached to every chunk of
+    #    the doc — split assignment happens at the DOCUMENT grain so
+    #    a doc's chunks can never straddle train/val/test (the
+    #    contamination packing could otherwise introduce). A
+    #    deployment then writes each split's chunks separately.
+    if eval_split_fracs is not None:
+        splits = sampling.stratified_split(
+            out.select("doc_id", "lang").distinct(),
+            eval_split_fracs,
+            stratum_col="lang",
+        ).select("doc_id", "split")
+        out = out.join(splits, "doc_id")
 
     if out_path is not None:
         from ts_data_pipeline_spark.operators.corpus_io import write_corpus
