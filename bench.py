@@ -169,11 +169,16 @@ def _extras(spark) -> dict:
         )
 
     def ann_pq(spark, sf_dir):
-        from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+        from ts_data_pipeline_spark.queries.llmdata import (
+            PQ_CODEBOOK_IDS,
+            PQ_RERANK_FACTOR,
+            PQ_TRAIN_ITERS,
+        )
 
         return similarity.pq_topk(
             _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
-            PQ_CODEBOOK_IDS, k=5,
+            PQ_CODEBOOK_IDS, k=5, rerank_factor=PQ_RERANK_FACTOR,
+            train_iters=PQ_TRAIN_ITERS,
         )
 
     def plain_semi_orders(spark, sf_dir):
@@ -195,14 +200,20 @@ def _extras(spark) -> dict:
         )
 
     def ann_ivfpq(spark, sf_dir):
-        from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
-        from ts_data_pipeline_spark.queries.timeseries import (
-            IVF_CENTROID_IDS,
+        from ts_data_pipeline_spark.queries.llmdata import (
+            IVFPQ_COARSE_IDS,
+            IVFPQ_COARSE_ITERS,
+            IVFPQ_NPROBE,
+            PQ_CODEBOOK_IDS,
+            PQ_RERANK_FACTOR,
+            PQ_TRAIN_ITERS,
         )
 
         return similarity.ivfpq_topk(
             _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
-            IVF_CENTROID_IDS, PQ_CODEBOOK_IDS, k=5,
+            IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS, k=5, nprobe=IVFPQ_NPROBE,
+            rerank_factor=PQ_RERANK_FACTOR, train_iters=PQ_TRAIN_ITERS,
+            coarse_train_iters=IVFPQ_COARSE_ITERS,
         )
 
     def ann_brute_pandas(spark, sf_dir):
@@ -390,8 +401,12 @@ def _recall(spark) -> dict:
     from ts_data_pipeline_spark.queries.llmdata import (
         ANN_QUERY_IDS,
         EMBEDDING_DIM,
+        IVFPQ_COARSE_IDS,
+        IVFPQ_COARSE_ITERS,
         LSH_PLANE_IDS,
         PQ_CODEBOOK_IDS,
+        PQ_RERANK_FACTOR,
+        PQ_TRAIN_ITERS,
     )
     from ts_data_pipeline_spark.queries.timeseries import IVF_CENTROID_IDS
 
@@ -420,15 +435,28 @@ def _recall(spark) -> dict:
             "sq8_rerank": similarity.sq8_topk(
                 emb, ANN_QUERY_IDS, EMBEDDING_DIM, k=k
             ),
+            # the registered operating point: trained codebooks +
+            # trained coarse cells + the wide shortlist
             "pq_rerank": similarity.pq_topk(
+                emb, ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=k,
+                rerank_factor=PQ_RERANK_FACTOR, train_iters=PQ_TRAIN_ITERS,
+            ),
+            # the r6 default (sampled codebooks, shortlist 4k), kept
+            # published so the training win is a measured delta
+            "pq_rerank_sampled": similarity.pq_topk(
                 emb, ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=k
             ),
             "ivfpq_rerank": similarity.ivfpq_topk(
-                emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, PQ_CODEBOOK_IDS, k=k
+                emb, ANN_QUERY_IDS, IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS,
+                k=k, nprobe=2, rerank_factor=PQ_RERANK_FACTOR,
+                train_iters=PQ_TRAIN_ITERS,
+                coarse_train_iters=IVFPQ_COARSE_ITERS,
             ),
             "ivfpq_nprobe4_rerank": similarity.ivfpq_topk(
-                emb, ANN_QUERY_IDS, IVF_CENTROID_IDS, PQ_CODEBOOK_IDS,
-                k=k, nprobe=4,
+                emb, ANN_QUERY_IDS, IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS,
+                k=k, nprobe=4, rerank_factor=PQ_RERANK_FACTOR,
+                train_iters=PQ_TRAIN_ITERS,
+                coarse_train_iters=IVFPQ_COARSE_ITERS,
             ),
         }
         out = {}

@@ -50,3 +50,21 @@ def test_lr_more_rounds_do_not_worsen_fit(spark):
         rows = classifier.train_quality_lr(docs, LABEL, n_iter=it).collect()
         mses.append(sum((r.score - r.label) ** 2 for r in rows) / len(rows))
     assert mses[1] <= mses[0] + 1e-9, mses
+
+
+def test_lr_training_leaves_no_cached_relation(spark):
+    """The feature relation is cached for the GD rounds but must be
+    unpersisted before the call returns (ADVICE r6: one training call
+    used to pin feats in executor storage for the session lifetime).
+    The returned frame is materialized first, so consumers never
+    recompute against an uncached lineage mid-flight."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    rows = classifier.train_quality_lr(
+        io.load(spark, SF, "documents"), LABEL, n_iter=1
+    ).collect()
+    assert rows  # the result itself is intact
+    # .cache() registers in the CacheManager (localCheckpoint does
+    # not): training must leave it exactly as empty as it found it
+    assert cm.isEmpty()

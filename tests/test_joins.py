@@ -151,3 +151,29 @@ def test_bloom_prune_stays_scan_side(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    """NULL build-side keys (ADVICE r6): md5(NULL) is NULL, so a NULL
+    key used to surface as a w=None group and crash the dense-array
+    fill with a TypeError. Inner/semi join semantics never match NULL,
+    so the builder must simply skip them — and the probe result must
+    equal the exact semi join over the same build side."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import bloom
+
+    fact = spark.createDataFrame([Row(k=i) for i in range(200)])
+    build = spark.createDataFrame(
+        [Row(bk=10), Row(bk=None), Row(bk=20), Row(bk=None)]
+    )
+    words = bloom.bloom_build_words(build, "cast(bk as string)")
+    assert len(words) == 65536 // 64
+    via_bloom = sorted(
+        r.k for r in bloom.bloom_semi_join(fact, build, "k", "bk").collect()
+    )
+    exact = sorted(
+        r.k
+        for r in fact.join(build, fact.k == build.bk, "left_semi").collect()
+    )
+    assert via_bloom == exact == [10, 20]

@@ -62,7 +62,10 @@ def bloom_build_words(
     ``num_bits / 64`` rows however many build keys exist."""
     if num_bits % 64:
         raise ValueError("num_bits must be a multiple of 64")
-    pos = build.select(
+    # NULL build keys hash to NULL positions; drop them up front —
+    # inner/semi join semantics never match NULL anyway, and a NULL
+    # `w` group would crash the dense-array fill below.
+    pos = build.filter(F.expr(key_expr).isNotNull()).select(
         F.explode(
             F.array(
                 *[_position(key_expr, i, num_bits) for i in range(num_hashes)]

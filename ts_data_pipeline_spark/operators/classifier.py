@@ -122,7 +122,7 @@ def train_quality_lr(
         .groupBy(id_col)
         .agg(F.round(F.sum("w"), 6).alias("score"))
     )
-    return (
+    out = (
         labels.join(final, id_col, "left")
         .select(
             id_col,
@@ -130,7 +130,15 @@ def train_quality_lr(
             F.coalesce("score", F.lit(0.0)).alias("score"),
             (F.coalesce("score", F.lit(0.0)) >= 0.5).alias("pred"),
         )
+        # materialize the scored result WHILE feats is still cached,
+        # so the unpersist below cannot leak the cached relation into
+        # the session for its lifetime (one training call used to
+        # leave feats pinned in executor storage forever) and the
+        # returned frame no longer depends on feats' lineage
+        .localCheckpoint(eager=True)
     )
+    feats.unpersist()
+    return out
 
 
 def train_quality_lr_sql(
