@@ -177,3 +177,41 @@ def test_bloom_build_ignores_null_keys(spark):
         for r in fact.join(build, fact.k == build.bk, "left_semi").collect()
     )
     assert via_bloom == exact == [10, 20]
+
+
+def test_semi_join_adaptive_picks_by_crossover(spark):
+    """Adaptive bloom gate (VERDICT r6 #6): the helper must choose
+    plain at local toy volumes (the measured crossover says bloom
+    LOSES there), choose bloom when the estimated saved exchange
+    crosses the breakeven, and return identical rows either way."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import bloom
+
+    # pure decision rule, pinned at the measured operating points
+    assert not bloom.bloom_pays(150_000, 0.198)       # the sf0.1 case
+    assert bloom.bloom_pays(150_000_000, 0.198)       # cluster fact
+    assert not bloom.bloom_pays(150_000_000, 0.999)   # nothing saved
+    assert bloom.bloom_pays(2_000_000, 0.5)           # 1M saved: edge
+
+    fact = spark.createDataFrame(
+        [Row(k=i % 500, payload=i) for i in range(5000)]
+    )
+    build = spark.createDataFrame([Row(bk=i * 10) for i in range(50)])
+
+    out_plain, dec_plain = bloom.semi_join_adaptive(fact, build, "k", "bk")
+    assert dec_plain["use_bloom"] is False  # 5000 rows << breakeven
+    out_bloom, dec_bloom = bloom.semi_join_adaptive(
+        fact, build, "k", "bk", breakeven_saved_rows=100
+    )
+    assert dec_bloom["use_bloom"] is True
+    assert 0.0 < dec_bloom["est_survivor_frac"] <= 0.2  # ~50/500
+    rows_plain = sorted((r.k, r.payload) for r in out_plain.collect())
+    rows_bloom = sorted((r.k, r.payload) for r in out_bloom.collect())
+    exact = sorted(
+        (r.k, r.payload)
+        for r in fact.join(
+            build, fact.k == build.bk, "left_semi"
+        ).collect()
+    )
+    assert rows_plain == rows_bloom == exact

@@ -215,3 +215,54 @@ def test_zdirs_for_rect_plans_clamped_edge_cells(spark, tmp_path):
         & (F.col("o_custkey") >= 400) & (F.col("o_custkey") <= 600)
     )
     assert [r.o_orderkey for r in back.collect()] == [5000]
+
+
+def test_zdirs_for_rect_matches_cell_enumeration_and_is_cheap():
+    """The zdir-grid planner (VERDICT r6 #3) must return EXACTLY the
+    set the cell-level enumeration produced, for even and odd shifts
+    and rects clamped past the frame — and must do so enumerating the
+    zdir grid, cheap enough to run at bits=12 (the cell-level form
+    paid 4^12 = 16.7M iterations there)."""
+    import itertools
+    import time
+
+    def cell_level(stats, x_lo, x_hi, y_lo, y_hi):
+        bits, shift = stats["bits"], stats["cell_shift"]
+        n_hi = (1 << bits) - 1
+        q = layout._quant_py
+        xq_lo = 0 if x_lo <= stats["x_min"] else q(
+            x_lo, stats["x_min"], stats["x_max"], bits)
+        xq_hi = n_hi if x_hi >= stats["x_max"] else q(
+            x_hi, stats["x_min"], stats["x_max"], bits)
+        yq_lo = 0 if y_lo <= stats["y_min"] else q(
+            y_lo, stats["y_min"], stats["y_max"], bits)
+        yq_hi = n_hi if y_hi >= stats["y_max"] else q(
+            y_hi, stats["y_min"], stats["y_max"], bits)
+        dirs = set()
+        for xq in range(xq_lo, xq_hi + 1):
+            for yq in range(yq_lo, yq_hi + 1):
+                code = 0
+                for b in range(bits):
+                    code |= ((xq >> b) & 1) << (2 * b)
+                    code |= ((yq >> b) & 1) << (2 * b + 1)
+                dirs.add(code >> shift)
+        return sorted(dirs)
+
+    rng = [(0, 999), (100, 450), (7, 8), (-50, 2000), (512, 512)]
+    for bits, shift in [(8, 10), (8, 9), (6, 7), (6, 4), (5, 3)]:
+        stats = {"bits": bits, "cell_shift": shift,
+                 "x_min": 0, "x_max": 999, "y_min": 0, "y_max": 999}
+        for (xl, xh), (yl, yh) in itertools.product(rng, rng):
+            got = layout.zdirs_for_rect(stats, xl, xh, yl, yh)
+            want = cell_level(stats, xl, xh, yl, yh)
+            assert got == want, (bits, shift, (xl, xh, yl, yh))
+
+    # planning-cost bound: full-frame rect at bits=12/shift=10 is
+    # 4^12 >> 10 = 16k zdir iterations — must be near-instant (the
+    # cell form needs 16.7M Morton expansions, ~minutes)
+    stats = {"bits": 12, "cell_shift": 10,
+             "x_min": 0, "x_max": 10**6, "y_min": 0, "y_max": 10**6}
+    t0 = time.perf_counter()
+    dirs = layout.zdirs_for_rect(stats, 0, 10**6, 0, 10**6)
+    assert time.perf_counter() - t0 < 2.0
+    assert len(dirs) == (4 ** 12) >> 10  # every zdir, each exactly once

@@ -1126,3 +1126,66 @@ def test_streaming_multistage_funnel_matches_batch(spark, tmp_path):
     assert got[0] == (True, m(2), m(4))
     assert got[2][0] is False and got[2][1] == m(3)  # click in horizon
     assert got[6] == (False, None, None)
+
+
+def test_streaming_funnel_hot_key_dense_horizon(spark, tmp_path):
+    """Hot-key stress for the bisect witness match (VERDICT r6 #4): a
+    single key with MANY open from-events and many in-horizon
+    witnesses in one micro-batch — every verdict and every in-horizon
+    converted_at must still byte-match the batch funnel. Interleaved
+    froms/tos exercise the strictly-after boundary (same-ts pairs,
+    id tie-break) and the first-qualifying-witness selection at every
+    bisect position."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.operators import tsstats
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    s = lambda k: base + dt.timedelta(seconds=k)
+    # one hot key: 60 froms + 60 tos inside a shared 5-min horizon,
+    # including same-timestamp from/to pairs (id decides the order)
+    dense = []
+    eid = 0
+    for i in range(60):
+        dense.append((eid, 1, s(4 * i), "view")); eid += 1
+        # a witness at the SAME ts as its from every third pair
+        # (ties: id decides), slightly after otherwise
+        dense.append((eid, 1, s(4 * i + (0 if i % 3 == 0 else 2)),
+                      "purchase")); eid += 1
+    chunks = [
+        dense,
+        # watermark pusher on another key: closes every horizon
+        [(9999, 7, s(4 * 60 + 5 * 60 + 120), "click")],
+    ]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_funnel(stream, "view", "purchase", 5)
+    windowed.run_available_now(out, "t_cep_hot", str(tmp_path / "ckpt"))
+    got = {
+        r.event_id: (r.converted, r.converted_at)
+        for r in spark.table("t_cep_hot").collect()
+    }
+
+    allrows = spark.createDataFrame(
+        [r for c in chunks for r in c], schema
+    )
+    batch = tsstats.funnel_conversions(allrows, "view", "purchase", 5)
+    want = {
+        r.event_id: (r.converted, r.converted_at if r.converted else None)
+        for r in batch.collect()
+    }
+    assert len(got) == 60  # every from decided
+    for eid in got:
+        assert got[eid] == want[eid], (eid, got[eid], want[eid])

@@ -263,10 +263,19 @@ def zdirs_for_rect(
     stats: dict, x_lo: int, x_hi: int, y_lo: int, y_hi: int
 ) -> list[int]:
     """Driver-side planning: the zdir values a query rectangle can
-    touch, from the persisted stats alone (no data scan). Enumerates
-    the quantized cell grid — at most 4^bits iterations (65k at the
-    default bits=8), planning-time work proportional to the GRID, not
-    the data."""
+    touch, from the persisted stats alone (no data scan).
+
+    Enumerates the ZDIR-level grid directly (VERDICT r6 #3): a zdir
+    is ``morton(xq, yq) >> shift``, and dropping the low ``shift``
+    interleaved bits drops the low ``ceil(shift/2)`` bits of x and
+    the low ``floor(shift/2)`` bits of y — so each zdir's cell set is
+    an axis-aligned 2^sx x 2^sy quadtree block, and the rect touches
+    a zdir iff the truncated coordinate ranges intersect. Planning
+    cost is |xd range| x |yd range| <= 4^bits >> shift iterations
+    (64 at the write default bits=8/shift=10; 4,096 at the bits=12 a
+    hotter grid would need, vs the 16.7M the cell-level enumeration
+    paid). A pytest pins equality against the cell-level form.
+    """
     bits, shift = stats["bits"], stats["cell_shift"]
     n_hi = (1 << bits) - 1
 
@@ -286,15 +295,29 @@ def zdirs_for_rect(
     xq_hi = qhi(x_hi, stats["x_min"], stats["x_max"])
     yq_lo = qlo(y_lo, stats["y_min"], stats["y_max"])
     yq_hi = qhi(y_hi, stats["y_min"], stats["y_max"])
-    dirs = set()
-    for xq in range(xq_lo, xq_hi + 1):
-        for yq in range(yq_lo, yq_hi + 1):
-            code = 0
-            for b in range(bits):
-                code |= ((xq >> b) & 1) << (2 * b)
-                code |= ((yq >> b) & 1) << (2 * b + 1)
-            dirs.add(code >> shift)
-    return sorted(dirs)
+    # shift = sx + sy interleaved bits: x loses sx = ceil(shift/2)
+    # (x sits at even positions, which the shift exhausts first),
+    # y loses sy = floor(shift/2)
+    sx, sy = (shift + 1) // 2, shift // 2
+    dirs = []
+    for xd in range(xq_lo >> sx, (xq_hi >> sx) + 1):
+        for yd in range(yq_lo >> sy, (yq_hi >> sy) + 1):
+            zd = 0
+            if shift % 2 == 0:
+                # even shift: zdir is interleave(xd, yd), x at even
+                # positions — the cell code's own layout, truncated
+                for b in range(bits - sx):
+                    zd |= ((xd >> b) & 1) << (2 * b)
+                    zd |= ((yd >> b) & 1) << (2 * b + 1)
+            else:
+                # odd shift swaps the roles: code bit 2b+1 (y bit b)
+                # lands at even position 2(b-sy), code bit 2b (x bit
+                # b) at odd position 2(b-sx)+1
+                for b in range(bits - sy):
+                    zd |= ((yd >> b) & 1) << (2 * b)
+                    zd |= ((xd >> b) & 1) << (2 * b + 1)
+            dirs.append(zd)
+    return sorted(set(dirs))
 
 
 def zorder_compact(spark, path: str, delta: DataFrame) -> list[int]:

@@ -44,6 +44,7 @@ feature, not the arithmetic).
 
 from __future__ import annotations
 
+import bisect
 import json
 import math
 from typing import Iterator, Tuple
@@ -113,7 +114,15 @@ def streaming_funnel(
         # of silently reinterpreting ms ints as us (1970-era times).
         scale = 1 if st.get("u") == "us" else 1000
         froms = [(i, t * scale) for i, t in st["froms"]]  # [(id, ts_us)]
-        tos = [(i, t * scale) for i, t in st["tos"]]      # [(id, ts_us)]
+        # witnesses are held SORTED by (ts, id): one O(T log T) sort
+        # on state load (the JSON decode is O(T) anyway), bisect
+        # inserts for arrivals, and each due from-event finds its
+        # first qualifying witness by binary search — (F+T)·log T per
+        # micro-batch instead of the F×T linear scan a hot key with F
+        # open froms and T in-horizon witnesses used to pay (VERDICT
+        # r6 #4). The stored layout stays [(id, ts)] for checkpoint
+        # compatibility.
+        tos = sorted((t * scale, i) for i, t in st["tos"])  # [(ts_us, id)]
         wm = state.getCurrentWatermarkMs() * 1000  # us
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
@@ -126,7 +135,7 @@ def streaming_funnel(
                 elif rec[type_col] == to_event:
                     if ts_us + within_us < wm:
                         continue  # can no longer convert any open from
-                    tos.append((rid, ts_us))
+                    bisect.insort(tos, (ts_us, rid))
         # decide every from whose horizon the watermark has passed;
         # the to-events it may match are still in state (their evict
         # horizon is >= this from's decision horizon — eviction below
@@ -141,12 +150,16 @@ def streaming_funnel(
                 # only strictly past (review finding, round 6)
                 still_open.append((fid, fts))
                 continue
-            hits = [
-                (tts, tid)
-                for tid, tts in tos
-                if (tts, tid) > (fts, fid) and tts <= fts + within_us
-            ]
-            hit = min(hits) if hits else None
+            # first witness strictly after (fts, fid): tos is sorted
+            # by (ts, id), so the element at the bisect point is the
+            # MINIMUM qualifying candidate; if even that one is past
+            # the horizon, every later one is too
+            idx = bisect.bisect_right(tos, (fts, fid))
+            hit = (
+                tos[idx]
+                if idx < len(tos) and tos[idx][0] <= fts + within_us
+                else None
+            )
             rows.append(
                 {
                     id_col: fid,
@@ -158,13 +171,14 @@ def streaming_funnel(
                     "converted": hit is not None,
                 }
             )
-        tos = [(tid, tts) for tid, tts in tos if tts + within_us >= wm]
-        if still_open or tos:
+        keep_tos = [(tid, tts) for tts, tid in tos if tts + within_us >= wm]
+        if still_open or keep_tos:
             horizons = [fts + within_us for _, fts in still_open] + [
-                tts + within_us for _, tts in tos
+                tts + within_us for _, tts in keep_tos
             ]
             state.update(
-                (json.dumps({"u": "us", "froms": still_open, "tos": tos}),)
+                (json.dumps({"u": "us", "froms": still_open,
+                             "tos": keep_tos}),)
             )
             # arm at the horizon's floor-ms + 1 (then _arm_timeout's
             # -1 sets exactly floor(h/1000)): event-time timeouts fire
