@@ -239,8 +239,72 @@ def _extras(spark) -> dict:
             source_cap=5000,
         )
 
+    # PQ deployment split (r7): the inline ann_pq_topk number includes
+    # per-call codebook TRAINING (the oracle-replayable demo shape);
+    # deployment trains once at build and queries the persisted index.
+    # Publish both halves so the amortization claim is measured.
+    _pq_idx: dict[str, str] = {}
+
+    def _pq_index_path(spark, sf_dir):
+        import tempfile
+
+        from ts_data_pipeline_spark.queries.llmdata import (
+            PQ_CODEBOOK_IDS,
+            PQ_TRAIN_ITERS,
+        )
+
+        if sf_dir not in _pq_idx:
+            path = tempfile.mkdtemp(prefix="tsdp_pqidx_bench_")
+            similarity.pq_build_index(
+                _io.load(spark, sf_dir, "embeddings"), path,
+                PQ_CODEBOOK_IDS, train_iters=PQ_TRAIN_ITERS,
+            )
+            _pq_idx[sf_dir] = path
+        return _pq_idx[sf_dir]
+
+    def ann_pq_index_build(spark, sf_dir):
+        # fresh build per timed run: the one-time train+encode+write
+        import tempfile
+
+        from ts_data_pipeline_spark.queries.llmdata import (
+            PQ_CODEBOOK_IDS,
+            PQ_TRAIN_ITERS,
+        )
+
+        path = tempfile.mkdtemp(prefix="tsdp_pqidx_build_")
+        similarity.pq_build_index(
+            _io.load(spark, sf_dir, "embeddings"), path,
+            PQ_CODEBOOK_IDS, train_iters=PQ_TRAIN_ITERS,
+        )
+        return spark.read.parquet(path + "/codes")
+
+    def ann_pq_index_query(spark, sf_dir):
+        # the deployed steady state: query the persisted trained
+        # index (built once in the warm call via _pq_index_path)
+        from ts_data_pipeline_spark.queries.llmdata import (
+            PQ_RERANK_FACTOR,
+        )
+
+        return similarity.pq_query_index(
+            spark, _pq_index_path(spark, sf_dir),
+            _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=5,
+            rerank_factor=PQ_RERANK_FACTOR,
+        )
+
+    def cep_streaming_funnel(spark, sf_dir):
+        # the registered streaming-CEP gate run end-to-end at bench
+        # SF: 4-micro-batch replay of the full events table through
+        # applyInPandasWithState to availableNow completion — the
+        # published throughput/latency point for CEP (r6 ask #8)
+        from ts_data_pipeline_spark.queries.streaming import (
+            streaming_funnel_finals,
+        )
+
+        return streaming_funnel_finals(spark, sf_dir)
+
     extra = {
         "recipe_build_corpus": recipe_build_corpus,
+        "cep_streaming_funnel": cep_streaming_funnel,
         "rollup_multires": rollup_multires,
         "bm25_topk": bm25_topk,
         "heavy_hitters": heavy_hitters,
@@ -249,6 +313,8 @@ def _extras(spark) -> dict:
         "ann_lsh_multiprobe": ann_multiprobe,
         "ann_pq_topk": ann_pq,
         "ann_ivfpq_topk": ann_ivfpq,
+        "ann_pq_index_build": ann_pq_index_build,
+        "ann_pq_index_query": ann_pq_index_query,
         "ann_brute_pandas_udf": ann_brute_pandas,
         # round-6 additions
         "cusum_drift_summary": cusum_drift_summary,
@@ -269,7 +335,10 @@ def _extras(spark) -> dict:
     # would triple the bench budget for one number, so it is timed as
     # ONE un-warmed end-to-end run (the honest deployment shape: a
     # corpus build executes once, not hot-in-cache).
-    single_run = {"recipe_build_corpus"}
+    single_run = {
+        "recipe_build_corpus", "cep_streaming_funnel",
+        "ann_pq_index_build",
+    }
     out = {}
     for name, fn in extra.items():
         try:
@@ -284,6 +353,12 @@ def _extras(spark) -> dict:
             out[name] = round(statistics.median(ts), 3)
         except Exception as exc:  # never kill the artifact
             print(f"# extras {name} failed: {exc}", file=sys.stderr)
+    if "cep_streaming_funnel" in out:
+        # derived throughput: whole-table replay events per second
+        n_ev = _io.load(spark, SF_DIR, "events").count()
+        out["cep_streaming_funnel_events_per_s"] = round(
+            n_ev / out["cep_streaming_funnel"]
+        )
     return out
 
 

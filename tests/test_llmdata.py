@@ -1307,3 +1307,69 @@ def test_recipe_optional_clean_and_eval_split(spark):
     assert {s for v in per_doc.values() for s in v} == {
         "train", "val", "test"
     }
+
+
+def test_pq_index_trained_roundtrip_matches_inline(spark, tmp_path):
+    """Index lifecycle under TRAINED codebooks (VERDICT r6 #1's
+    reference point): pq_build_index(train_iters=3) persists the
+    Lloyd-trained codebook, pq_query_index consumes the STORED
+    relation (codebook-agnostic — it never re-trains), and results
+    byte-match the inline trained pq_topk; a delta append under the
+    pinned trained codebook stays value-identical to inline too."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        PQ_CODEBOOK_IDS,
+        PQ_RERANK_FACTOR,
+        PQ_TRAIN_ITERS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "pqidx_tr")
+    head = emb.filter(
+        (F.col("vec_id") < 350) | F.col("vec_id").isin(PQ_CODEBOOK_IDS)
+    )
+    tail = emb.subtract(head)
+    # train on the HEAD ONLY (the deployment shape: codebooks pin at
+    # build time; later deltas encode under them)
+    meta = similarity.pq_build_index(
+        head, path, PQ_CODEBOOK_IDS, train_iters=PQ_TRAIN_ITERS
+    )
+    assert meta["train_iters"] == PQ_TRAIN_ITERS
+    n = similarity.pq_index_append(spark, path, tail)
+    assert n == tail.count()
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.pq_query_index(
+            spark, path, emb, ANN_QUERY_IDS, k=5,
+            rerank_factor=PQ_RERANK_FACTOR,
+        ).collect()
+    )
+    # the inline twin must train on the same head-only corpus for
+    # the codebooks to match the pinned index
+    cb = similarity._pq_cb_trained(
+        head, PQ_CODEBOOK_IDS, 8, 8, "vec_id", "embedding",
+        PQ_TRAIN_ITERS,
+    )
+    enc = similarity._pq_enc_from(emb, cb, 8, 8, "vec_id", "embedding")
+    qtab = similarity._pq_qtab(
+        emb, ANN_QUERY_IDS, cb, 8, 8, "vec_id", "embedding"
+    )
+    scored = enc.join(
+        F.broadcast(qtab),
+        (F.col("sub") == F.col("qsub")) & (F.col("code") == F.col("qcid")),
+    )
+    cands = similarity._pq_adc_cands(
+        scored, "vec_id", PQ_RERANK_FACTOR * 5
+    )
+    want = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity._pq_exact_rerank(
+            emb, cands, ANN_QUERY_IDS, 5, "vec_id", "embedding"
+        ).collect()
+    )
+    assert got == want

@@ -282,3 +282,49 @@ def test_stratified_split_exact_counts_and_determinism(spark):
         # disjoint by construction of the rank cut
         all_ids = set().union(*splits.values())
         assert len(all_ids) == n_s
+
+
+def test_stratified_split_hybrid_routes_and_matches(spark):
+    """Mega-stratum fallback (VERDICT r6 #9): strata under the
+    threshold must get EXACT rank-cut sizes (identical to
+    stratified_split), the mega stratum must take the scan-shaped
+    threshold leg (expected proportions, same deterministic draw),
+    every doc appears exactly once, and reruns are byte-identical."""
+    docs = io.load(spark, SF_DIR, "documents")
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    # lang strata at sf0.001: en dominates; threshold between en and
+    # the tail routes one stratum per leg
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    thresh = max(sizes.values())  # only the largest stratum >= thresh
+    out1 = sampling.stratified_split_hybrid(
+        docs, fracs, mega_threshold=thresh, stratum_col="lang"
+    ).collect()
+    out2 = sampling.stratified_split_hybrid(
+        docs, fracs, mega_threshold=thresh, stratum_col="lang"
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == docs.count()
+    assert len({r.doc_id for r in out1}) == len(out1)
+
+    exact = {
+        (r.doc_id, r.stratum): r.split
+        for r in sampling.stratified_split(
+            docs, fracs, stratum_col="lang"
+        ).collect()
+    }
+    mega = [s for s, n in sizes.items() if n >= thresh]
+    assert len(mega) == 1
+    for r in out1:
+        if r.stratum != mega[0]:
+            # sub-threshold strata: identical to the pure exact form
+            assert r.split == exact[(r.doc_id, r.stratum)], r
+    # mega stratum: expected proportions within binomial tolerance
+    n_mega = sizes[mega[0]]
+    got_train = sum(
+        1 for r in out1 if r.stratum == mega[0] and r.split == "train"
+    )
+    import math as _math
+
+    tol = 4 * _math.sqrt(n_mega * 0.8 * 0.2)
+    assert abs(got_train - 0.8 * n_mega) <= tol, (got_train, n_mega)

@@ -181,6 +181,26 @@ def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hybrid-split routing threshold: at the gate SF the dominant `en`
+#: lang stratum (218 docs at sf0.01) takes the scan-shaped threshold
+#: leg while the ~70-doc tail languages keep the exact rank-cut — so
+#: the registered gate exercises BOTH legs and the routing boundary.
+STRAT_HYBRID_THRESHOLD = 100
+
+
+def stratified_split_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-stratum fallback split (VERDICT r6 #9): exact rank-cut
+    for small strata, deterministic threshold draw for strata too hot
+    to sort in one partition (sampling.stratified_split_hybrid),
+    stratified by language."""
+    return sampling.stratified_split_hybrid(
+        io.load(spark, sf_dir, "documents"),
+        STRAT_SPLIT_FRACS,
+        mega_threshold=STRAT_HYBRID_THRESHOLD,
+        stratum_col="lang",
+    )
+
+
 def clean_text_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest cleaning pass: NFC (Arrow stdlib hop) + control strip +
     whitespace collapse (JVM regex) — functions/text.py::clean_text;

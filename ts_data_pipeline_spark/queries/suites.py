@@ -488,6 +488,16 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("stratum", "s"), ("split", "s")),
         ),
         Member(
+            "stratified_split_hybrid",
+            llmdata.stratified_split_hybrid,
+            sampling.stratified_split_hybrid_sql(
+                llmdata.STRAT_SPLIT_FRACS,
+                mega_threshold=llmdata.STRAT_HYBRID_THRESHOLD,
+                stratum_col="lang",
+            ),
+            (("doc_id", "l"), ("stratum", "s"), ("split", "s")),
+        ),
+        Member(
             "clean_text_pass",
             llmdata.clean_text_pass,
             text_fns.clean_text_sql(),
