@@ -318,6 +318,47 @@ WHERE ts + INTERVAL 60 MINUTE < {_FINAL_WATERMARK_SQL}
 """
 
 
+def streaming_zscore_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second registered streaming-CEP gate: rolling z-score alerting
+    (cep.streaming_zscore_alerts) over the replayed events table.
+    Emission rule: a row is finalized exactly when the watermark
+    strictly passes its event time, scored against the trailing
+    lookback rows of its key — identical arithmetic to the batch
+    rolling_zscore_anomalies (pinned by tests/test_streaming.py), so
+    the oracle is the batch SQL restricted to ts strictly below the
+    final watermark."""
+    from ts_data_pipeline_spark.streaming import cep
+
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    base = tempfile.mkdtemp(prefix="tsdp_cepz_")
+    data_dir = os.path.join(base, "data")
+    chunks = ev.withColumn("chunk", F.ntile(4).over(Window.orderBy("ts")))
+    for i in range(1, 5):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
+    out = cep.streaming_zscore_alerts(stream)
+    name = f"cepz_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    return spark.table(name)
+
+
+def _streaming_zscore_finals_sql() -> str:
+    from ts_data_pipeline_spark.operators import quality
+
+    batch = quality.rolling_zscore_anomalies_sql()
+    return f"""
+WITH batch AS ({batch})
+SELECT event_id, CAST(key AS VARCHAR) AS key, ts, value, n_hist, z
+FROM batch
+WHERE ts < {_FINAL_WATERMARK_SQL}
+"""
+
+
 def _streaming_user_reduce_sql() -> str:
     from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
 
@@ -340,3 +381,4 @@ register("kafka_avro_roundtrip", kafka_avro_roundtrip, KAFKA_AVRO_ROUNDTRIP_SQL)
 register("streaming_user_reduce", streaming_user_reduce, _streaming_user_reduce_sql())
 register("streaming_window_finals", streaming_window_finals, _streaming_window_finals_sql())
 register("streaming_funnel_finals", streaming_funnel_finals, _streaming_funnel_finals_sql())
+register("streaming_zscore_finals", streaming_zscore_finals, _streaming_zscore_finals_sql())
