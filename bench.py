@@ -263,7 +263,11 @@ def _extras(spark) -> dict:
         return _pq_idx[sf_dir]
 
     def ann_pq_index_build(spark, sf_dir):
-        # fresh build per timed run: the one-time train+encode+write
+        # fresh build per timed run: the one-time train+encode+write.
+        # The dir is consumed (count) and removed INSIDE the timed
+        # body — leaving corpus-sized codes parquet under /tmp per
+        # bench invocation would accumulate until the disk fills.
+        import shutil
         import tempfile
 
         from ts_data_pipeline_spark.queries.llmdata import (
@@ -272,11 +276,15 @@ def _extras(spark) -> dict:
         )
 
         path = tempfile.mkdtemp(prefix="tsdp_pqidx_build_")
-        similarity.pq_build_index(
-            _io.load(spark, sf_dir, "embeddings"), path,
-            PQ_CODEBOOK_IDS, train_iters=PQ_TRAIN_ITERS,
-        )
-        return spark.read.parquet(path + "/codes")
+        try:
+            similarity.pq_build_index(
+                _io.load(spark, sf_dir, "embeddings"), path,
+                PQ_CODEBOOK_IDS, train_iters=PQ_TRAIN_ITERS,
+            )
+            n = spark.read.parquet(path + "/codes").count()
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+        return spark.range(n)
 
     def ann_pq_index_query(spark, sf_dir):
         # the deployed steady state: query the persisted trained
@@ -359,6 +367,12 @@ def _extras(spark) -> dict:
         out["cep_streaming_funnel_events_per_s"] = round(
             n_ev / out["cep_streaming_funnel"]
         )
+    # the reusable query-many index served its last timed run; don't
+    # leave corpus-sized codes parquet in /tmp per bench invocation
+    import shutil
+
+    for path in _pq_idx.values():
+        shutil.rmtree(path, ignore_errors=True)
     return out
 
 

@@ -272,7 +272,7 @@ def zdirs_for_rect(
     an axis-aligned 2^sx x 2^sy quadtree block, and the rect touches
     a zdir iff the truncated coordinate ranges intersect. Planning
     cost is |xd range| x |yd range| <= 4^bits >> shift iterations
-    (64 at the write default bits=8/shift=10; 4,096 at the bits=12 a
+    (64 at the write default bits=8/shift=10; 16,384 at the bits=12 a
     hotter grid would need, vs the 16.7M the cell-level enumeration
     paid). A pytest pins equality against the cell-level form.
     """

@@ -1589,13 +1589,18 @@ def _pq_enc_qtab(
     id_col: str,
     vec_col: str,
     train_iters: int = 0,
+    codebook: DataFrame | None = None,
 ):
     """Shared PQ machinery: (enc, qtab) — the compressed corpus
     relation (id, sub, code) and the query ADC table. Composition of
     the single-definition helpers above. ``train_iters`` > 0 swaps
     the sampled codebook for the k-means-trained one
-    (:func:`_pq_cb_trained`)."""
-    if train_iters > 0:
+    (:func:`_pq_cb_trained`); pass ``codebook`` (sub, cid, cv) to
+    reuse an already-built one — e.g. so pq and ivfpq legs sharing
+    identical training parameters train ONCE instead of twice."""
+    if codebook is not None:
+        cb = codebook
+    elif train_iters > 0:
         cb = _pq_cb_trained(
             embeddings, codebook_ids, m, dsub, id_col, vec_col, train_iters
         )
@@ -1654,6 +1659,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 0,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via product quantization + exact re-rank: the standard
     compressed-domain search for corpora whose raw vectors don't fit
@@ -1685,7 +1691,7 @@ def pq_topk(
     """
     enc, qtab = _pq_enc_qtab(
         embeddings, query_ids, codebook_ids, m, dsub, id_col, vec_col,
-        train_iters,
+        train_iters, codebook,
     )
     scored = enc.join(
         F.broadcast(qtab),
@@ -1709,6 +1715,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     train_iters: int = 0,
     coarse_train_iters: int = 0,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the actual FAISS IVFPQ shape: a coarse
     quantizer restricts each query to ``nprobe`` cells, PQ's ADC
@@ -1740,7 +1747,7 @@ def ivfpq_topk(
 
     enc, qtab = _pq_enc_qtab(
         embeddings, query_ids, codebook_ids, m, dsub, id_col, vec_col,
-        train_iters,
+        train_iters, codebook,
     )
     # cell-restricted candidate space: codes of vectors whose cell is
     # probed by the query — the probe relation (queries x nprobe) is

@@ -482,16 +482,25 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = similarity.lsh_multiprobe_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
     ).withColumn("method", F.lit("lsh_mp"))
+    # ONE Lloyd training run serves both compressed-domain legs: the
+    # pq and ivfpq parameters are identical, so training twice would
+    # produce bit-identical codebooks at 2x the dominant gate cost
+    # (r7 review finding). The literalized codebook broadcasts into
+    # each leg.
+    cb = similarity._pq_cb_trained(
+        io.load(spark, sf_dir, "embeddings"), PQ_CODEBOOK_IDS, 8, 8,
+        "vec_id", "embedding", PQ_TRAIN_ITERS,
+    )
     pq = similarity.pq_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         PQ_CODEBOOK_IDS, k=5, rerank_factor=PQ_RERANK_FACTOR,
-        train_iters=PQ_TRAIN_ITERS,
+        codebook=cb,
     ).withColumn("method", F.lit("pq"))
     ivfpq = similarity.ivfpq_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS, k=5, nprobe=IVFPQ_NPROBE,
-        rerank_factor=PQ_RERANK_FACTOR, train_iters=PQ_TRAIN_ITERS,
-        coarse_train_iters=IVFPQ_COARSE_ITERS,
+        rerank_factor=PQ_RERANK_FACTOR,
+        coarse_train_iters=IVFPQ_COARSE_ITERS, codebook=cb,
     ).withColumn("method", F.lit("ivfpq"))
     km = (
         similarity.kmeans_assign(

@@ -173,6 +173,31 @@ def _scoped_conf(spark: SparkSession, key: str, value: str):
             spark.conf.set(key, prev)
 
 
+def _replay_chunks(
+    df: DataFrame, prefix: str, n_chunks: int = 4
+) -> tuple[str, str]:
+    """THE micro-batch replay convention, shared by every streaming
+    gate: write ``df`` as ``n_chunks`` time-ordered single-file
+    parquet chunks (sequential writes -> mtime order ->
+    FileStreamSource replays oldest-first, so the watermark advances
+    batch-over-batch like a live feed). Returns (base, data_dir).
+
+    The ntile-chunked relation is materialized ONCE (eager
+    localCheckpoint): the chunk assignment is a single-partition
+    global sort, and filtering it per chunk without pinning would
+    re-run that sort n_chunks times (r7 review finding)."""
+    base = tempfile.mkdtemp(prefix=prefix)
+    data_dir = os.path.join(base, "data")
+    chunks = df.withColumn(
+        "chunk", F.ntile(n_chunks).over(Window.orderBy("ts"))
+    ).localCheckpoint(eager=True)
+    for i in range(1, n_chunks + 1):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+    return base, data_dir
+
+
 def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship agg as a checkpointed availableNow streaming run.
 
@@ -184,16 +209,7 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle to the machine (a cluster deployment would set this in
     # the session or rely on AQE, which streaming disables).
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
-    base = tempfile.mkdtemp(prefix="tsdp_stream_")
-    data_dir = os.path.join(base, "data")
-    # Four sequential single-file writes -> four micro-batches in
-    # mtime order (FileStreamSource replays oldest-first), so the
-    # watermark advances batch-over-batch like a live feed.
-    chunks = enriched.withColumn("chunk", F.ntile(4).over(Window.orderBy("ts")))
-    for i in range(1, 5):
-        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(data_dir)
+    base, data_dir = _replay_chunks(enriched, "tsdp_stream_")
     schema = enriched.schema
     stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
     agg = windowed.streaming_option_window_agg(stream)
@@ -214,13 +230,7 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
     enriched = enriched.withColumn("osym", F.col("osym").cast("string"))
-    base = tempfile.mkdtemp(prefix="tsdp_ureduce_")
-    data_dir = os.path.join(base, "data")
-    chunks = enriched.withColumn("chunk", F.ntile(3).over(Window.orderBy("ts")))
-    for i in (1, 2, 3):
-        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(data_dir)
+    base, data_dir = _replay_chunks(enriched, "tsdp_ureduce_", n_chunks=3)
 
     def initializer():
         # option_trade_aggs initializer analog (main.py:143-188).
@@ -289,13 +299,7 @@ def streaming_funnel_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    base = tempfile.mkdtemp(prefix="tsdp_cep_")
-    data_dir = os.path.join(base, "data")
-    chunks = ev.withColumn("chunk", F.ntile(4).over(Window.orderBy("ts")))
-    for i in range(1, 5):
-        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(data_dir)
+    base, data_dir = _replay_chunks(ev, "tsdp_cep_")
     stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
     out = cep.streaming_funnel(stream, "view", "purchase", 60)
     name = f"cepfunnel_{uuid.uuid4().hex[:8]}"
@@ -332,13 +336,7 @@ def streaming_zscore_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    base = tempfile.mkdtemp(prefix="tsdp_cepz_")
-    data_dir = os.path.join(base, "data")
-    chunks = ev.withColumn("chunk", F.ntile(4).over(Window.orderBy("ts")))
-    for i in range(1, 5):
-        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(data_dir)
+    base, data_dir = _replay_chunks(ev, "tsdp_cepz_")
     stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
     out = cep.streaming_zscore_alerts(stream)
     name = f"cepz_{uuid.uuid4().hex[:8]}"

@@ -114,15 +114,17 @@ def streaming_funnel(
         # of silently reinterpreting ms ints as us (1970-era times).
         scale = 1 if st.get("u") == "us" else 1000
         froms = [(i, t * scale) for i, t in st["froms"]]  # [(id, ts_us)]
-        # witnesses are held SORTED by (ts, id): one O(T log T) sort
-        # on state load (the JSON decode is O(T) anyway), bisect
-        # inserts for arrivals, and each due from-event finds its
-        # first qualifying witness by binary search — (F+T)·log T per
-        # micro-batch instead of the F×T linear scan a hot key with F
-        # open froms and T in-horizon witnesses used to pay (VERDICT
-        # r6 #4). The stored layout stays [(id, ts)] for checkpoint
-        # compatibility.
-        tos = sorted((t * scale, i) for i, t in st["tos"])  # [(ts_us, id)]
+        # witnesses are kept as a (ts, id) list that is sorted ONCE
+        # per micro-batch — appends during ingest, one
+        # O((T+A) log (T+A)) sort before the decision loop, then each
+        # due from-event finds its first qualifying witness by binary
+        # search. That is (F+T)·log T-ish per hot-key micro-batch
+        # instead of the F×T Python-level scan a key with F open
+        # froms and T in-horizon witnesses used to pay (VERDICT r6
+        # #4; an insort-per-arrival variant would quietly reintroduce
+        # O(A·T) list shifting). The stored layout stays [(id, ts)]
+        # for checkpoint compatibility.
+        tos = [(t * scale, i) for i, t in st["tos"]]  # [(ts_us, id)]
         wm = state.getCurrentWatermarkMs() * 1000  # us
         for pdf in pdfs:
             for rec in pdf.to_dict("records"):
@@ -135,7 +137,8 @@ def streaming_funnel(
                 elif rec[type_col] == to_event:
                     if ts_us + within_us < wm:
                         continue  # can no longer convert any open from
-                    bisect.insort(tos, (ts_us, rid))
+                    tos.append((ts_us, rid))
+        tos.sort()
         # decide every from whose horizon the watermark has passed;
         # the to-events it may match are still in state (their evict
         # horizon is >= this from's decision horizon — eviction below
