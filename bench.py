@@ -299,6 +299,14 @@ def _extras(spark) -> dict:
             rerank_factor=PQ_RERANK_FACTOR,
         )
 
+    def substring_dedup(spark, sf_dir):
+        from ts_data_pipeline_spark.operators import dedup as dedup_ops
+        from ts_data_pipeline_spark.queries.llmdata import SUBSTR_DEDUP_K
+
+        return dedup_ops.substring_dedup_stats(
+            _io.load(spark, sf_dir, "documents"), k=SUBSTR_DEDUP_K
+        )
+
     def cep_streaming_funnel(spark, sf_dir):
         # the registered streaming-CEP gate run end-to-end at bench
         # SF: 4-micro-batch replay of the full events table through
@@ -323,6 +331,7 @@ def _extras(spark) -> dict:
         "ann_ivfpq_topk": ann_ivfpq,
         "ann_pq_index_build": ann_pq_index_build,
         "ann_pq_index_query": ann_pq_index_query,
+        "substring_dedup_stats": substring_dedup,
         "ann_brute_pandas_udf": ann_brute_pandas,
         # round-6 additions
         "cusum_drift_summary": cusum_drift_summary,

@@ -1373,3 +1373,73 @@ def test_pq_index_trained_roundtrip_matches_inline(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_duplicated_spans_covers_and_merges(spark):
+    """Substring dedup (operators/dedup.py::duplicated_spans): (a) a
+    shared k+ substring across documents is fully covered by a span
+    in BOTH documents, (b) overlapping duplicated shingles merge into
+    ONE maximal span, (c) a unique document yields no spans, (d)
+    verbatim self-repetition inside one document is caught, (e) the
+    per-doc stats fold spans into integer curation signals."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame([
+        # docs 1+2 share an 8-token prefix, then diverge
+        Row(doc_id=1, text="a b c d e f g h unique1 tail1"),
+        Row(doc_id=2, text="a b c d e f g h other2 tail2"),
+        # doc 3: all-unique tokens -> no duplicated shingles
+        Row(doc_id=3, text="q w e r t y u i o p"),
+        # doc 4: internal verbatim repetition of a 6-token phrase
+        Row(doc_id=4, text="one two three four five six one two three four five six"),
+    ])
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok, r.dup_tokens)
+        for r in dedup.duplicated_spans(docs, k=3).collect()
+    }
+    by_doc = {}
+    for d, s, e, n in spans:
+        by_doc.setdefault(d, []).append((s, e, n))
+    # (a)+(b): one merged span covering tokens 0..7 in docs 1 and 2
+    assert by_doc[1] == [(0, 7, 8)]
+    assert by_doc[2] == [(0, 7, 8)]
+    # (c)
+    assert 3 not in by_doc
+    # (d): the repeated phrase makes every 3-shingle of doc 4 appear
+    # twice -> one span covering the whole 12-token doc
+    assert by_doc[4] == [(0, 11, 12)]
+
+    stats = {
+        r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans)
+        for r in dedup.substring_dedup_stats(docs, k=3).collect()
+    }
+    assert stats[1] == (10, 8, 1)
+    assert stats[2] == (10, 8, 1)
+    assert stats[3] == (10, 0, 0)
+    assert stats[4] == (12, 12, 1)
+
+
+def test_duplicated_spans_gap_produces_two_spans(spark):
+    """Two separated duplicated regions in one document must stay
+    TWO spans (the merge joins only overlapping/adjacent shingles),
+    and span numbering follows token order."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c GAP1ONLY x y z"),
+        Row(doc_id=2, text="a b c GAP2DIFF x y z"),
+    ])
+    got = sorted(
+        (r.doc_id, r.span_id, r.start_tok, r.end_tok)
+        for r in dedup.duplicated_spans(docs, k=3).collect()
+    )
+    # "a b c" (pos 0) and "x y z" (pos 4) are shared; the middle
+    # token differs -> spans [0,2] and [4,6] per doc
+    assert got == [
+        (1, 1, 0, 2), (1, 2, 4, 6),
+        (2, 1, 0, 2), (2, 2, 4, 6),
+    ]

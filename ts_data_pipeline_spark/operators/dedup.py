@@ -726,3 +726,198 @@ SELECT doc_id,
        ROUND(CAST(SUM(is_first) AS DOUBLE) / COUNT(*), 4) AS keep_ratio
 FROM k GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: duplicated-span detection (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated SPANS inside documents: maximal merged runs of
+    k-token shingles whose corpus-wide occurrence count is
+    >= ``min_df`` — the substring granularity document-level dedup
+    (exact/MinHash/SimHash) cannot see: boilerplate headers, license
+    blocks, templated paragraphs repeated across otherwise-distinct
+    documents (and verbatim self-repetition within one document).
+
+    This is the scalable shingle-DF approximation of Lee et al.'s
+    suffix-array ExactSubstr dedup: a duplicated substring of length
+    >= k contains only duplicated k-shingles, so merged runs of
+    duplicated shingles are a superset cover of every exact duplicate
+    >= k tokens (boundary shingles can extend a span by < k tokens on
+    either end — the standard overcount of the shingle method; no
+    duplicate is ever missed).
+
+    Shapes for 100 TB:
+    - shingling is scan-side (the let-bound slice expressions of
+      :func:`shingles_col`, positions via posexplode);
+    - occurrence counting is ONE window count over the md5(shingle)
+      partitioning (32-hex fixed-width key; the shuffle carries
+      (doc, pos, h) rows once — no separate groupBy + join-back);
+    - span merging is a per-document running max/sum (both
+      unboundedPreceding frames — linter-clean), one shuffle keyed
+      on the document id.
+
+    Output: (doc_id, span_id, start_tok, end_tok, dup_tokens), spans
+    numbered 1.. in token order. Every value is integer-exact —
+    hash-gateable with no rounding anywhere.
+    """
+    sh = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(shingles_col(k, text_col)).alias("pos", "s"),
+        )
+        .select(id_col, "pos", F.md5(F.col("s")).alias("h"))
+    )
+    w_h = Window.partitionBy("h")
+    flagged = (
+        sh.withColumn("df", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("df") >= min_df)
+        .select(id_col, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    merged = (
+        flagged.repartition(id_col)
+        .withColumn("prev_end", F.max(F.col("pos") + (k - 1)).over(w_prev))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("span_id", F.sum("brk").over(w_doc))
+    )
+    return (
+        merged.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_tok"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("end_tok"),
+        )
+        .withColumn(
+            "dup_tokens", F.col("end_tok") - F.col("start_tok") + 1
+        )
+        .select(id_col, "span_id", "start_tok", "end_tok", "dup_tokens")
+    )
+
+
+def duplicated_spans_sql(
+    k: int = 8,
+    min_df: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans` — same tokenization
+    (toks_sql convention), same md5 shingle keys, same window count,
+    same running-max interval merge."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split(lower({text_col}), ' '), t -> t != '') AS t
+  FROM {table}
+),
+idx AS (
+  SELECT {id_col}, t,
+         unnest(range(1, greatest(len(t) - {k - 1}, 0) + 1)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT {id_col}, i - 1 AS pos,
+         md5(array_to_string(t[i:i+{k - 1}], ' ')) AS h
+  FROM idx
+),
+flagged AS (
+  SELECT {id_col}, pos FROM (
+    SELECT {id_col}, pos, COUNT(*) OVER (PARTITION BY h) AS df FROM sh
+  ) WHERE df >= {min_df}
+),
+merged AS (
+  SELECT {id_col}, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY {id_col} ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span_id
+  FROM (
+    SELECT {id_col}, pos,
+           MAX(pos + {k - 1}) OVER (PARTITION BY {id_col} ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM flagged
+  )
+)
+SELECT {id_col}, CAST(span_id AS BIGINT) AS span_id,
+       CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + {k - 1} AS BIGINT) AS end_tok,
+       CAST(MAX(pos) + {k - 1} - MIN(pos) + 1 AS BIGINT) AS dup_tokens
+FROM merged
+GROUP BY {id_col}, span_id
+"""
+
+
+def substring_dedup_stats(
+    docs: DataFrame,
+    k: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document curation signal from :func:`duplicated_spans`:
+    (doc_id, n_tokens, dup_tokens, n_spans). The drop/strip decision
+    compares dup_tokens against n_tokens; the RATIO is deliberately
+    not emitted — integer columns hash-gate exactly, a rounded
+    division of two exact integers lands on .5-ulp ties where engines
+    disagree (verify-skill convention: gate carried state, not
+    derived ratios)."""
+    spans = duplicated_spans(docs, k, min_df, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("dup_tokens").alias("dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
+    )
+
+
+def substring_dedup_stats_sql(
+    k: int = 8,
+    min_df: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`substring_dedup_stats`."""
+    spans = duplicated_spans_sql(k, min_df, table, id_col, text_col)
+    return f"""
+WITH spans AS ({spans}),
+per_doc AS (
+  SELECT {id_col}, CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM spans GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(len(list_filter(string_split(lower(d.{text_col}), ' '),
+                            t -> t != '')) AS BIGINT) AS n_tokens,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans
+FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.{id_col}
+"""

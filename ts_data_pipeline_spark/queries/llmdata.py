@@ -188,6 +188,32 @@ def stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 STRAT_HYBRID_THRESHOLD = 100
 
 
+#: Substring-dedup operating point: 8-token shingles, >=2 corpus-wide
+#: occurrences — the granularity document-level dedup cannot see.
+SUBSTR_DEDUP_K = 8
+
+
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection (operators/dedup.py::duplicated_spans
+    — the shingle-DF approximation of Lee et al. 2022 ExactSubstr):
+    maximal merged runs of duplicated k-shingles per document."""
+    from ts_data_pipeline_spark.operators import dedup as dedup_ops
+
+    return dedup_ops.duplicated_spans(
+        io.load(spark, sf_dir, "documents"), k=SUBSTR_DEDUP_K
+    )
+
+
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-dup curation signal (integer columns
+    only — the drop/strip ratio is computed downstream)."""
+    from ts_data_pipeline_spark.operators import dedup as dedup_ops
+
+    return dedup_ops.substring_dedup_stats(
+        io.load(spark, sf_dir, "documents"), k=SUBSTR_DEDUP_K
+    )
+
+
 def stratified_split_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mega-stratum fallback split (VERDICT r6 #9): exact rank-cut
     for small strata, deterministic threshold draw for strata too hot

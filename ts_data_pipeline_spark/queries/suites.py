@@ -305,6 +305,7 @@ def _quality_members() -> list[Member]:
 
 def _text_stats_members() -> list[Member]:
     from ts_data_pipeline_spark.functions import text as text_fns
+    from ts_data_pipeline_spark.operators import dedup as dedup_ops
     from ts_data_pipeline_spark.operators import ingest, sampling
     from ts_data_pipeline_spark.operators import retrieval as retrieval_ops
     from ts_data_pipeline_spark.operators import sketch as sketch_ops
@@ -486,6 +487,20 @@ def _text_stats_members() -> list[Member]:
             llmdata.stratified_eval_split,
             sampling.stratified_split_sql(llmdata.STRAT_SPLIT_FRACS),
             (("doc_id", "l"), ("stratum", "s"), ("split", "s")),
+        ),
+        Member(
+            "substring_dup_spans",
+            llmdata.substring_dup_spans,
+            dedup_ops.duplicated_spans_sql(k=llmdata.SUBSTR_DEDUP_K),
+            (("doc_id", "l"), ("span_id", "l"), ("start_tok", "l"),
+             ("end_tok", "l"), ("dup_tokens", "l")),
+        ),
+        Member(
+            "substring_dedup_stats",
+            llmdata.substring_dedup_stats,
+            dedup_ops.substring_dedup_stats_sql(k=llmdata.SUBSTR_DEDUP_K),
+            (("doc_id", "l"), ("n_tokens", "l"), ("dup_tokens", "l"),
+             ("n_spans", "l")),
         ),
         Member(
             "stratified_split_hybrid",
