@@ -758,9 +758,13 @@ def duplicated_spans(
     Shapes for 100 TB:
     - shingling is scan-side (the let-bound slice expressions of
       :func:`shingles_col`, positions via posexplode);
-    - occurrence counting is ONE window count over the md5(shingle)
-      partitioning (32-hex fixed-width key; the shuffle carries
-      (doc, pos, h) rows once — no separate groupBy + join-back);
+    - occurrence counting is a map-side-combinable groupBy on the
+      md5(shingle) key (32-hex fixed width) joined back to the
+      positions — deliberately NOT a window count: WindowExec
+      buffers the whole peer group on one task, so a boilerplate
+      shingle occurring 10^8 times would funnel every occurrence
+      into a single straggler/OOM, while the groupBy partial-
+      aggregates map-side and the join-back is AQE-skew-splittable;
     - span merging is a per-document running max/sum (both
       unboundedPreceding frames — linter-clean), one shuffle keyed
       on the document id.
@@ -776,16 +780,17 @@ def duplicated_spans(
         )
         .select(id_col, "pos", F.md5(F.col("s")).alias("h"))
     )
-    w_h = Window.partitionBy("h")
-    flagged = (
-        sh.withColumn("df", F.count(F.lit(1)).over(w_h))
+    dup_keys = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
-        .select(id_col, "pos")
+        .select("h")
     )
+    flagged = sh.join(dup_keys, "h").select(id_col, "pos")
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
     merged = (
-        flagged.repartition(id_col)
+        flagged
         .withColumn("prev_end", F.max(F.col("pos") + (k - 1)).over(w_prev))
         .withColumn(
             "brk",

@@ -1503,6 +1503,28 @@ def _pq_cb_trained(
     return embeddings.sparkSession.createDataFrame(cb.collect(), schema)
 
 
+def pq_train_codebook(
+    embeddings: DataFrame,
+    codebook_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    train_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Public train-once entry point: the Lloyd-trained (sub, cid,
+    cv) codebook relation, with the SAME m/dsub defaults as
+    :func:`pq_topk` / :func:`ivfpq_topk`. Callers sharing one
+    codebook across several searches (e.g. the pq + ivfpq suite legs)
+    train here once and pass the result via their ``codebook``
+    parameter — hard-coding the subspace shape at call sites risks
+    silently training a mismatched codebook if the defaults ever
+    move."""
+    return _pq_cb_trained(
+        embeddings, codebook_ids, m, dsub, id_col, vec_col, train_iters
+    )
+
+
 def _pq_enc_from(rows: DataFrame, cb: DataFrame, m: int, dsub: int,
                  id_col: str, vec_col: str) -> DataFrame:
     """Encode rows against a given codebook: (id, sub, code) with

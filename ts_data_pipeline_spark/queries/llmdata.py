@@ -513,9 +513,9 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produce bit-identical codebooks at 2x the dominant gate cost
     # (r7 review finding). The literalized codebook broadcasts into
     # each leg.
-    cb = similarity._pq_cb_trained(
-        io.load(spark, sf_dir, "embeddings"), PQ_CODEBOOK_IDS, 8, 8,
-        "vec_id", "embedding", PQ_TRAIN_ITERS,
+    cb = similarity.pq_train_codebook(
+        io.load(spark, sf_dir, "embeddings"), PQ_CODEBOOK_IDS,
+        train_iters=PQ_TRAIN_ITERS,
     )
     pq = similarity.pq_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
