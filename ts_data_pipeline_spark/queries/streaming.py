@@ -357,6 +357,118 @@ WHERE ts < {_FINAL_WATERMARK_SQL}
 """
 
 
+#: CUSUM gate knobs. The threshold is deliberately NON-2-5-SMOOTH
+#: (601/3 — non-terminating binary): events.value sits on the 0.01
+#: grid, so the running statistics are nominally grid values, and the
+#: O(1)-state recursion vs the closed form (cum - running min) differ
+#: by ~1e-12 after deep excursions; a grid-valued threshold could put
+#: the two forms on opposite sides of an exact tie, a non-smooth one
+#: cannot (the same lr=1/21 playbook as the LR gate).
+CUSUM_GATE_THRESHOLD = 601 / 3
+
+
+def streaming_cusum_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third registered streaming-CEP gate: Page's CUSUM drift
+    alerting (cep.streaming_cusum_alerts — the case where streaming
+    is the NATURAL form: two floats of state per key). Oracle: the
+    batch closed form (running sum minus running min, the same
+    algebra cusum_drift_summary gates) evaluated per row, restricted
+    to alarms strictly below the final watermark."""
+    from ts_data_pipeline_spark.streaming import cep
+
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    base, data_dir = _replay_chunks(ev, "tsdp_cepc_")
+    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
+    out = cep.streaming_cusum_alerts(stream, threshold=CUSUM_GATE_THRESHOLD)
+    name = f"cepc_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    return spark.table(name)
+
+
+def _streaming_cusum_finals_sql() -> str:
+    hi, lo = 55.0, 45.0  # target 50 +/- slack 5 (operator defaults)
+    thr = f"CAST('{CUSUM_GATE_THRESHOLD!r}' AS DOUBLE)"
+    return f"""
+WITH cum AS (
+  SELECT event_type AS key, event_id, ts, value,
+         SUM(value - {hi}) OVER w AS cum_pos,
+         SUM({lo} - value) OVER w AS cum_neg
+  FROM events
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT key, event_id, ts, value,
+         cum_pos - LEAST(0, MIN(cum_pos) OVER w2) AS s_pos,
+         cum_neg - LEAST(0, MIN(cum_neg) OVER w2) AS s_neg
+  FROM cum
+  WINDOW w2 AS (PARTITION BY key
+                ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, CAST(key AS VARCHAR) AS key, ts, value,
+       ROUND(s_pos, 4) AS s_pos, ROUND(s_neg, 4) AS s_neg,
+       s_pos > {thr} AS alarm_pos, s_neg > {thr} AS alarm_neg
+FROM s
+WHERE (s_pos > {thr} OR s_neg > {thr})
+  AND ts < {_FINAL_WATERMARK_SQL}
+"""
+
+
+
+
+#: Multi-stage CEP gate stages/horizon — the same spec as the batch
+#: funnel_multistage gate (view -> click -> purchase within 240 min).
+CEP_PATH_STAGES = ["view", "click", "purchase"]
+CEP_PATH_WITHIN = 240
+
+
+def streaming_funnel_path_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth registered streaming-CEP gate: the multi-stage funnel
+    (cep.streaming_funnel_path, MATCH_RECOGNIZE-lite). Oracle: the
+    batch funnel_path restricted to starts whose horizon the final
+    watermark strictly passed, with each per-stage witness masked to
+    NULL when it lies beyond the start's horizon (witness timestamps
+    are monotone along the chain, so per-column masking reproduces
+    the stream's stop-at-horizon chaining exactly; the completed
+    verdict needs no masking — both sides define it as the last
+    stage landing inside the horizon)."""
+    from ts_data_pipeline_spark.streaming import cep
+
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    base, data_dir = _replay_chunks(ev, "tsdp_cepp_")
+    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
+    out = cep.streaming_funnel_path(stream, CEP_PATH_STAGES, CEP_PATH_WITHIN)
+    name = f"cepp_{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    return spark.table(name)
+
+
+def _streaming_funnel_path_finals_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    batch = tsstats.funnel_path_sql(CEP_PATH_STAGES, CEP_PATH_WITHIN)
+    w = CEP_PATH_WITHIN
+    cols = ", ".join(
+        f"CASE WHEN ts_{i}_{n} <= ts + INTERVAL {w} MINUTE"
+        f" THEN ts_{i}_{n} END AS ts_{i}_{n}"
+        for i, n in enumerate(CEP_PATH_STAGES[1:], 1)
+    )
+    return f"""
+WITH batch AS ({batch})
+SELECT event_id, CAST(key AS VARCHAR) AS key, ts, {cols}, completed
+FROM batch
+WHERE ts + INTERVAL {w} MINUTE < {_FINAL_WATERMARK_SQL}
+"""
+
+
 def _streaming_user_reduce_sql() -> str:
     from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
 
@@ -380,3 +492,5 @@ register("streaming_user_reduce", streaming_user_reduce, _streaming_user_reduce_
 register("streaming_window_finals", streaming_window_finals, _streaming_window_finals_sql())
 register("streaming_funnel_finals", streaming_funnel_finals, _streaming_funnel_finals_sql())
 register("streaming_zscore_finals", streaming_zscore_finals, _streaming_zscore_finals_sql())
+register("streaming_cusum_finals", streaming_cusum_finals, _streaming_cusum_finals_sql())
+register("streaming_funnel_path_finals", streaming_funnel_path_finals, _streaming_funnel_path_finals_sql())
