@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -216,6 +217,9 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"finals_{uuid.uuid4().hex[:8]}"
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
+    # the memory sink now holds the finals; drop the replay
+    # dir (mkdtemp would otherwise leak one per invocation)
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -256,6 +260,9 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ureduce_{uuid.uuid4().hex[:8]}"
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
+    # the memory sink now holds the finals; drop the replay
+    # dir (mkdtemp would otherwise leak one per invocation)
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name).withColumn(
         "premium_sum", F.round("premium_sum", 4)
     )
@@ -305,6 +312,9 @@ def streaming_funnel_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cepfunnel_{uuid.uuid4().hex[:8]}"
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    # the memory sink now holds the finals; drop the replay
+    # dir (mkdtemp would otherwise leak one per invocation)
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -342,6 +352,9 @@ def streaming_zscore_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cepz_{uuid.uuid4().hex[:8]}"
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    # the memory sink now holds the finals; drop the replay
+    # dir (mkdtemp would otherwise leak one per invocation)
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -385,6 +398,9 @@ def streaming_cusum_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cepc_{uuid.uuid4().hex[:8]}"
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    # the memory sink now holds the finals; drop the replay
+    # dir (mkdtemp would otherwise leak one per invocation)
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
@@ -448,6 +464,9 @@ def streaming_funnel_path_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cepp_{uuid.uuid4().hex[:8]}"
     with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
         windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    # the memory sink now holds the finals; drop the replay
+    # dir (mkdtemp would otherwise leak one per invocation)
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(name)
 
 
