@@ -71,3 +71,59 @@ def test_png_decoder_rejects_garbage():
 
     with pytest.raises(ValueError, match="bad signature"):
         mm._decode_png(b"GIF89a not a png")
+
+
+def test_image_dhash_bands_and_near_dup_pairs(spark):
+    """Image perceptual dedup (operators/multimodal.py::image_dhash /
+    image_dhash_dups): (a) hashes computed through the REAL PNG
+    decode path equal the synthetic-formula values, (b) identical
+    images pair at hamming 0 through the band join, (c) the band join
+    is recall-complete at hamming <= 3 (pigeonhole over the four
+    16-bit bands), (d) unrelated images above the threshold are
+    excluded."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import multimodal
+
+    # doc ids 256 apart produce IDENTICAL synthetic images (the pixel
+    # formula is mod-256 in doc_id and the dims are mod-16/mod-8)
+    ids = [3, 259, 7, 100, 200, 300]
+    docs = spark.createDataFrame([Row(doc_id=i) for i in ids])
+    media = multimodal.attach_png_payload(docs)
+    hashes = multimodal.image_dhash(media)
+    got = {r.doc_id: (r.h_hi, r.h_lo) for r in hashes.collect()}
+
+    def pix(d, y, x):
+        return (d * 17 + y * 31 + x * 7) % 256
+
+    def ref_hash(d):
+        w, h = d % 16 + 1, d % 8 + 1
+        g = [[pix(d, (r * h) // 8, (c * w) // 9) for c in range(9)]
+             for r in range(8)]
+        bits = [1 if g[r][c] > g[r][c + 1] else 0
+                for r in range(8) for c in range(8)]
+        return (sum(b << i for i, b in enumerate(bits[:32])),
+                sum(b << i for i, b in enumerate(bits[32:])))
+
+    assert got == {i: ref_hash(i) for i in ids}
+    assert got[3] == got[259]  # identical images, identical hash
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.image_dhash_dups(hashes, max_hamming=3).collect()
+    }
+    assert pairs.get((3, 259)) == 0  # (b)
+
+    # (c) recall-complete at <=3: every true pair appears
+    def ham(a, b):
+        return (bin(a[0] ^ b[0]).count("1")
+                + bin(a[1] ^ b[1]).count("1"))
+
+    import itertools
+
+    for a, b in itertools.combinations(sorted(ids), 2):
+        d = ham(got[a], got[b])
+        if d <= 3:
+            assert (a, b) in pairs and pairs[(a, b)] == d, (a, b, d)
+        else:
+            assert (a, b) not in pairs, (a, b, d)  # (d)

@@ -477,3 +477,198 @@ SELECT doc_id,
        md5(text) AS payload_md5
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual hashing: dHash + hamming near-dup (the image-side
+# analog of the text MinHash/SimHash family)
+
+
+def _png_pixels(payload: bytes):
+    """Decode an 8-bit grayscale filter-0 PNG to its (h, w) pixel
+    array — the shared decode core of :func:`_decode_png` and the
+    perceptual hash (same chunk walk, same guards)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("no IHDR chunk")
+    w, h, bit_depth, color_type, _, _, _ = ihdr
+    if (bit_depth, color_type) != (8, 0):
+        raise NotImplementedError("only 8-bit grayscale supported")
+    raw = zlib.decompress(idat)
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if scan[:, 0].any():
+        raise NotImplementedError("only filter-0 scanlines supported")
+    return scan[:, 1:]
+
+
+def _dhash_from_pixels(px) -> tuple[int, int]:
+    """64-bit dHash of a pixel grid, split into two 32-bit halves
+    (h_hi, h_lo) so no value ever touches the bigint sign bit.
+
+    The grid is resampled to 9x8 by NEAREST NEIGHBOR —
+    ``g[r][c] = px[(r*h)//8][(c*w)//9]`` — integer-exact and
+    replayable in plain SQL (a production corpus would area-average;
+    the sampling rule is the pinned convention here, the banding /
+    hamming machinery is identical either way). Bit i of the hash is
+    ``g[r][c] > g[r][c+1]`` over the 8x8 horizontal-gradient grid,
+    row-major, LSB first.
+    """
+    h, w = px.shape
+    g = [[int(px[(r * h) // 8][(c * w) // 9]) for c in range(9)]
+         for r in range(8)]
+    bits = [
+        1 if g[r][c] > g[r][c + 1] else 0
+        for r in range(8)
+        for c in range(8)
+    ]
+    hi = sum(b << i for i, b in enumerate(bits[:32]))
+    lo = sum(b << i for i, b in enumerate(bits[32:]))
+    return hi, lo
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("h_hi", T.LongType()),
+        T.StructField("h_lo", T.LongType()),
+        T.StructField("b0", T.LongType()),
+        T.StructField("b1", T.LongType()),
+        T.StructField("b2", T.LongType()),
+        T.StructField("b3", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual hash relation: (doc_id, h_hi, h_lo,
+    b0..b3) where b0..b3 are the four 16-bit bands of the 64-bit
+    dHash (LSH keys: hamming distance <= 3 guarantees at least one
+    identical band — pigeonhole, the SimHash banding argument).
+
+    The decode + hash runs in ONE Arrow hop over the binary payloads
+    (the established multimodal pattern — image bytes never reach
+    the JVM as anything but opaque binary); everything downstream of
+    this relation (banding, joins, hamming verify) is integer
+    DataFrame algebra. Hash values are integer-exact and
+    oracle-replayable against the synthetic pixel formula.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hi, lo = _dhash_from_pixels(_png_pixels(bytes(payload)))
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "h_hi": hi,
+                        "h_lo": lo,
+                        "b0": hi & 0xFFFF,
+                        "b1": hi >> 16,
+                        "b2": lo & 0xFFFF,
+                        "b3": lo >> 16,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=DHASH_SCHEMA.fieldNames())
+
+    return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+def image_dhash_dups(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Image near-dup pairs by banded-LSH candidate generation +
+    exact hamming verify: explode each hash into its four 16-bit
+    bands, equi-join band-mates (ordered pairs a < b, distinct), and
+    keep pairs whose exact hamming distance (bit_count of the xor,
+    summed over the two halves) is <= ``max_hamming``.
+
+    For ``max_hamming`` <= 3 the band join is RECALL-COMPLETE
+    (pigeonhole over 4 bands); above 3 it is the standard
+    probabilistic LSH trade. Scale shape mirrors the text MinHash
+    path: candidates are bounded by band-bucket sizes (skewed buckets
+    are the same cap-or-AQE territory), the verify is pure integer
+    codegen, and the corpus-sized relation never self-joins
+    unbanded.
+    """
+    bands = hashes.select(
+        "doc_id",
+        "h_hi",
+        "h_lo",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "bv"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("hi_a"),
+        F.col("h_lo").alias("lo_a"),
+        "band",
+        "bv",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("hi_b"),
+        F.col("h_lo").alias("lo_b"),
+        "band",
+        "bv",
+    )
+    pairs = (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.expr("bit_count(hi_a ^ hi_b)") + F.expr("bit_count(lo_a ^ lo_b)")
+    ).alias("hamming")
+    return (
+        pairs.select("doc_a", "doc_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+#: DuckDB twin of image_dhash over the synthetic corpus: the pixel
+#: formula (doc_id*17 + y*31 + x*7) % 256 with the SAME
+#: nearest-neighbor 9x8 sampling and LSB-first bit packing.
+IMAGE_DHASH_SQL = """
+WITH grid AS (
+  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 8), r ->
+           list_transform(range(0, 8), c ->
+             CASE WHEN
+               (doc_id*17 + ((r*h)//8)*31 + ((c*w)//9)*7) % 256 >
+               (doc_id*17 + ((r*h)//8)*31 + (((c+1)*w)//9)*7) % 256
+             THEN 1 ELSE 0 END))) AS b
+  FROM grid
+),
+packed AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> b[i + 1] * (1::BIGINT << i))) AS BIGINT) AS h_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> b[i + 33] * (1::BIGINT << i))) AS BIGINT) AS h_lo
+  FROM bits
+)
+SELECT doc_id, h_hi, h_lo,
+       h_hi & 65535 AS b0, h_hi >> 16 AS b1,
+       h_lo & 65535 AS b2, h_lo >> 16 AS b3
+FROM packed
+"""

@@ -604,6 +604,18 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_features(media)
 
 
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual hashing through the REAL decode path: PNG
+    parse + inflate + unfilter + nearest-neighbor 9x8 dHash in one
+    Arrow hop, emitted as integer halves + 16-bit LSH bands. The
+    near-dup PAIR join (image_dhash_dups) is pytest-pinned on a
+    crafted corpus — on this synthetic gradient corpus nearly every
+    image is a legitimate near-dup of every other, so the bounded
+    per-image hash relation is what the oracle gates."""
+    media = multimodal.attach_png_payload(io.load(spark, sf_dir, "documents"))
+    return multimodal.image_dhash(media)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-decoder path: synthesize a WAV binary column, parse it
     with the stdlib RIFF/PCM decoder on executors (Arrow-batched),

@@ -944,6 +944,13 @@ def _media_members() -> list[Member]:
              ("bit_depth", "l"), ("color_type", "l"), ("n_pixels", "l"),
              ("pix_sum", "l"), ("pix_mean", "d")),
         ),
+        Member(
+            "image_dhash",
+            llmdata.multimodal_image_dhash,
+            multimodal.IMAGE_DHASH_SQL,
+            (("doc_id", "l"), ("h_hi", "l"), ("h_lo", "l"),
+             ("b0", "l"), ("b1", "l"), ("b2", "l"), ("b3", "l")),
+        ),
     ]
 
 
