@@ -174,3 +174,52 @@ def test_funnel_path_chain_semantics(spark):
     for r in got.values():
         if r["ts_2_purchase"] is not None:
             assert r["ts"] <= r["ts_1_click"] <= r["ts_2_purchase"]
+
+
+def test_seasonal_anomalies_judge_against_own_hour(spark):
+    """Seasonal decomposition (operators/tsstats.py): a value normal
+    for 9 AM but extreme for 3 AM must be flagged only in the 3 AM
+    slot — the flat all-day z-score would either flag both or
+    neither; and slots below min_n or with zero variance never
+    score."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    # 40 days: 9 AM runs hot (mean 100, sd ~2), 3 AM runs cold
+    # (mean 10, sd ~2); day 39 injects value 100 into BOTH slots
+    for day in range(40):
+        v9 = 100.0 + (day % 5 - 2)
+        v3 = 10.0 + (day % 5 - 2)
+        if day == 39:
+            v9, v3 = 100.0, 100.0  # normal at 9, wild at 3
+        rows.append(Row(event_id=eid, event_type="m",
+                        ts=base + dt.timedelta(days=day, hours=9),
+                        value=v9)); eid += 1
+        rows.append(Row(event_id=eid, event_type="m",
+                        ts=base + dt.timedelta(days=day, hours=3),
+                        value=v3)); eid += 1
+    # a tiny slot (hour 23, n=2 < min_n) with a huge outlier
+    rows.append(Row(event_id=9000, event_type="m",
+                    ts=base + dt.timedelta(hours=23), value=1.0))
+    rows.append(Row(event_id=9001, event_type="m",
+                    ts=base + dt.timedelta(days=1, hours=23),
+                    value=99999.0))
+    df = spark.createDataFrame(rows)
+
+    prof = {(r.key, r.hod): (r.n, r.mu, r.sd)
+            for r in tsstats.seasonal_hour_profile(df).collect()}
+    assert prof[("m", 9)][0] == 40 and prof[("m", 3)][0] == 40
+
+    got = {r.event_id: (r.hod, r.z)
+           for r in tsstats.seasonal_anomalies(df).collect()}
+    flagged_hours = {h for h, _ in got.values()}
+    assert 3 in flagged_hours          # the 3 AM injection flags
+    assert 9 not in flagged_hours      # the same value at 9 AM is normal
+    assert 23 not in flagged_hours     # n=2 < min_n: never scored
+    assert all(abs(z) >= 3.0 for _, z in got.values())

@@ -891,3 +891,137 @@ SELECT event_id, key, ts, {cols},
          AS completed
 FROM c{len(stages) - 1}
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive decomposition: hour-of-day baseline + residual
+# anomalies (the "same-hour-yesterday" detrending a telemetry engine
+# runs before alerting on raw values)
+
+
+def seasonal_hour_profile(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, hour-of-day) seasonal baseline: n / mean / sample
+    stddev of the value. ONE map-side-combinable groupBy over at most
+    |keys| x 24 groups — the profile relation is bounded by key
+    cardinality, broadcastable at any corpus size (the same
+    broadcast-stats shape as the quantization frames).
+
+    Means/stddevs are emitted ROUND 4 for the gate; the residual
+    scorer below consumes the UNROUNDED aggregates recomputed in its
+    own plan, so rounding here can never leak into z-scores.
+    """
+    return (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.hour(ts_col).cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(value_col).alias("n"),
+            F.round(F.avg(value_col), 4).alias("mu"),
+            F.round(F.stddev_samp(value_col), 4).alias("sd"),
+        )
+    )
+
+
+def seasonal_hour_profile_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+SELECT {key_col} AS key, EXTRACT(hour FROM {ts_col}) AS hod,
+       CAST(COUNT({value_col}) AS BIGINT) AS n,
+       ROUND(AVG({value_col}), 4) AS mu,
+       ROUND(stddev_samp({value_col}), 4) AS sd
+FROM {table}
+GROUP BY 1, 2
+"""
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+    min_n: int = 30,
+) -> DataFrame:
+    """Points anomalous AGAINST THEIR SEASONAL SLOT: z-score of each
+    value vs its own (key, hour-of-day) baseline — a 9 AM spike is
+    judged against 9 AMs, not the all-day mix that double-counts the
+    diurnal cycle as variance (the failure mode of the flat rolling
+    z-score on seasonal series; both operators ship because they
+    catch different anomalies).
+
+    Plan shape: the profile aggregate (|keys| x 24 rows) broadcasts
+    back onto the scan — no window, no per-key sort, one shuffle
+    total. Membership compares the ROUNDED z (both engines round the
+    same double, so the set cannot drift at the threshold).
+    """
+    prof = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.hour(ts_col).cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(value_col).alias("n"),
+            F.avg(value_col).alias("mu"),
+            F.stddev_samp(value_col).alias("sd"),
+        )
+        .filter((F.col("n") >= min_n) & (F.col("sd") > 0))
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.hour(ts_col).cast("bigint").alias("hod"),
+        F.col(value_col),
+    ).join(F.broadcast(prof), ["key", "hod"])
+    z = F.round((F.col(value_col) - F.col("mu")) / F.col("sd"), 4)
+    return (
+        scored.withColumn("z", z)
+        .filter(F.abs("z") >= z_threshold)
+        .select(id_col, "key", ts_col, "hod", value_col, "n", "z")
+    )
+
+
+def seasonal_anomalies_sql(
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+    min_n: int = 30,
+) -> str:
+    return f"""
+WITH prof AS (
+  SELECT {key_col} AS key, EXTRACT(hour FROM {ts_col}) AS hod,
+         COUNT({value_col}) AS n, AVG({value_col}) AS mu,
+         stddev_samp({value_col}) AS sd
+  FROM {table}
+  GROUP BY 1, 2
+  HAVING COUNT({value_col}) >= {min_n} AND stddev_samp({value_col}) > 0
+),
+scored AS (
+  SELECT e.{id_col}, p.key, e.{ts_col}, p.hod, e.{value_col},
+         CAST(p.n AS BIGINT) AS n,
+         ROUND((e.{value_col} - p.mu) / p.sd, 4) AS z
+  FROM {table} e
+  JOIN prof p ON e.{key_col} = p.key
+             AND EXTRACT(hour FROM e.{ts_col}) = p.hod
+)
+SELECT {id_col}, key, {ts_col}, hod, {value_col}, n, z
+FROM scored WHERE ABS(z) >= {float(z_threshold)}
+"""

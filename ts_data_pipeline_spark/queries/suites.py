@@ -641,6 +641,18 @@ def _linalg_gram_sql() -> str:
     return linalg.gram_matrix_sql()
 
 
+def _tsstats_seasonal_profile_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.seasonal_hour_profile_sql()
+
+
+def _tsstats_seasonal_anomalies_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.seasonal_anomalies_sql()
+
+
 def _tsstats_cusum_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -739,6 +751,20 @@ def _olap_pivot_members() -> list[Member]:
             timeseries.value_histogram_by_type,
             _tsstats_histogram_sql(),
             (("key", "s"), ("bin", "l"), ("n", "l"), ("bin_lo", "d")),
+        ),
+        Member(
+            "seasonal_hour_profile",
+            timeseries.seasonal_hour_profile,
+            _tsstats_seasonal_profile_sql(),
+            (("key", "s"), ("hod", "l"), ("n", "l"), ("mu", "d"),
+             ("sd", "d")),
+        ),
+        Member(
+            "seasonal_anomalies",
+            timeseries.seasonal_anomalies,
+            _tsstats_seasonal_anomalies_sql(),
+            (("event_id", "l"), ("key", "s"), ("ts", "t"), ("hod", "l"),
+             ("value", "d"), ("n", "l"), ("z", "d")),
         ),
         Member(
             "cusum_drift_summary",

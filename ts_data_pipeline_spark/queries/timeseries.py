@@ -413,3 +413,20 @@ register("session_window_builtin", session_window_builtin, SESSION_WINDOW_BUILTI
 # stays pinned by tests/test_scale_patterns.py.
 # ann_ivf_topk -> merged with the LSH variant as ann_lsh_ivf_topk
 # (queries/llmdata.py).
+
+
+def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour-of-day) seasonal baseline (operators/
+    tsstats.py::seasonal_hour_profile — one bounded groupBy)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.seasonal_hour_profile(io.load(spark, sf_dir, "events"))
+
+
+def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-slot anomaly scan (operators/tsstats.py::
+    seasonal_anomalies — z vs the point's own hour-of-day baseline,
+    broadcast profile join, no window)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.seasonal_anomalies(io.load(spark, sf_dir, "events"))
