@@ -912,9 +912,14 @@ def seasonal_hour_profile(
     cardinality, broadcastable at any corpus size (the same
     broadcast-stats shape as the quantization frames).
 
-    Means/stddevs are emitted ROUND 4 for the gate; the residual
-    scorer below consumes the UNROUNDED aggregates recomputed in its
-    own plan, so rounding here can never leak into z-scores.
+    The GATED columns are the carried state — n, ROUND(sum, 2),
+    ROUND(sum of squares, 4): sums of 0.01-grid values sit on coarse
+    grids where 1e-12 summation drift cannot reach a rounding
+    boundary. mu/sd are emitted for consumers but deliberately NOT
+    hash-gated: AVG over a power-of-two slot count divides the 2-dp
+    grid exactly onto 4-dp HALVES (a (signup, hour-13, n=8) slot at
+    sf0.001 landed on mean ...77875, where Spark and DuckDB round to
+    opposite sides — the verify-skill tie class, hit live in r7).
     """
     return (
         df.groupBy(
@@ -923,6 +928,10 @@ def seasonal_hour_profile(
         )
         .agg(
             F.count(value_col).alias("n"),
+            F.round(F.sum(value_col), 2).alias("v_sum"),
+            F.round(F.sum(F.col(value_col) * F.col(value_col)), 4).alias(
+                "v_sumsq"
+            ),
             F.round(F.avg(value_col), 4).alias("mu"),
             F.round(F.stddev_samp(value_col), 4).alias("sd"),
         )
@@ -939,6 +948,8 @@ def seasonal_hour_profile_sql(
     return f"""
 SELECT {key_col} AS key, EXTRACT(hour FROM {ts_col}) AS hod,
        CAST(COUNT({value_col}) AS BIGINT) AS n,
+       ROUND(SUM({value_col}), 2) AS v_sum,
+       ROUND(SUM({value_col} * {value_col}), 4) AS v_sumsq,
        ROUND(AVG({value_col}), 4) AS mu,
        ROUND(stddev_samp({value_col}), 4) AS sd
 FROM {table}

@@ -753,11 +753,14 @@ def _olap_pivot_members() -> list[Member]:
             (("key", "s"), ("bin", "l"), ("n", "l"), ("bin_lo", "d")),
         ),
         Member(
+            # gate the CARRIED sums, not mu/sd: power-of-two slot
+            # counts put AVG of 0.01-grid data on exact 4-dp halves
+            # where the engines' rounding disagrees (hit at sf0.001)
             "seasonal_hour_profile",
             timeseries.seasonal_hour_profile,
             _tsstats_seasonal_profile_sql(),
-            (("key", "s"), ("hod", "l"), ("n", "l"), ("mu", "d"),
-             ("sd", "d")),
+            (("key", "s"), ("hod", "l"), ("n", "l"), ("v_sum", "d"),
+             ("v_sumsq", "d")),
         ),
         Member(
             "seasonal_anomalies",
