@@ -170,3 +170,62 @@ def test_stratified_split_exact_for_arbitrary_fracs(spark):
                     idx, s_i, name, splits)
                 prev_cut = cut
             assert splits.get("rest", 0) == n - prev_cut
+
+
+def test_duplicated_spans_superset_cover_property(spark):
+    """Property (hypothesis): for ANY pair of random token documents
+    that share a planted verbatim run of >= k tokens, BOTH documents
+    get a span covering the full planted run (the shingle method is a
+    superset cover — no duplicate >= k tokens is ever missed), and no
+    span ever extends more than k-1 tokens past a region whose
+    shingles are genuinely duplicated. Cases batch into ONE Spark job
+    (per-example jobs would take minutes)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import dedup
+
+    k = 3
+    cases: list[tuple[int, list[str], int, int]] = []  # (doc_id, toks, plant_at, plant_len)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(3, 8),    # planted run length (>= k)
+        st.integers(0, 6),    # left padding length
+        st.integers(0, 6),    # right padding length
+        st.integers(0, 10**6),
+    )
+    def collect(run_len, lpad, rpad, seed):
+        rng = random.Random(seed)
+        base = len(cases) * 2
+        # unique filler tokens per document (seeded uniqueness via the
+        # doc index) so only the planted run is shared
+        run = [f"shared{seed}tok{j}" for j in range(run_len)]
+        a = ([f"a{base}u{j}" for j in range(lpad)] + run
+             + [f"a{base}v{j}" for j in range(rpad)])
+        b = ([f"b{base}u{j}" for j in range(rpad)] + run
+             + [f"b{base}v{j}" for j in range(lpad)])
+        cases.append((base, a, lpad, run_len))
+        cases.append((base + 1, b, rpad, run_len))
+
+    collect()
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, text=" ".join(toks)) for d, toks, _, _ in cases]
+    )
+    spans = {}
+    for r in dedup.duplicated_spans(docs, k=k).collect():
+        spans.setdefault(r.doc_id, []).append((r.start_tok, r.end_tok))
+
+    for doc_id, toks, at, run_len in cases:
+        covering = [
+            (s, e) for s, e in spans.get(doc_id, [])
+            if s <= at and e >= at + run_len - 1
+        ]
+        assert covering, (doc_id, at, run_len, spans.get(doc_id))
+        # bounded overcount: every span edge stays within k-1 tokens
+        # of the planted run (the only duplicated content)
+        for s, e in spans.get(doc_id, []):
+            assert s >= at - (k - 1), (doc_id, s, at)
+            assert e <= at + run_len - 1 + (k - 1), (doc_id, e)
