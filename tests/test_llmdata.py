@@ -1443,3 +1443,27 @@ def test_duplicated_spans_gap_produces_two_spans(spark):
         (1, 1, 0, 2), (1, 2, 4, 6),
         (2, 1, 0, 2), (2, 2, 4, 6),
     ]
+
+
+def test_char_entropy_orders_garbage_below_prose(spark):
+    """Character entropy (functions/text.py::char_entropy): a
+    single-character flood scores exactly 0 bits, a two-char
+    alternation exactly 1 bit, and natural-ish prose lands above
+    both — the ordering the low-entropy garbage filter relies on;
+    n_chars/distinct_chars are exact."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="aaaaaaaaaa"),
+        Row(doc_id=2, text="ababababab"),
+        Row(doc_id=3, text="the quick brown fox jumps over lazy dogs"),
+    ])
+    got = {r.doc_id: (r.n_chars, r.distinct_chars, r.entropy_bits)
+           for r in text_fns.char_entropy(docs).collect()}
+    assert got[1] == (10, 1, 0.0)
+    assert got[2] == (10, 2, 1.0)
+    n3, d3, e3 = got[3]
+    assert n3 == 40 and d3 > 10
+    assert e3 > got[2][2] > got[1][2]

@@ -1356,3 +1356,72 @@ SELECT {id_col}, {clean} AS text_clean,
          AS chars_removed
 FROM {table}
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character entropy in BITS per char — the classic
+    low-entropy garbage filter (boilerplate, repeated padding, and
+    single-character floods score near 0; natural prose lands around
+    4-4.5 bits): H = log2(n) - (1/n) * sum_c count_c * log2(count_c).
+
+    Shape: explode to (doc, char) -> two map-side-combinable
+    groupBys — the same shuffle class as token counting; the char
+    alphabet bounds the inner group count per doc. Entropy is ROUND 4
+    — the log2 terms are irrational for every count ratio that isn't
+    a power of two, keeping gated values off the decimal grid (the
+    drawdown/roll_vol tie-free argument).
+
+    Output: (doc_id, n_chars, distinct_chars, entropy_bits).
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.count(F.lit(1)).alias("distinct_chars"),
+            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+        )
+        .select(
+            id_col,
+            "n_chars",
+            "distinct_chars",
+            F.round(
+                F.log2("n_chars") - F.col("clogc") / F.col("n_chars"), 4
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def char_entropy_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`char_entropy` — same explode/count
+    shape, same log2 formulation, same rounding."""
+    return f"""
+WITH chars AS (
+  SELECT {id_col}, unnest(string_split({text_col}, '')) AS ch
+  FROM {table}
+),
+counts AS (
+  SELECT {id_col}, ch, COUNT(*) AS c
+  FROM chars WHERE ch != '' GROUP BY 1, 2
+)
+SELECT {id_col},
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4)
+         AS entropy_bits
+FROM counts GROUP BY {id_col}
+"""

@@ -193,6 +193,12 @@ STRAT_HYBRID_THRESHOLD = 100
 SUBSTR_DEDUP_K = 8
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (functions/text.py::
+    char_entropy — bits/char; the low-entropy garbage filter)."""
+    return text_fns.char_entropy(io.load(spark, sf_dir, "documents"))
+
+
 def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span detection (operators/dedup.py::duplicated_spans
     — the shingle-DF approximation of Lee et al. 2022 ExactSubstr):

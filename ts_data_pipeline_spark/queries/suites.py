@@ -489,6 +489,13 @@ def _text_stats_members() -> list[Member]:
             (("doc_id", "l"), ("stratum", "s"), ("split", "s")),
         ),
         Member(
+            "char_entropy",
+            llmdata.char_entropy,
+            text_fns.char_entropy_sql(),
+            (("doc_id", "l"), ("n_chars", "l"), ("distinct_chars", "l"),
+             ("entropy_bits", "d")),
+        ),
+        Member(
             "substring_dup_spans",
             llmdata.substring_dup_spans,
             dedup_ops.duplicated_spans_sql(k=llmdata.SUBSTR_DEDUP_K),
