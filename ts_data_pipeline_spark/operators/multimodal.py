@@ -156,44 +156,19 @@ def synthesize_png(doc_id: int) -> bytes:
 
 
 def _decode_png(payload: bytes) -> dict:
-    """Parse the PNG container (chunk walk), inflate IDAT, undo
-    filter-0 scanlines, and compute integer pixel stats. Grayscale
-    8-bit / filter 0 only — the synthetic corpus shape; anything else
-    raises rather than silently mis-decoding."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos, ihdr, idat = 8, None, b""
-    while pos < len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif typ == b"IDAT":
-            idat += data
-        pos += 12 + length
-    if ihdr is None:
-        raise ValueError("no IHDR chunk")
-    w, h, bit_depth, color_type, _, _, _ = ihdr
-    if (bit_depth, color_type) != (8, 0):
-        raise NotImplementedError("only 8-bit grayscale supported")
-    raw = zlib.decompress(idat)
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
-    if scan[:, 0].any():
-        raise NotImplementedError("only filter-0 scanlines supported")
-    pixels = scan[:, 1:].astype(np.int64)
+    """Integer pixel stats over the decoded PNG — the decode itself
+    is :func:`_png_pixels` (ONE chunk-walk/inflate/unfilter body,
+    shared with the perceptual hash so the two consumers can never
+    disagree on which payloads decode)."""
+    px = _png_pixels(payload)
+    h, w = px.shape
     return {
         "width": w,
         "height": h,
-        "bit_depth": bit_depth,
-        "color_type": color_type,
+        "bit_depth": 8,
+        "color_type": 0,
         "n_pixels": w * h,
-        "pix_sum": int(pixels.sum()),
+        "pix_sum": int(px.astype("int64").sum()),
     }
 
 
@@ -486,8 +461,8 @@ FROM documents
 
 def _png_pixels(payload: bytes):
     """Decode an 8-bit grayscale filter-0 PNG to its (h, w) pixel
-    array — the shared decode core of :func:`_decode_png` and the
-    perceptual hash (same chunk walk, same guards)."""
+    array — THE decode core; _decode_png layers stats and
+    image_dhash layers the perceptual hash on this one body."""
     import struct
     import zlib
 
@@ -627,18 +602,19 @@ def image_dhash_dups(
         "band",
         "bv",
     )
-    pairs = (
-        left.join(right, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b")
-        .distinct()
-    )
     ham = (
         F.expr("bit_count(hi_a ^ hi_b)") + F.expr("bit_count(lo_a ^ lo_b)")
     ).alias("hamming")
+    # hamming filter BEFORE the distinct: band buckets emit up to 4
+    # copies of every candidate (one per shared band), and shuffling
+    # far-apart pairs through the distinct just to discard them after
+    # is wasted exchange — the bit_count test is scan-side codegen
     return (
-        pairs.select("doc_a", "doc_b", ham)
+        left.join(right, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

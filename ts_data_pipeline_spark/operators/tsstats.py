@@ -976,8 +976,14 @@ def seasonal_anomalies(
 
     Plan shape: the profile aggregate (|keys| x 24 rows) broadcasts
     back onto the scan — no window, no per-key sort, one shuffle
-    total. Membership compares the ROUNDED z (both engines round the
-    same double, so the set cannot drift at the threshold).
+    total. Membership compares the ROUNDED z. mu and sd are each
+    engine's own aggregates (summation order differs at ulp scale),
+    but z divides by a sqrt, which keeps the true value OFF the
+    decimal grid — a 4-dp rounding flip needs the true z within
+    ~1e-12 of a half boundary, measure-zero on continuous values
+    (the same accepted risk class as the rolling z-score gate; the
+    GRID-valued quantities, where ties are systematic rather than
+    accidental, are what seasonal_hour_profile refuses to gate).
     """
     prof = (
         df.groupBy(

@@ -199,6 +199,28 @@ def _replay_chunks(
     return base, data_dir
 
 
+def _run_replay_gate(
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    build,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """The full lifecycle every replay gate shares: chunked replay
+    dir -> ``build(stream)`` streaming plan -> availableNow run into
+    a memory sink -> replay dir REMOVED -> the finals table. Cleanup
+    lives here so a future gate cannot forget it (six gates each
+    carried their own copy — r7 review finding)."""
+    base, data_dir = _replay_chunks(df, prefix, n_chunks)
+    stream = windowed.parquet_stream(spark, data_dir, df.schema, max_files=1)
+    out = build(stream)
+    name = f"{prefix}{uuid.uuid4().hex[:8]}"
+    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
+        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(name)
+
+
 def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship agg as a checkpointed availableNow streaming run.
 
@@ -210,17 +232,10 @@ def streaming_window_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle to the machine (a cluster deployment would set this in
     # the session or rely on AQE, which streaming disables).
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
-    base, data_dir = _replay_chunks(enriched, "tsdp_stream_")
-    schema = enriched.schema
-    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
-    agg = windowed.streaming_option_window_agg(stream)
-    name = f"finals_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
-        windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
-    # the memory sink now holds the finals; drop the replay
-    # dir (mkdtemp would otherwise leak one per invocation)
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(name)
+    return _run_replay_gate(
+        spark, enriched, "tsdp_stream_",
+        windowed.streaming_option_window_agg,
+    )
 
 
 def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +249,6 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enriched = trades.events_as_option_trades(io.load(spark, sf_dir, "events"))
     enriched = enriched.withColumn("osym", F.col("osym").cast("string"))
-    base, data_dir = _replay_chunks(enriched, "tsdp_ureduce_", n_chunks=3)
 
     def initializer():
         # option_trade_aggs initializer analog (main.py:143-188).
@@ -250,22 +264,18 @@ def streaming_user_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc["premium_sum"] += rec["premium"]
         return acc
 
-    stream = windowed.parquet_stream(spark, data_dir, enriched.schema, max_files=1)
-    agg = custom_state.keyed_window_reduce(
-        stream,
-        initializer,
-        reducer,
-        value_fields=(("trade_count", "long"), ("premium_sum", "double")),
+    def build(stream):
+        return custom_state.keyed_window_reduce(
+            stream,
+            initializer,
+            reducer,
+            value_fields=(("trade_count", "long"), ("premium_sum", "double")),
+        )
+
+    finals = _run_replay_gate(
+        spark, enriched, "tsdp_ureduce_", build, n_chunks=3
     )
-    name = f"ureduce_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
-        windowed.run_available_now(agg, name, os.path.join(base, "ckpt"))
-    # the memory sink now holds the finals; drop the replay
-    # dir (mkdtemp would otherwise leak one per invocation)
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(name).withColumn(
-        "premium_sum", F.round("premium_sum", 4)
-    )
+    return finals.withColumn("premium_sum", F.round("premium_sum", 4))
 
 
 # The bounded-replay watermark: Spark tracks event time in ms, so
@@ -306,16 +316,10 @@ def streaming_funnel_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    base, data_dir = _replay_chunks(ev, "tsdp_cep_")
-    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
-    out = cep.streaming_funnel(stream, "view", "purchase", 60)
-    name = f"cepfunnel_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
-        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
-    # the memory sink now holds the finals; drop the replay
-    # dir (mkdtemp would otherwise leak one per invocation)
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(name)
+    return _run_replay_gate(
+        spark, ev, "tsdp_cep_",
+        lambda stream: cep.streaming_funnel(stream, "view", "purchase", 60),
+    )
 
 
 def _streaming_funnel_finals_sql() -> str:
@@ -346,16 +350,9 @@ def streaming_zscore_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    base, data_dir = _replay_chunks(ev, "tsdp_cepz_")
-    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
-    out = cep.streaming_zscore_alerts(stream)
-    name = f"cepz_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
-        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
-    # the memory sink now holds the finals; drop the replay
-    # dir (mkdtemp would otherwise leak one per invocation)
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(name)
+    return _run_replay_gate(
+        spark, ev, "tsdp_cepz_", cep.streaming_zscore_alerts
+    )
 
 
 def _streaming_zscore_finals_sql() -> str:
@@ -392,16 +389,12 @@ def streaming_cusum_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
-    base, data_dir = _replay_chunks(ev, "tsdp_cepc_")
-    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
-    out = cep.streaming_cusum_alerts(stream, threshold=CUSUM_GATE_THRESHOLD)
-    name = f"cepc_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
-        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
-    # the memory sink now holds the finals; drop the replay
-    # dir (mkdtemp would otherwise leak one per invocation)
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(name)
+    return _run_replay_gate(
+        spark, ev, "tsdp_cepc_",
+        lambda stream: cep.streaming_cusum_alerts(
+            stream, threshold=CUSUM_GATE_THRESHOLD
+        ),
+    )
 
 
 def _streaming_cusum_finals_sql() -> str:
@@ -458,16 +451,12 @@ def streaming_funnel_path_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.load(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    base, data_dir = _replay_chunks(ev, "tsdp_cepp_")
-    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
-    out = cep.streaming_funnel_path(stream, CEP_PATH_STAGES, CEP_PATH_WITHIN)
-    name = f"cepp_{uuid.uuid4().hex[:8]}"
-    with _scoped_conf(spark, "spark.sql.shuffle.partitions", "32"):
-        windowed.run_available_now(out, name, os.path.join(base, "ckpt"))
-    # the memory sink now holds the finals; drop the replay
-    # dir (mkdtemp would otherwise leak one per invocation)
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(name)
+    return _run_replay_gate(
+        spark, ev, "tsdp_cepp_",
+        lambda stream: cep.streaming_funnel_path(
+            stream, CEP_PATH_STAGES, CEP_PATH_WITHIN
+        ),
+    )
 
 
 def _streaming_funnel_path_finals_sql() -> str:

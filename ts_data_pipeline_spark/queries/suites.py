@@ -657,7 +657,8 @@ def _tsstats_seasonal_profile_sql() -> str:
 def _tsstats_seasonal_anomalies_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
-    return tsstats.seasonal_anomalies_sql()
+    # knobs mirror queries/timeseries.py::seasonal_anomalies
+    return tsstats.seasonal_anomalies_sql(z_threshold=2.5, min_n=6)
 
 
 def _tsstats_cusum_sql() -> str:

@@ -426,7 +426,13 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-slot anomaly scan (operators/tsstats.py::
     seasonal_anomalies — z vs the point's own hour-of-day baseline,
-    broadcast profile join, no window)."""
+    broadcast profile join, no window). Gate knobs are tuned to the
+    gate SF: min_n=6 so sf0.001's <=18-row slots still score (the
+    operator default of 30 would make the gated relation EMPTY there
+    — a vacuous pass, r7 review finding), z>=2.5 so both SFs emit a
+    non-trivial alarm set (11 rows at sf0.001, 313 at sf0.01)."""
     from ts_data_pipeline_spark.operators import tsstats
 
-    return tsstats.seasonal_anomalies(io.load(spark, sf_dir, "events"))
+    return tsstats.seasonal_anomalies(
+        io.load(spark, sf_dir, "events"), z_threshold=2.5, min_n=6
+    )
