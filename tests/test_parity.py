@@ -34,3 +34,30 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_no_vacuous_suite_members(oracle):
+    """Every suite member's gated relation must be NON-EMPTY at the
+    pytest SF: a member whose oracle returns 0 rows passes the hash
+    compare no matter how broken the Spark side is (the r7 seasonal
+    gate shipped vacuous — operator default min_n=30 emptied it at
+    every gate SF). Mechanized here the way plans/lint.py mechanizes
+    the anti-pattern rules: adding a vacuous member now fails CI."""
+    from ts_data_pipeline_spark.queries import suites
+
+    builders = [
+        suites._enrichment_members, suites._filters_members,
+        suites._quality_members, suites._text_stats_members,
+        suites._olap_pivot_members, suites._join_semi_anti_members,
+        suites._dedup_exact_simhash_members,
+        suites._catalog_browse_members, suites._media_members,
+    ]
+    empty = []
+    for b in builders:
+        for m in b():
+            n = oracle.execute(
+                f"SELECT COUNT(*) FROM ({m.sql})"
+            ).fetchone()[0]
+            if n == 0:
+                empty.append(m.name)
+    assert not empty, f"vacuous suite members (0 oracle rows): {empty}"
