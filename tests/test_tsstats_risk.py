@@ -223,3 +223,53 @@ def test_seasonal_anomalies_judge_against_own_hour(spark):
     assert 9 not in flagged_hours      # the same value at 9 AM is normal
     assert 23 not in flagged_hours     # n=2 < min_n: never scored
     assert all(abs(z) >= 3.0 for _, z in got.values())
+
+
+def test_time_weighted_avg_hold_semantics(spark):
+    """TWA (operators/tsstats.py::time_weighted_avg): a value that
+    HELD for most of the bucket dominates a burst of ticks — exact
+    hand-computed holds; bucket-end clipping; single-sample bucket
+    reports the sample's value; NULL values drop."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    s = lambda k: h + dt.timedelta(seconds=k)
+    rows = [
+        # key A, bucket 10:00: v=10 holds 0..3000s, then ten v=100
+        # ticks one second apart, last tick holds to bucket end
+        Row(event_id=0, event_type="A", ts=s(0), value=10.0),
+    ] + [
+        Row(event_id=1 + i, event_type="A", ts=s(3000 + i), value=100.0)
+        for i in range(10)
+    ] + [
+        # key A next bucket: single sample at the midpoint -> twa
+        # equals the sample (coverage = bucket_end - its ts)
+        Row(event_id=50, event_type="A", ts=s(3600 + 1800), value=42.0),
+        # key B: a NULL value is dropped entirely
+        Row(event_id=60, event_type="B", ts=s(0), value=None),
+        Row(event_id=61, event_type="B", ts=s(100), value=7.0),
+    ]
+    out = {
+        (r.key, r.bucket): (r.n, r.coverage_us, r.weighted_sum, r.twa)
+        for r in tsstats.time_weighted_avg(
+            spark.createDataFrame(rows), bucket_minutes=60
+        ).collect()
+    }
+    b0 = int(s(0).timestamp() * 1_000_000) // 3_600_000_000
+    # bucket 0: 10 holds 3000s, nine 100-ticks hold 1s each, the
+    # last 100-tick holds 3600-3009=591s; coverage 3600s
+    n, cov, wsum, twa = out[("A", b0)]
+    assert n == 11 and cov == 3_600_000_000
+    expect = 10.0 * 3000e6 + 100.0 * 9e6 + 100.0 * 591e6
+    assert wsum == expect, (wsum, expect)
+    assert abs(twa - expect / 3600e6) < 1e-4
+    # bucket 1: single midpoint sample -> twa == its value
+    n1, cov1, _, twa1 = out[("A", b0 + 1)]
+    assert n1 == 1 and cov1 == 1_800_000_000 and twa1 == 42.0
+    # key B: the NULL row vanished; the 7.0 holds to bucket end
+    nb, covb, _, twab = out[("B", b0)]
+    assert nb == 1 and twab == 7.0 and covb == 3_500_000_000

@@ -1042,3 +1042,131 @@ scored AS (
 SELECT {id_col}, key, {ts_col}, hod, {value_col}, n, z
 FROM scored WHERE ABS(z) >= {float(z_threshold)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over irregular samples (the `time_weight`
+# aggregate of purpose-built TS engines: a value holds until the next
+# sample, so sparse slow-moving series don't get equal-weighted like
+# dense bursts)
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    bucket_minutes: int = 60,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, bucket) time-weighted average under LOCF hold
+    semantics: each sample's value is weighted by how long it HELD —
+    ``min(next sample ts, bucket end) - ts`` — so a value that stood
+    for 50 minutes outweighs ten ticks in one second (the equal-
+    weight AVG failure on irregular telemetry).
+
+    Convention (documented, both engines identical): holds are
+    clipped at the bucket end (no cross-bucket carry — the LOCF
+    interpolation spine is the tool for gap-filling ACROSS buckets);
+    the denominator is the COVERED span, bucket_end - first sample
+    ts, so a bucket with one sample at its midpoint reports that
+    sample's value, not half of it.
+
+    Plan shape: one per-key window for lead(ts) (bounded offset, no
+    lookahead frame — lead is physical offset 1, not an
+    UnboundedFollowing recompute) + one map-side-combinable groupBy.
+    All weights are exact integer microseconds.
+
+    Gated columns are the CARRIED state — n, coverage_us,
+    ROUND(weighted_sum, 2) (the 0.01-value x integer-us grid is
+    coarse enough that summation drift cannot cross a boundary);
+    ``twa`` is the derived division, emitted for consumers but NOT
+    hash-gated (the seasonal-profile AVG half-tie lesson).
+    """
+    from pyspark.sql import Window
+
+    bucket_us = bucket_minutes * 60_000_000
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    bucket = (ts_us / bucket_us).cast("bigint")
+    rows = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(id_col),
+            ts_us.alias("t"),
+            bucket.alias("b"),
+            F.col(value_col).alias("v"),
+            F.lead(ts_us, 1).over(w).alias("t_next"),
+        )
+        .filter(F.col("v").isNotNull())
+        .withColumn("b_end", (F.col("b") + 1) * bucket_us)
+        .withColumn(
+            "hold_us",
+            F.least(F.coalesce("t_next", F.col("b_end")), F.col("b_end"))
+            - F.col("t"),
+        )
+    )
+    return (
+        rows.groupBy("key", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("b_end") - F.min("t")).alias("coverage_us"),
+            F.round(F.sum(F.col("v") * F.col("hold_us")), 2).alias(
+                "weighted_sum"
+            ),
+        )
+        .select(
+            "key",
+            F.col("b").alias("bucket"),
+            "n",
+            "coverage_us",
+            "weighted_sum",
+            F.round(
+                F.col("weighted_sum") / F.col("coverage_us"), 4
+            ).alias("twa"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    bucket_minutes: int = 60,
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` — same integer-us
+    holds, same clipping, same carried-state rounding."""
+    bucket_us = bucket_minutes * 60_000_000
+    return f"""
+WITH pts AS (
+  SELECT {key_col} AS key, {id_col},
+         epoch_us({ts_col}) AS t,
+         epoch_us({ts_col}) // {bucket_us} AS b,
+         {value_col} AS v,
+         LEAD(epoch_us({ts_col}), 1) OVER (
+           PARTITION BY {key_col}
+           ORDER BY {ts_col} ASC, {id_col} ASC) AS t_next
+  FROM {table}
+),
+held AS (
+  SELECT key, b, v,
+         (b + 1) * {bucket_us} AS b_end,
+         LEAST(COALESCE(t_next, (b + 1) * {bucket_us}),
+               (b + 1) * {bucket_us}) - t AS hold_us,
+         t
+  FROM pts WHERE v IS NOT NULL
+)
+SELECT key, b AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(b_end) - MIN(t) AS BIGINT) AS coverage_us,
+       ROUND(SUM(v * hold_us), 2) AS weighted_sum,
+       ROUND(ROUND(SUM(v * hold_us), 2) / (MAX(b_end) - MIN(t)), 4)
+         AS twa
+FROM held GROUP BY key, b
+"""

@@ -661,6 +661,12 @@ def _tsstats_seasonal_anomalies_sql() -> str:
     return tsstats.seasonal_anomalies_sql(z_threshold=2.5, min_n=6)
 
 
+def _tsstats_twa_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.time_weighted_avg_sql()
+
+
 def _tsstats_cusum_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -776,6 +782,15 @@ def _olap_pivot_members() -> list[Member]:
             _tsstats_seasonal_anomalies_sql(),
             (("event_id", "l"), ("key", "s"), ("ts", "t"), ("hod", "l"),
              ("value", "d"), ("n", "l"), ("z", "d")),
+        ),
+        Member(
+            # twa (the derived division) is deliberately NOT gated —
+            # carried-state convention; see seasonal_hour_profile
+            "time_weighted_hourly",
+            timeseries.time_weighted_hourly,
+            _tsstats_twa_sql(),
+            (("key", "s"), ("bucket", "l"), ("n", "l"),
+             ("coverage_us", "l"), ("weighted_sum", "d")),
         ),
         Member(
             "cusum_drift_summary",

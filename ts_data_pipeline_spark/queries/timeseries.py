@@ -436,3 +436,12 @@ def seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsstats.seasonal_anomalies(
         io.load(spark, sf_dir, "events"), z_threshold=2.5, min_n=6
     )
+
+
+def time_weighted_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted averages per event_type (operators/
+    tsstats.py::time_weighted_avg — LOCF hold weighting, integer-us
+    holds; the gated columns are the carried sums)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.time_weighted_avg(io.load(spark, sf_dir, "events"))
