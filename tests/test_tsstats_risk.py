@@ -273,3 +273,63 @@ def test_time_weighted_avg_hold_semantics(spark):
     # key B: the NULL row vanished; the 7.0 holds to bucket end
     nb, covb, _, twab = out[("B", b0)]
     assert nb == 1 and twab == 7.0 and covb == 3_500_000_000
+
+
+def test_counter_increase_reset_semantics(spark):
+    """Counter increase (operators/tsstats.py::counter_increase):
+    monotonic deltas sum; a reset (value drops) contributes the
+    post-reset value (restarted-from-zero estimator) and increments
+    n_resets; the first-ever sample contributes nothing; boundary
+    deltas attach to the bucket of the LATER sample."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: h + dt.timedelta(minutes=k)
+    rows = [
+        Row(event_id=0, event_type="c", ts=m(0), value=100.0),
+        Row(event_id=1, event_type="c", ts=m(10), value=150.0),  # +50
+        Row(event_id=2, event_type="c", ts=m(20), value=30.0),   # RESET +30
+        Row(event_id=3, event_type="c", ts=m(30), value=80.0),   # +50
+        # next bucket: boundary delta 80 -> 90 lands HERE
+        Row(event_id=4, event_type="c", ts=m(70), value=90.0),   # +10
+    ]
+    out = {
+        (r.key, r.bucket): (r.n_samples, r.n_resets, r.increase)
+        for r in tsstats.counter_increase(
+            spark.createDataFrame(rows), bucket_minutes=60
+        ).collect()
+    }
+    b0 = int(h.timestamp() * 1_000_000) // 3_600_000_000
+    assert out[("c", b0)] == (4, 1, 130.0)       # 50 + 30 + 50
+    assert out[("c", b0 + 1)] == (1, 0, 10.0)    # boundary delta kept
+
+
+def test_heartbeat_gaps_detects_silence(spark):
+    """Gap scan (operators/tsstats.py::heartbeat_gaps): only
+    silences beyond the threshold report, bounds are the flanking
+    samples, and the trailing open interval never reports."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: h + dt.timedelta(minutes=k)
+    rows = [
+        Row(event_id=0, event_type="g", ts=m(0)),
+        Row(event_id=1, event_type="g", ts=m(10)),   # 10 min: fine
+        Row(event_id=2, event_type="g", ts=m(100)),  # 90 min: GAP
+        Row(event_id=3, event_type="g", ts=m(105)),
+    ]
+    got = [
+        (r.key, r.gap_start, r.gap_end, r.gap_us)
+        for r in tsstats.heartbeat_gaps(
+            spark.createDataFrame(rows), gap_minutes=30
+        ).collect()
+    ]
+    assert got == [("g", m(10), m(100), 90 * 60_000_000)]

@@ -1170,3 +1170,189 @@ SELECT key, b AS bucket,
          AS twa
 FROM held GROUP BY key, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Counter semantics: per-bucket increase with reset detection, and
+# heartbeat gap scanning (the rate()/absent() pair of metric engines)
+
+
+def counter_increase(
+    df: DataFrame,
+    bucket_minutes: int = 60,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-(key, bucket) INCREASE of a monotonic counter with reset
+    detection — the Prometheus ``increase()``/``rate()`` convention:
+    a sample below its predecessor means the counter restarted, and
+    the post-reset value counts in full (the true increase since the
+    reset is unobservable; assuming a restart from zero is the
+    standard estimator). Deltas are computed per key across the FULL
+    timeline (a bucket's first sample diffs against the previous
+    bucket's last — increases at boundaries are never dropped), then
+    aggregated per bucket.
+
+    Plan shape: one per-key lag window (bounded offset) + one
+    map-side-combinable groupBy. Gated values: n_samples, n_resets
+    (integers) and ROUND(increase, 2) — sums of 0.01-grid deltas stay
+    on a coarse grid (carried-state convention).
+    """
+    from pyspark.sql import Window
+
+    bucket_us = bucket_minutes * 60_000_000
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(id_col),
+            (ts_us / bucket_us).cast("bigint").alias("b"),
+            F.col(value_col).alias("v"),
+            F.lag(F.col(value_col), 1).over(w).alias("v_prev"),
+        )
+        .withColumn(
+            "delta",
+            F.when(F.col("v_prev").isNull(), F.lit(None).cast("double"))
+            .when(F.col("v") >= F.col("v_prev"), F.col("v") - F.col("v_prev"))
+            .otherwise(F.col("v")),  # reset: restarted-from-zero estimate
+        )
+        .withColumn(
+            "is_reset",
+            (F.col("v_prev").isNotNull()
+             & (F.col("v") < F.col("v_prev"))).cast("bigint"),
+        )
+    )
+    return (
+        rows.groupBy("key", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("is_reset").alias("n_resets"),
+            F.round(F.coalesce(F.sum("delta"), F.lit(0.0)), 2).alias(
+                "increase"
+            ),
+        )
+        .select(
+            "key", F.col("b").alias("bucket"), "n_samples", "n_resets",
+            "increase",
+        )
+    )
+
+
+def counter_increase_sql(
+    bucket_minutes: int = 60,
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    bucket_us = bucket_minutes * 60_000_000
+    return f"""
+WITH pts AS (
+  SELECT {key_col} AS key, {id_col},
+         epoch_us({ts_col}) // {bucket_us} AS b,
+         {value_col} AS v,
+         LAG({value_col}, 1) OVER (
+           PARTITION BY {key_col}
+           ORDER BY {ts_col} ASC, {id_col} ASC) AS v_prev
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+d AS (
+  SELECT key, b,
+         CASE WHEN v_prev IS NULL THEN NULL
+              WHEN v >= v_prev THEN v - v_prev
+              ELSE v END AS delta,
+         CASE WHEN v_prev IS NOT NULL AND v < v_prev
+              THEN 1 ELSE 0 END AS is_reset
+  FROM pts
+)
+SELECT key, b AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(is_reset) AS BIGINT) AS n_resets,
+       ROUND(COALESCE(SUM(delta), 0), 2) AS increase
+FROM d GROUP BY key, b
+"""
+
+
+def heartbeat_gaps(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Silence detection: every interval where a key produced NO
+    sample for more than ``gap_minutes`` — the ``absent()``/
+    dead-man's-switch scan of a metrics engine. One per-key lead
+    window (bounded offset); gap bounds are exact microseconds.
+
+    Output: (key, gap_start, gap_end, gap_us) — the silent interval
+    between consecutive samples. The trailing open gap (after a key's
+    last sample) is a STREAMING concern (no batch endpoint exists);
+    the CEP timeout machinery is the tool there.
+    """
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(ts_col).alias("gap_start"),
+            ts_us.alias("t"),
+            F.lead(ts_us, 1).over(
+                Window.partitionBy(key_col).orderBy(
+                    F.col(ts_col).asc(), F.col(id_col).asc()
+                )
+            ).alias("t_next"),
+            F.lead(F.col(ts_col), 1).over(w).alias("gap_end"),
+        )
+        .filter(
+            F.col("t_next").isNotNull()
+            & ((F.col("t_next") - F.col("t")) > gap_us)
+        )
+        .select(
+            "key",
+            "gap_start",
+            "gap_end",
+            (F.col("t_next") - F.col("t")).alias("gap_us"),
+        )
+    )
+
+
+def heartbeat_gaps_sql(
+    gap_minutes: int = 30,
+    *,
+    table: str = "events",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    gap_us = gap_minutes * 60_000_000
+    return f"""
+WITH pts AS (
+  SELECT {key_col} AS key, {ts_col} AS gap_start,
+         epoch_us({ts_col}) AS t,
+         LEAD(epoch_us({ts_col}), 1) OVER w AS t_next,
+         LEAD({ts_col}, 1) OVER w AS gap_end
+  FROM {table}
+  WINDOW w AS (PARTITION BY {key_col}
+               ORDER BY {ts_col} ASC, {id_col} ASC)
+)
+SELECT key, gap_start, gap_end,
+       CAST(t_next - t AS BIGINT) AS gap_us
+FROM pts
+WHERE t_next IS NOT NULL AND t_next - t > {gap_us}
+"""

@@ -667,6 +667,18 @@ def _tsstats_twa_sql() -> str:
     return tsstats.time_weighted_avg_sql()
 
 
+def _tsstats_counter_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.counter_increase_sql()
+
+
+def _tsstats_gaps_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.heartbeat_gaps_sql(gap_minutes=60)
+
+
 def _tsstats_cusum_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -791,6 +803,20 @@ def _olap_pivot_members() -> list[Member]:
             _tsstats_twa_sql(),
             (("key", "s"), ("bucket", "l"), ("n", "l"),
              ("coverage_us", "l"), ("weighted_sum", "d")),
+        ),
+        Member(
+            "counter_hourly_increase",
+            timeseries.counter_hourly_increase,
+            _tsstats_counter_sql(),
+            (("key", "s"), ("bucket", "l"), ("n_samples", "l"),
+             ("n_resets", "l"), ("increase", "d")),
+        ),
+        Member(
+            "heartbeat_gap_scan",
+            timeseries.heartbeat_gap_scan,
+            _tsstats_gaps_sql(),
+            (("key", "s"), ("gap_start", "t"), ("gap_end", "t"),
+             ("gap_us", "l")),
         ),
         Member(
             "cusum_drift_summary",

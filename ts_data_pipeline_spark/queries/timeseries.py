@@ -445,3 +445,23 @@ def time_weighted_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ts_data_pipeline_spark.operators import tsstats
 
     return tsstats.time_weighted_avg(io.load(spark, sf_dir, "events"))
+
+
+def counter_hourly_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) counter increase with reset detection
+    (operators/tsstats.py::counter_increase — Prometheus increase()
+    convention; boundary deltas never dropped)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.counter_increase(io.load(spark, sf_dir, "events"))
+
+
+def heartbeat_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence intervals > 60 min per event_type (operators/
+    tsstats.py::heartbeat_gaps — the absent()/dead-man's-switch
+    scan; non-empty at every gate SF)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.heartbeat_gaps(
+        io.load(spark, sf_dir, "events"), gap_minutes=60
+    )
