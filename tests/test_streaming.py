@@ -1189,3 +1189,61 @@ def test_streaming_funnel_hot_key_dense_horizon(spark, tmp_path):
     assert len(got) == 60  # every from decided
     for eid in got:
         assert got[eid] == want[eid], (eid, got[eid], want[eid])
+
+
+def test_streaming_heartbeat_alerts_silences_once(spark, tmp_path):
+    """Dead-man's switch (cep.streaming_heartbeat_alerts): the
+    TIMEOUT path alerts an ongoing silence exactly once (no re-alert
+    on later empty batches), a gap closed by a later sample alerts
+    for the silence START exactly once, short gaps never alert, and
+    a new sample after an alerted silence re-arms (a second long
+    silence alerts again)."""
+    import datetime as dt
+
+    from ts_data_pipeline_spark.streaming import cep
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    h = dt.datetime(2024, 1, 1, 10, 0)
+    m = lambda k: h + dt.timedelta(minutes=k)
+    chunks = [
+        # key A beats at 0 and 5; key W is the watermark driver
+        [(0, "A", m(0)), (1, "A", m(5)), (2, "W", m(0))],
+        # watermark pushes past A's 10-min horizon (silence from 5):
+        # TIMEOUT alert for last_seen=5; W itself keeps beating
+        [(3, "W", m(30))],
+        # nothing for A; watermark advances again — NO re-alert
+        [(4, "W", m(60))],
+        # A returns at 70 (silence 5->70 was already alerted), beats
+        # at 72, then a CLOSED 15-min gap 72->87 alerts for 72
+        [(5, "A", m(70)), (6, "A", m(72)), (7, "A", m(87)),
+         (8, "W", m(88))],
+        # final watermark driver: A's trailing silence from 87 (>10)
+        # alerts once more; W's own trailing silence also alerts
+        [(9, "W", m(200))],
+    ]
+    data_dir = str(tmp_path / "data")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, schema, max_files=1)
+    out = cep.streaming_heartbeat_alerts(stream, gap_minutes=10)
+    windowed.run_available_now(out, "t_cep_hb", str(tmp_path / "ckpt"))
+    got = sorted(
+        (r.key, r.last_seen)
+        for r in spark.table("t_cep_hb").collect()
+    )
+    want = sorted([
+        ("A", m(5)),    # timeout-fired ongoing silence, once
+        ("A", m(72)),   # closed 15-min gap start
+        ("A", m(87)),   # trailing silence after re-arm
+        # the watermark driver's own beats are 30-60 min apart — all
+        # legitimate gaps at the 10-min threshold
+        ("W", m(0)), ("W", m(30)), ("W", m(60)), ("W", m(88)),
+    ])
+    assert got == want, (got, want)

@@ -477,6 +477,55 @@ WHERE ts + INTERVAL {w} MINUTE < {_FINAL_WATERMARK_SQL}
 """
 
 
+
+
+#: Heartbeat gate threshold — 60 min yields a non-empty alert set at
+#: every gate SF (the vacuity linter enforces this).
+HEARTBEAT_GAP_MINUTES = 60
+
+
+def streaming_heartbeat_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth registered streaming-CEP gate: the dead-man's switch
+    (cep.streaming_heartbeat_alerts) — the operator whose SIGNAL is
+    the event-time timeout. Oracle: the batch gap starts (next sample
+    more than gap later) plus each key's trailing silence when the
+    final watermark strictly passed last_seen + gap."""
+    from ts_data_pipeline_spark.streaming import cep
+
+    ev = io.load(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    return _run_replay_gate(
+        spark, ev, "tsdp_ceph_",
+        lambda stream: cep.streaming_heartbeat_alerts(
+            stream, HEARTBEAT_GAP_MINUTES
+        ),
+    )
+
+
+def _streaming_heartbeat_finals_sql() -> str:
+    gap_us = HEARTBEAT_GAP_MINUTES * 60_000_000
+    return f"""
+WITH pts AS (
+  SELECT event_type AS key, ts,
+         epoch_us(ts) AS t,
+         LEAD(epoch_us(ts), 1) OVER (
+           PARTITION BY event_type
+           ORDER BY ts ASC, event_id ASC) AS t_next
+  FROM events
+),
+closed AS (
+  SELECT key, ts AS last_seen FROM pts
+  WHERE t_next IS NOT NULL AND t_next - t > {gap_us}
+),
+open_tail AS (
+  SELECT key, MAX(ts) AS last_seen FROM pts GROUP BY key
+  HAVING epoch_us({_FINAL_WATERMARK_SQL}) > epoch_us(MAX(ts)) + {gap_us}
+)
+SELECT key, last_seen, TRUE AS alert FROM closed
+UNION ALL
+SELECT key, last_seen, TRUE AS alert FROM open_tail
+"""
+
+
 def _streaming_user_reduce_sql() -> str:
     from ts_data_pipeline_spark.queries.flagship import TRADES_SQL
 
@@ -502,3 +551,4 @@ register("streaming_funnel_finals", streaming_funnel_finals, _streaming_funnel_f
 register("streaming_zscore_finals", streaming_zscore_finals, _streaming_zscore_finals_sql())
 register("streaming_cusum_finals", streaming_cusum_finals, _streaming_cusum_finals_sql())
 register("streaming_funnel_path_finals", streaming_funnel_path_finals, _streaming_funnel_path_finals_sql())
+register("streaming_heartbeat_finals", streaming_heartbeat_finals, _streaming_heartbeat_finals_sql())

@@ -591,3 +591,110 @@ def streaming_funnel_path(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_heartbeat_alerts(
+    events: DataFrame,
+    gap_minutes: int = 60,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    grace: str = "1 second",
+) -> DataFrame:
+    """Dead-man's-switch: emit an alert the moment the watermark
+    proves a key has been silent longer than ``gap_minutes`` — the
+    streaming-NATIVE complement of the batch heartbeat_gaps scan
+    (which can only report silences already broken by a later
+    sample; the ongoing silence has no batch endpoint).
+
+    This is the one operator in this module where the EVENT-TIME
+    TIMEOUT is the signal itself rather than bookkeeping: state is
+    just the key's latest sample time (+ whether the current silence
+    already alerted); each batch re-arms the timeout at
+    last_seen + gap, and the alert fires from the timeout path when
+    no data arrived to push it forward. One alert per silence — a
+    still-silent key does not re-alert every micro-batch; a new
+    sample closes the silence and re-arms.
+
+    Output: (key, last_seen, alert) with alert always true — the
+    emitted SET is deterministic for a bounded replay: exactly the
+    samples with no successor within gap (the batch gap starts) plus
+    the trailing silence if the final watermark strictly passed
+    last_seen + gap. State per key is two numbers — bounded harder
+    than anything else in this module.
+    """
+    gap_us = gap_minutes * 60_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("last_seen", T.TimestampType()),
+            T.StructField("alert", T.BooleanType()),
+        ]
+    )
+
+    def fold(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            json.loads(state.get[0])
+            if state.exists
+            else {"u": "us", "last": None, "alerted": False}
+        )
+        last = st["last"]
+        alerted = bool(st["alerted"])
+        wm = state.getCurrentWatermarkMs() * 1000  # us
+        rows = []
+        # fold arrivals in event-time order (a jumbled batch must not
+        # fabricate or miss a gap); drop late rows (ts < watermark) —
+        # the T2 contract shared with every operator in this module
+        arrivals = sorted(
+            int(rec[ts_col].value // 1_000)
+            for pdf in pdfs
+            for rec in pdf.to_dict("records")
+        )
+        for ts_us in arrivals:
+            if ts_us < wm:
+                continue
+            if last is not None and ts_us > last:
+                # a successor closing a silence > gap alerts for the
+                # silence START exactly once — parity with the batch
+                # gap set (unless the trailing-timeout path already
+                # alerted this silence in an earlier batch)
+                if ts_us - last > gap_us and not alerted:
+                    rows.append(last)
+            if last is None or ts_us > last:
+                last, alerted = ts_us, False
+        # ongoing silence: the timeout path (or any batch whose
+        # watermark advanced far enough) proves no successor can
+        # close the gap in time
+        if last is not None and not alerted and wm > last + gap_us:
+            rows.append(last)
+            alerted = True
+        state.update((json.dumps({"u": "us", "last": last,
+                                  "alerted": alerted}),))
+        if last is not None and not alerted:
+            _arm_timeout(state, (last + gap_us) // 1000 + 1, wm // 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "last_seen": pd.Timestamp(t, unit="us"),
+                    "alert": True,
+                }
+                for t in rows
+            ],
+            columns=list(out_schema.fieldNames()),
+        )
+
+    return (
+        events.withWatermark(ts_col, grace)
+        .withColumn("_key", F.col(key_col).cast("string"))
+        .groupBy("_key")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
