@@ -1467,3 +1467,81 @@ def test_char_entropy_orders_garbage_below_prose(spark):
     n3, d3, e3 = got[3]
     assert n3 == 40 and d3 > 10
     assert e3 > got[2][2] > got[1][2]
+
+
+def test_char_entropy_counts_codepoints_not_utf16_units(spark):
+    """ADVICE r7: non-BMP characters (emoji = one codepoint, two
+    UTF-16 units) must count as ONE char — the old F.split(text, '')
+    yielded surrogate halves, diverging from DuckDB's
+    string_split(text, '') codepoints. Pins n_chars/distinct_chars
+    and cross-engine agreement on emoji-bearing text."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a\U0001F600b\U0001F600"),  # a😀b😀
+        Row(doc_id=2, text="\U0001F600" * 4),          # 😀😀😀😀
+    ])
+    got = {r.doc_id: (r.n_chars, r.distinct_chars, r.entropy_bits)
+           for r in text_fns.char_entropy(docs).collect()}
+    # 4 codepoints each; doc 1 has 3 distinct (a, b, emoji),
+    # doc 2 is a single-codepoint flood -> exactly 0 bits
+    assert got[1] == (4, 3, 1.5)
+    assert got[2] == (4, 1, 0.0)
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2],
+                      "text": ["a\U0001F600b\U0001F600",
+                               "\U0001F600" * 4]}),
+    )
+    want = {int(r.doc_id): (int(r.n_chars), int(r.distinct_chars),
+                            float(r.entropy_bits))
+            for r in con.execute(text_fns.char_entropy_sql())
+            .df().itertuples(index=False)}
+    con.close()
+    assert got == want
+
+
+def test_kmeans_zero_norm_cluster_drops_not_nan(spark):
+    """ADVICE r7: a cluster whose member mean is the ZERO vector
+    (two antipodal unit members) must DROP like an empty cluster,
+    not renormalize into null/NaN centroid coordinates that poison
+    downstream probe rankings."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import similarity
+
+    emb = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[-1.0, 0.0]),
+    ])
+    # single seed -> both vectors assign to it -> mean = zero vector
+    cents = similarity._kmeans_centroids(
+        emb, [1], n_iter=1, id_col="vec_id", vec_col="embedding", dim=2
+    ).collect()
+    assert cents == []  # dropped, and no NaN rows survived
+
+    # a healthy cluster alongside the degenerate one still trains
+    emb2 = spark.createDataFrame([
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[-1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0]),
+    ])
+    # seeds 1 and 3: vec 2 is antipodal to seed 1 but closer to
+    # nothing positive; cos(v2, c1) = -1, cos(v2, c3) = 0 -> cell 3
+    cents2 = {
+        r.cell: r.cv
+        for r in similarity._kmeans_centroids(
+            emb2, [1, 3], n_iter=1, id_col="vec_id",
+            vec_col="embedding", dim=2,
+        ).collect()
+    }
+    assert set(cents2) == {1, 3}
+    assert all(
+        all(x == x for x in cv) for cv in cents2.values()  # no NaNs
+    )

@@ -127,3 +127,160 @@ def test_image_dhash_bands_and_near_dup_pairs(spark):
             assert (a, b) in pairs and pairs[(a, b)] == d, (a, b, d)
         else:
             assert (a, b) not in pairs, (a, b, d)  # (d)
+
+
+def _encode_png(px_rows, color_type, filters):
+    """Reference PNG encoder for fixtures: arbitrary per-scanline
+    filters (0-4) over 8-bit gray (type 0), RGB (2), gray+alpha (4)
+    or RGBA (6) pixels. px_rows is h x w x channels nested lists."""
+    import struct
+    import zlib
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    h = len(px_rows)
+    w = len(px_rows[0])
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    raw = b""
+    prev = [0] * (w * ch)
+    for y in range(h):
+        line = [c for pxl in px_rows[y] for c in pxl]
+        f = filters[y]
+        enc = []
+        for i, x in enumerate(line):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                    4: mm._paeth(a, b, c)}[f]
+            enc.append((x - pred) & 0xFF)
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        mm._PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilters_sub_up_average_paeth():
+    """VERDICT r7 ask #3: encoder-realistic PNGs — every scanline
+    filter (Sub/Up/Average/Paeth) round-trips to the exact pixels
+    the reference encoder started from."""
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 9), dtype=np.uint8)
+    rows = [[[int(v)] for v in line] for line in px]
+    for filters in ([1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        got = mm._png_pixels(_encode_png(rows, 0, filters))
+        assert (got == px).all(), filters
+
+
+def test_png_rgb_rgba_luma_and_dhash_dup():
+    """RGB(A) decode: BT.601 integer luma; an RGB image with
+    r=g=b=v decodes to exactly v (1000v // 1000), so its dHash
+    equals the grayscale twin's — the near-dup pair a real-world
+    mixed-encoder corpus produces."""
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, size=(8, 9), dtype=np.uint8)
+    gray_rows = [[[int(v)] for v in line] for line in gray]
+    rgb_rows = [[[int(v)] * 3 for v in line] for line in gray]
+    rgba_rows = [[[int(v)] * 3 + [200] for v in line] for line in gray]
+
+    g = mm._png_pixels(_encode_png(gray_rows, 0, [4] * 8))
+    r = mm._png_pixels(_encode_png(rgb_rows, 2, [4] * 8))
+    ra = mm._png_pixels(_encode_png(rgba_rows, 6, [1, 2, 3, 4] * 2))
+    assert (g == gray).all() and (r == gray).all() and (ra == gray).all()
+
+    # true-color luma: a pure-red pixel maps to 299*255 // 1000
+    red = mm._png_pixels(_encode_png([[[255, 0, 0]]], 2, [0]))
+    assert red[0][0] == (299 * 255) // 1000
+
+    # identical luma -> identical dHash halves
+    ha = mm._dhash_from_pixels(g)
+    hb = mm._dhash_from_pixels(r)
+    assert ha == hb
+
+
+def test_png_dhash_dups_across_encodings(spark):
+    """End-to-end: the SAME image payload encoded three ways
+    (gray/filter-0, gray/Paeth, RGB/mixed-filters) hashes
+    identically, and image_dhash_dups reports all three pairs at
+    hamming 0."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(8, 12), dtype=np.uint8)
+    gray_rows = [[[int(v)] for v in line] for line in gray]
+    rgb_rows = [[[int(v)] * 3 for v in line] for line in gray]
+    payloads = [
+        _encode_png(gray_rows, 0, [0] * 8),
+        _encode_png(gray_rows, 0, [4] * 8),
+        _encode_png(rgb_rows, 2, [1, 2, 3, 4, 1, 2, 3, 4]),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "payload": payloads}),
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]),
+    )
+    pairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in mm.image_dhash_dups(
+            mm.image_dhash(media), max_hamming=3
+        ).collect()
+    }
+    assert pairs == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
+
+
+def test_png_palette_and_interlace_still_guarded():
+    """The unsupported remainder stays an explicit raise: palette
+    (color type 3) and Adam7 interlace."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    pal = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="palette"):
+        mm._png_pixels(pal)
+    inter = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="interlac"):
+        mm._png_pixels(inter)

@@ -333,3 +333,64 @@ def test_heartbeat_gaps_detects_silence(spark):
         ).collect()
     ]
     assert got == [("g", m(10), m(100), 90 * 60_000_000)]
+
+
+def test_bucket_floor_semantics_negative_epoch(spark):
+    """ADVICE r7: pre-1970 timestamps must land in the FLOOR bucket
+    on BOTH engines. Spark's old (ts/b).cast('bigint') truncated
+    toward zero, and DuckDB's integer `//` ALSO truncates (measured:
+    -1 // 3600 = 0) — both now use the exact pmod-floor formula, so
+    a sample at 1969-12-31 23:59 belongs to bucket -1, not 0, and
+    the two engines agree on it."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import tsstats
+
+    t = lambda k: dt.datetime(1969, 12, 31, 23, 0) + dt.timedelta(minutes=k)
+    rows = [
+        Row(event_id=0, event_type="n", ts=t(0), value=5.0),    # -60 min
+        Row(event_id=1, event_type="n", ts=t(30), value=9.0),   # -30 min
+        Row(event_id=2, event_type="n", ts=t(90), value=12.0),  # +30 min
+    ]
+    df = spark.createDataFrame(rows)
+
+    twa = {
+        (r.key, r.bucket) for r in
+        tsstats.time_weighted_avg(df, bucket_minutes=60).collect()
+    }
+    inc = {
+        (r.key, r.bucket) for r in
+        tsstats.counter_increase(df, bucket_minutes=60).collect()
+    }
+    # floor: the two pre-epoch samples -> bucket -1, the post -> 0
+    assert twa == {("n", -1), ("n", 0)}
+    assert inc == {("n", -1), ("n", 0)}
+
+    # cross-engine: the DuckDB twins on the same rows agree exactly
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "event_type": ["n", "n", "n"],
+            "ts": [t(0), t(30), t(90)],
+            "value": [5.0, 9.0, 12.0],
+        }
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    for fn, sql in (
+        (tsstats.time_weighted_avg, tsstats.time_weighted_avg_sql()),
+        (tsstats.counter_increase, tsstats.counter_increase_sql()),
+    ):
+        got = sorted(
+            tuple(r) for r in fn(df, bucket_minutes=60)
+            .toPandas().itertuples(index=False)
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(sql).df().itertuples(index=False)
+        )
+        assert got == want, (fn.__name__, got, want)
+    con.close()

@@ -1379,9 +1379,17 @@ def char_entropy(
 
     Output: (doc_id, n_chars, distinct_chars, entropy_bits).
     """
+    # Split by CODE POINT, not UTF-16 code unit: F.split(text, '')
+    # yields surrogate halves for non-BMP chars (emoji), while the
+    # DuckDB twin's string_split(text, '') yields codepoints — Java
+    # regex '.' matches a full code point (surrogate pair = one
+    # match), so regexp_extract_all keeps the two engines aligned on
+    # any Unicode text, not just the BMP/ASCII synthetic corpus.
     chars = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit("(?s)."), 0)
+        ).alias("ch"),
     ).filter(F.col("ch") != "")
     counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
     return (

@@ -162,11 +162,13 @@ def _decode_png(payload: bytes) -> dict:
     disagree on which payloads decode)."""
     px = _png_pixels(payload)
     h, w = px.shape
+    # IHDR is mandatorily the first chunk: color type is the byte at
+    # offset 25 (8 sig + 4 len + 4 type + 4 w + 4 h + 1 depth)
     return {
         "width": w,
         "height": h,
         "bit_depth": 8,
-        "color_type": 0,
+        "color_type": payload[25],
         "n_pixels": w * h,
         "pix_sum": int(px.astype("int64").sum()),
     }
@@ -459,10 +461,40 @@ FROM documents
 # analog of the text MinHash/SimHash family)
 
 
+#: channels per pixel at bit depth 8, by PNG color type (3 = palette
+#: is indexed, not per-channel — unsupported below)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): the neighbor (left,
+    above, upper-left) closest to the linear estimate a + b - c,
+    ties broken left > above > upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
 def _png_pixels(payload: bytes):
-    """Decode an 8-bit grayscale filter-0 PNG to its (h, w) pixel
-    array — THE decode core; _decode_png layers stats and
-    image_dhash layers the perceptual hash on this one body."""
+    """Decode an 8-bit PNG to its (h, w) LUMA pixel array — THE
+    decode core; _decode_png layers stats and image_dhash layers the
+    perceptual hash on this one body.
+
+    Encoder-realistic coverage (VERDICT r7 ask #3): all five scanline
+    filters (None/Sub/Up/Average/Paeth — real encoders emit 1-4 per
+    line via heuristics) and the four non-palette color types
+    (grayscale, RGB, gray+alpha, RGBA). Color converts to luma by the
+    integer BT.601 weights (299 R + 587 G + 114 B) // 1000 — exact
+    integer arithmetic, so the perceptual hash stays oracle-
+    replayable; alpha is ignored (dHash compares structure, not
+    compositing). Unsupported remainder raises: palette images need
+    the PLTE indirection and Adam7 interlacing reorders scanlines —
+    both explicit NotImplementedError guards, not silent garbage.
+    """
     import struct
     import zlib
 
@@ -482,14 +514,58 @@ def _png_pixels(payload: bytes):
         pos += 12 + length
     if ihdr is None:
         raise ValueError("no IHDR chunk")
-    w, h, bit_depth, color_type, _, _, _ = ihdr
-    if (bit_depth, color_type) != (8, 0):
-        raise NotImplementedError("only 8-bit grayscale supported")
+    w, h, bit_depth, color_type, _, _, interlace = ihdr
+    if bit_depth != 8:
+        raise NotImplementedError(f"bit depth {bit_depth}: only 8 supported")
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"color type {color_type}: palette PNGs are not supported"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing is not supported")
+    ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(idat)
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
-    if scan[:, 0].any():
-        raise NotImplementedError("only filter-0 scanlines supported")
-    return scan[:, 1:]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = scan[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        line = scan[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up: fully vectorized
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(prev[i])) >> 1
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    pred = _paeth(a, int(prev[i]), c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid filter byte {f} on scanline {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    px = out.reshape(h, w, ch)
+    if color_type == 0:
+        return px[:, :, 0]
+    if color_type == 4:  # gray + alpha: the gray channel
+        return px[:, :, 0]
+    # RGB / RGBA: integer BT.601 luma, alpha ignored
+    p32 = px.astype(np.int64)
+    luma = (
+        299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2]
+    ) // 1000
+    return luma.astype(np.uint8)
 
 
 def _dhash_from_pixels(px) -> tuple[int, int]:

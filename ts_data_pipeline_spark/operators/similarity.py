@@ -412,13 +412,23 @@ def _kmeans_centroids(
                 F.array(*[F.col(f"mu{i}") for i in range(dim)]).alias("mv"),
             )
         )
-        cents = assembled.select(
-            "cell", "mv", F.sqrt(dot(F.col("mv"), F.col("mv"))).alias("mn")
-        ).select(
-            "cell",
-            F.transform("mv", lambda x: F.round(x / F.col("mn"), 6)).alias(
-                "cv"
-            ),
+        # mn > 0 guard: a degenerate cluster whose member mean is the
+        # ZERO vector would renormalize to null/NaN coordinates and
+        # poison every downstream probe ranking — drop it like an
+        # empty cluster (the sd > 0 pattern from seasonal_anomalies);
+        # mirrored in the kc{i} CTE of ivfpq_topk_sql.
+        cents = (
+            assembled.select(
+                "cell", "mv",
+                F.sqrt(dot(F.col("mv"), F.col("mv"))).alias("mn"),
+            )
+            .filter(F.col("mn") > 0)
+            .select(
+                "cell",
+                F.transform(
+                    "mv", lambda x: F.round(x / F.col("mn"), 6)
+                ).alias("cv"),
+            )
         )
     schema = cents.schema
     return embeddings.sparkSession.createDataFrame(cents.collect(), schema)
@@ -627,9 +637,19 @@ def kmeans_assign(
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("mv"))
         )
-        cents = assembled.select(
-            "cell", "mv", F.sqrt(dot(F.col("mv"), F.col("mv"))).alias("mn")
-        ).select("cell", F.transform("mv", lambda x: x / F.col("mn")).alias("cv"))
+        # zero-norm guard (see _kmeans_centroids): drop clusters whose
+        # member mean is the zero vector instead of emitting NaNs
+        cents = (
+            assembled.select(
+                "cell", "mv",
+                F.sqrt(dot(F.col("mv"), F.col("mv"))).alias("mn"),
+            )
+            .filter(F.col("mn") > 0)
+            .select(
+                "cell",
+                F.transform("mv", lambda x: x / F.col("mn")).alias("cv"),
+            )
+        )
 
     return _assign(cents).select(id_col, "cell", "cos_sim")
 
@@ -667,6 +687,7 @@ m{i} AS (SELECT cell, list(m ORDER BY pos) AS mv FROM u{i} GROUP BY cell),
 c{i} AS (
   SELECT cell, list_transform(mv, x -> x / mn) AS cv
   FROM (SELECT cell, mv, sqrt(list_dot_product(mv, mv)) AS mn FROM m{i})
+  WHERE mn > 0
 )""")
     return (
         ",\n".join(parts)
@@ -1960,6 +1981,7 @@ km{i} AS (SELECT cell, list(mu ORDER BY pos) AS mv FROM ku{i} GROUP BY cell),
 kc{i} AS (
   SELECT cell, list_transform(mv, x -> ROUND(x / mn, 6)) AS cv
   FROM (SELECT cell, mv, sqrt(list_dot_product(mv, mv)) AS mn FROM km{i})
+  WHERE mn > 0
 )"""
         cents = (
             km

@@ -22,8 +22,20 @@ convention.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _floor_div_us(num: Column, den: int) -> Column:
+    """FLOOR division of an integer-microsecond column by a literal —
+    matching DuckDB's ``//`` semantics for negative (pre-1970)
+    epochs, where ``(a / b).cast('bigint')`` truncates toward zero
+    instead. Subtracting ``pmod`` (always nonnegative) first makes
+    the numerator an exact multiple of ``den``, so the one double
+    division is exact for |num| < 2^53 us (~year 2255) — no FP
+    boundary sensitivity."""
+    exact = num - F.pmod(num, F.lit(den))
+    return (exact / F.lit(den)).cast("bigint")
 
 
 def ewma(
@@ -1091,7 +1103,7 @@ def time_weighted_avg(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
     ts_us = F.unix_micros(F.col(ts_col))
-    bucket = (ts_us / bucket_us).cast("bigint")
+    bucket = _floor_div_us(ts_us, bucket_us)
     rows = (
         df.select(
             F.col(key_col).alias("key"),
@@ -1141,13 +1153,21 @@ def time_weighted_avg_sql(
     id_col: str = "event_id",
 ) -> str:
     """DuckDB twin of :func:`time_weighted_avg` — same integer-us
-    holds, same clipping, same carried-state rounding."""
+    holds, same clipping, same carried-state rounding. The bucket is
+    exact integer FLOOR division (DuckDB's ``//`` truncates toward
+    zero on integers, like Spark's double-cast did): subtract the
+    nonnegative pmod first, then the ``//`` divides exactly — the
+    same formula as the Spark side's ``_floor_div_us``."""
     bucket_us = bucket_minutes * 60_000_000
+    b = (
+        f"(epoch_us({ts_col}) - ((epoch_us({ts_col}) % {bucket_us})"
+        f" + {bucket_us}) % {bucket_us}) // {bucket_us}"
+    )
     return f"""
 WITH pts AS (
   SELECT {key_col} AS key, {id_col},
          epoch_us({ts_col}) AS t,
-         epoch_us({ts_col}) // {bucket_us} AS b,
+         {b} AS b,
          {value_col} AS v,
          LEAD(epoch_us({ts_col}), 1) OVER (
            PARTITION BY {key_col}
@@ -1213,7 +1233,7 @@ def counter_increase(
         .select(
             F.col(key_col).alias("key"),
             F.col(id_col),
-            (ts_us / bucket_us).cast("bigint").alias("b"),
+            _floor_div_us(ts_us, bucket_us).alias("b"),
             F.col(value_col).alias("v"),
             F.lag(F.col(value_col), 1).over(w).alias("v_prev"),
         )
@@ -1258,7 +1278,8 @@ def counter_increase_sql(
     return f"""
 WITH pts AS (
   SELECT {key_col} AS key, {id_col},
-         epoch_us({ts_col}) // {bucket_us} AS b,
+         (epoch_us({ts_col}) - ((epoch_us({ts_col}) % {bucket_us})
+          + {bucket_us}) % {bucket_us}) // {bucket_us} AS b,
          {value_col} AS v,
          LAG({value_col}, 1) OVER (
            PARTITION BY {key_col}
