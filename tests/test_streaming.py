@@ -1247,3 +1247,65 @@ def test_streaming_heartbeat_alerts_silences_once(spark, tmp_path):
         ("W", m(0)), ("W", m(30)), ("W", m(60)), ("W", m(88)),
     ])
     assert got == want, (got, want)
+
+
+def test_cep_state_rows_bounded_by_live_keys(spark, tmp_path):
+    """VERDICT r7 ask #8 — state-size observability: across a
+    multi-batch replay, every micro-batch's stateOperatorProgress
+    reports numRowsTotal bounded by the LIVE KEY count for both
+    streaming_funnel_path (keyed by user_id) and
+    streaming_heartbeat_alerts (keyed by event_type). The
+    applyInPandasWithState store holds at most one row per grouping
+    key, and timeout purges must not leak state past the horizon —
+    this pins the 'bounded state' claim as a measured number, not a
+    docstring."""
+    from pyspark.sql.window import Window
+
+    from ts_data_pipeline_spark.queries.streaming import (
+        CEP_PATH_STAGES,
+        CEP_PATH_WITHIN,
+        HEARTBEAT_GAP_MINUTES,
+    )
+    from ts_data_pipeline_spark.streaming import cep, windowed
+
+    ev = io.load(spark, SF_DIR, "events")
+
+    cases = {
+        "funnel_path": (
+            ev.select("event_id", "user_id", "ts", "event_type"),
+            lambda s: cep.streaming_funnel_path(
+                s, CEP_PATH_STAGES, CEP_PATH_WITHIN
+            ),
+            ev.select("user_id").distinct().count(),
+        ),
+        "heartbeat": (
+            ev.select("event_id", "event_type", "ts"),
+            lambda s: cep.streaming_heartbeat_alerts(
+                s, HEARTBEAT_GAP_MINUTES
+            ),
+            ev.select("event_type").distinct().count(),
+        ),
+    }
+    for name, (df, build, n_keys) in cases.items():
+        data_dir = str(tmp_path / name / "data")
+        chunks = df.withColumn(
+            "chunk", F.ntile(4).over(Window.orderBy("ts"))
+        ).localCheckpoint(eager=True)
+        for i in range(1, 5):
+            chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(
+                1
+            ).write.mode("append").parquet(data_dir)
+        stream = windowed.parquet_stream(spark, data_dir, df.schema, max_files=1)
+        q = windowed.run_available_now(
+            build(stream), f"t_state_{name}", str(tmp_path / name / "ckpt")
+        )
+        progresses = [p for p in q.recentProgress if p["stateOperators"]]
+        q.stop()
+        assert len(progresses) >= 4, (name, len(progresses))
+        totals = [
+            op["numRowsTotal"]
+            for p in progresses
+            for op in p["stateOperators"]
+        ]
+        assert max(totals) > 0, name                  # state actually exists
+        assert max(totals) <= n_keys, (name, max(totals), n_keys)
