@@ -116,6 +116,12 @@ _ALLOWED_GLOBAL_WINDOWS = {
     "quality_suite": [r"\bn#\d+L DESC"],
     # session-path leaderboard: rank over the post-LIMIT top-20
     "olap_pivot_suite": [r"\bn_sessions#"],
+    # the composed recipe reuses the two-phase prefix-sum stages
+    # (corpus_shuffle bucket bases + sequence_pack bucket bases):
+    # both global windows run over the per-bucket relation — ≤
+    # n/bucket_size rows by construction, same bound as
+    # text_stats_suite's allowance
+    "recipe_training_corpus": [r"\bbucket#"],
 }
 
 

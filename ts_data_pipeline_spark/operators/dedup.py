@@ -157,11 +157,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_sql(n: int = 3, threshold: float = 0.2) -> str:
+def ngram_jaccard_sql(
+    n: int = 3, threshold: float = 0.2, table: str = "documents"
+) -> str:
     sh = SHINGLES_SQL.format(nm1=n - 1)
     return f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, lang, unnest({sh}) AS sh FROM documents
+  SELECT DISTINCT doc_id, lang, unnest({sh}) AS sh FROM {table}
 ),
 counts AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
 inter AS (
@@ -396,7 +398,7 @@ def keep_canonical(
     )
 
 
-def keep_canonical_sql(pairs_sql: str) -> str:
+def keep_canonical_sql(pairs_sql: str, table: str = "documents") -> str:
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
 edges AS (
@@ -412,7 +414,7 @@ reach(id, r) AS (
 labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
 SELECT d.doc_id,
        (labels.cluster_id IS NULL OR labels.cluster_id = d.doc_id) AS kept
-FROM documents d LEFT JOIN labels ON d.doc_id = labels.id
+FROM {table} d LEFT JOIN labels ON d.doc_id = labels.id
 """
 
 

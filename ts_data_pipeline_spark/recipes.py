@@ -239,6 +239,134 @@ def build_training_corpus(
     return out
 
 
+def build_training_corpus_sql(
+    *,
+    min_chars: int = 120,
+    max_chars: int = 520,
+    max_rep: float = 0.3,
+    alpha: float = 0.5,
+    ctx: int = 512,
+    semdedup_seeds: list[int] | None = None,
+    semdedup_threshold: float = 0.45,
+    semdedup_max_cell_size: int | None = 256,
+    source_cap: int | None = None,
+    rep_n: int = 5,
+) -> str:
+    """DuckDB twin of the COMPOSED :func:`build_training_corpus`
+    (drop_ppl_tail=True, the gate configuration) — every stage is the
+    SAME generator its standalone gate uses, chained through
+    MATERIALIZED CTEs (each staging boundary is referenced by
+    multiple downstream stages; without AS MATERIALIZED DuckDB
+    re-inlines the whole upstream chain per reference — the unroll
+    blow-up the verify notes warn about).
+
+    Stage order mirrors the Spark composition exactly: ingest gates
+    (over raw text) -> CCNet tail drop (terciles over the FULL
+    corpus) -> n-gram-Jaccard canonical survivors (over gated
+    text_norm) -> SemDeDup drops (over the full embeddings table,
+    anti-joined) -> source quota -> temperature resample -> shuffle
+    rank -> sequence packing on the shuffle position."""
+    from ts_data_pipeline_spark.functions.text import (
+        _PII_EMAIL,
+        bigram_lm_perplexity_sql,
+    )
+    from ts_data_pipeline_spark.operators.dedup import (
+        SHINGLES_SQL,
+        keep_canonical_sql,
+        ngram_jaccard_sql,
+    )
+    from ts_data_pipeline_spark.operators.sampling import (
+        corpus_shuffle_sql,
+        importance_resample_sql,
+        sequence_pack_sql,
+        source_quota_cap_sql,
+    )
+    from ts_data_pipeline_spark.operators.similarity import semdedup_sql
+
+    sh = SHINGLES_SQL.format(nm1=rep_n - 1)
+    norm = (
+        "lower(trim(regexp_replace(regexp_replace(text,"
+        " '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g')))"
+    )
+    ppl = bigram_lm_perplexity_sql()
+    kc = keep_canonical_sql(
+        ngram_jaccard_sql(table="gtext"), table="gtext"
+    )
+    carry_src = ", source" if source_cap is not None else ""
+
+    sem_clause = ""
+    if semdedup_seeds is not None:
+        sem = semdedup_sql(
+            semdedup_seeds,
+            threshold=semdedup_threshold,
+            max_cell_size=semdedup_max_cell_size,
+        )
+        sem_clause = (
+            f"  AND doc_id NOT IN (SELECT vec_id FROM ({sem}) t"
+            f" WHERE NOT kept)\n"
+        )
+
+    if source_cap is not None:
+        cap_cte = f"""
+capped AS MATERIALIZED (
+  SELECT doc_id, lang, text_norm FROM kept2
+  WHERE doc_id IN (
+    SELECT doc_id FROM ({source_quota_cap_sql(source_cap, table="kept2")}) t
+    WHERE kept)
+),"""
+    else:
+        cap_cte = """
+capped AS MATERIALIZED (SELECT doc_id, lang, text_norm FROM kept2),"""
+
+    return f"""
+WITH sig AS (
+  SELECT doc_id, lang{carry_src},
+         {norm} AS text_norm,
+         len({norm}) AS n_chars_norm,
+         ROUND(CASE WHEN len({sh}) > 0
+               THEN 1.0 - CAST(len(list_distinct({sh})) AS DOUBLE) / len({sh})
+               ELSE 0.0 END, 4) AS rep_ratio,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails
+  FROM documents
+),
+gated AS MATERIALIZED (
+  SELECT doc_id, lang{carry_src}, text_norm FROM sig
+  WHERE n_chars_norm >= {min_chars} AND n_chars_norm <= {max_chars}
+    AND rep_ratio < {max_rep} AND n_emails = 0
+    AND doc_id NOT IN (
+      SELECT doc_id FROM ({ppl}) t WHERE ppl_bucket = 'tail')
+),
+gtext AS MATERIALIZED (SELECT doc_id, lang, text_norm AS text FROM gated),
+kept2 AS MATERIALIZED (
+  SELECT g.* FROM gated g
+  WHERE doc_id IN (SELECT doc_id FROM ({kc}) t WHERE kept)
+{sem_clause}),{cap_cte}
+k3text AS MATERIALIZED (
+  SELECT doc_id, lang, text_norm AS text FROM capped
+),
+resampled AS MATERIALIZED (
+  SELECT c.* FROM capped c
+  WHERE doc_id IN (
+    SELECT doc_id FROM ({importance_resample_sql(alpha, table="k3text")}) t
+    WHERE kept)
+),
+shuffled AS MATERIALIZED (
+  SELECT r.doc_id, r.lang, r.text_norm, o.pos
+  FROM resampled r
+  JOIN (SELECT doc_id, pos
+        FROM ({corpus_shuffle_sql(table="resampled")}) t) o USING (doc_id)
+),
+ptext AS MATERIALIZED (SELECT pos AS doc_id, text_norm AS text FROM shuffled),
+packed AS (
+  SELECT doc_id AS pos, tokens, tok_offset, chunk_id
+  FROM ({sequence_pack_sql(ctx, table="ptext")}) t
+)
+SELECT s.doc_id, s.lang, s.text_norm,
+       CAST(p.tokens AS BIGINT) AS tokens, p.tok_offset, p.chunk_id
+FROM shuffled s JOIN packed p USING (pos)
+"""
+
+
 def corpus_report(spark: SparkSession, out: DataFrame) -> DataFrame:
     """Per-language yield of the recipe: docs, tokens, chunks."""
     return out.groupBy("lang").agg(
