@@ -602,6 +602,11 @@ def _recall(spark) -> dict:
                 spark, idx, emb, ANN_QUERY_IDS, k=k,
                 nprobe=IVFPQ_NPROBE, rerank_factor=PQ_RERANK_FACTOR,
             ),
+            # Matryoshka-style prefix scoring on GENERIC (non-MRL)
+            # embeddings — the published number is the honest caveat
+            "mrl_prefix16": similarity.prefix_dim_topk(
+                emb, ANN_QUERY_IDS, 16, k=k, rerank_factor=8
+            ),
         }
         out = {}
         for name, df in approx.items():

@@ -1681,3 +1681,86 @@ def test_ivfpq_index_append_lands_in_cells(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_prefix_dim_topk_recall_and_exact_rerank(spark):
+    """Matryoshka-style prefix ANN (similarity.prefix_dim_topk): the
+    reported cos_sim/rank come from the FULL-dimension exact rerank
+    (each returned pair's cos_sim matches brute force exactly), a
+    full-width 'prefix' with ample shortlist reproduces brute force
+    outright, and a narrow prefix still recalls most of the exact
+    top-k on this corpus."""
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import ANN_QUERY_IDS
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = {
+        (r.query_id, r.cand_id): (r.cos_sim, r.rank)
+        for r in similarity.brute_force_topk(
+            emb, ANN_QUERY_IDS, k=5
+        ).collect()
+    }
+    # d_prefix = full width, big shortlist -> identical to brute force
+    full = {
+        (r.query_id, r.cand_id): (r.cos_sim, r.rank)
+        for r in similarity.prefix_dim_topk(
+            emb, ANN_QUERY_IDS, 64, k=5, rerank_factor=64
+        ).collect()
+    }
+    assert full == truth
+    # narrow prefix: every returned cos_sim is the exact full-dim one
+    got = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in similarity.prefix_dim_topk(
+            emb, ANN_QUERY_IDS, 16, k=5, rerank_factor=8
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.cand_id): r.cos_sim
+        for r in similarity.brute_force_topk(
+            emb, ANN_QUERY_IDS, k=500
+        ).collect()
+    }
+    assert got and all(exact[p] == s for p, s in got.items())
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.5, recall
+
+
+def test_filtered_topk_pre_filters_candidates(spark):
+    """Filtered ANN (similarity.filtered_topk): every candidate
+    satisfies the predicate, queries need not, k is honored (no
+    post-filter k-deflation), and results equal brute force over the
+    pre-filtered corpus."""
+    from pyspark.sql import functions as FF
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import ANN_QUERY_IDS
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = similarity.filtered_topk(
+        emb, ANN_QUERY_IDS, "vec_id % 3 = 0", k=5
+    ).collect()
+    assert all(r.cand_id % 3 == 0 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == set(ANN_QUERY_IDS)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+    # reference: the FULL exact ranking, re-ranked in Python after
+    # dropping non-predicate candidates — pre-filter semantics
+    n = emb.count()
+    full = similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=n).collect()
+    by_q = {}
+    for r in sorted(full, key=lambda r: (r.query_id, -r.cos_sim, r.cand_id)):
+        if r.cand_id % 3 == 0:
+            by_q.setdefault(r.query_id, []).append((r.cand_id, r.cos_sim))
+    want = {
+        (q, c, s, i + 1)
+        for q, lst in by_q.items()
+        for i, (c, s) in enumerate(lst[:5])
+    }
+    got = {(r.query_id, r.cand_id, r.cos_sim, r.rank) for r in rows}
+    assert got == want

@@ -109,6 +109,202 @@ SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def prefix_dim_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    d_prefix: int,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncated-dimension ANN (Kusupati et al.
+    2022, "Matryoshka Representation Learning"): candidates are
+    ranked by cosine over only the FIRST ``d_prefix`` dimensions —
+    d_prefix/d of the full scan's flops and, with the prefix stored
+    as its own column, d_prefix/d of its bytes — then the
+    rerank_factor*k shortlist re-ranks on the full vector.
+
+    With MRL-trained embeddings the prefix is a faithful coarse
+    scorer by construction; on generic embeddings it is a lossy
+    projection whose recall the bench publishes (the honest caveat).
+    Scale shape: identical to brute force (queries broadcast, no
+    corpus shuffle) with the candidate relation narrowed to the
+    prefix; the rerank joins raw vectors only for the query-bounded
+    shortlist (same tail as the PQ family — one definition).
+    Determinism: ROUND(cos, 6) + ascending-id tie-break, mirrored in
+    :func:`prefix_dim_topk_sql`.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pref = emb.select(id_col, F.slice("v", 1, d_prefix).alias("p"))
+    q = pref.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("p").alias("qp"),
+        F.sqrt(dot(F.col("p"), F.col("p"))).alias("qn"),
+    )
+    c = pref.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("p").alias("cp"),
+        F.sqrt(dot(F.col("p"), F.col("p"))).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                dot(F.col("qp"), F.col("cp")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("psim"),
+        )
+        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("cand_id").asc()
+    )
+    cands = (
+        scored.withColumn("prk", F.row_number().over(w))
+        .filter(F.col("prk") <= rerank_factor * k)
+        .select("query_id", "cand_id")
+    )
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
+
+
+def prefix_dim_topk_sql(
+    query_ids: list[int],
+    d_prefix: int,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> str:
+    """DuckDB twin of :func:`prefix_dim_topk` — same slice, rounding,
+    tie-breaks, and exact-rerank tail."""
+    qs = ", ".join(str(i) for i in query_ids)
+    shortlist = rerank_factor * k
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pref AS (SELECT vec_id, list_slice(v, 1, {d_prefix}) AS p FROM emb),
+q AS (SELECT vec_id AS query_id, p AS qp FROM pref WHERE vec_id IN ({qs})),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qp, c.p)
+               / (sqrt(list_dot_product(q.qp, q.qp))
+                  * sqrt(list_dot_product(c.p, c.p))), 6) AS psim
+  FROM pref c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+cands AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY psim DESC, cand_id ASC) AS prk
+    FROM scored
+  ) WHERE prk <= {shortlist}
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT c.query_id, c.cand_id,
+         ROUND(list_dot_product(e.v, q2.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q2.v, q2.v))), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY ROUND(list_dot_product(e.v, q2.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q2.v, q2.v))), 6) DESC,
+             c.cand_id ASC) AS rank
+  FROM cands c
+  JOIN emb e ON e.vec_id = c.cand_id
+  JOIN emb q2 ON q2.vec_id = c.query_id
+) WHERE rank <= {k}
+"""
+
+
+def filtered_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    predicate: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attribute-FILTERED exact ANN: top-k restricted to candidates
+    satisfying a row predicate — the filtered-vector-search shape
+    every retrieval deployment needs (tenant, language, freshness,
+    license filters).
+
+    This is PRE-filtering: the predicate lands in the scan BEFORE any
+    distance math, so a selective filter cuts the flop count (and at
+    rest, with the attribute as a partition column, the I/O)
+    proportionally — versus post-filtering, which computes distances
+    for everything and then k-deflates below the requested k when the
+    filter is selective. Queries come from the UNFILTERED corpus (a
+    query row need not satisfy its own filter). Determinism and scale
+    shape are :func:`brute_force_topk`'s; swap the scan for the
+    IVF-partitioned index to compose filters with cell pruning.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
+    )
+    c = embeddings.filter(predicate).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
+        )
+        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def filtered_topk_sql(
+    query_ids: list[int], predicate_sql: str, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`filtered_topk` — the brute-force twin
+    with the candidate scan pre-filtered by ``predicate_sql``."""
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id IN ({ids})),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE {predicate_sql}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, cand_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def embedding_cosine_dups(
     embeddings: DataFrame,
     threshold: float = 0.45,

@@ -495,6 +495,16 @@ IVFPQ_COARSE_IDS = [100 + i for i in range(8)]
 IVFPQ_COARSE_ITERS = 3
 IVFPQ_NPROBE = 6
 
+#: Matryoshka-style prefix search: score on the first 16 of 64 dims
+#: (4x cheaper coarse scan), exact-rerank the short list. Recall on
+#: these generic (non-MRL-trained) embeddings is published in bench.
+MRL_PREFIX_DIMS = 16
+MRL_RERANK_FACTOR = 8
+
+#: Filtered-ANN gate predicate: a deterministic attribute slice
+#: (every third vector), engine-portable as written.
+FILTERED_ANN_PRED = "vec_id % 3 = 0"
+
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized candidates + exact re-rank
@@ -563,6 +573,14 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
         rerank_factor=PQ_RERANK_FACTOR,
     ).withColumn("method", F.lit("ivfpq"))
+    mrl = similarity.prefix_dim_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
+        MRL_PREFIX_DIMS, k=5, rerank_factor=MRL_RERANK_FACTOR,
+    ).withColumn("method", F.lit("mrl"))
+    filt = similarity.filtered_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
+        FILTERED_ANN_PRED, k=5,
+    ).withColumn("method", F.lit("filtered"))
     km = (
         similarity.kmeans_assign(
             io.load(spark, sf_dir, "embeddings"),
@@ -580,6 +598,7 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
         .unionByName(mp).unionByName(pq).unionByName(ivfpq)
+        .unionByName(mrl).unionByName(filt)
     )
 
 
@@ -604,6 +623,13 @@ def _ann_lsh_ivf_sql() -> str:
         train_iters=PQ_TRAIN_ITERS,
         coarse_train_iters=IVFPQ_COARSE_ITERS,
     )
+    mrl = similarity.prefix_dim_topk_sql(
+        ANN_QUERY_IDS, MRL_PREFIX_DIMS, k=5,
+        rerank_factor=MRL_RERANK_FACTOR,
+    )
+    filt = similarity.filtered_topk_sql(
+        ANN_QUERY_IDS, FILTERED_ANN_PRED, k=5
+    )
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
         f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
@@ -613,7 +639,9 @@ def _ann_lsh_ivf_sql() -> str:
         f"UNION ALL\nSELECT *, 'sq8' AS method FROM ({sq8})\n"
         f"UNION ALL\nSELECT *, 'lsh_mp' AS method FROM ({mp})\n"
         f"UNION ALL\nSELECT *, 'pq' AS method FROM ({pq})\n"
-        f"UNION ALL\nSELECT *, 'ivfpq' AS method FROM ({ivfpq})"
+        f"UNION ALL\nSELECT *, 'ivfpq' AS method FROM ({ivfpq})\n"
+        f"UNION ALL\nSELECT *, 'mrl' AS method FROM ({mrl})\n"
+        f"UNION ALL\nSELECT *, 'filtered' AS method FROM ({filt})"
     )
 
 
