@@ -1764,3 +1764,45 @@ def test_filtered_topk_pre_filters_candidates(spark):
     }
     got = {(r.query_id, r.cand_id, r.cos_sim, r.rank) for r in rows}
     assert got == want
+
+
+def test_ivfpq_index_filter_composes_with_cell_pruning(spark, tmp_path):
+    """filter_ids on ivfpq_query_index: attribute pre-filtering
+    composed with the persisted index. With all cells probed and a
+    shortlist wider than the filtered corpus, the filtered index
+    query must equal the exact filtered_topk — and the filter must
+    actually bind (no out-of-filter candidate ever returned)."""
+    from pyspark.sql import functions as FF
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        IVFPQ_COARSE_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "fidx")
+    similarity.ivfpq_build_index(
+        emb, path, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS
+    )
+    allowed = emb.filter(FF.col("vec_id") % 3 == 0).select("vec_id")
+    n_allowed = allowed.count()
+    got = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.ivfpq_query_index(
+            spark, path, emb, ANN_QUERY_IDS, k=5,
+            nprobe=len(IVFPQ_COARSE_IDS),          # probe everything
+            rerank_factor=(n_allowed // 5) + 1,    # shortlist > filtered corpus
+            filter_ids=allowed,
+        ).collect()
+    )
+    assert got and all(c % 3 == 0 for _, c, _, _ in got)
+    want = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.filtered_topk(
+            emb, ANN_QUERY_IDS, "vec_id % 3 = 0", k=5
+        ).collect()
+    )
+    assert got == want

@@ -172,3 +172,61 @@ def test_count_min_never_undercounts_and_cells_bounded(spark):
         assert r.freq_cms >= r.freq_exact, (r.term, r.freq_cms, r.freq_exact)
         over += r.freq_cms - r.freq_exact
     assert over > 0  # width 32 << vocab must collide somewhere
+
+
+def test_summary_state_merge_equals_direct_and_handles_one_sided(spark):
+    """Mergeable summaries (operators/sketch.py::summary_state /
+    merge_summary_states): merging half-partition states reproduces
+    the direct whole-input state (n/min/max exact; s/m2 within the
+    4-dp carried grid), and a key present on only one side passes
+    through unchanged (the identity-element case a nightly merge
+    hits constantly)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import sketch
+
+    rows = [
+        Row(event_id=i, event_type="A", value=float(v))
+        for i, v in enumerate([3.0, 1.5, 4.25, 0.5, 9.0, 2.5, 7.75, 5.0])
+    ] + [
+        # key B lives entirely in the even half (one-sided merge)
+        Row(event_id=10, event_type="B", value=2.0),
+        Row(event_id=12, event_type="B", value=4.0),
+        # NULL values carry no state
+        Row(event_id=14, event_type="A", value=None),
+    ]
+    df = spark.createDataFrame(rows)
+    direct = {
+        r.event_type: r
+        for r in sketch.summary_state(df, ["event_type"]).collect()
+    }
+    merged = {
+        r.event_type: r
+        for r in sketch.merge_summary_states(
+            sketch.summary_state(df.filter("event_id % 2 = 0"), ["event_type"]),
+            sketch.summary_state(df.filter("event_id % 2 = 1"), ["event_type"]),
+            ["event_type"],
+        ).collect()
+    }
+    assert set(merged) == set(direct) == {"A", "B"}
+    for k in direct:
+        d, m = direct[k], merged[k]
+        assert (m.n, m.vmin, m.vmax) == (d.n, d.vmin, d.vmax)
+        assert abs(m.s - d.s) <= 1e-4
+        assert abs(m.m2 - d.m2) <= 2e-4   # two 4-dp roundings compose
+
+    # numeric reference for A (population m2 = sum (x-mean)^2)
+    vals = [3.0, 1.5, 4.25, 0.5, 9.0, 2.5, 7.75, 5.0]
+    mu = sum(vals) / len(vals)
+    assert math.isclose(direct["A"].m2,
+                        sum((x - mu) ** 2 for x in vals), abs_tol=1e-3)
+    # derived stats are consistent
+    stats = {
+        r.event_type: r
+        for r in sketch.summary_stats(
+            sketch.summary_state(df, ["event_type"])
+        ).collect()
+    }
+    assert math.isclose(stats["A"].mean, mu, abs_tol=1e-4)

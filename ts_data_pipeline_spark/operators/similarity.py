@@ -2569,6 +2569,7 @@ def ivfpq_query_index(
     nprobe: int = 2,
     rerank_factor: int = 4,
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search an IVF-partitioned persisted PQ index reading ONLY the
     probed cells' partitions.
@@ -2584,7 +2585,15 @@ def ivfpq_query_index(
     other stage (ADC table, shortlist, exact re-rank) is shared with
     the flat index path, so results are value-identical to
     :func:`ivfpq_topk` under the same training parameters (pinned in
-    tests/test_llmdata.py)."""
+    tests/test_llmdata.py).
+
+    ``filter_ids`` (a single-column DataFrame of allowed candidate
+    ids) composes attribute PRE-filtering with the cell pruning: the
+    semi-join lands on the (id, cell, sub, code) relation straight
+    off the pruned scan, BEFORE the ADC join, so a selective filter
+    cuts the compressed-domain work proportionally and the shortlist
+    never k-deflates — the filtered-vector-search shape at index
+    scale (cf. :func:`filtered_topk` for the exact-scan form)."""
     import json
     import os
 
@@ -2631,6 +2640,8 @@ def ivfpq_query_index(
             ).alias("code"),
         )
     )
+    if filter_ids is not None:
+        enc = enc.join(filter_ids.select(id_col), id_col, "left_semi")
     cb = spark.read.parquet(os.path.join(path, "codebook"))
     qtab = _pq_qtab(embeddings, query_ids, cb, m, dsub, id_col, vec_col)
     scored = enc.join(

@@ -391,3 +391,141 @@ SELECT p.term, p.freq_exact, MIN(c.cnt) AS freq_cms, p.rank
 FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
 GROUP BY p.term, p.freq_exact, p.rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable aggregation state (incremental materialized-view
+# maintenance): per-key (n, s, vmin, vmax, m2) summaries that COMBINE
+# by pure column algebra — the streaming-upkeep primitive behind
+# "merge tonight's partition into the running per-key stats without
+# rescanning history". m2 merges by the parallel/Chan update
+# (Chan, Golub & LeVeque 1983), the same algebra Spark's own partial
+# aggregation uses internally; exposing it as DATA makes the partial
+# state storable, shippable, and mergeable across batches/engines.
+
+
+def summary_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key mergeable summary: (keys..., n, s, vmin, vmax, m2)
+    where m2 = sum((x - mean)^2) = var_pop * n. One map-side-
+    combinable groupBy; NULL values drop (they carry no state).
+
+    Carried-state convention: s and m2 are ROUND(.., 4) — the grid
+    coarse enough that summation-order ulp cannot cross a boundary —
+    and downstream consumers derive mean/var/std from the state
+    (``summary_stats``) rather than gating rounded divisions."""
+    g = df.filter(F.col(value_col).isNotNull()).groupBy(*key_cols)
+    return g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 4).alias("s"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.round(F.var_pop(value_col) * F.count(F.lit(1)), 4).alias("m2"),
+    )
+
+
+def merge_summary_states(
+    a: DataFrame, b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Combine two summary-state relations into one — pure column
+    algebra over a full-outer key join, no re-scan of either input's
+    source rows:
+
+        n   = na + nb
+        s   = sa + sb
+        min/max = least/greatest
+        m2  = m2a + m2b + (sb*na - sa*nb)^2 / (na*nb*(na+nb))
+
+    (the delta^2 * na*nb/n parallel-variance update, written over
+    sums so no intermediate mean is materialized). A key present on
+    one side passes through unchanged — the identity-element case a
+    nightly merge hits constantly (new keys arrive, cold keys don't).
+    Scale shape: one shuffle on the key (or none, when both states
+    are bucketed on it — the upsert sink's layout); state relations
+    are |keys|-sized, not |rows|-sized.
+
+    Output m2 is ROUND(.., 4) (carried-state convention). Merging is
+    associative up to that rounding grid, so batch order does not
+    change gated values."""
+    na, nb = F.col("a.n"), F.col("b.n")
+    sa, sb = F.col("a.s"), F.col("b.s")
+    both_m2 = (
+        F.col("a.m2") + F.col("b.m2")
+        + F.pow(sb * na - sa * nb, 2) / (na * nb * (na + nb))
+    )
+    j = a.alias("a").join(b.alias("b"), key_cols, "full_outer")
+    one_sided = F.col("a.n").isNull() | F.col("b.n").isNull()
+    pick = lambda c: F.coalesce(F.col(f"a.{c}"), F.col(f"b.{c}"))
+    return j.select(
+        *key_cols,
+        F.when(one_sided, pick("n")).otherwise(na + nb).alias("n"),
+        F.round(
+            F.when(one_sided, pick("s")).otherwise(sa + sb), 4
+        ).alias("s"),
+        F.when(one_sided, pick("vmin"))
+        .otherwise(F.least("a.vmin", "b.vmin")).alias("vmin"),
+        F.when(one_sided, pick("vmax"))
+        .otherwise(F.greatest("a.vmax", "b.vmax")).alias("vmax"),
+        F.round(
+            F.when(one_sided, pick("m2")).otherwise(both_m2), 4
+        ).alias("m2"),
+    )
+
+
+def summary_stats(state: DataFrame) -> DataFrame:
+    """Derived statistics from a summary state: mean/var/std. NOT for
+    hash gates (derived divisions half-tie across engines — gate the
+    carried state); for consumers."""
+    return state.select(
+        "*",
+        (F.col("s") / F.col("n")).alias("mean"),
+        (F.col("m2") / F.col("n")).alias("var_pop"),
+        F.sqrt(F.col("m2") / F.col("n")).alias("std_pop"),
+    )
+
+
+def summary_state_merge_sql(
+    split_expr: str = "event_id % 2",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    table: str = "events",
+) -> str:
+    """DuckDB twin of summary_state-per-half + merge_summary_states:
+    the same per-half aggregates (4-dp carried rounding) and the same
+    sum-form Chan update, so the MERGE PATH itself is what the gate
+    compares — not a single-pass recomputation that would hide a
+    broken merge formula."""
+    return f"""
+WITH halves AS (
+  SELECT {key_col} AS key, {split_expr} AS half,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM({value_col}), 4) AS s,
+         MIN({value_col}) AS vmin,
+         MAX({value_col}) AS vmax,
+         ROUND(var_pop({value_col}) * COUNT(*), 4) AS m2
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY 1, 2
+),
+a AS (SELECT * FROM halves WHERE half = 0),
+b AS (SELECT * FROM halves WHERE half = 1)
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.n IS NULL OR b.n IS NULL
+            THEN COALESCE(a.n, b.n) ELSE a.n + b.n END AS n,
+       ROUND(CASE WHEN a.n IS NULL OR b.n IS NULL
+            THEN COALESCE(a.s, b.s) ELSE a.s + b.s END, 4) AS s,
+       CASE WHEN a.n IS NULL OR b.n IS NULL
+            THEN COALESCE(a.vmin, b.vmin)
+            ELSE LEAST(a.vmin, b.vmin) END AS vmin,
+       CASE WHEN a.n IS NULL OR b.n IS NULL
+            THEN COALESCE(a.vmax, b.vmax)
+            ELSE GREATEST(a.vmax, b.vmax) END AS vmax,
+       ROUND(CASE WHEN a.n IS NULL OR b.n IS NULL
+            THEN COALESCE(a.m2, b.m2)
+            ELSE a.m2 + b.m2
+                 + POW(b.s * a.n - a.s * b.n, 2)
+                   / (a.n * b.n * (a.n + b.n)) END, 4) AS m2
+FROM a FULL OUTER JOIN b ON a.key = b.key
+"""

@@ -92,3 +92,26 @@ def source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution KL vs the corpus (operators/
     quality.py::source_drift_kl; closed-form absent-mass smoothing)."""
     return quality.source_drift_kl(io.load(spark, sf_dir, "documents"))
+
+
+def summary_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-key aggregation state, gated on the MERGE PATH:
+    two half-partition summary states (event_id parity) combined by
+    the Chan parallel-variance update (operators/sketch.py::
+    summary_state / merge_summary_states) — the incremental
+    materialized-view upkeep primitive. The oracle replicates the
+    same halves + the same sum-form merge, so a broken merge formula
+    cannot hide behind a single-pass recomputation."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import sketch
+
+    ev = io.load(spark, sf_dir, "events").withColumn(
+        "half", F.pmod("event_id", F.lit(2))
+    )
+    merged = sketch.merge_summary_states(
+        sketch.summary_state(ev.filter("half = 0"), ["event_type"]),
+        sketch.summary_state(ev.filter("half = 1"), ["event_type"]),
+        ["event_type"],
+    )
+    return merged.withColumnRenamed("event_type", "key")

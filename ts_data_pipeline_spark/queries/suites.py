@@ -227,6 +227,7 @@ def _quality_members() -> list[Member]:
     from ts_data_pipeline_spark import io
     from ts_data_pipeline_spark.operators import ingest as ingest_ops
     from ts_data_pipeline_spark.operators import quality as qops
+    from ts_data_pipeline_spark.operators import sketch as sketch_ops
     from ts_data_pipeline_spark.operators import skew
     from ts_data_pipeline_spark.queries import olap, quality
 
@@ -299,6 +300,13 @@ def _quality_members() -> list[Member]:
             ),
             (("change", "s"), ("n_docs", "l"), ("min_id", "l"),
              ("max_id", "l")),
+        ),
+        Member(
+            "summary_state_merge",
+            quality.summary_state_merge,
+            sketch_ops.summary_state_merge_sql(),
+            (("key", "s"), ("n", "l"), ("s", "d"), ("vmin", "d"),
+             ("vmax", "d"), ("m2", "d")),
         ),
     ]
 
