@@ -377,6 +377,75 @@ FROM px
 """
 
 
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pix_min", T.LongType()),
+        T.StructField("pix_max", T.LongType()),
+        T.StructField("grad_sum", T.LongType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image luma statistics through the REAL decoder: pixel
+    min/max (exposure/blank-image screens) and the horizontal
+    gradient energy sum(|px[y][x+1] - px[y][x]|) — the cheap
+    sharpness/flatness signal an image-corpus quality gate sorts on
+    (a blank or constant image scores 0; dense texture scores high).
+    One Arrow hop (the established multimodal pattern); every output
+    is integer-exact, so the oracle replays the synthetic pixel
+    formula bit-for-bit."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = _png_pixels(bytes(payload)).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "pix_min": int(px.min()),
+                        "pix_max": int(px.max()),
+                        "grad_sum": int(
+                            np.abs(np.diff(px, axis=1)).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=IMAGE_STATS_SCHEMA.fieldNames())
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+#: DuckDB twin of image_stats over the synthetic corpus — the pixel
+#: formula (doc_id*17 + y*31 + x*7) % 256 replayed exactly.
+IMAGE_STATS_SQL = """
+WITH grid AS (
+  SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x ->
+             (doc_id*17 + y*31 + x*7) % 256))) AS p
+  FROM grid
+),
+g AS (
+  SELECT doc_id,
+         CAST(list_min(p) AS BIGINT) AS pix_min,
+         CAST(list_max(p) AS BIGINT) AS pix_max,
+         CAST(COALESCE(list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w - 1), x ->
+             abs(((doc_id*17 + y*31 + (x+1)*7) % 256)
+                 - ((doc_id*17 + y*31 + x*7) % 256)))))), 0) AS BIGINT)
+           AS grad_sum
+  FROM px
+)
+SELECT doc_id, pix_min, pix_max, grad_sum FROM g
+"""
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

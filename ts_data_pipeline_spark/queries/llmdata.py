@@ -679,6 +679,14 @@ def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_dhash(media)
 
 
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luma min/max + horizontal gradient energy through the REAL
+    decode path (operators/multimodal.py::image_stats) — the cheap
+    sharpness/flatness quality screen of an image corpus."""
+    media = multimodal.attach_png_payload(io.load(spark, sf_dir, "documents"))
+    return multimodal.image_stats(media)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-decoder path: synthesize a WAV binary column, parse it
     with the stdlib RIFF/PCM decoder on executors (Arrow-batched),

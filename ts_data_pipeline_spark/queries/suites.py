@@ -1037,6 +1037,13 @@ def _media_members() -> list[Member]:
             (("doc_id", "l"), ("h_hi", "l"), ("h_lo", "l"),
              ("b0", "l"), ("b1", "l"), ("b2", "l"), ("b3", "l")),
         ),
+        Member(
+            "image_stats",
+            llmdata.multimodal_image_stats,
+            multimodal.IMAGE_STATS_SQL,
+            (("doc_id", "l"), ("pix_min", "l"), ("pix_max", "l"),
+             ("grad_sum", "l")),
+        ),
     ]
 
 
