@@ -87,8 +87,12 @@ def reaggregate(partials: DataFrame, coarse_minutes: int) -> DataFrame:
     coarse width (valid because grains nest).
     """
     secs = coarse_minutes * 60
+    # pmod-floor, not truncate-toward-zero: a pre-1970 fine window
+    # must floor DOWN to its coarse start (r8 review sweep; the
+    # tsstats._floor_div_us convention)
+    u = F.unix_timestamp("window_start")
     coarse_start = F.timestamp_seconds(
-        (F.unix_timestamp("window_start") / secs).cast("bigint") * secs
+        ((u - F.pmod(u, F.lit(secs))) / F.lit(secs)).cast("bigint") * secs
     ).alias("window_start")
     return partials.groupBy(coarse_start, "key").agg(
         F.sum("n").alias("n"),
@@ -199,7 +203,11 @@ def refresh_coarse(
     """
     secs = coarse_minutes * 60
     coarse_of = lambda c: F.timestamp_seconds(  # noqa: E731
-        (F.unix_timestamp(c) / secs).cast("bigint") * secs
+        (
+            (F.unix_timestamp(c) - F.pmod(F.unix_timestamp(c), F.lit(secs)))
+            / F.lit(secs)
+        ).cast("bigint")
+        * secs
     )
     affected = (
         changed_fine_windows.select(

@@ -35,26 +35,34 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def brute_force_topk(
+def _exact_cosine_topk(
+    candidates: DataFrame,
     embeddings: DataFrame,
     query_ids: list[int],
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    k: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Exact cosine top-k for each query id against the full corpus."""
+    """THE exact-scan ranking body: queries (from ``embeddings``)
+    broadcast against a caller-shaped candidate relation, rounded
+    cosine, per-query top-k. One definition behind
+    :func:`brute_force_topk` and :func:`filtered_topk` so a rounding
+    or tie-break tweak cannot desynchronize them (r8 review)."""
     # Norms are precomputed per side (one dot per row) so the pair
     # loop does a single dot product per (query, candidate) instead
     # of three — at corpus scale that is the dominant flop count.
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
     )
-    c = emb.select(
+    c = candidates.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).select(
         F.col(id_col).alias("cand_id"),
         F.col("v").alias("cv"),
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("cn"),
@@ -84,6 +92,19 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for each query id against the full corpus."""
+    return _exact_cosine_topk(
+        embeddings, embeddings, query_ids, k, id_col, vec_col
     )
 
 
@@ -237,43 +258,15 @@ def filtered_topk(
     for everything and then k-deflates below the requested k when the
     filter is selective. Queries come from the UNFILTERED corpus (a
     query row need not satisfy its own filter). Determinism and scale
-    shape are :func:`brute_force_topk`'s; swap the scan for the
-    IVF-partitioned index to compose filters with cell pruning.
+    shape are :func:`brute_force_topk`'s — literally: both are the
+    shared :func:`_exact_cosine_topk` body with differently-shaped
+    candidate relations. Swap the scan for the IVF-partitioned index
+    (``ivfpq_query_index(filter_ids=...)``) to compose filters with
+    cell pruning.
     """
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    q = emb.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
-    )
-    c = embeddings.filter(predicate).select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).select(
-        F.col(id_col).alias("cand_id"),
-        F.col("v").alias("cv"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("cn"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
-            ).alias("cos_sim"),
-        )
-        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "cand_id", "cos_sim", "rank")
+    return _exact_cosine_topk(
+        embeddings.filter(predicate), embeddings, query_ids, k,
+        id_col, vec_col,
     )
 
 
@@ -2426,35 +2419,41 @@ def pq_index_append(
     cb = spark.read.parquet(os.path.join(path, "codebook"))
 
     existing = spark.read.parquet(os.path.join(path, "codes")).select(id_col)
-    fresh = delta.join(existing, id_col, "left_anti")
-
-    enc = _pq_enc_from(fresh, cb, m, dsub, id_col, vec_col)
-    packed = _pq_pack(enc, sorted_ids, id_col)
-    if "ivf" in meta:
-        # IVF-partitioned layout: delta rows assign to their coarse
-        # cell under the PINNED stored centroids (the same pinned-
-        # frame contract as the codebooks) and append into the
-        # matching cell=<id>/ partitions — existing partitions' files
-        # are never rewritten.
-        cents = _read_cents(spark, path)
-        assign = (
-            _cell_ranked(_norm3(fresh, id_col, vec_col), cents, id_col)
-            .filter(F.col("crk") == 1)
-            .select(id_col, F.col("ccid").alias("cell"))
-        )
-        packed = packed.join(assign, id_col)
-    # cache: count + write must observe ONE encoding pass (and a
-    # non-deterministic delta source must not desync n from the data)
-    packed = packed.cache()
+    # cache: the IVF branch references `fresh` from TWO subtrees
+    # (encode + cell assignment), and even the flat branch's
+    # count+write pair must observe ONE snapshot — a non-deterministic
+    # delta source (sampled/changing table) would otherwise pair one
+    # snapshot's codes with another's cells, or desync the returned n
+    # from the written rows (r8 review finding).
+    fresh = delta.join(existing, id_col, "left_anti").cache()
     try:
-        n = packed.count()
-        if n:
-            w = packed.write.mode("append")
-            if "ivf" in meta:
-                w = w.partitionBy("cell")
-            w.parquet(os.path.join(path, "codes"))
+        enc = _pq_enc_from(fresh, cb, m, dsub, id_col, vec_col)
+        packed = _pq_pack(enc, sorted_ids, id_col)
+        if "ivf" in meta:
+            # IVF-partitioned layout: delta rows assign to their
+            # coarse cell under the PINNED stored centroids (the same
+            # pinned-frame contract as the codebooks) and append into
+            # the matching cell=<id>/ partitions — existing
+            # partitions' files are never rewritten.
+            cents = _read_cents(spark, path)
+            assign = (
+                _cell_ranked(_norm3(fresh, id_col, vec_col), cents, id_col)
+                .filter(F.col("crk") == 1)
+                .select(id_col, F.col("ccid").alias("cell"))
+            )
+            packed = packed.join(assign, id_col)
+        packed = packed.cache()
+        try:
+            n = packed.count()
+            if n:
+                w = packed.write.mode("append")
+                if "ivf" in meta:
+                    w = w.partitionBy("cell")
+                w.parquet(os.path.join(path, "codes"))
+        finally:
+            packed.unpersist()
     finally:
-        packed.unpersist()
+        fresh.unpersist()
     return n
 
 
@@ -2505,6 +2504,11 @@ def ivfpq_build_index(
     the inline search (:func:`_cell_ranked`), so the persisted index
     returns value-identical results to :func:`ivfpq_topk` under the
     same training parameters.
+
+    ``embeddings`` is scanned by two subtrees (encode + cell
+    assignment) and must be a DETERMINISTIC relation (a stored table
+    — the normal build input); feed non-deterministic deltas through
+    :func:`pq_index_append`, which snapshots them.
     """
     import json
     import os

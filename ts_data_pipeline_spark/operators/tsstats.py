@@ -363,7 +363,14 @@ def cohort_retention(
     conversion; we just never force it.
     """
     secs = period_days * 86400
-    period = lambda c: (F.unix_timestamp(c) / secs).cast("bigint")  # noqa: E731
+    # exact integer FLOOR (r8 review finding): the twin's
+    # CAST(FLOOR(epoch/secs) AS BIGINT) floors, so a pre-1970 first
+    # activity must floor here too — (a/b).cast('bigint') truncates
+    # toward zero. Same pmod formula as _floor_div_us.
+    period = lambda c: (  # noqa: E731
+        (F.unix_timestamp(c) - F.pmod(F.unix_timestamp(c), F.lit(secs)))
+        / F.lit(secs)
+    ).cast("bigint")
     first = df.groupBy(key_col).agg(F.min(ts_col).alias("_first"))
     activity = df.select(
         key_col, period(F.col(ts_col)).alias("_p")

@@ -515,23 +515,33 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Build the gate's persisted IVFPQ index into a PER-PROCESS
-    path (md5(sf_dir) + pid, wiped on entry — the upsert gate's
-    side-state convention: a fixed shared path would let a
-    concurrent driver-sim/bench rmtree the codes out from under the
-    other's lazy read; mkdtemp would leak one corpus-sized dir per
-    invocation). Training runs once per gate evaluation; both
-    compressed-domain legs query the stored relations."""
+    """Build the gate's persisted IVFPQ index into a UNIQUE
+    per-invocation path under a per-process parent (md5(sf_dir) +
+    pid), registered for atexit removal. Three hazards balanced (r8
+    review): a fixed shared path would let a concurrent
+    driver-sim/bench rmtree the codes out from under the other's
+    lazy read; a fixed PER-PROCESS path wiped on entry would
+    invalidate a previous same-process call's still-live DataFrame;
+    and a bare mkdtemp would leak one codes-sized dir per invocation
+    forever. Unique subdir + atexit bounds the leak to process
+    lifetime without ever deleting files a live plan references.
+    Training runs once per gate evaluation; both compressed-domain
+    legs query the stored relations."""
+    import atexit
     import hashlib
     import os
     import shutil
     import tempfile
+    import uuid
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(
+    parent = os.path.join(
         tempfile.gettempdir(), f"tsdp_annidx_{tag}_{os.getpid()}"
     )
-    shutil.rmtree(path, ignore_errors=True)
+    if not os.path.exists(parent):
+        os.makedirs(parent, exist_ok=True)
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    path = os.path.join(parent, uuid.uuid4().hex[:12])
     similarity.ivfpq_build_index(
         io.load(spark, sf_dir, "embeddings"), path,
         PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
