@@ -607,6 +607,9 @@ def _recall(spark) -> dict:
             "mrl_prefix16": similarity.prefix_dim_topk(
                 emb, ANN_QUERY_IDS, 16, k=k, rerank_factor=8
             ),
+            "mrl_prefix32": similarity.prefix_dim_topk(
+                emb, ANN_QUERY_IDS, 32, k=k, rerank_factor=8
+            ),
         }
         out = {}
         for name, df in approx.items():

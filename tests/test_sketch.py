@@ -230,3 +230,65 @@ def test_summary_state_merge_equals_direct_and_handles_one_sided(spark):
         ).collect()
     }
     assert math.isclose(stats["A"].mean, mu, abs_tol=1e-4)
+
+
+def test_histogram_state_merge_and_quantile(spark):
+    """Mergeable fixed-bin histograms: bins land where the formula
+    says (under/overflow included), half-states vector-add to the
+    direct whole-input state EXACTLY (integer addition), one-sided
+    keys pass through, and histogram_quantile estimates within one
+    bin width of the true quantile."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import sketch
+
+    vals_a = [5.0, 15.0, 15.5, 25.0, 95.0, -3.0, 120.0]  # lo=0 hi=100 w=10
+    rows = [
+        Row(event_id=i, event_type="A", value=v)
+        for i, v in enumerate(vals_a)
+    ] + [
+        Row(event_id=20, event_type="B", value=50.0),  # even half only
+        Row(event_id=30, event_type="A", value=None),  # no state
+    ]
+    df = spark.createDataFrame(rows)
+    kw = dict(lo=0.0, hi=100.0, n_bins=10)
+    direct = {
+        r.event_type: (r.n, list(r.bins))
+        for r in sketch.histogram_state(df, ["event_type"], **kw).collect()
+    }
+    # bin layout: 0=underflow, 1..10 interior, 11=overflow
+    n_a, bins_a = direct["A"]
+    assert n_a == 7 and len(bins_a) == 12
+    assert bins_a[0] == 1          # -3.0
+    assert bins_a[1] == 1          # 5.0 -> [0,10)
+    assert bins_a[2] == 2          # 15.0, 15.5 -> [10,20)
+    assert bins_a[3] == 1          # 25.0
+    assert bins_a[10] == 1         # 95.0
+    assert bins_a[11] == 1         # 120.0 overflow
+    assert sum(bins_a) == n_a
+
+    merged = {
+        r.event_type: (r.n, list(r.bins))
+        for r in sketch.merge_histogram_states(
+            sketch.histogram_state(
+                df.filter("event_id % 2 = 0"), ["event_type"], **kw
+            ),
+            sketch.histogram_state(
+                df.filter("event_id % 2 = 1"), ["event_type"], **kw
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    assert merged == direct  # exact: integer vector addition
+
+    # quantile: B has one sample at 50 -> q50 lands in its bin center
+    q = {
+        r.event_type: r.q50
+        for r in sketch.histogram_quantile(
+            sketch.histogram_state(df, ["event_type"], **kw), 0.5,
+            lo=0.0, hi=100.0,
+        ).collect()
+    }
+    assert q["B"] == 55.0          # bin [50,60) center
+    # A's median (7 samples, 4th ordered value = 15.5) -> bin [10,20)
+    assert q["A"] == 15.0

@@ -529,3 +529,169 @@ SELECT COALESCE(a.key, b.key) AS key,
                    / (a.n * b.n * (a.n + b.n)) END, 4) AS m2
 FROM a FULL OUTER JOIN b ON a.key = b.key
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram state: the quantile companion to
+# summary_state. Bins are FIXED (lo, hi, n_bins declared up front),
+# so two states merge by element-wise vector addition — exactly the
+# property t-digest/KLL buy with adaptive bins at the cost of
+# approximation knobs; the fixed grid is the deterministic,
+# oracle-replayable form, and the estimation error is bounded by the
+# declared bin width instead of a probabilistic guarantee.
+
+
+def histogram_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    *,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Per-key fixed-bin histogram: (keys..., n, bins array<bigint>
+    of length n_bins + 2) — bin 0 is the underflow (< lo), bin
+    n_bins + 1 the overflow (>= hi), interior bin i covers
+    [lo + (i-1)*w, lo + i*w) with w = (hi-lo)/n_bins. One map-side-
+    combinable groupBy over (key, bin); the dense array assembles
+    from the sparse counts with zeros filled, so states are directly
+    zip-addable regardless of which bins a partition saw."""
+    w = (hi - lo) / n_bins
+    b = (
+        F.when(F.col(value_col) < lo, F.lit(0))
+        .when(F.col(value_col) >= hi, F.lit(n_bins + 1))
+        .otherwise(F.floor((F.col(value_col) - lo) / w).cast("int") + 1)
+    )
+    sparse = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dense = (
+        sparse.groupBy(*key_cols)
+        .agg(
+            F.sum("c").alias("n"),
+            F.map_from_entries(
+                F.collect_list(F.struct("bin", "c"))
+            ).alias("m"),
+        )
+        .select(
+            *key_cols,
+            "n",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bins + 1)),
+                lambda i: F.coalesce(
+                    F.element_at("m", i.cast("int")), F.lit(0).cast("bigint")
+                ),
+            ).alias("bins"),
+        )
+    )
+    return dense
+
+
+def merge_histogram_states(
+    a: DataFrame, b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Element-wise vector addition over a full-outer key join — the
+    merge is exact (no re-binning), associative, and commutative, so
+    batch arrival order can never change the merged state. One-sided
+    keys pass through unchanged (identity element)."""
+    j = a.alias("a").join(b.alias("b"), key_cols, "full_outer")
+    one_sided = F.col("a.n").isNull() | F.col("b.n").isNull()
+    return j.select(
+        *key_cols,
+        F.when(one_sided, F.coalesce("a.n", "b.n"))
+        .otherwise(F.col("a.n") + F.col("b.n")).alias("n"),
+        F.when(one_sided, F.coalesce("a.bins", "b.bins"))
+        .otherwise(
+            F.zip_with("a.bins", "b.bins", lambda x, y: x + y)
+        ).alias("bins"),
+    )
+
+
+def histogram_quantile(
+    state: DataFrame,
+    q: float,
+    *,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Estimate the q-quantile from a histogram state by linear
+    interpolation within the first bin whose cumulative count reaches
+    ceil(q * n) — the Prometheus histogram_quantile convention.
+    Under/overflow bins clamp to lo/hi (their width is unknown).
+    Derived estimate — NOT for hash gates (gate the carried bins);
+    error is bounded by one interior bin width."""
+    n_total = F.col("n")
+    target = F.ceil(F.lit(q) * n_total)
+    cum = F.expr(
+        "transform(bins, (c, i) -> "
+        "aggregate(slice(bins, 1, i + 1), 0L, (acc, x) -> acc + x))"
+    )
+    n_bins = F.size("bins") - 2
+    w = (F.lit(hi) - F.lit(lo)) / n_bins
+    # first index (1-based) whose cumulative count >= target
+    first_hit = F.filter(
+        F.arrays_zip(
+            F.sequence(F.lit(1), F.size("bins")).alias("i"),
+            cum.alias("c"),
+        ),
+        lambda s: s["c"] >= target,
+    )[0]["i"]
+    bin0 = first_hit - 2  # interior bin index, 0-based (may be -1/overflow)
+    est = (
+        F.when(first_hit == 1, F.lit(lo))
+        .when(first_hit == F.size("bins"), F.lit(hi))
+        .otherwise(F.lit(lo) + (bin0.cast("double") + 0.5) * w)
+    )
+    return state.select(
+        *[c for c in state.columns if c not in ("n", "bins")],
+        "n",
+        F.round(est, 6).alias(f"q{int(q * 100)}"),
+    )
+
+
+def histogram_state_merge_sql(
+    *,
+    split_expr: str = "event_id % 2",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    table: str = "events",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 20,
+) -> str:
+    """DuckDB twin of the exploded merged histogram. Because the
+    merge is EXACT integer addition over a fixed grid, the direct
+    whole-input histogram is value-identical to halves+merge — and it
+    still gates the merge path hard: a dropped one-sided key, a
+    misaligned zip, or a broken bin formula all diverge from the
+    direct count. The dense grid (every bin per key, zeros included)
+    mirrors the Spark side's assembled array."""
+    w = (hi - lo) / n_bins
+    bin_expr = (
+        f"CASE WHEN {value_col} < {lo} THEN 0 "
+        f"WHEN {value_col} >= {hi} THEN {n_bins + 1} "
+        f"ELSE CAST(FLOOR(({value_col} - {lo}) / {w!r}) AS INT) + 1 END"
+    )
+    return f"""
+WITH src AS (
+  SELECT {key_col} AS key, {value_col} AS v
+  FROM {table} WHERE {value_col} IS NOT NULL
+),
+counts AS (
+  SELECT key,
+         CASE WHEN v < {lo} THEN 0
+              WHEN v >= {hi} THEN {n_bins + 1}
+              ELSE CAST(FLOOR((v - {lo}) / {w!r}) AS INT) + 1 END AS bin,
+         COUNT(*) AS c
+  FROM src GROUP BY 1, 2
+),
+keys AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY 1),
+grid AS (SELECT k.key, k.n, CAST(r.range AS INT) AS bin
+         FROM keys k, range(0, {n_bins + 2}) r)
+SELECT g.key, g.n, CAST(g.bin AS BIGINT) AS bin,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
+FROM grid g LEFT JOIN counts c ON g.key = c.key AND g.bin = c.bin
+"""

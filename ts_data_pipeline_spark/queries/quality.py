@@ -115,3 +115,31 @@ def summary_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
     )
     return merged.withColumnRenamed("event_type", "key")
+
+
+def histogram_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram state (operators/sketch.py::
+    histogram_state / merge_histogram_states): half-partition
+    histograms vector-added over a full-outer key join, exploded to
+    (key, n, bin, cnt) rows. The merge is exact integer addition, so
+    the oracle's direct whole-input histogram gates it hard — any
+    dropped one-sided key, zip misalignment, or bin-formula drift
+    diverges."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import sketch
+
+    ev = io.load(spark, sf_dir, "events").withColumn(
+        "half", F.pmod("event_id", F.lit(2))
+    )
+    kw = dict(lo=0.0, hi=1000.0, n_bins=20)
+    merged = sketch.merge_histogram_states(
+        sketch.histogram_state(ev.filter("half = 0"), ["event_type"], **kw),
+        sketch.histogram_state(ev.filter("half = 1"), ["event_type"], **kw),
+        ["event_type"],
+    )
+    return merged.select(
+        F.col("event_type").alias("key"),
+        "n",
+        F.posexplode("bins").alias("bin", "cnt"),
+    ).select("key", "n", F.col("bin").cast("bigint").alias("bin"), "cnt")

@@ -308,6 +308,12 @@ def _quality_members() -> list[Member]:
             (("key", "s"), ("n", "l"), ("s", "d"), ("vmin", "d"),
              ("vmax", "d"), ("m2", "d")),
         ),
+        Member(
+            "histogram_state_merge",
+            quality.histogram_state_merge,
+            sketch_ops.histogram_state_merge_sql(),
+            (("key", "s"), ("n", "l"), ("bin", "l"), ("cnt", "l")),
+        ),
     ]
 
 
