@@ -1806,3 +1806,29 @@ def test_ivfpq_index_filter_composes_with_cell_pruning(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_pagerank_star_and_clique_semantics(spark):
+    """PageRank over a pair graph (operators/dedup.py::pagerank): on
+    a star the hub out-ranks every leaf (template vs variants); on a
+    clique ranks are uniform; total mass stays ~1 (symmetrized graph
+    has no dangling loss)."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import dedup
+
+    star = spark.createDataFrame(
+        [Row(da=1, db=i) for i in (2, 3, 4, 5)]
+    )
+    pr = {r.doc_id: (r.deg, r.pr) for r in dedup.pagerank(star).collect()}
+    assert pr[1][0] == 4 and all(pr[i][0] == 1 for i in (2, 3, 4, 5))
+    assert pr[1][1] > pr[2][1]
+    assert len({pr[i][1] for i in (2, 3, 4, 5)}) == 1  # symmetric leaves
+    assert abs(sum(v for _, v in pr.values()) - 1.0) < 1e-3
+
+    clique = spark.createDataFrame(
+        [Row(da=a, db=b) for a in (1, 2, 3) for b in (1, 2, 3) if a < b]
+    )
+    prc = {r.doc_id: r.pr for r in dedup.pagerank(clique).collect()}
+    assert len(set(prc.values())) == 1
+    assert abs(sum(prc.values()) - 1.0) < 1e-3

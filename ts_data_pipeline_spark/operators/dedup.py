@@ -928,3 +928,114 @@ SELECT d.{id_col},
        COALESCE(p.n_spans, 0) AS n_spans
 FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.{id_col}
 """
+
+
+def pagerank(
+    pairs: DataFrame,
+    n_iter: int = 3,
+    damping: float = 5 / 6,
+    *,
+    a_col: str = "da",
+    b_col: str = "db",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair graph — here,
+    the near-dup graph: a document's centrality in its duplicate
+    family ranks the "template" the family is stamped from (high PR)
+    over its one-off variants, the signal boilerplate forensics and
+    canonical-selection heuristics read.
+
+    Engine-portable determinism (the kmeans/_pq_cb_trained playbook):
+    a FIXED unrolled iteration count; every carried pr is
+    ROUND(.., 6); ``damping`` defaults to 5/6 — deliberately
+    non-2-5-smooth so iterated products never terminate on the
+    decimal grid and a 6-dp re-round can never land on a true half
+    (the LR-gate lesson); symmetrized edges mean every node has
+    degree >= 1, so no dangling-mass term.
+
+    Scale shape: the standard distributed power iteration — each
+    round is one equi-join of the edge relation with the node-sized
+    pr vector plus a map-side-combinable sum; nothing is collected
+    (the node count is a scalar aggregate). Edges and degrees are
+    cached across the fixed rounds (every iteration scans both — the
+    _distinct_shingles justification).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    n = deg.count()
+    pr = deg.select(
+        F.col("src").alias("id"),
+        F.round(F.lit(1.0) / F.lit(n), 6).alias("pr"),
+    )
+    base = F.lit(1.0 - damping) / F.lit(n)
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["id"])
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("s"))
+        )
+        pr = (
+            deg.select(F.col("src").alias("id"))
+            .join(contrib, F.col("id") == F.col("cid"), "left")
+            .select(
+                "id",
+                F.round(
+                    base + F.lit(damping) * F.coalesce("s", F.lit(0.0)), 6
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(deg, pr["id"] == deg["src"])
+        .select(F.col("id").alias("doc_id"), "deg", "pr")
+    )
+
+
+def pagerank_sql(
+    pairs_sql: str, n_iter: int = 3, damping: float = 5 / 6
+) -> str:
+    """DuckDB twin of :func:`pagerank` — the same fixed rounds
+    unrolled as a CTE chain, the same double literals emitted by repr
+    (both engines iterate with bit-identical constants), the same
+    6-dp carried rounding."""
+    d = f"CAST('{damping!r}' AS DOUBLE)"
+    omd = f"CAST('{1.0 - damping!r}' AS DOUBLE)"
+    chain = f"""
+WITH pairs AS MATERIALIZED ({pairs_sql}),
+edges AS MATERIALIZED (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION
+  SELECT db AS src, da AS dst FROM pairs
+),
+deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+pr0 AS MATERIALIZED (
+  SELECT d2.src AS id, ROUND(CAST(1 AS DOUBLE) / nn.n, 6) AS pr
+  FROM deg d2, nn
+)"""
+    for i in range(1, n_iter + 1):
+        chain += f""",
+c{i} AS (
+  SELECT e.dst AS id, SUM(p.pr / d2.deg) AS s
+  FROM edges e
+  JOIN pr{i - 1} p ON e.src = p.id
+  JOIN deg d2 ON e.src = d2.src
+  GROUP BY e.dst
+),
+pr{i} AS MATERIALIZED (
+  SELECT d2.src AS id,
+         ROUND({omd} / nn.n + {d} * COALESCE(c.s, 0), 6) AS pr
+  FROM deg d2 CROSS JOIN nn LEFT JOIN c{i} c ON d2.src = c.id
+)"""
+    return chain + f"""
+SELECT p.id AS doc_id, d2.deg, p.pr
+FROM pr{n_iter} p JOIN deg d2 ON p.id = d2.src
+"""

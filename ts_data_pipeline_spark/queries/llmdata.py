@@ -57,6 +57,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_clusters(dedup.ngram_jaccard_pairs(docs))
 
 
+def dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the near-dup pair graph
+    (operators/dedup.py::pagerank): centrality ranks the template a
+    duplicate family is stamped from over its one-off variants."""
+    docs = io.load(spark, sf_dir, "documents")
+    return dedup.pagerank(dedup.ngram_jaccard_pairs(docs))
+
+
 def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings corpus: k-means cells bound the
     pairwise similarity work; survivor = farthest-from-centroid."""

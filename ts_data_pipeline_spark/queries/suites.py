@@ -970,6 +970,12 @@ def _dedup_exact_simhash_members() -> list[Member]:
             (("doc_id", "l"), ("n_spans", "l"), ("n_kept", "l"),
              ("n_removed", "l"), ("keep_ratio", "d")),
         ),
+        Member(
+            "dedup_pagerank",
+            llmdata.dedup_pagerank,
+            dedup.pagerank_sql(dedup.ngram_jaccard_sql()),
+            (("doc_id", "l"), ("deg", "l"), ("pr", "d")),
+        ),
     ]
 
 
