@@ -292,3 +292,96 @@ def test_histogram_state_merge_and_quantile(spark):
     assert q["B"] == 55.0          # bin [50,60) center
     # A's median (7 samples, 4th ordered value = 15.5) -> bin [10,20)
     assert q["A"] == 15.0
+
+
+def test_summary_state_sink_incremental_and_idempotent(spark, tmp_path):
+    """Streaming maintenance of the mergeable state
+    (operators/sketch.py::summary_state_sink): a 4-micro-batch replay
+    folds into a stored state equal to the direct whole-input state
+    (within the 4-dp carried grid x merge count); a RE-DELIVERED
+    batch id is a no-op (exactly-once under the at-least-once
+    foreachBatch contract); an orphaned version dir (crash after the
+    data write, before the pointer) is recomputed and committed by
+    the re-delivery."""
+    import os
+
+    from pyspark.sql import functions as FF
+    from pyspark.sql.window import Window
+
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import sketch
+    from ts_data_pipeline_spark.streaming import windowed
+
+    ev = io.load(spark, SF_DIR, "events").select("event_id", "event_type", "ts", "value")
+    data_dir = str(tmp_path / "data")
+    chunks = ev.withColumn(
+        "chunk", FF.ntile(4).over(Window.orderBy("ts"))
+    ).localCheckpoint(eager=True)
+    for i in range(1, 5):
+        chunks.filter(FF.col("chunk") == i).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(data_dir)
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    fb = sketch.summary_state_sink(state_dir, ["event_type"])
+    q = (
+        windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = {
+        r.event_type: r
+        for r in sketch.read_summary_state(spark, state_dir).collect()
+    }
+    want = {
+        r.event_type: r
+        for r in sketch.summary_state(ev, ["event_type"]).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        g, w = got[k], want[k]
+        assert (g.n, g.vmin, g.vmax) == (w.n, w.vmin, w.vmax)
+        assert abs(g.s - w.s) <= 4e-4       # 4 merges x 4-dp grid
+        assert abs(g.m2 - w.m2) <= 8e-4
+
+    latest = sketch._latest_version(state_dir)
+    before = {
+        tuple(r) for r in sketch.read_summary_state(spark, state_dir).collect()
+    }
+    # re-delivery of the last committed batch: must not double-merge
+    fb(ev.limit(50), latest)
+    assert sketch._latest_version(state_dir) == latest
+    after = {
+        tuple(r) for r in sketch.read_summary_state(spark, state_dir).collect()
+    }
+    assert after == before
+
+    # orphaned version (crash between data write and pointer commit):
+    # a fresh batch id first leaves its dir, then the re-delivery
+    # recomputes it from the committed predecessor and commits
+    nxt = latest + 1
+    delta = ev.limit(10)
+    sketch.summary_state(delta, ["event_type"]).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, f"v{nxt}"))  # orphan, no pointer
+    assert sketch._latest_version(state_dir) == latest
+    fb(delta, nxt)  # the re-delivery
+    assert sketch._latest_version(state_dir) == nxt
+    n_after = {
+        r.event_type: r.n
+        for r in sketch.read_summary_state(spark, state_dir).collect()
+    }
+    n_direct = {
+        r.event_type: r.n
+        for r in sketch.summary_state(
+            ev.unionByName(delta), ["event_type"]
+        ).collect()
+    }
+    assert n_after == n_direct

@@ -695,3 +695,84 @@ SELECT g.key, g.n, CAST(g.bin AS BIGINT) AS bin,
        CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
 FROM grid g LEFT JOIN counts c ON g.key = c.key AND g.bin = c.bin
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance of the mergeable state: foreachBatch folds
+# each micro-batch's per-key partials into a stored state with
+# exactly-once semantics — the incremental-materialized-view loop the
+# mergeable algebra exists for.
+
+
+def _latest_version(path: str) -> int:
+    """The committed version (batch id) of a summary-state dir, or
+    -1 when none has committed yet."""
+    import json
+    import os
+
+    p = os.path.join(path, "_LATEST")
+    if not os.path.exists(p):
+        return -1
+    with open(p) as fh:
+        return int(json.load(fh)["batch_id"])
+
+
+def read_summary_state(spark, path: str) -> DataFrame:
+    """The committed merged state (raises if nothing committed)."""
+    import os
+
+    latest = _latest_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"no committed summary state at {path}")
+    return spark.read.parquet(os.path.join(path, f"v{latest}"))
+
+
+def summary_state_sink(
+    path: str,
+    key_cols: list[str],
+    value_col: str = "value",
+):
+    """foreachBatch body maintaining a per-key summary state under
+    the at-least-once micro-batch contract:
+
+    - state is |keys|-sized BY CONSTRUCTION, so each batch writes the
+      FULL merged state as a new version dir ``v{batch_id}`` (the
+      row-scale upsert table does bucket surgery instead — here a
+      full rewrite IS the bounded-I/O choice);
+    - the ``_LATEST`` pointer (JSON, written temp + os.replace —
+      atomic) commits the version; batch ids are monotonic, so a
+      RE-DELIVERED batch (id <= committed) returns without touching
+      anything — idempotent, the exactly-once half foreachBatch
+      doesn't give for free;
+    - a crash AFTER the version write but BEFORE the pointer leaves
+      an orphan dir: the re-delivered batch recomputes and overwrites
+      it from the still-committed predecessor, then commits — no
+      partial state is ever observable through the pointer.
+
+    Single-writer per path (the streaming-query contract); readers go
+    through :func:`read_summary_state`.
+    """
+    import json
+    import os
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest_version(path)
+        if batch_id <= latest:
+            return  # re-delivery of a committed batch: no-op
+        partial = summary_state(batch_df, key_cols, value_col)
+        if latest >= 0:
+            stored = batch_df.sparkSession.read.parquet(
+                os.path.join(path, f"v{latest}")
+            )
+            merged = merge_summary_states(stored, partial, key_cols)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            os.path.join(path, f"v{batch_id}")
+        )
+        tmp = os.path.join(path, "_LATEST.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, os.path.join(path, "_LATEST"))
+
+    return fb
