@@ -1832,3 +1832,39 @@ def test_pagerank_star_and_clique_semantics(spark):
     prc = {r.doc_id: r.pr for r in dedup.pagerank(clique).collect()}
     assert len(set(prc.values())) == 1
     assert abs(sum(prc.values()) - 1.0) < 1e-3
+
+
+def test_lexical_stats_zipf_slope_semantics(spark):
+    """Lexical stats (functions/text.py::lexical_stats): exact
+    integer totals; a perfectly Zipfian crafted corpus fits a slope
+    near -1 while a flat (every-type-equal) corpus fits ~0; hapax
+    count tracks the freq-1 spectrum mass."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    # Zipfian: type t_r appears round(60/r) times, r = 1..12
+    words = []
+    for r in range(1, 13):
+        words += [f"w{r}"] * max(1, round(60 / r))
+    zipf_docs = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    z = text_fns.lexical_stats(zipf_docs).collect()[0]
+    assert z.n_tokens == len(words) and z.n_types == 12
+    assert -1.35 < z.zipf_slope < -0.75, z.zipf_slope
+
+    flat_docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join([f"t{i}" for i in range(30)] * 3))]
+    )
+    fl = text_fns.lexical_stats(flat_docs).collect()[0]
+    assert fl.n_types == 30 and fl.hapax_types == 0
+    # every type has identical frequency -> single spectrum point ->
+    # degenerate fit; the slope must come back NULL, not a crash
+    assert fl.zipf_slope is None
+
+    spec = {
+        (r.freq, r.n_types)
+        for r in text_fns.token_spectrum(zipf_docs).collect()
+    }
+    assert (60, 1) in spec                       # w1: 60 occurrences
+    assert sum(f * n for f, n in spec) == z.n_tokens
+    assert sum(n for _, n in spec) == 12

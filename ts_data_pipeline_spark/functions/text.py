@@ -1433,3 +1433,146 @@ SELECT {id_col},
          AS entropy_bits
 FROM counts GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical statistics: frequency spectrum + Zipf slope (corpus-level
+# vocabulary diagnostics — the "is this corpus natural language or
+# generated sludge" screens a tokenizer/vocab decision starts from)
+
+
+def token_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frequency-of-frequencies: for each occurrence count ``freq``,
+    how many vocabulary types occur exactly that often (the spectrum
+    whose head is the hapax mass and whose tail is the stopword
+    core — Good-Turing's input relation). Two map-side-combinable
+    groupBys; the spectrum's cardinality is the number of DISTINCT
+    frequencies (≪ vocabulary size), so everything downstream of the
+    second agg is tiny at any corpus scale."""
+    return (
+        docs.select(F.explode(toks_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy("freq")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+
+
+def token_spectrum_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({toks_sql(text_col)}) AS term FROM {table})
+  GROUP BY term
+)
+SELECT CAST(freq AS BIGINT) AS freq,
+       CAST(COUNT(*) AS BIGINT) AS n_types
+FROM counts GROUP BY freq
+"""
+
+
+def lexical_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus lexical summary: total tokens, vocabulary
+    size, hapax count, and the Zipf slope — the least-squares slope
+    of ln(freq) on ln(rank), fit over the FREQUENCY SPECTRUM (one
+    point per distinct frequency at its midpoint rank, weighted by
+    type count) rather than per-type ranks, so no vocabulary-sized
+    ordered window exists anywhere in the plan (the spectrum relation
+    is distinct-frequency-sized). Natural text lands near -1
+    (Zipf's law); generated/templated sludge flattens toward 0.
+
+    Determinism: the regression inputs are logs of exact integers —
+    irrational for every count that isn't a power of e — so the 6-dp
+    rounded slope can never land on a decimal half (the entropy-gate
+    argument). Type-token ratio is left to consumers (derived
+    division — not gated)."""
+    spec = token_spectrum(docs, text_col).select(
+        "freq",
+        "n_types",
+        F.col("n_types").cast("double").alias("w"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    wnd = Window.orderBy(F.col("freq").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pts = spec.withColumn(
+        "cum_before", F.coalesce(F.sum("n_types").over(wnd), F.lit(0))
+    ).select(
+        "w",
+        "y",
+        "freq",
+        "n_types",
+        F.log(
+            F.col("cum_before") + (F.col("n_types") + 1) / 2.0
+        ).alias("x"),
+    )
+    agg = pts.agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("freq") * F.col("n_types")).alias("n_tokens"),
+        F.sum("n_types").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, F.col("n_types"))).alias(
+            "hapax_types"
+        ),
+    )
+    # degenerate fit (a single spectrum point — every type equally
+    # frequent) has zero x-variance: the slope is undefined, emitted
+    # as NULL rather than an ANSI divide-by-zero (same CASE guard in
+    # the twin)
+    denom = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("sw")
+    slope = F.when(
+        denom != 0,
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("sw")) / denom,
+    )
+    return agg.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.coalesce(F.col("hapax_types"), F.lit(0))
+        .cast("bigint")
+        .alias("hapax_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+def lexical_stats_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`lexical_stats` — same spectrum,
+    midpoint-rank, and weighted-least-squares formulation."""
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({toks_sql(text_col)}) AS term FROM {table})
+  GROUP BY term
+),
+spec AS (
+  SELECT freq, COUNT(*) AS n_types FROM counts GROUP BY freq
+),
+pts AS (
+  SELECT CAST(n_types AS DOUBLE) AS w,
+         ln(CAST(freq AS DOUBLE)) AS y,
+         freq, n_types,
+         ln(COALESCE(SUM(n_types) OVER (ORDER BY freq DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (n_types + 1) / CAST(2 AS DOUBLE)) AS x
+  FROM spec
+),
+agg AS (
+  SELECT SUM(w) AS sw, SUM(w * x) AS sx, SUM(w * y) AS sy,
+         SUM(w * x * x) AS sxx, SUM(w * x * y) AS sxy,
+         SUM(freq * n_types) AS n_tokens,
+         SUM(n_types) AS n_types,
+         SUM(CASE WHEN freq = 1 THEN n_types END) AS hapax_types
+  FROM pts
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(COALESCE(hapax_types, 0) AS BIGINT) AS hapax_types,
+       CASE WHEN (sxx - sx * sx / sw) = 0 THEN NULL
+            ELSE ROUND((sxy - sx * sy / sw) / (sxx - sx * sx / sw), 6)
+       END AS zipf_slope
+FROM agg
+"""

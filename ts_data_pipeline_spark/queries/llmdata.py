@@ -448,6 +448,18 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.doc_fingerprints(io.load(spark, sf_dir, "documents"))
 
 
+def token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum (functions/text.py::
+    token_spectrum — Good-Turing's input relation)."""
+    return text_fns.token_spectrum(io.load(spark, sf_dir, "documents"))
+
+
+def lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus lexical summary incl. the spectrum-fit Zipf
+    slope (functions/text.py::lexical_stats)."""
+    return text_fns.lexical_stats(io.load(spark, sf_dir, "documents"))
+
+
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10

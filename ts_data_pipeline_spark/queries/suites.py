@@ -369,6 +369,19 @@ def _text_stats_members() -> list[Member]:
              ("p99", "d")),
         ),
         Member(
+            "token_spectrum",
+            llmdata.token_spectrum,
+            text_fns.token_spectrum_sql(),
+            (("freq", "l"), ("n_types", "l")),
+        ),
+        Member(
+            "lexical_stats",
+            llmdata.lexical_stats,
+            text_fns.lexical_stats_sql(),
+            (("n_tokens", "l"), ("n_types", "l"), ("hapax_types", "l"),
+             ("zipf_slope", "d")),
+        ),
+        Member(
             "corpus_selection",
             llmdata.corpus_selection,
             llmdata.corpus_selection_sql(),
