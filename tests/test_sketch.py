@@ -385,3 +385,54 @@ def test_summary_state_sink_incremental_and_idempotent(spark, tmp_path):
         ).collect()
     }
     assert n_after == n_direct
+
+
+def test_histogram_state_sink_exact_across_batches(spark, tmp_path):
+    """The generic state_sink with histogram partials: maintained
+    state equals the whole-input histogram BIN-FOR-BIN (the merge is
+    exact integer addition)."""
+    import os
+
+    from pyspark.sql import functions as FF
+    from pyspark.sql.window import Window
+
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import sketch
+    from ts_data_pipeline_spark.streaming import windowed
+
+    ev = io.load(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    data_dir = str(tmp_path / "data")
+    chunks = ev.withColumn(
+        "chunk", FF.ntile(3).over(Window.orderBy("ts"))
+    ).localCheckpoint(eager=True)
+    for i in range(1, 4):
+        chunks.filter(FF.col("chunk") == i).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(data_dir)
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    kw = dict(lo=0.0, hi=1000.0, n_bins=20)
+    fb = sketch.histogram_state_sink(state_dir, ["event_type"], **kw)
+    q = (
+        windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    got = {
+        r.event_type: (r.n, list(r.bins))
+        for r in sketch.read_summary_state(spark, state_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n, list(r.bins))
+        for r in sketch.histogram_state(ev, ["event_type"], **kw).collect()
+    }
+    assert got == want

@@ -727,14 +727,13 @@ def read_summary_state(spark, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, f"v{latest}"))
 
 
-def summary_state_sink(
-    path: str,
-    key_cols: list[str],
-    value_col: str = "value",
-):
-    """foreachBatch body maintaining a per-key summary state under
-    the at-least-once micro-batch contract:
+def state_sink(path: str, partial_fn, merge_fn):
+    """Generic exactly-once foreachBatch state maintenance for ANY
+    mergeable per-key state (summaries, histograms, future sketches):
 
+    - ``partial_fn(batch_df) -> state_df`` computes the micro-batch's
+      partial state; ``merge_fn(stored, partial) -> state_df``
+      combines it with the stored state;
     - state is |keys|-sized BY CONSTRUCTION, so each batch writes the
       FULL merged state as a new version dir ``v{batch_id}`` (the
       row-scale upsert table does bucket surgery instead — here a
@@ -759,12 +758,12 @@ def summary_state_sink(
         latest = _latest_version(path)
         if batch_id <= latest:
             return  # re-delivery of a committed batch: no-op
-        partial = summary_state(batch_df, key_cols, value_col)
+        partial = partial_fn(batch_df)
         if latest >= 0:
             stored = batch_df.sparkSession.read.parquet(
                 os.path.join(path, f"v{latest}")
             )
-            merged = merge_summary_states(stored, partial, key_cols)
+            merged = merge_fn(stored, partial)
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(
@@ -776,3 +775,41 @@ def summary_state_sink(
         os.replace(tmp, os.path.join(path, "_LATEST"))
 
     return fb
+
+
+def summary_state_sink(
+    path: str,
+    key_cols: list[str],
+    value_col: str = "value",
+):
+    """foreachBatch body maintaining the per-key SUMMARY state
+    (:func:`summary_state` partials folded by
+    :func:`merge_summary_states`) — see :func:`state_sink` for the
+    commit protocol."""
+    return state_sink(
+        path,
+        lambda b: summary_state(b, key_cols, value_col),
+        lambda a, b: merge_summary_states(a, b, key_cols),
+    )
+
+
+def histogram_state_sink(
+    path: str,
+    key_cols: list[str],
+    value_col: str = "value",
+    *,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 20,
+):
+    """foreachBatch body maintaining the per-key HISTOGRAM state
+    (:func:`histogram_state` partials vector-added by
+    :func:`merge_histogram_states`) — exact integer merge, so the
+    maintained state equals the batch recomputation bin-for-bin."""
+    return state_sink(
+        path,
+        lambda b: histogram_state(
+            b, key_cols, value_col, lo=lo, hi=hi, n_bins=n_bins
+        ),
+        lambda a, b: merge_histogram_states(a, b, key_cols),
+    )
