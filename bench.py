@@ -330,6 +330,27 @@ def _extras(spark) -> dict:
             _io.load(spark, sf_dir, "documents"), k=SUBSTR_DEDUP_K
         )
 
+    def dedup_pagerank(spark, sf_dir):
+        from ts_data_pipeline_spark.queries.llmdata import (
+            dedup_pagerank as _pr,
+        )
+
+        return _pr(spark, sf_dir)
+
+    def lexical_stats(spark, sf_dir):
+        from ts_data_pipeline_spark.queries.llmdata import (
+            lexical_stats as _lx,
+        )
+
+        return _lx(spark, sf_dir)
+
+    def summary_state_merge(spark, sf_dir):
+        from ts_data_pipeline_spark.queries.quality import (
+            summary_state_merge as _ss,
+        )
+
+        return _ss(spark, sf_dir)
+
     def cep_streaming_funnel(spark, sf_dir):
         # the registered streaming-CEP gate run end-to-end at bench
         # SF: 4-micro-batch replay of the full events table through
@@ -371,6 +392,10 @@ def _extras(spark) -> dict:
         "bloom_semi_orders": bloom_semi_orders,
         "plain_semi_orders": plain_semi_orders,
         "zorder_zone_map": zorder_zone_map,
+        # round-8 additions
+        "dedup_pagerank": dedup_pagerank,
+        "lexical_stats": lexical_stats,
+        "summary_state_merge": summary_state_merge,
     }
     # The composed recipe runs ~60 s at sf0.1 — a warmed median-of-3
     # would triple the bench budget for one number, so it is timed as

@@ -700,6 +700,12 @@ def _tsstats_counter_sql() -> str:
     return tsstats.counter_increase_sql()
 
 
+def _tsstats_m4_sql() -> str:
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.m4_downsample_sql()
+
+
 def _tsstats_gaps_sql() -> str:
     from ts_data_pipeline_spark.operators import tsstats
 
@@ -837,6 +843,15 @@ def _olap_pivot_members() -> list[Member]:
             _tsstats_counter_sql(),
             (("key", "s"), ("bucket", "l"), ("n_samples", "l"),
              ("n_resets", "l"), ("increase", "d")),
+        ),
+        Member(
+            "m4_chart_downsample",
+            timeseries.m4_chart_downsample,
+            _tsstats_m4_sql(),
+            (("key", "s"), ("bucket", "l"), ("n", "l"),
+             ("t_first", "t"), ("v_first", "d"), ("t_last", "t"),
+             ("v_last", "d"), ("v_min", "d"), ("t_vmin", "t"),
+             ("v_max", "d"), ("t_vmax", "t")),
         ),
         Member(
             "heartbeat_gap_scan",

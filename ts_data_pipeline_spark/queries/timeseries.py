@@ -447,6 +447,17 @@ def time_weighted_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tsstats.time_weighted_avg(io.load(spark, sf_dir, "events"))
 
 
+def m4_chart_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 pixel-exact chart downsampling (operators/tsstats.py::
+    m4_downsample — Jugel et al. VLDB'14): per (key, pixel bucket)
+    the first/last/min/max points, the query the reference's
+    dashboard panels run before drawing
+    (/root/reference/dashboard/src/)."""
+    from ts_data_pipeline_spark.operators import tsstats
+
+    return tsstats.m4_downsample(io.load(spark, sf_dir, "events"))
+
+
 def counter_hourly_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(event_type, hour) counter increase with reset detection
     (operators/tsstats.py::counter_increase — Prometheus increase()
