@@ -436,3 +436,50 @@ def test_histogram_state_sink_exact_across_batches(spark, tmp_path):
         for r in sketch.histogram_state(ev, ["event_type"], **kw).collect()
     }
     assert got == want
+
+
+def test_distinct_count_state_union_is_exact_sketch_of_union(spark):
+    """HLL mergeable state (operators/sketch.py::distinct_count_*):
+    the union of half-partition sketches estimates IDENTICALLY to the
+    direct whole-input sketch (register-wise max — union of sketches
+    IS the sketch of the union), the estimate is near-exact at this
+    cardinality, and one-sided keys pass through."""
+    from pyspark.sql import Row
+
+    from ts_data_pipeline_spark.operators import sketch
+
+    rows = [
+        Row(event_id=i, event_type="A", value=f"u{i % 40}")
+        for i in range(200)
+    ] + [
+        Row(event_id=1000 + i, event_type="B", value=f"v{i}")
+        for i in range(10)  # even ids only -> one-sided for odd half
+        if i % 2 == 0
+    ]
+    df = spark.createDataFrame(rows)
+    direct = {
+        r.event_type: r
+        for r in sketch.distinct_count_estimate(
+            sketch.distinct_count_state(df, ["event_type"])
+        ).collect()
+    }
+    merged = {
+        r.event_type: r
+        for r in sketch.distinct_count_estimate(
+            sketch.merge_distinct_states(
+                sketch.distinct_count_state(
+                    df.filter("event_id % 2 = 0"), ["event_type"]
+                ),
+                sketch.distinct_count_state(
+                    df.filter("event_id % 2 = 1"), ["event_type"]
+                ),
+                ["event_type"],
+            )
+        ).collect()
+    }
+    assert set(merged) == set(direct) == {"A", "B"}
+    for k in direct:
+        assert merged[k].n_rows == direct[k].n_rows
+        assert merged[k].n_distinct_est == direct[k].n_distinct_est
+    assert abs(direct["A"].n_distinct_est - 40) <= 2
+    assert direct["B"].n_distinct_est == 5

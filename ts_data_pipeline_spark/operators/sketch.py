@@ -813,3 +813,68 @@ def histogram_state_sink(
         ),
         lambda a, b: merge_histogram_states(a, b, key_cols),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count state: real Apache DataSketches HLL
+# (Spark's hll_sketch_agg/hll_union builtins) — the third member of
+# the mergeable-state family. Register-wise max makes the union of
+# sketches EXACTLY the sketch of the union, so incremental
+# maintenance loses nothing vs a full recompute.
+
+
+def distinct_count_state(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str = "value",
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-key HLL sketch state: (keys..., n_rows, hll binary). The
+    sketch is JVM-side DataSketches (no Python hop); lgk=12 is
+    Spark's default (~1.6% relative error, 2^12 registers)."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.hll_sketch_agg(value_col, F.lit(lgk)).alias("hll"),
+        )
+    )
+
+
+def merge_distinct_states(
+    a: DataFrame, b: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Register-wise HLL union over a full-outer key join — the
+    sketch of the UNION, exactly, with one-sided keys passing
+    through (identity element, like the other mergeable states)."""
+    j = a.alias("a").join(b.alias("b"), key_cols, "full_outer")
+    one_sided = F.col("a.hll").isNull() | F.col("b.hll").isNull()
+    return j.select(
+        *key_cols,
+        F.when(one_sided, F.coalesce("a.n_rows", "b.n_rows"))
+        .otherwise(F.col("a.n_rows") + F.col("b.n_rows"))
+        .alias("n_rows"),
+        F.when(one_sided, F.coalesce("a.hll", "b.hll"))
+        .otherwise(F.hll_union("a.hll", "b.hll"))
+        .alias("hll"),
+    )
+
+
+def distinct_count_estimate(state: DataFrame) -> DataFrame:
+    """Materialize the estimate column from a sketch state."""
+    return state.select(
+        "*", F.hll_sketch_estimate("hll").alias("n_distinct_est")
+    )
+
+
+def distinct_count_state_sink(
+    path: str, key_cols: list[str], value_col: str = "value", lgk: int = 12
+):
+    """foreachBatch body maintaining per-key distinct-count sketches
+    (see :func:`state_sink` for the commit protocol)."""
+    return state_sink(
+        path,
+        lambda b: distinct_count_state(b, key_cols, value_col, lgk),
+        lambda a, b: merge_distinct_states(a, b, key_cols),
+    )
