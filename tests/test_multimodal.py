@@ -284,3 +284,45 @@ def test_png_palette_and_interlace_still_guarded():
     )
     with pytest.raises(NotImplementedError, match="interlac"):
         mm._png_pixels(inter)
+
+
+def test_png_decode_property_roundtrip():
+    """Property test: ANY 8-bit image (random dims, random pixels,
+    random per-scanline filter choice, every non-palette color type)
+    encoded by the reference encoder decodes to its exact expected
+    luma. Hypothesis drives the space the example-based fixtures
+    sample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        color_type=st.sampled_from([0, 2, 4, 6]),
+        data=st.data(),
+    )
+    def check(w, h, color_type, data):
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        px = [
+            [
+                [data.draw(st.integers(0, 255)) for _ in range(ch)]
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        got = mm._png_pixels(_encode_png(px, color_type, filters))
+        assert got.shape == (h, w)
+        for y in range(h):
+            for x in range(w):
+                p = px[y][x]
+                if color_type in (0, 4):
+                    want = p[0]
+                else:
+                    want = (299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+                assert int(got[y][x]) == want, (y, x, filters[y])
+
+    check()
