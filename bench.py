@@ -663,7 +663,13 @@ def _canary(spark) -> dict:
     data dependence — so cross-round headline deltas can be
     attributed: if the canary moved with the headline, it's host
     drift; if the headline moved alone, it's a plan change. Published
-    as canary_jvm_agg_sec plus the canary-normalized headline total."""
+    as canary_jvm_agg_sec plus the canary-normalized headline total.
+    Run TWICE per invocation — before the headline and after the
+    extras — because contention can be transient (an r8 local run saw
+    a 1.6x headline inflation from a neighboring JVM teardown that a
+    single end-of-run canary missed entirely); normalization uses the
+    PRE canary (it brackets the headline phase) and a pre/post split
+    flags a noisy window."""
     from pyspark.sql import functions as F
 
     try:
@@ -700,6 +706,7 @@ def main() -> None:
     # run paid the SF_DIR cache materialization and spread read ~2x
     # the median.)
     spark.range(1).count()
+    canary_pre = _canary(spark)
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", SF_DIR)
     for name, fn in resolved.items():
         try:
@@ -772,11 +779,19 @@ def main() -> None:
     }
     if canary.get("canary_jvm_agg_sec"):
         payload.update(canary)
+        if canary_pre.get("canary_jvm_agg_sec"):
+            payload["canary_jvm_agg_sec_pre"] = canary_pre[
+                "canary_jvm_agg_sec"
+            ]
         # dimensionless: headline total in canary units — host drift
-        # moves both, so THIS number is the cross-round comparable
-        payload["value_per_canary"] = round(
-            total / canary["canary_jvm_agg_sec"], 2
+        # moves both, so THIS number is the cross-round comparable.
+        # Normalize by the PRE canary (it brackets the headline
+        # phase); the post canary is published so a pre/post split
+        # flags a noisy window.
+        ref = canary_pre.get(
+            "canary_jvm_agg_sec", canary["canary_jvm_agg_sec"]
         )
+        payload["value_per_canary"] = round(total / ref, 2)
     print(json.dumps(payload))
 
 
