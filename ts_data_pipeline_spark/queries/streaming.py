@@ -545,7 +545,40 @@ SELECT * FROM finals WHERE window_end <= {_FINAL_WATERMARK_SQL}
 
 register("kafka_wire_roundtrip", kafka_wire_roundtrip, KAFKA_WIRE_ROUNDTRIP_SQL)
 register("kafka_avro_roundtrip", kafka_avro_roundtrip, KAFKA_AVRO_ROUNDTRIP_SQL)
+def streaming_session_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows under Structured Streaming as a
+    REGISTERED gate: the one windowed shape that genuinely needs the
+    engine's MERGING window state (late events can fuse two open
+    sessions), replayed as micro-batches to availableNow completion.
+    Oracle: the batch gaps-and-islands sessionizer (the
+    session_window_builtin gate's own SQL) restricted to sessions the
+    final watermark closed (session_end <= watermark — boundary
+    equality emits, the append-mode convention)."""
+    from ts_data_pipeline_spark.streaming import windowed as w
+
+    ev = io.load(spark, sf_dir, "events").select("user_id", "ts")
+    return _run_replay_gate(
+        spark, ev, "tsdp_sess_", w.streaming_sessionize
+    )
+
+
+def _streaming_session_finals_sql() -> str:
+    from ts_data_pipeline_spark.queries.timeseries import (
+        SESSION_WINDOW_BUILTIN_SQL,
+    )
+
+    return f"""
+WITH batch AS ({SESSION_WINDOW_BUILTIN_SQL})
+SELECT * FROM batch WHERE session_end <= {_FINAL_WATERMARK_SQL}
+"""
+
+
 register("streaming_user_reduce", streaming_user_reduce, _streaming_user_reduce_sql())
+register(
+    "streaming_session_finals",
+    streaming_session_finals,
+    _streaming_session_finals_sql(),
+)
 register("streaming_window_finals", streaming_window_finals, _streaming_window_finals_sql())
 register("streaming_funnel_finals", streaming_funnel_finals, _streaming_funnel_finals_sql())
 register("streaming_zscore_finals", streaming_zscore_finals, _streaming_zscore_finals_sql())
