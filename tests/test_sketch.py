@@ -281,7 +281,9 @@ def test_histogram_state_merge_and_quantile(spark):
     }
     assert merged == direct  # exact: integer vector addition
 
-    # quantile: B has one sample at 50 -> q50 lands in its bin center
+    # quantile (Prometheus interpolation: rank = q*n, linear within
+    # the hit bin): B has one sample at 50 -> rank 0.5, bin [50,60),
+    # frac (0.5-0)/1 -> 50 + 0.5*10 = 55.0
     q = {
         r.event_type: r.q50
         for r in sketch.histogram_quantile(
@@ -289,9 +291,10 @@ def test_histogram_state_merge_and_quantile(spark):
             lo=0.0, hi=100.0,
         ).collect()
     }
-    assert q["B"] == 55.0          # bin [50,60) center
-    # A's median (7 samples, 4th ordered value = 15.5) -> bin [10,20)
-    assert q["A"] == 15.0
+    assert q["B"] == 55.0
+    # A: rank 3.5, cum hits 4 in bin [10,20) (cum_before 2, count 2)
+    # -> 10 + ((3.5-2)/2)*10 = 17.5; true median 15.5 within one bin
+    assert q["A"] == 17.5
 
 
 def test_summary_state_sink_incremental_and_idempotent(spark, tmp_path):
@@ -385,6 +388,21 @@ def test_summary_state_sink_incremental_and_idempotent(spark, tmp_path):
         ).collect()
     }
     assert n_after == n_direct
+
+    # batch-id REGRESSION (a fresh checkpoint restarts ids at 0) must
+    # fail loudly, not silently drop every batch until ids catch up
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="regressed"):
+        fb(delta, 0)
+
+    # version pruning: after the last commit, only the committed
+    # version and its predecessor remain (bounded storage — not one
+    # full state copy per batch)
+    kept = sorted(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    assert kept == [latest, nxt]
 
 
 def test_histogram_state_sink_exact_across_batches(spark, tmp_path):

@@ -991,10 +991,18 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-    return (
+    # Materialize the node-sized result while edges/deg are still
+    # cached, then drop both — otherwise every invocation would pin
+    # two cached relations in executor storage for the session
+    # lifetime (the classifier.py train-call lesson).
+    out = (
         pr.join(deg, pr["id"] == deg["src"])
         .select(F.col("id").alias("doc_id"), "deg", "pr")
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    deg.unpersist()
+    return out
 
 
 def pagerank_sql(

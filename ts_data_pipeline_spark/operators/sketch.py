@@ -619,31 +619,36 @@ def histogram_quantile(
 ) -> DataFrame:
     """Estimate the q-quantile from a histogram state by linear
     interpolation within the first bin whose cumulative count reaches
-    ceil(q * n) — the Prometheus histogram_quantile convention.
-    Under/overflow bins clamp to lo/hi (their width is unknown).
-    Derived estimate — NOT for hash gates (gate the carried bins);
-    error is bounded by one interior bin width."""
+    the rank q * n — the Prometheus histogram_quantile convention:
+    lo_bin + w * (rank - cum_before) / bin_count. Under/overflow bins
+    clamp to lo/hi (their width is unknown). Derived estimate — NOT
+    for hash gates (gate the carried bins); error is bounded by one
+    interior bin width."""
     n_total = F.col("n")
-    target = F.ceil(F.lit(q) * n_total)
+    rank = F.lit(float(q)) * n_total.cast("double")
     cum = F.expr(
         "transform(bins, (c, i) -> "
         "aggregate(slice(bins, 1, i + 1), 0L, (acc, x) -> acc + x))"
     )
     n_bins = F.size("bins") - 2
     w = (F.lit(hi) - F.lit(lo)) / n_bins
-    # first index (1-based) whose cumulative count >= target
-    first_hit = F.filter(
+    # first index (1-based) whose cumulative count >= rank
+    hit = F.filter(
         F.arrays_zip(
             F.sequence(F.lit(1), F.size("bins")).alias("i"),
             cum.alias("c"),
         ),
-        lambda s: s["c"] >= target,
-    )[0]["i"]
+        lambda s: s["c"].cast("double") >= rank,
+    )[0]
+    first_hit = hit["i"]
     bin0 = first_hit - 2  # interior bin index, 0-based (may be -1/overflow)
+    bin_count = F.element_at("bins", first_hit).cast("double")
+    cum_before = hit["c"].cast("double") - bin_count
+    frac = (rank - cum_before) / bin_count
     est = (
         F.when(first_hit == 1, F.lit(lo))
         .when(first_hit == F.size("bins"), F.lit(hi))
-        .otherwise(F.lit(lo) + (bin0.cast("double") + 0.5) * w)
+        .otherwise(F.lit(lo) + (bin0.cast("double") + frac) * w)
     )
     return state.select(
         *[c for c in state.columns if c not in ("n", "bins")],
@@ -671,9 +676,9 @@ def histogram_state_merge_sql(
     mirrors the Spark side's assembled array."""
     w = (hi - lo) / n_bins
     bin_expr = (
-        f"CASE WHEN {value_col} < {lo} THEN 0 "
-        f"WHEN {value_col} >= {hi} THEN {n_bins + 1} "
-        f"ELSE CAST(FLOOR(({value_col} - {lo}) / {w!r}) AS INT) + 1 END"
+        f"CASE WHEN v < {lo} THEN 0 "
+        f"WHEN v >= {hi} THEN {n_bins + 1} "
+        f"ELSE CAST(FLOOR((v - {lo}) / {w!r}) AS INT) + 1 END"
     )
     return f"""
 WITH src AS (
@@ -681,11 +686,7 @@ WITH src AS (
   FROM {table} WHERE {value_col} IS NOT NULL
 ),
 counts AS (
-  SELECT key,
-         CASE WHEN v < {lo} THEN 0
-              WHEN v >= {hi} THEN {n_bins + 1}
-              ELSE CAST(FLOOR((v - {lo}) / {w!r}) AS INT) + 1 END AS bin,
-         COUNT(*) AS c
+  SELECT key, {bin_expr} AS bin, COUNT(*) AS c
   FROM src GROUP BY 1, 2
 ),
 keys AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY 1),
@@ -739,25 +740,42 @@ def state_sink(path: str, partial_fn, merge_fn):
       row-scale upsert table does bucket surgery instead — here a
       full rewrite IS the bounded-I/O choice);
     - the ``_LATEST`` pointer (JSON, written temp + os.replace —
-      atomic) commits the version; batch ids are monotonic, so a
-      RE-DELIVERED batch (id <= committed) returns without touching
-      anything — idempotent, the exactly-once half foreachBatch
-      doesn't give for free;
+      atomic) commits the version; within one checkpointed run batch
+      ids are monotonic and only the LAST committed batch can be
+      re-delivered (restart recovery), so ``batch_id == committed``
+      is the idempotent no-op and ``batch_id < committed`` can ONLY
+      mean a different run (fresh checkpoint resetting ids to 0) —
+      that raises loudly instead of silently dropping every
+      micro-batch until ids catch up;
     - a crash AFTER the version write but BEFORE the pointer leaves
       an orphan dir: the re-delivered batch recomputes and overwrites
       it from the still-committed predecessor, then commits — no
-      partial state is ever observable through the pointer.
+      partial state is ever observable through the pointer;
+    - after a successful pointer commit, version dirs OLDER than the
+      committed predecessor are pruned (the predecessor is kept — it
+      is the recovery base for a re-delivered current batch), so
+      storage holds at most two full state copies, not one per batch.
 
     Single-writer per path (the streaming-query contract); readers go
     through :func:`read_summary_state`.
     """
     import json
     import os
+    import shutil
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         latest = _latest_version(path)
-        if batch_id <= latest:
-            return  # re-delivery of a committed batch: no-op
+        if batch_id == latest:
+            return  # re-delivery of the committed batch: no-op
+        if batch_id < latest:
+            raise ValueError(
+                f"state_sink at {path}: batch id {batch_id} regressed "
+                f"below committed {latest} — this stream is running "
+                "with a DIFFERENT checkpoint than the one that built "
+                "this state (fresh checkpoints restart ids at 0). "
+                "Point the sink at a new path or resume the original "
+                "checkpoint; silently dropping batches would lose data."
+            )
         partial = partial_fn(batch_df)
         if latest >= 0:
             stored = batch_df.sparkSession.read.parquet(
@@ -773,6 +791,16 @@ def state_sink(path: str, partial_fn, merge_fn):
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
         os.replace(tmp, os.path.join(path, "_LATEST"))
+        for name in os.listdir(path):
+            if name.startswith("v"):
+                try:
+                    v = int(name[1:])
+                except ValueError:
+                    continue
+                if v < latest:  # older than the committed predecessor
+                    shutil.rmtree(
+                        os.path.join(path, name), ignore_errors=True
+                    )
 
     return fb
 

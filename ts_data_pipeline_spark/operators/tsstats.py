@@ -1407,8 +1407,9 @@ def m4_downsample(
     reason M4 beats LTTB at scale: LTTB's chosen-point recursion is
     inherently sequential per series). The x-axis bounds are a 1-row
     broadcast (all series share the chart's time range). Buckets are
-    exact integer arithmetic on nonnegative deltas, so truncating and
-    floor division agree on both engines.
+    exact BIGINT integer division (`DIV` here, `//` in the twin) on
+    nonnegative deltas — no double-precision intermediate, so the
+    engines agree even when span * n_buckets exceeds 2^53.
 
     Determinism: winners are lexicographic struct extremes —
     first = min(ts, id), last = max(ts, id), vmin = min(v, id),
@@ -1431,8 +1432,7 @@ def m4_downsample(
         "id",
         "t",
         "v",
-        (((F.col("t") - F.col("tmin")) * n_buckets) / F.col("span"))
-        .cast("bigint")
+        F.expr(f"((t - tmin) * CAST({n_buckets} AS BIGINT)) DIV span")
         .alias("bucket"),
     )
     return (
