@@ -793,6 +793,28 @@ def main() -> None:
         )
         payload["value_per_canary"] = round(total / ref, 2)
     print(json.dumps(payload))
+    # The driver records a FIXED-SIZE TAIL of stdout, and the full
+    # line above grows every round (extras/recall sections) — r7 and
+    # r8 both lost the headline numbers to that truncation. So the
+    # LAST line is a compact summary carrying only the cross-round
+    # comparable signal: headline total, per-query medians, and the
+    # canary pair that attributes host drift. Tail capture always
+    # retains the last line.
+    compact = {
+        "metric": "headline_compact",
+        "headline_total": total,
+        "queries": timings,
+        "sf": sf_val,
+        "errors": sorted(errors),
+    }
+    for k in (
+        "canary_jvm_agg_sec_pre",
+        "canary_jvm_agg_sec",
+        "value_per_canary",
+    ):
+        if k in payload:
+            compact[k] = payload[k]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -51,6 +51,7 @@ def test_no_vacuous_suite_members(oracle):
         suites._olap_pivot_members, suites._join_semi_anti_members,
         suites._dedup_exact_simhash_members,
         suites._catalog_browse_members, suites._media_members,
+        suites._streaming_finals_members,
     ]
     empty = []
     for b in builders:

@@ -46,12 +46,16 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 #: Emission priority. The driver's CORRECTNESS artifact records the
-#: first 50 queries() entries; after the round-3 consolidation the
-#: registry holds <= 50 queries total (related operators merged into
-#: suites — queries/suites.py), so EVERY query receives an official
-#: green row every round. The order still leads with the highest-
-#: value surface (Telemetry QuerySpec evaluator, flagship, joins,
-#: LLM-data ops); anything unlisted follows in registration order.
+#: first 50 queries() entries — a HARD cap, proven by rounds 7/8
+#: where the registry grew past 50 and exactly the overflow entries
+#: vanished from the artifact. The round-9 re-consolidation (the nine
+#: streaming finals gates under streaming_finals_suite) brings the
+#: registry back to exactly 50, so EVERY query receives an official
+#: green row every round. Keep it <= 50: new operators join an
+#: existing suite (or a new one) rather than appending entry #51.
+#: The order still leads with the highest-value surface (Telemetry
+#: QuerySpec evaluator, flagship, joins, LLM-data ops); anything
+#: unlisted follows in registration order.
 _PRIORITY: tuple[str, ...] = (
     # Telemetry QuerySpec evaluator (A4-A9, F4-F6, O1-O2)
     "telemetry_bucket_multi_agg",
@@ -81,9 +85,9 @@ _PRIORITY: tuple[str, ...] = (
     "catalog_browse_suite",
     "catalog_scd2",
     "catalog_parameters",
-    # Streaming semantics (rows-only by design)
-    "streaming_window_finals",
-    "streaming_user_reduce",
+    # Streaming semantics: all nine finals gates under one suite row
+    # (window agg, user reduce, live QuerySpec, CEP family, sessions)
+    "streaming_finals_suite",
     # LLM-data: dedup / similarity / text / multimodal / sampling
     "dedup_exact_simhash",
     "dedup_ngram_jaccard",
@@ -111,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "filters_suite",
     "quality_suite",
     "olap_pivot_suite",
+    "recipe_training_corpus",
 )
 
 
