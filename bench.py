@@ -425,6 +425,44 @@ def _extras(spark) -> dict:
         out["cep_streaming_funnel_events_per_s"] = round(
             n_ev / out["cep_streaming_funnel"]
         )
+    # Measured I/O fraction of the cell-pruned index query — the
+    # claim the partitioned layout exists to make, as executed-plan
+    # scan bytes over the codes relation's on-disk size (r8 verdict:
+    # plan-pinned -> metric-pinned). PER-QUERY fractions: a 10-query
+    # batch at nprobe=6/nlist=8 unions to every cell (frac 1.0 —
+    # true but not the claim); the deployment number is what ONE
+    # query reads, at the registered operating point and at the
+    # low-probe curve point.
+    try:
+        from ts_data_pipeline_spark.plans.scanmetrics import (
+            dir_bytes,
+            scan_metrics,
+        )
+        from ts_data_pipeline_spark.queries.llmdata import (
+            IVFPQ_NPROBE,
+            PQ_RERANK_FACTOR,
+        )
+
+        if SF_DIR in _pq_idx:
+            idx = _pq_idx[SF_DIR]
+            codes = os.path.join(idx, "codes")
+            total = dir_bytes(codes)
+            emb1 = _io.load(spark, SF_DIR, "embeddings")
+            for label, np_ in (
+                ("ivf_codes_bytes_read_frac_1q", IVFPQ_NPROBE),
+                ("ivf_codes_bytes_read_frac_1q_nprobe2", 2),
+            ):
+                m = scan_metrics(
+                    similarity.ivfpq_query_index(
+                        spark, idx, emb1, ANN_QUERY_IDS[:1], k=5,
+                        nprobe=np_, rerank_factor=PQ_RERANK_FACTOR,
+                    ),
+                    path_contains=codes,
+                )
+                if total:
+                    out[label] = round(m["bytes_read"] / total, 4)
+    except Exception as exc:
+        print(f"# ivf bytes frac failed: {exc}", file=sys.stderr)
     # the reusable query-many index served its last timed run; don't
     # leave corpus-sized codes parquet in /tmp per bench invocation
     import shutil
@@ -526,12 +564,51 @@ def _prune_metrics(spark) -> dict:
             F.count(F.lit(1)).alias("cells"),
             F.sum(F.col("scanned").cast("int")).alias("scanned"),
         ).collect()[0]
-        return {
+        res = {
             "bloom_fact_survivor_frac": round(survivors / total, 4),
             "zorder_cells_skipped_frac": round(
                 1 - zm["scanned"] / zm["cells"], 4
             ),
         }
+        # The PHYSICAL form of the zone-map claim (r8 verdict:
+        # metric-pin pruning): write the Z-ordered layout, query the
+        # registered rectangle through the sidecar-planned zdir
+        # IN-list, and report executed-plan scan bytes over the
+        # layout's on-disk size.
+        import shutil
+        import tempfile
+
+        from ts_data_pipeline_spark.plans.scanmetrics import (
+            dir_bytes,
+            scan_metrics,
+        )
+
+        zdir_path = tempfile.mkdtemp(prefix="tsdp_zorder_bench_")
+        try:
+            stats = layout.zorder_write(
+                _io.load(spark, SF_DIR, "orders"), zdir_path,
+                "o_custkey", "o_orderkey",
+            )
+            dirs = layout.zdirs_for_rect(stats, **ZORDER_RECT)
+            pruned = spark.read.parquet(zdir_path).filter(
+                F.col("zdir").isin([int(d) for d in dirs])
+            ).filter(
+                F.col("o_custkey").between(
+                    ZORDER_RECT["x_lo"], ZORDER_RECT["x_hi"]
+                )
+                & F.col("o_orderkey").between(
+                    ZORDER_RECT["y_lo"], ZORDER_RECT["y_hi"]
+                )
+            )
+            m = scan_metrics(pruned, path_contains=zdir_path)
+            zt = dir_bytes(zdir_path)
+            if zt:
+                res["zorder_bytes_read_frac"] = round(
+                    m["bytes_read"] / zt, 4
+                )
+        finally:
+            shutil.rmtree(zdir_path, ignore_errors=True)
+        return res
     except Exception as exc:
         print(f"# prune metrics failed: {exc}", file=sys.stderr)
         return {}

@@ -426,3 +426,147 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+# ---------------------------------------------------------------------
+# Pruning claims as MEASURED I/O (VERDICT r8 #2): PartitionFilters in
+# the formatted plan proves the filter's position; these pins prove
+# the bytes. scan_metrics sums the executed plan's filesSize/numFiles
+# scan metrics (what the Spark UI shows); dir_bytes is the filesystem
+# ground truth for what a pruned scan SHOULD have read.
+# ---------------------------------------------------------------------
+
+
+def test_ivf_index_query_bytes_read_equals_probed_cells(spark, tmp_path):
+    """The IVF-cell-partitioned index query physically reads ONLY the
+    probed cells' bytes: scan filesSize == sum of the probed
+    cell=<id>/ directories' file sizes, strictly less than the whole
+    codes relation — the nprobe/nlist I/O fraction measured, not
+    inferred from the plan."""
+    import os
+
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.plans.scanmetrics import (
+        dir_bytes,
+        scan_metrics,
+    )
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        IVFPQ_COARSE_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfidx")
+    meta = similarity.ivfpq_build_index(
+        emb, path, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
+        train_iters=1, coarse_train_iters=1,
+    )
+    nlist = meta["ivf"]["nlist"]
+    qids = [int(ANN_QUERY_IDS[0])]
+    nprobe = 2
+
+    # recompute the probe set through the same ranking lane the query
+    # uses, so the expectation is exact (cells are NOT equal-sized)
+    cents = similarity._read_cents(spark, path)
+    probed = sorted({
+        int(r["ccid"])
+        for r in similarity._cell_ranked(
+            similarity._norm3(
+                emb.filter(F.col("vec_id").isin(qids)),
+                "vec_id", "embedding",
+            ),
+            cents, "vec_id",
+        ).filter(F.col("crk") <= nprobe).select("ccid").collect()
+    })
+    assert 0 < len(probed) <= nprobe < nlist
+
+    df = similarity.ivfpq_query_index(
+        spark, path, emb, qids, k=5, nprobe=nprobe, rerank_factor=4
+    )
+    codes_dir = os.path.join(path, "codes")
+    m = scan_metrics(df, path_contains=codes_dir)
+    assert m["num_scans"] >= 1 and m["rows"] > 0
+    expected = dir_bytes(codes_dir, [f"cell={c}" for c in probed])
+    total = dir_bytes(codes_dir)
+    assert m["bytes_read"] == expected > 0
+    assert m["bytes_read"] < total
+    # the ratio form of the claim (cells are near-balanced on this
+    # corpus, so allow 2.5x the uniform-cell expectation)
+    assert m["bytes_read"] <= (len(probed) / nlist) * total * 2.5
+
+
+def test_zorder_rect_bytes_read_equals_planned_dirs(spark, tmp_path):
+    """A rectangle query over the Z-ordered layout reads exactly the
+    zdir directories zdirs_for_rect planned from the sidecar — the
+    directory-skip claim as measured bytes."""
+    from ts_data_pipeline_spark.operators import layout
+    from ts_data_pipeline_spark.plans.scanmetrics import (
+        dir_bytes,
+        scan_metrics,
+    )
+    from ts_data_pipeline_spark.queries.olap import ZORDER_RECT
+
+    orders = io.load(spark, SF_DIR, "orders")
+    path = str(tmp_path / "zorders")
+    stats = layout.zorder_write(orders, path, "o_custkey", "o_orderkey")
+    dirs = layout.zdirs_for_rect(stats, **ZORDER_RECT)
+
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("zdir").isin([int(d) for d in dirs]))
+        .filter(
+            F.col("o_custkey").between(
+                ZORDER_RECT["x_lo"], ZORDER_RECT["x_hi"]
+            )
+            & F.col("o_orderkey").between(
+                ZORDER_RECT["y_lo"], ZORDER_RECT["y_hi"]
+            )
+        )
+    )
+    m = scan_metrics(df, path_contains=path)
+    expected = dir_bytes(path, [f"zdir={d}" for d in dirs])
+    total = dir_bytes(path)
+    assert m["bytes_read"] == expected > 0
+    assert m["bytes_read"] < total
+    # the planned rectangle is small vs the (custkey x orderkey) frame
+    assert m["bytes_read"] <= 0.5 * total
+    # and the pruned scan returns the same rows a full scan would
+    full = (
+        spark.read.parquet(path)
+        .filter(
+            F.col("o_custkey").between(
+                ZORDER_RECT["x_lo"], ZORDER_RECT["x_hi"]
+            )
+            & F.col("o_orderkey").between(
+                ZORDER_RECT["y_lo"], ZORDER_RECT["y_hi"]
+            )
+        ).count()
+    )
+    assert m["rows"] == full > 0
+
+
+def test_date_partition_bytes_read_equals_one_day(spark, tmp_path):
+    """Time-partitioned corpus layout (write_corpus partitionBy day):
+    a one-day predicate reads exactly that day directory's bytes —
+    the F4 time-range claim at the PARTITION level, measured."""
+    from ts_data_pipeline_spark.operators import corpus_io
+    from ts_data_pipeline_spark.plans.scanmetrics import (
+        dir_bytes,
+        scan_metrics,
+    )
+
+    events = io.load(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    corpus_io.write_corpus(events, path, partition_by=("day",))
+
+    day = "2024-01-05"
+    df = spark.read.parquet(path).filter(F.col("day") == F.lit(day))
+    m = scan_metrics(df, path_contains=path)
+    expected = dir_bytes(path, [f"day={day}"])
+    total = dir_bytes(path)
+    assert m["bytes_read"] == expected > 0
+    assert m["bytes_read"] < total
+    assert m["rows"] == events.filter(F.to_date("ts") == F.lit(day)).count() > 0
