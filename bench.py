@@ -734,6 +734,100 @@ def _recall(spark) -> dict:
             shutil.rmtree(idx, ignore_errors=True)
 
 
+def _clustered_ivf(spark) -> dict:
+    """VERDICT r8 #3: measure the IVF claim in the regime it exists
+    for. The driver's embeddings table is isotropic — coarse cells
+    carry no neighborhood information, so recall tracks the probed
+    fraction and the r8 curve honestly showed nlist=16 losing. Real
+    embedding corpora are clustered. This sweep runs the SAME trained
+    IVFPQ pipeline over the deterministic mixture-of-Gaussians
+    fixture (operators/synth.py) at cluster separations 0 (isotropic
+    control), 1 (weak), and 4 (real-corpus-like), nlist=16/nprobe=4 —
+    a 4x I/O cut — publishing recall@10, the pruned-vs-flat query
+    seconds over the same persisted index (the crossover), and the
+    measured per-query codes bytes fraction."""
+    import os
+    import shutil
+    import tempfile
+
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators.synth import clustered_embeddings
+    from ts_data_pipeline_spark.plans.scanmetrics import (
+        dir_bytes,
+        scan_metrics,
+    )
+    from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+
+    n, dim, nlist, nprobe, k, rf = 10_000, 64, 16, 4, 10, 32
+    qids = list(range(16, 26))
+    out: dict = {}
+    try:
+        for sep in (0.0, 1.0, 4.0):
+            tag = f"sep{sep:g}"
+            emb = clustered_embeddings(spark, n, dim, nlist, sep)
+            truth = {
+                (r.query_id, r.cand_id)
+                for r in similarity.brute_force_topk(
+                    emb, qids, k=k
+                ).collect()
+            }
+            idx = tempfile.mkdtemp(prefix="tsdp_clust_idx_")
+            try:
+                similarity.ivfpq_build_index(
+                    emb, idx, PQ_CODEBOOK_IDS, list(range(nlist)),
+                    train_iters=3, coarse_train_iters=3,
+                )
+                t0 = time.perf_counter()
+                got = {
+                    (r.query_id, r.cand_id)
+                    for r in similarity.ivfpq_query_index(
+                        spark, idx, emb, qids, k=k,
+                        nprobe=nprobe, rerank_factor=rf,
+                    ).collect()
+                }
+                out[f"clustered_{tag}_ivfpq_query_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                out[f"recall_at_10_ivfpq_clustered_{tag}"] = round(
+                    len(truth & got) / len(truth), 3
+                )
+                t0 = time.perf_counter()
+                flat = {
+                    (r.query_id, r.cand_id)
+                    for r in similarity.pq_query_index(
+                        spark, idx, emb, qids, k=k, rerank_factor=rf
+                    ).collect()
+                }
+                out[f"clustered_{tag}_pq_flat_query_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                # attribution row: when ivfpq == flat recall, the
+                # probed 4/16 cells lost NOTHING — the residual gap
+                # to 1.0 is the PQ ADC stage, not the IVF pruning
+                out[f"recall_at_10_pq_flat_clustered_{tag}"] = round(
+                    len(truth & flat) / len(truth), 3
+                )
+                codes = os.path.join(idx, "codes")
+                m = scan_metrics(
+                    similarity.ivfpq_query_index(
+                        spark, idx, emb, qids[:1], k=k,
+                        nprobe=nprobe, rerank_factor=rf,
+                    ),
+                    path_contains=codes,
+                )
+                tot = dir_bytes(codes)
+                if tot:
+                    out[f"clustered_{tag}_bytes_read_frac_1q"] = round(
+                        m["bytes_read"] / tot, 4
+                    )
+            finally:
+                shutil.rmtree(idx, ignore_errors=True)
+        return out
+    except Exception as exc:  # never let the sweep kill the artifact
+        print(f"# clustered ivf section failed: {exc}", file=sys.stderr)
+        return out
+
+
 def _canary(spark) -> dict:
     """Fixed pure-JVM timing baseline (VERDICT r7 ask #7): a
     constant-size in-memory hash aggregate — no I/O, no Python, no
@@ -823,6 +917,7 @@ def main() -> None:
     skew = _skew_stress(spark)
     extras = _extras(spark)
     extras.update(_recall(spark))
+    extras.update(_clustered_ivf(spark))
     extras.update(_prune_metrics(spark))
     extras.update(_sink_stress(spark))
     canary = _canary(spark)

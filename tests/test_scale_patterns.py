@@ -570,3 +570,63 @@ def test_date_partition_bytes_read_equals_one_day(spark, tmp_path):
     assert m["bytes_read"] == expected > 0
     assert m["bytes_read"] < total
     assert m["rows"] == events.filter(F.to_date("ts") == F.lit(day)).count() > 0
+
+
+def test_clustered_embeddings_deterministic(spark):
+    """The mixture-of-Gaussians fixture is a pure column expression
+    over salted hashes: same parameters -> bit-identical rows on any
+    partitioning (so index-build subtrees may re-derive it)."""
+    from ts_data_pipeline_spark.operators.synth import clustered_embeddings
+
+    a = {
+        r.vec_id: (r.label, tuple(r.embedding))
+        for r in clustered_embeddings(spark, 200, 16, 4, 2.0).collect()
+    }
+    b = {
+        r.vec_id: (r.label, tuple(r.embedding))
+        for r in clustered_embeddings(spark, 200, 16, 4, 2.0)
+        .repartition(13).collect()
+    }
+    assert a == b and len(a) == 200
+    assert {lab for lab, _ in a.values()} == set(range(4))
+
+
+def test_clustered_corpus_ivf_pruning_loses_no_recall(spark, tmp_path):
+    """On a CLUSTERED corpus (the regime IVF exists for — the
+    driver's isotropic table is its worst case), probing 2 of 8 cells
+    matches the flat full-scan PQ recall: the coarse quantizer aligns
+    with true clusters, so the pruned 1/4 of the corpus contains the
+    whole neighborhood. Complements the bytes-read pin above: same
+    answers, a quarter of the I/O."""
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators.synth import clustered_embeddings
+    from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+
+    emb = clustered_embeddings(spark, 2000, 64, 8, 4.0)
+    qids = list(range(16, 26))
+    k = 10
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(emb, qids, k=k).collect()
+    }
+    path = str(tmp_path / "clustidx")
+    similarity.ivfpq_build_index(
+        emb, path, PQ_CODEBOOK_IDS, list(range(8)),
+        train_iters=3, coarse_train_iters=3,
+    )
+    pruned = {
+        (r.query_id, r.cand_id)
+        for r in similarity.ivfpq_query_index(
+            spark, path, emb, qids, k=k, nprobe=2, rerank_factor=32
+        ).collect()
+    }
+    flat = {
+        (r.query_id, r.cand_id)
+        for r in similarity.pq_query_index(
+            spark, path, emb, qids, k=k, rerank_factor=32
+        ).collect()
+    }
+    r_pruned = len(truth & pruned) / len(truth)
+    r_flat = len(truth & flat) / len(truth)
+    assert r_pruned >= r_flat - 0.05
+    assert r_pruned >= 0.8
