@@ -621,7 +621,7 @@ def _recall(spark) -> dict:
     sf0.001. Result sets are |queries| x k rows (100 here), so the
     driver-side set compare is broadcast-dim-sized by construction."""
     from ts_data_pipeline_spark import io as _io
-    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators import linalg, similarity
     from ts_data_pipeline_spark.queries.llmdata import (
         ANN_QUERY_IDS,
         EMBEDDING_DIM,
@@ -713,6 +713,24 @@ def _recall(spark) -> dict:
                 emb, ANN_QUERY_IDS, 32, k=k, rerank_factor=8
             ),
         }
+        # r9: the same truncation AFTER a learned PCA rotation (the
+        # standard fix for untrained prefixes) — recall published
+        # next to the raw slice. ONE k=32 basis fit serves both
+        # prefixes (top-16 = first 16 rows of top-32); d=16 runs at
+        # rerank_factor=16, the measured >=0.6 operating point
+        # (0.47 at rf=8 — these near-isotropic embeddings leave any
+        # rotation little to recover; the shortlist is the lever).
+        _comps, _, _mu = linalg.pca_components(
+            emb, "embedding", EMBEDDING_DIM, k=32
+        )
+        approx["mrl_prefix16_pca"] = similarity.pca_prefix_topk(
+            emb, ANN_QUERY_IDS, 16, k=k, rerank_factor=16,
+            basis=(_comps, _mu),
+        )
+        approx["mrl_prefix32_pca"] = similarity.pca_prefix_topk(
+            emb, ANN_QUERY_IDS, 32, k=k, rerank_factor=8,
+            basis=(_comps, _mu),
+        )
         out = {}
         for name, df in approx.items():
             t0 = time.perf_counter()
@@ -807,6 +825,20 @@ def _clustered_ivf(spark) -> dict:
                 out[f"recall_at_10_pq_flat_clustered_{tag}"] = round(
                     len(truth & flat) / len(truth), 3
                 )
+                if sep == 4.0:
+                    # rotated-prefix row on the corpus shape where a
+                    # rotation has structure to find (vs the
+                    # near-isotropic driver table)
+                    pca = {
+                        (r.query_id, r.cand_id)
+                        for r in similarity.pca_prefix_topk(
+                            emb, qids, 16, k=k, rerank_factor=8,
+                            dim=dim,
+                        ).collect()
+                    }
+                    out[
+                        f"recall_at_10_mrl_prefix16_pca_clustered_{tag}"
+                    ] = round(len(truth & pca) / len(truth), 3)
                 codes = os.path.join(idx, "codes")
                 m = scan_metrics(
                     similarity.ivfpq_query_index(

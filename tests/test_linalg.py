@@ -99,3 +99,63 @@ def test_whitening_yields_identity_covariance(spark):
     assert w.shape[1] == r
     cov = np.cov(w, rowvar=False, bias=True)
     assert np.allclose(cov, np.eye(r), atol=0.05), cov
+
+
+def test_pca_project_array_matches_scalar_form(spark):
+    """pca_project_array is the wide-projection fast path: identical
+    values to pca_project (same literals, same centered dots), one
+    array column instead of k scalar columns."""
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    comps, _vals, mu = linalg.pca_components(emb, "embedding", 64, k=16)
+    scalar = {
+        r.vec_id: [r[f"pc{i}"] for i in range(16)]
+        for r in linalg.pca_project(emb, comps, mu).collect()
+    }
+    arr = {
+        r.vec_id: list(r.p)
+        for r in linalg.pca_project_array(emb, comps, mu).collect()
+    }
+    assert set(scalar) == set(arr)
+    for vid, vals in scalar.items():
+        assert vals == arr[vid], vid
+
+
+def test_pca_prefix_recall_beats_raw_prefix_on_clustered(spark):
+    """The rotated Matryoshka prefix (VERDICT r8 #5): on a clustered
+    corpus the top-16 principal basis captures the between-cluster
+    structure the raw first-16 slice spreads across all coordinates,
+    so the rotated coarse scorer's recall dominates the raw one at
+    the same shortlist budget."""
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators.synth import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 2000, 64, 8, 4.0)
+    qids = list(range(16, 26))
+    k = 10
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(emb, qids, k=k).collect()
+    }
+    raw = {
+        (r.query_id, r.cand_id)
+        for r in similarity.prefix_dim_topk(
+            emb, qids, 16, k=k, rerank_factor=8
+        ).collect()
+    }
+    pca = {
+        (r.query_id, r.cand_id)
+        for r in similarity.pca_prefix_topk(
+            emb, qids, 16, k=k, rerank_factor=8, dim=64
+        ).collect()
+    }
+    r_raw = len(truth & raw) / len(truth)
+    r_pca = len(truth & pca) / len(truth)
+    assert r_pca >= r_raw
+    # measured 0.78 at this seed: the basis nails the between-cluster
+    # structure but within-cluster neighbors ride isotropic noise the
+    # 16 retained directions only partially span — the honest ceiling
+    # of a linear rotation (vs MRL training, which reshapes the noise)
+    assert r_pca >= 0.7

@@ -160,16 +160,32 @@ def prefix_dim_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     pref = emb.select(id_col, F.slice("v", 1, d_prefix).alias("p"))
+    cands = _prefix_shortlist(pref, query_ids, k, rerank_factor, id_col)
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
+
+
+def _prefix_shortlist(
+    pref: DataFrame,
+    query_ids: list[int],
+    k: int,
+    rerank_factor: int,
+    id_col: str,
+) -> DataFrame:
+    """Coarse-scorer shortlist shared by the raw-prefix and
+    PCA-rotated-prefix paths: cosine over the (id, p) low-dim
+    relation, rerank_factor*k survivors per query. Zero-norm rows
+    are guarded out on BOTH sides (a projected mean row is exactly
+    zero under centering)."""
     q = pref.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col("p").alias("qp"),
         F.sqrt(dot(F.col("p"), F.col("p"))).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)
     c = pref.select(
         F.col(id_col).alias("cand_id"),
         F.col("p").alias("cp"),
         F.sqrt(dot(F.col("p"), F.col("p"))).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -185,11 +201,67 @@ def prefix_dim_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("psim").desc(), F.col("cand_id").asc()
     )
-    cands = (
+    return (
         scored.withColumn("prk", F.row_number().over(w))
         .filter(F.col("prk") <= rerank_factor * k)
         .select("query_id", "cand_id")
     )
+
+
+def pca_prefix_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    d_prefix: int,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    basis: tuple[list[list[float]], list[float]] | None = None,
+) -> DataFrame:
+    """PCA-ROTATED Matryoshka prefix (VERDICT r8 #5): learn the
+    top-``d_prefix`` principal basis of the corpus (the one-pass
+    moment fit of ``operators/linalg.py::pca_components`` — Gram +
+    mean in a single dimension-bounded aggregate, eigh on the driver
+    over a d x d matrix), coarse-score in THAT basis, exact-rerank
+    the shortlist on the full vector.
+
+    Why: a raw d_prefix-dim slice assumes MRL-trained nested
+    embeddings; on generic embeddings the energy is spread across
+    all coordinates and the untrained prefix is a weak scorer
+    (published r8: recall@10 0.35 at d=16). The PCA basis is the
+    best d_prefix-dim linear approximation of the cloud in the
+    L2 sense, so rotating before truncation recovers most of the
+    recall at the same coarse-scan cost (the projection is a
+    literal-matrix column expression — no UDF, no shuffle, and at
+    rest the projected prefix can be stored as its own narrow
+    column exactly like the raw slice).
+
+    Not hash-gated: the rotation is an eigendecomposition (not
+    SQL-expressible); recall vs exact brute force is published by
+    bench and pinned by pytest, the same treatment as the HLL
+    sketches. The raw-slice form stays the registered gate.
+
+    ``basis`` (components, mean) reuses a basis fit once elsewhere —
+    train-once/query-many, the same convention as the PQ family's
+    ``codebook`` parameter (the top-16 basis is the first 16 rows of
+    the top-32 one, so one k=32 fit serves both published prefixes).
+    """
+    from ts_data_pipeline_spark.operators import linalg
+
+    if basis is not None:
+        comps, mu = basis
+        comps = comps[:d_prefix]
+        if len(comps) < d_prefix:
+            raise ValueError(
+                f"basis has {len(comps)} components < d_prefix={d_prefix}"
+            )
+    else:
+        comps, _vals, mu = linalg.pca_components(
+            embeddings, vec_col, dim, k=d_prefix
+        )
+    pref = linalg.pca_project_array(embeddings, comps, mu, vec_col, id_col)
+    cands = _prefix_shortlist(pref, query_ids, k, rerank_factor, id_col)
     return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
 
 
