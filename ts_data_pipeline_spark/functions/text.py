@@ -1539,6 +1539,214 @@ def lexical_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def good_turing_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good-Turing estimates off the frequency spectrum (VERDICT r8
+    #7): the unseen-type probability mass P0 = N1/N (Good 1953 —
+    the singleton share of the token stream) and the adjusted count
+    for hapaxes r*(1) = 2*N2/N1, the two numbers a corpus curator
+    reads to know how OPEN the vocabulary still is (high unseen mass
+    = the crawl has not saturated; r*(1) << 1 = most singletons are
+    noise/typos rather than real vocabulary).
+
+    Both ratios are emitted in LOG space (``ln_p_unseen = ln N1 -
+    ln N``, ``ln_r_star_1 = ln 2 + ln N2 - ln N1``): logs of integer
+    counts are irrational for every count that isn't a power of e,
+    so the 6-dp gate can never land on a decimal half — the same
+    argument as the zipf_slope / entropy gates, where a bare rounded
+    integer ratio could tie (repo convention: never hash-gate a
+    rounded division of exact aggregates). Consumers exp() them.
+
+    Scale: everything is a one-row aggregate over the spectrum
+    relation (distinct-frequency-sized, ≪ vocabulary)."""
+    spec = token_spectrum(docs, text_col)
+    agg = spec.agg(
+        F.sum(F.col("freq") * F.col("n_types")).alias("n_tokens"),
+        F.sum("n_types").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, F.col("n_types"))).alias("n1"),
+        F.sum(F.when(F.col("freq") == 2, F.col("n_types"))).alias("n2"),
+    )
+    n1 = F.coalesce(F.col("n1"), F.lit(0))
+    n2 = F.coalesce(F.col("n2"), F.lit(0))
+    return agg.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        n1.cast("bigint").alias("n1_types"),
+        n2.cast("bigint").alias("n2_types"),
+        F.round(
+            F.when(
+                (n1 > 0) & (F.col("n_tokens") > 0),
+                F.log(n1.cast("double"))
+                - F.log(F.col("n_tokens").cast("double")),
+            ),
+            6,
+        ).alias("ln_p_unseen"),
+        F.round(
+            F.when(
+                (n1 > 0) & (n2 > 0),
+                F.log(F.lit(2.0))
+                + F.log(n2.cast("double"))
+                - F.log(n1.cast("double")),
+            ),
+            6,
+        ).alias("ln_r_star_1"),
+    )
+
+
+def good_turing_stats_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({toks_sql(text_col)}) AS term FROM {table})
+  GROUP BY term
+),
+spec AS (SELECT freq, COUNT(*) AS n_types FROM counts GROUP BY freq),
+agg AS (
+  SELECT SUM(freq * n_types) AS n_tokens,
+         SUM(n_types) AS n_types,
+         COALESCE(SUM(CASE WHEN freq = 1 THEN n_types END), 0) AS n1,
+         COALESCE(SUM(CASE WHEN freq = 2 THEN n_types END), 0) AS n2
+  FROM spec
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n1 AS BIGINT) AS n1_types,
+       CAST(n2 AS BIGINT) AS n2_types,
+       CASE WHEN n1 > 0 AND n_tokens > 0
+            THEN ROUND(ln(CAST(n1 AS DOUBLE))
+                       - ln(CAST(n_tokens AS DOUBLE)), 6) END
+         AS ln_p_unseen,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN ROUND(ln(CAST(2 AS DOUBLE)) + ln(CAST(n2 AS DOUBLE))
+                       - ln(CAST(n1 AS DOUBLE)), 6) END
+         AS ln_r_star_1
+FROM agg
+"""
+
+
+#: Heaps-fit subsample fractions. Deliberately NON-2-5-SMOOTH
+#: denominators (sevenths and thirds): the expected-types sum
+#: involves (1-f)^freq, and a 2-5-smooth (1-f) makes every power a
+#: TERMINATING decimal that can land exactly on a 6-dp rounding half
+#: where the two engines' round() split (the LR-gate lesson). With
+#: 6/7 and 2/3 the powers never terminate, so ties cannot occur.
+_HEAPS_FRACTIONS = (1.0 / 7.0, 1.0 / 3.0, 2.0 / 3.0, 1.0)
+
+
+def heaps_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps-law vocabulary-growth fit V(N) ~ K * N^beta, closed-form
+    over the frequency spectrum (VERDICT r8 #7).
+
+    One corpus snapshot cannot fit a growth law directly — but the
+    spectrum determines the EXPECTED vocabulary of every binomial
+    subsample (Good 1953 / missing-species form): keeping each token
+    independently with probability f, a type of frequency r survives
+    with probability 1 - (1-f)^r, so E[V(fN)] = sum_r S_r (1 -
+    (1-f)^r) — a closed form over the spectrum, no second corpus
+    pass. The fit regresses ln E[V(fN)] on ln(fN) at the four
+    fractions of :data:`_HEAPS_FRACTIONS`; natural text lands around
+    beta 0.5-0.8 (Heaps 1978), saturated/templated corpora flatten.
+
+    Determinism: the regression points are logs (irrational), so the
+    6-dp slope/intercept cannot half-tie; the expected-vocab sums use
+    non-2-5-smooth (1-f) so their own 6-dp rounds cannot either.
+    Scale: a one-row aggregate over the distinct-frequency-sized
+    spectrum."""
+    spec = token_spectrum(docs, text_col)
+    aggs = [
+        F.sum(F.col("freq") * F.col("n_types")).alias("n_tokens"),
+        F.sum("n_types").alias("n_types"),
+    ]
+    for i, f in enumerate(_HEAPS_FRACTIONS):
+        aggs.append(
+            F.sum(
+                F.col("n_types")
+                * (
+                    F.lit(1.0)
+                    - F.pow(F.lit(1.0 - f), F.col("freq").cast("double"))
+                )
+            ).alias(f"v{i}")
+        )
+    agg = spec.agg(*aggs)
+    n = len(_HEAPS_FRACTIONS)
+    xs = [
+        F.log(F.lit(float(f)) * F.col("n_tokens").cast("double"))
+        for f in _HEAPS_FRACTIONS
+    ]
+    ys = [F.log(F.col(f"v{i}")) for i in range(n)]
+    sx = sum(xs[1:], xs[0])
+    sy = sum(ys[1:], ys[0])
+    sxx = sum((x * x for x in xs[1:]), xs[0] * xs[0])
+    sxy = sum((x * y for x, y in zip(xs[1:], ys[1:])), xs[0] * ys[0])
+    denom = sxx - sx * sx / F.lit(float(n))
+    slope = (sxy - sx * sy / F.lit(float(n))) / denom
+    intercept = (sy - slope * sx) / F.lit(float(n))
+    ok = (F.col("n_tokens") > 0) & (F.col("n_types") > 0)
+    return agg.select(
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(F.col("v0"), 6).alias("v_expected_f1_7"),
+        F.round(F.col("v1"), 6).alias("v_expected_f1_3"),
+        F.round(F.col("v2"), 6).alias("v_expected_f2_3"),
+        F.round(F.when(ok, slope), 6).alias("heaps_beta"),
+        F.round(F.when(ok, intercept), 6).alias("heaps_ln_k"),
+    )
+
+
+def heaps_fit_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`heaps_fit` — same spectrum, same
+    subsample fractions (emitted via repr -> CAST AS DOUBLE so both
+    engines power the identical double), same closed-form fit."""
+    n = len(_HEAPS_FRACTIONS)
+    v_cols = ", ".join(
+        f"SUM(n_types * (CAST(1 AS DOUBLE) - "
+        f"power(CAST('{1.0 - f!r}' AS DOUBLE), freq))) AS v{i}"
+        for i, f in enumerate(_HEAPS_FRACTIONS)
+    )
+    xs = [
+        f"ln(CAST('{float(f)!r}' AS DOUBLE) * n_tokens)"
+        for f in _HEAPS_FRACTIONS
+    ]
+    ys = [f"ln(v{i})" for i in range(n)]
+    sx = " + ".join(xs)
+    sy = " + ".join(ys)
+    sxx = " + ".join(f"{x} * {x}" for x in xs)
+    sxy = " + ".join(f"{x} * {y}" for x, y in zip(xs, ys))
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({toks_sql(text_col)}) AS term FROM {table})
+  GROUP BY term
+),
+spec AS (SELECT freq, COUNT(*) AS n_types FROM counts GROUP BY freq),
+agg AS (
+  SELECT SUM(freq * n_types) AS n_tokens,
+         SUM(n_types) AS n_types,
+         {v_cols}
+  FROM spec
+),
+fit AS (
+  SELECT n_tokens, n_types, v0, v1, v2,
+         ({sx}) AS sx, ({sy}) AS sy, ({sxx}) AS sxx, ({sxy}) AS sxy
+  FROM agg
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       ROUND(v0, 6) AS v_expected_f1_7,
+       ROUND(v1, 6) AS v_expected_f1_3,
+       ROUND(v2, 6) AS v_expected_f2_3,
+       CASE WHEN n_tokens > 0 AND n_types > 0
+            THEN ROUND((sxy - sx * sy / {n}) / (sxx - sx * sx / {n}), 6)
+       END AS heaps_beta,
+       CASE WHEN n_tokens > 0 AND n_types > 0
+            THEN ROUND((sy - (sxy - sx * sy / {n})
+                        / (sxx - sx * sx / {n}) * sx) / {n}, 6)
+       END AS heaps_ln_k
+FROM fit
+"""
+
+
 def lexical_stats_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB twin of :func:`lexical_stats` — same spectrum,
     midpoint-rank, and weighted-least-squares formulation."""

@@ -460,6 +460,18 @@ def lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.lexical_stats(io.load(spark, sf_dir, "documents"))
 
 
+def good_turing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass + hapax adjusted count off the
+    spectrum (functions/text.py::good_turing_stats)."""
+    return text_fns.good_turing_stats(io.load(spark, sf_dir, "documents"))
+
+
+def heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocab-growth fit via binomial subsampling of the
+    spectrum (functions/text.py::heaps_fit)."""
+    return text_fns.heaps_fit(io.load(spark, sf_dir, "documents"))
+
+
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10
