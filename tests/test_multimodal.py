@@ -129,10 +129,12 @@ def test_image_dhash_bands_and_near_dup_pairs(spark):
             assert (a, b) not in pairs, (a, b, d)  # (d)
 
 
-def _encode_png(px_rows, color_type, filters):
+def _encode_png(px_rows, color_type, filters, palette=None):
     """Reference PNG encoder for fixtures: arbitrary per-scanline
-    filters (0-4) over 8-bit gray (type 0), RGB (2), gray+alpha (4)
-    or RGBA (6) pixels. px_rows is h x w x channels nested lists."""
+    filters (0-4) over 8-bit gray (type 0), RGB (2), palette (3,
+    with ``palette`` = list of (r, g, b) written as PLTE),
+    gray+alpha (4) or RGBA (6) pixels. px_rows is h x w x channels
+    nested lists (channel = the index for type 3)."""
     import struct
     import zlib
 
@@ -140,7 +142,7 @@ def _encode_png(px_rows, color_type, filters):
 
     h = len(px_rows)
     w = len(px_rows[0])
-    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
 
     def chunk(typ, data):
         return (
@@ -164,10 +166,12 @@ def _encode_png(px_rows, color_type, filters):
         raw += bytes([f]) + bytes(enc)
         prev = line
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        mm._PNG_SIG + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
-    )
+    out = mm._PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(
+            b"PLTE", bytes(c for rgb in palette for c in rgb)
+        )
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 def test_png_unfilters_sub_up_average_paeth():
@@ -252,9 +256,11 @@ def test_png_dhash_dups_across_encodings(spark):
     assert pairs == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
 
 
-def test_png_palette_and_interlace_still_guarded():
-    """The unsupported remainder stays an explicit raise: palette
-    (color type 3) and Adam7 interlace."""
+def test_png_interlace_and_bad_palette_still_guarded():
+    """The unsupported remainder stays an explicit raise: Adam7
+    interlace (NotImplementedError) and malformed palette inputs —
+    a type-3 PNG with no PLTE, and indices beyond the palette
+    (ValueError, not silent garbage)."""
     import struct
     import zlib
 
@@ -268,14 +274,17 @@ def test_png_palette_and_interlace_still_guarded():
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    pal = (
+    no_plte = (
         mm._PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="palette"):
-        mm._png_pixels(pal)
+    with pytest.raises(ValueError, match="PLTE"):
+        mm._png_pixels(no_plte)
+    oob = _encode_png([[[5]]], 3, [0], palette=[(1, 2, 3), (4, 5, 6)])
+    with pytest.raises(ValueError, match="palette index"):
+        mm._png_pixels(oob)
     inter = (
         mm._PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
@@ -284,6 +293,39 @@ def test_png_palette_and_interlace_still_guarded():
     )
     with pytest.raises(NotImplementedError, match="interlac"):
         mm._png_pixels(inter)
+
+
+def test_png_palette_roundtrip_all_filters():
+    """Palette (PLTE) PNGs — VERDICT r8 ask #4: an indexed image
+    decodes to the BT.601 luma of its palette entries, under every
+    scanline filter, and matches the truecolor (type 2) encoding of
+    the SAME image pixel-for-pixel (so a palette re-encode of an
+    image is a dHash DUP of the original, the property the
+    perceptual-dedup family needs)."""
+    import random
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    rnd = random.Random(42)
+    palette = [
+        (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(17)
+    ]
+    h, w = 11, 13
+    idx = [[[rnd.randrange(len(palette))] for _ in range(w)]
+           for _ in range(h)]
+    rgb = [[list(palette[c[0]]) for c in row] for row in idx]
+    want = mm._png_pixels(_encode_png(rgb, 2, [0] * h))
+    for f in range(5):
+        got = mm._png_pixels(
+            _encode_png(idx, 3, [f] * h, palette=palette)
+        )
+        assert (got == want).all(), f"filter {f}"
+    mixed = mm._png_pixels(
+        _encode_png(idx, 3, [y % 5 for y in range(h)], palette=palette)
+    )
+    assert (mixed == want).all()
+    assert mm._dhash_from_pixels(mixed) == mm._dhash_from_pixels(want)
 
 
 def test_png_decode_property_roundtrip():

@@ -530,9 +530,10 @@ FROM documents
 # analog of the text MinHash/SimHash family)
 
 
-#: channels per pixel at bit depth 8, by PNG color type (3 = palette
-#: is indexed, not per-channel — unsupported below)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: channels per pixel at bit depth 8, by PNG color type. Palette
+#: (type 3) carries ONE index byte per pixel; the PLTE chunk maps
+#: indices to RGB after unfiltering.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -553,16 +554,19 @@ def _png_pixels(payload: bytes):
     decode core; _decode_png layers stats and image_dhash layers the
     perceptual hash on this one body.
 
-    Encoder-realistic coverage (VERDICT r7 ask #3): all five scanline
-    filters (None/Sub/Up/Average/Paeth — real encoders emit 1-4 per
-    line via heuristics) and the four non-palette color types
-    (grayscale, RGB, gray+alpha, RGBA). Color converts to luma by the
+    Encoder-realistic coverage (VERDICT r7 ask #3; r8 ask #4 added
+    palette): all five scanline filters (None/Sub/Up/Average/Paeth —
+    real encoders emit 1-4 per line via heuristics) and all five
+    8-bit color types (grayscale, RGB, PALETTE via the PLTE
+    indirection, gray+alpha, RGBA). Color converts to luma by the
     integer BT.601 weights (299 R + 587 G + 114 B) // 1000 — exact
     integer arithmetic, so the perceptual hash stays oracle-
-    replayable; alpha is ignored (dHash compares structure, not
-    compositing). Unsupported remainder raises: palette images need
-    the PLTE indirection and Adam7 interlacing reorders scanlines —
-    both explicit NotImplementedError guards, not silent garbage.
+    replayable; alpha (including palette tRNS) is ignored (dHash
+    compares structure, not compositing), so a palette image decodes
+    to the SAME luma as its truecolor twin. Unsupported remainder
+    raises: Adam7 interlacing reorders scanlines and sub-byte bit
+    depths repack pixels — explicit NotImplementedError guards, not
+    silent garbage.
     """
     import struct
     import zlib
@@ -571,7 +575,7 @@ def _png_pixels(payload: bytes):
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
-    pos, ihdr, idat = 8, None, b""
+    pos, ihdr, idat, plte = 8, None, b"", None
     while pos < len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
@@ -580,6 +584,8 @@ def _png_pixels(payload: bytes):
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"IDAT":
             idat += data
+        elif typ == b"PLTE":
+            plte = data
         pos += 12 + length
     if ihdr is None:
         raise ValueError("no IHDR chunk")
@@ -587,11 +593,12 @@ def _png_pixels(payload: bytes):
     if bit_depth != 8:
         raise NotImplementedError(f"bit depth {bit_depth}: only 8 supported")
     if color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"color type {color_type}: palette PNGs are not supported"
-        )
+        raise NotImplementedError(f"unknown color type {color_type}")
     if interlace != 0:
         raise NotImplementedError("Adam7 interlacing is not supported")
+    if color_type == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError("palette PNG without a valid PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(idat)
     stride = w * ch
@@ -629,6 +636,19 @@ def _png_pixels(payload: bytes):
         return px[:, :, 0]
     if color_type == 4:  # gray + alpha: the gray channel
         return px[:, :, 0]
+    if color_type == 3:
+        # PLTE indirection: unfiltered bytes are palette indices;
+        # luma of the palette entries, indexed per pixel — exactly
+        # the truecolor luma of the same image
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        p64 = pal.astype(np.int64)
+        pal_luma = (
+            299 * p64[:, 0] + 587 * p64[:, 1] + 114 * p64[:, 2]
+        ) // 1000
+        return pal_luma.astype(np.uint8)[idx]
     # RGB / RGBA: integer BT.601 luma, alpha ignored
     p32 = px.astype(np.int64)
     luma = (
