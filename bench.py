@@ -659,6 +659,17 @@ def _recall(spark) -> dict:
             train_iters=PQ_TRAIN_ITERS,
             coarse_train_iters=IVFPQ_COARSE_ITERS,
         )
+        # the residual (IVFADC) twin on THIS near-isotropic corpus —
+        # published as the honest negative (residual variance is
+        # ~2x the unit cloud's here, so it measures BELOW the raw
+        # encoding; the clustered sweep shows where it wins)
+        idx_r = os.path.join(idx, "residual_twin")
+        similarity.ivfpq_build_index(
+            emb, idx_r, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
+            train_iters=PQ_TRAIN_ITERS,
+            coarse_train_iters=IVFPQ_COARSE_ITERS,
+            residual=True,
+        )
         approx = {
             "lsh_bucketed": similarity.lsh_bucketed_topk(
                 emb, ANN_QUERY_IDS, LSH_PLANE_IDS, k=k
@@ -702,6 +713,10 @@ def _recall(spark) -> dict:
             ),
             "ivfpq_registered": similarity.ivfpq_query_index(
                 spark, idx, emb, ANN_QUERY_IDS, k=k,
+                nprobe=IVFPQ_NPROBE, rerank_factor=PQ_RERANK_FACTOR,
+            ),
+            "ivfpq_residual": similarity.ivfpq_query_index(
+                spark, idx_r, emb, ANN_QUERY_IDS, k=k,
                 nprobe=IVFPQ_NPROBE, rerank_factor=PQ_RERANK_FACTOR,
             ),
             # Matryoshka-style prefix scoring on GENERIC (non-MRL)
@@ -852,6 +867,32 @@ def _clustered_ivf(spark) -> dict:
                     out[f"clustered_{tag}_bytes_read_frac_1q"] = round(
                         m["bytes_read"] / tot, 4
                     )
+            finally:
+                shutil.rmtree(idx, ignore_errors=True)
+            # RESIDUAL (IVFADC) twin of the same index: codebooks
+            # trained on per-cell residuals. Published across the
+            # whole sweep so the story is complete — it beats even
+            # the FLAT full scan where cells carry signal (sep >= 1:
+            # 0.95 vs flat 0.75 at sep4/n10k) and LOSES on the
+            # isotropic control (residual variance doubles there),
+            # which is why residual=False stays the default for
+            # generic corpora.
+            idx = tempfile.mkdtemp(prefix="tsdp_clust_ridx_")
+            try:
+                similarity.ivfpq_build_index(
+                    emb, idx, PQ_CODEBOOK_IDS, list(range(nlist)),
+                    train_iters=3, coarse_train_iters=3, residual=True,
+                )
+                got_r = {
+                    (r.query_id, r.cand_id)
+                    for r in similarity.ivfpq_query_index(
+                        spark, idx, emb, qids, k=k,
+                        nprobe=nprobe, rerank_factor=rf,
+                    ).collect()
+                }
+                out[f"recall_at_10_ivfpq_residual_clustered_{tag}"] = (
+                    round(len(truth & got_r) / len(truth), 3)
+                )
             finally:
                 shutil.rmtree(idx, ignore_errors=True)
         return out

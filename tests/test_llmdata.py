@@ -1868,3 +1868,100 @@ def test_lexical_stats_zipf_slope_semantics(spark):
     assert (60, 1) in spec                       # w1: 60 occurrences
     assert sum(f * n for f, n in spec) == z.n_tokens
     assert sum(n for _, n in spec) == 12
+
+
+def test_ivfpq_residual_index_roundtrip(spark, tmp_path):
+    """Residual (IVFADC) encoding — the r9 answer to the clustered
+    sweep's finding that whole-corpus codebooks cap recall at the
+    flat-PQ line. On the clustered fixture the residual index must
+    (a) beat-or-match the raw-encoded index's recall at the same
+    nprobe/rerank budget, (b) keep the cell-partitioned layout,
+    (c) refuse the flat pq_query_index (space mismatch), and
+    (d) append deltas residual-encoded and idempotently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators.synth import clustered_embeddings
+    from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+
+    emb = clustered_embeddings(spark, 2000, 64, 8, 4.0)
+    qids = list(range(16, 26))
+    k = 10
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(emb, qids, k=k).collect()
+    }
+
+    raw_path = str(tmp_path / "rawidx")
+    res_path = str(tmp_path / "residx")
+    similarity.ivfpq_build_index(
+        emb, raw_path, PQ_CODEBOOK_IDS, list(range(8)),
+        train_iters=2, coarse_train_iters=2,
+    )
+    meta = similarity.ivfpq_build_index(
+        emb, res_path, PQ_CODEBOOK_IDS, list(range(8)),
+        train_iters=2, coarse_train_iters=2, residual=True,
+    )
+    assert meta["residual"] is True
+    cells = {
+        d for d in os.listdir(os.path.join(res_path, "codes"))
+        if d.startswith("cell=")
+    }
+    assert len(cells) > 1
+
+    def recall(path):
+        got = {
+            (r.query_id, r.cand_id)
+            for r in similarity.ivfpq_query_index(
+                spark, path, emb, qids, k=k, nprobe=2, rerank_factor=16
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r_raw, r_res = recall(raw_path), recall(res_path)
+    assert r_res >= r_raw
+    assert r_res >= 0.9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="residual"):
+        similarity.pq_query_index(spark, res_path, emb, qids, k=k)
+
+
+def test_ivfpq_residual_append_idempotent(spark, tmp_path):
+    """Appends to a residual index encode the delta's RESIDUAL under
+    the pinned centroids, land in cell partitions, and re-delivery
+    is a no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators.synth import clustered_embeddings
+    from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+
+    emb = clustered_embeddings(spark, 1200, 64, 8, 4.0)
+    seed_ids = set(PQ_CODEBOOK_IDS) | set(range(8))
+    head = emb.filter(
+        (F.col("vec_id") < 900) | F.col("vec_id").isin(list(seed_ids))
+    )
+    tail = emb.join(head.select("vec_id"), "vec_id", "left_anti")
+    path = str(tmp_path / "residx")
+    similarity.ivfpq_build_index(
+        emb.sparkSession.createDataFrame(head.collect(), head.schema),
+        path, PQ_CODEBOOK_IDS, list(range(8)), residual=True,
+    )
+    n = similarity.pq_index_append(spark, path, tail)
+    assert n == tail.count() > 0
+    # re-delivery: every id already present
+    assert similarity.pq_index_append(spark, path, tail) == 0
+    # appended rows are queryable in residual space: a query that IS
+    # an appended row must return same-cluster neighbors, not noise
+    qid = int(tail.agg(F.min("vec_id")).collect()[0][0])
+    got = similarity.ivfpq_query_index(
+        spark, path, emb, [qid], k=5, nprobe=2, rerank_factor=8
+    ).collect()
+    assert len(got) == 5
+    assert all(r.cos_sim > 0.5 for r in got)

@@ -754,6 +754,99 @@ def _coarse_cents(
     )
 
 
+def _unit_col(vec: str, norm: str):
+    """v / |v| as an array expression (transform over the norm col)."""
+    return F.transform(F.col(vec), lambda x: x / F.col(norm))
+
+
+def _residual_vectors(
+    norm: DataFrame, assign: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, cell, rv): UNIT-SPACE residuals r = v/|v| - c/|c| of each
+    vector against its assigned coarse centroid — the IVFADC encode
+    space (Jégou, Douze, Schmid 2011 §IV-A: PQ the residual, not the
+    raw vector). Within a cell residuals are small and centered, so
+    the per-subspace codebooks spend their codewords on LOCAL detail
+    instead of re-describing cell means — on clustered corpora this
+    is the difference between codes that can rank within-cluster
+    neighbors and codes that cannot (measured in the bench clustered
+    sweep: whole-corpus codebooks cap recall at the flat-PQ line).
+    Unit space keeps residual L2 monotone in cosine (|u - c|^2 =
+    2 - 2 cos), matching the exact re-rank's metric. Scale shape:
+    one broadcast join against the nlist-row centroid relation —
+    scan-shaped, corpus-size-independent."""
+    cu = cents.select(
+        F.col("ccid").alias("cell"), _unit_col("cv", "cn").alias("_cu")
+    )
+    return (
+        norm.select(id_col, _unit_col("v", "n").alias("_u"))
+        .join(assign, id_col)
+        .join(F.broadcast(cu), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with("_u", "_cu", lambda a, b: a - b).alias("rv"),
+        )
+    )
+
+
+def _residual_qtab(
+    norm_q: DataFrame,
+    probe: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    m: int,
+    dsub: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-(query, probed-cell) ADC table in residual space:
+    (query_id, qcell, qsub, qcid, qd2). The residual-encoding dual of
+    :func:`_pq_qtab` — each probed cell gets its OWN table because
+    the query residual q/|q| - c/|c| differs per cell. Row count is
+    |queries| x nprobe x m x ksub — broadcast-sized by construction
+    (the same bound as the probe-pair collect)."""
+    cu = cents.select(
+        F.col("ccid").alias("qcell"), _unit_col("cv", "cn").alias("_cu")
+    )
+    qres = (
+        norm_q.select(
+            F.col(id_col).alias("p_qid"), _unit_col("v", "n").alias("_u")
+        )
+        .join(probe, "p_qid")
+        .join(F.broadcast(cu), "qcell")
+        .select(
+            "p_qid",
+            "qcell",
+            F.zip_with("_u", "_cu", lambda a, b: a - b).alias("rq"),
+        )
+    )
+    base = qres.select(
+        "p_qid",
+        "qcell",
+        F.posexplode(_slices("rq", m, dsub)).alias("sub", "sv"),
+    )
+    # FULL squared distance, not the reduced cvv - 2ab form the flat
+    # qtab uses: the dropped dot(sv, sv) term is constant per
+    # (query, sub) there, but here the query residual DIFFERS per
+    # probed cell, so dropping it would bias every cross-cell
+    # comparison by |rq_cellA|^2 - |rq_cellB|^2 — at high cluster
+    # separation that bias exceeds the signal and the shortlist
+    # collapses into the wrong cell (observed: recall 0.0 before
+    # this term).
+    return base.join(F.broadcast(_with_cvv(cb)), "sub").select(
+        F.col("p_qid").alias("query_id"),
+        "qcell",
+        F.col("sub").alias("qsub"),
+        F.col("cid").alias("qcid"),
+        F.round(
+            dot(F.col("sv"), F.col("sv"))
+            + F.col("cvv")
+            - 2 * dot(F.col("sv"), F.col("cv")),
+            6,
+        ).alias("qd2"),
+    )
+
+
 def _ivf_assign(
     embeddings: DataFrame,
     centroid_ids: list[int],
@@ -2431,6 +2524,12 @@ def pq_query_index(
 
     with open(os.path.join(path, "_pq_meta.json")) as fh:
         meta = json.load(fh)
+    if meta.get("residual"):
+        raise ValueError(
+            "residual-encoded (IVFADC) index: codes live in per-cell "
+            "residual space — a flat raw-space ADC table would mix "
+            "spaces; query via ivfpq_query_index"
+        )
     m, dsub, id_col = meta["m"], meta["dsub"], meta["id_col"]
     sorted_ids = sorted(set(meta["codebook_ids"]))
 
@@ -2499,8 +2598,6 @@ def pq_index_append(
     # from the written rows (r8 review finding).
     fresh = delta.join(existing, id_col, "left_anti").cache()
     try:
-        enc = _pq_enc_from(fresh, cb, m, dsub, id_col, vec_col)
-        packed = _pq_pack(enc, sorted_ids, id_col)
         if "ivf" in meta:
             # IVF-partitioned layout: delta rows assign to their
             # coarse cell under the PINNED stored centroids (the same
@@ -2513,7 +2610,19 @@ def pq_index_append(
                 .filter(F.col("crk") == 1)
                 .select(id_col, F.col("ccid").alias("cell"))
             )
-            packed = packed.join(assign, id_col)
+            if meta.get("residual"):
+                # IVFADC index: the delta encodes its RESIDUAL
+                # against the pinned centroid, like the build did
+                src = _residual_vectors(
+                    _norm3(fresh, id_col, vec_col), assign, cents, id_col
+                )
+                enc = _pq_enc_from(src, cb, m, dsub, id_col, "rv")
+            else:
+                enc = _pq_enc_from(fresh, cb, m, dsub, id_col, vec_col)
+            packed = _pq_pack(enc, sorted_ids, id_col).join(assign, id_col)
+        else:
+            enc = _pq_enc_from(fresh, cb, m, dsub, id_col, vec_col)
+            packed = _pq_pack(enc, sorted_ids, id_col)
         packed = packed.cache()
         try:
             n = packed.count()
@@ -2560,12 +2669,25 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     train_iters: int = 0,
     coarse_train_iters: int = 0,
+    residual: bool = False,
 ) -> dict:
     """Materialize the IVFPQ index: packed code vectors PARTITIONED
     BY COARSE CELL (``codes/cell=<id>/``), plus codebooks, trained
     centroids, and the meta sidecar. Training (PQ Lloyd's per
     subspace + spherical k-means for the coarse quantizer) runs ONCE
     here; queries read the stored relations.
+
+    ``residual=True`` builds a true IVFADC index (Jégou et al. 2011):
+    codebooks are trained on, and codes encode, each vector's
+    UNIT-SPACE RESIDUAL against its assigned coarse centroid
+    (:func:`_residual_vectors`) instead of the raw vector. On
+    clustered corpora this moves the recall ceiling: whole-corpus
+    codebooks spend codewords re-describing cluster means and cannot
+    rank within-cluster neighbors (the bench clustered sweep measures
+    the flat-PQ cap), while residual codewords describe local detail.
+    The flag is recorded in the meta sidecar; queries must go through
+    :func:`ivfpq_query_index` (flat ADC over a residual index would
+    mix spaces — :func:`pq_query_index` refuses).
 
     The cell-partitioned layout is what makes IVF pay at rest: a
     query's probed cells become literal values in the codes scan's
@@ -2587,12 +2709,6 @@ def ivfpq_build_index(
 
     _check_ids_present(embeddings, codebook_ids, id_col, "codebook")
     _check_ids_present(embeddings, centroid_ids, id_col, "centroid")
-    if train_iters > 0:
-        cb = _pq_cb_trained(
-            embeddings, codebook_ids, m, dsub, id_col, vec_col, train_iters
-        )
-    else:
-        cb = _pq_cb(embeddings, codebook_ids, m, dsub, id_col, vec_col)
     cents = _coarse_cents(
         embeddings, centroid_ids, id_col, vec_col, coarse_train_iters,
         dim=m * dsub,
@@ -2608,7 +2724,24 @@ def ivfpq_build_index(
         .filter(F.col("crk") == 1)
         .select(id_col, F.col("ccid").alias("cell"))
     )
-    enc = _pq_enc_from(embeddings, cb, m, dsub, id_col, vec_col)
+    if residual:
+        # the encode source becomes the residual relation — lazy by
+        # design: each Lloyd round re-derives one broadcast join
+        # against the nlist-row centroids (scan-shaped) rather than
+        # checkpointing a corpus-sized copy
+        src = _residual_vectors(
+            _norm3(embeddings, id_col, vec_col), assign, cents, id_col
+        )
+        src_vec = "rv"
+    else:
+        src, src_vec = embeddings, vec_col
+    if train_iters > 0:
+        cb = _pq_cb_trained(
+            src, codebook_ids, m, dsub, id_col, src_vec, train_iters
+        )
+    else:
+        cb = _pq_cb(src, codebook_ids, m, dsub, id_col, src_vec)
+    enc = _pq_enc_from(src, cb, m, dsub, id_col, src_vec)
     packed = _pq_pack(enc, sorted(set(codebook_ids)), id_col).join(
         assign, id_col
     )
@@ -2625,6 +2758,7 @@ def ivfpq_build_index(
         "codebook_ids": list(codebook_ids),
         "id_col": id_col,
         "train_iters": train_iters,
+        "residual": bool(residual),
         "ivf": {
             "nlist": len(set(centroid_ids)),
             "centroid_ids": list(centroid_ids),
@@ -2719,14 +2853,32 @@ def ivfpq_query_index(
     if filter_ids is not None:
         enc = enc.join(filter_ids.select(id_col), id_col, "left_semi")
     cb = spark.read.parquet(os.path.join(path, "codebook"))
-    qtab = _pq_qtab(embeddings, query_ids, cb, m, dsub, id_col, vec_col)
-    scored = enc.join(
-        F.broadcast(probe), F.col("cell") == F.col("qcell")
-    ).join(
-        F.broadcast(qtab),
-        (F.col("sub") == F.col("qsub"))
-        & (F.col("code") == F.col("qcid"))
-        & (F.col("p_qid") == F.col("query_id")),
-    )
+    if meta.get("residual"):
+        # IVFADC: per-(query, cell) residual ADC tables — the probe
+        # restriction rides the qtab's qcell key, so no separate
+        # probe join is needed
+        qn = _norm3(
+            embeddings.filter(F.col(id_col).isin(query_ids)),
+            id_col, vec_col,
+        )
+        qtab_res = _residual_qtab(qn, probe, cents, cb, m, dsub, id_col)
+        scored = enc.join(
+            F.broadcast(qtab_res),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("sub") == F.col("qsub"))
+            & (F.col("code") == F.col("qcid")),
+        )
+    else:
+        qtab = _pq_qtab(
+            embeddings, query_ids, cb, m, dsub, id_col, vec_col
+        )
+        scored = enc.join(
+            F.broadcast(probe), F.col("cell") == F.col("qcell")
+        ).join(
+            F.broadcast(qtab),
+            (F.col("sub") == F.col("qsub"))
+            & (F.col("code") == F.col("qcid"))
+            & (F.col("p_qid") == F.col("query_id")),
+        )
     cands = _pq_adc_cands(scored, id_col, rerank_factor * k)
     return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
