@@ -2201,18 +2201,18 @@ def ivfpq_topk(
 _PQ_D2R = "ROUND({bb} - 2 * list_dot_product({a}, {b}), 6)"
 
 
-def _pq_sql_prefix(query_ids: list[int], codebook_ids: list[int],
-                   m: int, dsub: int, train_iters: int = 0) -> str:
-    """Shared CTE prefix (emb/subs/cb/enc/qtab) for both PQ twins —
-    one definition, like :func:`_pq_enc_qtab` on the Spark side.
-    ``train_iters`` > 0 unrolls the per-subspace Lloyd rounds of
-    :func:`_pq_cb_trained` into one CTE chain per round (assign ->
-    per-position mean -> reassemble with ROUND(mu, 6)), the same
-    fixed-iteration mirroring as kmeans_assign_sql."""
-    qs = ", ".join(str(i) for i in query_ids)
+def _pq_cb_chain_sql(
+    codebook_ids: list[int], train_iters: int, src: str = "subs"
+) -> tuple[str, str]:
+    """The (cb_chain, cb_final) CTE pair: seed codebooks from the
+    ``src`` subvector relation's ``codebook_ids`` rows, then unroll
+    ``train_iters`` per-subspace Lloyd rounds (assign -> per-position
+    mean -> reassemble with ROUND(mu, 6)). Parameterized on ``src``
+    so the residual twin trains on ``rsubs`` (residual subvectors)
+    with the SAME text the raw twins emit over ``subs``."""
     cs = ", ".join(str(i) for i in codebook_ids)
     cb_chain = f"""cb0 AS (SELECT sub, vec_id AS cid, sv AS cv,
-              list_dot_product(sv, sv) AS cvv FROM subs
+              list_dot_product(sv, sv) AS cvv FROM {src}
        WHERE vec_id IN ({cs}))"""
     for i in range(1, train_iters + 1):
         cb_chain += f""",
@@ -2222,14 +2222,14 @@ pw{i} AS (
            row_number() OVER (PARTITION BY e.vec_id, e.sub
              ORDER BY {_PQ_D2R.format(bb="c.cvv", a="e.sv", b="c.cv")} ASC,
                       c.cid ASC) AS rk
-    FROM subs e JOIN cb{i - 1} c ON e.sub = c.sub
+    FROM {src} e JOIN cb{i - 1} c ON e.sub = c.sub
   ) WHERE rk = 1
 ),
 pu{i} AS (
   SELECT sub, cid, pos, AVG(val) AS mu
   FROM (SELECT s.sub, w.cid, unnest(s.sv) AS val,
                generate_subscripts(s.sv, 1) AS pos
-        FROM subs s JOIN pw{i} w ON s.vec_id = w.vec_id AND s.sub = w.sub)
+        FROM {src} s JOIN pw{i} w ON s.vec_id = w.vec_id AND s.sub = w.sub)
   GROUP BY sub, cid, pos
 ),
 cb{i} AS (SELECT sub, cid, cv, list_dot_product(cv, cv) AS cvv FROM (
@@ -2240,6 +2240,19 @@ cb{i} AS (SELECT sub, cid, cv, list_dot_product(cv, cv) AS cvv FROM (
         if train_iters > 0
         else "cb AS (SELECT sub, cid, cv, cvv FROM cb0)"
     )
+    return cb_chain, cb_final
+
+
+def _pq_sql_prefix(query_ids: list[int], codebook_ids: list[int],
+                   m: int, dsub: int, train_iters: int = 0) -> str:
+    """Shared CTE prefix (emb/subs/cb/enc/qtab) for both PQ twins —
+    one definition, like :func:`_pq_enc_qtab` on the Spark side.
+    ``train_iters`` > 0 unrolls the per-subspace Lloyd rounds of
+    :func:`_pq_cb_trained` into one CTE chain per round (assign ->
+    per-position mean -> reassemble with ROUND(mu, 6)), the same
+    fixed-iteration mirroring as kmeans_assign_sql."""
+    qs = ", ".join(str(i) for i in query_ids)
+    cb_chain, cb_final = _pq_cb_chain_sql(codebook_ids, train_iters)
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 subs AS (
@@ -2337,6 +2350,40 @@ def ivfpq_topk_sql(
     (unit vectors, ROUND(cos, 6)/cell-asc winners, per-position mean,
     renormalize with ROUND(x/mn, 6) coordinates)."""
     qs = ", ".join(str(i) for i in query_ids)
+    cents = _ivf_cents_sql(centroid_ids, coarse_train_iters)
+    return (
+        _pq_sql_prefix(query_ids, codebook_ids, m, dsub, train_iters)
+        + cents
+        + f""",
+rankedc AS (
+  SELECT e.vec_id, c.ccid,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, c.cv) / (e.n * c.cn), 6)
+                    DESC, c.ccid ASC) AS crk
+  FROM norm e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, ccid AS cell FROM rankedc WHERE crk = 1),
+probe AS (SELECT vec_id AS p_qid, ccid AS qcell FROM rankedc
+          WHERE crk <= {nprobe} AND vec_id IN ({qs})),
+approx AS (
+  SELECT t.query_id, e.vec_id AS cand_id, ROUND(SUM(t.qd2), 6) AS ad2
+  FROM enc e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probe p ON p.qcell = a.cell
+  JOIN qtab t ON e.sub = t.sub AND e.code = t.cid
+             AND t.query_id = p.p_qid
+  WHERE e.vec_id != t.query_id
+  GROUP BY t.query_id, e.vec_id
+)"""
+        + _pq_sql_tail(k, rerank_factor * k)
+    )
+
+
+def _ivf_cents_sql(centroid_ids: list[int], coarse_train_iters: int) -> str:
+    """The coarse-centroid CTE block (norm + cents, preceded by the
+    spherical-k-means unroll when trained) — extracted so the
+    residual twin shares the EXACT text :func:`ivfpq_topk_sql`
+    emits."""
     ces = ", ".join(str(i) for i in centroid_ids)
     if coarse_train_iters > 0:
         km = f""",
@@ -2382,9 +2429,39 @@ cents AS (SELECT cell AS ccid, cv,
 norm AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM emb),
 cents AS (SELECT vec_id AS ccid, v AS cv, n AS cn FROM norm
           WHERE vec_id IN ({ces}))"""
+    return cents
+
+
+def ivfpq_residual_topk_sql(
+    query_ids: list[int],
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    m: int = 8,
+    dsub: int = 8,
+    k: int = 5,
+    nprobe: int = 2,
+    rerank_factor: int = 4,
+    train_iters: int = 0,
+    coarse_train_iters: int = 0,
+) -> str:
+    """DuckDB twin of the RESIDUAL (IVFADC) index search — the same
+    coarse stage as :func:`ivfpq_topk_sql` (shared text via
+    :func:`_ivf_cents_sql`), but codebooks train on and codes encode
+    each vector's unit-space residual against its assigned centroid
+    (:func:`_residual_vectors`), and the query ADC table is
+    per-(query, probed cell) carrying the FULL |rq|^2 term
+    (:func:`_residual_qtab` — the reduced form's dropped constant
+    varies per cell). Value-identical to
+    ``ivfpq_build_index(residual=True)`` + ``ivfpq_query_index``
+    under the same training parameters."""
+    qs = ", ".join(str(i) for i in query_ids)
+    cb_chain, cb_final = _pq_cb_chain_sql(
+        codebook_ids, train_iters, src="rsubs"
+    )
     return (
-        _pq_sql_prefix(query_ids, codebook_ids, m, dsub, train_iters)
-        + cents
+        f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+        + _ivf_cents_sql(centroid_ids, coarse_train_iters)
         + f""",
 rankedc AS (
   SELECT e.vec_id, c.ccid,
@@ -2396,13 +2473,53 @@ rankedc AS (
 assign AS (SELECT vec_id, ccid AS cell FROM rankedc WHERE crk = 1),
 probe AS (SELECT vec_id AS p_qid, ccid AS qcell FROM rankedc
           WHERE crk <= {nprobe} AND vec_id IN ({qs})),
+uvecs AS (SELECT vec_id, list_transform(v, x -> x / n) AS u FROM norm),
+cunit AS (SELECT ccid, list_transform(cv, x -> x / cn) AS cu FROM cents),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(list_zip(u.u, c.cu), s -> s[1] - s[2]) AS rv
+  FROM assign a
+  JOIN uvecs u ON u.vec_id = a.vec_id
+  JOIN cunit c ON c.ccid = a.cell
+),
+rsubs AS (
+  SELECT vec_id, cell, s.range AS sub,
+         list_slice(rv, s.range * {dsub} + 1, (s.range + 1) * {dsub}) AS sv
+  FROM res, range(0, {m}) s
+),
+{cb_chain},
+{cb_final},
+enc AS (
+  SELECT vec_id, cell, sub, cid AS code FROM (
+    SELECT e.vec_id, e.cell, e.sub, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id, e.sub
+             ORDER BY {_PQ_D2R.format(bb="c.cvv", a="e.sv", b="c.cv")} ASC,
+                      c.cid ASC) AS rk
+    FROM rsubs e JOIN cb c ON e.sub = c.sub
+  ) WHERE rk = 1
+),
+qres AS (
+  SELECT p.p_qid, p.qcell,
+         list_transform(list_zip(u.u, c.cu), s -> s[1] - s[2]) AS rq
+  FROM probe p
+  JOIN uvecs u ON u.vec_id = p.p_qid
+  JOIN cunit c ON c.ccid = p.qcell
+),
+qsubs AS (
+  SELECT p_qid, qcell, s.range AS sub,
+         list_slice(rq, s.range * {dsub} + 1, (s.range + 1) * {dsub}) AS sv
+  FROM qres, range(0, {m}) s
+),
+qtab AS (
+  SELECT q.p_qid AS query_id, q.qcell, q.sub, c.cid,
+         ROUND(list_dot_product(q.sv, q.sv) + c.cvv
+               - 2 * list_dot_product(q.sv, c.cv), 6) AS qd2
+  FROM qsubs q JOIN cb c ON q.sub = c.sub
+),
 approx AS (
   SELECT t.query_id, e.vec_id AS cand_id, ROUND(SUM(t.qd2), 6) AS ad2
   FROM enc e
-  JOIN assign a ON a.vec_id = e.vec_id
-  JOIN probe p ON p.qcell = a.cell
-  JOIN qtab t ON e.sub = t.sub AND e.code = t.cid
-             AND t.query_id = p.p_qid
+  JOIN qtab t ON e.cell = t.qcell AND e.sub = t.sub AND e.code = t.cid
   WHERE e.vec_id != t.query_id
   GROUP BY t.query_id, e.vec_id
 )"""

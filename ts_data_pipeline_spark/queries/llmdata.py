@@ -546,7 +546,9 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
+def _ann_index_path(
+    spark: SparkSession, sf_dir: str, residual: bool = False
+) -> str:
     """Build the gate's persisted IVFPQ index into a UNIQUE
     per-invocation path under a per-process parent (md5(sf_dir) +
     pid), registered for atexit removal. Three hazards balanced (r8
@@ -579,6 +581,7 @@ def _ann_index_path(spark: SparkSession, sf_dir: str) -> str:
         PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
         train_iters=PQ_TRAIN_ITERS,
         coarse_train_iters=IVFPQ_COARSE_ITERS,
+        residual=residual,
     )
     return path
 
@@ -615,6 +618,16 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
         rerank_factor=PQ_RERANK_FACTOR,
     ).withColumn("method", F.lit("ivfpq"))
+    # r9: the residual (IVFADC) twin of the same operating point —
+    # a SECOND persisted build (codebooks retrain on residuals), the
+    # same pruned query path, hash-gated against
+    # ivfpq_residual_topk_sql
+    ridx_path = _ann_index_path(spark, sf_dir, residual=True)
+    ivfpq_res = similarity.ivfpq_query_index(
+        spark, ridx_path, io.load(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
+        rerank_factor=PQ_RERANK_FACTOR,
+    ).withColumn("method", F.lit("ivfpq_res"))
     mrl = similarity.prefix_dim_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         MRL_PREFIX_DIMS, k=5, rerank_factor=MRL_RERANK_FACTOR,
@@ -640,7 +653,7 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
         .unionByName(mp).unionByName(pq).unionByName(ivfpq)
-        .unionByName(mrl).unionByName(filt)
+        .unionByName(ivfpq_res).unionByName(mrl).unionByName(filt)
     )
 
 
@@ -665,6 +678,12 @@ def _ann_lsh_ivf_sql() -> str:
         train_iters=PQ_TRAIN_ITERS,
         coarse_train_iters=IVFPQ_COARSE_ITERS,
     )
+    ivfpq_res = similarity.ivfpq_residual_topk_sql(
+        ANN_QUERY_IDS, IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS, k=5,
+        nprobe=IVFPQ_NPROBE, rerank_factor=PQ_RERANK_FACTOR,
+        train_iters=PQ_TRAIN_ITERS,
+        coarse_train_iters=IVFPQ_COARSE_ITERS,
+    )
     mrl = similarity.prefix_dim_topk_sql(
         ANN_QUERY_IDS, MRL_PREFIX_DIMS, k=5,
         rerank_factor=MRL_RERANK_FACTOR,
@@ -682,6 +701,7 @@ def _ann_lsh_ivf_sql() -> str:
         f"UNION ALL\nSELECT *, 'lsh_mp' AS method FROM ({mp})\n"
         f"UNION ALL\nSELECT *, 'pq' AS method FROM ({pq})\n"
         f"UNION ALL\nSELECT *, 'ivfpq' AS method FROM ({ivfpq})\n"
+        f"UNION ALL\nSELECT *, 'ivfpq_res' AS method FROM ({ivfpq_res})\n"
         f"UNION ALL\nSELECT *, 'mrl' AS method FROM ({mrl})\n"
         f"UNION ALL\nSELECT *, 'filtered' AS method FROM ({filt})"
     )
