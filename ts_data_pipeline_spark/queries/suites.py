@@ -399,6 +399,23 @@ def _text_stats_members() -> list[Member]:
              ("heaps_ln_k", "d")),
         ),
         Member(
+            "good_turing_3gram",
+            llmdata.good_turing_3gram,
+            text_fns.good_turing_stats_sql(ngrams=3),
+            (("n_tokens", "l"), ("n_types", "l"), ("n1_types", "l"),
+             ("n2_types", "l"), ("ln_p_unseen", "d"),
+             ("ln_r_star_1", "d")),
+        ),
+        Member(
+            "heaps_fit_3gram",
+            llmdata.heaps_fit_3gram,
+            text_fns.heaps_fit_sql(ngrams=3),
+            (("n_tokens", "l"), ("n_types", "l"),
+             ("v_expected_f1_7", "d"), ("v_expected_f1_3", "d"),
+             ("v_expected_f2_3", "d"), ("heaps_beta", "d"),
+             ("heaps_ln_k", "d")),
+        ),
+        Member(
             "corpus_selection",
             llmdata.corpus_selection,
             llmdata.corpus_selection_sql(),
