@@ -448,10 +448,13 @@ def _extras(spark) -> dict:
             codes = os.path.join(idx, "codes")
             total = dir_bytes(codes)
             emb1 = _io.load(spark, SF_DIR, "embeddings")
-            for label, np_ in (
+            # empty/missing codes (a failed earlier build) -> nothing
+            # to normalize by; skip BEFORE paying the two query
+            # executions (r9 review finding)
+            for label, np_ in (() if not total else (
                 ("ivf_codes_bytes_read_frac_1q", IVFPQ_NPROBE),
                 ("ivf_codes_bytes_read_frac_1q_nprobe2", 2),
-            ):
+            )):
                 m = scan_metrics(
                     similarity.ivfpq_query_index(
                         spark, idx, emb1, ANN_QUERY_IDS[:1], k=5,
@@ -459,8 +462,7 @@ def _extras(spark) -> dict:
                     ),
                     path_contains=codes,
                 )
-                if total:
-                    out[label] = round(m["bytes_read"] / total, 4)
+                out[label] = round(m["bytes_read"] / total, 4)
     except Exception as exc:
         print(f"# ivf bytes frac failed: {exc}", file=sys.stderr)
     # the reusable query-many index served its last timed run; don't

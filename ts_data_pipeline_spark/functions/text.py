@@ -1456,9 +1456,9 @@ def _term_col(text_col: str, ngrams: int):
 def _term_sql(text_col: str, ngrams: int) -> str:
     if ngrams <= 1:
         return toks_sql(text_col)
-    from ts_data_pipeline_spark.operators.dedup import SHINGLES_SQL
+    from ts_data_pipeline_spark.operators.dedup import shingles_sql
 
-    return SHINGLES_SQL.format(nm1=ngrams - 1)
+    return shingles_sql(ngrams, text_col)
 
 
 def token_spectrum(

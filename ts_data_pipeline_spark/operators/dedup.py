@@ -97,6 +97,23 @@ SHINGLES_SQL = (
 )
 
 
+def shingles_sql(n: int, text_col: str = "text") -> str:
+    """Column-parameterized DuckDB twin of :func:`shingles_col`.
+
+    :data:`SHINGLES_SQL` predates this and hardcodes ``text`` (its
+    callers all shingle the documents table); new twins that accept a
+    text column MUST route here — a generator that takes ``text_col``
+    but emits the hardcoded constant silently shingles the wrong
+    column whenever both exist (r9 review finding)."""
+    return (
+        f"list_transform(range(1, greatest(len(list_filter(string_split("
+        f"lower({text_col}), ' '), "
+        f"t -> t != '')) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_filter(string_split(lower({text_col}), ' '), "
+        f"t -> t != '')[i:i+{n - 1}], ' '))"
+    )
+
+
 def _distinct_shingles(docs: DataFrame, n: int, cache: bool = True) -> DataFrame:
     """(doc_id, lang, shingle) distinct — the inverted-index input.
 

@@ -272,19 +272,21 @@ def prefix_dim_topk_sql(
     rerank_factor: int = 4,
 ) -> str:
     """DuckDB twin of :func:`prefix_dim_topk` — same slice, rounding,
-    tie-breaks, and exact-rerank tail."""
+    tie-breaks, zero-norm guards, and exact-rerank tail."""
     qs = ", ".join(str(i) for i in query_ids)
     shortlist = rerank_factor * k
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 pref AS (SELECT vec_id, list_slice(v, 1, {d_prefix}) AS p FROM emb),
-q AS (SELECT vec_id AS query_id, p AS qp FROM pref WHERE vec_id IN ({qs})),
+q AS (SELECT vec_id AS query_id, p AS qp FROM pref
+      WHERE vec_id IN ({qs}) AND list_dot_product(p, p) > 0),
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
          ROUND(list_dot_product(q.qp, c.p)
                / (sqrt(list_dot_product(q.qp, q.qp))
                   * sqrt(list_dot_product(c.p, c.p))), 6) AS psim
-  FROM pref c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  FROM pref c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id AND list_dot_product(c.p, c.p) > 0
 ),
 cands AS (
   SELECT query_id, cand_id FROM (
@@ -2787,6 +2789,7 @@ def ivfpq_build_index(
     train_iters: int = 0,
     coarse_train_iters: int = 0,
     residual: bool = False,
+    cents: DataFrame | None = None,
 ) -> dict:
     """Materialize the IVFPQ index: packed code vectors PARTITIONED
     BY COARSE CELL (``codes/cell=<id>/``), plus codebooks, trained
@@ -2826,16 +2829,22 @@ def ivfpq_build_index(
 
     _check_ids_present(embeddings, codebook_ids, id_col, "codebook")
     _check_ids_present(embeddings, centroid_ids, id_col, "centroid")
-    cents = _coarse_cents(
-        embeddings, centroid_ids, id_col, vec_col, coarse_train_iters,
-        dim=m * dsub,
-    )
-    if coarse_train_iters == 0:
-        # corpus-row centroids: literalize so the stored relation
-        # does not re-scan the corpus (trained ones already are)
-        cents = embeddings.sparkSession.createDataFrame(
-            cents.collect(), cents.schema
+    if cents is None:
+        cents = _coarse_cents(
+            embeddings, centroid_ids, id_col, vec_col, coarse_train_iters,
+            dim=m * dsub,
         )
+        if coarse_train_iters == 0:
+            # corpus-row centroids: literalize so the stored relation
+            # does not re-scan the corpus (trained ones already are)
+            cents = embeddings.sparkSession.createDataFrame(
+                cents.collect(), cents.schema
+            )
+    # else: a precomputed (ccid, cv, cn) relation — e.g. _read_cents
+    # of a sibling index built with the SAME centroid parameters, so
+    # a residual twin skips retraining the identical coarse stage
+    # (r9 review finding: the gate paid the spherical-k-means loop
+    # twice per evaluation)
     assign = (
         _cell_ranked(_norm3(embeddings, id_col, vec_col), cents, id_col)
         .filter(F.col("crk") == 1)

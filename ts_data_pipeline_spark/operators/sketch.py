@@ -728,7 +728,7 @@ def read_summary_state(spark, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, f"v{latest}"))
 
 
-def state_sink(path: str, partial_fn, merge_fn):
+def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
     """Generic exactly-once foreachBatch state maintenance for ANY
     mergeable per-key state (summaries, histograms, future sketches):
 
@@ -751,10 +751,17 @@ def state_sink(path: str, partial_fn, merge_fn):
       an orphan dir: the re-delivered batch recomputes and overwrites
       it from the still-committed predecessor, then commits — no
       partial state is ever observable through the pointer;
-    - after a successful pointer commit, version dirs OLDER than the
-      committed predecessor are pruned (the predecessor is kept — it
-      is the recovery base for a re-delivered current batch), so
-      storage holds at most two full state copies, not one per batch.
+    - after a successful pointer commit, only the newest
+      ``keep_versions`` version dirs survive (default 2: the current
+      batch + its committed predecessor, the recovery base for a
+      re-delivery), so storage holds a bounded number of full state
+      copies, not one per batch. PRUNING vs LAZY READERS: a Spark
+      read of ``v{N}`` resolves files lazily, so a reader holding a
+      DataFrame across ``keep_versions`` further commits will hit
+      FileNotFound when its version is pruned (r9 review finding) —
+      readers that hold results across batches should either
+      materialize (collect/write) promptly or the deployment should
+      raise ``keep_versions`` to cover its longest reader window.
 
     Single-writer per path (the streaming-query contract); readers go
     through :func:`read_summary_state`.
@@ -791,16 +798,15 @@ def state_sink(path: str, partial_fn, merge_fn):
         with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
         os.replace(tmp, os.path.join(path, "_LATEST"))
+        versions = []
         for name in os.listdir(path):
             if name.startswith("v"):
                 try:
-                    v = int(name[1:])
+                    versions.append(int(name[1:]))
                 except ValueError:
                     continue
-                if v < latest:  # older than the committed predecessor
-                    shutil.rmtree(
-                        os.path.join(path, name), ignore_errors=True
-                    )
+        for v in sorted(versions, reverse=True)[max(keep_versions, 2):]:
+            shutil.rmtree(os.path.join(path, f"v{v}"), ignore_errors=True)
 
     return fb
 

@@ -564,7 +564,10 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_index_path(
-    spark: SparkSession, sf_dir: str, residual: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    residual: bool = False,
+    cents=None,
 ) -> str:
     """Build the gate's persisted IVFPQ index into a UNIQUE
     per-invocation path under a per-process parent (md5(sf_dir) +
@@ -599,6 +602,7 @@ def _ann_index_path(
         train_iters=PQ_TRAIN_ITERS,
         coarse_train_iters=IVFPQ_COARSE_ITERS,
         residual=residual,
+        cents=cents,
     )
     return path
 
@@ -636,10 +640,15 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_factor=PQ_RERANK_FACTOR,
     ).withColumn("method", F.lit("ivfpq"))
     # r9: the residual (IVFADC) twin of the same operating point —
-    # a SECOND persisted build (codebooks retrain on residuals), the
-    # same pruned query path, hash-gated against
-    # ivfpq_residual_topk_sql
-    ridx_path = _ann_index_path(spark, sf_dir, residual=True)
+    # a SECOND persisted build (codebooks retrain on residuals) that
+    # REUSES the raw build's trained coarse centroids (identical
+    # parameters; retraining the spherical k-means twice per gate
+    # evaluation was the r9 review's perf finding), the same pruned
+    # query path, hash-gated against ivfpq_residual_topk_sql
+    ridx_path = _ann_index_path(
+        spark, sf_dir, residual=True,
+        cents=similarity._read_cents(spark, idx_path),
+    )
     ivfpq_res = similarity.ivfpq_query_index(
         spark, ridx_path, io.load(spark, sf_dir, "embeddings"),
         ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
