@@ -305,6 +305,147 @@ FROM documents
 """
 
 
+WAV_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("samples", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def wav_samples(media: DataFrame) -> DataFrame:
+    """Per-payload CENTERED PCM sample arrays through the real stdlib
+    decoder (one Arrow hop, like every multimodal decode): (doc_id,
+    samples) with 8-bit samples mapped to -128..127 — the same
+    centering :func:`_decode_wav` applies to its stats, so spectral
+    consumers and stats consumers read the same signal."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(_io.BytesIO(bytes(payload))) as w:
+                    bits = 8 * w.getsampwidth()
+                    raw = w.readframes(w.getnframes())
+                if bits == 8:
+                    arr = (
+                        np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                        - 128
+                    )
+                elif bits == 16:
+                    arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                else:
+                    raise NotImplementedError(
+                        f"{bits}-bit PCM not supported"
+                    )
+                rows.append({"doc_id": int(d), "samples": arr.tolist()})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_dec, schema=WAV_SAMPLES_SCHEMA)
+
+
+#: DFT bins published by audio_tone_energy: fundamental-ish, low
+#: harmonic, and a mid bin — all below n/2 for every synthetic
+#: payload (n >= 20).
+AUDIO_TONE_BINS = (1, 2, 5)
+
+#: math.pi via repr so BOTH engines evaluate the identical double
+#: (the repo double-literal convention).
+_PI_REPR = "3.141592653589793"
+
+
+def audio_tone_energy(
+    media: DataFrame, bins: tuple[int, ...] = AUDIO_TONE_BINS
+) -> DataFrame:
+    """Per-file DFT-bin energy — the tone/harmonic detector of the
+    audio path: for each bin k, ``e_k = (sum x[i] cos(2*pi*k*i/n))^2
+    + (sum x[i] sin(2*pi*k*i/n))^2`` over the centered samples. A
+    DFT bin is a pair of WEIGHTED SUMS, so the whole feature is
+    scan-shaped JVM column algebra over the exploded sample relation
+    (posexplode -> two map-side-combinable SUMs per bin) — no
+    sequential recurrence, no UDF beyond the one decode hop.
+    Determinism: the weights cos/sin(2*pi*k*i/n) are irrational, so
+    the 4-dp rounded energies cannot half-tie; double summation-order
+    drift is ~1e-6 absolute at these magnitudes, absorbed by the
+    4-dp grain."""
+    import math
+
+    ex = wav_samples(media).select(
+        "doc_id",
+        F.size("samples").alias("n"),
+        F.posexplode("samples").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        F.col("s").cast("double").alias("x"),
+    )
+    pi = F.lit(float(_PI_REPR))
+    assert float(_PI_REPR) == math.pi
+    aggs = [F.first("n").alias("n_samples")]
+    for k in bins:
+        ang = (
+            F.lit(2.0) * pi * F.lit(float(k)) * F.col("pos") / F.col("n")
+        )
+        aggs.append(F.sum(F.col("x") * F.cos(ang)).alias(f"c{k}"))
+        aggs.append(F.sum(F.col("x") * F.sin(ang)).alias(f"s{k}"))
+    agg = ex.groupBy("doc_id").agg(*aggs)
+    return agg.select(
+        "doc_id",
+        "n_samples",
+        *[
+            F.round(
+                F.col(f"c{k}") * F.col(f"c{k}")
+                + F.col(f"s{k}") * F.col(f"s{k}"),
+                4,
+            ).alias(f"bin{k}_energy")
+            for k in bins
+        ],
+    )
+
+
+def audio_tone_energy_sql(bins: tuple[int, ...] = AUDIO_TONE_BINS) -> str:
+    """DuckDB twin of :func:`audio_tone_energy` — samples re-derived
+    from the synthesis formula (the established WAV-oracle
+    convention: the Spark side decodes the REAL payload bytes, the
+    oracle replays the generator), identical angle expression and
+    rounding."""
+    pi = f"CAST('{_PI_REPR}' AS DOUBLE)"
+    sums = ",\n         ".join(
+        f"SUM(x * cos(2 * {pi} * {k} * pos / n)) AS c{k},\n"
+        f"         SUM(x * sin(2 * {pi} * {k} * pos / n)) AS s{k}"
+        for k in bins
+    )
+    energies = ",\n       ".join(
+        f"ROUND(c{k} * c{k} + s{k} * s{k}, 4) AS bin{k}_energy"
+        for k in bins
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n,
+         unnest(range(0, doc_id % 50 + 20)) AS pos
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n, pos,
+         CAST((doc_id * 31 + pos * 7) % 256 - 128 AS DOUBLE) AS x
+  FROM s
+),
+agg AS (
+  SELECT doc_id, ANY_VALUE(n) AS n_samples,
+         {sums}
+  FROM x GROUP BY doc_id
+)
+SELECT doc_id, n_samples,
+       {energies}
+FROM agg
+"""
+
+
 PNG_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

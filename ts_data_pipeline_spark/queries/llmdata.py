@@ -783,6 +783,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_features(media)
 
 
+def multimodal_audio_tone_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral path over the REAL decoded samples: DFT-bin energies
+    per file (operators/multimodal.py::audio_tone_energy)."""
+    media = multimodal.attach_wav_payload(io.load(spark, sf_dir, "documents"))
+    return multimodal.audio_tone_energy(media)
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_binary_payload(io.load(spark, sf_dir, "documents"))
     return multimodal.sample_frames(media)

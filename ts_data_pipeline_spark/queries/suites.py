@@ -1097,6 +1097,13 @@ def _media_members() -> list[Member]:
              ("amp_mean", "d")),
         ),
         Member(
+            "audio_tone_energy",
+            llmdata.multimodal_audio_tone_energy,
+            multimodal.audio_tone_energy_sql(),
+            (("doc_id", "l"), ("n_samples", "l"), ("bin1_energy", "d"),
+             ("bin2_energy", "d"), ("bin5_energy", "d")),
+        ),
+        Member(
             "png_features",
             llmdata.multimodal_png_features,
             multimodal.PNG_FEATURES_SQL,
