@@ -368,3 +368,40 @@ def test_png_decode_property_roundtrip():
                 assert int(got[y][x]) == want, (y, x, filters[y])
 
     check()
+
+
+def test_audio_tone_energy_concentrates_on_pure_tone(spark):
+    """Semantic pin for the DFT-bin feature: a pure k-cycle tone's
+    energy lands in bin k and dwarfs the other bins (the parity gate
+    pins exact values on the synthetic sawtooth; this pins that the
+    operator MEANS what it claims on a signal with known spectrum)."""
+    import io as pyio2
+    import math
+    import wave
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    n = 64
+    k_tone = 2
+
+    def tone_wav(k):
+        buf = pyio2.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(mm.WAV_SAMPLE_RATE)
+            w.writeframes(bytes(
+                128 + round(100 * math.sin(2 * math.pi * k * i / n))
+                for i in range(n)
+            ))
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, bytearray(tone_wav(k_tone)))], "doc_id LONG, payload BINARY"
+    )
+    row = mm.audio_tone_energy(media, bins=(1, 2, 5)).collect()[0]
+    assert row.n_samples == n
+    assert row.bin2_energy > 100 * row.bin1_energy
+    assert row.bin2_energy > 100 * row.bin5_energy
+    # sin-projection of a sine tone: energy ~= (amp * n / 2)^2
+    assert abs(row.bin2_energy - (100 * n / 2) ** 2) < 0.02 * (100 * n / 2) ** 2
