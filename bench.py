@@ -576,40 +576,46 @@ def _prune_metrics(spark) -> dict:
         # metric-pin pruning): write the Z-ordered layout, query the
         # registered rectangle through the sidecar-planned zdir
         # IN-list, and report executed-plan scan bytes over the
-        # layout's on-disk size.
-        import shutil
-        import tempfile
-
-        from ts_data_pipeline_spark.plans.scanmetrics import (
-            dir_bytes,
-            scan_metrics,
-        )
-
-        zdir_path = tempfile.mkdtemp(prefix="tsdp_zorder_bench_")
+        # layout's on-disk size. Own try/except (r9 advisor): a
+        # failure here must not discard the already-computed bloom /
+        # zone-map fractions above.
         try:
-            stats = layout.zorder_write(
-                _io.load(spark, SF_DIR, "orders"), zdir_path,
-                "o_custkey", "o_orderkey",
+            import shutil
+            import tempfile
+
+            from ts_data_pipeline_spark.plans.scanmetrics import (
+                dir_bytes,
+                scan_metrics,
             )
-            dirs = layout.zdirs_for_rect(stats, **ZORDER_RECT)
-            pruned = spark.read.parquet(zdir_path).filter(
-                F.col("zdir").isin([int(d) for d in dirs])
-            ).filter(
-                F.col("o_custkey").between(
-                    ZORDER_RECT["x_lo"], ZORDER_RECT["x_hi"]
+
+            zdir_path = tempfile.mkdtemp(prefix="tsdp_zorder_bench_")
+            try:
+                stats = layout.zorder_write(
+                    _io.load(spark, SF_DIR, "orders"), zdir_path,
+                    "o_custkey", "o_orderkey",
                 )
-                & F.col("o_orderkey").between(
-                    ZORDER_RECT["y_lo"], ZORDER_RECT["y_hi"]
+                dirs = layout.zdirs_for_rect(stats, **ZORDER_RECT)
+                pruned = spark.read.parquet(zdir_path).filter(
+                    F.col("zdir").isin([int(d) for d in dirs])
+                ).filter(
+                    F.col("o_custkey").between(
+                        ZORDER_RECT["x_lo"], ZORDER_RECT["x_hi"]
+                    )
+                    & F.col("o_orderkey").between(
+                        ZORDER_RECT["y_lo"], ZORDER_RECT["y_hi"]
+                    )
                 )
-            )
-            m = scan_metrics(pruned, path_contains=zdir_path)
-            zt = dir_bytes(zdir_path)
-            if zt:
-                res["zorder_bytes_read_frac"] = round(
-                    m["bytes_read"] / zt, 4
-                )
-        finally:
-            shutil.rmtree(zdir_path, ignore_errors=True)
+                m = scan_metrics(pruned, path_contains=zdir_path)
+                zt = dir_bytes(zdir_path)
+                if zt:
+                    res["zorder_bytes_read_frac"] = round(
+                        m["bytes_read"] / zt, 4
+                    )
+            finally:
+                shutil.rmtree(zdir_path, ignore_errors=True)
+        except Exception as exc:
+            print(f"# zorder bytes-read metric failed: {exc}",
+                  file=sys.stderr)
         return res
     except Exception as exc:
         print(f"# prune metrics failed: {exc}", file=sys.stderr)

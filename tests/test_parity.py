@@ -62,3 +62,33 @@ def test_no_vacuous_suite_members(oracle):
             if n == 0:
                 empty.append(m.name)
     assert not empty, f"vacuous suite members (0 oracle rows): {empty}"
+
+
+def test_registry_cap_and_oracle_parity():
+    """Mechanize the 50-entry registry invariant (VERDICT r9 ask #2).
+
+    The driver's CORRECTNESS artifact records only the FIRST 50
+    queries() entries — a hard cap rounds 7/8 proved fails SILENTLY:
+    entry #51 simply vanishes from the official artifact. The
+    invariant lived as a comment (registry.py _PRIORITY block); this
+    makes it CI: adding entry #51 now fails here instead of dropping
+    a gate from the artifact. The oracle-key check pins the second
+    half of the contract: every registered query carries a DuckDB
+    twin (a keyed query with no oracle gets only the weaker
+    rows-only check, which must be an explicit decision, not a
+    forgotten registration).
+    """
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    assert len(queries) <= 50, (
+        f"registry has {len(queries)} entries > the driver artifact's "
+        "hard 50-row cap — fold the new operator into an existing "
+        "suite (queries/suites.py) instead of appending entry #51"
+    )
+    missing = set(queries) - set(oracles)
+    assert not missing, (
+        f"registered queries without DuckDB oracles: {sorted(missing)} "
+        "— every gate needs a twin (or an explicit exemption here)"
+    )
+    extra = set(oracles) - set(queries)
+    assert not extra, f"oracles without queries: {sorted(extra)}"

@@ -501,3 +501,15 @@ def test_distinct_count_state_union_is_exact_sketch_of_union(spark):
         assert merged[k].n_distinct_est == direct[k].n_distinct_est
     assert abs(direct["A"].n_distinct_est - 40) <= 2
     assert direct["B"].n_distinct_est == 5
+
+
+def test_state_sink_rejects_keep_versions_below_two():
+    """state_sink(keep_versions=1) must raise, not silently clamp:
+    the recovery base (committed predecessor) makes 2 the structural
+    floor, and honoring neither the request nor an error contradicts
+    the caller (r9 advisor finding)."""
+    import pytest as _pytest
+
+    for kv in (0, 1):
+        with _pytest.raises(ValueError, match="keep_versions"):
+            sketch.state_sink("/tmp/unused", None, None, keep_versions=kv)

@@ -216,7 +216,7 @@ def pca_prefix_topk(
     rerank_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     basis: tuple[list[list[float]], list[float]] | None = None,
 ) -> DataFrame:
     """PCA-ROTATED Matryoshka prefix (VERDICT r8 #5): learn the
@@ -257,6 +257,15 @@ def pca_prefix_topk(
                 f"basis has {len(comps)} components < d_prefix={d_prefix}"
             )
     else:
+        if dim is None:
+            # derive the width from the data (one bounded first-row
+            # action) instead of defaulting to 64 — any other
+            # dimensionality would silently fit/project against the
+            # wrong width (r9 advisor finding)
+            row = embeddings.select(F.size(vec_col).alias("d")).first()
+            if row is None:
+                raise ValueError("pca_prefix_topk: empty embeddings")
+            dim = int(row["d"])
         comps, _vals, mu = linalg.pca_components(
             embeddings, vec_col, dim, k=d_prefix
         )

@@ -770,6 +770,17 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
     import os
     import shutil
 
+    if keep_versions < 2:
+        # the recovery base REQUIRES the committed predecessor (a
+        # re-delivered batch recomputes from it), so fewer than 2
+        # retained versions can never be honored — raise instead of
+        # silently clamping a caller's explicit request (r9 advisor)
+        raise ValueError(
+            f"keep_versions={keep_versions}: state_sink retains at "
+            "least 2 versions (current + committed predecessor, the "
+            "re-delivery recovery base)"
+        )
+
     def fb(batch_df: DataFrame, batch_id: int) -> None:
         latest = _latest_version(path)
         if batch_id == latest:
@@ -805,7 +816,7 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
                     versions.append(int(name[1:]))
                 except ValueError:
                     continue
-        for v in sorted(versions, reverse=True)[max(keep_versions, 2):]:
+        for v in sorted(versions, reverse=True)[keep_versions:]:
             shutil.rmtree(os.path.join(path, f"v{v}"), ignore_errors=True)
 
     return fb

@@ -73,8 +73,28 @@ def scan_metrics(df: DataFrame, path_contains: str | None = None) -> dict:
     Returns ``{"rows", "bytes_read", "files_read", "num_scans"}``;
     ``bytes_read`` is the scan metric ``filesSize`` — the size of the
     files the scan actually listed after partition pruning.
+
+    CONTRACT: pass a FRESH DataFrame and call this ONCE per plan.
+    SQL metric accumulators belong to the QueryExecution and only
+    ever accumulate — executing a DataFrame that already ran (or
+    calling scan_metrics twice on the same object) double-counts
+    filesSize/numFiles and inflates ``bytes_read`` (r9 advisor
+    finding; latent — all current callers build the plan inline).
+    The assertion below catches a reused plan whose scan metrics are
+    already non-zero before this execution.
     """
     qe = df._jdf.queryExecution()
+    pre: list = []
+    _collect_scans(qe.executedPlan(), pre)
+    for node in pre:
+        for k, metric in _iter_scala_map(node.metrics()):
+            if k == "filesSize" and metric.value() != 0:
+                raise ValueError(
+                    "scan_metrics requires a fresh, never-executed "
+                    "DataFrame: a scan's filesSize accumulator is "
+                    "already non-zero, so this plan ran before and "
+                    "the metrics would double-count (see docstring)"
+                )
     rows = qe.executedPlan().execute().count()
     scans: list = []
     _collect_scans(qe.executedPlan(), scans)
