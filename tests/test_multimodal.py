@@ -405,3 +405,145 @@ def test_audio_tone_energy_concentrates_on_pure_tone(spark):
     assert row.bin2_energy > 100 * row.bin5_energy
     # sin-projection of a sine tone: energy ~= (amp * n / 2)^2
     assert abs(row.bin2_energy - (100 * n / 2) ** 2) < 0.02 * (100 * n / 2) ** 2
+
+
+def test_permissive_decode_survives_poisoned_corpus(spark):
+    """VERDICT r9 ask #1: on a corpus where 30% of blobs are corrupt
+    or unsupported, strict mode fails the job while permissive mode
+    yields one row per input — null features + a decode_error string
+    for poisoned rows, untouched features for clean ones."""
+    docs = io.load(spark, SF_DIR, "documents").limit(40)
+    media = mm.attach_poisoned_png_payload(docs)
+
+    # strict: ONE bad blob fails the whole job (the r9 finding)
+    with pytest.raises(Exception):
+        mm.png_features(media, mode="strict").collect()
+
+    out = {r.doc_id: r for r in mm.png_features(media, mode="permissive").collect()}
+    assert len(out) == 40  # nothing dropped, nothing crashed
+    for d, r in out.items():
+        if d % 10 in mm.PNG_POISON_CLASSES:
+            assert r.decode_error is not None
+            assert r.width is None and r.pix_sum is None and r.pix_mean is None
+        else:
+            assert r.decode_error is None
+            assert r.width == d % 16 + 1 and r.height == d % 8 + 1
+    # the three poison classes each surface their own message
+    msgs = {r.decode_error for r in out.values() if r.decode_error}
+    assert msgs == {
+        "ValueError: not a PNG: bad signature",
+        "NotImplementedError: Adam7 interlacing is not supported",
+        "NotImplementedError: bit depth 16: only 8 supported",
+    }
+
+
+def test_permissive_mode_covers_every_media_extractor(spark):
+    """image_stats / image_dhash / wav_features / wav_samples all
+    accept mode="permissive" and emit null features + decode_error
+    for undecodable payloads; dhash null bands never equi-join, so
+    the near-dup pair path skips poisoned rows without changes."""
+    docs = io.load(spark, SF_DIR, "documents").limit(20)
+    media = mm.attach_poisoned_png_payload(docs)
+    n_bad = sum(1 for d in range(20) if d % 10 in mm.PNG_POISON_CLASSES)
+
+    stats = mm.image_stats(media, mode="permissive").collect()
+    assert len(stats) == 20
+    assert sum(1 for r in stats if r.decode_error) == n_bad
+    assert all(r.pix_min is None for r in stats if r.decode_error)
+
+    hashes = mm.image_dhash(media, mode="permissive")
+    rows = hashes.collect()
+    assert sum(1 for r in rows if r.decode_error) == n_bad
+    assert all(r.b0 is None for r in rows if r.decode_error)
+    # null bands drop out of the banded join: pairs only among clean
+    pairs = mm.image_dhash_dups(
+        hashes.drop("decode_error"), max_hamming=64
+    ).collect()
+    bad = {r.doc_id for r in rows if r.decode_error}
+    assert all(p.doc_a not in bad and p.doc_b not in bad for p in pairs)
+
+    # WAV lane: corrupt the RIFF header on a slice of payloads
+    import pyspark.sql.functions as F
+
+    wav = mm.attach_wav_payload(docs)
+    poisoned = wav.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(b"garbage-not-riff"))
+        .otherwise(F.col("payload")),
+    )
+    feats = mm.wav_features(poisoned, mode="permissive").collect()
+    assert len(feats) == 20
+    assert all(
+        (r.doc_id % 5 == 0) == (r.decode_error is not None) for r in feats
+    )
+    samp = mm.wav_samples(poisoned, mode="permissive").collect()
+    assert all(
+        (r.samples is None) == (r.doc_id % 5 == 0) for r in samp
+    )
+
+    with pytest.raises(ValueError, match="mode"):
+        mm.png_features(media, mode="lenient")
+
+
+def _tone_wav(melody, amp, phase):
+    """Quantized-sine melody WAV: frame t carries a pure tone at
+    melody[t] cycles/frame — the fixture for the pitch-preserving
+    duplicate semantics (amplitude scaling and phase offset keep the
+    per-frame DFT-bin energy landscape, so the delta-coded
+    fingerprint survives)."""
+    import math
+    import struct
+
+    F_, N = mm.AUDIO_FP_FRAME, mm.AUDIO_FP_NFRAMES
+    samples = []
+    for t in range(N):
+        k = melody[t % len(melody)]
+        for j in range(F_):
+            samples.append(
+                int(round(amp * math.sin(2 * math.pi * k * j / F_ + phase)))
+            )
+    data = bytes((s + 128) % 256 for s in samples)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, mm.WAV_SAMPLE_RATE, mm.WAV_SAMPLE_RATE, 1, 8
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_fingerprint_pairs_pitch_preserving_duplicates(spark):
+    """VERDICT r9 ask #5 semantics: a pitch-preserving duplicate
+    (same melody, scaled amplitude + shifted phase) pairs with its
+    original under the banded-LSH dup join; an unrelated melody does
+    not pair with either."""
+    mel_a = [1, 3, 1, 2, 3, 2, 1, 3]   # energy hops between bins
+    mel_b = [3, 1, 2, 3, 1, 1, 2, 2]   # different hop pattern
+    rows = [
+        (0, _tone_wav(mel_a, 60, 0.0)),
+        (1, _tone_wav(mel_a, 45, 0.7)),   # duplicate of 0: quieter, shifted
+        (2, _tone_wav(mel_b, 60, 0.0)),   # unrelated
+    ]
+    media = spark.createDataFrame(
+        [(d, p, {"mime": "audio/wav", "n_bytes": len(p)}) for d, p in rows],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    fps = mm.audio_fingerprint(media)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in mm.audio_fingerprint_dups(fps, max_hamming=2).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_audio_fingerprint_amplitude_invariance_exact():
+    """The planted corpus duplicates (doc_id, doc_id+250) carry
+    IDENTICAL waveforms at 2x amplitude — delta-coded bits compare
+    energies within one file, so the fingerprints must be equal bit
+    for bit (hamming 0), which is what makes the gate's 250 planted
+    pairs recall-complete under max_hamming=2 banding."""
+    a = mm.synthesize_tone_wav(17)
+    b = mm.synthesize_tone_wav(267)
+    fa = mm.decode_media(a, "audio/wav")
+    fb = mm.decode_media(b, "audio/wav")
+    assert fb["amp_sum"] == 2 * fa["amp_sum"]
+    assert fa["n_samples"] == fb["n_samples"] == mm.AUDIO_FP_N

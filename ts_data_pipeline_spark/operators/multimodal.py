@@ -20,7 +20,7 @@ from typing import Optional
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -205,11 +205,77 @@ def FAKE_DECODER(payload: bytes, mime: str) -> dict:
     }
 
 
+#: Modes every media feature extractor accepts. ``strict`` (the
+#: gate/default behavior) lets a decode failure propagate and fail
+#: the job — right for trusted fixtures, wrong for a 100 TB crawl
+#: where ONE corrupt blob must not kill the run. ``permissive``
+#: catches per payload and emits null features plus a
+#: ``decode_error`` string column — the same surface-errors-as-data
+#: convention as permissive_json_ingest (queries/bars.py).
+DECODE_MODES = ("strict", "permissive")
+
+#: The error column appended to every feature schema in permissive
+#: mode: "<ExceptionType>: <message>" or NULL for clean rows.
+DECODE_ERROR_FIELD = T.StructField("decode_error", T.StringType())
+
+
+def permissive_schema(schema: T.StructType) -> T.StructType:
+    """``schema`` + the trailing ``decode_error`` string column."""
+    return T.StructType(list(schema.fields) + [DECODE_ERROR_FIELD])
+
+
+def _check_mode(mode: str) -> None:
+    if mode not in DECODE_MODES:
+        raise ValueError(f"mode must be one of {DECODE_MODES}, got {mode!r}")
+
+
+def _guarded_frame(
+    pdf: pd.DataFrame,
+    row_fn: Callable[[bytes, dict], dict],
+    names: list[str],
+    mode: str,
+) -> pd.DataFrame:
+    """One Arrow batch through ``row_fn(payload, meta) -> dict``.
+
+    strict: exceptions propagate (fail-fast, the gate behavior).
+    permissive: a failing payload contributes null features and a
+    ``decode_error`` string — the job survives a poisoned corpus and
+    the errors are queryable data (VERDICT r9 ask #1).
+    """
+    rows = []
+    # meta is optional: decoders that dispatch on it (decode_media)
+    # always run over MEDIA_SCHEMA frames; bespoke fixtures may carry
+    # only (doc_id, payload)
+    metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
+    for d, payload, meta in zip(pdf["doc_id"], pdf["payload"], metas):
+        try:
+            feats = row_fn(
+                bytes(payload) if payload is not None else b"", meta
+            )
+            err = None
+        except Exception as exc:  # noqa: BLE001 — surfaced as data
+            if mode != "permissive":
+                raise
+            feats = {}
+            err = f"{type(exc).__name__}: {exc}"
+        row = {"doc_id": int(d)}
+        for n in names:
+            row[n] = feats.get(n)
+        if mode == "permissive":
+            row["decode_error"] = err
+        rows.append(row)
+    cols = ["doc_id"] + names + (
+        ["decode_error"] if mode == "permissive" else []
+    )
+    return pd.DataFrame(rows, columns=cols)
+
+
 def extract_features(
     media: DataFrame,
     decoder: Optional[Callable[[bytes, str], dict]] = None,
     batch_size_hint: int = 1024,
     schema: T.StructType = FEATURE_SCHEMA,
+    mode: str = "strict",
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -217,20 +283,23 @@ def extract_features(
     per-Arrow-batch (vectorized transfer, no per-row Python round
     trips). The decoder runs on executors only. ``schema`` must match
     the decoder's output dict (plus the leading doc_id).
+
+    ``mode="permissive"`` catches per payload instead of failing the
+    job and appends a ``decode_error`` string column (null features
+    for poisoned rows) — see :data:`DECODE_MODES`.
     """
+    _check_mode(mode)
     decode = decoder or FAKE_DECODER
+    names = [f.name for f in schema.fields if f.name != "doc_id"]
+    out_schema = permissive_schema(schema) if mode == "permissive" else schema
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decode(payload if payload is not None else b"", meta["mime"])
-                for payload, meta in zip(pdf["payload"], pdf["meta"])
-            ]
-            out = pd.DataFrame(feats)
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            yield _guarded_frame(
+                pdf, lambda p, meta: decode(p, meta["mime"]), names, mode
+            )
 
-    return media.mapInPandas(_extract, schema=schema)
+    return media.mapInPandas(_extract, schema=out_schema)
 
 
 #: Output of decode_media on WAV payloads (integers only — float
@@ -271,12 +340,13 @@ def attach_wav_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
-def wav_features(media: DataFrame) -> DataFrame:
+def wav_features(media: DataFrame, mode: str = "strict") -> DataFrame:
     """Real-decoder feature extraction: stdlib WAV parse per payload,
     float stats (duration, mean amplitude) derived JVM-side from the
-    decoder's exact integers."""
+    decoder's exact integers. ``mode="permissive"`` survives corrupt
+    payloads (null stats + ``decode_error``)."""
     feats = extract_features(
-        media, decoder=decode_media, schema=WAV_FEATURE_SCHEMA
+        media, decoder=decode_media, schema=WAV_FEATURE_SCHEMA, mode=mode
     )
     return feats.select(
         "doc_id",
@@ -288,6 +358,7 @@ def wav_features(media: DataFrame) -> DataFrame:
             F.col("n_samples") * 1000.0 / F.col("sample_rate"), 4
         ).alias("duration_ms"),
         F.round(F.col("amp_sum") / F.col("n_samples"), 4).alias("amp_mean"),
+        *(["decode_error"] if mode == "permissive" else []),
     )
 
 
@@ -313,39 +384,42 @@ WAV_SAMPLES_SCHEMA = T.StructType(
 )
 
 
-def wav_samples(media: DataFrame) -> DataFrame:
+def wav_samples(media: DataFrame, mode: str = "strict") -> DataFrame:
     """Per-payload CENTERED PCM sample arrays through the real stdlib
     decoder (one Arrow hop, like every multimodal decode): (doc_id,
     samples) with 8-bit samples mapped to -128..127 — the same
     centering :func:`_decode_wav` applies to its stats, so spectral
-    consumers and stats consumers read the same signal."""
+    consumers and stats consumers read the same signal.
+    ``mode="permissive"``: null samples + ``decode_error``."""
     import io as _io
     import wave
 
     import numpy as np
 
+    _check_mode(mode)
+
+    def _row(payload: bytes, meta) -> dict:
+        with wave.open(_io.BytesIO(payload)) as w:
+            bits = 8 * w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if bits == 8:
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        elif bits == 16:
+            arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM not supported")
+        return {"samples": arr.tolist()}
+
+    out_schema = (
+        permissive_schema(WAV_SAMPLES_SCHEMA)
+        if mode == "permissive" else WAV_SAMPLES_SCHEMA
+    )
+
     def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(_io.BytesIO(bytes(payload))) as w:
-                    bits = 8 * w.getsampwidth()
-                    raw = w.readframes(w.getnframes())
-                if bits == 8:
-                    arr = (
-                        np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-                        - 128
-                    )
-                elif bits == 16:
-                    arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-                else:
-                    raise NotImplementedError(
-                        f"{bits}-bit PCM not supported"
-                    )
-                rows.append({"doc_id": int(d), "samples": arr.tolist()})
-            yield pd.DataFrame(rows)
+            yield _guarded_frame(pdf, _row, ["samples"], mode)
 
-    return media.mapInPandas(_dec, schema=WAV_SAMPLES_SCHEMA)
+    return media.mapInPandas(_dec, schema=out_schema)
 
 
 #: DFT bins published by audio_tone_energy: fundamental-ish, low
@@ -446,6 +520,280 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio fingerprint dedup (VERDICT r9 ask #5): the audio lane's
+# analog of image dHash + banded-hamming LSH. Frame-windowed DFT-bin
+# energies (the audio_tone_energy machinery over fixed-length
+# windows) -> delta-coded bit signature -> banded LSH pair join.
+
+
+#: Fingerprint geometry: 8 non-overlapping frames of 16 samples
+#: (n = 128 by construction of the tone corpus), DFT bins 1-3 per
+#: frame, one bit per (frame-delta x bin): bit[t*3 + (k-1)] =
+#: energy[t][k] > energy[t+1][k] — 7 deltas x 3 bins = 21 bits,
+#: split into three 7-bit LSH bands. Delta coding makes the
+#: signature invariant to amplitude scaling (energies scale by a^2,
+#: comparisons are unchanged) — the "same tone, different loudness"
+#: duplicate class.
+AUDIO_FP_FRAME = 16
+AUDIO_FP_NFRAMES = 8
+AUDIO_FP_BINS = (1, 2, 3)
+AUDIO_FP_N = AUDIO_FP_FRAME * AUDIO_FP_NFRAMES
+
+
+def synthesize_tone_wav(doc_id: int) -> bytes:
+    """A 128-sample 8-bit PCM WAV whose waveform depends only on
+    ``base = doc_id % 250``; docs 250..499 carry the SAME waveform as
+    their base at 2x amplitude — 250 planted amplitude-scaled
+    (pitch-preserving) duplicate pairs for the fingerprint gate.
+    Sample formula (integer-exact, oracle-replayable):
+    ``x[i] = (((base*13 + i*11) % 31) - 15) * scale`` with
+    ``scale = doc_id // 250 + 1`` (|x| <= 30 — no 8-bit clipping)."""
+    import struct
+
+    base, scale = doc_id % 250, doc_id // 250 + 1
+    data = bytes(
+        ((((base * 13 + i * 11) % 31) - 15) * scale + 128) % 256
+        for i in range(AUDIO_FP_N)
+    )
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, WAV_SAMPLE_RATE, WAV_SAMPLE_RATE, 1, 8
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_tone_wav_payload(docs: DataFrame) -> DataFrame:
+    """The fingerprint-gate corpus: real WAV payloads from
+    :func:`synthesize_tone_wav` (Arrow-batched, blobs born on
+    executors)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [synthesize_tone_wav(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "audio/wav", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame: int = AUDIO_FP_FRAME,
+    bins: tuple[int, ...] = AUDIO_FP_BINS,
+    mode: str = "strict",
+) -> DataFrame:
+    """Frame-windowed spectral fingerprint per audio file: (doc_id,
+    fp, b0, b1, b2) where fp is the packed delta-coded bit signature
+    and b0..b2 its three LSH bands.
+
+    Shape: ONE Arrow decode hop (:func:`wav_samples`), then pure
+    column algebra — posexplode to (doc, frame_idx, j, x), two
+    map-combinable weighted SUMs per (frame, bin) for the DFT-bin
+    energies (identical machinery to :func:`audio_tone_energy`,
+    windowed), 4-dp rounding on BOTH engines before the bit
+    comparisons (sum-order drift is ~1e-6 at these magnitudes; the
+    irrational cos/sin weights mean rounded energies cannot
+    half-tie), a per-doc ``lead`` window over the <= NFRAMES-row
+    frame relation for the deltas, and an integer bit-pack. At 100 TB
+    the heavy relation (exploded samples) only ever feeds a partial
+    agg on (doc, frame, bin) — no corpus-wide shuffle beyond the
+    |docs| x NFRAMES frame relation. Only full frames fingerprint
+    (trailing partial frames are discarded deterministically).
+    """
+    import math
+
+    ex = wav_samples(media, mode=mode)
+    if mode == "permissive":
+        ex = ex.filter(F.col("decode_error").isNull()).drop("decode_error")
+    ex = (
+        ex.select("doc_id", F.posexplode("samples").alias("pos", "s"))
+        .withColumn("t", (F.col("pos") / frame).cast("int"))
+        .withColumn("j", F.col("pos") % frame)
+        .withColumn("x", F.col("s").cast("double"))
+    )
+    pi = F.lit(float(_PI_REPR))
+    assert float(_PI_REPR) == math.pi
+    aggs = []
+    for k in bins:
+        ang = F.lit(2.0) * pi * F.lit(float(k)) * F.col("j") / F.lit(float(frame))
+        aggs.append(F.sum(F.col("x") * F.cos(ang)).alias(f"c{k}"))
+        aggs.append(F.sum(F.col("x") * F.sin(ang)).alias(f"s{k}"))
+    frames = (
+        ex.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("nj"), *aggs)
+        .filter(F.col("nj") == frame)  # full frames only
+        .select(
+            "doc_id",
+            "t",
+            *[
+                F.round(
+                    F.col(f"c{k}") * F.col(f"c{k}")
+                    + F.col(f"s{k}") * F.col(f"s{k}"),
+                    4,
+                ).alias(f"e{k}")
+                for k in bins
+            ],
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("t")
+    for k in bins:
+        frames = frames.withColumn(f"n{k}", F.lead(f"e{k}").over(w))
+    nb = len(bins)
+    bit_terms = [
+        F.when(
+            F.col(f"n{k}").isNotNull() & (F.col(f"e{k}") > F.col(f"n{k}")),
+            F.expr(f"shiftleft(cast(1 as bigint), {nb} * t + {i})"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i, k in enumerate(bins)
+    ]
+    packed = frames.groupBy("doc_id").agg(
+        F.sum(sum(bit_terms[1:], bit_terms[0])).cast("bigint").alias("fp")
+    )
+    # three 7-bit bands over the 21-bit signature
+    return packed.select(
+        "doc_id",
+        "fp",
+        (F.col("fp") % 128).alias("b0"),
+        ((F.col("fp") / 128).cast("bigint") % 128).alias("b1"),
+        ((F.col("fp") / 16384).cast("bigint") % 128).alias("b2"),
+    )
+
+
+def audio_fingerprint_dups(
+    fps: DataFrame, max_hamming: int = 2
+) -> DataFrame:
+    """Audio near-dup pairs by banded-LSH candidate generation +
+    exact hamming verify — the exact shape of
+    :func:`image_dhash_dups` over the 21-bit audio signature: explode
+    each fingerprint into its three 7-bit bands, equi-join
+    band-mates (ordered pairs a < b), keep pairs with
+    ``bit_count(fp_a ^ fp_b) <= max_hamming``. For max_hamming <= 2
+    the band join is RECALL-COMPLETE (pigeonhole over 3 bands).
+    Candidates are bounded by band-bucket sizes; the verify is
+    integer codegen; the corpus never self-joins unbanded."""
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(F.array("b0", "b1", "b2")).alias("band", "bv"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp").alias("fp_a"),
+        "band",
+        "bv",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        "band",
+        "bv",
+    )
+    ham = F.expr("bit_count(fp_a ^ fp_b)").alias("hamming")
+    return (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _audio_fp_frames_sql() -> str:
+    """Shared DuckDB CTE chain: synthesis replay -> per-frame DFT-bin
+    energies (ROUND 4) -> packed 21-bit fingerprint + 7-bit bands —
+    the exact expression twin of :func:`audio_fingerprint` over
+    :func:`attach_tone_wav_payload`."""
+    pi = f"CAST('{_PI_REPR}' AS DOUBLE)"
+    frame, bins = AUDIO_FP_FRAME, AUDIO_FP_BINS
+    sums = ",\n         ".join(
+        f"SUM(x * cos(2 * {pi} * {k} * j / {frame})) AS c{k},\n"
+        f"         SUM(x * sin(2 * {pi} * {k} * j / {frame})) AS s{k}"
+        for k in bins
+    )
+    energies = ",\n       ".join(
+        f"ROUND(c{k} * c{k} + s{k} * s{k}, 4) AS e{k}" for k in bins
+    )
+    leads = ",\n       ".join(
+        f"lead(e{k}) OVER (PARTITION BY doc_id ORDER BY t) AS n{k}"
+        for k in bins
+    )
+    nb = len(bins)
+    bit_sum = " + ".join(
+        f"CASE WHEN n{k} IS NOT NULL AND e{k} > n{k} "
+        f"THEN (1::BIGINT << ({nb} * t + {i})) ELSE 0 END"
+        for i, k in enumerate(bins)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, unnest(range(0, {AUDIO_FP_N})) AS pos
+  FROM documents
+),
+x AS (
+  SELECT doc_id, pos // {frame} AS t, pos % {frame} AS j,
+         CAST((((doc_id % 250) * 13 + pos * 11) % 31 - 15)
+              * (doc_id // 250 + 1) AS DOUBLE) AS x
+  FROM s
+),
+fr AS (
+  SELECT doc_id, t,
+         {sums}
+  FROM x GROUP BY doc_id, t
+),
+e AS (
+  SELECT doc_id, t,
+       {energies}
+  FROM fr
+),
+d AS (
+  SELECT doc_id, t, *EXCLUDE (doc_id, t),
+       {leads}
+  FROM e
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM({bit_sum}) AS BIGINT) AS fp
+  FROM d GROUP BY doc_id
+)
+SELECT doc_id, fp,
+       fp % 128 AS b0,
+       (fp // 128) % 128 AS b1,
+       (fp // 16384) % 128 AS b2
+FROM fp
+"""
+
+
+AUDIO_FINGERPRINT_SQL = _audio_fp_frames_sql()
+
+
+def audio_fingerprint_dups_sql(max_hamming: int = 2) -> str:
+    return f"""
+WITH fps AS ({_audio_fp_frames_sql()}),
+bands AS (
+  SELECT doc_id, fp, b.band, b.bv
+  FROM fps, LATERAL (
+    SELECT * FROM (VALUES (0, b0), (1, b1), (2, b2)) AS v(band, bv)
+  ) AS b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         CAST(bit_count(CAST(xor(l.fp, r.fp) AS BIGINT)) AS BIGINT)
+           AS hamming
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 PNG_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -480,11 +828,110 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
-def png_features(media: DataFrame) -> DataFrame:
+#: Deterministic poisoning rule for the permissive-decode gate:
+#: doc_id % 10 selects the corruption class — the three real failure
+#: families a crawled image corpus carries (truncated/garbage bytes,
+#: spec features the decoder doesn't cover). The byte offsets are
+#: fixed by the PNG layout: IHDR is mandatorily the first chunk, so
+#: bit depth is byte 24 and the interlace flag byte 28 (8 signature
+#: + 4 length + 4 type + 4 width + 4 height [+ depth, color,
+#: compression, filter]). CRCs go stale under the patch; the decoder
+#: (like most fast-path decoders) does not verify CRCs, so the
+#: failure surfaces at the semantic check — exactly the
+#: deterministic message the oracle replays.
+PNG_POISON_CLASSES = {
+    3: "bad_signature",   # first byte flipped -> ValueError at sig
+    7: "adam7",           # interlace=1 -> NotImplementedError
+    9: "depth16",         # bit depth 16 -> NotImplementedError
+}
+
+
+def poison_png(payload: bytes, doc_id: int) -> bytes:
+    """Corrupt a valid PNG per :data:`PNG_POISON_CLASSES` (identity
+    for unpoisoned doc_ids)."""
+    cls = PNG_POISON_CLASSES.get(doc_id % 10)
+    if cls is None:
+        return payload
+    b = bytearray(payload)
+    if cls == "bad_signature":
+        b[0] = 0x00
+    elif cls == "adam7":
+        b[28] = 1
+    elif cls == "depth16":
+        b[24] = 16
+    return bytes(b)
+
+
+def attach_poisoned_png_payload(docs: DataFrame) -> DataFrame:
+    """The poisoned-corpus fixture: the synthetic PNG column with
+    30% of payloads deterministically corrupted/unsupported
+    (:func:`poison_png`) — the input the permissive-decode gate runs
+    on, proving one bad blob costs one null row, not the job."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                poison_png(synthesize_png(int(d)), int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/png", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+#: DuckDB twin of png_features(attach_poisoned_png_payload(docs),
+#: mode="permissive"): the pixel formula for clean rows, NULL
+#: features + the decoder's exact deterministic message for poisoned
+#: ones (messages pinned at operators/multimodal.py::_png_pixels).
+PNG_DECODE_ERRORS_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         doc_id % 16 + 1 AS width,
+         doc_id % 8 + 1 AS height,
+         list_sum(flatten(list_transform(range(0, doc_id % 8 + 1),
+           y -> list_transform(range(0, doc_id % 16 + 1),
+                x -> (doc_id * 17 + y * 31 + x * 7) % 256)))) AS pix_sum,
+         doc_id % 10 AS cls
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE width END AS width,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE height END AS height,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE 8 END AS bit_depth,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE 0 END AS color_type,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL
+            ELSE width * height END AS n_pixels,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE pix_sum END AS pix_sum,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL
+            ELSE ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4)
+       END AS pix_mean,
+       CASE cls
+         WHEN 3 THEN 'ValueError: not a PNG: bad signature'
+         WHEN 7 THEN 'NotImplementedError: Adam7 interlacing is not supported'
+         WHEN 9 THEN 'NotImplementedError: bit depth 16: only 8 supported'
+         ELSE NULL
+       END AS decode_error
+FROM px
+"""
+
+
+def png_features(media: DataFrame, mode: str = "strict") -> DataFrame:
     """Real-decoder image features: PNG parse + pixel stats per
-    payload, float mean derived JVM-side from exact integers."""
+    payload, float mean derived JVM-side from exact integers.
+    ``mode="permissive"``: a corrupt/unsupported payload yields null
+    features + ``decode_error`` instead of failing the job (null
+    propagates through the derived pix_mean division)."""
     feats = extract_features(
-        media, decoder=decode_media, schema=PNG_FEATURE_SCHEMA
+        media, decoder=decode_media, schema=PNG_FEATURE_SCHEMA, mode=mode
     )
     return feats.select(
         "doc_id",
@@ -495,6 +942,7 @@ def png_features(media: DataFrame) -> DataFrame:
         "n_pixels",
         "pix_sum",
         F.round(F.col("pix_sum") / F.col("n_pixels"), 4).alias("pix_mean"),
+        *(["decode_error"] if mode == "permissive" else []),
     )
 
 
@@ -528,7 +976,7 @@ IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
-def image_stats(media: DataFrame) -> DataFrame:
+def image_stats(media: DataFrame, mode: str = "strict") -> DataFrame:
     """Per-image luma statistics through the REAL decoder: pixel
     min/max (exposure/blank-image screens) and the horizontal
     gradient energy sum(|px[y][x+1] - px[y][x]|) — the cheap
@@ -536,27 +984,31 @@ def image_stats(media: DataFrame) -> DataFrame:
     (a blank or constant image scores 0; dense texture scores high).
     One Arrow hop (the established multimodal pattern); every output
     is integer-exact, so the oracle replays the synthetic pixel
-    formula bit-for-bit."""
+    formula bit-for-bit. ``mode="permissive"``: null stats +
+    ``decode_error`` for undecodable payloads."""
     import numpy as np
+
+    _check_mode(mode)
+
+    def _row(payload: bytes, meta) -> dict:
+        px = _png_pixels(payload).astype(np.int64)
+        return {
+            "pix_min": int(px.min()),
+            "pix_max": int(px.max()),
+            "grad_sum": int(np.abs(np.diff(px, axis=1)).sum()),
+        }
+
+    names = [n for n in IMAGE_STATS_SCHEMA.fieldNames() if n != "doc_id"]
+    out_schema = (
+        permissive_schema(IMAGE_STATS_SCHEMA)
+        if mode == "permissive" else IMAGE_STATS_SCHEMA
+    )
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = _png_pixels(bytes(payload)).astype(np.int64)
-                rows.append(
-                    {
-                        "doc_id": int(d),
-                        "pix_min": int(px.min()),
-                        "pix_max": int(px.max()),
-                        "grad_sum": int(
-                            np.abs(np.diff(px, axis=1)).sum()
-                        ),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=IMAGE_STATS_SCHEMA.fieldNames())
+            yield _guarded_frame(pdf, _row, names, mode)
 
-    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+    return media.mapInPandas(_stats, schema=out_schema)
 
 
 #: DuckDB twin of image_stats over the synthetic corpus — the pixel
@@ -836,7 +1288,7 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
+def image_dhash(media: DataFrame, mode: str = "strict") -> DataFrame:
     """Per-image perceptual hash relation: (doc_id, h_hi, h_lo,
     b0..b3) where b0..b3 are the four 16-bit bands of the 64-bit
     dHash (LSH keys: hamming distance <= 3 guarantees at least one
@@ -848,27 +1300,34 @@ def image_dhash(media: DataFrame) -> DataFrame:
     this relation (banding, joins, hamming verify) is integer
     DataFrame algebra. Hash values are integer-exact and
     oracle-replayable against the synthetic pixel formula.
+    ``mode="permissive"``: undecodable images get null hashes/bands
+    + ``decode_error`` — null band values never equi-join, so the
+    downstream dedup naturally skips poisoned rows.
     """
+    _check_mode(mode)
+
+    def _row(payload: bytes, meta) -> dict:
+        hi, lo = _dhash_from_pixels(_png_pixels(payload))
+        return {
+            "h_hi": hi,
+            "h_lo": lo,
+            "b0": hi & 0xFFFF,
+            "b1": hi >> 16,
+            "b2": lo & 0xFFFF,
+            "b3": lo >> 16,
+        }
+
+    names = [n for n in DHASH_SCHEMA.fieldNames() if n != "doc_id"]
+    out_schema = (
+        permissive_schema(DHASH_SCHEMA)
+        if mode == "permissive" else DHASH_SCHEMA
+    )
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                hi, lo = _dhash_from_pixels(_png_pixels(bytes(payload)))
-                rows.append(
-                    {
-                        "doc_id": int(d),
-                        "h_hi": hi,
-                        "h_lo": lo,
-                        "b0": hi & 0xFFFF,
-                        "b1": hi >> 16,
-                        "b2": lo & 0xFFFF,
-                        "b3": lo >> 16,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=DHASH_SCHEMA.fieldNames())
+            yield _guarded_frame(pdf, _row, names, mode)
 
-    return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
+    return media.mapInPandas(_hash, schema=out_schema)
 
 
 def image_dhash_dups(

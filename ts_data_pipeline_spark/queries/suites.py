@@ -1125,6 +1125,27 @@ def _media_members() -> list[Member]:
             (("doc_id", "l"), ("pix_min", "l"), ("pix_max", "l"),
              ("grad_sum", "l")),
         ),
+        Member(
+            "audio_fingerprint",
+            llmdata.multimodal_audio_fingerprint,
+            multimodal.AUDIO_FINGERPRINT_SQL,
+            (("doc_id", "l"), ("fp", "l"), ("b0", "l"), ("b1", "l"),
+             ("b2", "l")),
+        ),
+        Member(
+            "audio_fingerprint_dups",
+            llmdata.multimodal_audio_fingerprint_dups,
+            multimodal.audio_fingerprint_dups_sql(),
+            (("doc_a", "l"), ("doc_b", "l"), ("hamming", "l")),
+        ),
+        Member(
+            "png_decode_errors",
+            llmdata.multimodal_png_decode_errors,
+            multimodal.PNG_DECODE_ERRORS_SQL,
+            (("doc_id", "l"), ("width", "l"), ("height", "l"),
+             ("bit_depth", "l"), ("color_type", "l"), ("n_pixels", "l"),
+             ("pix_sum", "l"), ("pix_mean", "d"), ("decode_error", "s")),
+        ),
     ]
 
 
