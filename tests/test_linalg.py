@@ -159,3 +159,42 @@ def test_pca_prefix_recall_beats_raw_prefix_on_clustered(spark):
     # 16 retained directions only partially span — the honest ceiling
     # of a linear rotation (vs MRL training, which reshapes the noise)
     assert r_pca >= 0.7
+
+
+def test_pca_basis_sidecar_roundtrip_bit_identical(spark, tmp_path):
+    """VERDICT r9 ask #4: the persisted PCA basis (JSON sidecar,
+    train-once/query-many) reloads to the IDENTICAL doubles (JSON
+    shortest-repr round-trip is exact), so pca_prefix_topk over
+    basis_path returns the same rows AND the same projected
+    coordinates as the in-memory basis."""
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import linalg, similarity
+    from tests.conftest import SF_DIR
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    comps, vals, mu = linalg.pca_components(emb, "embedding", 64, k=8)
+    path = str(tmp_path / "basis" / "_pca_basis.json")
+    linalg.pca_basis_write(path, comps, vals, mu)
+    comps2, vals2, mu2 = linalg.pca_basis_read(path)
+    assert comps2 == comps and vals2 == vals and mu2 == mu  # bit-exact
+
+    qids = [3, 4, 5]
+    mem = similarity.pca_prefix_topk(
+        emb, qids, 8, k=5, rerank_factor=4, basis=(comps, mu)
+    ).collect()
+    disk = similarity.pca_prefix_topk(
+        emb, qids, 8, k=5, rerank_factor=4, basis_path=path
+    ).collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, disk))
+
+    # projected coordinates themselves are bit-identical
+    a = linalg.pca_project_array(emb.limit(20), comps, mu).collect()
+    b = linalg.pca_project_array(emb.limit(20), comps2, mu2).collect()
+    assert [r.p for r in a] == [r.p for r in b]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="basis"):
+        similarity.pca_prefix_topk(
+            emb, qids, 8, basis=(comps, mu), basis_path=path
+        )

@@ -1965,3 +1965,63 @@ def test_ivfpq_residual_append_idempotent(spark, tmp_path):
     ).collect()
     assert len(got) == 5
     assert all(r.cos_sim > 0.5 for r in got)
+
+
+def test_ivfpq_residual_auto_selects_by_measured_anisotropy(spark, tmp_path):
+    """residual='auto' (VERDICT r9 ask #3): the build measures the
+    covariance spectrum's participation-ratio fraction and picks
+    residual encoding on clustered corpora (synth sep>=1), raw on
+    isotropic ones (the driver table) — the bloom_pays pattern: a
+    measured crossover as a pure decision rule, evidence recorded in
+    the meta sidecar. Both auto-built indexes stay queryable."""
+    import os
+
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.operators.synth import clustered_embeddings
+    from ts_data_pipeline_spark.queries.llmdata import PQ_CODEBOOK_IDS
+    from tests.conftest import SF_DIR
+
+    # clustered: auto -> residual
+    emb_c = clustered_embeddings(spark, 1500, 64, 8, 1.0)
+    meta_c = similarity.ivfpq_build_index(
+        emb_c, str(tmp_path / "autoc"), PQ_CODEBOOK_IDS, list(range(8)),
+        train_iters=1, coarse_train_iters=1, residual="auto",
+    )
+    assert meta_c["residual"] is True
+    assert meta_c["residual_auto"]["decision"] == "residual"
+    assert meta_c["residual_auto"]["pr_frac"] < similarity.RESIDUAL_AUTO_PR_FRAC
+
+    # isotropic driver corpus: auto -> raw
+    emb_i = io.load(spark, SF_DIR, "embeddings")
+    meta_i = similarity.ivfpq_build_index(
+        emb_i, str(tmp_path / "autoi"), PQ_CODEBOOK_IDS, list(range(8)),
+        train_iters=1, coarse_train_iters=1, residual="auto",
+    )
+    assert meta_i["residual"] is False
+    assert meta_i["residual_auto"]["decision"] == "raw"
+    assert meta_i["residual_auto"]["pr_frac"] > similarity.RESIDUAL_AUTO_PR_FRAC
+
+    # both decisions persist to the sidecar and stay queryable
+    import json
+
+    for path, want in ((tmp_path / "autoc", True), (tmp_path / "autoi", False)):
+        with open(os.path.join(str(path), "_pq_meta.json")) as fh:
+            stored = json.load(fh)
+        assert stored["residual"] is want
+        assert stored["residual_auto"]["decision"] == (
+            "residual" if want else "raw"
+        )
+    got = similarity.ivfpq_query_index(
+        spark, str(tmp_path / "autoc"), emb_c, [20, 21], k=5,
+        nprobe=2, rerank_factor=8,
+    ).collect()
+    assert len(got) == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="residual"):
+        similarity.ivfpq_build_index(
+            emb_i, str(tmp_path / "bad"), PQ_CODEBOOK_IDS, list(range(8)),
+            residual="yes",
+        )

@@ -159,6 +159,50 @@ def pca_components(
     return comps, [float(vals[i]) for i in order], [float(x) for x in mu]
 
 
+def pca_basis_write(
+    path: str,
+    components: list[list[float]],
+    eigenvalues: list[float],
+    mean: list[float],
+) -> None:
+    """Persist a PCA basis as a JSON sidecar (the PQ-codebook
+    train-once/query-many convention, VERDICT r9 ask #4): store it
+    beside the vector index so queries load the rotation instead of
+    re-running the Gram+eigh fit per call.
+
+    JSON floats round-trip EXACTLY (shortest-repr encoding decodes
+    to the identical double), so a reloaded basis projects
+    bit-identically to the in-memory one — pinned by pytest.
+    Atomic via temp + os.replace, like every sidecar in this repo.
+    """
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "components": components,
+                "eigenvalues": eigenvalues,
+                "mean": mean,
+            },
+            fh,
+        )
+    os.replace(tmp, path)
+
+
+def pca_basis_read(
+    path: str,
+) -> tuple[list[list[float]], list[float], list[float]]:
+    """Load a persisted PCA basis: (components, eigenvalues, mean)."""
+    import json
+
+    with open(path) as fh:
+        d = json.load(fh)
+    return d["components"], d["eigenvalues"], d["mean"]
+
+
 def pca_project(
     emb: DataFrame,
     components: list[list[float]],

@@ -218,6 +218,7 @@ def pca_prefix_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     basis: tuple[list[list[float]], list[float]] | None = None,
+    basis_path: str | None = None,
 ) -> DataFrame:
     """PCA-ROTATED Matryoshka prefix (VERDICT r8 #5): learn the
     top-``d_prefix`` principal basis of the corpus (the one-pass
@@ -246,9 +247,18 @@ def pca_prefix_topk(
     train-once/query-many, the same convention as the PQ family's
     ``codebook`` parameter (the top-16 basis is the first 16 rows of
     the top-32 one, so one k=32 fit serves both published prefixes).
+    ``basis_path`` loads a PERSISTED basis sidecar
+    (``linalg.pca_basis_write``, stored beside the vector index) —
+    JSON float round-tripping is exact, so results are bit-identical
+    to the in-memory basis (pinned by pytest).
     """
     from ts_data_pipeline_spark.operators import linalg
 
+    if basis_path is not None:
+        if basis is not None:
+            raise ValueError("pass basis OR basis_path, not both")
+        comps_all, _vals, mu_all = linalg.pca_basis_read(basis_path)
+        basis = (comps_all, mu_all)
     if basis is not None:
         comps, mu = basis
         comps = comps[:d_prefix]
@@ -2786,6 +2796,60 @@ def _read_cents(spark, path: str) -> DataFrame:
     )
 
 
+#: residual="auto" decision threshold: residual-encode when the
+#: covariance spectrum's PARTICIPATION RATIO (sum(lambda))^2 /
+#: sum(lambda^2) — the effective dimensionality of the cloud — falls
+#: below this fraction of the ambient dimension. Measured calibration
+#: (sf0.01 driver embeddings + operators/synth.py mixtures, d=64):
+#: isotropic corpora sit at 0.88-0.97 (driver 0.88, sep0 0.97) where
+#: residual encoding LOSES recall (r9: 0.69 vs raw 0.88); clustered
+#: corpora sit at <= 0.49 (sep1 0.49, sep4 0.20) where it WINS
+#: (sep4: 0.95 vs 0.75). 0.66 splits the measured regimes with
+#: margin on both sides.
+RESIDUAL_AUTO_PR_FRAC = 0.66
+
+
+def residual_auto_decision(
+    embeddings: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    threshold: float = RESIDUAL_AUTO_PR_FRAC,
+) -> tuple[bool, dict]:
+    """The ``bloom_pays``-style measured decision rule for IVFADC
+    residual encoding (VERDICT r9 ask #3): estimate corpus anisotropy
+    from the d x d covariance eigen-spectrum (the one-pass
+    Gram+mean fit of ``linalg.pca_components`` — dimension-bounded
+    collect, eigh on the driver) and residual-encode iff the
+    spectrum's effective dimensionality is below ``threshold * dim``.
+
+    Why this statistic: residual codebooks pay off exactly when
+    coarse cells absorb real structure — i.e. when variance
+    concentrates in few directions (cluster centers). The
+    participation ratio measures that concentration scale-freely
+    (invariant to global variance), unlike the raw top eigenvalue.
+
+    Returns (use_residual, evidence) — evidence goes into the index
+    meta sidecar so the decision is auditable at query time.
+    """
+    from ts_data_pipeline_spark.operators import linalg
+
+    _comps, vals, _mu = linalg.pca_components(
+        embeddings, vec_col, dim, k=dim
+    )
+    tot = sum(vals)
+    pr = (tot * tot) / sum(v * v for v in vals) if tot > 0 else float(dim)
+    pr_frac = pr / dim
+    use_residual = pr_frac < threshold
+    return use_residual, {
+        "rule": "participation_ratio",
+        "pr_frac": round(pr_frac, 4),
+        "top_eig_share": round(vals[0] / tot, 4) if tot > 0 else None,
+        "threshold": threshold,
+        "dim": dim,
+        "decision": "residual" if use_residual else "raw",
+    }
+
+
 def ivfpq_build_index(
     embeddings: DataFrame,
     path: str,
@@ -2797,7 +2861,7 @@ def ivfpq_build_index(
     vec_col: str = "embedding",
     train_iters: int = 0,
     coarse_train_iters: int = 0,
-    residual: bool = False,
+    residual: bool | str = False,
     cents: DataFrame | None = None,
 ) -> dict:
     """Materialize the IVFPQ index: packed code vectors PARTITIONED
@@ -2817,6 +2881,9 @@ def ivfpq_build_index(
     The flag is recorded in the meta sidecar; queries must go through
     :func:`ivfpq_query_index` (flat ADC over a residual index would
     mix spaces — :func:`pq_query_index` refuses).
+    ``residual="auto"`` resolves the flag from the measured corpus
+    anisotropy (:func:`residual_auto_decision`) and records the
+    evidence under meta["residual_auto"].
 
     The cell-partitioned layout is what makes IVF pay at rest: a
     query's probed cells become literal values in the codes scan's
@@ -2838,6 +2905,18 @@ def ivfpq_build_index(
 
     _check_ids_present(embeddings, codebook_ids, id_col, "codebook")
     _check_ids_present(embeddings, centroid_ids, id_col, "centroid")
+    residual_auto: dict | None = None
+    if residual == "auto":
+        # measured decision (residual wins on clustered corpora,
+        # loses on isotropic ones — r9 bench): estimate anisotropy
+        # once at build time, record the evidence in the sidecar
+        residual, residual_auto = residual_auto_decision(
+            embeddings, m * dsub, vec_col
+        )
+    elif not isinstance(residual, bool):
+        raise ValueError(
+            f"residual must be True, False or 'auto', got {residual!r}"
+        )
     if cents is None:
         cents = _coarse_cents(
             embeddings, centroid_ids, id_col, vec_col, coarse_train_iters,
@@ -2894,6 +2973,7 @@ def ivfpq_build_index(
         "id_col": id_col,
         "train_iters": train_iters,
         "residual": bool(residual),
+        **({"residual_auto": residual_auto} if residual_auto else {}),
         "ivf": {
             "nlist": len(set(centroid_ids)),
             "centroid_ids": list(centroid_ids),
