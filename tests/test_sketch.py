@@ -513,3 +513,53 @@ def test_state_sink_rejects_keep_versions_below_two():
     for kv in (0, 1):
         with _pytest.raises(ValueError, match="keep_versions"):
             sketch.state_sink("/tmp/unused", None, None, keep_versions=kv)
+
+
+def test_state_sink_pin_protects_slow_reader(spark, tmp_path):
+    """VERDICT r9 ask #6: a reader pin turns the documented
+    prune-under-lazy-reader hazard into a non-event — the pinned
+    version survives arbitrarily many further commits (beyond
+    keep_versions), the held DataFrame still collects, and releasing
+    the pin lets the NEXT commit reclaim the version."""
+    import os
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    fb = sketch.summary_state_sink(state_dir, ["event_type"])
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"t{j % 2}", float(i * 10 + j)) for j in range(4)],
+            "event_type string, value double",
+        )
+
+    fb(batch(0), 0)
+    # slow reader: pin v0, hold the DataFrame
+    with sketch.pinned_summary_state(spark, state_dir) as held:
+        n0 = held.count()
+        assert n0 > 0
+        for i in (1, 2, 3, 4):
+            fb(batch(i), i)
+        # default keep_versions=2 would have pruned v0 at batch 2 —
+        # the pin kept it, and the lazy read still resolves
+        assert os.path.isdir(os.path.join(state_dir, "v0"))
+        assert held.count() == n0
+    # released: the next commit prunes v0
+    fb(batch(5), 5)
+    assert not os.path.isdir(os.path.join(state_dir, "v0"))
+    # current state unaffected throughout
+    got = sketch.read_summary_state(spark, state_dir)
+    assert got.count() > 0
+
+    # pin on an empty dir raises; foreign token rejected
+    import pytest as _pytest
+
+    empty = str(tmp_path / "none")
+    os.makedirs(empty)
+    with _pytest.raises(FileNotFoundError):
+        sketch.pin_version(empty)
+    tok = sketch.pin_version(state_dir)
+    with _pytest.raises(ValueError, match="belong"):
+        sketch.release_pin(empty, tok)
+    sketch.release_pin(state_dir, tok)
+    sketch.release_pin(state_dir, tok)  # double release is a no-op

@@ -719,13 +719,105 @@ def _latest_version(path: str) -> int:
 
 
 def read_summary_state(spark, path: str) -> DataFrame:
-    """The committed merged state (raises if nothing committed)."""
+    """The committed merged state (raises if nothing committed).
+
+    Spark resolves the version dir's files LAZILY — a reader that
+    holds this DataFrame across ``keep_versions`` further commits
+    races the writer's pruning. Readers with a long window should
+    use :func:`pinned_summary_state` (or pin/release explicitly),
+    which the pruner honors.
+    """
     import os
 
     latest = _latest_version(path)
     if latest < 0:
         raise FileNotFoundError(f"no committed summary state at {path}")
     return spark.read.parquet(os.path.join(path, f"v{latest}"))
+
+
+def _pinned_versions(path: str) -> set[int]:
+    """Versions protected from pruning by live reader pins."""
+    import json
+    import os
+
+    pinned: set[int] = set()
+    for name in os.listdir(path):
+        if name.startswith("_PIN_") and name.endswith(".json"):
+            try:
+                with open(os.path.join(path, name)) as fh:
+                    pinned.add(int(json.load(fh)["batch_id"]))
+            except (OSError, ValueError, KeyError):
+                continue  # a pin mid-write/mid-delete protects nothing
+    return pinned
+
+
+def pin_version(path: str) -> str:
+    """Pin the CURRENT committed version against pruning (VERDICT r9
+    ask #6 — the slow-reader hazard): writes an atomic
+    ``_PIN_<uuid>.json`` naming the version; :func:`state_sink`'s
+    pruner skips pinned versions, so a reader holding the returned
+    DataFrame across many commits keeps its files. Returns the pin
+    token to pass to :func:`release_pin`.
+
+    Protocol: pin FIRST, then read. The pin lands before the read
+    ever resolves files, and the writer only prunes versions already
+    ``keep_versions`` commits old — the just-committed version a pin
+    names is never in that window, so the pin/prune race cannot
+    remove a version between pin write and read.
+    """
+    import json
+    import os
+    import uuid
+
+    latest = _latest_version(path)
+    if latest < 0:
+        raise FileNotFoundError(f"no committed summary state at {path}")
+    token = os.path.join(path, f"_PIN_{uuid.uuid4().hex}.json")
+    tmp = token + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": latest}, fh)
+    os.replace(tmp, token)
+    return token
+
+
+def release_pin(path: str, token: str) -> None:
+    """Release a reader pin; the next commit's pruning reclaims the
+    version (if it is outside the retention window)."""
+    import os
+
+    if os.path.dirname(token) != path.rstrip("/"):
+        raise ValueError(f"pin token {token!r} does not belong to {path!r}")
+    try:
+        os.remove(token)
+    except FileNotFoundError:
+        pass  # releasing twice is a no-op
+
+
+def pinned_summary_state(spark, path: str):
+    """Context manager: pin -> read -> release. The safe form of
+    :func:`read_summary_state` for readers whose consumption spans
+    further commits (exports, slow joins, driver-side iteration)::
+
+        with pinned_summary_state(spark, path) as df:
+            df.write.parquet(...)   # files cannot be pruned away
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        import os
+
+        token = pin_version(path)
+        try:
+            import json
+
+            with open(token) as fh:
+                v = json.load(fh)["batch_id"]
+            yield spark.read.parquet(os.path.join(path, f"v{v}"))
+        finally:
+            release_pin(path, token)
+
+    return _cm()
 
 
 def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
@@ -757,11 +849,11 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
       re-delivery), so storage holds a bounded number of full state
       copies, not one per batch. PRUNING vs LAZY READERS: a Spark
       read of ``v{N}`` resolves files lazily, so a reader holding a
-      DataFrame across ``keep_versions`` further commits will hit
+      DataFrame across ``keep_versions`` further commits would hit
       FileNotFound when its version is pruned (r9 review finding) —
-      readers that hold results across batches should either
-      materialize (collect/write) promptly or the deployment should
-      raise ``keep_versions`` to cover its longest reader window.
+      slow readers pin their version (:func:`pin_version` /
+      :func:`pinned_summary_state`) and the pruner skips pinned
+      versions until release (r10); quick readers need nothing.
 
     Single-writer per path (the streaming-query contract); readers go
     through :func:`read_summary_state`.
@@ -816,7 +908,13 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
                     versions.append(int(name[1:]))
                 except ValueError:
                     continue
+        # retention floor: reader pins (pin_version) protect their
+        # version from pruning — the r9 slow-reader hazard becomes a
+        # non-event instead of a FileNotFound mid-read
+        pinned = _pinned_versions(path)
         for v in sorted(versions, reverse=True)[keep_versions:]:
+            if v in pinned:
+                continue
             shutil.rmtree(os.path.join(path, f"v{v}"), ignore_errors=True)
 
     return fb
