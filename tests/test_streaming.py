@@ -1309,3 +1309,49 @@ def test_cep_state_rows_bounded_by_live_keys(spark, tmp_path):
         ]
         assert max(totals) > 0, name                  # state actually exists
         assert max(totals) <= n_keys, (name, max(totals), n_keys)
+
+
+def test_interpolate_finals_composes_to_batch_evaluate(spark):
+    """The streaming interpolation split (A8 over T3): running the
+    spec with interpolation stripped and applying
+    ``interpolate_finals`` over the landed finals must be
+    value-identical to batch ``evaluate`` with the interpolating
+    spec, for a [from, to) range the watermark fully closed. Pinned
+    here batch-to-batch (the stream side's plan IS the batch plan
+    under a watermark); the suite member pins the full replay
+    lifecycle against DuckDB."""
+    from dataclasses import replace
+
+    from ts_data_pipeline_spark.plans.queryspec import (
+        GroupByTime, NumericAggregation, QuerySpec, evaluate,
+        interpolate_finals,
+    )
+    from ts_data_pipeline_spark.queries.telemetry import (
+        events_as_parameter_values,
+    )
+
+    pv = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
+    full = QuerySpec(
+        numeric_aggregations=[NumericAggregation("purchase", "Mean")],
+        from_ts="2024-01-02 00:00:00",
+        to_ts="2024-01-12 00:00:00",
+        stream_ids=["2"],
+        group_by_time=GroupByTime("6 hours", "Previous"),
+        group_by_tags=["k"],
+    )
+    stripped = replace(full, group_by_time=GroupByTime("6 hours"))
+    finals = evaluate(pv, stripped)
+    composed = interpolate_finals(finals, full)
+    batch = evaluate(pv, full)
+
+    key = ["bucket", "tag_k"]
+    a = sorted(composed.collect(), key=lambda r: (str(r["bucket"]), str(r["tag_k"])))
+    b = sorted(batch.collect(), key=lambda r: (str(r["bucket"]), str(r["tag_k"])))
+    assert len(a) == len(b) > 0
+    assert a == b
+    # The fill is non-vacuous: some spine buckets had no finals row
+    # yet carry a Previous-filled value.
+    filled = composed.join(finals, key, "left_anti").filter(
+        F.col("purchase_mean").isNotNull()
+    )
+    assert filled.count() > 0

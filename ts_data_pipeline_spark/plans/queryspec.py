@@ -421,12 +421,68 @@ def evaluate_stream(
     if spec.group_by_time is None:
         raise ValueError("streaming evaluation requires group_by_time")
     if spec.group_by_time.interpolation != "None":
-        raise ValueError("interpolation is batch/sink-side; not valid on a stream")
+        raise ValueError(
+            "interpolation is batch/sink-side; run the stream with "
+            "interpolation='None' and apply interpolate_finals() over "
+            "the landed finals"
+        )
     if spec.orderings or spec.paging is not None:
         raise ValueError("ordering/paging are sink-side on a stream")
     return evaluate(
         parameter_values.withWatermark(ts_col, grace), spec, ts_col=ts_col, **kwargs
     )
+
+
+def interpolate_finals(result: DataFrame, spec: QuerySpec) -> DataFrame:
+    """The SINK-SIDE half of a streaming interpolated query (A8 over
+    T3): apply the spec's bucket-spine interpolation to a BATCH
+    relation of landed append-mode finals.
+
+    Interpolation is a resultset operation — it needs the dense
+    [from, to) spine, which only exists once the buckets have closed
+    — so the streaming split is: :func:`evaluate_stream` runs the
+    spec with interpolation stripped (one final row per closed
+    bucket x tag group), the sink lands those finals, and this
+    function densifies + fills them exactly as the batch evaluator
+    would (:func:`_bucket_spine` + :func:`_fill`, the same code).
+    For a [from, to) window fully below the final watermark the
+    composition is value-identical to batch ``evaluate`` with the
+    interpolating spec — the streaming_finals_suite gate pins that.
+
+    Scale shape: input is the AGGREGATED finals (buckets x groups,
+    not events); the spine cross-join and per-group fill windows are
+    bounded by that — the cheapest relation in the pipeline.
+    """
+    gbt = spec.group_by_time
+    if gbt is None or gbt.interpolation == "None":
+        return _order_page(result, spec)
+    if spec.from_ts is None or spec.to_ts is None:
+        raise ValueError("interpolation requires from_ts and to_ts")
+    names = ["bucket"] + [f"tag_{t}" for t in spec.group_by_tags]
+    value_cols = [
+        f"{na.parameter}_{na.aggregation.lower()}"
+        for na in spec.numeric_aggregations
+    ]
+    # Time spine only from _bucket_spine; the tag groups are
+    # RE-LITERALIZED (bounded collect: distinct tag groups of an
+    # aggregated resultset — the spine cross-join operand is small by
+    # construction). Deriving them lazily from `result` would make
+    # spine->result a self-join, and a memory-sink-backed finals
+    # table cannot deduplicate its attributes there (Conflicting
+    # attributes analysis error).
+    spine = _bucket_spine(result, spec, ["bucket"])
+    group_cols = [n for n in names if n != "bucket"]
+    if group_cols:
+        grp_rel = result.select(*group_cols)
+        groups = result.sparkSession.createDataFrame(
+            grp_rel.distinct().collect(), grp_rel.schema
+        )
+        spine = spine.crossJoin(groups)
+    out = spine.join(result, on=names, how="left")
+    if gbt.interpolation in ("Previous", "Linear"):
+        group_cols = [n for n in names if n != "bucket"]
+        out = _fill(out, value_cols, group_cols, gbt.interpolation)
+    return _order_page(out, spec)
 
 
 @dataclass

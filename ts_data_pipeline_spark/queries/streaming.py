@@ -630,7 +630,97 @@ WHERE bucket + INTERVAL 15 MINUTE <= {_FINAL_WATERMARK_SQL}
 """
 
 
-# The nine streaming finals gates register as ONE suite entry
+def streaming_queryspec_interp_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuerySpec streaming breadth #2 (VERDICT r9 ask #7): group-by-
+    tags (A9) + Previous interpolation (A8) under append-mode finals —
+    the two spec features whose streaming twins were pytest-only.
+
+    Interpolation is a resultset operation (the dense bucket spine
+    only exists once buckets close), so the live-dashboard split is:
+    the STREAM runs the spec with interpolation stripped — watermarked
+    window x tag_k agg, one final row per closed (bucket, tag) — and
+    the SINK side densifies + Previous-fills the landed finals via
+    plans/queryspec.interpolate_finals, the batch evaluator's own
+    spine+fill code. The queried [from, to) range (Jan 2-12) sits
+    fully below the final watermark (max ts - 1s, late Jan), so the
+    composition must be value-identical to batch ``evaluate`` with
+    the interpolating spec — which is exactly what the oracle states.
+
+    Spec: the telemetry_interp case (6-hour buckets, stream 2, mean
+    purchase) widened by group_by_tags=["k"], so the Previous fill
+    runs per tag group over real gaps.
+    Ref: /root/reference/dashboard/src/services/quix.ts:123-131 (live
+    feed serving the same getDataRequest the REST path serves);
+    interpolationType.ts (Null/Previous/Linear).
+    """
+    from dataclasses import replace
+
+    from ts_data_pipeline_spark.plans.queryspec import (
+        GroupByTime,
+        NumericAggregation,
+        QuerySpec,
+        evaluate_stream,
+        interpolate_finals,
+    )
+    from ts_data_pipeline_spark.queries import telemetry
+
+    pv = telemetry.events_as_parameter_values(io.load(spark, sf_dir, "events"))
+    stream_spec = QuerySpec(
+        numeric_aggregations=[NumericAggregation("purchase", "Mean")],
+        from_ts="2024-01-02 00:00:00",
+        to_ts="2024-01-12 00:00:00",
+        stream_ids=["2"],
+        group_by_time=GroupByTime("6 hours"),
+        group_by_tags=["k"],
+    )
+    finals = _run_replay_gate(
+        spark, pv, "tsdp_qinterp_",
+        lambda stream: evaluate_stream(stream, stream_spec),
+    )
+    sink_spec = replace(
+        stream_spec, group_by_time=GroupByTime("6 hours", "Previous")
+    )
+    return interpolate_finals(finals, sink_spec)
+
+
+def _streaming_queryspec_interp_finals_sql() -> str:
+    from ts_data_pipeline_spark.queries.telemetry import PV_SQL
+
+    # Batch evaluate() with the interpolating spec: per-tag 6-hour
+    # means -> dense spine x the agg's distinct tag groups -> Previous
+    # fill partitioned by tag. No watermark restriction: the whole
+    # range is closed, so streaming finals == the batch aggregation.
+    return f"""
+WITH pv AS ({PV_SQL}),
+agg AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, tag_k,
+         ROUND(AVG(CASE WHEN parameter_id = 'purchase' THEN num_value END), 4) AS v
+  FROM pv
+  WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    AND stream_id IN ('2')
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                TIMESTAMP '2024-01-12 00:00:00' - INTERVAL '6 hours',
+                                INTERVAL '6 hours')) AS bucket
+),
+grps AS (SELECT DISTINCT tag_k FROM agg),
+j AS (
+  SELECT s.bucket, g.tag_k, a.v
+  FROM spine s CROSS JOIN grps g
+  LEFT JOIN agg a ON a.bucket = s.bucket AND a.tag_k = g.tag_k
+)
+SELECT bucket, tag_k,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY tag_k ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS purchase_mean
+FROM j
+"""
+
+
+# The ten streaming finals gates register as ONE suite entry
 # (queries/suites.py::_streaming_finals_members) — the driver's
 # CORRECTNESS artifact records only the first 50 queries() entries,
 # and rounds 7/8 proved the overflow rows silently vanish from the

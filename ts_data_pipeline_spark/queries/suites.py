@@ -1150,7 +1150,7 @@ def _media_members() -> list[Member]:
 
 
 def _streaming_finals_members() -> list[Member]:
-    """The nine streaming finals gates as ONE registry entry.
+    """The ten streaming finals gates as ONE registry entry.
 
     Until round 8 these were nine separate entries at the registry
     tail — and because the driver's CORRECTNESS artifact records only
@@ -1239,6 +1239,12 @@ def _streaming_finals_members() -> list[Member]:
             S._streaming_session_finals_sql(),
             (("key", "l"), ("session_start", "t"),
              ("session_end", "t"), ("n_events", "l")),
+        ),
+        Member(
+            "queryspec_interp",
+            S.streaming_queryspec_interp_finals,
+            S._streaming_queryspec_interp_finals_sql(),
+            (("bucket", "t"), ("tag_k", "s"), ("purchase_mean", "d")),
         ),
     ]
 
