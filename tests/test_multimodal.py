@@ -256,11 +256,11 @@ def test_png_dhash_dups_across_encodings(spark):
     assert pairs == {(1, 2, 0), (1, 3, 0), (2, 3, 0)}
 
 
-def test_png_interlace_and_bad_palette_still_guarded():
-    """The unsupported remainder stays an explicit raise: Adam7
-    interlace (NotImplementedError) and malformed palette inputs —
-    a type-3 PNG with no PLTE, and indices beyond the palette
-    (ValueError, not silent garbage)."""
+def test_png_malformed_inputs_still_guarded():
+    """Malformed input stays an explicit raise: palette inputs with
+    no PLTE or indices beyond it, spec-invalid depth/type combos
+    (table 11.1), and unknown interlace methods (0 and 1 are the
+    only codes the spec defines) — ValueError, not silent garbage."""
     import struct
     import zlib
 
@@ -285,14 +285,185 @@ def test_png_interlace_and_bad_palette_still_guarded():
     oob = _encode_png([[[5]]], 3, [0], palette=[(1, 2, 3), (4, 5, 6)])
     with pytest.raises(ValueError, match="palette index"):
         mm._png_pixels(oob)
-    inter = (
+    # depth 3 exists for no color type; depth 4 not for RGB; depth
+    # 16 not for palette
+    for depth, ctype in ((3, 0), (4, 2), (16, 3)):
+        bad_depth = (
+            mm._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, ctype, 0, 0, 0))
+            + chunk(b"PLTE", b"\x00\x00\x00")
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="invalid bit depth"):
+            mm._png_pixels(bad_depth)
+    inter2 = (
         mm._PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
         + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError, match="interlac"):
-        mm._png_pixels(inter)
+    with pytest.raises(ValueError, match="invalid interlace method"):
+        mm._png_pixels(inter2)
+
+
+def _encode_png2(
+    px_rows, color_type, bit_depth=8, interlace=0, palette=None, fchoice=0
+):
+    """Extended reference encoder for the full-matrix fixtures: any
+    table-11.1 bit depth (sub-byte packs MSB-first, 16-bit writes
+    big-endian pairs) and optional Adam7 interlacing (each pass its
+    own filtered mini-image, empty passes omitted). ``fchoice`` is
+    the filter byte applied to EVERY scanline (per pass for Adam7 —
+    pinning that the decoder resets the prev-row to zero at each
+    pass boundary)."""
+    import struct
+    import zlib
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    h, w = len(px_rows), len(px_rows[0])
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = max(1, ch * bit_depth // 8)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def ser_block(rows):
+        rb = (len(rows[0]) * ch * bit_depth + 7) // 8
+        prev = [0] * rb
+        out = b""
+        for row in rows:
+            flat = [s for pxl in row for s in pxl]
+            if bit_depth == 8:
+                packed = list(flat)
+            elif bit_depth == 16:
+                packed = []
+                for v in flat:
+                    packed += [v >> 8, v & 0xFF]
+            else:
+                packed, acc, nb = [], 0, 0
+                for v in flat:
+                    acc = (acc << bit_depth) | v
+                    nb += bit_depth
+                    if nb == 8:
+                        packed.append(acc)
+                        acc, nb = 0, 0
+                if nb:
+                    packed.append(acc << (8 - nb))
+            enc = []
+            for i, x in enumerate(packed):
+                a = packed[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                        4: mm._paeth(a, b, c)}[fchoice]
+                enc.append((x - pred) & 0xFF)
+            out += bytes([fchoice]) + bytes(enc)
+            prev = packed
+        return out
+
+    if interlace == 0:
+        raw = ser_block(px_rows)
+    else:
+        raw = b""
+        for x0, y0, dx, dy in mm._ADAM7_PASSES:
+            sub = [
+                [px_rows[y][x] for x in range(x0, w, dx)]
+                for y in range(y0, h, dy)
+            ]
+            if sub and sub[0]:
+                raw += ser_block(sub)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    out = mm._PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", bytes(c for rgb in palette for c in rgb))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_adam7_decodes_to_progressive_twin():
+    """Adam7 interlacing (r9 'what's missing' #3): an interlaced
+    image decodes to EXACTLY its progressive twin's luma — for
+    dimensions that hit all seven passes plus ragged edges, for RGB,
+    and under a non-trivial per-pass filter (Up), which pins the
+    per-pass prev-row reset."""
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(23)
+    for (h, w) in ((10, 11), (8, 8), (3, 5), (1, 1), (2, 9)):
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        rows = [[[int(v)] for v in line] for line in px]
+        for f in (0, 2):
+            prog = mm._png_pixels(_encode_png2(rows, 0, fchoice=f))
+            inter = mm._png_pixels(
+                _encode_png2(rows, 0, interlace=1, fchoice=f)
+            )
+            assert (prog == px).all()
+            assert (inter == px).all(), (h, w, f)
+    rgb = rng.randint(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    rgb_rows = [[[int(c) for c in pxl] for pxl in line] for line in rgb]
+    lum = (299 * rgb[:, :, 0].astype(np.int64)
+           + 587 * rgb[:, :, 1].astype(np.int64)
+           + 114 * rgb[:, :, 2].astype(np.int64)) // 1000
+    got = mm._png_pixels(_encode_png2(rgb_rows, 2, interlace=1, fchoice=2))
+    assert (got == lum.astype(np.uint8)).all()
+
+
+def test_png_sub_byte_and_16bit_depths():
+    """The depth matrix (r9 'what's missing' #3): 1/2/4-bit grays
+    scale exactly by 255/(2^d-1); 4-bit palette indices stay raw
+    indices into PLTE; 16-bit reduces to the big-endian high byte —
+    all at widths that leave padding bits in the last byte."""
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    # 1-bit checkerboard, w=5 (3 padding bits per row)
+    bits = [[(x + y) % 2 for x in range(5)] for y in range(4)]
+    rows = [[[v] for v in line] for line in bits]
+    got = mm._png_pixels(_encode_png2(rows, 0, bit_depth=1))
+    assert (got == np.array(bits, dtype=np.uint8) * 255).all()
+    # 2-bit ramp, w=3 (2 padding bits)
+    two = [[0, 1, 2], [3, 2, 1]]
+    rows = [[[v] for v in line] for line in two]
+    got = mm._png_pixels(_encode_png2(rows, 0, bit_depth=2))
+    assert (got == np.array(two, dtype=np.uint8) * 85).all()
+    # 4-bit ramp, w=5 (one padded nibble)
+    four = [[0, 3, 7, 11, 15], [15, 1, 2, 4, 8]]
+    rows = [[[v] for v in line] for line in four]
+    got = mm._png_pixels(_encode_png2(rows, 0, bit_depth=4))
+    assert (got == np.array(four, dtype=np.uint8) * 17).all()
+    # 4-bit palette: indices are NOT scaled — they index PLTE; the
+    # decode equals the 8-bit palette twin's luma
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [[0, 1, 2, 3, 2], [3, 3, 0, 1, 0]]
+    rows = [[[v] for v in line] for line in idx]
+    got4 = mm._png_pixels(
+        _encode_png2(rows, 3, bit_depth=4, palette=pal)
+    )
+    got8 = mm._png_pixels(_encode_png2(rows, 3, bit_depth=8, palette=pal))
+    assert (got4 == got8).all()
+    # 16-bit gray: low byte is discarded
+    v = np.array([[0, 1, 127, 255], [255, 128, 64, 2]], dtype=np.int64)
+    rows = [[[int(x) * 256 + 123] for x in line] for line in v]
+    got = mm._png_pixels(_encode_png2(rows, 0, bit_depth=16))
+    assert (got == v.astype(np.uint8)).all()
+    # 16-bit RGB under a filtered serialization (bpp = 6 bytes)
+    rgbrows = [
+        [[int(x) * 256 + 9] * 3 for x in line] for line in v
+    ]
+    got = mm._png_pixels(_encode_png2(rgbrows, 2, bit_depth=16, fchoice=4))
+    assert (got == v.astype(np.uint8)).all()
+    # Adam7 x sub-byte interaction: 1-bit interlaced checkerboard
+    bits = [[(x + y) % 2 for x in range(9)] for y in range(10)]
+    rows = [[[v] for v in line] for line in bits]
+    got = mm._png_pixels(_encode_png2(rows, 0, bit_depth=1, interlace=1))
+    assert (got == np.array(bits, dtype=np.uint8) * 255).all()
 
 
 def test_png_palette_roundtrip_all_filters():
@@ -432,8 +603,8 @@ def test_permissive_decode_survives_poisoned_corpus(spark):
     msgs = {r.decode_error for r in out.values() if r.decode_error}
     assert msgs == {
         "ValueError: not a PNG: bad signature",
-        "NotImplementedError: Adam7 interlacing is not supported",
-        "NotImplementedError: bit depth 16: only 8 supported",
+        "ValueError: IDAT length does not match dimensions",
+        "NotImplementedError: unknown color type 5",
     }
 
 

@@ -162,12 +162,14 @@ def _decode_png(payload: bytes) -> dict:
     disagree on which payloads decode)."""
     px = _png_pixels(payload)
     h, w = px.shape
-    # IHDR is mandatorily the first chunk: color type is the byte at
-    # offset 25 (8 sig + 4 len + 4 type + 4 w + 4 h + 1 depth)
+    # IHDR is mandatorily the first chunk: bit depth / color type are
+    # the bytes at offsets 24 / 25 (8 sig + 4 len + 4 type + 4 w +
+    # 4 h). pix_sum is over the decoded 8-bit LUMA plane, whatever
+    # the source depth.
     return {
         "width": w,
         "height": h,
-        "bit_depth": 8,
+        "bit_depth": payload[24],
         "color_type": payload[25],
         "n_pixels": w * h,
         "pix_sum": int(px.astype("int64").sum()),
@@ -830,19 +832,21 @@ def attach_png_payload(docs: DataFrame) -> DataFrame:
 
 #: Deterministic poisoning rule for the permissive-decode gate:
 #: doc_id % 10 selects the corruption class — the three real failure
-#: families a crawled image corpus carries (truncated/garbage bytes,
-#: spec features the decoder doesn't cover). The byte offsets are
-#: fixed by the PNG layout: IHDR is mandatorily the first chunk, so
-#: bit depth is byte 24 and the interlace flag byte 28 (8 signature
-#: + 4 length + 4 type + 4 width + 4 height [+ depth, color,
-#: compression, filter]). CRCs go stale under the patch; the decoder
-#: (like most fast-path decoders) does not verify CRCs, so the
-#: failure surfaces at the semantic check — exactly the
-#: deterministic message the oracle replays.
+#: families a crawled image corpus carries now that the decoder
+#: covers the full baseline matrix (Adam7 + every table-11.1 depth):
+#: garbage bytes, headers that LIE about the stream (a dimension
+#: mismatch is how truncation/tampering actually surfaces), and
+#: spec-invalid headers. The byte offsets are fixed by the PNG
+#: layout: IHDR is mandatorily the first chunk, so the height LSB is
+#: byte 23 and the color type byte 25 (8 signature + 4 length +
+#: 4 type + 4 width + 4 height [+ depth, color, ...]). CRCs go stale
+#: under the patch; the decoder (like most fast-path decoders) does
+#: not verify CRCs, so the failure surfaces at the semantic check —
+#: exactly the deterministic message the oracle replays.
 PNG_POISON_CLASSES = {
     3: "bad_signature",   # first byte flipped -> ValueError at sig
-    7: "adam7",           # interlace=1 -> NotImplementedError
-    9: "depth16",         # bit depth 16 -> NotImplementedError
+    7: "height_lie",      # IHDR height+1 -> stream/dims mismatch
+    9: "color_type5",     # spec-invalid color type -> unsupported
 }
 
 
@@ -855,10 +859,10 @@ def poison_png(payload: bytes, doc_id: int) -> bytes:
     b = bytearray(payload)
     if cls == "bad_signature":
         b[0] = 0x00
-    elif cls == "adam7":
-        b[28] = 1
-    elif cls == "depth16":
-        b[24] = 16
+    elif cls == "height_lie":
+        b[23] += 1  # fixture heights are 1..8: no carry
+    elif cls == "color_type5":
+        b[25] = 5
     return bytes(b)
 
 
@@ -916,8 +920,8 @@ SELECT doc_id,
        END AS pix_mean,
        CASE cls
          WHEN 3 THEN 'ValueError: not a PNG: bad signature'
-         WHEN 7 THEN 'NotImplementedError: Adam7 interlacing is not supported'
-         WHEN 9 THEN 'NotImplementedError: bit depth 16: only 8 supported'
+         WHEN 7 THEN 'ValueError: IDAT length does not match dimensions'
+         WHEN 9 THEN 'NotImplementedError: unknown color type 5'
          ELSE NULL
        END AS decode_error
 FROM px
@@ -1123,10 +1127,34 @@ FROM documents
 # analog of the text MinHash/SimHash family)
 
 
-#: channels per pixel at bit depth 8, by PNG color type. Palette
-#: (type 3) carries ONE index byte per pixel; the PLTE chunk maps
-#: indices to RGB after unfiltering.
+#: channels per pixel, by PNG color type. Palette (type 3) carries
+#: ONE index per pixel; the PLTE chunk maps indices to RGB after
+#: unfiltering.
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Spec-legal bit depths per color type (PNG spec §11.2.2, table
+#: 11.1): grayscale any; palette indices up to 8; multi-channel
+#: types only 8/16.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+#: Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+#: Each pass serializes as its own mini-image — own filter bytes,
+#: own row stride — and empty passes are omitted entirely.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1142,24 +1170,88 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _unfilter_block(raw: bytes, n_rows: int, rb: int, bpp: int):
+    """Undo the five PNG scanline filters over one serialized block
+    (the whole image, or one Adam7 pass): ``n_rows`` scanlines of
+    ``1 + rb`` bytes each, filter offset ``bpp`` bytes (the spec's
+    "pixel width, at least one byte" — sub-byte depths filter at
+    whole-byte granularity). Returns the (n_rows, rb) recovered
+    bytes."""
+    import numpy as np
+
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, rb + 1)
+    filters = scan[:, 0]
+    out = np.zeros((n_rows, rb), dtype=np.uint8)
+    prev = np.zeros(rb, dtype=np.uint8)
+    for y in range(n_rows):
+        f = int(filters[y])
+        line = scan[y, 1:].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up: fully vectorized
+            rec = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(rb, dtype=np.int32)
+            for i in range(rb):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + int(prev[i])) >> 1
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pred = _paeth(a, int(prev[i]), c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid filter byte {f} on scanline {y}")
+        out[y] = rec.astype(np.uint8)
+        prev = out[y]
+    return out
+
+
+def _row_samples(mat, width: int, ch: int, depth: int):
+    """Unpack unfiltered row bytes to (n_rows, width, ch) uint8
+    samples. Depth 16 keeps the big-endian HIGH byte (the standard
+    8-bit reduction; the low byte carries sub-1/256 precision the
+    luma/dHash consumers quantize away regardless). Sub-byte depths
+    (1/2/4 — grayscale or palette indices, always one channel)
+    unpack MSB-first per the spec; values are returned RAW (the
+    grayscale caller scales, the palette caller indexes)."""
+    import numpy as np
+
+    n = mat.shape[0]
+    if depth == 8:
+        return mat[:, : width * ch].reshape(n, width, ch)
+    if depth == 16:
+        return mat[:, : width * ch * 2].reshape(n, width, ch, 2)[..., 0]
+    bits = np.unpackbits(mat, axis=1)[:, : width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (bits.reshape(n, width, depth) * weights).sum(axis=2)
+    return vals.astype(np.uint8)[:, :, None]
+
+
 def _png_pixels(payload: bytes):
-    """Decode an 8-bit PNG to its (h, w) LUMA pixel array — THE
-    decode core; _decode_png layers stats and image_dhash layers the
+    """Decode a PNG to its (h, w) 8-bit LUMA pixel array — THE decode
+    core; _decode_png layers stats and image_dhash layers the
     perceptual hash on this one body.
 
     Encoder-realistic coverage (VERDICT r7 ask #3; r8 ask #4 added
-    palette): all five scanline filters (None/Sub/Up/Average/Paeth —
-    real encoders emit 1-4 per line via heuristics) and all five
-    8-bit color types (grayscale, RGB, PALETTE via the PLTE
-    indirection, gray+alpha, RGBA). Color converts to luma by the
-    integer BT.601 weights (299 R + 587 G + 114 B) // 1000 — exact
-    integer arithmetic, so the perceptual hash stays oracle-
+    palette; r9 ask closed the matrix): all five scanline filters
+    (None/Sub/Up/Average/Paeth), all five color types (grayscale,
+    RGB, PALETTE via the PLTE indirection, gray+alpha, RGBA), every
+    spec-legal bit depth (1/2/4/8/16 — sub-byte grays scale by
+    255/(2^d-1) exactly: x255/x85/x17; 16-bit reduces to the high
+    byte), and Adam7 interlacing (seven independently-filtered
+    passes scattered back by the §8.2 grid). Color converts to luma
+    by the integer BT.601 weights (299 R + 587 G + 114 B) // 1000 —
+    exact integer arithmetic, so the perceptual hash stays oracle-
     replayable; alpha (including palette tRNS) is ignored (dHash
     compares structure, not compositing), so a palette image decodes
-    to the SAME luma as its truecolor twin. Unsupported remainder
-    raises: Adam7 interlacing reorders scanlines and sub-byte bit
-    depths repack pixels — explicit NotImplementedError guards, not
-    silent garbage.
+    to the SAME luma as its truecolor twin, interlaced to the same
+    luma as its progressive twin. Malformed input (bad signature,
+    depth/type combos outside table 11.1, stream-vs-IHDR size lies,
+    bad filter bytes, missing/short PLTE) raises ValueError — errors
+    surface as data under permissive mode, never as silent garbage.
     """
     import struct
     import zlib
@@ -1183,58 +1275,62 @@ def _png_pixels(payload: bytes):
     if ihdr is None:
         raise ValueError("no IHDR chunk")
     w, h, bit_depth, color_type, _, _, interlace = ihdr
-    if bit_depth != 8:
-        raise NotImplementedError(f"bit depth {bit_depth}: only 8 supported")
     if color_type not in _PNG_CHANNELS:
         raise NotImplementedError(f"unknown color type {color_type}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing is not supported")
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"invalid bit depth {bit_depth} for color type {color_type}"
+        )
     if color_type == 3:
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
             raise ValueError("palette PNG without a valid PLTE chunk")
     ch = _PNG_CHANNELS[color_type]
     raw = zlib.decompress(idat)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = scan[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        line = scan[y, 1:].astype(np.int32)
-        if f == 0:
-            rec = line
-        elif f == 2:  # Up: fully vectorized
-            rec = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(rec[i - ch]) if i >= ch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + int(prev[i])) >> 1
-                else:
-                    c = int(prev[i - ch]) if i >= ch else 0
-                    pred = _paeth(a, int(prev[i]), c)
-                rec[i] = (int(line[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid filter byte {f} on scanline {y}")
-        out[y] = rec.astype(np.uint8)
-        prev = out[y]
-    px = out.reshape(h, w, ch)
-    if color_type == 0:
-        return px[:, :, 0]
-    if color_type == 4:  # gray + alpha: the gray channel
-        return px[:, :, 0]
+    bpp = max(1, ch * bit_depth // 8)
+
+    def rb_of(width: int) -> int:
+        return (width * ch * bit_depth + 7) // 8
+
+    if interlace == 0:
+        rb = rb_of(w)
+        if len(raw) != h * (rb + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        samples = _row_samples(_unfilter_block(raw, h, rb, bpp), w, ch, bit_depth)
+    elif interlace == 1:
+        samples = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rb = rb_of(pw)
+            need = ph * (rb + 1)
+            if pos + need > len(raw):
+                raise ValueError("IDAT length does not match dimensions")
+            mat = _unfilter_block(raw[pos : pos + need], ph, rb, bpp)
+            samples[y0::dy, x0::dx] = _row_samples(mat, pw, ch, bit_depth)
+            pos += need
+        if pos != len(raw):
+            raise ValueError("IDAT length does not match dimensions")
+    else:
+        raise ValueError(f"invalid interlace method {interlace}")
+
+    if color_type in (0, 4):  # grayscale / gray+alpha: the gray channel
+        g = samples[:, :, 0]
+        if bit_depth < 8:
+            # exact expansion: 255 / (2^d - 1) is integral for d in 1/2/4
+            g = (g.astype(np.int64) * (255 // ((1 << bit_depth) - 1))).astype(
+                np.uint8
+            )
+        return g
     if color_type == 3:
-        # PLTE indirection: unfiltered bytes are palette indices;
-        # luma of the palette entries, indexed per pixel — exactly
-        # the truecolor luma of the same image
+        # PLTE indirection: unfiltered values are palette indices
+        # (NOT scaled at sub-byte depths); luma of the palette
+        # entries, indexed per pixel — exactly the truecolor luma of
+        # the same image
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = px[:, :, 0]
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("palette index out of PLTE range")
         p64 = pal.astype(np.int64)
@@ -1243,7 +1339,7 @@ def _png_pixels(payload: bytes):
         ) // 1000
         return pal_luma.astype(np.uint8)[idx]
     # RGB / RGBA: integer BT.601 luma, alpha ignored
-    p32 = px.astype(np.int64)
+    p32 = samples.astype(np.int64)
     luma = (
         299 * p32[:, :, 0] + 587 * p32[:, :, 1] + 114 * p32[:, :, 2]
     ) // 1000
