@@ -632,6 +632,7 @@ def _recall(spark) -> dict:
     from ts_data_pipeline_spark.operators import linalg, similarity
     from ts_data_pipeline_spark.queries.llmdata import (
         ANN_QUERY_IDS,
+        BSIGN_RERANK_FACTOR,
         EMBEDDING_DIM,
         IVFPQ_COARSE_IDS,
         IVFPQ_COARSE_ITERS,
@@ -734,6 +735,18 @@ def _recall(spark) -> dict:
             ),
             "mrl_prefix32": similarity.prefix_dim_topk(
                 emb, ANN_QUERY_IDS, 32, k=k, rerank_factor=8
+            ),
+            # r10: the 1-bit extreme of the quantization family —
+            # 64 sign bits/vector (32x compression), hamming
+            # shortlist, exact re-rank (the registered bsign leg's
+            # operating point)
+            "bsign_rf32": similarity.binary_sign_topk(
+                emb, ANN_QUERY_IDS, EMBEDDING_DIM, k=k,
+                rerank_factor=BSIGN_RERANK_FACTOR,
+            ),
+            "bsign_rf16": similarity.binary_sign_topk(
+                emb, ANN_QUERY_IDS, EMBEDDING_DIM, k=k,
+                rerank_factor=16,
             ),
         }
         # r9: the same truncation AFTER a learned PCA rotation (the

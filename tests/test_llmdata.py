@@ -2025,3 +2025,54 @@ def test_ivfpq_residual_auto_selects_by_measured_anisotropy(spark, tmp_path):
             emb_i, str(tmp_path / "bad"), PQ_CODEBOOK_IDS, list(range(8)),
             residual="yes",
         )
+
+
+def test_binary_sign_recall_and_signature_shape(spark):
+    """1-bit sign quantization + exact re-rank: (a) recall@5 vs
+    brute force at the gate's operating point (rf=32; measured 0.99
+    at sf0.01, floor 0.8 leaves SF margin), (b) the packed
+    signature is ceil(dim/32) words each within 32-bit range (the
+    twin-able packing — DuckDB raises on 1::BIGINT << 63), and the
+    hamming of a vector against its own negation is exactly dim."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        BSIGN_RERANK_FACTOR,
+        EMBEDDING_DIM,
+    )
+
+    emb = io.load(spark, SF_DIR, "embeddings")
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in similarity.binary_sign_topk(
+            emb, ANN_QUERY_IDS, EMBEDDING_DIM, k=5,
+            rerank_factor=BSIGN_RERANK_FACTOR,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"bsign recall@5 = {recall}"
+
+    v = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    sig = v.select(
+        similarity._sign_words(F.col("v"), EMBEDDING_DIM).alias("s"),
+        similarity._sign_words(
+            F.transform(F.col("v"), lambda x: -x - 1e-12), EMBEDDING_DIM
+        ).alias("neg"),
+    )
+    rows = sig.select(
+        F.size("s").alias("nw"),
+        F.array_max(F.transform("s", lambda w: F.abs(w))).alias("mx"),
+        similarity._hamming(F.col("s"), F.col("neg")).alias("hm"),
+    ).collect()
+    for r in rows:
+        assert r.nw == (EMBEDDING_DIM + 31) // 32
+        assert r.mx <= (1 << 32) - 1
+        assert r.hm == EMBEDDING_DIM, r.hm

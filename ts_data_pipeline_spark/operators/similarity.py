@@ -331,6 +331,160 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def _sign_words(vec: Column, dim: int) -> Column:
+    """Pack the sign bits of an array<double> into ceil(dim/32)
+    BIGINT words, 32 bits per word (bit j of word w = 1 iff
+    ``vec[w*32 + j] >= 0``). 32 — not 64 — bits per word so the
+    packed value never touches the BIGINT sign bit: DuckDB raises on
+    ``1::BIGINT << 63`` while Spark wraps, so the 64-bit packing is
+    not twin-able. The per-bit terms are unrolled Python-side into a
+    flat sum of ``when`` expressions — plain codegen-able arithmetic,
+    no higher-order fold."""
+    from functools import reduce
+    from operator import add
+
+    n_words = (dim + 31) // 32
+    words = []
+    for wi in range(n_words):
+        lo, hi = wi * 32, min(dim, wi * 32 + 32)
+        words.append(
+            reduce(
+                add,
+                [
+                    F.when(vec[i] >= 0, F.lit(1 << (i - lo)).cast("long"))
+                    .otherwise(F.lit(0).cast("long"))
+                    for i in range(lo, hi)
+                ],
+            )
+        )
+    return F.array(*words)
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length array<bigint> sign
+    signatures: popcount of the per-word XOR, summed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+
+
+def binary_sign_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """1-bit (sign) quantized ANN: each vector compresses to its
+    coordinate sign bits (dim bits — 64x smaller than float32, 256
+    bits/vector at d=256), candidates are shortlisted by HAMMING
+    distance to the query signature (popcount over XOR — the
+    cheapest comparison in the whole quantization family, no
+    codebook, no training), then the rerank_factor*k survivors
+    re-rank on exact cosine. The sign bits are the axis-aligned
+    special case of hyperplane LSH (Charikar 2002, "Similarity
+    estimation techniques from rounding algorithms":
+    P[bit differs] = angle/pi per coordinate hyperplane), so
+    expected hamming is monotone in angular distance.
+
+    Scale shape: identical to the PQ flat scan — the coarse pass
+    reads only the packed signature column (dim/8 bytes vs 4*dim;
+    at rest it is its own narrow column exactly like the PQ codes
+    relation), queries broadcast, no corpus shuffle, and the XOR+
+    popcount pipeline is pure integer whole-stage-codegen arithmetic
+    (measurably cheaper per candidate than the float dot of the MRL
+    prefix at the same shortlist size). Determinism: sign is exact
+    on the stored values (no float-rounding hazard), hamming ties
+    break by ascending cand_id, the exact tail is the shared
+    :func:`_pq_exact_rerank`. Twin: :func:`binary_sign_topk_sql`.
+    """
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sig = emb.select(id_col, _sign_words(F.col("v"), dim).alias("s"))
+    q = sig.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("s").alias("qs")
+    )
+    c = sig.select(F.col(id_col).alias("cand_id"), F.col("s").alias("cs"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _hamming(F.col("qs"), F.col("cs")).alias("hamm"),
+        )
+        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamm").asc(), F.col("cand_id").asc()
+    )
+    cands = (
+        scored.withColumn("hrk", F.row_number().over(w))
+        .filter(F.col("hrk") <= rerank_factor * k)
+        .select("query_id", "cand_id")
+    )
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
+
+
+def binary_sign_topk_sql(
+    query_ids: list[int],
+    dim: int,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> str:
+    """DuckDB twin of :func:`binary_sign_topk` — same 32-bit word
+    packing, hamming shortlist, tie-breaks, and exact-rerank tail."""
+    qs = ", ".join(str(i) for i in query_ids)
+    shortlist = rerank_factor * k
+    n_words = (dim + 31) // 32
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         list_transform(range(0, {n_words}), w ->
+           CAST(list_sum(list_transform(range(w * 32, least({dim}, w * 32 + 32)),
+             i -> CASE WHEN v[i + 1] >= 0
+                       THEN (CAST(1 AS BIGINT) << CAST(i - w * 32 AS INT))
+                       ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS s
+  FROM emb
+),
+q AS (SELECT vec_id AS query_id, s AS qs FROM sig WHERE vec_id IN ({qs})),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         CAST(list_sum(list_transform(range(0, {n_words}),
+           w -> bit_count(xor(q.qs[w + 1], c.s[w + 1])))) AS BIGINT) AS hamm
+  FROM sig c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+cands AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY hamm ASC, cand_id ASC) AS hrk
+    FROM scored
+  ) WHERE hrk <= {shortlist}
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT c.query_id, c.cand_id,
+         ROUND(list_dot_product(e.v, q2.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q2.v, q2.v))), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY ROUND(list_dot_product(e.v, q2.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q2.v, q2.v))), 6) DESC,
+             c.cand_id ASC) AS rank
+  FROM cands c
+  JOIN emb e ON e.vec_id = c.cand_id
+  JOIN emb q2 ON q2.vec_id = c.query_id
+) WHERE rank <= {k}
+"""
+
+
 def filtered_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -554,6 +554,13 @@ MRL_RERANK_FACTOR = 8
 #: (every third vector), engine-portable as written.
 FILTERED_ANN_PRED = "vec_id % 3 = 0"
 
+#: Binary (1-bit sign) quantization: 64 sign bits per vector — the
+#: 32x-compression extreme of the quantization family (vs sq8's 4x,
+#: PQ's 32x-with-codebooks). Hamming over 64 bits is a coarse scorer
+#: (expected hamming ~ angle * dim / pi, sigma ~ sqrt(dim)/2), so the
+#: shortlist is the widest in the family.
+BSIGN_RERANK_FACTOR = 32
+
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized candidates + exact re-rank
@@ -608,11 +615,14 @@ def _ann_index_path(
 
 
 def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All four approximate ANN paths in one result, labeled by
-    method: hyperplane-LSH buckets, IVF-flat nprobe cells, the
-    k-means-TRAINED coarse quantizer (final cluster assignment = each
-    vector's top-1 vs the trained centroid set), and int8 scalar
-    quantization with exact re-rank."""
+    """The approximate-ANN family in one result, labeled by method
+    (eleven legs): hyperplane-LSH buckets (+multi-probe), IVF-flat
+    nprobe cells, the k-means-TRAINED coarse quantizer, int8 scalar
+    quantization, flat PQ + cell-pruned IVFPQ + residual IVFADC off
+    the persisted index, the Matryoshka prefix, the attribute-
+    filtered exact scan, and 1-bit sign quantization (hamming
+    shortlist over packed sign words) — every leg ending in the
+    shared exact re-rank."""
     from ts_data_pipeline_spark.queries.timeseries import ann_ivf_topk
 
     lsh = ann_lsh_topk(spark, sf_dir).withColumn("method", F.lit("lsh"))
@@ -662,6 +672,10 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         FILTERED_ANN_PRED, k=5,
     ).withColumn("method", F.lit("filtered"))
+    bsign = similarity.binary_sign_topk(
+        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
+        EMBEDDING_DIM, k=5, rerank_factor=BSIGN_RERANK_FACTOR,
+    ).withColumn("method", F.lit("bsign"))
     km = (
         similarity.kmeans_assign(
             io.load(spark, sf_dir, "embeddings"),
@@ -680,6 +694,7 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
         .unionByName(mp).unionByName(pq).unionByName(ivfpq)
         .unionByName(ivfpq_res).unionByName(mrl).unionByName(filt)
+        .unionByName(bsign)
     )
 
 
@@ -717,6 +732,10 @@ def _ann_lsh_ivf_sql() -> str:
     filt = similarity.filtered_topk_sql(
         ANN_QUERY_IDS, FILTERED_ANN_PRED, k=5
     )
+    bsign = similarity.binary_sign_topk_sql(
+        ANN_QUERY_IDS, EMBEDDING_DIM, k=5,
+        rerank_factor=BSIGN_RERANK_FACTOR,
+    )
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
         f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
@@ -729,7 +748,8 @@ def _ann_lsh_ivf_sql() -> str:
         f"UNION ALL\nSELECT *, 'ivfpq' AS method FROM ({ivfpq})\n"
         f"UNION ALL\nSELECT *, 'ivfpq_res' AS method FROM ({ivfpq_res})\n"
         f"UNION ALL\nSELECT *, 'mrl' AS method FROM ({mrl})\n"
-        f"UNION ALL\nSELECT *, 'filtered' AS method FROM ({filt})"
+        f"UNION ALL\nSELECT *, 'filtered' AS method FROM ({filt})\n"
+        f"UNION ALL\nSELECT *, 'bsign' AS method FROM ({bsign})"
     )
 
 
