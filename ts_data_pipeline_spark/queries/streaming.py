@@ -630,6 +630,81 @@ WHERE bucket + INTERVAL 15 MINUTE <= {_FINAL_WATERMARK_SQL}
 """
 
 
+def streaming_interval_join_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join as a REGISTERED
+    hash-exact gate (previously pytest-only): every purchase pairs
+    with the same user's views from the preceding 12 hours — the
+    attribution-join shape — via windowed.stream_stream_time_join
+    (both sides watermarked; the time-range condition is what lets
+    Spark bound BOTH sides' join state, the one streaming shape whose
+    state is otherwise unbounded).
+
+    Both sides are branches of ONE replayed stream (a streaming
+    self-join). Because the replay chunks are time-ordered and the
+    inner join emits eagerly on match (no watermark wait), the
+    availableNow finals are EXACTLY the batch join — the oracle is
+    the plain DuckDB join with no watermark restriction; state
+    eviction (right rows older than watermark - lookback) provably
+    never drops a viable pair under time-ordered arrival.
+
+    Ref: the reference pairs trades to quotes in batch
+    (/root/reference/darkpool_trades/main.py NBBO enrichment); this
+    is the streaming form of that pairing over the events feed.
+    """
+    from ts_data_pipeline_spark.streaming import windowed as w
+
+    ev = io.load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        views = stream.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        buys = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("buy_id"), "user_id", "ts"
+        )
+        j = w.stream_stream_time_join(
+            buys, views, key="user_id", left_ts="ts",
+            right_ts="view_ts", lookback="12 hours",
+        )
+        return j.select(
+            "buy_id",
+            "view_id",
+            "user_id",
+            F.col("ts").alias("buy_ts"),
+            "view_ts",
+            # exact integer MICROSECONDS: unix_timestamp floors each
+            # side to seconds while DuckDB's epoch() keeps fractions
+            # and CAST rounds — the us grain is the one both engines
+            # compute exactly
+            (F.unix_micros("ts") - F.unix_micros("view_ts")).alias("lag_us"),
+        )
+
+    return _run_replay_gate(spark, ev, "tsdp_ssjoin_", build)
+
+
+def _streaming_interval_join_finals_sql() -> str:
+    return """
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT event_id AS buy_id, user_id, ts AS buy_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT b.buy_id, v.view_id, b.user_id, b.buy_ts, v.view_ts,
+       epoch_us(b.buy_ts) - epoch_us(v.view_ts) AS lag_us
+FROM b JOIN v
+  ON v.user_id = b.user_id
+ AND v.view_ts <= b.buy_ts
+ AND v.view_ts >= b.buy_ts - INTERVAL 12 HOUR
+"""
+
+
 def streaming_queryspec_interp_finals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QuerySpec streaming breadth #2 (VERDICT r9 ask #7): group-by-
     tags (A9) + Previous interpolation (A8) under append-mode finals —
@@ -720,7 +795,7 @@ FROM j
 """
 
 
-# The ten streaming finals gates register as ONE suite entry
+# The eleven streaming finals gates register as ONE suite entry
 # (queries/suites.py::_streaming_finals_members) — the driver's
 # CORRECTNESS artifact records only the first 50 queries() entries,
 # and rounds 7/8 proved the overflow rows silently vanish from the

@@ -1150,7 +1150,7 @@ def _media_members() -> list[Member]:
 
 
 def _streaming_finals_members() -> list[Member]:
-    """The ten streaming finals gates as ONE registry entry.
+    """The eleven streaming finals gates as ONE registry entry.
 
     Until round 8 these were nine separate entries at the registry
     tail — and because the driver's CORRECTNESS artifact records only
@@ -1245,6 +1245,13 @@ def _streaming_finals_members() -> list[Member]:
             S.streaming_queryspec_interp_finals,
             S._streaming_queryspec_interp_finals_sql(),
             (("bucket", "t"), ("tag_k", "s"), ("purchase_mean", "d")),
+        ),
+        Member(
+            "interval_join",
+            S.streaming_interval_join_finals,
+            S._streaming_interval_join_finals_sql(),
+            (("buy_id", "l"), ("view_id", "l"), ("user_id", "l"),
+             ("buy_ts", "t"), ("view_ts", "t"), ("lag_us", "l")),
         ),
     ]
 
