@@ -1331,27 +1331,37 @@ def test_interpolate_finals_composes_to_batch_evaluate(spark):
     )
 
     pv = events_as_parameter_values(io.load(spark, SF_DIR, "events"))
-    full = QuerySpec(
+    base = QuerySpec(
         numeric_aggregations=[NumericAggregation("purchase", "Mean")],
         from_ts="2024-01-02 00:00:00",
         to_ts="2024-01-12 00:00:00",
         stream_ids=["2"],
-        group_by_time=GroupByTime("6 hours", "Previous"),
+        group_by_time=GroupByTime("6 hours"),
         group_by_tags=["k"],
     )
-    stripped = replace(full, group_by_time=GroupByTime("6 hours"))
-    finals = evaluate(pv, stripped)
-    composed = interpolate_finals(finals, full)
-    batch = evaluate(pv, full)
-
+    finals = evaluate(pv, base)
     key = ["bucket", "tag_k"]
-    a = sorted(composed.collect(), key=lambda r: (str(r["bucket"]), str(r["tag_k"])))
-    b = sorted(batch.collect(), key=lambda r: (str(r["bucket"]), str(r["tag_k"])))
-    assert len(a) == len(b) > 0
-    assert a == b
-    # The fill is non-vacuous: some spine buckets had no finals row
-    # yet carry a Previous-filled value.
-    filled = composed.join(finals, key, "left_anti").filter(
-        F.col("purchase_mean").isNotNull()
-    )
-    assert filled.count() > 0
+    for mode in ("Previous", "Linear"):
+        full = replace(base, group_by_time=GroupByTime("6 hours", mode))
+        composed = interpolate_finals(finals, full)
+        batch = evaluate(pv, full)
+        a = sorted(
+            composed.collect(), key=lambda r: (str(r["bucket"]), str(r["tag_k"]))
+        )
+        b = sorted(
+            batch.collect(), key=lambda r: (str(r["bucket"]), str(r["tag_k"]))
+        )
+        assert len(a) == len(b) > 0, mode
+        assert a == b, mode
+        # The fill is non-vacuous for Previous (one prior value per
+        # tag suffices). Linear needs a non-null on BOTH sides of an
+        # interior gap in the SAME tag group — at sf0.001 the per-tag
+        # series are too sparse for that (most tags carry one value),
+        # so Linear is pinned by the identity above here and by the
+        # sf0.01 suite member's hash compare, where interior gaps
+        # exist.
+        if mode == "Previous":
+            filled = composed.join(finals, key, "left_anti").filter(
+                F.col("purchase_mean").isNotNull()
+            )
+            assert filled.count() > 0, mode

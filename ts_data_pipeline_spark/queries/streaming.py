@@ -722,8 +722,11 @@ def streaming_queryspec_interp_finals(spark: SparkSession, sf_dir: str) -> DataF
     the interpolating spec — which is exactly what the oracle states.
 
     Spec: the telemetry_interp case (6-hour buckets, stream 2, mean
-    purchase) widened by group_by_tags=["k"], so the Previous fill
-    runs per tag group over real gaps.
+    purchase) widened by group_by_tags=["k"], so the fills run per
+    tag group over real gaps. ONE replay serves BOTH fill modes
+    (Previous and Linear) — the landed finals are mode-independent,
+    only the sink-side fill differs, which is exactly the
+    amortization the split exists for.
     Ref: /root/reference/dashboard/src/services/quix.ts:123-131 (live
     feed serving the same getDataRequest the REST path serves);
     interpolationType.ts (Null/Previous/Linear).
@@ -752,19 +755,28 @@ def streaming_queryspec_interp_finals(spark: SparkSession, sf_dir: str) -> DataF
         spark, pv, "tsdp_qinterp_",
         lambda stream: evaluate_stream(stream, stream_spec),
     )
-    sink_spec = replace(
-        stream_spec, group_by_time=GroupByTime("6 hours", "Previous")
-    )
-    return interpolate_finals(finals, sink_spec)
+    parts = []
+    for mode in ("Previous", "Linear"):
+        sink_spec = replace(
+            stream_spec, group_by_time=GroupByTime("6 hours", mode)
+        )
+        parts.append(
+            interpolate_finals(finals, sink_spec).select(
+                F.lit(mode).alias("mode"), "*"
+            )
+        )
+    return parts[0].unionByName(parts[1])
 
 
 def _streaming_queryspec_interp_finals_sql() -> str:
     from ts_data_pipeline_spark.queries.telemetry import PV_SQL
 
     # Batch evaluate() with the interpolating spec: per-tag 6-hour
-    # means -> dense spine x the agg's distinct tag groups -> Previous
-    # fill partitioned by tag. No watermark restriction: the whole
-    # range is closed, so streaming finals == the batch aggregation.
+    # means -> dense spine x the agg's distinct tag groups -> fill
+    # partitioned by tag, once per mode over the SAME joined spine
+    # (j AS MATERIALIZED: referenced twice). No watermark
+    # restriction: the whole range is closed, so streaming finals ==
+    # the batch aggregation.
     return f"""
 WITH pv AS ({PV_SQL}),
 agg AS (
@@ -781,17 +793,42 @@ spine AS (
                                 INTERVAL '6 hours')) AS bucket
 ),
 grps AS (SELECT DISTINCT tag_k FROM agg),
-j AS (
+j AS MATERIALIZED (
   SELECT s.bucket, g.tag_k, a.v
   FROM spine s CROSS JOIN grps g
   LEFT JOIN agg a ON a.bucket = s.bucket AND a.tag_k = g.tag_k
+),
+lin AS (
+  SELECT bucket, tag_k, v,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY tag_k ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_,
+    first_value(v IGNORE NULLS) OVER (
+      PARTITION BY tag_k ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv_,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER (
+      PARTITION BY tag_k ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb_,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(bucket) END IGNORE NULLS) OVER (
+      PARTITION BY tag_k ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb_
+  FROM j
 )
-SELECT bucket, tag_k,
+SELECT 'Previous' AS mode, bucket, tag_k,
        last_value(v IGNORE NULLS) OVER (
          PARTITION BY tag_k ORDER BY bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
        ) AS purchase_mean
 FROM j
+UNION ALL
+SELECT 'Linear' AS mode, bucket, tag_k,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv_ IS NULL OR nv_ IS NULL THEN NULL
+            ELSE ROUND(pv_ + (nv_ - pv_) *
+                       CAST(epoch_us(bucket) - pb_ AS DOUBLE) /
+                       CAST(nb_ - pb_ AS DOUBLE), 4)
+       END AS purchase_mean
+FROM lin
 """
 
 

@@ -1244,7 +1244,8 @@ def _streaming_finals_members() -> list[Member]:
             "queryspec_interp",
             S.streaming_queryspec_interp_finals,
             S._streaming_queryspec_interp_finals_sql(),
-            (("bucket", "t"), ("tag_k", "s"), ("purchase_mean", "d")),
+            (("mode", "s"), ("bucket", "t"), ("tag_k", "s"),
+             ("purchase_mean", "d")),
         ),
         Member(
             "interval_join",
