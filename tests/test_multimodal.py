@@ -48,20 +48,26 @@ def test_fake_decoder_plumbing_still_works(spark):
 
 def test_png_decoder_roundtrip():
     """The stdlib PNG codec pair: synthesize -> decode recovers the
-    exact header fields and pixel sum."""
+    exact header fields and pixel sum for EVERY encoding class of
+    the corpus (gray8/RGB/RGBA/palette/Adam7/gray16 — doc_id % 6),
+    all luma-invariant by construction."""
     from ts_data_pipeline_spark.operators import multimodal as mm
 
-    for doc_id in (0, 7, 123, 4999):
+    # 0..5 covers each class once; the larger ids re-cover classes
+    # at other sizes (123 % 6 = 3 palette, 4999 % 6 = 1 RGB,
+    # 22 % 6 = 4 Adam7 at w=7 x h=7 — multiple passes populated)
+    for doc_id in (0, 1, 2, 3, 4, 5, 7, 22, 123, 4999):
         w, h = doc_id % 16 + 1, doc_id % 8 + 1
+        depth, ctype, _inter = mm.PNG_ENCODING_CLASSES[doc_id % 6]
         got = mm._decode_png(mm.synthesize_png(doc_id))
         want_sum = sum(
             (doc_id * 17 + y * 31 + x * 7) % 256
             for y in range(h) for x in range(w)
         )
         assert got == {
-            "width": w, "height": h, "bit_depth": 8, "color_type": 0,
-            "n_pixels": w * h, "pix_sum": want_sum,
-        }
+            "width": w, "height": h, "bit_depth": depth,
+            "color_type": ctype, "n_pixels": w * h, "pix_sum": want_sum,
+        }, doc_id
 
 
 def test_png_decoder_rejects_garbage():

@@ -123,15 +123,35 @@ def _decode_wav(payload: bytes) -> dict:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+#: Encoding class per doc (doc_id % 6) for the synthetic PNG corpus:
+#: (bit_depth, color_type, interlace). Every class is LUMA-INVARIANT
+#: — pixel(y, x) = (doc_id*17 + y*31 + x*7) % 256 decodes to the
+#: same 8-bit luma whatever the wire encoding (RGB(A) writes r=g=b,
+#: palette uses an identity-gray PLTE, 16-bit puts the value in the
+#: high byte, Adam7 only reorders) — so the pixel-formula DuckDB
+#: twins hold across the whole matrix and the gates now exercise
+#: every decode path the corpus can carry, not just gray8.
+PNG_ENCODING_CLASSES = {
+    0: (8, 0, 0),   # grayscale, progressive (the original form)
+    1: (8, 2, 0),   # RGB, r=g=b
+    2: (8, 6, 0),   # RGBA, alpha ignored by luma
+    3: (8, 3, 0),   # palette via identity-gray PLTE
+    4: (8, 0, 1),   # grayscale, Adam7 interlaced
+    5: (16, 0, 0),  # 16-bit grayscale, junk low byte
+}
+
+
 def synthesize_png(doc_id: int) -> bytes:
-    """A real, valid PNG (signature, IHDR, zlib IDAT, IEND, correct
-    CRCs): 8-bit grayscale, width = doc_id % 16 + 1, height =
-    doc_id % 8 + 1, pixel(y, x) = (doc_id*17 + y*31 + x*7) % 256,
-    filter 0 scanlines."""
+    """A real, valid PNG (signature, IHDR, zlib IDAT, [PLTE,] IEND,
+    correct CRCs): width = doc_id % 16 + 1, height = doc_id % 8 + 1,
+    luma(y, x) = (doc_id*17 + y*31 + x*7) % 256, filter 0 scanlines,
+    wire encoding selected by :data:`PNG_ENCODING_CLASSES`
+    (doc_id % 6)."""
     import struct
     import zlib
 
     w, h = doc_id % 16 + 1, doc_id % 8 + 1
+    bit_depth, color_type, interlace = PNG_ENCODING_CLASSES[doc_id % 6]
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -141,18 +161,43 @@ def synthesize_png(doc_id: int) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00"
-        + bytes((doc_id * 17 + y * 31 + x * 7) % 256 for x in range(w))
-        for y in range(h)
-    )
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
-    )
+    def p(y: int, x: int) -> int:
+        return (doc_id * 17 + y * 31 + x * 7) % 256
+
+    def row_bytes(y: int, xs: range) -> bytes:
+        if color_type == 2:
+            return bytes(b for x in xs for b in (p(y, x),) * 3)
+        if color_type == 6:
+            return bytes(
+                b
+                for x in xs
+                for b in (p(y, x),) * 3 + ((doc_id + x + y) % 256,)
+            )
+        if bit_depth == 16:
+            return bytes(
+                b
+                for x in xs
+                for b in (p(y, x), (doc_id * 5 + y * 11 + x * 3) % 256)
+            )
+        # gray8 / palette8 (identity palette: index == luma)
+        return bytes(p(y, x) for x in xs)
+
+    if interlace == 0:
+        raw = b"".join(b"\x00" + row_bytes(y, range(w)) for y in range(h))
+    else:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            cols = range(x0, w, dx)
+            rows = range(y0, h, dy)
+            if len(cols) == 0 or len(rows) == 0:
+                continue
+            raw += b"".join(b"\x00" + row_bytes(y, cols) for y in rows)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", bytes(i for v in range(256) for i in (v, v, v)))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
 def _decode_png(payload: bytes) -> dict:
@@ -910,8 +955,11 @@ WITH px AS (
 SELECT doc_id,
        CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE width END AS width,
        CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE height END AS height,
-       CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE 8 END AS bit_depth,
-       CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE 0 END AS color_type,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL
+            WHEN doc_id % 6 = 5 THEN 16 ELSE 8 END AS bit_depth,
+       CASE WHEN cls IN (3, 7, 9) THEN NULL
+            ELSE CASE doc_id % 6 WHEN 1 THEN 2 WHEN 2 THEN 6
+                 WHEN 3 THEN 3 ELSE 0 END END AS color_type,
        CASE WHEN cls IN (3, 7, 9) THEN NULL
             ELSE width * height END AS n_pixels,
        CASE WHEN cls IN (3, 7, 9) THEN NULL ELSE pix_sum END AS pix_sum,
@@ -962,7 +1010,9 @@ WITH px AS (
 )
 SELECT doc_id,
        width, height,
-       8 AS bit_depth, 0 AS color_type,
+       CASE WHEN doc_id % 6 = 5 THEN 16 ELSE 8 END AS bit_depth,
+       CASE doc_id % 6 WHEN 1 THEN 2 WHEN 2 THEN 6 WHEN 3 THEN 3
+            ELSE 0 END AS color_type,
        width * height AS n_pixels,
        pix_sum,
        ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4) AS pix_mean
