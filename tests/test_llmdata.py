@@ -2076,3 +2076,71 @@ def test_binary_sign_recall_and_signature_shape(spark):
         assert r.nw == (EMBEDDING_DIM + 31) // 32
         assert r.mx <= (1 << 32) - 1
         assert r.hm == EMBEDDING_DIM, r.hm
+
+
+def test_ivfpq_index_compact_and_maintenance_decision(spark, tmp_path):
+    """Index maintenance (the operational tail of the persisted-index
+    story): appends fragment cell partitions into many small files;
+    ivfpq_index_compact restores one file per cell WITHOUT changing a
+    single query result (codes re-laid-out, never re-encoded), via a
+    verified tmp-write-then-swap that refuses to touch the live index
+    on a row-count mismatch. ivf_maintenance_decision recommends the
+    compaction from measured stats and stays quiet on a fresh build."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        IVFPQ_COARSE_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    seed_ids = set(PQ_CODEBOOK_IDS) | set(IVFPQ_COARSE_IDS)
+    head = emb.filter(
+        (F.col("vec_id") < 300) | F.col("vec_id").isin(list(seed_ids))
+    )
+    mid = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    tail = emb.filter(F.col("vec_id") >= 400).join(
+        head.select("vec_id"), "vec_id", "left_anti"
+    )
+    path = str(tmp_path / "ividx")
+    similarity.ivfpq_build_index(
+        head, path, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS
+    )
+    fresh = similarity.ivfpq_index_stats(spark, path)
+    assert not similarity.ivf_maintenance_decision(fresh)["compact"]
+
+    assert similarity.pq_index_append(spark, path, mid) > 0
+    assert similarity.pq_index_append(spark, path, tail) > 0
+    frag = similarity.ivfpq_index_stats(spark, path)
+    assert frag["files_per_cell_max"] >= 3  # build + two appends
+    assert frag["rows_total"] == emb.count()
+    decision = similarity.ivf_maintenance_decision(frag)
+    assert decision["compact"] is True
+    assert decision["evidence"]["files_per_cell_mean"] > 2.0
+
+    def results():
+        return sorted(
+            (r.query_id, r.cand_id, r.cos_sim, r.rank)
+            for r in similarity.ivfpq_query_index(
+                spark, path, emb, ANN_QUERY_IDS, k=5, nprobe=2,
+                rerank_factor=4,
+            ).collect()
+        )
+
+    pre = results()
+    out = similarity.ivfpq_index_compact(spark, path)
+    assert out["files_after"] < out["files_before"]
+    assert out["files_per_cell_max_after"] == 1
+    assert out["rows_total"] == frag["rows_total"]
+    after = similarity.ivfpq_index_stats(spark, path)
+    assert after["files_per_cell_max"] == 1
+    assert after["rows_by_cell"] == frag["rows_by_cell"]
+    assert results() == pre and len(pre) > 0  # bit-identical answers
+    assert not os.path.exists(
+        os.path.join(path, "codes.compact.tmp")
+    )  # no tmp debris (unique-suffixed tmps removed on swap)

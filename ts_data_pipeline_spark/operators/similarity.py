@@ -2950,6 +2950,156 @@ def _read_cents(spark, path: str) -> DataFrame:
     )
 
 
+def ivfpq_index_stats(spark, path: str) -> dict:
+    """Per-cell health of a persisted IVF(PQ) index — the inputs to
+    the maintenance decisions: row/file/byte counts per
+    ``codes/cell=<id>/`` partition, the row-imbalance factor
+    (max/mean — skewed cells mean the coarse quantizer no longer fits
+    the data), and the mean files-per-cell (appends only ever ADD
+    files — :func:`pq_index_append` — so file counts grow without
+    bound until compaction). One scan for the row counts (grouped on
+    the partition column, so it prunes nothing but reads only
+    footers + the id column) plus a filesystem walk for file/byte
+    counts."""
+    import os
+
+    codes = os.path.join(path, "codes")
+    rows = {
+        int(r["cell"]): int(r["n"])
+        for r in spark.read.parquet(codes)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    files, bytes_ = {}, {}
+    for name in os.listdir(codes):
+        if not name.startswith("cell="):
+            continue
+        cell = int(name.split("=", 1)[1])
+        fs = [
+            f
+            for f in os.listdir(os.path.join(codes, name))
+            if f.endswith(".parquet")
+        ]
+        files[cell] = len(fs)
+        bytes_[cell] = sum(
+            os.path.getsize(os.path.join(codes, name, f)) for f in fs
+        )
+    n_cells = len(rows)
+    total = sum(rows.values())
+    mean_rows = total / n_cells if n_cells else 0.0
+    return {
+        "n_cells": n_cells,
+        "rows_total": total,
+        "rows_max": max(rows.values(), default=0),
+        "imbalance": round(max(rows.values(), default=0) / mean_rows, 4)
+        if mean_rows
+        else 0.0,
+        "files_total": sum(files.values()),
+        "files_per_cell_mean": round(
+            sum(files.values()) / n_cells, 4
+        )
+        if n_cells
+        else 0.0,
+        "files_per_cell_max": max(files.values(), default=0),
+        "bytes_total": sum(bytes_.values()),
+        "rows_by_cell": rows,
+        "files_by_cell": files,
+    }
+
+
+def ivfpq_index_compact(spark, path: str) -> dict:
+    """Small-file compaction for an appended IVF(PQ) index: rewrite
+    the codes relation so each cell partition holds ONE file again
+    (``repartition("cell")`` hashes every row of a cell into the same
+    task, so the partitioned write emits exactly one file per cell),
+    leaving codebooks/centroids/meta untouched — codes are re-laid-
+    out, never re-encoded, so query results are bit-identical
+    (pytest-pinned) and the operation is pure I/O hygiene.
+
+    Why it matters at 100 TB: every append adds >= 1 file per touched
+    cell and a probe must open every file of every probed cell —
+    after k appends a nprobe-cell query pays k*nprobe file opens +
+    footer reads for the same bytes. Compaction restores the
+    1-file-per-cell floor the build wrote. (On a cluster this write
+    is the same cell-partitioned shuffle as the build's; the swap
+    below is a local-FS stand-in for a transactional table commit.)
+
+    The rewrite goes to ``codes.compact.tmp`` first and swaps in only
+    after a ROW-COUNT EQUALITY check, so a failed job leaves the live
+    index untouched. Returns before/after stats (files_total,
+    bytes_total, rows_total).
+    """
+    import os
+    import shutil
+    import uuid
+
+    codes = os.path.join(path, "codes")
+    before = ivfpq_index_stats(spark, path)
+    tmp = os.path.join(path, f"codes.compact.{uuid.uuid4().hex[:8]}.tmp")
+    df = spark.read.parquet(codes)
+    df.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    n_new = spark.read.parquet(tmp).count()
+    if n_new != before["rows_total"]:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row-count mismatch: {n_new} != "
+            f"{before['rows_total']} — live codes left untouched"
+        )
+    old = os.path.join(path, f"codes.old.{uuid.uuid4().hex[:8]}")
+    os.rename(codes, old)
+    os.rename(tmp, codes)
+    shutil.rmtree(old, ignore_errors=True)
+    after = ivfpq_index_stats(spark, path)
+    return {
+        "rows_total": after["rows_total"],
+        "files_before": before["files_total"],
+        "files_after": after["files_total"],
+        "bytes_before": before["bytes_total"],
+        "bytes_after": after["bytes_total"],
+        "files_per_cell_max_after": after["files_per_cell_max"],
+    }
+
+
+#: Maintenance decision thresholds: compact when the mean cell has
+#: accumulated more than this many files (each probe pays
+#: files-per-cell file opens per probed cell); flag retrain when the
+#: largest cell exceeds this multiple of the mean (the coarse
+#: quantizer no longer balances the corpus, so nprobe/nlist stops
+#: predicting bytes read — the measured pruning fraction degrades
+#: toward the hot cell's share).
+IVF_COMPACT_FILES_PER_CELL = 2.0
+IVF_RETRAIN_IMBALANCE = 4.0
+
+
+def ivf_maintenance_decision(
+    stats: dict,
+    files_per_cell: float = IVF_COMPACT_FILES_PER_CELL,
+    imbalance: float = IVF_RETRAIN_IMBALANCE,
+) -> dict:
+    """The ``bloom_pays``-style measured decision for index
+    maintenance, off :func:`ivfpq_index_stats` evidence: COMPACT is
+    cheap (I/O re-layout, results identical) and recommended as soon
+    as appends have fragmented cells; RETRAIN is expensive (new
+    centroids re-partition the corpus; a residual index also
+    re-encodes) and recommended only when cell skew says the pinned
+    quantizer has drifted off the data distribution."""
+    return {
+        "compact": stats["files_per_cell_mean"] > files_per_cell,
+        "retrain": stats["imbalance"] > imbalance,
+        "evidence": {
+            "files_per_cell_mean": stats["files_per_cell_mean"],
+            "files_per_cell_threshold": files_per_cell,
+            "imbalance": stats["imbalance"],
+            "imbalance_threshold": imbalance,
+            "n_cells": stats["n_cells"],
+            "rows_total": stats["rows_total"],
+        },
+    }
+
+
 #: residual="auto" decision threshold: residual-encode when the
 #: covariance spectrum's PARTICIPATION RATIO (sum(lambda))^2 /
 #: sum(lambda^2) — the effective dimensionality of the cloud — falls
