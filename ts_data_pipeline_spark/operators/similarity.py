@@ -186,6 +186,17 @@ def _prefix_shortlist(
         F.col("p").alias("cp"),
         F.sqrt(dot(F.col("p"), F.col("p"))).alias("cn"),
     ).filter(F.col("cn") > 0)
+    return _prefix_shortlist_from(q, c, k, rerank_factor)
+
+
+def _prefix_shortlist_from(
+    q: DataFrame, c: DataFrame, k: int, rerank_factor: int
+) -> DataFrame:
+    """The scoring core behind :func:`_prefix_shortlist`, split out
+    so the stored-prefix index path can feed a RE-LITERALIZED query
+    relation (one scan of the stored prefix table instead of two).
+    ``q`` = (query_id, qp, qn), ``c`` = (cand_id, cp, cn), both
+    zero-norm-guarded by the caller."""
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -483,6 +494,189 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
   JOIN emb q2 ON q2.vec_id = c.query_id
 ) WHERE rank <= {k}
 """
+
+
+def prefix_index_write(
+    embeddings: DataFrame,
+    path: str,
+    d_prefix: int,
+    basis: tuple[list[list[float]], list[float]] | None = None,
+    basis_path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the PCA-rotated prefix as its own narrow ``(id, p)``
+    relation — projection AT REST. ``pca_prefix_topk`` pays the
+    literal-matrix projection over the FULL vector column on every
+    query (the measured ~3x-the-raw-slice query cost); storing the
+    projected d_prefix-dim column once makes the coarse scan read
+    d_prefix/d of the bytes and do zero projection work per query —
+    the same store-the-derived-column move as the PQ codes and the
+    sign signatures. The basis sidecar is copied into the index so
+    the artifact is self-describing (appends project new rows under
+    the SAME pinned rotation, the pinned-frame contract)."""
+    import json
+    import os
+
+    from ts_data_pipeline_spark.operators import linalg
+
+    if basis_path is not None:
+        if basis is not None:
+            raise ValueError("pass basis OR basis_path, not both")
+        comps_all, vals, mu = linalg.pca_basis_read(basis_path)
+        basis = (comps_all, mu)
+    else:
+        if basis is None:
+            raise ValueError("prefix_index_write requires basis or basis_path")
+        vals = []
+    comps, mu = basis
+    comps = comps[:d_prefix]
+    if len(comps) < d_prefix:
+        raise ValueError(
+            f"basis has {len(comps)} components < d_prefix={d_prefix}"
+        )
+    pref = linalg.pca_project_array(embeddings, comps, mu, vec_col, id_col)
+    pref.write.mode("overwrite").parquet(os.path.join(path, "prefix"))
+    linalg.pca_basis_write(
+        os.path.join(path, "_pca_basis.json"), comps, vals[:d_prefix], mu
+    )
+    meta = {"d_prefix": d_prefix, "id_col": id_col}
+    with open(os.path.join(path, "_prefix_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def prefix_query_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted rotated-prefix relation: coarse cosine
+    over the STORED narrow ``(id, p)`` table (query rows
+    re-literalized — bounded collect — so the table is scanned once),
+    exact full-vector re-rank on the shortlist. Value-identical to
+    ``pca_prefix_topk`` under the same persisted basis (bit-exact
+    projection round-trip; pytest-pinned)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_prefix_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index id_col {meta['id_col']!r} != requested {id_col!r}"
+        )
+    pref = spark.read.parquet(os.path.join(path, "prefix"))
+    q_rel = pref.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("p").alias("qp"),
+        F.sqrt(dot(F.col("p"), F.col("p"))).alias("qn"),
+    ).filter(F.col("qn") > 0)
+    q = spark.createDataFrame(q_rel.collect(), q_rel.schema)
+    c = pref.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("p").alias("cp"),
+        F.sqrt(dot(F.col("p"), F.col("p"))).alias("cn"),
+    ).filter(F.col("cn") > 0)
+    cands = _prefix_shortlist_from(q, c, k, rerank_factor)
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
+
+
+def bsign_index_write(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the 1-bit signature relation as its own narrow table
+    (``(id, s)`` — ceil(dim/32) bigint words per row, ~dim/8 bytes vs
+    4*dim for the float vectors), the at-rest layout that makes the
+    sign-quantized coarse scan CHEAP IN BYTES, not just in flops:
+    :func:`binary_sign_topk` computes signatures on the fly and so
+    still scans the full vector column; the index variant scans only
+    this relation (measured in tests via plans/scanmetrics —
+    the same plan-vs-measured upgrade the IVF cell pruning got in
+    round 9). No training, no codebooks: the 'index build' is one
+    narrow projection, and append = write more rows (signatures are
+    row-independent, nothing pinned to refresh)."""
+    import json
+    import os
+
+    sig = embeddings.select(
+        F.col(id_col),
+        _sign_words(
+            F.col(vec_col).cast("array<double>"), dim
+        ).alias("s"),
+    )
+    sig.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    meta = {"dim": dim, "id_col": id_col, "n_words": (dim + 31) // 32}
+    with open(os.path.join(path, "_bsign_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def bsign_query_index(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the persisted sign-signature relation: hamming shortlist
+    over the STORED (id, s) table — the coarse pass never touches the
+    float vectors — then the shared exact re-rank joins raw vectors
+    for the query-bounded shortlist only. Value-identical to
+    :func:`binary_sign_topk` (same packing, same tie-breaks;
+    pytest-pinned), so the registered gate's DuckDB twin covers this
+    path's semantics too."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_bsign_meta.json")) as fh:
+        meta = json.load(fh)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index id_col {meta['id_col']!r} != requested {id_col!r}"
+        )
+    sig = spark.read.parquet(os.path.join(path, "signatures"))
+    # RE-LITERALIZE the query signatures (bounded collect: |query_ids|
+    # rows) so the stored relation is scanned ONCE — without this the
+    # q and c branches each list the full signature file and the
+    # measured coarse-pass bytes double (pinned in
+    # tests/test_scale_patterns.py).
+    q_rel = sig.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("s").alias("qs")
+    )
+    q = spark.createDataFrame(q_rel.collect(), q_rel.schema)
+    c = sig.select(F.col(id_col).alias("cand_id"), F.col("s").alias("cs"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _hamming(F.col("qs"), F.col("cs")).alias("hamm"),
+        )
+        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamm").asc(), F.col("cand_id").asc()
+    )
+    cands = (
+        scored.withColumn("hrk", F.row_number().over(w))
+        .filter(F.col("hrk") <= rerank_factor * k)
+        .select("query_id", "cand_id")
+    )
+    return _pq_exact_rerank(embeddings, cands, query_ids, k, id_col, vec_col)
 
 
 def filtered_topk(
