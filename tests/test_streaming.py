@@ -1365,3 +1365,68 @@ def test_interpolate_finals_composes_to_batch_evaluate(spark):
                 F.col("purchase_mean").isNotNull()
             )
             assert filled.count() > 0, mode
+
+
+def test_interval_join_state_bounded_by_range_condition(spark, tmp_path):
+    """The stream-stream interval join's 100 TB claim, measured: the
+    event-time range condition is what lets Spark evict both sides'
+    join state at the watermark, so across an 8-batch time-ordered
+    replay of a month of events the join state stays a small
+    fraction of the input (each batch holds ~its own rows plus the
+    12-hour survivor tail) instead of accumulating every row ever
+    seen. Pinned as numbers off stateOperatorProgress, the same
+    treatment as the CEP state pin."""
+    from pyspark.sql.window import Window
+
+    from ts_data_pipeline_spark.streaming import windowed
+
+    ev = io.load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    n_total = ev.count()
+    data_dir = str(tmp_path / "data")
+    chunks = ev.withColumn(
+        "chunk", F.ntile(8).over(Window.orderBy("ts"))
+    ).localCheckpoint(eager=True)
+    for i in range(1, 9):
+        chunks.filter(F.col("chunk") == i).drop("chunk").coalesce(
+            1
+        ).write.mode("append").parquet(data_dir)
+
+    stream = windowed.parquet_stream(spark, data_dir, ev.schema, max_files=1)
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    buys = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), "user_id", "ts"
+    )
+    j = windowed.stream_stream_time_join(
+        buys, views, key="user_id", left_ts="ts",
+        right_ts="view_ts", lookback="12 hours",
+    )
+    q = windowed.run_available_now(
+        j, "t_ssjoin_state", str(tmp_path / "ckpt")
+    )
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    q.stop()
+    assert len(progresses) >= 8
+    totals = [
+        op["numRowsTotal"]
+        for p in progresses
+        for op in p["stateOperators"]
+    ]
+    assert max(totals) > 0
+    # Eviction lags one micro-batch (the batch runs under the PRIOR
+    # watermark), so the ceiling is ~2 chunks of survivors + the
+    # 12-hour tail — far below "every row ever seen". 8 chunks of a
+    # ~30-day corpus put 2 chunks at 25%; 50% leaves margin for
+    # chunk-boundary skew while still proving eviction.
+    assert max(totals) <= 0.5 * n_total, (max(totals), n_total)
+    # and the final batch's state is the steady-state tail, smaller
+    # than one chunk's worth of rows
+    final_total = sum(
+        op["numRowsTotal"] for op in progresses[-1]["stateOperators"]
+    )
+    assert final_total <= 0.35 * n_total, (final_total, n_total)
