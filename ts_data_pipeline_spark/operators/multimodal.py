@@ -1529,6 +1529,71 @@ def image_dhash_dups(
     )
 
 
+def media_recipe(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The composed media-corpus pass (the image lane's
+    recipe_training_corpus): permissive decode -> dHash -> banded
+    near-dup pairs -> one verdict per input blob.
+
+    status per doc: ``decode_error`` (undecodable — surfaced as
+    data, never a failed job), ``near_dup`` (pairs at hamming <=
+    ``max_hamming`` with a SMALLER doc_id — the keep-the-minimum
+    survivor rule of exact_dedup, applied pairwise), else ``keep``.
+    Poisoned rows drop out of dedup for free: permissive dHash emits
+    null bands and nulls never equi-join.
+
+    Scale shape: each stage is the already-analyzed operator
+    (Arrow-batched decode, banded pair join — never an unbanded
+    self-join); the verdict join is pairs-sized (bounded by band
+    buckets), and the recipe never materializes anything wider than
+    (doc_id, status)."""
+    feats = png_features(media, mode="permissive").select(
+        "doc_id", "decode_error"
+    )
+    pairs = image_dhash_dups(
+        image_dhash(media, mode="permissive"), max_hamming
+    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        feats.join(
+            dropped.withColumn("is_dup", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("decode_error").isNotNull(), F.lit("decode_error"))
+            .when(F.col("is_dup"), F.lit("near_dup"))
+            .otherwise(F.lit("keep"))
+            .alias("status"),
+        )
+    )
+
+
+def media_recipe_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of :func:`media_recipe` over the poisoned corpus:
+    the decode-errors CTE decides decodability, the dHash formula
+    (clean docs only) feeds a DIRECT hamming pair join — exact, and
+    value-identical to the banded Spark join because bands are
+    recall-complete at hamming <= 3 — and the verdict mirrors the
+    keep-the-minimum rule."""
+    return f"""
+WITH errs AS MATERIALIZED ({PNG_DECODE_ERRORS_SQL}),
+hashes AS MATERIALIZED (
+  SELECT h.* FROM ({IMAGE_DHASH_SQL}) h
+  JOIN errs e USING (doc_id) WHERE e.decode_error IS NULL
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h_hi, b.h_hi)) + bit_count(xor(a.h_lo, b.h_lo))
+        <= {max_hamming}
+)
+SELECT doc_id,
+       CASE WHEN decode_error IS NOT NULL THEN 'decode_error'
+            WHEN doc_id IN (SELECT doc_b FROM pairs) THEN 'near_dup'
+            ELSE 'keep' END AS status
+FROM errs
+"""
+
+
 #: DuckDB twin of image_dhash over the synthetic corpus: the pixel
 #: formula (doc_id*17 + y*31 + x*7) % 256 with the SAME
 #: nearest-neighbor 9x8 sampling and LSB-first bit packing.

@@ -806,7 +806,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_png_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permissive decode over a POISONED corpus (VERDICT r9 ask #1):
     30% of the synthetic PNGs are deterministically corrupted
-    (bad signature / Adam7 / 16-bit depth —
+    (bad signature / IHDR height lie / spec-invalid color type —
     operators/multimodal.py::poison_png) and the extractor runs in
     mode="permissive", so the gate proves a poisoned corpus yields
     null-feature rows with queryable ``decode_error`` strings instead
@@ -815,6 +815,20 @@ def multimodal_png_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         io.load(spark, sf_dir, "documents")
     )
     return multimodal.png_features(media, mode="permissive")
+
+
+def multimodal_media_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media lane's composed corpus pass (the image-side analog
+    of recipe_training_corpus): permissive decode -> features ->
+    perceptual-hash near-dup pairs -> per-doc verdict, over the SAME
+    poisoned corpus the decode-errors gate runs — so the one result
+    proves the full ingest story: corrupt blobs become
+    'decode_error' rows, near-duplicate images lose all but the
+    smallest-id survivor ('near_dup'), everything else is 'keep'."""
+    media = multimodal.attach_poisoned_png_payload(
+        io.load(spark, sf_dir, "documents")
+    )
+    return multimodal.media_recipe(media)
 
 
 def multimodal_audio_tone_energy(spark: SparkSession, sf_dir: str) -> DataFrame:

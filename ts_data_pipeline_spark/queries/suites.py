@@ -1146,6 +1146,12 @@ def _media_members() -> list[Member]:
              ("bit_depth", "l"), ("color_type", "l"), ("n_pixels", "l"),
              ("pix_sum", "l"), ("pix_mean", "d"), ("decode_error", "s")),
         ),
+        Member(
+            "media_recipe",
+            llmdata.multimodal_media_recipe,
+            multimodal.media_recipe_sql(),
+            (("doc_id", "l"), ("status", "s")),
+        ),
     ]
 
 
