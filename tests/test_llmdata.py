@@ -2144,3 +2144,41 @@ def test_ivfpq_index_compact_and_maintenance_decision(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(path, "codes.compact.tmp")
     )  # no tmp debris (unique-suffixed tmps removed on swap)
+
+
+def test_ivf_maintenance_retrain_flag_on_distribution_drift(spark, tmp_path):
+    """The retrain recommendation fires on measured cell skew from
+    DISTRIBUTION DRIFT — the scenario pinned-centroid appends create:
+    a quantizer seeded one-per-cluster stays balanced on the uniform
+    mixture, but when the corpus drifts to ~80% one cluster (synth
+    sep=4; keep every cluster-0 row, 1-in-4 of the rest), that
+    cluster's cell holds most of the corpus, the imbalance factor
+    crosses the 4x threshold, and ivf_maintenance_decision flags
+    retrain while staying quiet on the uniform corpus."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import similarity, synth
+
+    emb = synth.clustered_embeddings(
+        spark, n=4000, dim=64, n_clusters=8, sep=4.0
+    )
+    # drifted corpus: all of cluster 0 (500 rows) + a uniform 320-row
+    # head (40 rows/cluster, and it keeps every seed/codebook id
+    # present) -> cluster 0's cell carries ~5.5x the mean
+    drift = emb.filter(
+        (F.col("vec_id") % 8 == 0) | (F.col("vec_id") < 320)
+    )
+    bal_ids = [0, 1, 2, 3, 4, 5, 6, 7]  # one seed per true cluster
+    cb_ids = [64 + i for i in range(16)]
+
+    stats = {}
+    for name, corpus in (("drift", drift), ("uniform", emb)):
+        path = str(tmp_path / name)
+        similarity.ivfpq_build_index(corpus, path, cb_ids, bal_ids)
+        stats[name] = similarity.ivfpq_index_stats(spark, path)
+
+    d_drift = similarity.ivf_maintenance_decision(stats["drift"])
+    d_uni = similarity.ivf_maintenance_decision(stats["uniform"])
+    assert d_drift["retrain"] is True, stats["drift"]["imbalance"]
+    assert d_uni["retrain"] is False, stats["uniform"]["imbalance"]
+    assert stats["drift"]["imbalance"] > stats["uniform"]["imbalance"]
