@@ -724,3 +724,61 @@ def test_audio_fingerprint_amplitude_invariance_exact():
     fb = mm.decode_media(b, "audio/wav")
     assert fb["amp_sum"] == 2 * fa["amp_sum"]
     assert fa["n_samples"] == fb["n_samples"] == mm.AUDIO_FP_N
+
+
+def test_png_decode_property_roundtrip_full_matrix():
+    """Property test over the r10 decode matrix: random dims and
+    pixels under every (bit_depth, interlace) combination the spec
+    allows for grayscale, plus 16-bit RGB — encoded by the extended
+    reference encoder (_encode_png2) with a random uniform filter,
+    decoding to the exact expected luma. Hypothesis covers the
+    pass-geometry and bit-packing edge space (ragged Adam7 passes,
+    padding bits, filtered 16-bit strides) the example fixtures
+    sample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        depth=st.sampled_from([1, 2, 4, 8, 16]),
+        interlace=st.sampled_from([0, 1]),
+        fchoice=st.integers(0, 4),
+        rgb16=st.booleans(),
+        data=st.data(),
+    )
+    def check(w, h, depth, interlace, fchoice, rgb16, data):
+        if rgb16:
+            depth, color_type, ch = 16, 2, 3
+        else:
+            color_type, ch = 0, 1
+        top = (1 << depth) - 1
+        px = [
+            [
+                [data.draw(st.integers(0, top)) for _ in range(ch)]
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        got = mm._png_pixels(
+            _encode_png2(
+                px, color_type, bit_depth=depth,
+                interlace=interlace, fchoice=fchoice,
+            )
+        )
+        assert got.shape == (h, w)
+        scale = 255 // top if depth < 8 else 1
+        for y in range(h):
+            for x in range(w):
+                p = px[y][x]
+                if color_type == 0:
+                    want = (p[0] >> 8 if depth == 16 else p[0] * scale)
+                else:  # 16-bit RGB: luma of the high bytes
+                    hi = [v >> 8 for v in p]
+                    want = (299 * hi[0] + 587 * hi[1] + 114 * hi[2]) // 1000
+                assert int(got[y][x]) == want, (y, x, depth, interlace)
+
+    check()
