@@ -2182,3 +2182,67 @@ def test_ivf_maintenance_retrain_flag_on_distribution_drift(spark, tmp_path):
     assert d_drift["retrain"] is True, stats["drift"]["imbalance"]
     assert d_uni["retrain"] is False, stats["uniform"]["imbalance"]
     assert stats["drift"]["imbalance"] > stats["uniform"]["imbalance"]
+
+
+def test_sign_words_partial_word_packing_cross_engine(spark):
+    """The 32-bit sign-word packing at a dim that is NOT a multiple
+    of 32 (dim=40 -> word 2 carries 8 bits): Spark's _sign_words
+    matches an independent Python reference bit-for-bit, and the SQL
+    twin's packing expression produces the SAME words in DuckDB on
+    the same vectors — pinning the cross-engine agreement off the
+    gate's d=64 path."""
+    import duckdb
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.operators import similarity
+
+    import random
+
+    rng = random.Random(13)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(40)] for _ in range(20)
+    ]
+    # force exact-zero coordinates through the >= 0 boundary
+    vecs[0][3] = 0.0
+    vecs[1][39] = 0.0
+
+    def ref_words(v):
+        out = []
+        for wi in range(2):
+            lo, hi = wi * 32, min(40, wi * 32 + 32)
+            out.append(
+                sum(1 << (i - lo) for i in range(lo, hi) if v[i] >= 0)
+            )
+        return out
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, v=v) for i, v in enumerate(vecs)],
+        schema="vec_id long, v array<double>",
+    )
+    got = {
+        r.vec_id: list(r.s)
+        for r in df.select(
+            "vec_id", similarity._sign_words(F.col("v"), 40).alias("s")
+        ).collect()
+    }
+    assert got == {i: ref_words(v) for i, v in enumerate(vecs)}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT, v DOUBLE[])")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(vecs))
+    )
+    duck = {
+        int(r[0]): list(r[1])
+        for r in con.execute("""
+            SELECT vec_id,
+                   list_transform(range(0, 2), w ->
+                     CAST(list_sum(list_transform(range(w * 32, least(40, w * 32 + 32)),
+                       i -> CASE WHEN v[i + 1] >= 0
+                                 THEN (CAST(1 AS BIGINT) << CAST(i - w * 32 AS INT))
+                                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS s
+            FROM t
+        """).fetchall()
+    }
+    assert duck == got
