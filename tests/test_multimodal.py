@@ -712,6 +712,24 @@ def test_audio_fingerprint_pairs_pitch_preserving_duplicates(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_tone_wav_amplitude_bounded_no_wrap():
+    """Regression (ADVICE r10): the tone synth's amplitude scale is
+    BOUNDED ((doc_id // 250) % 2 + 1), so no doc_id — including the
+    sf0.1 corpus's 2000..4999 range where an unbounded scale >= 9
+    wrapped mod 256 — produces samples outside the unwrapped formula.
+    Every decoded sample must equal the SQL twin's integer formula."""
+    for doc_id in (17, 267, 1999, 2000, 2017, 4999):
+        feats = mm.decode_media(mm.synthesize_tone_wav(doc_id), "audio/wav")
+        base = doc_id % 250
+        scale = (doc_id // 250) % 2 + 1
+        assert feats["n_samples"] == mm.AUDIO_FP_N
+        expected_amp = sum(
+            abs((((base * 13 + i * 11) % 31) - 15) * scale)
+            for i in range(mm.AUDIO_FP_N)
+        )
+        assert feats["amp_sum"] == expected_amp, doc_id
+
+
 def test_audio_fingerprint_amplitude_invariance_exact():
     """The planted corpus duplicates (doc_id, doc_id+250) carry
     IDENTICAL waveforms at 2x amplitude — delta-coded bits compare

@@ -590,15 +590,19 @@ AUDIO_FP_N = AUDIO_FP_FRAME * AUDIO_FP_NFRAMES
 
 def synthesize_tone_wav(doc_id: int) -> bytes:
     """A 128-sample 8-bit PCM WAV whose waveform depends only on
-    ``base = doc_id % 250``; docs 250..499 carry the SAME waveform as
-    their base at 2x amplitude — 250 planted amplitude-scaled
+    ``base = doc_id % 250``; odd 250-blocks carry the SAME waveform as
+    their base at 2x amplitude — planted amplitude-scaled
     (pitch-preserving) duplicate pairs for the fingerprint gate.
     Sample formula (integer-exact, oracle-replayable):
     ``x[i] = (((base*13 + i*11) % 31) - 15) * scale`` with
-    ``scale = doc_id // 250 + 1`` (|x| <= 30 — no 8-bit clipping)."""
+    ``scale = (doc_id // 250) % 2 + 1`` (|x| <= 30 for every doc_id —
+    the scale is BOUNDED so the +128 bias never wraps mod 256; an
+    unbounded ``doc_id // 250 + 1`` scale clips at doc_id >= 2000 and
+    the decoded samples diverge from the SQL twin's unwrapped
+    formula on sf0.1's 5000-doc corpus)."""
     import struct
 
-    base, scale = doc_id % 250, doc_id // 250 + 1
+    base, scale = doc_id % 250, (doc_id // 250) % 2 + 1
     data = bytes(
         ((((base * 13 + i * 11) % 31) - 15) * scale + 128) % 256
         for i in range(AUDIO_FP_N)
@@ -787,7 +791,7 @@ WITH s AS (
 x AS (
   SELECT doc_id, pos // {frame} AS t, pos % {frame} AS j,
          CAST((((doc_id % 250) * 13 + pos * 11) % 31 - 15)
-              * (doc_id // 250 + 1) AS DOUBLE) AS x
+              * ((doc_id // 250) % 2 + 1) AS DOUBLE) AS x
   FROM s
 ),
 fr AS (
