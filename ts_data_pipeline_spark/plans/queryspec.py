@@ -498,8 +498,11 @@ class EventQuerySpec:
     event_ids: Optional[Sequence[str]] = None
     aggregation: str = "Count"  # one of EVENT_AGGS
     interval: Optional[str] = None  # bucket duration, e.g. "1 hour"
-    #: eventDataAggregation.ts:19-21 — None/Null/Previous (Linear is
-    #: numeric-only; event values are strings).
+    #: eventDataAggregation.ts:19-21 + interpolationType.ts:16 —
+    #: None/Null/Previous for every aggregation; Linear additionally
+    #: for Count (the one event aggregation whose value series is
+    #: numeric by construction — First/Last carry string values, so
+    #: Linear stays rejected there).
     interpolation: str = "None"
     from_ts: Optional[str] = None
     to_ts: Optional[str] = None
@@ -598,6 +601,26 @@ def evaluate_events(
         spine = spine.select(F.col("bucket").cast(bucket_type).alias("bucket"))
         spine = spine.crossJoin(out.select(*group_cols).distinct())
         out = spine.join(out, on=["bucket", *group_cols], how="left")
+        if spec.interpolation == "Linear":
+            # interpolationType.ts:16 allows Linear on event channels;
+            # it is well-defined exactly when the aggregated value
+            # series is numeric — Count by construction. The count
+            # series itself is the interpolation target: absent
+            # buckets fill with the closed-form between surrounding
+            # observed counts (fractional -> double, 4-dp like A8's
+            # numeric fill); buckets outside the observed range stay
+            # null. First/Last values are strings -> still rejected.
+            if spec.aggregation != "Count":
+                raise ValueError(
+                    "Linear event interpolation requires a numeric "
+                    f"aggregation (Count); got {spec.aggregation!r} "
+                    "whose event values are strings"
+                )
+            out = out.withColumn(
+                "event_count", F.col("event_count").cast("double")
+            )
+            out = _fill(out, ["event_count"], group_cols, "Linear")
+            return out
         out = out.withColumn("event_count", F.coalesce("event_count", F.lit(0)))
         if spec.interpolation == "Previous" and "event_value" in out.columns:
             w_back = (

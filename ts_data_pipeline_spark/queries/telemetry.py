@@ -506,27 +506,49 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------
-# Case 12 — event aggregation + Previous interpolation over the bucket
-# spine (A6 x A8, eventDataAggregation.ts:19-21). One rare channel
-# ('error' for one stream) so gaps exist.
+# Case 12 — event aggregation + interpolation over the bucket spine
+# (A6 x A8, eventDataAggregation.ts:19-21 + interpolationType.ts:16).
+# One rare channel ('error' for one stream) so gaps exist. TWO modes
+# from the same filtered channel, union'd under a mode column (the
+# telemetry_interp pattern): Previous over Last-aggregated string
+# values (counts 0-fill), and Linear over the Count series — the one
+# event aggregation that is numeric by construction, so the r10
+# documented deviation (Linear rejected on events outright) is closed.
 # ---------------------------------------------------------------------
 
 def telemetry_event_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spec = EventQuerySpec(
+    ev = events_as_event_model(io.load(spark, sf_dir, "events"))
+    common = dict(
         event_ids=["error"],
-        aggregation="Last",
         interval="1 day",
-        interpolation="Previous",
         from_ts="2024-01-01 00:00:00",
         to_ts="2024-01-31 00:00:00",
         stream_ids=["5"],
     )
-    return evaluate_events(
-        events_as_event_model(io.load(spark, sf_dir, "events")), spec
+    prev = evaluate_events(
+        ev,
+        EventQuerySpec(aggregation="Last", interpolation="Previous", **common),
+    ).select(
+        F.lit("Previous").alias("mode"),
+        "bucket",
+        "event_id",
+        "event_value",
+        F.col("event_count").cast("double").alias("event_count"),
     )
+    lin = evaluate_events(
+        ev,
+        EventQuerySpec(aggregation="Count", interpolation="Linear", **common),
+    ).select(
+        F.lit("Linear").alias("mode"),
+        "bucket",
+        "event_id",
+        F.lit(None).cast("string").alias("event_value"),
+        "event_count",
+    )
+    return prev.unionByName(lin)
 
 
-TELEMETRY_EVENT_INTERP_SQL = f"""
+_EVENT_INTERP_BASE_SQL = f"""
 WITH ev AS ({EV_SQL}),
 agg AS (
   SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
@@ -546,16 +568,59 @@ spine AS (
   CROSS JOIN (SELECT DISTINCT event_id FROM agg) g
 ),
 j AS (
-  SELECT s.bucket, s.event_id, a.event_value,
-         COALESCE(a.event_count, 0) AS event_count
+  SELECT s.bucket, s.event_id, a.event_value, a.event_count
   FROM spine s LEFT JOIN agg a USING (bucket, event_id)
-)
+)"""
+
+TELEMETRY_EVENT_INTERP_PREV_SQL = (
+    _EVENT_INTERP_BASE_SQL
+    + """
 SELECT bucket, event_id,
        last_value(event_value IGNORE NULLS) OVER (
          PARTITION BY event_id ORDER BY bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_value,
-       event_count
+       CAST(COALESCE(event_count, 0) AS DOUBLE) AS event_count
 FROM j
+"""
+)
+
+TELEMETRY_EVENT_INTERP_LINEAR_SQL = (
+    _EVENT_INTERP_BASE_SQL
+    + """,
+w AS (
+  SELECT bucket, event_id, CAST(event_count AS DOUBLE) AS v,
+    last_value(CAST(event_count AS DOUBLE) IGNORE NULLS) OVER (
+      PARTITION BY event_id ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_,
+    first_value(CAST(event_count AS DOUBLE) IGNORE NULLS) OVER (
+      PARTITION BY event_id ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv_,
+    last_value(CASE WHEN event_count IS NOT NULL THEN epoch_us(bucket) END
+               IGNORE NULLS) OVER (
+      PARTITION BY event_id ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb_,
+    first_value(CASE WHEN event_count IS NOT NULL THEN epoch_us(bucket) END
+                IGNORE NULLS) OVER (
+      PARTITION BY event_id ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb_
+  FROM j
+)
+SELECT bucket, event_id,
+       CAST(NULL AS VARCHAR) AS event_value,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN pv_ IS NULL OR nv_ IS NULL THEN NULL
+            ELSE ROUND(pv_ + (nv_ - pv_) *
+                       CAST(epoch_us(bucket) - pb_ AS DOUBLE) /
+                       CAST(nb_ - pb_ AS DOUBLE), 4)
+       END AS event_count
+FROM w
+"""
+)
+
+TELEMETRY_EVENT_INTERP_SQL = f"""
+SELECT 'Previous' AS mode, * FROM ({TELEMETRY_EVENT_INTERP_PREV_SQL})
+UNION ALL
+SELECT 'Linear' AS mode, * FROM ({TELEMETRY_EVENT_INTERP_LINEAR_SQL})
 """
 
 
