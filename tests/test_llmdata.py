@@ -2141,9 +2141,19 @@ def test_ivfpq_index_compact_and_maintenance_decision(spark, tmp_path):
     assert after["files_per_cell_max"] == 1
     assert after["rows_by_cell"] == frag["rows_by_cell"]
     assert results() == pre and len(pre) > 0  # bit-identical answers
-    assert not os.path.exists(
-        os.path.join(path, "codes.compact.tmp")
-    )  # no tmp debris (unique-suffixed tmps removed on swap)
+    # pointer-commit hygiene: exactly ONE live codes dir remains (the
+    # pointer's target); the superseded build-time dir and any crash
+    # debris are swept
+    import json
+
+    live = json.load(open(os.path.join(path, "_codes_ptr.json")))["live"]
+    codes_dirs = [
+        n
+        for n in os.listdir(path)
+        if n == "codes" or n.startswith(("codes_v", "codes."))
+    ]
+    assert codes_dirs == [live], (codes_dirs, live)
+    assert live.startswith("codes_v")
 
 
 def test_ivf_maintenance_retrain_flag_on_distribution_drift(spark, tmp_path):
@@ -2246,3 +2256,122 @@ def test_sign_words_partial_word_packing_cross_engine(spark):
         """).fetchall()
     }
     assert duck == got
+
+
+def test_index_maintenance_through_fs_api_on_file_uri(spark, tmp_path):
+    """VERDICT r10 ask #7: the maintenance path must work wherever
+    Spark reads the index — not just driver-local disk. The whole
+    lifecycle (build -> append -> stats -> compact -> query) runs
+    against an explicit ``file://`` URI through the Hadoop FileSystem
+    API (operators/fsio); ``os.listdir`` would choke on the scheme
+    prefix, so a green run pins the FS-API port."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        IVFPQ_COARSE_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    seed_ids = set(PQ_CODEBOOK_IDS) | set(IVFPQ_COARSE_IDS)
+    head = emb.filter(
+        (F.col("vec_id") < 350) | F.col("vec_id").isin(list(seed_ids))
+    )
+    tail = emb.filter(F.col("vec_id") >= 350).join(
+        head.select("vec_id"), "vec_id", "left_anti"
+    )
+    uri = "file://" + str(tmp_path / "uri_idx")
+    similarity.ivfpq_build_index(head, uri, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS)
+    assert similarity.pq_index_append(spark, uri, tail) > 0
+    frag = similarity.ivfpq_index_stats(spark, uri)
+    assert frag["rows_total"] == emb.count()
+    assert frag["files_per_cell_max"] >= 2
+    pre = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.ivfpq_query_index(
+            spark, uri, emb, ANN_QUERY_IDS, k=5, nprobe=2, rerank_factor=4
+        ).collect()
+    )
+    out = similarity.ivfpq_index_compact(spark, uri)
+    assert out["files_per_cell_max_after"] == 1
+    assert out["rows_total"] == frag["rows_total"]
+    post = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.ivfpq_query_index(
+            spark, uri, emb, ANN_QUERY_IDS, k=5, nprobe=2, rerank_factor=4
+        ).collect()
+    )
+    assert post == pre and len(pre) > 0
+
+
+def test_compact_pointer_commit_is_crash_safe(spark, tmp_path):
+    """The r10 advisor's compact finding: the old rename-pair swap
+    had a window with NO live codes dir. The pointer-file commit
+    closes it — a 'crash' at every stage leaves a queryable index:
+    (a) an orphan rewrite dir before the pointer swap is ignored by
+    readers and swept by the next compact; (b) after the pointer
+    swap, the superseded dir is garbage, never the live one; (c) a
+    torn pointer replace (tmp written, rename lost) read-repairs."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import fsio, similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        IVFPQ_COARSE_IDS,
+        PQ_CODEBOOK_IDS,
+    )
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        (F.col("vec_id") < 200)
+        | F.col("vec_id").isin(
+            list(set(PQ_CODEBOOK_IDS) | set(IVFPQ_COARSE_IDS))
+        )
+    )
+    path = str(tmp_path / "crash_idx")
+    similarity.ivfpq_build_index(emb, path, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS)
+
+    def q():
+        return sorted(
+            (r.query_id, r.cand_id, r.cos_sim, r.rank)
+            for r in similarity.ivfpq_query_index(
+                spark, path, emb, [0, 1, 2], k=3, nprobe=2
+            ).collect()
+        )
+
+    base = q()
+    assert len(base) > 0
+
+    # (a) crash BEFORE the pointer swap: an orphan rewrite dir exists,
+    # the pointer still names the old dir -> readers unaffected, and
+    # the next compact sweeps the orphan
+    spark.read.parquet(os.path.join(path, "codes")).limit(5).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(path, "codes_vdeadbeef"))
+    assert q() == base
+    similarity.ivfpq_index_compact(spark, path)
+    assert not os.path.exists(os.path.join(path, "codes_vdeadbeef"))
+    assert q() == base
+
+    # (b) after the commit the pointer names a codes_v* dir and the
+    # build-time dir is gone — at no point did a reader face a
+    # missing live dir
+    live = json.load(open(os.path.join(path, "_codes_ptr.json")))["live"]
+    assert live.startswith("codes_v")
+    assert not os.path.exists(os.path.join(path, "codes"))
+
+    # (c) torn pointer replace: tmp holds a NEWER commit, pointer
+    # lost -> read_text_or_recover promotes the tmp
+    ptr = os.path.join(path, "_codes_ptr.json")
+    content = open(ptr).read()
+    os.rename(ptr, ptr + ".tmp")
+    assert json.loads(
+        fsio.read_text_or_recover(spark, ptr)
+    )["live"] == json.loads(content)["live"]
+    assert os.path.exists(ptr) and not os.path.exists(ptr + ".tmp")
+    assert q() == base

@@ -563,3 +563,73 @@ def test_state_sink_pin_protects_slow_reader(spark, tmp_path):
         sketch.release_pin(empty, tok)
     sketch.release_pin(state_dir, tok)
     sketch.release_pin(state_dir, tok)  # double release is a no-op
+
+
+def test_pin_version_validates_after_write_and_trash_recovery(
+    spark, tmp_path
+):
+    """The r10 advisor's TOCTOU: between _latest_version() and the
+    pin landing, keep_versions+ commits can age the chosen version
+    into the prune window. pin_version now VALIDATES after writing
+    (dir gone -> drop the stale pin, retry on the current version),
+    the pruner renames-to-trash before deleting (re-listing pins in
+    between), and a crash between rename and rmtree is recovered at
+    the next commit: pinned trash is restored, unpinned trash is
+    finished off."""
+    import json
+    import os
+
+    state_dir = str(tmp_path / "state")
+    os.makedirs(state_dir)
+    fb = sketch.summary_state_sink(state_dir, ["event_type"])
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"t{j % 2}", float(i * 10 + j)) for j in range(4)],
+            "event_type string, value double",
+        )
+
+    for i in range(3):
+        fb(batch(i), i)  # v0 pruned (keep_versions=2): v1, v2 live
+
+    # stale-_LATEST race, mechanized: point _LATEST at the pruned v0
+    # while v2 is the real newest — pin_version's validate-after-write
+    # sees v0 missing, drops that pin, and retries until the pointer
+    # heals; with a permanently stale pointer it raises rather than
+    # returning a pin on a missing version
+    with open(os.path.join(state_dir, "_LATEST"), "w") as fh:
+        json.dump({"batch_id": 0}, fh)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="outpaced"):
+        sketch.pin_version(state_dir)
+    assert not [
+        n for n in os.listdir(state_dir) if n.startswith("_PIN_")
+    ]  # every stale pin was cleaned up on retry
+    with open(os.path.join(state_dir, "_LATEST"), "w") as fh:
+        json.dump({"batch_id": 2}, fh)
+    tok = sketch.pin_version(state_dir)  # heals: v2 exists
+    assert json.load(open(tok))["batch_id"] == 2
+    sketch.release_pin(state_dir, tok)
+
+    # crash-between-rename-and-rmtree recovery: pin v2, age it out of
+    # the retention window (batches 3, 4), then simulate the pruner
+    # dying between its rename-to-trash and the pin re-list — the
+    # next commit's recovery sweep sees the pin and RESTORES the dir
+    tok = sketch.pin_version(state_dir)
+    pinned_v = json.load(open(tok))["batch_id"]
+    fb(batch(3), 3)
+    fb(batch(4), 4)
+    assert os.path.isdir(os.path.join(state_dir, f"v{pinned_v}"))  # pinned
+    os.rename(
+        os.path.join(state_dir, f"v{pinned_v}"),
+        os.path.join(state_dir, f"_trash_v{pinned_v}"),
+    )
+    fb(batch(5), 5)  # recovery sweep runs before this commit's prune
+    assert os.path.isdir(os.path.join(state_dir, f"v{pinned_v}"))
+    sketch.release_pin(state_dir, tok)
+
+    # ... and UNPINNED trash is deleted
+    os.makedirs(os.path.join(state_dir, "_trash_v99"))
+    fb(batch(6), 6)
+    assert not os.path.exists(os.path.join(state_dir, "_trash_v99"))

@@ -1,0 +1,148 @@
+"""Filesystem primitives for index maintenance, through the Hadoop
+FileSystem API.
+
+The IVF(PQ) index maintenance path (``ivfpq_index_stats`` /
+``ivfpq_index_compact`` in :mod:`operators.similarity`) needs five
+primitives: list a directory with sizes, check existence, delete,
+atomically replace a small pointer file, and read it back. Through
+``os.listdir``/``open`` those work only on the driver's local disk; at
+100 TB the index lives on HDFS or an object store, where the SAME
+Hadoop ``FileSystem`` interface Spark itself reads parquet through is
+the portable surface (VERDICT r10 ask #7). Every helper here resolves
+the filesystem FROM THE PATH (``Path.getFileSystem``), so plain local
+paths, ``file://`` URIs, ``hdfs://`` and ``s3a://`` all route to the
+right implementation with no local-path special case.
+
+Atomicity notes, by backend:
+
+- ``replace_text`` uses ``FileContext.rename(..., Rename.OVERWRITE)``
+  — atomic on HDFS and POSIX; on S3A it is copy+delete (the pointer
+  file is tiny, and the read-repair in :func:`read_text_or_recover`
+  covers the non-atomic window).
+- Directory delete/rename follow the usual Hadoop contracts (atomic
+  dir rename on HDFS, per-key on S3A) — which is exactly why the
+  compact swap commits through the POINTER FILE, never through a
+  directory rename pair.
+"""
+
+from __future__ import annotations
+
+
+def _jpath(spark, path: str):
+    """A Hadoop Path for ``path`` (plain local paths and URIs alike),
+    plus its owning FileSystem."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def join(path: str, *names: str) -> str:
+    """URI-safe path join (os.path.join breaks ``file://`` on
+    Windows-style separators and never understands ``s3a://``)."""
+    out = path.rstrip("/")
+    for n in names:
+        out = f"{out}/{n.strip('/')}"
+    return out
+
+
+def exists(spark, path: str) -> bool:
+    fs, p = _jpath(spark, path)
+    return bool(fs.exists(p))
+
+
+def listdir(spark, path: str) -> list[dict]:
+    """Immediate children of ``path`` as
+    ``{"name", "is_dir", "size"}`` dicts (size = file length; 0 for
+    directories — callers sum file sizes per subtree themselves)."""
+    fs, p = _jpath(spark, path)
+    out = []
+    for st in fs.listStatus(p):
+        out.append(
+            {
+                "name": st.getPath().getName(),
+                "is_dir": bool(st.isDirectory()),
+                "size": int(st.getLen()),
+            }
+        )
+    return out
+
+
+def delete(spark, path: str) -> bool:
+    """Recursive delete; False if the path was already gone."""
+    fs, p = _jpath(spark, path)
+    return bool(fs.delete(p, True))
+
+
+def write_text(spark, path: str, text: str) -> None:
+    """Create/overwrite a small text file through the FS API."""
+    fs, p = _jpath(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark, path: str) -> str:
+    """Read a small text file through the FS API (pointer/meta files
+    — NOT a data path; bytes come back one stream-read at a time)."""
+    fs, p = _jpath(spark, path)
+    inp = fs.open(p)
+    try:
+        buf = bytearray()
+        while True:
+            b = inp.read()
+            if b < 0:
+                break
+            buf.append(b)
+        return buf.decode("utf-8")
+    finally:
+        inp.close()
+
+
+def replace_text(spark, path: str, text: str) -> None:
+    """Atomically replace ``path`` with ``text``: write
+    ``path + ".tmp"`` then ``FileContext.rename(OVERWRITE)`` — the
+    Hadoop equivalent of POSIX ``os.replace`` (atomic on HDFS/POSIX;
+    see module docstring for the S3A caveat + read repair)."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    tmp = path + ".tmp"
+    write_text(spark, tmp, text)
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(path),
+        opts,
+    )
+
+
+def read_text_or_recover(spark, path: str) -> str | None:
+    """Read a pointer file, repairing a crash between
+    :func:`replace_text`'s write and rename: if ``path`` is missing
+    but ``path + ".tmp"`` exists, the tmp holds the NEWER committed
+    content (it is written before the swap) — promote it and read.
+    Returns None when neither exists."""
+    if exists(spark, path):
+        return read_text(spark, path)
+    tmp = path + ".tmp"
+    if exists(spark, tmp):
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark._jsc.hadoopConfiguration()
+        )
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp),
+            jvm.org.apache.hadoop.fs.Path(path),
+            opts,
+        )
+        return read_text(spark, path)
+    return None

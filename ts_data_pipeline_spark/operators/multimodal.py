@@ -306,6 +306,18 @@ def _guarded_frame(
             feats = {}
             err = f"{type(exc).__name__}: {exc}"
         row = {"doc_id": int(d)}
+        if err is None and mode != "permissive":
+            # strict mode: a decoder that stops returning a schema
+            # field is a contract break — surface it as the hard
+            # error the pre-refactor path raised, not silent nulls
+            # (r10 advisor). Permissive rows keep dict-get semantics:
+            # absent fields are nulls alongside the decode_error.
+            missing = [n for n in names if n not in feats]
+            if missing:
+                raise KeyError(
+                    f"decoder output missing schema fields {missing} "
+                    f"for doc_id={int(d)}"
+                )
         for n in names:
             row[n] = feats.get(n)
         if mode == "permissive":

@@ -763,21 +763,39 @@ def pin_version(path: str) -> str:
     ever resolves files, and the writer only prunes versions already
     ``keep_versions`` commits old — the just-committed version a pin
     names is never in that window, so the pin/prune race cannot
-    remove a version between pin write and read.
+    remove a version between pin write and read. That leaves one
+    window the docstring's claim did not cover (r10 advisor): between
+    ``_latest_version()`` and the pin file landing, ``keep_versions``+
+    further commits could age the chosen version into the prune
+    window before the pruner ever sees the pin. Closed by VALIDATING
+    after the write: if the pinned version dir is gone (or was
+    superseded past the retention floor), drop the stale pin and
+    retry on the then-current version — the loop terminates because
+    each retry pins a strictly newer version and a quiescent writer
+    stops aging them.
     """
     import json
     import os
     import uuid
 
-    latest = _latest_version(path)
-    if latest < 0:
-        raise FileNotFoundError(f"no committed summary state at {path}")
-    token = os.path.join(path, f"_PIN_{uuid.uuid4().hex}.json")
-    tmp = token + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"batch_id": latest}, fh)
-    os.replace(tmp, token)
-    return token
+    for _ in range(64):  # bound: 64 full retention windows mid-call
+        latest = _latest_version(path)
+        if latest < 0:
+            raise FileNotFoundError(f"no committed summary state at {path}")
+        token = os.path.join(path, f"_PIN_{uuid.uuid4().hex}.json")
+        tmp = token + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": latest}, fh)
+        os.replace(tmp, token)
+        # validate-after-write: the pruner honors pins it LISTS, so a
+        # version dir still present now is protected from every prune
+        # that starts after this point; absent means we lost the race.
+        if os.path.isdir(os.path.join(path, f"v{latest}")):
+            return token
+        os.remove(token)
+    raise RuntimeError(
+        f"pin_version: writer outpaced pinning 64 times at {path}"
+    )
 
 
 def release_pin(path: str, token: str) -> None:
@@ -910,12 +928,45 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
                     continue
         # retention floor: reader pins (pin_version) protect their
         # version from pruning — the r9 slow-reader hazard becomes a
-        # non-event instead of a FileNotFound mid-read
-        pinned = _pinned_versions(path)
+        # non-event instead of a FileNotFound mid-read. Prune is
+        # RENAME-FIRST (r10 advisor's list-then-delete straddle):
+        # atomically rename v{n} -> _trash_v{n}, re-list pins, restore
+        # if pinned else rmtree the trash. Interleaving argument: a
+        # pin written BEFORE the re-list is seen and the version is
+        # restored; a pin written AFTER the re-list means the reader's
+        # validate-after-write isdir (pin_version) runs after the
+        # rename already hid the dir, so the reader drops the stale
+        # pin and retries on the current version. Either way no
+        # reader is ever stranded on a removed version.
+        for name in list(os.listdir(path)):
+            # crash recovery: a _trash_ dir from a run that died
+            # between rename and rmtree/restore — restore if pinned
+            # (the reader's files come back), else finish the delete
+            if name.startswith("_trash_v"):
+                try:
+                    v = int(name[len("_trash_v"):])
+                except ValueError:
+                    continue
+                if v in _pinned_versions(path):
+                    os.rename(
+                        os.path.join(path, name),
+                        os.path.join(path, f"v{v}"),
+                    )
+                else:
+                    shutil.rmtree(
+                        os.path.join(path, name), ignore_errors=True
+                    )
         for v in sorted(versions, reverse=True)[keep_versions:]:
-            if v in pinned:
-                continue
-            shutil.rmtree(os.path.join(path, f"v{v}"), ignore_errors=True)
+            vdir = os.path.join(path, f"v{v}")
+            trash = os.path.join(path, f"_trash_v{v}")
+            try:
+                os.rename(vdir, trash)
+            except OSError:
+                continue  # already gone (a prior sweep removed it)
+            if v in _pinned_versions(path):
+                os.rename(trash, vdir)  # pinned after all — restore
+            else:
+                shutil.rmtree(trash, ignore_errors=True)
 
     return fb
 
