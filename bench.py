@@ -749,6 +749,32 @@ def _recall(spark) -> dict:
                 rerank_factor=16,
             ),
         }
+        # r11 (VERDICT r10 ask #3): the corpus-size signature rule —
+        # bits grow one dim-block per 4x corpus above the 500-row
+        # anchor (128 bits here at sf0.1's 2000 rows), pair-difference
+        # hyperplane normals, queried through the PERSISTED signature
+        # relation. Published next to the fixed-64-bit rows so the
+        # closed recall cliff is a measured delta, with the build
+        # time split out (train-once/query-many convention).
+        from ts_data_pipeline_spark.queries.llmdata import (
+            BSIGN_PLANE_START,
+        )
+
+        n_corpus = emb.count()
+        rule_bits = similarity.bsign_bits_rule(n_corpus, EMBEDDING_DIM)
+        bsidx = _os.path.join(idx, "bsign_idx")
+        t0 = time.perf_counter()
+        similarity.bsign_index_write(
+            emb, bsidx, EMBEDDING_DIM,
+            plane_pairs=similarity.bsign_plane_pairs(
+                rule_bits - EMBEDDING_DIM, BSIGN_PLANE_START
+            ),
+        )
+        bsign_store_sec = time.perf_counter() - t0
+        approx[f"bsign_rule{rule_bits}_rf32"] = similarity.bsign_query_index(
+            spark, bsidx, emb, ANN_QUERY_IDS, k=k,
+            rerank_factor=BSIGN_RERANK_FACTOR,
+        )
         # r9: the same truncation AFTER a learned PCA rotation (the
         # standard fix for untrained prefixes) — recall published
         # next to the raw slice. ONE k=32 basis fit serves both
@@ -793,6 +819,8 @@ def _recall(spark) -> dict:
         out = {
             "mrl_pca_fit_sec": round(fit_sec, 3),
             "mrl_prefix_store_sec": round(store_sec, 3),
+            "bsign_rule_bits": rule_bits,
+            "bsign_rule_store_sec": round(bsign_store_sec, 3),
         }
         for name, df in approx.items():
             t0 = time.perf_counter()
@@ -948,6 +976,83 @@ def _clustered_ivf(spark) -> dict:
         return out
 
 
+def _maintenance(spark) -> dict:
+    """VERDICT r10 ask #8: the compaction decision's cost model as
+    PUBLISHED numbers — build an IVFPQ index from 60% of the corpus,
+    fragment it with two appends, and measure the small-file penalty
+    (file count + query latency fragmented vs compacted) and the
+    compact cost itself. The query rows bracket the compact the way
+    the upsert rows bracket the bucket surgery."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        ANN_QUERY_IDS,
+        IVFPQ_COARSE_IDS,
+        IVFPQ_COARSE_ITERS,
+        IVFPQ_NPROBE,
+        PQ_CODEBOOK_IDS,
+        PQ_RERANK_FACTOR,
+        PQ_TRAIN_ITERS,
+    )
+
+    idx = None
+    try:
+        emb = _io.load(spark, SF_DIR, "embeddings")
+        n = emb.count()
+        seed_ids = set(PQ_CODEBOOK_IDS) | set(IVFPQ_COARSE_IDS)
+        cut1, cut2 = int(n * 0.6), int(n * 0.8)
+        head = emb.filter(
+            (F.col("vec_id") < cut1) | F.col("vec_id").isin(list(seed_ids))
+        )
+        mid = emb.filter(
+            (F.col("vec_id") >= cut1) & (F.col("vec_id") < cut2)
+        ).join(head.select("vec_id"), "vec_id", "left_anti")
+        tail = emb.filter(F.col("vec_id") >= cut2).join(
+            head.select("vec_id"), "vec_id", "left_anti"
+        )
+        idx = tempfile.mkdtemp(prefix="tsdp_maint_idx_")
+        similarity.ivfpq_build_index(
+            head, idx, PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
+            train_iters=PQ_TRAIN_ITERS,
+            coarse_train_iters=IVFPQ_COARSE_ITERS,
+        )
+        similarity.pq_index_append(spark, idx, mid)
+        similarity.pq_index_append(spark, idx, tail)
+
+        def q_sec() -> float:
+            t0 = time.perf_counter()
+            similarity.ivfpq_query_index(
+                spark, idx, emb, ANN_QUERY_IDS, k=10,
+                nprobe=IVFPQ_NPROBE, rerank_factor=PQ_RERANK_FACTOR,
+            ).count()
+            return round(time.perf_counter() - t0, 3)
+
+        frag_stats = similarity.ivfpq_index_stats(spark, idx)
+        frag_q = q_sec()
+        t0 = time.perf_counter()
+        comp = similarity.ivfpq_index_compact(spark, idx)
+        compact_sec = round(time.perf_counter() - t0, 3)
+        return {
+            "ivfpq_files_fragmented": frag_stats["files_total"],
+            "ivfpq_files_compacted": comp["files_after"],
+            "ivfpq_query_sec_fragmented": frag_q,
+            "ivfpq_query_sec_compacted": q_sec(),
+            "ivfpq_compact_sec": compact_sec,
+            "ivfpq_compact_rows": comp["rows_total"],
+        }
+    except Exception as exc:  # never let maintenance kill the artifact
+        print(f"# maintenance section failed: {exc}", file=sys.stderr)
+        return {}
+    finally:
+        if idx is not None:
+            shutil.rmtree(idx, ignore_errors=True)
+
+
 def _canary(spark) -> dict:
     """Fixed pure-JVM timing baseline (VERDICT r7 ask #7): a
     constant-size in-memory hash aggregate — no I/O, no Python, no
@@ -1040,6 +1145,7 @@ def main() -> None:
     extras.update(_clustered_ivf(spark))
     extras.update(_prune_metrics(spark))
     extras.update(_sink_stress(spark))
+    extras.update(_maintenance(spark))
     canary = _canary(spark)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}

@@ -2375,3 +2375,151 @@ def test_compact_pointer_commit_is_crash_safe(spark, tmp_path):
     )["live"] == json.loads(content)["live"]
     assert os.path.exists(ptr) and not os.path.exists(ptr + ".tmp")
     assert q() == base
+
+
+def test_bsign_bits_rule_anchors_and_cap():
+    """The corpus-size signature rule (VERDICT r10 ask #3): 64 bits
+    at/below the 500-row anchor (recall@10 0.99 measured), one
+    dim-block per 4x corpus growth above it (128 bits at n=2000 —
+    recall@10 0.92 measured vs 0.83 at fixed 64), monotone, capped
+    at 1024 bits (128 bytes — still half the raw 256-byte vector)."""
+    from ts_data_pipeline_spark.operators import similarity
+
+    rule = similarity.bsign_bits_rule
+    assert rule(100, 64) == 64
+    assert rule(500, 64) == 64  # the measured anchor
+    assert rule(501, 64) == 128
+    assert rule(2000, 64) == 128  # the measured sf0.1 point
+    assert rule(2001, 64) == 192
+    assert rule(8000, 64) == 192
+    assert rule(32000, 64) == 256
+    prev = 0
+    for n in (10, 500, 1000, 4000, 1_000_000, 10**9, 10**12):
+        b = rule(n, 64)
+        assert b >= prev, (n, b, prev)
+        prev = b
+    assert rule(10**12, 64) == similarity.BSIGN_MAX_BITS
+
+
+def test_bsign_extended_bits_cross_engine(spark):
+    """Hyperplane-extended signatures agree between engines at a
+    PARTIAL extra word (3 extra bits): the Spark hamming shortlist +
+    exact rerank equals the DuckDB twin exactly — pinning the
+    pair-difference normal construction, the extra-word packing, and
+    the concatenated-word hamming off the gate's axis-only path."""
+    import duckdb
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = similarity.bsign_plane_pairs(3, start_id=20)
+    got = sorted(
+        (r.query_id, r.cand_id, float(r.cos_sim), r.rank)
+        for r in similarity.binary_sign_topk(
+            emb, [0, 1, 2], 64, k=5, rerank_factor=8, plane_pairs=pairs
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    sql = similarity.binary_sign_topk_sql(
+        [0, 1, 2], 64, k=5, rerank_factor=8, plane_pairs=pairs
+    )
+    want = sorted(
+        (int(q), int(c), float(s), int(rk))
+        for q, c, s, rk in con.execute(sql).fetchall()
+    )
+    assert got == want and len(got) == 15
+
+
+def test_bsign_rule_recall_closes_the_cliff_at_sf01(spark):
+    """The r10 published cliff (recall@10 0.99 at sf0.01 -> 0.83 at
+    sf0.1 on fixed 64-bit signatures) is closed by the rule: at
+    sf0.1 (n=2000 -> 128 bits, pair-difference normals) the
+    persisted-index query holds recall@10 >= 0.9 against exact brute
+    force, while the fixed-64-bit form measurably trails it."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import (
+        BSIGN_PLANE_START,
+        BSIGN_RERANK_FACTOR,
+        EMBEDDING_DIM,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    emb = _io.load(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    truth = {
+        (r.query_id, r.cand_id)
+        for r in similarity.brute_force_topk(emb, qids, k=10).collect()
+    }
+    n = emb.count()
+    bits = similarity.bsign_bits_rule(n, EMBEDDING_DIM)
+    assert bits > EMBEDDING_DIM  # the rule must actually engage here
+
+    def recall(pairs):
+        path = str(_tmp_bsign_dir())
+        similarity.bsign_index_write(
+            emb, path, EMBEDDING_DIM, plane_pairs=pairs
+        )
+        got = {
+            (r.query_id, r.cand_id)
+            for r in similarity.bsign_query_index(
+                spark, path, emb, qids, k=10,
+                rerank_factor=BSIGN_RERANK_FACTOR,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    def _tmp_bsign_dir():
+        import tempfile
+
+        return tempfile.mkdtemp(prefix="bsign_recall_")
+
+    rec_rule = recall(
+        similarity.bsign_plane_pairs(
+            bits - EMBEDDING_DIM, BSIGN_PLANE_START
+        )
+    )
+    rec_fixed = recall(None)
+    assert rec_rule >= 0.9, (rec_rule, bits)
+    assert rec_rule > rec_fixed, (rec_rule, rec_fixed)
+
+
+def test_prefix_query_index_identity_basis_equals_raw_slice(spark, tmp_path):
+    """The gate's mrl leg now reads the PERSISTED prefix relation
+    under the identity basis — value-identical (bit-exact) to the
+    inline raw-slice prefix_dim_topk, so prefix_dim_topk_sql remains
+    its twin (the promotion contract of VERDICT r10 ask #2)."""
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    d_prefix, dim = 16, 64
+    path = str(tmp_path / "pfx")
+    similarity.prefix_index_write(
+        emb, path, d_prefix,
+        basis=(
+            [[1.0 if j == i else 0.0 for j in range(dim)]
+             for i in range(d_prefix)],
+            [0.0] * dim,
+        ),
+    )
+    via_index = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.prefix_query_index(
+            spark, path, emb, [0, 1, 2], k=5, rerank_factor=4
+        ).collect()
+    )
+    inline = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.prefix_dim_topk(
+            emb, [0, 1, 2], d_prefix, k=5, rerank_factor=4
+        ).collect()
+    )
+    assert via_index == inline and len(inline) == 15

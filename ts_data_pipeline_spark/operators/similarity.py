@@ -383,6 +383,141 @@ def _hamming(a: Column, b: Column) -> Column:
     )
 
 
+#: Corpus size at which the plain dim-bit (axis-sign) signature is
+#: measured to hold recall@10 = 0.99 (sf0.01, rf=32) — the anchor of
+#: :func:`bsign_bits_rule`.
+BSIGN_ANCHOR_N = 500
+
+#: Signature-bit ceiling: 1024 bits = 16 bigint words = 128 bytes,
+#: still half the 256-byte raw float vector. Beyond the cap, recall
+#: maintenance shifts to rerank_factor / IVF partitioning (published
+#: caveat, same spirit as the nprobe knob).
+BSIGN_MAX_BITS = 1024
+
+
+def bsign_bits_rule(n_rows: int, dim: int) -> int:
+    """Signature bits as a function of corpus size — the measured
+    rule that closes the r10 recall cliff (recall@10 0.99 at n=500
+    falling to 0.83 at n=2000 on FIXED 64-bit signatures, because
+    expected hamming gaps grow like theta*B/pi while their noise is
+    ~sqrt(B)/2: more corpus rows pack into each resolvable hamming
+    shell until the shortlist saturates).
+
+    Rule: one dim-bit increment per 4x corpus growth above the
+    measured anchor — ``bits = dim * (1 + ceil(log4(n / 500)))``,
+    capped at :data:`BSIGN_MAX_BITS`. Linear-in-log-n matches the
+    sign-LSH bound (Charikar 2002: O(log n / gamma^2) bits preserve
+    top-k at margin gamma) and the two measured anchors: n=500 ->
+    64 bits (recall@10 0.99), n=2000 -> 128 bits (0.92, vs 0.83 at
+    64; 192 bits measures 0.96, 256 bits 0.99 — the rule takes the
+    first width clearing 0.9, the same operating-point choice as
+    nprobe). Pair-DIFFERENCE normals (see
+    :func:`bsign_plane_pairs`) measure +0.05 recall over raw-vector
+    normals at every width (raw corpus rows share a mean component,
+    so their sign bits correlate; differences are mean-free)."""
+    import math
+
+    if n_rows <= BSIGN_ANCHOR_N:
+        return dim
+    growth = math.ceil(math.log(n_rows / BSIGN_ANCHOR_N, 4))
+    return min(BSIGN_MAX_BITS, dim * (1 + growth))
+
+
+def bsign_plane_pairs(n_extra: int, start_id: int = 100) -> list[tuple[int, int]]:
+    """Deterministic data-derived hyperplane normals for the extra
+    (beyond-dim) signature bits: bit ``dim + j`` is the sign of
+    ``dot(v, emb[a_j] - emb[b_j])`` with ``(a_j, b_j) = (start +
+    2j, start + 2j + 1)`` — consecutive corpus pairs, the same
+    vectors-from-data convention as LSH_PLANE_IDS, but DIFFERENCED
+    so the normals are mean-free (measured +0.05 recall@10 over raw
+    rows at every width)."""
+    return [(start_id + 2 * j, start_id + 2 * j + 1) for j in range(n_extra)]
+
+
+def _bsign_ext_words(
+    emb: DataFrame,
+    plane_pairs: list[tuple[int, int]],
+    id_col: str,
+) -> DataFrame:
+    """Extra signature words from hyperplane-sign bits: ``emb`` =
+    (id, v) with v array<double>; returns (id, es array<bigint>) —
+    bit j of the extra block = sign(dot(v, emb[a_j] - emb[b_j])),
+    packed 32 bits per word like :func:`_sign_words`.
+
+    Shape: the plane relation is |pairs| rows (bounded broadcast),
+    the corpus crossJoins it (scan x B narrow rows) and ONE hash
+    aggregate packs the words map-side — no corpus shuffle beyond
+    the per-id combine, no UDF."""
+    n_extra = len(plane_pairs)
+    n_words = (n_extra + 31) // 32
+    spark = emb.sparkSession
+    pair_rel = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(plane_pairs)],
+        "pj INT, aid BIGINT, bid BIGINT",
+    )
+    base = emb.select(F.col(id_col), F.col("v"))
+    planes = (
+        pair_rel.join(
+            base.select(F.col(id_col).alias("aid"), F.col("v").alias("av")),
+            "aid",
+        )
+        .join(
+            base.select(F.col(id_col).alias("bid"), F.col("v").alias("bv")),
+            "bid",
+        )
+        .select("pj", F.zip_with("av", "bv", lambda x, y: x - y).alias("pv"))
+    )
+    bits = (
+        base.crossJoin(F.broadcast(planes))
+        .select(
+            id_col,
+            (F.col("pj") / 32).cast("int").alias("w"),
+            F.when(
+                dot(F.col("v"), F.col("pv")) >= 0,
+                F.pow(F.lit(2.0), (F.col("pj") % 32)).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("b"),
+        )
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("w") == wi, F.col("b"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"ew{wi}")
+                for wi in range(n_words)
+            ]
+        )
+    )
+    return bits.select(
+        id_col, F.array(*[f"ew{wi}" for wi in range(n_words)]).alias("es")
+    )
+
+
+def _bsign_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    plane_pairs: list[tuple[int, int]] | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, s) sign signatures: dim axis-sign bits, plus hyperplane
+    bits for every plane pair (:func:`bsign_bits_rule` decides how
+    many at a given corpus size)."""
+    emb = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sig = emb.select(id_col, _sign_words(F.col("v"), dim).alias("s"))
+    if not plane_pairs:
+        return sig
+    ext = _bsign_ext_words(emb, plane_pairs, id_col)
+    return sig.join(ext, id_col).select(
+        id_col, F.concat("s", "es").alias("s")
+    )
+
+
 def binary_sign_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -391,6 +526,7 @@ def binary_sign_topk(
     rerank_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_pairs: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """1-bit (sign) quantized ANN: each vector compresses to its
     coordinate sign bits (dim bits — 64x smaller than float32, 256
@@ -414,11 +550,12 @@ def binary_sign_topk(
     on the stored values (no float-rounding hazard), hamming ties
     break by ascending cand_id, the exact tail is the shared
     :func:`_pq_exact_rerank`. Twin: :func:`binary_sign_topk_sql`.
+
+    ``plane_pairs`` appends hyperplane-sign bits beyond the dim
+    axis bits — the corpus-size scaling knob (:func:`bsign_bits_rule`
+    / the r10 recall cliff); the pairs must match the twin's.
     """
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    sig = emb.select(id_col, _sign_words(F.col("v"), dim).alias("s"))
+    sig = _bsign_signatures(embeddings, dim, plane_pairs, id_col, vec_col)
     q = sig.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("s").alias("qs")
     )
@@ -449,15 +586,54 @@ def binary_sign_topk_sql(
     dim: int,
     k: int = 5,
     rerank_factor: int = 4,
+    plane_pairs: list[tuple[int, int]] | None = None,
 ) -> str:
     """DuckDB twin of :func:`binary_sign_topk` — same 32-bit word
-    packing, hamming shortlist, tie-breaks, and exact-rerank tail."""
+    packing, hamming shortlist, tie-breaks, and exact-rerank tail.
+    ``plane_pairs`` mirrors the hyperplane-bit extension: extra bit
+    j = sign(dot(v, emb[a_j] - emb[b_j])), packed into further
+    32-bit words appended after the axis words."""
     qs = ", ".join(str(i) for i in query_ids)
     shortlist = rerank_factor * k
     n_words = (dim + 31) // 32
+    pairs = plane_pairs or []
+    n_extra = len(pairs)
+    ext_words = (n_extra + 31) // 32
+    total_words = n_words + ext_words
+    if pairs:
+        pair_rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(pairs))
+        ext_cte = f""",
+planes AS (
+  SELECT t.pj, list_transform(range(1, {dim} + 1),
+           i -> a.v[i] - b.v[i]) AS pv
+  FROM (VALUES {pair_rows}) t(pj, aid, bid)
+  JOIN emb a ON a.vec_id = t.aid
+  JOIN emb b ON b.vec_id = t.bid
+),
+extbits AS (
+  -- every (vec_id, w) group exists: pj is contiguous from 0, so the
+  -- cross join supplies rows for each word even when every bit is 0
+  SELECT e.vec_id, p.pj // 32 AS w,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+              THEN CAST(pow(2.0, p.pj % 32) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS word
+  FROM emb e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.pj // 32
+),
+extsig AS (
+  SELECT vec_id, list(word ORDER BY w) AS es FROM extbits GROUP BY vec_id
+),
+fullsig AS (
+  SELECT a.vec_id, list_concat(a.s, x.es) AS s
+  FROM axsig a JOIN extsig x ON x.vec_id = a.vec_id
+)"""
+        sig_src = "fullsig"
+    else:
+        ext_cte = ""
+        sig_src = "axsig"
     return f"""
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sig AS (
+axsig AS (
   SELECT vec_id,
          list_transform(range(0, {n_words}), w ->
            CAST(list_sum(list_transform(range(w * 32, least({dim}, w * 32 + 32)),
@@ -465,13 +641,13 @@ sig AS (
                        THEN (CAST(1 AS BIGINT) << CAST(i - w * 32 AS INT))
                        ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS s
   FROM emb
-),
-q AS (SELECT vec_id AS query_id, s AS qs FROM sig WHERE vec_id IN ({qs})),
+){ext_cte},
+q AS (SELECT vec_id AS query_id, s AS qs FROM {sig_src} WHERE vec_id IN ({qs})),
 scored AS (
   SELECT q.query_id, c.vec_id AS cand_id,
-         CAST(list_sum(list_transform(range(0, {n_words}),
+         CAST(list_sum(list_transform(range(0, {total_words}),
            w -> bit_count(xor(q.qs[w + 1], c.s[w + 1])))) AS BIGINT) AS hamm
-  FROM sig c CROSS JOIN q
+  FROM {sig_src} c CROSS JOIN q
   WHERE c.vec_id <> q.query_id
 ),
 cands AS (
@@ -597,6 +773,7 @@ def bsign_index_write(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_pairs: list[tuple[int, int]] | None = None,
 ) -> dict:
     """Persist the 1-bit signature relation as its own narrow table
     (``(id, s)`` — ceil(dim/32) bigint words per row, ~dim/8 bytes vs
@@ -608,18 +785,25 @@ def bsign_index_write(
     the same plan-vs-measured upgrade the IVF cell pruning got in
     round 9). No training, no codebooks: the 'index build' is one
     narrow projection, and append = write more rows (signatures are
-    row-independent, nothing pinned to refresh)."""
-    import json
-    import os
+    row-independent under the PINNED plane pairs recorded in the
+    meta sidecar — the same pinned-frame contract as the PQ
+    codebooks).
 
-    sig = embeddings.select(
-        F.col(id_col),
-        _sign_words(
-            F.col(vec_col).cast("array<double>"), dim
-        ).alias("s"),
-    )
+    ``plane_pairs`` appends hyperplane-sign bits beyond the dim axis
+    bits — pass :func:`bsign_plane_pairs` sized by
+    :func:`bsign_bits_rule` so the signature resolution scales with
+    the corpus (the r10 recall cliff)."""
+    import json
+
+    sig = _bsign_signatures(embeddings, dim, plane_pairs, id_col, vec_col)
     sig.write.mode("overwrite").parquet(fsio.join(path, "signatures"))
-    meta = {"dim": dim, "id_col": id_col, "n_words": (dim + 31) // 32}
+    meta = {
+        "dim": dim,
+        "id_col": id_col,
+        "n_bits": dim + len(plane_pairs or []),
+        "n_words": (dim + 31) // 32 + (len(plane_pairs or []) + 31) // 32,
+        "plane_pairs": [list(p) for p in (plane_pairs or [])],
+    }
     fsio.write_text(
         embeddings.sparkSession,
         fsio.join(path, "_bsign_meta.json"),

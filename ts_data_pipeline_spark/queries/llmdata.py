@@ -561,6 +561,11 @@ FILTERED_ANN_PRED = "vec_id % 3 = 0"
 #: shortlist is the widest in the family.
 BSIGN_RERANK_FACTOR = 32
 
+#: First corpus id used for the pair-difference hyperplane normals of
+#: the beyond-dim signature bits (similarity.bsign_plane_pairs) —
+#: past the query ids (0..9) so a normal never IS a query.
+BSIGN_PLANE_START = 100
+
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized candidates + exact re-rank
@@ -570,24 +575,16 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_index_path(
-    spark: SparkSession,
-    sf_dir: str,
-    residual: bool = False,
-    cents=None,
-) -> str:
-    """Build the gate's persisted IVFPQ index into a UNIQUE
-    per-invocation path under a per-process parent (md5(sf_dir) +
-    pid), registered for atexit removal. Three hazards balanced (r8
-    review): a fixed shared path would let a concurrent
+def _ann_tmp_dir(sf_dir: str) -> str:
+    """A UNIQUE per-invocation index path under a per-process parent
+    (md5(sf_dir) + pid), registered for atexit removal. Three hazards
+    balanced (r8 review): a fixed shared path would let a concurrent
     driver-sim/bench rmtree the codes out from under the other's
     lazy read; a fixed PER-PROCESS path wiped on entry would
     invalidate a previous same-process call's still-live DataFrame;
     and a bare mkdtemp would leak one codes-sized dir per invocation
     forever. Unique subdir + atexit bounds the leak to process
-    lifetime without ever deleting files a live plan references.
-    Training runs once per gate evaluation; both compressed-domain
-    legs query the stored relations."""
+    lifetime without ever deleting files a live plan references."""
     import atexit
     import hashlib
     import os
@@ -602,7 +599,19 @@ def _ann_index_path(
     if not os.path.exists(parent):
         os.makedirs(parent, exist_ok=True)
         atexit.register(shutil.rmtree, parent, ignore_errors=True)
-    path = os.path.join(parent, uuid.uuid4().hex[:12])
+    return os.path.join(parent, uuid.uuid4().hex[:12])
+
+
+def _ann_index_path(
+    spark: SparkSession,
+    sf_dir: str,
+    residual: bool = False,
+    cents=None,
+) -> str:
+    """Build the gate's persisted IVFPQ index (see :func:`_ann_tmp_dir`
+    for the path lifecycle). Training runs once per gate evaluation;
+    both compressed-domain legs query the stored relations."""
+    path = _ann_tmp_dir(sf_dir)
     similarity.ivfpq_build_index(
         io.load(spark, sf_dir, "embeddings"), path,
         PQ_CODEBOOK_IDS, IVFPQ_COARSE_IDS,
@@ -664,17 +673,50 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
         rerank_factor=PQ_RERANK_FACTOR,
     ).withColumn("method", F.lit("ivfpq_res"))
-    mrl = similarity.prefix_dim_topk(
-        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
-        MRL_PREFIX_DIMS, k=5, rerank_factor=MRL_RERANK_FACTOR,
+    # r11 (VERDICT r10 ask #2): the mrl and bsign legs now run
+    # THROUGH their persisted narrow relations — the deployment
+    # shape, same promotion the pq/ivfpq legs got in r8. The mrl
+    # index stores the d_prefix slice at rest (prefix_index_write
+    # under the IDENTITY basis: the projection reproduces the raw
+    # slice bit-exactly, so prefix_dim_topk_sql stays the twin; the
+    # PCA rotation remains the pytest+bench-pinned variant). The
+    # bsign index stores rule-sized signatures (bsign_bits_rule: 64
+    # axis bits at the sf0.01 gate corpus — twin unchanged — growing
+    # one dim-block per 4x corpus above 500 rows, pair-difference
+    # hyperplane bits beyond dim; recall curve pinned in
+    # tests/test_llmdata.py).
+    emb = io.load(spark, sf_dir, "embeddings")
+    pidx_path = _ann_tmp_dir(sf_dir)
+    similarity.prefix_index_write(
+        emb, pidx_path, MRL_PREFIX_DIMS,
+        basis=(
+            [
+                [1.0 if j == i else 0.0 for j in range(EMBEDDING_DIM)]
+                for i in range(MRL_PREFIX_DIMS)
+            ],
+            [0.0] * EMBEDDING_DIM,
+        ),
+    )
+    mrl = similarity.prefix_query_index(
+        spark, pidx_path, emb, ANN_QUERY_IDS,
+        k=5, rerank_factor=MRL_RERANK_FACTOR,
     ).withColumn("method", F.lit("mrl"))
     filt = similarity.filtered_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         FILTERED_ANN_PRED, k=5,
     ).withColumn("method", F.lit("filtered"))
-    bsign = similarity.binary_sign_topk(
-        io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
-        EMBEDDING_DIM, k=5, rerank_factor=BSIGN_RERANK_FACTOR,
+    n_corpus = emb.count()  # bounded action: sizes the signature rule
+    bits = similarity.bsign_bits_rule(n_corpus, EMBEDDING_DIM)
+    bidx_path = _ann_tmp_dir(sf_dir)
+    similarity.bsign_index_write(
+        emb, bidx_path, EMBEDDING_DIM,
+        plane_pairs=similarity.bsign_plane_pairs(
+            bits - EMBEDDING_DIM, BSIGN_PLANE_START
+        ),
+    )
+    bsign = similarity.bsign_query_index(
+        spark, bidx_path, emb, ANN_QUERY_IDS,
+        k=5, rerank_factor=BSIGN_RERANK_FACTOR,
     ).withColumn("method", F.lit("bsign"))
     km = (
         similarity.kmeans_assign(
@@ -817,6 +859,32 @@ def multimodal_png_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.png_features(media, mode="permissive")
 
 
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decoder JPEG path (VERDICT r10 ask #5): synthesize a
+    valid baseline JPEG binary column (four luma-invariant encoding
+    classes — grayscale, YCbCr 4:4:4, 4:2:0, restart markers) and
+    run the full stdlib SOF0 decoder (markers + Annex-K huffman +
+    dequant + IDCT + sampling-factor assembly) on executors; the
+    oracle replays the codec-fixed-point pixel formula
+    (operators/jpeg.py module docstring)."""
+    media = multimodal.attach_jpeg_payload(
+        io.load(spark, sf_dir, "documents")
+    )
+    return multimodal.jpeg_features(media)
+
+
+def multimodal_jpeg_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive decode over the POISONED JPEG corpus: 30% of blobs
+    deterministically corrupted (bad signature / SOF0 height lie ->
+    truncated entropy stream / spec-invalid precision —
+    operators/multimodal.py::poison_jpeg); the gate proves the JPEG
+    lane surfaces errors as data, like the PNG twin."""
+    media = multimodal.attach_poisoned_jpeg_payload(
+        io.load(spark, sf_dir, "documents")
+    )
+    return multimodal.jpeg_features(media, mode="permissive")
+
+
 def multimodal_media_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media lane's composed corpus pass (the image-side analog
     of recipe_training_corpus): permissive decode -> features ->
@@ -824,8 +892,11 @@ def multimodal_media_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     poisoned corpus the decode-errors gate runs — so the one result
     proves the full ingest story: corrupt blobs become
     'decode_error' rows, near-duplicate images lose all but the
-    smallest-id survivor ('near_dup'), everything else is 'keep'."""
-    media = multimodal.attach_poisoned_png_payload(
+    smallest-id survivor ('near_dup'), everything else is 'keep'.
+    r11: the corpus is MIXED (odd doc_ids poisoned PNG, even
+    poisoned baseline JPEG) and the recipe routes each blob through
+    the right decoder off its mime — the crawled-corpus shape."""
+    media = multimodal.attach_poisoned_mixed_media(
         io.load(spark, sf_dir, "documents")
     )
     return multimodal.media_recipe(media)
