@@ -800,3 +800,174 @@ def test_png_decode_property_roundtrip_full_matrix():
                 assert int(got[y][x]) == want, (y, x, depth, interlace)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# JPEG lane (r11): real stdlib baseline decoder (operators/jpeg.py)
+
+
+def test_jpeg_roundtrip_exact_across_encoding_classes():
+    """The codec fixed point (flat even-gray 8x8 blocks under the
+    Annex-K luma table) round-trips BIT-EXACTLY through the real
+    encoder + decoder across all four wire classes — grayscale,
+    YCbCr 4:4:4 neutral chroma, 4:2:0 subsampled, restart markers —
+    at dims that exercise partial blocks and MCU padding."""
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    classes_seen = set()
+    for doc_id in range(80):
+        payload = jpeg.synthesize_jpeg(doc_id)
+        d = jpeg.decode_jpeg(payload)
+        w, h = jpeg.jpeg_dims(doc_id)
+        assert (d["width"], d["height"]) == (w, h)
+        exp = np.empty((h, w), dtype=np.uint8)
+        for by in range((h + 7) // 8):
+            for bx in range((w + 7) // 8):
+                exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    jpeg.jpeg_block_gray(doc_id, by, bx)
+                )
+        assert np.array_equal(d["luma"], exp), doc_id
+        classes_seen.add(doc_id % 4)
+    assert classes_seen == {0, 1, 2, 3}
+    # component counts per class
+    assert jpeg.decode_jpeg(jpeg.synthesize_jpeg(0))["n_components"] == 1
+    assert jpeg.decode_jpeg(jpeg.synthesize_jpeg(1))["n_components"] == 3
+    assert jpeg.decode_jpeg(jpeg.synthesize_jpeg(2))["n_components"] == 3
+
+
+def test_jpeg_ac_paths_match_independent_reference():
+    """OFF the fixed point: random pixel content drives the full
+    AC machinery (zigzag runs, ZRL, EOB, sign bits, magnitude
+    categories, non-trivial IDCT). The decoder's output must equal
+    an INDEPENDENTLY coded scalar-loop FDCT/quant/dequant/IDCT
+    reference — pinning huffman + coefficient handling without any
+    cross-engine float hazard (the DuckDB gates pin only the
+    fixed-point classes; this is the AC twin, the PNG-matrix
+    split)."""
+    import math
+
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.RandomState(11)
+    q = np.array(jpeg.QTABLE_LUMA, dtype=float).reshape(8, 8)
+
+    def C(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    for _ in range(4):
+        h = int(rng.choice([8, 16]))
+        w = int(rng.choice([8, 24]))
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        got = jpeg.decode_jpeg(
+            jpeg.encode_baseline([img], w, h, [(1, 1)])
+        )["luma"].astype(float)
+        ref = np.zeros((h, w))
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                s = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    float
+                ) - 128
+                S = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        acc = 0.0
+                        for x in range(8):
+                            for y in range(8):
+                                acc += (
+                                    s[y, x]
+                                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                                )
+                        S[v, u] = acc * C(u) * C(v) / 4
+                Q = np.rint(S / q) * q
+                r = np.zeros((8, 8))
+                for x in range(8):
+                    for y in range(8):
+                        acc = 0.0
+                        for u in range(8):
+                            for v in range(8):
+                                acc += (
+                                    C(u) * C(v) * Q[v, u]
+                                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                                )
+                        r[y, x] = acc / 4 + 128
+                ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(r), 0, 255
+                )
+        assert np.abs(got - ref).max() == 0
+
+
+def test_jpeg_poison_messages_deterministic():
+    """Every poisoned doc fails with EXACTLY its class's message
+    (the permissive gate's oracle replays these verbatim), and every
+    clean doc decodes — across 200 ids covering all class/dims
+    combinations."""
+    from ts_data_pipeline_spark.operators import jpeg
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    expected = {
+        "bad_signature": "ValueError: not a JPEG: bad signature",
+        "height_lie": "ValueError: truncated entropy stream",
+        "precision_lie": "ValueError: unsupported precision 12",
+    }
+    for doc_id in range(200):
+        payload = mm.poison_jpeg(jpeg.synthesize_jpeg(doc_id), doc_id)
+        cls = mm.JPEG_POISON_CLASSES.get(doc_id % 10)
+        try:
+            jpeg.decode_jpeg_features(payload)
+            assert cls is None, (doc_id, cls)
+        except Exception as exc:  # noqa: BLE001
+            assert cls is not None, (doc_id, exc)
+            assert f"{type(exc).__name__}: {exc}" == expected[cls], doc_id
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    """DRI/RSTn only re-segments the entropy stream: the same image
+    encoded with and without restart intervals decodes to identical
+    pixels, and the restart stream really contains RST markers."""
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 32)).astype(np.uint8)
+    plain = jpeg.encode_baseline([img], 32, 16, [(1, 1)])
+    rst = jpeg.encode_baseline([img], 32, 16, [(1, 1)], restart_interval=2)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst
+    a = jpeg.decode_jpeg(plain)["luma"]
+    b = jpeg.decode_jpeg(rst)["luma"]
+    assert np.array_equal(a, b)
+
+
+def test_mixed_media_recipe_statuses(spark):
+    """The mixed poisoned corpus (odd=PNG, even=JPEG) through ONE
+    recipe: every poisoned class lands as decode_error with both
+    formats represented, and clean blobs split near_dup/keep."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    docs = _io.load(spark, "/root/testdata/sf0.001", "documents")
+    media = mm.attach_poisoned_mixed_media(docs)
+    out = mm.media_recipe(media)
+    rows = {r["doc_id"]: r["status"] for r in out.collect()}
+    n = len(rows)
+    assert n == docs.count()
+    # poisoned ids (PNG classes 3/7/9 on odd ids, JPEG 2/8 on even)
+    for doc_id, status in rows.items():
+        cls = doc_id % 10
+        if cls in (3, 7, 9, 2, 8):
+            assert status == "decode_error", (doc_id, status)
+        else:
+            assert status in ("near_dup", "keep"), (doc_id, status)
+    err_png = sum(1 for d, s in rows.items()
+                  if s == "decode_error" and d % 2 == 1)
+    err_jpeg = sum(1 for d, s in rows.items()
+                   if s == "decode_error" and d % 2 == 0)
+    assert err_png > 0 and err_jpeg > 0

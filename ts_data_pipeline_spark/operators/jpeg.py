@@ -1,0 +1,665 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+The media lane's PNG decoder covers the lossless container family;
+this module adds the LOSSY one a crawled corpus actually carries —
+a real baseline (SOF0) sequential DCT decoder: marker parse, DQT
+(8/16-bit) and DHT (canonical Huffman) tables, interleaved-MCU
+entropy decode with byte-stuffing and restart markers, differential
+DC prediction, zigzag dequantization, float IDCT, sampling-factor
+plane assembly, and crop. VERDICT r10 ask #5.
+
+Determinism contract with the DuckDB twins: decoded pixels must be
+EXACTLY predictable from the generating formula without running a
+decoder in SQL. Lossy codecs break that in general, so the synthetic
+corpus (:func:`synthesize_jpeg`) is built at the codec's fixed
+point — every 8x8 block is FLAT at an even gray level g, whose DCT
+is DC-only with S00 = 8*(g-128); under the Annex-K luminance table
+(DC quant 16) the coefficient (g-128)/2 is integral, and the IDCT of
+a DC-only block is flat at S00/8 = g again. Quantize -> dequantize ->
+IDCT -> round round-trips bit-exactly however the float IDCT
+parenthesizes (the 1e-16 basis noise cannot move an integer across
+a rounding boundary), so the oracle's pixel formula IS the decoded
+plane. The AC/zigzag/run-length paths fall outside the fixed point
+and are pinned by pytest against an independently coded reference
+IDCT instead (tests/test_multimodal.py) — the same split as the PNG
+matrix (gates pin the luma-invariant classes, the encoder-fixture
+matrix pins everything else).
+
+Reference parity note: the reference pipeline treats media blobs as
+opaque payloads with typed metadata (SURVEY.md multimodal lane);
+decoders are this repo's LLM-corpus extension, not a reference
+operator.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K — the standard example tables)
+
+#: Zigzag scan order: ZIGZAG[i] = natural-order index of the i-th
+#: zigzag coefficient.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.1 luminance quantization table (natural order), Q50. The
+#: DC entry 16 is what makes the flat-block fixed point exact.
+QTABLE_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.2 chrominance quantization table (natural order).
+QTABLE_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 Huffman tables: (BITS[1..16] code-length counts, HUFFVAL)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int]) -> list[tuple[int, int]]:
+    """(code, length) pairs in symbol order from the 16 length
+    counts — T.81 C.2's canonical code construction."""
+    out = []
+    code = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out.append((code, ln))
+            code += 1
+        code <<= 1
+    return out
+
+
+def _enc_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    return dict(zip(vals, _canonical_codes(bits)))
+
+
+def _dec_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {
+        (ln, code): sym
+        for sym, (code, ln) in zip(vals, _canonical_codes(bits))
+    }
+
+
+#: The float IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16);
+#: IDCT(S) = A^T @ S @ A. Precomputed once — every block is two
+#: 8x8 matmuls.
+_IDCT_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def idct_2d(block: np.ndarray) -> np.ndarray:
+    """Float 8x8 inverse DCT (T.81 A.3.3) of a NATURAL-ORDER
+    coefficient block; output is the spatial block BEFORE level
+    shift."""
+    return _IDCT_A.T @ block @ _IDCT_A
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def pad_to_byte(self) -> None:
+        """1-fill to the byte boundary (T.81 F.1.2.3)."""
+        while self._n:
+            self.write(1, 1)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF00, stops AT any
+    other marker (the caller handles RSTn / EOI)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def at_marker(self) -> int | None:
+        """The marker byte if the reader sits at an 0xFFxx (xx != 0)
+        boundary, else None."""
+        if (
+            self._n == 0
+            and self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] != 0x00
+        ):
+            return self.data[self.pos + 1]
+        return None
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        b = self.data[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed FF
+            else:
+                # a real marker inside entropy data: the stream lied
+                raise ValueError("truncated entropy stream")
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self._acc = 0
+        self._n = 0
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, ssss: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the SSSS magnitude bits to a signed
+    coefficient."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def _category(v: int) -> int:
+    """SSSS of a coefficient/DC-diff (bit length of |v|)."""
+    return abs(v).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Decode a baseline (SOF0) JPEG. Returns ``{"width", "height",
+    "n_components", "luma"}`` with ``luma`` the cropped uint8 Y
+    plane (for 1-component images, the single plane) — the stats
+    consumers downstream are luma-based, and the synthetic corpus
+    keeps chroma neutral so luma IS the image (module docstring).
+
+    Failure messages are deterministic per failure family — the
+    permissive-mode gates replay them verbatim:
+    ``not a JPEG: bad signature`` / ``unsupported precision P`` /
+    ``truncated entropy stream`` / ``unsupported marker SOFn``.
+    """
+    if len(payload) < 2 or payload[0] != 0xFF or payload[1] != 0xD8:
+        raise ValueError("not a JPEG: bad signature")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[i + 2 * j : i + 2 * j + 2])[0]
+                        for j in range(64)
+                    ]
+                    i += 128
+                nat = [0] * 64
+                for zz, v in enumerate(vals):
+                    nat[ZIGZAG[zz]] = v
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                i += 17 + n
+                tbl = _dec_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tbl
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            h, w = struct.unpack(">HH", seg[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported marker SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append(
+                    {**comp, "dc": tt >> 4, "ac": tt & 0x0F}
+                )
+            return _decode_scan(
+                payload, pos, w, h, scan, qtables, huff_dc, huff_ac,
+                restart_interval, len(comps),
+            )
+        # APPn / COM / anything else: skipped by the length field
+    raise ValueError("no SOS marker")
+
+
+def _decode_scan(
+    payload, pos, w, h, scan, qtables, huff_dc, huff_ac,
+    restart_interval, n_components,
+):
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {}
+    for c in scan:
+        pw, ph = 8 * c["h"] * mcux, 8 * c["v"] * mcuy
+        planes[c["id"]] = np.zeros((ph, pw), dtype=np.float64)
+    reader = _BitReader(payload, pos)
+    pred = {c["id"]: 0 for c in scan}
+    mcu_count = 0
+    rst_expect = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align()
+                m = reader.at_marker()
+                if m is None and reader.pos + 1 >= len(reader.data):
+                    # end of data where a restart belongs: the stream
+                    # is short for the declared dims — same failure
+                    # family (and message) as running dry mid-MCU
+                    raise ValueError("truncated entropy stream")
+                if m == 0xD9:
+                    raise ValueError("truncated entropy stream")
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError("missing restart marker")
+                if m - 0xD0 != rst_expect:
+                    raise ValueError("restart marker out of sequence")
+                reader.pos += 2
+                rst_expect = (rst_expect + 1) % 8
+                pred = {c["id"]: 0 for c in scan}
+            for c in scan:
+                q = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64, dtype=np.float64)
+                        ssss = _huff_decode(reader, huff_dc[c["dc"]])
+                        diff = _extend(reader.bits(ssss), ssss)
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]] * q[0]
+                        zz = 1
+                        while zz < 64:
+                            rs = _huff_decode(reader, huff_ac[c["ac"]])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    zz += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            zz += r
+                            if zz > 63:
+                                raise ValueError("AC run past block end")
+                            coef[ZIGZAG[zz]] = (
+                                _extend(reader.bits(s), s) * q[ZIGZAG[zz]]
+                            )
+                            zz += 1
+                        block = idct_2d(coef.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    # luma = first scan component, upsampled to full resolution then
+    # cropped (neutral-chroma corpus: luma IS the image)
+    c0 = scan[0]
+    plane = planes[c0["id"]]
+    ry, rx = vmax // c0["v"], hmax // c0["h"]
+    if ry > 1 or rx > 1:
+        plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+    luma = np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+    return {
+        "width": w,
+        "height": h,
+        "n_components": n_components,
+        "luma": luma,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Encoder (corpus fixture — full enough to write the gate classes
+# and the pytest AC matrix)
+
+
+def encode_baseline(
+    planes: list[np.ndarray],
+    w: int,
+    h: int,
+    sampling: list[tuple[int, int]],
+    restart_interval: int = 0,
+) -> bytes:
+    """A real baseline JFIF byte stream: ``planes`` are full-size
+    uint8 arrays (chroma planes at their SUBSAMPLED size), one per
+    component; ``sampling`` the (h, v) factors per component.
+    Grayscale = one plane at (1, 1). Quant/Huffman tables are the
+    Annex-K standards (component 0 uses the luma pair, the rest the
+    chroma pair)."""
+    nc = len(planes)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    # DQT (luma always; chroma when nc > 1)
+    for tq, nat in ([(0, QTABLE_LUMA)] + ([(1, QTABLE_CHROMA)] if nc > 1 else [])):
+        zz = bytes(nat[ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    # SOF0
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        hv = (sampling[ci][0] << 4) | sampling[ci][1]
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    tables = [(0x00, DC_LUMA_BITS, DC_LUMA_VALS), (0x10, AC_LUMA_BITS, AC_LUMA_VALS)]
+    if nc > 1:
+        tables += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tcth, bits, vals in tables:
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    enc_dc = [_enc_table(DC_LUMA_BITS, DC_LUMA_VALS),
+              _enc_table(DC_CHROMA_BITS, DC_CHROMA_VALS)]
+    enc_ac = [_enc_table(AC_LUMA_BITS, AC_LUMA_VALS),
+              _enc_table(AC_CHROMA_BITS, AC_CHROMA_VALS)]
+    qnat = [QTABLE_LUMA, QTABLE_CHROMA]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # pad planes to full MCU coverage by edge replication
+    padded = []
+    for ci, p in enumerate(planes):
+        ph = 8 * sampling[ci][1] * mcuy
+        pw = 8 * sampling[ci][0] * mcux
+        pp = np.empty((ph, pw), dtype=np.float64)
+        ih, iw = p.shape
+        pp[:ih, :iw] = p
+        pp[ih:, :iw] = p[ih - 1 : ih, :]
+        pp[:, iw:] = pp[:, iw - 1 : iw]
+        padded.append(pp)
+
+    wtr = _BitWriter()
+    pred = [0] * nc
+    mcu_count = 0
+    rst = 0
+    fdct_a = _IDCT_A  # FDCT(S) = A @ s @ A^T with the same basis
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.pad_to_byte()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * nc
+            for ci in range(nc):
+                t = 0 if ci == 0 else 1
+                q = qnat[t]
+                for by in range(sampling[ci][1]):
+                    for bx in range(sampling[ci][0]):
+                        y0 = (my * sampling[ci][1] + by) * 8
+                        x0 = (mx * sampling[ci][0] + bx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = fdct_a @ blk @ fdct_a.T
+                        qc = np.rint(coef / np.array(q).reshape(8, 8))
+                        qc = qc.astype(np.int64).reshape(64)
+                        diff = int(qc[0]) - pred[ci]
+                        pred[ci] = int(qc[0])
+                        ssss = _category(diff)
+                        code, ln = enc_dc[t][ssss]
+                        wtr.write(code, ln)
+                        if ssss:
+                            v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                            wtr.write(v, ssss)
+                        run = 0
+                        for zz in range(1, 64):
+                            v = int(qc[ZIGZAG[zz]])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = enc_ac[t][0xF0]  # ZRL
+                                wtr.write(code, ln)
+                                run -= 16
+                            s = _category(v)
+                            code, ln = enc_ac[t][(run << 4) | s]
+                            wtr.write(code, ln)
+                            bitsv = v if v >= 0 else v + (1 << s) - 1
+                            wtr.write(bitsv, s)
+                            run = 0
+                        if run:
+                            code, ln = enc_ac[t][0x00]  # EOB
+                            wtr.write(code, ln)
+            mcu_count += 1
+    wtr.pad_to_byte()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus (the gate fixture)
+
+#: Encoding class per doc (doc_id % 4) — every class is
+#: LUMA-INVARIANT: decoded luma(y, x) = jpeg_block_gray(doc_id,
+#: y // 8, x // 8) whatever the wire layout (3-component classes
+#: carry flat NEUTRAL chroma, so Y is untouched; 4:2:0 only
+#: subsamples those neutral planes; the restart class only
+#: re-segments the entropy stream) — so ONE pixel-formula DuckDB
+#: twin holds across the matrix, the PNG playbook.
+JPEG_ENCODING_CLASSES = {
+    0: "gray",          # 1 component
+    1: "ycbcr444",      # 3 components, (1,1)x3, neutral chroma
+    2: "ycbcr420",      # 3 components, Y(2,2) + chroma (1,1)
+    3: "gray_rst2",     # 1 component, restart interval 2 MCUs
+}
+
+
+def jpeg_block_gray(doc_id: int, by: int, bx: int) -> int:
+    """The EVEN gray level of block (by, bx) — even so the DC
+    quantizer (16) round-trips exactly (module docstring)."""
+    return 2 * ((doc_id * 7 + by * 13 + bx * 5) % 128)
+
+
+def jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height): deliberately NOT multiples of 8/16 for most
+    docs, so partial blocks and MCU padding are exercised under the
+    hash gates."""
+    return 8 * (doc_id % 3 + 1) + doc_id % 7, 8 * (doc_id % 2 + 1) + doc_id % 5
+
+
+def synthesize_jpeg(doc_id: int) -> bytes:
+    """A real, valid baseline JPEG per :data:`JPEG_ENCODING_CLASSES`
+    whose decoded luma equals :func:`jpeg_block_gray` per 8x8 block
+    (flat blocks at even grays — the codec fixed point)."""
+    w, h = jpeg_dims(doc_id)
+    cls = JPEG_ENCODING_CLASSES[doc_id % 4]
+    y = np.empty((h, w), dtype=np.uint8)
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg_block_gray(
+                doc_id, by, bx
+            )
+    if cls == "gray":
+        return encode_baseline([y], w, h, [(1, 1)])
+    if cls == "gray_rst2":
+        return encode_baseline([y], w, h, [(1, 1)], restart_interval=2)
+    if cls == "ycbcr444":
+        flat = np.full((h, w), 128, dtype=np.uint8)
+        return encode_baseline(
+            [y, flat, flat.copy()], w, h, [(1, 1), (1, 1), (1, 1)]
+        )
+    # ycbcr420: chroma planes at half resolution (rounded up)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    flat = np.full((ch, cw), 128, dtype=np.uint8)
+    return encode_baseline(
+        [y, flat, flat.copy()], w, h, [(2, 2), (1, 1), (1, 1)]
+    )
+
+
+def decode_jpeg_features(payload: bytes) -> dict:
+    """Integer feature dict off :func:`decode_jpeg` (floats derive
+    JVM-side so both engines round identically — the WAV/PNG
+    convention)."""
+    d = decode_jpeg(payload)
+    luma = d["luma"]
+    return {
+        "width": d["width"],
+        "height": d["height"],
+        "n_components": d["n_components"],
+        "n_pixels": d["width"] * d["height"],
+        "pix_sum": int(luma.astype(np.int64).sum()),
+    }

@@ -234,8 +234,12 @@ def decode_media(payload: bytes, mime: str) -> dict:
         return _decode_wav(payload)
     if mime == "image/png":
         return _decode_png(payload)
+    if mime == "image/jpeg":
+        from ts_data_pipeline_spark.operators import jpeg
+
+        return jpeg.decode_jpeg_features(payload)
     raise NotImplementedError(
-        f"no decoder for {mime!r}: video/JPEG decoding requires media "
+        f"no decoder for {mime!r}: video decoding requires media "
         "libraries not present in this container; supply a decoder to "
         "extract_features()"
     )
@@ -1036,6 +1040,209 @@ FROM px
 """
 
 
+# ---------------------------------------------------------------------------
+# JPEG lane (r11, VERDICT r10 ask #5): real stdlib baseline decoder
+# in operators/jpeg.py; fixtures and twins mirror the PNG lane.
+
+JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_components", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+    ]
+)
+
+
+def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a real baseline JPEG binary column per doc
+    (operators/jpeg.py::synthesize_jpeg — four luma-invariant
+    encoding classes: grayscale, YCbCr 4:4:4, 4:2:0, restart
+    markers). Arrow-batched; blobs are born on the executors."""
+    from ts_data_pipeline_spark.operators import jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [jpeg.synthesize_jpeg(int(d)) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/jpeg", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+def jpeg_features(media: DataFrame, mode: str = "strict") -> DataFrame:
+    """Real-decoder JPEG features: full baseline decode (markers,
+    huffman, dequant, IDCT, sampling-factor assembly) per payload;
+    float mean derived JVM-side from the decoder's exact integers."""
+    feats = extract_features(
+        media, decoder=decode_media, schema=JPEG_FEATURE_SCHEMA, mode=mode
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_components",
+        "n_pixels",
+        "pix_sum",
+        F.round(F.col("pix_sum") / F.col("n_pixels"), 4).alias("pix_mean"),
+        *(["decode_error"] if mode == "permissive" else []),
+    )
+
+
+#: DuckDB twin of jpeg_features over the synthetic corpus: the codec
+#: fixed point (flat even-gray 8x8 blocks, jpeg.py module docstring)
+#: makes decoded luma EXACTLY the block-gray formula, so the oracle
+#: needs no decoder — the same pixel-formula contract as the PNG
+#: twins. Dims: w = 8*(doc_id%3+1) + doc_id%7, h = 8*(doc_id%2+1) +
+#: doc_id%5 (jpeg.jpeg_dims); gray(by,bx) =
+#: 2*((doc_id*7 + by*13 + bx*5) % 128) (jpeg.jpeg_block_gray).
+JPEG_FEATURES_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         8 * (doc_id % 3 + 1) + doc_id % 7 AS width,
+         8 * (doc_id % 2 + 1) + doc_id % 5 AS height,
+         list_sum(flatten(list_transform(
+           range(0, 8 * (doc_id % 2 + 1) + doc_id % 5),
+           y -> list_transform(
+             range(0, 8 * (doc_id % 3 + 1) + doc_id % 7),
+             x -> 2 * ((doc_id * 7 + (y // 8) * 13 + (x // 8) * 5) % 128)
+           )))) AS pix_sum
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END AS n_components,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       pix_sum,
+       ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4) AS pix_mean
+FROM px
+"""
+
+
+#: Deterministic JPEG poisoning classes (doc_id % 10) — failure
+#: FAMILIES that survive decoder upgrades (the PNG lesson): garbage
+#: bytes, headers that LIE about the stream, and spec-invalid
+#: headers. Byte offsets are fixed by synthesize_jpeg's layout:
+#: SOI(2) + APP0(18) = 20, so DQT starts at 20; the SOF0 marker is
+#: found by scan in poison_jpeg (its offset varies with component
+#: count), making the patch robust to fixture-layout drift.
+JPEG_POISON_CLASSES = {
+    2: "bad_signature",   # first byte flipped -> ValueError at sig
+    5: "height_lie",      # SOF0 height += 8 -> truncated entropy
+    8: "precision_lie",   # SOF0 precision 12 -> unsupported (SOF0
+                          # is 8-bit baseline by spec)
+}
+
+
+def _sof0_offset(payload: bytes) -> int:
+    """Byte offset of the SOF0 segment body (after marker + length)."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker scan lost sync")
+        if payload[pos + 1] == 0xC0:
+            return pos + 4
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        pos += 2 + seg_len
+    raise ValueError("no SOF0")
+
+
+def poison_jpeg(payload: bytes, doc_id: int) -> bytes:
+    """Corrupt a valid JPEG per :data:`JPEG_POISON_CLASSES`
+    (identity for unpoisoned doc_ids)."""
+    cls = JPEG_POISON_CLASSES.get(doc_id % 10)
+    if cls is None:
+        return payload
+    b = bytearray(payload)
+    if cls == "bad_signature":
+        b[0] = 0x00
+    else:
+        off = _sof0_offset(payload)
+        if cls == "height_lie":
+            # height is the big-endian u16 right after precision;
+            # +8 claims one more block row than the stream carries
+            hi, lo = b[off + 1], b[off + 2]
+            h = ((hi << 8) | lo) + 8
+            b[off + 1], b[off + 2] = h >> 8, h & 0xFF
+        elif cls == "precision_lie":
+            b[off] = 12
+    return bytes(b)
+
+
+def attach_poisoned_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """The poisoned-JPEG corpus fixture: 30% of payloads
+    deterministically corrupted (:func:`poison_jpeg`) — the
+    permissive-decode gate input for the JPEG lane."""
+    from ts_data_pipeline_spark.operators import jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                poison_jpeg(jpeg.synthesize_jpeg(int(d)), int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/jpeg", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+#: DuckDB twin of jpeg_features(attach_poisoned_jpeg_payload(docs),
+#: mode="permissive"): pixel formula for clean rows, NULL features +
+#: the decoder's deterministic message for poisoned ones (messages
+#: pinned at operators/jpeg.py::decode_jpeg).
+JPEG_DECODE_ERRORS_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         8 * (doc_id % 3 + 1) + doc_id % 7 AS width,
+         8 * (doc_id % 2 + 1) + doc_id % 5 AS height,
+         list_sum(flatten(list_transform(
+           range(0, 8 * (doc_id % 2 + 1) + doc_id % 5),
+           y -> list_transform(
+             range(0, 8 * (doc_id % 3 + 1) + doc_id % 7),
+             x -> 2 * ((doc_id * 7 + (y // 8) * 13 + (x // 8) * 5) % 128)
+           )))) AS pix_sum,
+         doc_id % 10 AS cls
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cls IN (2, 5, 8) THEN NULL ELSE width END AS width,
+       CASE WHEN cls IN (2, 5, 8) THEN NULL ELSE height END AS height,
+       CASE WHEN cls IN (2, 5, 8) THEN NULL
+            WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END AS n_components,
+       CASE WHEN cls IN (2, 5, 8) THEN NULL
+            ELSE CAST(width * height AS BIGINT) END AS n_pixels,
+       CASE WHEN cls IN (2, 5, 8) THEN NULL ELSE pix_sum END AS pix_sum,
+       CASE WHEN cls IN (2, 5, 8) THEN NULL
+            ELSE ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4)
+       END AS pix_mean,
+       CASE cls
+         WHEN 2 THEN 'ValueError: not a JPEG: bad signature'
+         WHEN 5 THEN 'ValueError: truncated entropy stream'
+         WHEN 8 THEN 'ValueError: unsupported precision 12'
+         ELSE NULL
+       END AS decode_error
+FROM px
+"""
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1469,7 +1676,17 @@ def image_dhash(media: DataFrame, mode: str = "strict") -> DataFrame:
     _check_mode(mode)
 
     def _row(payload: bytes, meta) -> dict:
-        hi, lo = _dhash_from_pixels(_png_pixels(payload))
+        # mime dispatch (r11): the hash is FORMAT-AGNOSTIC — any
+        # decoder that yields a luma plane feeds the same 9x8
+        # sampler. meta-less bespoke fixtures keep the PNG default.
+        mime = meta["mime"] if meta is not None else "image/png"
+        if mime == "image/jpeg":
+            from ts_data_pipeline_spark.operators import jpeg as _jpeg
+
+            px = _jpeg.decode_jpeg(payload)["luma"]
+        else:
+            px = _png_pixels(payload)
+        hi, lo = _dhash_from_pixels(px)
         return {
             "h_hi": hi,
             "h_lo": lo,
@@ -1545,10 +1762,46 @@ def image_dhash_dups(
     )
 
 
+def attach_poisoned_mixed_media(docs: DataFrame) -> DataFrame:
+    """The MIXED poisoned corpus (r11): odd doc_ids carry poisoned
+    PNGs, even doc_ids poisoned baseline JPEGs — a crawled image
+    corpus is never one format, and the recipe must route each blob
+    through the right decoder off its mime. The parity split aligns
+    with the poison keys for free: PNG poison classes (doc_id%10 in
+    3/7/9) are all odd, JPEG's effective ones (2/8) even, so each
+    format sees exactly its own failure families."""
+    from ts_data_pipeline_spark.operators import jpeg as _jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 2 == 1:
+                    p = poison_png(synthesize_png(d), d)
+                    mime = "image/png"
+                else:
+                    p = poison_jpeg(_jpeg.synthesize_jpeg(d), d)
+                    mime = "image/jpeg"
+                payloads.append(p)
+                metas.append({"mime": mime, "n_bytes": len(p)})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def media_recipe(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """The composed media-corpus pass (the image lane's
     recipe_training_corpus): permissive decode -> dHash -> banded
-    near-dup pairs -> one verdict per input blob.
+    near-dup pairs -> one verdict per input blob. Format-agnostic
+    (r11): the dHash stage dispatches PNG/JPEG decoders off the mime
+    metadata, so a mixed crawled corpus flows through one recipe.
 
     status per doc: ``decode_error`` (undecodable — surfaced as
     data, never a failed job), ``near_dup`` (pairs at hamming <=
@@ -1559,18 +1812,16 @@ def media_recipe(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Scale shape: each stage is the already-analyzed operator
     (Arrow-batched decode, banded pair join — never an unbanded
-    self-join); the verdict join is pairs-sized (bounded by band
-    buckets), and the recipe never materializes anything wider than
-    (doc_id, status)."""
-    feats = png_features(media, mode="permissive").select(
-        "doc_id", "decode_error"
-    )
-    pairs = image_dhash_dups(
-        image_dhash(media, mode="permissive"), max_hamming
-    )
+    self-join); ONE decode pass feeds both the error verdicts and
+    the hash relation, the verdict join is pairs-sized (bounded by
+    band buckets), and the recipe never materializes anything wider
+    than (doc_id, status)."""
+    hashes = image_dhash(media, mode="permissive")
+    pairs = image_dhash_dups(hashes, max_hamming)
     dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
-        feats.join(
+        hashes.select("doc_id", "decode_error")
+        .join(
             dropped.withColumn("is_dup", F.lit(True)), "doc_id", "left"
         )
         .select(
@@ -1584,17 +1835,69 @@ def media_recipe(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def media_recipe_sql(max_hamming: int = 3) -> str:
-    """DuckDB twin of :func:`media_recipe` over the poisoned corpus:
-    the decode-errors CTE decides decodability, the dHash formula
-    (clean docs only) feeds a DIRECT hamming pair join — exact, and
-    value-identical to the banded Spark join because bands are
+    """DuckDB twin of :func:`media_recipe` over the MIXED poisoned
+    corpus (odd doc_ids PNG, even JPEG — attach_poisoned_mixed_media):
+    per-mime dims + pixel formulas feed one 9x8 dHash expression,
+    poisoned classes carry their decoder's exact deterministic
+    message, clean hashes feed a DIRECT hamming pair join — exact,
+    and value-identical to the banded Spark join because bands are
     recall-complete at hamming <= 3 — and the verdict mirrors the
     keep-the-minimum rule."""
+    # pixel formula per mime at sampled (row, col) — PNG is the
+    # per-pixel gradient, JPEG the flat 8x8 block gray (the codec
+    # fixed point); dims likewise per mime
+    png_p = "(doc_id*17 + ROW*31 + COL*7) % 256"
+    jpeg_p = "2 * ((doc_id*7 + (ROW//8)*13 + (COL//8)*5) % 128)"
+
+    def px(row: str, col: str) -> str:
+        return (
+            "(CASE WHEN doc_id % 2 = 1 THEN "
+            + png_p.replace("ROW", row).replace("COL", col)
+            + " ELSE "
+            + jpeg_p.replace("ROW", row).replace("COL", col)
+            + " END)"
+        )
+
     return f"""
-WITH errs AS MATERIALIZED ({PNG_DECODE_ERRORS_SQL}),
+WITH grid AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN doc_id % 16 + 1
+              ELSE 8 * (doc_id % 3 + 1) + doc_id % 7 END AS w,
+         CASE WHEN doc_id % 2 = 1 THEN doc_id % 8 + 1
+              ELSE 8 * (doc_id % 2 + 1) + doc_id % 5 END AS h,
+         doc_id % 10 AS cls
+  FROM documents
+),
+errs AS MATERIALIZED (
+  SELECT doc_id,
+         CASE cls
+           WHEN 3 THEN 'ValueError: not a PNG: bad signature'
+           WHEN 7 THEN 'ValueError: IDAT length does not match dimensions'
+           WHEN 9 THEN 'NotImplementedError: unknown color type 5'
+           WHEN 2 THEN 'ValueError: not a JPEG: bad signature'
+           WHEN 8 THEN 'ValueError: unsupported precision 12'
+           ELSE NULL
+         END AS decode_error
+  FROM grid
+),
+bits AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, 8), r ->
+           list_transform(range(0, 8), c ->
+             CASE WHEN
+               {px('((r*h)//8)', '((c*w)//9)')} >
+               {px('((r*h)//8)', '(((c+1)*w)//9)')}
+             THEN 1 ELSE 0 END))) AS b
+  FROM grid
+),
 hashes AS MATERIALIZED (
-  SELECT h.* FROM ({IMAGE_DHASH_SQL}) h
-  JOIN errs e USING (doc_id) WHERE e.decode_error IS NULL
+  SELECT p.doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> p.b[i + 1] * (1::BIGINT << i))) AS BIGINT) AS h_hi,
+         CAST(list_sum(list_transform(range(0, 32),
+           i -> p.b[i + 33] * (1::BIGINT << i))) AS BIGINT) AS h_lo
+  FROM bits p JOIN errs e USING (doc_id)
+  WHERE e.decode_error IS NULL
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

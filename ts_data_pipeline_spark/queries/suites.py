@@ -1152,6 +1152,22 @@ def _media_members() -> list[Member]:
             multimodal.media_recipe_sql(),
             (("doc_id", "l"), ("status", "s")),
         ),
+        Member(
+            "jpeg_features",
+            llmdata.multimodal_jpeg_features,
+            multimodal.JPEG_FEATURES_SQL,
+            (("doc_id", "l"), ("width", "l"), ("height", "l"),
+             ("n_components", "l"), ("n_pixels", "l"),
+             ("pix_sum", "l"), ("pix_mean", "d")),
+        ),
+        Member(
+            "jpeg_decode_errors",
+            llmdata.multimodal_jpeg_decode_errors,
+            multimodal.JPEG_DECODE_ERRORS_SQL,
+            (("doc_id", "l"), ("width", "l"), ("height", "l"),
+             ("n_components", "l"), ("n_pixels", "l"),
+             ("pix_sum", "l"), ("pix_mean", "d"), ("decode_error", "s")),
+        ),
     ]
 
 
