@@ -2523,3 +2523,38 @@ def test_prefix_query_index_identity_basis_equals_raw_slice(spark, tmp_path):
         ).collect()
     )
     assert via_index == inline and len(inline) == 15
+
+
+def test_bsign_index_append_pinned_frame_and_idempotent(spark, tmp_path):
+    """bsign index appends sign deltas under the PINNED frame (plane
+    normals persisted beside the signatures — a delta need not
+    contain the pair ids): head-build + tail-append answers equal
+    the full-corpus build bit-for-bit, and re-delivering the same
+    delta appends zero rows."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = similarity.bsign_plane_pairs(40, start_id=100)
+    # head keeps the plane-pair ids (the build corpus defines the
+    # frame); the tail delta contains NONE of them
+    head = emb.filter(F.col("vec_id") < 300)
+    tail = emb.filter(F.col("vec_id") >= 300)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    similarity.bsign_index_write(head, inc, 64, plane_pairs=pairs)
+    n = similarity.bsign_index_append(spark, inc, tail)
+    assert n == tail.count() > 0
+    assert similarity.bsign_index_append(spark, inc, tail) == 0  # idempotent
+    similarity.bsign_index_write(emb, full, 64, plane_pairs=pairs)
+
+    def q(path):
+        return sorted(
+            (r.query_id, r.cand_id, r.cos_sim, r.rank)
+            for r in similarity.bsign_query_index(
+                spark, path, emb, [0, 1, 2], k=5, rerank_factor=8
+            ).collect()
+        )
+
+    assert q(inc) == q(full) and len(q(full)) == 15

@@ -1041,3 +1041,21 @@ def test_dhash_discriminating_fixture_low_dup_fraction_and_planted_recall(
         (r["h_hi"], r["h_lo"]) for r in hashes.collect()
     }
     assert len(distinct) >= 12
+
+
+def test_jpeg_progressive_sof2_refused_deterministically():
+    """Progressive JPEG (SOF2) is outside the baseline decoder's
+    scope and must be REFUSED with a deterministic message (the
+    errors-as-data contract), not misdecoded: patch a valid
+    baseline stream's SOF0 marker to SOF2."""
+    import pytest
+
+    from ts_data_pipeline_spark.operators import jpeg
+    from ts_data_pipeline_spark.operators import multimodal as mm
+
+    payload = bytearray(jpeg.synthesize_jpeg(0))
+    off = mm._sof0_offset(bytes(payload))
+    assert payload[off - 3] == 0xC0  # the marker byte before length
+    payload[off - 3] = 0xC2
+    with pytest.raises(ValueError, match="unsupported marker SOF2"):
+        jpeg.decode_jpeg(bytes(payload))

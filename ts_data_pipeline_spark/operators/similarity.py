@@ -434,29 +434,24 @@ def bsign_plane_pairs(n_extra: int, start_id: int = 100) -> list[tuple[int, int]
     return [(start_id + 2 * j, start_id + 2 * j + 1) for j in range(n_extra)]
 
 
-def _bsign_ext_words(
-    emb: DataFrame,
+def _bsign_planes_from(
+    embeddings: DataFrame,
     plane_pairs: list[tuple[int, int]],
     id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Extra signature words from hyperplane-sign bits: ``emb`` =
-    (id, v) with v array<double>; returns (id, es array<bigint>) —
-    bit j of the extra block = sign(dot(v, emb[a_j] - emb[b_j])),
-    packed 32 bits per word like :func:`_sign_words`.
-
-    Shape: the plane relation is |pairs| rows (bounded broadcast),
-    the corpus crossJoins it (scan x B narrow rows) and ONE hash
-    aggregate packs the words map-side — no corpus shuffle beyond
-    the per-id combine, no UDF."""
-    n_extra = len(plane_pairs)
-    n_words = (n_extra + 31) // 32
-    spark = emb.sparkSession
+    """The (pj, pv) hyperplane-normal relation: normal j =
+    emb[a_j] - emb[b_j] (pair-difference — mean-free, see
+    :func:`bsign_plane_pairs`). |pairs| rows, bounded broadcast."""
+    spark = embeddings.sparkSession
     pair_rel = spark.createDataFrame(
         [(j, a, b) for j, (a, b) in enumerate(plane_pairs)],
         "pj INT, aid BIGINT, bid BIGINT",
     )
-    base = emb.select(F.col(id_col), F.col("v"))
-    planes = (
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return (
         pair_rel.join(
             base.select(F.col(id_col).alias("aid"), F.col("v").alias("av")),
             "aid",
@@ -467,6 +462,26 @@ def _bsign_ext_words(
         )
         .select("pj", F.zip_with("av", "bv", lambda x, y: x - y).alias("pv"))
     )
+
+
+def _bsign_ext_words(
+    emb: DataFrame,
+    planes: DataFrame,
+    n_extra: int,
+    id_col: str,
+) -> DataFrame:
+    """Extra signature words from hyperplane-sign bits: ``emb`` =
+    (id, v) with v array<double>, ``planes`` = (pj, pv); returns
+    (id, es array<bigint>) — bit j of the extra block =
+    sign(dot(v, pv_j)), packed 32 bits per word like
+    :func:`_sign_words`.
+
+    Shape: the plane relation is |pairs| rows (bounded broadcast),
+    the corpus crossJoins it (scan x B narrow rows) and ONE hash
+    aggregate packs the words map-side — no corpus shuffle beyond
+    the per-id combine, no UDF."""
+    n_words = (n_extra + 31) // 32
+    base = emb.select(F.col(id_col), F.col("v"))
     bits = (
         base.crossJoin(F.broadcast(planes))
         .select(
@@ -502,17 +517,23 @@ def _bsign_signatures(
     plane_pairs: list[tuple[int, int]] | None,
     id_col: str,
     vec_col: str,
+    planes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, s) sign signatures: dim axis-sign bits, plus hyperplane
     bits for every plane pair (:func:`bsign_bits_rule` decides how
-    many at a given corpus size)."""
+    many at a given corpus size). ``planes`` supplies a precomputed
+    (pj, pv) normal relation (the index append path — deltas need
+    not contain the pair ids); by default the normals derive from
+    ``embeddings`` itself."""
     emb = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     sig = emb.select(id_col, _sign_words(F.col("v"), dim).alias("s"))
     if not plane_pairs:
         return sig
-    ext = _bsign_ext_words(emb, plane_pairs, id_col)
+    if planes is None:
+        planes = _bsign_planes_from(embeddings, plane_pairs, id_col, vec_col)
+    ext = _bsign_ext_words(emb, planes, len(plane_pairs), id_col)
     return sig.join(ext, id_col).select(
         id_col, F.concat("s", "es").alias("s")
     )
@@ -795,7 +816,19 @@ def bsign_index_write(
     the corpus (the r10 recall cliff)."""
     import json
 
-    sig = _bsign_signatures(embeddings, dim, plane_pairs, id_col, vec_col)
+    planes = None
+    if plane_pairs:
+        # persist the normal VECTORS beside the signatures (the PCA
+        # basis-sidecar convention): appends must sign deltas under
+        # the same frame, and a delta need not contain the pair ids
+        planes = _bsign_planes_from(embeddings, plane_pairs, id_col, vec_col)
+        planes = embeddings.sparkSession.createDataFrame(
+            planes.collect(), planes.schema  # bounded: |pairs| rows
+        )
+        planes.write.mode("overwrite").parquet(fsio.join(path, "planes"))
+    sig = _bsign_signatures(
+        embeddings, dim, plane_pairs, id_col, vec_col, planes=planes
+    )
     sig.write.mode("overwrite").parquet(fsio.join(path, "signatures"))
     meta = {
         "dim": dim,
@@ -810,6 +843,53 @@ def bsign_index_write(
         json.dumps(meta),
     )
     return meta
+
+
+def bsign_index_append(
+    spark,
+    path: str,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental signature maintenance: sign new rows under the
+    index's PINNED plane pairs (meta sidecar — the pinned-frame
+    contract shared with the PQ codebooks) and append them; existing
+    signature files are never rewritten. Idempotent under
+    re-delivery like :func:`pq_index_append`: ids already present
+    are anti-joined away. Returns the number of rows appended.
+
+    The pinned pairs mean an append does NOT re-run
+    :func:`bsign_bits_rule` — growing the corpus past the next rule
+    threshold is a REBUILD decision (the signature width is a frame,
+    not per-row state); callers watching corpus growth compare
+    meta["n_bits"] against the rule's current answer."""
+    import json
+
+    meta = json.loads(
+        fsio.read_text(spark, fsio.join(path, "_bsign_meta.json"))
+    )
+    id_col = meta["id_col"]
+    pairs = [tuple(p) for p in meta.get("plane_pairs", [])]
+    planes = (
+        spark.read.parquet(fsio.join(path, "planes")) if pairs else None
+    )
+    sig_path = fsio.join(path, "signatures")
+    existing = spark.read.parquet(sig_path).select(id_col)
+    fresh = delta.join(existing, id_col, "left_anti").cache()
+    try:
+        sig = _bsign_signatures(
+            fresh, meta["dim"], pairs or None, id_col, vec_col,
+            planes=planes,
+        ).cache()
+        try:
+            n = sig.count()
+            if n:
+                sig.write.mode("append").parquet(sig_path)
+        finally:
+            sig.unpersist()
+    finally:
+        fresh.unpersist()
+    return n
 
 
 def bsign_query_index(
@@ -2903,14 +2983,28 @@ def ivfpq_topk_sql(
     rerank_factor: int = 4,
     train_iters: int = 0,
     coarse_train_iters: int = 0,
+    filter_pred: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivfpq_topk` — the PQ prefix plus the
     coarse-cell assignment/probe restriction; ``coarse_train_iters``
     unrolls the spherical-k-means rounds of :func:`_kmeans_centroids`
     (unit vectors, ROUND(cos, 6)/cell-asc winners, per-position mean,
-    renormalize with ROUND(x/mn, 6) coordinates)."""
+    renormalize with ROUND(x/mn, 6) coordinates).
+
+    ``filter_pred`` mirrors ``ivfpq_query_index(filter_ids=...)``:
+    the attribute PRE-filter semi-joins the encoded candidates
+    BEFORE the ADC aggregation (so the shortlist is ranked over
+    filtered candidates and never k-deflates), composing with the
+    probe's cell restriction exactly like the Spark path. None emits
+    the byte-identical unfiltered SQL."""
     qs = ", ".join(str(i) for i in query_ids)
     cents = _ivf_cents_sql(centroid_ids, coarse_train_iters)
+    flt = (
+        f"\n  JOIN (SELECT vec_id FROM embeddings WHERE {filter_pred}) fv"
+        "\n    ON fv.vec_id = e.vec_id"
+        if filter_pred
+        else ""
+    )
     return (
         _pq_sql_prefix(query_ids, codebook_ids, m, dsub, train_iters)
         + cents
@@ -2927,7 +3021,7 @@ probe AS (SELECT vec_id AS p_qid, ccid AS qcell FROM rankedc
           WHERE crk <= {nprobe} AND vec_id IN ({qs})),
 approx AS (
   SELECT t.query_id, e.vec_id AS cand_id, ROUND(SUM(t.qd2), 6) AS ad2
-  FROM enc e
+  FROM enc e{flt}
   JOIN assign a ON a.vec_id = e.vec_id
   JOIN probe p ON p.qcell = a.cell
   JOIN qtab t ON e.sub = t.sub AND e.code = t.cid

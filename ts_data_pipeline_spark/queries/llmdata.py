@@ -673,6 +673,20 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
         rerank_factor=PQ_RERANK_FACTOR,
     ).withColumn("method", F.lit("ivfpq_res"))
+    # r11 — the TWELFTH leg: attribute-filtered vector search AT
+    # INDEX SCALE (tenant/license/language filters composed with
+    # cell pruning — the deployed retrieval shape). The semi-join
+    # lands on the pruned encoded scan BEFORE the ADC aggregation,
+    # so the shortlist ranks over filtered candidates and never
+    # k-deflates; hash-gated against ivfpq_topk_sql(filter_pred=...).
+    ivfpq_filt = similarity.ivfpq_query_index(
+        spark, idx_path, io.load(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS, k=5, nprobe=IVFPQ_NPROBE,
+        rerank_factor=PQ_RERANK_FACTOR,
+        filter_ids=io.load(spark, sf_dir, "embeddings").filter(
+            FILTERED_ANN_PRED
+        ).select("vec_id"),
+    ).withColumn("method", F.lit("ivfpq_filt"))
     # r11 (VERDICT r10 ask #2): the mrl and bsign legs now run
     # THROUGH their persisted narrow relations — the deployment
     # shape, same promotion the pq/ivfpq legs got in r8. The mrl
@@ -735,7 +749,8 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
         .unionByName(mp).unionByName(pq).unionByName(ivfpq)
-        .unionByName(ivfpq_res).unionByName(mrl).unionByName(filt)
+        .unionByName(ivfpq_res).unionByName(ivfpq_filt)
+        .unionByName(mrl).unionByName(filt)
         .unionByName(bsign)
     )
 
@@ -767,6 +782,13 @@ def _ann_lsh_ivf_sql() -> str:
         train_iters=PQ_TRAIN_ITERS,
         coarse_train_iters=IVFPQ_COARSE_ITERS,
     )
+    ivfpq_filt = similarity.ivfpq_topk_sql(
+        ANN_QUERY_IDS, IVFPQ_COARSE_IDS, PQ_CODEBOOK_IDS, k=5,
+        nprobe=IVFPQ_NPROBE, rerank_factor=PQ_RERANK_FACTOR,
+        train_iters=PQ_TRAIN_ITERS,
+        coarse_train_iters=IVFPQ_COARSE_ITERS,
+        filter_pred=FILTERED_ANN_PRED,
+    )
     mrl = similarity.prefix_dim_topk_sql(
         ANN_QUERY_IDS, MRL_PREFIX_DIMS, k=5,
         rerank_factor=MRL_RERANK_FACTOR,
@@ -789,6 +811,7 @@ def _ann_lsh_ivf_sql() -> str:
         f"UNION ALL\nSELECT *, 'pq' AS method FROM ({pq})\n"
         f"UNION ALL\nSELECT *, 'ivfpq' AS method FROM ({ivfpq})\n"
         f"UNION ALL\nSELECT *, 'ivfpq_res' AS method FROM ({ivfpq_res})\n"
+        f"UNION ALL\nSELECT *, 'ivfpq_filt' AS method FROM ({ivfpq_filt})\n"
         f"UNION ALL\nSELECT *, 'mrl' AS method FROM ({mrl})\n"
         f"UNION ALL\nSELECT *, 'filtered' AS method FROM ({filt})\n"
         f"UNION ALL\nSELECT *, 'bsign' AS method FROM ({bsign})"
