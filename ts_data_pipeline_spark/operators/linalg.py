@@ -159,6 +159,186 @@ def pca_components(
     return comps, [float(vals[i]) for i in order], [float(x) for x in mu]
 
 
+def pca_power_basis(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 16,
+    n_iter: int = 8,
+) -> tuple[list[list[float]], list[float]]:
+    """Top-k principal basis by DETERMINISTIC power iteration with
+    deflation — the CROSS-ENGINE-EXACT twin of the eigh fit (r11).
+
+    Why a second fit exists: ``pca_components`` (Gram + LAPACK eigh)
+    is the production basis, but an eigendecomposition cannot run in
+    the DuckDB oracle, so PCA-rotated queries were pytest-only. This
+    fit is hash-gateable because every step is reproducible in SQL:
+
+    - moments: mu_j = ROUND(avg(v_j), 9), E_ij = ROUND(avg(v_i*v_j),
+      9) — ONE dimension-bounded Spark aggregate; the 9-dp rounding
+      absorbs engine/partial-agg summation-order ulp noise, so both
+      engines start from the IDENTICAL covariance;
+    - cov_ij = ROUND(E_ij - mu_i*mu_j, 9) (exact arithmetic on
+      already-identical inputs);
+    - per component: seed = unit vector at the max-diagonal index
+      (MIN index on ties), ``n_iter`` power steps with coordinates
+      ROUND(w/||w||, 9) after each normalize, eigenvalue
+      ROUND(v'Cv, 9), deflation C -= lambda v v' rounded to 9 dp —
+      all on the d x d matrix DRIVER-SIDE in pure sequential Python
+      (dimension-bounded, the residual_auto_decision convention), so
+      the arithmetic order matches DuckDB's sequential
+      list_dot_product exactly.
+
+    Returns (components [k][dim] — 9-dp coordinates, mu [dim]).
+    Convergence is an accuracy concern only: both engines run the
+    same fixed recipe, so twin equality holds even pre-convergence;
+    recall vs the eigh basis is published separately."""
+    # moments in the gram_matrix shape: posexplode -> d groups x
+    # (d+1) aggregates — one dimension-bounded shuffle, never a
+    # 4096-expression single-row agg
+    ex = emb.select(
+        F.posexplode(F.col(vec_col)).alias("i", "vi"),
+        F.col(vec_col).alias("__v"),
+    )
+    rows = (
+        ex.groupBy("i")
+        .agg(
+            F.round(F.avg(F.col("vi").cast("double")), 9).alias("m"),
+            *[
+                F.round(
+                    F.avg(
+                        F.col("vi").cast("double")
+                        * F.element_at("__v", j + 1).cast("double")
+                    ),
+                    9,
+                ).alias(f"e{j}")
+                for j in range(dim)
+            ],
+        )
+        .collect()
+    )
+    by_i = {int(r["i"]): r for r in rows}
+    mu = [by_i[i]["m"] for i in range(dim)]
+    C = [
+        [
+            round(by_i[i][f"e{j}"] - mu[i] * mu[j], 9)
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+
+    def matvec(M, x):
+        return [
+            sum(M[i][j] * x[j] for j in range(dim)) for i in range(dim)
+        ]
+
+    comps = []
+    for _ in range(k):
+        dmax = 0
+        for i in range(1, dim):
+            if C[i][i] > C[dmax][dmax]:
+                dmax = i  # strict >: MIN index wins ties
+        v = [1.0 if i == dmax else 0.0 for i in range(dim)]
+        for _ in range(n_iter):
+            w = matvec(C, v)
+            nrm = sum(x * x for x in w) ** 0.5
+            if nrm == 0.0:
+                break  # space exhausted; keep the seed direction
+            v = [round(x / nrm, 9) for x in w]
+        lam = round(
+            sum(v[i] * matvec(C, v)[i] for i in range(dim)), 9
+        )
+        comps.append(v)
+        C = [
+            [
+                round(C[i][j] - lam * v[i] * v[j], 9)
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+    return comps, mu
+
+
+def pca_power_basis_sql_ctes(
+    dim: int = 64, k: int = 16, n_iter: int = 8
+) -> tuple[str, list[str]]:
+    """The DuckDB CTE chain computing the SAME basis as
+    :func:`pca_power_basis` (starts with ``WITH``; expects a view
+    ``embeddings(vec_id, embedding)``). Returns (cte_sql,
+    [component CTE name per k] — each a single row ``(v)``); the
+    mean lives in CTE ``muv`` as a single row ``(m)``. Every
+    multiply-referenced CTE is MATERIALIZED (DuckDB inlines per
+    reference — an unrolled chain would otherwise re-derive the
+    upstream chain exponentially)."""
+    sql = f"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pos AS (SELECT range AS i FROM range(1, {dim}+1)),
+mu AS MATERIALIZED (
+  SELECT i, ROUND(AVG(v[i]), 9) AS m
+  FROM emb CROSS JOIN pos GROUP BY i
+),
+muv AS MATERIALIZED (SELECT list(m ORDER BY i) AS m FROM mu),
+xp AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, ROUND(AVG(e.v[a.i] * e.v[b.i]), 9) AS xij
+  FROM emb e CROSS JOIN pos a CROSS JOIN pos b
+  GROUP BY a.i, b.i
+),
+cov0 AS MATERIALIZED (
+  SELECT x.i, x.j, ROUND(x.xij - ma.m * mb.m, 9) AS c
+  FROM xp x JOIN mu ma ON ma.i = x.i JOIN mu mb ON mb.i = x.j
+),
+c0 AS MATERIALIZED (
+  SELECT list(cl ORDER BY i) AS C FROM (
+    SELECT i, list(c ORDER BY j) AS cl FROM cov0 GROUP BY i
+  )
+)"""
+    prev_c = "c0"
+    names = []
+    for kk in range(k):
+        sql += f""",
+seed{kk} AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim}+1), i ->
+    CASE WHEN i = t.dmax THEN CAST(1.0 AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END) AS v
+  FROM (
+    SELECT MIN(p.i) AS dmax
+    FROM pos p CROSS JOIN {prev_c} pc
+    WHERE pc.C[p.i][p.i] = (
+      SELECT MAX(pc2.C[p2.i][p2.i]) FROM pos p2 CROSS JOIN {prev_c} pc2
+    )
+  ) t
+)"""
+        prev_v = f"seed{kk}"
+        for t in range(n_iter):
+            sql += f""",
+it{kk}_{t} AS MATERIALIZED (
+  SELECT CASE WHEN t.nrm = 0 THEN t.pv
+              ELSE list_transform(t.w, x -> ROUND(x / t.nrm, 9)) END AS v
+  FROM (
+    SELECT w, sqrt(list_dot_product(w, w)) AS nrm, pv FROM (
+      SELECT list_transform(range(1, {dim}+1), i ->
+        list_dot_product(pc.C[i], pv.v)) AS w, pv.v AS pv
+      FROM {prev_v} pv CROSS JOIN {prev_c} pc
+    )
+  ) t
+)"""
+            prev_v = f"it{kk}_{t}"
+        sql += f""",
+lam{kk} AS MATERIALIZED (
+  SELECT ROUND(list_sum(list_transform(range(1, {dim}+1), i ->
+    pv.v[i] * list_dot_product(pc.C[i], pv.v))), 9) AS l
+  FROM {prev_v} pv CROSS JOIN {prev_c} pc
+),
+c{kk + 1} AS MATERIALIZED (
+  SELECT list_transform(range(1, {dim}+1), i ->
+    list_transform(range(1, {dim}+1), j ->
+      ROUND(pc.C[i][j] - lm.l * pv.v[i] * pv.v[j], 9))) AS C
+  FROM {prev_v} pv CROSS JOIN {prev_c} pc CROSS JOIN lam{kk} lm
+)"""
+        prev_c = f"c{kk + 1}"
+        names.append(prev_v)
+    return sql, names
+
+
 def pca_basis_write(
     path: str,
     components: list[list[float]],

@@ -344,6 +344,78 @@ SELECT query_id, cand_id, cos_sim, rank FROM (
 """
 
 
+def pca_power_prefix_topk_sql(
+    query_ids: list[int],
+    dim: int,
+    d_prefix: int,
+    n_iter: int = 8,
+    k: int = 5,
+    rerank_factor: int = 4,
+) -> str:
+    """DuckDB twin of the PCA-ROTATED prefix query under the
+    POWER-ITERATION basis (r11): the rotation itself is fit INSIDE
+    SQL — 9-dp-rounded moments, max-diagonal seeds, ``n_iter``
+    power steps with per-step coordinate rounding, rounded
+    deflation (``linalg.pca_power_basis_sql_ctes``; cross-engine
+    EXACT vs the Spark fit, pinned in tests/test_linalg.py) — then
+    projection, coarse cosine over the d_prefix-dim rotation,
+    zero-norm guards, ROUND(cos, 6)/asc-id tie-breaks, and the
+    shared exact-rerank tail. This closes the r8-r10 caveat that
+    the PCA rotation was 'not SQL-expressible' and pytest-only."""
+    from ts_data_pipeline_spark.operators import linalg
+
+    ctes, names = linalg.pca_power_basis_sql_ctes(dim, d_prefix, n_iter)
+    comp_rows = " UNION ALL ".join(
+        f"SELECT {ci} AS ci, v FROM {nm}" for ci, nm in enumerate(names)
+    )
+    qs = ", ".join(str(i) for i in query_ids)
+    shortlist = rerank_factor * k
+    return f"""{ctes},
+compsq AS MATERIALIZED ({comp_rows}),
+centered AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim}+1), j -> e.v[j] - muv.m[j]) AS cv
+  FROM emb e CROSS JOIN muv
+),
+pref AS MATERIALIZED (
+  SELECT c.vec_id,
+         list(list_dot_product(kc.v, c.cv) ORDER BY kc.ci) AS p
+  FROM centered c CROSS JOIN compsq kc GROUP BY c.vec_id
+),
+q AS (SELECT vec_id AS query_id, p AS qp FROM pref
+      WHERE vec_id IN ({qs}) AND list_dot_product(p, p) > 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         ROUND(list_dot_product(q.qp, c.p)
+               / (sqrt(list_dot_product(q.qp, q.qp))
+                  * sqrt(list_dot_product(c.p, c.p))), 6) AS psim
+  FROM pref c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id AND list_dot_product(c.p, c.p) > 0
+),
+cands AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY psim DESC, cand_id ASC) AS prk
+    FROM scored
+  ) WHERE prk <= {shortlist}
+)
+SELECT query_id, cand_id, cos_sim, rank FROM (
+  SELECT c.query_id, c.cand_id,
+         ROUND(list_dot_product(e.v, q2.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q2.v, q2.v))), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY c.query_id
+           ORDER BY ROUND(list_dot_product(e.v, q2.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q2.v, q2.v))), 6) DESC,
+             c.cand_id ASC) AS rank
+  FROM cands c
+  JOIN emb e ON e.vec_id = c.cand_id
+  JOIN emb q2 ON q2.vec_id = c.query_id
+) WHERE rank <= {k}
+"""
+
+
 def _sign_words(vec: Column, dim: int) -> Column:
     """Pack the sign bits of an array<double> into ceil(dim/32)
     BIGINT words, 32 bits per word (bit j of word w = 1 iff

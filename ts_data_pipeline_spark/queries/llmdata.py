@@ -566,6 +566,16 @@ BSIGN_RERANK_FACTOR = 32
 #: past the query ids (0..9) so a normal never IS a query.
 BSIGN_PLANE_START = 100
 
+#: Power-iteration steps for the hash-gated PCA basis (r11): fixed
+#: recipe — both engines run the same count, so twin equality never
+#: depends on convergence; 8 steps measured recall-equivalent to the
+#: eigh basis at d_prefix=16 on the gate corpora.
+PCA_POWER_ITERS = 8
+
+#: Shortlist factor for the rotated-prefix leg (the bench-measured
+#: >=0.6-recall operating point at d_prefix=16).
+PCA_PREFIX_RERANK = 16
+
 
 def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized candidates + exact re-rank
@@ -715,6 +725,28 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, pidx_path, emb, ANN_QUERY_IDS,
         k=5, rerank_factor=MRL_RERANK_FACTOR,
     ).withColumn("method", F.lit("mrl"))
+    # r11 — the THIRTEENTH leg: the PCA-ROTATED prefix, hash-gated
+    # end to end. The rotation is the deterministic power-iteration
+    # basis (linalg.pca_power_basis — 9-dp-rounded moments and
+    # steps, cross-engine EXACT vs pca_power_basis_sql_ctes), so the
+    # r8-r10 'eigendecomposition is not SQL-expressible' caveat no
+    # longer exempts the rotated lane: fit -> persist the projected
+    # relation -> query the stored narrow table, all against one
+    # DuckDB twin that fits the SAME basis in SQL.
+    from ts_data_pipeline_spark.operators import linalg
+
+    comps, mu = linalg.pca_power_basis(
+        emb, "embedding", EMBEDDING_DIM,
+        k=MRL_PREFIX_DIMS, n_iter=PCA_POWER_ITERS,
+    )
+    ppidx_path = _ann_tmp_dir(sf_dir)
+    similarity.prefix_index_write(
+        emb, ppidx_path, MRL_PREFIX_DIMS, basis=(comps, mu)
+    )
+    pca_pref = similarity.prefix_query_index(
+        spark, ppidx_path, emb, ANN_QUERY_IDS,
+        k=5, rerank_factor=PCA_PREFIX_RERANK,
+    ).withColumn("method", F.lit("pca_prefix"))
     filt = similarity.filtered_topk(
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         FILTERED_ANN_PRED, k=5,
@@ -750,7 +782,7 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh.unionByName(ivf).unionByName(km).unionByName(sq8)
         .unionByName(mp).unionByName(pq).unionByName(ivfpq)
         .unionByName(ivfpq_res).unionByName(ivfpq_filt)
-        .unionByName(mrl).unionByName(filt)
+        .unionByName(mrl).unionByName(pca_pref).unionByName(filt)
         .unionByName(bsign)
     )
 
@@ -793,6 +825,10 @@ def _ann_lsh_ivf_sql() -> str:
         ANN_QUERY_IDS, MRL_PREFIX_DIMS, k=5,
         rerank_factor=MRL_RERANK_FACTOR,
     )
+    pca_pref = similarity.pca_power_prefix_topk_sql(
+        ANN_QUERY_IDS, EMBEDDING_DIM, MRL_PREFIX_DIMS,
+        n_iter=PCA_POWER_ITERS, k=5, rerank_factor=PCA_PREFIX_RERANK,
+    )
     filt = similarity.filtered_topk_sql(
         ANN_QUERY_IDS, FILTERED_ANN_PRED, k=5
     )
@@ -813,6 +849,7 @@ def _ann_lsh_ivf_sql() -> str:
         f"UNION ALL\nSELECT *, 'ivfpq_res' AS method FROM ({ivfpq_res})\n"
         f"UNION ALL\nSELECT *, 'ivfpq_filt' AS method FROM ({ivfpq_filt})\n"
         f"UNION ALL\nSELECT *, 'mrl' AS method FROM ({mrl})\n"
+        f"UNION ALL\nSELECT *, 'pca_prefix' AS method FROM ({pca_pref})\n"
         f"UNION ALL\nSELECT *, 'filtered' AS method FROM ({filt})\n"
         f"UNION ALL\nSELECT *, 'bsign' AS method FROM ({bsign})"
     )
