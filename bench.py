@@ -759,6 +759,7 @@ def _recall(spark) -> dict:
         from ts_data_pipeline_spark.queries.llmdata import (
             BSIGN_PLANE_START,
         )
+        import os as _os
 
         n_corpus = emb.count()
         rule_bits = similarity.bsign_bits_rule(n_corpus, EMBEDDING_DIM)
