@@ -633,3 +633,46 @@ def test_pin_version_validates_after_write_and_trash_recovery(
     os.makedirs(os.path.join(state_dir, "_trash_v99"))
     fb(batch(6), 6)
     assert not os.path.exists(os.path.join(state_dir, "_trash_v99"))
+
+
+def test_state_sink_lifecycle_on_file_uri(spark, tmp_path):
+    """r11: the state-sink commit protocol (versioned writes, atomic
+    _LATEST pointer, pin/prune with rename-to-trash) runs through
+    the Hadoop FS API — the full lifecycle against an explicit
+    ``file://`` URI, where the old os.* implementation would choke
+    on the scheme prefix. Pins that the sink is object-store shaped,
+    not driver-local."""
+    import json
+
+    uri = "file://" + str(tmp_path / "uristate")
+    fb = sketch.summary_state_sink(uri, ["event_type"])
+
+    def batch(i):
+        return spark.createDataFrame(
+            [(f"t{j % 2}", float(i * 10 + j)) for j in range(4)],
+            "event_type string, value double",
+        )
+
+    for i in range(3):
+        fb(batch(i), i)
+    got = sketch.read_summary_state(spark, uri)
+    assert got.count() > 0
+    # keep_versions=2: v0 pruned through the FS API
+    from ts_data_pipeline_spark.operators import fsio
+
+    names = {e["name"] for e in fsio.listdir(spark, uri)}
+    assert "v1" in names and "v2" in names and "v0" not in names
+    # pinned reader survives further commits on the URI path
+    with sketch.pinned_summary_state(spark, uri) as held:
+        n = held.count()
+        fb(batch(3), 3)
+        fb(batch(4), 4)
+        assert held.count() == n
+    fb(batch(5), 5)  # release -> reclaimed
+    names = {e["name"] for e in fsio.listdir(spark, uri)}
+    assert "v2" not in names
+    # re-delivery no-op + pointer content sane through the FS API
+    fb(batch(5), 5)
+    assert json.loads(
+        fsio.read_text(spark, uri + "/_LATEST")
+    )["batch_id"] == 5

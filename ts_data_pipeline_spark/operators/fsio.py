@@ -68,6 +68,21 @@ def listdir(spark, path: str) -> list[dict]:
     return out
 
 
+def is_dir(spark, path: str) -> bool:
+    fs, p = _jpath(spark, path)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    """Plain FileSystem.rename (NO overwrite — fails when dst
+    exists, HDFS semantics); returns success. Atomic on HDFS/POSIX;
+    per-key copy on object stores — callers that need an atomic
+    commit use :func:`replace_text` pointers instead."""
+    jvm = spark._jvm
+    fs, p = _jpath(spark, src)
+    return bool(fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
 def delete(spark, path: str) -> bool:
     """Recursive delete; False if the path was already gone."""
     fs, p = _jpath(spark, path)

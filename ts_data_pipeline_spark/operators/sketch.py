@@ -705,17 +705,140 @@ FROM grid g LEFT JOIN counts c ON g.key = c.key AND g.bin = c.bin
 # mergeable algebra exists for.
 
 
-def _latest_version(path: str) -> int:
+class _PosixStateOps:
+    """Driver-local filesystem primitives for the state-sink commit
+    protocol — the no-SparkSession fallback (plain local paths
+    only). Each primitive's atomicity contract matches the Hadoop
+    twin's: replace_text is os.replace (atomic), rename is
+    fail-if-missing-src dir rename."""
+
+    def join(self, path: str, *names: str) -> str:
+        import os
+
+        return os.path.join(path, *names)
+
+    def exists(self, p: str) -> bool:
+        import os
+
+        return os.path.exists(p)
+
+    def isdir(self, p: str) -> bool:
+        import os
+
+        return os.path.isdir(p)
+
+    def listdir(self, p: str) -> list[str]:
+        import os
+
+        return os.listdir(p)
+
+    def read_text(self, p: str) -> str:
+        with open(p) as fh:
+            return fh.read()
+
+    def replace_text(self, p: str, text: str) -> None:
+        import os
+
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(text)
+        os.replace(tmp, p)
+
+    def remove_file(self, p: str) -> None:
+        import os
+
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+
+    def rename(self, src: str, dst: str) -> bool:
+        import os
+
+        try:
+            os.rename(src, dst)
+            return True
+        except OSError:
+            return False
+
+    def rmtree(self, p: str) -> None:
+        import shutil
+
+        shutil.rmtree(p, ignore_errors=True)
+
+
+class _HadoopStateOps:
+    """The same primitives through the Hadoop FileSystem API
+    (operators/fsio) — local paths, ``file://`` URIs, HDFS and
+    object stores all route to the right implementation, the r11
+    convention the IVF index maintenance established."""
+
+    def __init__(self, spark) -> None:
+        self.spark = spark
+
+    def join(self, path: str, *names: str) -> str:
+        from ts_data_pipeline_spark.operators import fsio
+
+        return fsio.join(path, *names)
+
+    def exists(self, p: str) -> bool:
+        from ts_data_pipeline_spark.operators import fsio
+
+        return fsio.exists(self.spark, p)
+
+    def isdir(self, p: str) -> bool:
+        from ts_data_pipeline_spark.operators import fsio
+
+        return fsio.is_dir(self.spark, p)
+
+    def listdir(self, p: str) -> list[str]:
+        from ts_data_pipeline_spark.operators import fsio
+
+        return [e["name"] for e in fsio.listdir(self.spark, p)]
+
+    def read_text(self, p: str) -> str:
+        from ts_data_pipeline_spark.operators import fsio
+
+        return fsio.read_text(self.spark, p)
+
+    def replace_text(self, p: str, text: str) -> None:
+        from ts_data_pipeline_spark.operators import fsio
+
+        fsio.replace_text(self.spark, p, text)
+
+    def remove_file(self, p: str) -> None:
+        from ts_data_pipeline_spark.operators import fsio
+
+        fsio.delete(self.spark, p)
+
+    def rename(self, src: str, dst: str) -> bool:
+        from ts_data_pipeline_spark.operators import fsio
+
+        return fsio.rename(self.spark, src, dst)
+
+    def rmtree(self, p: str) -> None:
+        from ts_data_pipeline_spark.operators import fsio
+
+        fsio.delete(self.spark, p)
+
+
+def _state_ops(spark=None):
+    """Hadoop-FS ops when a session is at hand (every sink and every
+    spark-taking reader), driver-local POSIX ops otherwise (the
+    bare-path pin/release helpers keep working with no session)."""
+    return _HadoopStateOps(spark) if spark is not None else _PosixStateOps()
+
+
+def _latest_version(path: str, ops=None) -> int:
     """The committed version (batch id) of a summary-state dir, or
     -1 when none has committed yet."""
     import json
-    import os
 
-    p = os.path.join(path, "_LATEST")
-    if not os.path.exists(p):
+    ops = ops or _PosixStateOps()
+    p = ops.join(path, "_LATEST")
+    if not ops.exists(p):
         return -1
-    with open(p) as fh:
-        return int(json.load(fh)["batch_id"])
+    return int(json.loads(ops.read_text(p))["batch_id"])
 
 
 def read_summary_state(spark, path: str) -> DataFrame:
@@ -727,31 +850,35 @@ def read_summary_state(spark, path: str) -> DataFrame:
     use :func:`pinned_summary_state` (or pin/release explicitly),
     which the pruner honors.
     """
-    import os
-
-    latest = _latest_version(path)
+    ops = _state_ops(spark)
+    latest = _latest_version(path, ops)
     if latest < 0:
         raise FileNotFoundError(f"no committed summary state at {path}")
-    return spark.read.parquet(os.path.join(path, f"v{latest}"))
+    return spark.read.parquet(ops.join(path, f"v{latest}"))
 
 
-def _pinned_versions(path: str) -> set[int]:
+def _pinned_versions(path: str, ops=None) -> set[int]:
     """Versions protected from pruning by live reader pins."""
     import json
-    import os
 
+    ops = ops or _PosixStateOps()
     pinned: set[int] = set()
-    for name in os.listdir(path):
+    for name in ops.listdir(path):
         if name.startswith("_PIN_") and name.endswith(".json"):
             try:
-                with open(os.path.join(path, name)) as fh:
-                    pinned.add(int(json.load(fh)["batch_id"]))
-            except (OSError, ValueError, KeyError):
+                pinned.add(
+                    int(
+                        json.loads(ops.read_text(ops.join(path, name)))[
+                            "batch_id"
+                        ]
+                    )
+                )
+            except (Exception,):  # noqa: BLE001 — mid-write/mid-delete
                 continue  # a pin mid-write/mid-delete protects nothing
     return pinned
 
 
-def pin_version(path: str) -> str:
+def pin_version(path: str, spark=None) -> str:
     """Pin the CURRENT committed version against pruning (VERDICT r9
     ask #6 — the slow-reader hazard): writes an atomic
     ``_PIN_<uuid>.json`` naming the version; :func:`state_sink`'s
@@ -773,42 +900,38 @@ def pin_version(path: str) -> str:
     retry on the then-current version — the loop terminates because
     each retry pins a strictly newer version and a quiescent writer
     stops aging them.
+
+    ``spark`` routes filesystem access through the Hadoop FS API
+    (r11 — URIs/object stores; the bare-path form stays driver-local
+    POSIX for no-session callers).
     """
     import json
-    import os
     import uuid
 
+    ops = _state_ops(spark)
     for _ in range(64):  # bound: 64 full retention windows mid-call
-        latest = _latest_version(path)
+        latest = _latest_version(path, ops)
         if latest < 0:
             raise FileNotFoundError(f"no committed summary state at {path}")
-        token = os.path.join(path, f"_PIN_{uuid.uuid4().hex}.json")
-        tmp = token + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"batch_id": latest}, fh)
-        os.replace(tmp, token)
+        token = ops.join(path, f"_PIN_{uuid.uuid4().hex}.json")
+        ops.replace_text(token, json.dumps({"batch_id": latest}))
         # validate-after-write: the pruner honors pins it LISTS, so a
         # version dir still present now is protected from every prune
         # that starts after this point; absent means we lost the race.
-        if os.path.isdir(os.path.join(path, f"v{latest}")):
+        if ops.isdir(ops.join(path, f"v{latest}")):
             return token
-        os.remove(token)
+        ops.remove_file(token)
     raise RuntimeError(
         f"pin_version: writer outpaced pinning 64 times at {path}"
     )
 
 
-def release_pin(path: str, token: str) -> None:
+def release_pin(path: str, token: str, spark=None) -> None:
     """Release a reader pin; the next commit's pruning reclaims the
     version (if it is outside the retention window)."""
-    import os
-
-    if os.path.dirname(token) != path.rstrip("/"):
+    if token.rsplit("/", 1)[0] != path.rstrip("/"):
         raise ValueError(f"pin token {token!r} does not belong to {path!r}")
-    try:
-        os.remove(token)
-    except FileNotFoundError:
-        pass  # releasing twice is a no-op
+    _state_ops(spark).remove_file(token)  # double release is a no-op
 
 
 def pinned_summary_state(spark, path: str):
@@ -823,17 +946,15 @@ def pinned_summary_state(spark, path: str):
 
     @contextlib.contextmanager
     def _cm():
-        import os
+        import json
 
-        token = pin_version(path)
+        ops = _state_ops(spark)
+        token = pin_version(path, spark)
         try:
-            import json
-
-            with open(token) as fh:
-                v = json.load(fh)["batch_id"]
-            yield spark.read.parquet(os.path.join(path, f"v{v}"))
+            v = json.loads(ops.read_text(token))["batch_id"]
+            yield spark.read.parquet(ops.join(path, f"v{v}"))
         finally:
-            release_pin(path, token)
+            release_pin(path, token, spark)
 
     return _cm()
 
@@ -877,8 +998,6 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
     through :func:`read_summary_state`.
     """
     import json
-    import os
-    import shutil
 
     if keep_versions < 2:
         # the recovery base REQUIRES the committed predecessor (a
@@ -892,7 +1011,12 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
         )
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        latest = _latest_version(path)
+        # all filesystem access through the Hadoop FS API (r11): the
+        # sink always has a session at hand, so the commit protocol
+        # runs identically on local paths, file:// URIs, HDFS and
+        # object stores — the IVF-maintenance convention
+        ops = _state_ops(batch_df.sparkSession)
+        latest = _latest_version(path, ops)
         if batch_id == latest:
             return  # re-delivery of the committed batch: no-op
         if batch_id < latest:
@@ -907,20 +1031,19 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
         partial = partial_fn(batch_df)
         if latest >= 0:
             stored = batch_df.sparkSession.read.parquet(
-                os.path.join(path, f"v{latest}")
+                ops.join(path, f"v{latest}")
             )
             merged = merge_fn(stored, partial)
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(
-            os.path.join(path, f"v{batch_id}")
+            ops.join(path, f"v{batch_id}")
         )
-        tmp = os.path.join(path, "_LATEST.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id}, fh)
-        os.replace(tmp, os.path.join(path, "_LATEST"))
+        ops.replace_text(
+            ops.join(path, "_LATEST"), json.dumps({"batch_id": batch_id})
+        )
         versions = []
-        for name in os.listdir(path):
+        for name in ops.listdir(path):
             if name.startswith("v"):
                 try:
                     versions.append(int(name[1:]))
@@ -938,7 +1061,7 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
         # rename already hid the dir, so the reader drops the stale
         # pin and retries on the current version. Either way no
         # reader is ever stranded on a removed version.
-        for name in list(os.listdir(path)):
+        for name in list(ops.listdir(path)):
             # crash recovery: a _trash_ dir from a run that died
             # between rename and rmtree/restore — restore if pinned
             # (the reader's files come back), else finish the delete
@@ -947,26 +1070,21 @@ def state_sink(path: str, partial_fn, merge_fn, keep_versions: int = 2):
                     v = int(name[len("_trash_v"):])
                 except ValueError:
                     continue
-                if v in _pinned_versions(path):
-                    os.rename(
-                        os.path.join(path, name),
-                        os.path.join(path, f"v{v}"),
+                if v in _pinned_versions(path, ops):
+                    ops.rename(
+                        ops.join(path, name), ops.join(path, f"v{v}")
                     )
                 else:
-                    shutil.rmtree(
-                        os.path.join(path, name), ignore_errors=True
-                    )
+                    ops.rmtree(ops.join(path, name))
         for v in sorted(versions, reverse=True)[keep_versions:]:
-            vdir = os.path.join(path, f"v{v}")
-            trash = os.path.join(path, f"_trash_v{v}")
-            try:
-                os.rename(vdir, trash)
-            except OSError:
+            vdir = ops.join(path, f"v{v}")
+            trash = ops.join(path, f"_trash_v{v}")
+            if not ops.rename(vdir, trash):
                 continue  # already gone (a prior sweep removed it)
-            if v in _pinned_versions(path):
-                os.rename(trash, vdir)  # pinned after all — restore
+            if v in _pinned_versions(path, ops):
+                ops.rename(trash, vdir)  # pinned after all — restore
             else:
-                shutil.rmtree(trash, ignore_errors=True)
+                ops.rmtree(trash)
 
     return fb
 
