@@ -81,3 +81,24 @@ def test_null_and_previous_still_zero_fill_counts(spark):
         for r in out.orderBy("bucket").collect()
     }
     assert got == {0: 2, 1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_event_linear_rejected_without_interval_too(spark):
+    """r11 review: the Linear-requires-Count contract must hold for
+    interval-less specs as well — the same contradictory spec must
+    not silently ignore interpolation just because no bucketing was
+    requested."""
+    import pytest
+
+    from ts_data_pipeline_spark.plans.queryspec import EventQuerySpec
+
+    spec = EventQuerySpec(
+        aggregation="First",
+        interpolation="Linear",
+    )
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.plans import queryspec
+
+    events = _io.load(spark, "/root/testdata/sf0.001", "events")
+    with pytest.raises(ValueError, match="requires a numeric"):
+        queryspec.evaluate_events(events, spec)

@@ -2558,3 +2558,76 @@ def test_bsign_index_append_pinned_frame_and_idempotent(spark, tmp_path):
         )
 
     assert q(inc) == q(full) and len(q(full)) == 15
+
+
+def test_fsio_torn_tmp_and_vanished_dir_hardening(spark, tmp_path):
+    """r11 review hardening: (a) a TORN pointer tmp (killed
+    mid-write, not valid JSON) is ignored and deleted instead of
+    promoted — the caller's default still resolves, so a crash
+    during the FIRST pointer write can never poison an index whose
+    build-time 'codes' dir is alive; (b) is_dir on a
+    concurrently-vanished path returns False instead of raising
+    through Py4J (the pin protocol's retry relies on it)."""
+    import os
+
+    from ts_data_pipeline_spark.operators import fsio
+
+    base = str(tmp_path / "p")
+    os.makedirs(base)
+    ptr = os.path.join(base, "_codes_ptr.json")
+    with open(ptr + ".tmp", "w") as fh:
+        fh.write('{"live": "codes_v12')  # torn mid-write
+    assert fsio.read_text_or_recover(spark, ptr) is None
+    assert not os.path.exists(ptr + ".tmp")  # torn tmp removed
+    assert not os.path.exists(ptr)
+    # a VALID tmp still promotes (the crash-between-write-and-rename
+    # repair of test_compact_pointer_commit_is_crash_safe)
+    with open(ptr + ".tmp", "w") as fh:
+        fh.write('{"live": "codes_v99"}')
+    assert fsio.read_text_or_recover(spark, ptr) == '{"live": "codes_v99"}'
+    assert os.path.exists(ptr)
+
+    assert fsio.is_dir(spark, os.path.join(base, "never_there")) is False
+    assert fsio.rename(
+        spark, os.path.join(base, "never_there"),
+        os.path.join(base, "elsewhere"),
+    ) is False
+
+
+def test_prefix_index_write_sidecar_lands_on_uri_filesystem(spark, tmp_path):
+    """r11 review: the PCA-basis sidecar must land ON the index's
+    filesystem — the old local-open form silently wrote a URI path
+    as a literal local directory name. Build a prefix index at an
+    explicit file:// URI and read everything back through the FS
+    API."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import fsio, similarity
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    uri = "file://" + str(tmp_path / "uri_pfx")
+    d_prefix, dim = 8, 64
+    similarity.prefix_index_write(
+        emb, uri, d_prefix,
+        basis=(
+            [[1.0 if j == i else 0.0 for j in range(dim)]
+             for i in range(d_prefix)],
+            [0.0] * dim,
+        ),
+    )
+    assert fsio.exists(spark, uri + "/_pca_basis.json")
+    assert fsio.exists(spark, uri + "/_prefix_meta.json")
+    got = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.prefix_query_index(
+            spark, uri, emb, [0, 1], k=5, rerank_factor=4
+        ).collect()
+    )
+    inline = sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank)
+        for r in similarity.prefix_dim_topk(
+            emb, [0, 1], d_prefix, k=5, rerank_factor=4
+        ).collect()
+    )
+    assert got == inline and len(got) == 10

@@ -51,6 +51,32 @@ def exists(spark, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def is_dir(spark, path: str) -> bool:
+    """True iff the path exists and is a directory. Fetches the
+    status directly (no exists() pre-check) and maps a
+    FileNotFound raced in by a concurrent delete/rename to False —
+    the pin/prune protocol's validate-after-write relies on this
+    never throwing for a vanished path (r11 review)."""
+    fs, p = _jpath(spark, path)
+    try:
+        return bool(fs.getFileStatus(p).isDirectory())
+    except Exception:  # noqa: BLE001 — FileNotFound via Py4J
+        return False
+
+
+def rename(spark, src: str, dst: str) -> bool:
+    """Plain FileSystem.rename (NO overwrite — fails when dst
+    exists, HDFS semantics); returns success. Atomic on HDFS/POSIX;
+    per-key copy on object stores — callers that need an atomic
+    commit use :func:`replace_text` pointers instead."""
+    jvm = spark._jvm
+    fs, p = _jpath(spark, src)
+    try:
+        return bool(fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)))
+    except Exception:  # noqa: BLE001 — src vanished mid-call
+        return False
+
+
 def listdir(spark, path: str) -> list[dict]:
     """Immediate children of ``path`` as
     ``{"name", "is_dir", "size"}`` dicts (size = file length; 0 for
@@ -66,21 +92,6 @@ def listdir(spark, path: str) -> list[dict]:
             }
         )
     return out
-
-
-def is_dir(spark, path: str) -> bool:
-    fs, p = _jpath(spark, path)
-    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
-
-
-def rename(spark, src: str, dst: str) -> bool:
-    """Plain FileSystem.rename (NO overwrite — fails when dst
-    exists, HDFS semantics); returns success. Atomic on HDFS/POSIX;
-    per-key copy on object stores — callers that need an atomic
-    commit use :func:`replace_text` pointers instead."""
-    jvm = spark._jvm
-    fs, p = _jpath(spark, src)
-    return bool(fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)))
 
 
 def delete(spark, path: str) -> bool:
@@ -101,63 +112,79 @@ def write_text(spark, path: str, text: str) -> None:
 
 def read_text(spark, path: str) -> str:
     """Read a small text file through the FS API (pointer/meta files
-    — NOT a data path; bytes come back one stream-read at a time)."""
+    — NOT a data path). One gateway round-trip: the stream drains
+    through commons-io's IOUtils (always on Spark's classpath); the
+    byte-at-a-time loop is only the paranoid fallback (a 15 KB meta
+    sidecar would otherwise cost ~15k JVM round-trips — r11
+    review)."""
     fs, p = _jpath(spark, path)
     inp = fs.open(p)
     try:
-        buf = bytearray()
-        while True:
-            b = inp.read()
-            if b < 0:
-                break
-            buf.append(b)
-        return buf.decode("utf-8")
+        try:
+            data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
+            return bytes(data).decode("utf-8")
+        except Exception:  # noqa: BLE001 — commons-io absent/shaded
+            buf = bytearray()
+            while True:
+                b = inp.read()
+                if b < 0:
+                    break
+                buf.append(b)
+            return buf.decode("utf-8")
     finally:
         inp.close()
 
 
-def replace_text(spark, path: str, text: str) -> None:
-    """Atomically replace ``path`` with ``text``: write
-    ``path + ".tmp"`` then ``FileContext.rename(OVERWRITE)`` — the
-    Hadoop equivalent of POSIX ``os.replace`` (atomic on HDFS/POSIX;
-    see module docstring for the S3A caveat + read repair)."""
+def _rename_overwrite(spark, src: str, dst: str) -> None:
+    """FileContext.rename(..., Rename.OVERWRITE) — the Hadoop
+    equivalent of POSIX os.replace (atomic on HDFS/POSIX). One
+    definition serves the pointer write and its read-repair so the
+    two paths can never diverge."""
     jvm = spark._jvm
     gw = spark.sparkContext._gateway
-    tmp = path + ".tmp"
-    write_text(spark, tmp, text)
     fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
         spark._jsc.hadoopConfiguration()
     )
     opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
     opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
     fc.rename(
-        jvm.org.apache.hadoop.fs.Path(tmp),
-        jvm.org.apache.hadoop.fs.Path(path),
+        jvm.org.apache.hadoop.fs.Path(src),
+        jvm.org.apache.hadoop.fs.Path(dst),
         opts,
     )
+
+
+def replace_text(spark, path: str, text: str) -> None:
+    """Atomically replace ``path`` with ``text``: write
+    ``path + ".tmp"`` then rename-with-overwrite (see module
+    docstring for the S3A caveat + read repair)."""
+    tmp = path + ".tmp"
+    write_text(spark, tmp, text)
+    _rename_overwrite(spark, tmp, path)
 
 
 def read_text_or_recover(spark, path: str) -> str | None:
     """Read a pointer file, repairing a crash between
     :func:`replace_text`'s write and rename: if ``path`` is missing
-    but ``path + ".tmp"`` exists, the tmp holds the NEWER committed
-    content (it is written before the swap) — promote it and read.
-    Returns None when neither exists."""
+    but ``path + ".tmp"`` holds VALID JSON, the tmp is the newer
+    committed content (written before the swap) — promote it and
+    read. A TORN tmp (killed mid-write) is deleted and ignored
+    instead of promoted, so it can never poison the pointer; the
+    caller's default (e.g. the build-time ``codes`` dir) still
+    resolves (r11 review). Returns None when nothing readable
+    exists."""
+    import json
+
     if exists(spark, path):
         return read_text(spark, path)
     tmp = path + ".tmp"
     if exists(spark, tmp):
-        jvm = spark._jvm
-        gw = spark.sparkContext._gateway
-        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-            spark._jsc.hadoopConfiguration()
-        )
-        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-        fc.rename(
-            jvm.org.apache.hadoop.fs.Path(tmp),
-            jvm.org.apache.hadoop.fs.Path(path),
-            opts,
-        )
+        txt = read_text(spark, tmp)
+        try:
+            json.loads(txt)
+        except ValueError:
+            delete(spark, tmp)  # torn mid-write: not a commit
+            return None
+        _rename_overwrite(spark, tmp, path)
         return read_text(spark, path)
     return None

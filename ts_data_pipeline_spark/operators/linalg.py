@@ -245,9 +245,11 @@ def pca_power_basis(
             if nrm == 0.0:
                 break  # space exhausted; keep the seed direction
             v = [round(x / nrm, 9) for x in w]
-        lam = round(
-            sum(v[i] * matvec(C, v)[i] for i in range(dim)), 9
-        )
+        w = matvec(C, v)  # hoisted: the generator form re-ran the
+        # full matvec per coordinate — O(d^3) per component (r11
+        # review); value-identical, the SQL twin computes the same
+        # per-i dot products
+        lam = round(sum(v[i] * w[i] for i in range(dim)), 9)
         comps.append(v)
         C = [
             [
@@ -344,6 +346,7 @@ def pca_basis_write(
     components: list[list[float]],
     eigenvalues: list[float],
     mean: list[float],
+    spark=None,
 ) -> None:
     """Persist a PCA basis as a JSON sidecar (the PQ-codebook
     train-once/query-many convention, VERDICT r9 ask #4): store it
@@ -353,33 +356,49 @@ def pca_basis_write(
     JSON floats round-trip EXACTLY (shortest-repr encoding decodes
     to the identical double), so a reloaded basis projects
     bit-identically to the in-memory one — pinned by pytest.
-    Atomic via temp + os.replace, like every sidecar in this repo.
+    Atomic via temp + replace. ``spark`` routes the write through
+    the Hadoop FS API (r11 — a sidecar beside a ``file://``/object-
+    store index must land ON that filesystem, not silently on the
+    driver's local disk); bare-path callers keep the POSIX form.
     """
     import json
+
+    payload = json.dumps(
+        {
+            "components": components,
+            "eigenvalues": eigenvalues,
+            "mean": mean,
+        }
+    )
+    if spark is not None:
+        from ts_data_pipeline_spark.operators import fsio
+
+        fsio.replace_text(spark, path, payload)
+        return
     import os
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "components": components,
-                "eigenvalues": eigenvalues,
-                "mean": mean,
-            },
-            fh,
-        )
+        fh.write(payload)
     os.replace(tmp, path)
 
 
 def pca_basis_read(
     path: str,
+    spark=None,
 ) -> tuple[list[list[float]], list[float], list[float]]:
-    """Load a persisted PCA basis: (components, eigenvalues, mean)."""
+    """Load a persisted PCA basis: (components, eigenvalues, mean).
+    ``spark`` reads through the Hadoop FS API (URI sidecars)."""
     import json
 
-    with open(path) as fh:
-        d = json.load(fh)
+    if spark is not None:
+        from ts_data_pipeline_spark.operators import fsio
+
+        d = json.loads(fsio.read_text(spark, path))
+    else:
+        with open(path) as fh:
+            d = json.load(fh)
     return d["components"], d["eigenvalues"], d["mean"]
 
 

@@ -787,7 +787,6 @@ def prefix_index_write(
     the artifact is self-describing (appends project new rows under
     the SAME pinned rotation, the pinned-frame contract)."""
     import json
-    import os
 
     from ts_data_pipeline_spark.operators import linalg
 
@@ -809,8 +808,12 @@ def prefix_index_write(
     pref = linalg.pca_project_array(embeddings, comps, mu, vec_col, id_col)
     spark = embeddings.sparkSession
     pref.write.mode("overwrite").parquet(fsio.join(path, "prefix"))
+    # the sidecar must land ON the index's filesystem (r11 review:
+    # the local-open form silently wrote hdfs://... as a LITERAL
+    # local directory name)
     linalg.pca_basis_write(
-        os.path.join(path, "_pca_basis.json"), comps, vals[:d_prefix], mu
+        fsio.join(path, "_pca_basis.json"), comps, vals[:d_prefix], mu,
+        spark=spark,
     )
     meta = {"d_prefix": d_prefix, "id_col": id_col}
     fsio.write_text(

@@ -560,6 +560,16 @@ def evaluate_events(
 
     value = F.col(value_col)
     agg = spec.aggregation
+    if spec.interpolation == "Linear" and agg != "Count":
+        # validated HERE, not inside the interval branch: an
+        # interval-less spec must reject the same contradiction it
+        # would reject with an interval, instead of silently
+        # ignoring the interpolation (r11 review)
+        raise ValueError(
+            "Linear event interpolation requires a numeric "
+            f"aggregation (Count); got {agg!r} "
+            "whose event values are strings"
+        )
     if agg == "First":
         val_col = F.min_by(value, F.when(value.isNotNull(), ts)).alias("event_value")
     elif agg == "Last":
@@ -609,13 +619,8 @@ def evaluate_events(
             # buckets fill with the closed-form between surrounding
             # observed counts (fractional -> double, 4-dp like A8's
             # numeric fill); buckets outside the observed range stay
-            # null. First/Last values are strings -> still rejected.
-            if spec.aggregation != "Count":
-                raise ValueError(
-                    "Linear event interpolation requires a numeric "
-                    f"aggregation (Count); got {spec.aggregation!r} "
-                    "whose event values are strings"
-                )
+            # null. First/Last values are strings -> rejected up
+            # front (the validation at function entry).
             out = out.withColumn(
                 "event_count", F.col("event_count").cast("double")
             )

@@ -751,15 +751,16 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS,
         FILTERED_ANN_PRED, k=5,
     ).withColumn("method", F.lit("filtered"))
-    n_corpus = emb.count()  # bounded action: sizes the signature rule
-    bits = similarity.bsign_bits_rule(n_corpus, EMBEDDING_DIM)
+    # The GATE leg runs the static 64-axis-bit operating point — the
+    # twin (binary_sign_topk_sql) is a fixed string, so a
+    # corpus-size-driven width here would diverge silently the day
+    # the gate corpus outgrows the rule anchor (r11 review). The
+    # corpus-size rule (bsign_bits_rule + hyperplane pairs) is
+    # exercised where width can vary with data: the bench recall
+    # rows and the sf0.1 recall pytest, plus the cross-engine
+    # extended-bit pin.
     bidx_path = _ann_tmp_dir(sf_dir)
-    similarity.bsign_index_write(
-        emb, bidx_path, EMBEDDING_DIM,
-        plane_pairs=similarity.bsign_plane_pairs(
-            bits - EMBEDDING_DIM, BSIGN_PLANE_START
-        ),
-    )
+    similarity.bsign_index_write(emb, bidx_path, EMBEDDING_DIM)
     bsign = similarity.bsign_query_index(
         spark, bidx_path, emb, ANN_QUERY_IDS,
         k=5, rerank_factor=BSIGN_RERANK_FACTOR,
