@@ -2631,3 +2631,36 @@ def test_prefix_index_write_sidecar_lands_on_uri_filesystem(spark, tmp_path):
         ).collect()
     )
     assert got == inline and len(got) == 10
+
+
+def test_bsign_maintenance_decision_rewiden_rule(spark, tmp_path):
+    """bsign_maintenance_decision: quiet while the corpus fits the
+    stored width's rule regime, recommends REWIDEN once appends grow
+    the corpus past it — the measured-decision shape of
+    ivf_maintenance_decision applied to signature width."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "bs")
+    similarity.bsign_index_write(emb.filter(F.col("vec_id") < 400),
+                                 path, 64)
+    ok = similarity.bsign_maintenance_decision(spark, path, 400)
+    assert ok["rewiden"] is False
+    assert ok["evidence"]["stored_bits"] == 64
+
+    grown = similarity.bsign_maintenance_decision(spark, path, 2000)
+    assert grown["rewiden"] is True
+    assert grown["evidence"]["needed_bits"] == 128
+
+    # a rule-width index at the larger corpus is quiet again
+    wide = str(tmp_path / "bs_wide")
+    similarity.bsign_index_write(
+        emb, wide, 64,
+        plane_pairs=similarity.bsign_plane_pairs(64, start_id=100),
+    )
+    assert similarity.bsign_maintenance_decision(
+        spark, wide, 2000
+    )["rewiden"] is False

@@ -1268,7 +1268,15 @@ def image_stats(media: DataFrame, mode: str = "strict") -> DataFrame:
     _check_mode(mode)
 
     def _row(payload: bytes, meta) -> dict:
-        px = _png_pixels(payload).astype(np.int64)
+        # mime dispatch (r11): the stats are FORMAT-AGNOSTIC — any
+        # decoder yielding a luma plane feeds the same reductions
+        mime = meta["mime"] if meta is not None else "image/png"
+        if mime == "image/jpeg":
+            from ts_data_pipeline_spark.operators import jpeg as _jpeg
+
+            px = _jpeg.decode_jpeg(payload)["luma"].astype(np.int64)
+        else:
+            px = _png_pixels(payload).astype(np.int64)
         return {
             "pix_min": int(px.min()),
             "pix_max": int(px.max()),
@@ -1311,6 +1319,40 @@ g AS (
                  - ((doc_id*17 + y*31 + x*7) % 256)))))), 0) AS BIGINT)
            AS grad_sum
   FROM px
+)
+SELECT doc_id, pix_min, pix_max, grad_sum FROM g
+"""
+
+
+#: DuckDB twin of image_stats over the synthetic JPEG corpus (r11) —
+#: the block-gray codec fixed point replayed: pixel(y, x) =
+#: 2*((doc_id*7 + (y//8)*13 + (x//8)*5) % 128), dims from
+#: jpeg.jpeg_dims. The horizontal gradient is zero inside a flat
+#: block and |delta-g| at each 8-px block seam, so grad_sum measures
+#: exactly the block structure the encoder wrote.
+JPEG_IMAGE_STATS_SQL = """
+WITH grid AS (
+  SELECT doc_id,
+         8 * (doc_id % 3 + 1) + doc_id % 7 AS w,
+         8 * (doc_id % 2 + 1) + doc_id % 5 AS h
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CAST(list_min(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x ->
+             2 * ((doc_id*7 + (y//8)*13 + (x//8)*5) % 128)))))
+           AS BIGINT) AS pix_min,
+         CAST(list_max(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x ->
+             2 * ((doc_id*7 + (y//8)*13 + (x//8)*5) % 128)))))
+           AS BIGINT) AS pix_max,
+         CAST(COALESCE(list_sum(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w - 1), x ->
+             abs(2 * ((doc_id*7 + (y//8)*13 + ((x+1)//8)*5) % 128)
+                 - 2 * ((doc_id*7 + (y//8)*13 + (x//8)*5) % 128)))))), 0)
+           AS BIGINT) AS grad_sum
+  FROM grid
 )
 SELECT doc_id, pix_min, pix_max, grad_sum FROM g
 """

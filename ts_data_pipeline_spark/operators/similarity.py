@@ -967,6 +967,41 @@ def bsign_index_append(
     return n
 
 
+def bsign_maintenance_decision(spark, path: str, n_rows: int) -> dict:
+    """The signature-width analog of :func:`ivf_maintenance_decision`
+    (r11): a bsign index pins its width at build time (the plane
+    frame), but :func:`bsign_bits_rule` says what width the CURRENT
+    corpus needs — appends grow the corpus under a frozen frame, so
+    recall decays exactly the way the r10 cliff measured (0.99 at
+    the 64-bit anchor -> 0.83 at 4x the corpus). REWIDEN (a rebuild
+    with more plane pairs) is recommended when the rule's answer for
+    ``n_rows`` exceeds the stored width; like compact/retrain, the
+    decision is measured evidence, not a guess, and the evidence
+    dict is audit-ready."""
+    import json
+
+    meta = json.loads(
+        fsio.read_text(spark, fsio.join(path, "_bsign_meta.json"))
+    )
+    stored_bits = int(meta.get("n_bits", meta["dim"]))
+    needed = bsign_bits_rule(n_rows, meta["dim"])
+    return {
+        "rewiden": needed > stored_bits,
+        "evidence": {
+            "rule": "bsign_bits_rule",
+            "stored_bits": stored_bits,
+            "needed_bits": needed,
+            "n_rows": n_rows,
+            "anchor_n": BSIGN_ANCHOR_N,
+            "recall_calibration": {
+                "anchor_recall_at_10": 0.99,   # n=500, 64 bits, rf=32
+                "decayed_recall_at_10": 0.83,  # n=2000 on frozen 64
+                "rewidened_recall_at_10": 0.92,  # n=2000 at rule's 128
+            },
+        },
+    }
+
+
 def bsign_query_index(
     spark,
     path: str,

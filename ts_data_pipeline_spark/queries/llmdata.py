@@ -946,6 +946,18 @@ def multimodal_jpeg_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame
     return multimodal.jpeg_features(media, mode="permissive")
 
 
+def multimodal_jpeg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_stats through the JPEG lane (r11): luma min/max +
+    horizontal gradient energy over the REAL baseline decode —
+    grad_sum on the flat-block corpus measures exactly the 8-px
+    block-seam structure, so the gate pins the decoder's block
+    placement as well as its values."""
+    media = multimodal.attach_jpeg_payload(
+        io.load(spark, sf_dir, "documents")
+    )
+    return multimodal.image_stats(media)
+
+
 def multimodal_media_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media lane's composed corpus pass (the image-side analog
     of recipe_training_corpus): permissive decode -> features ->

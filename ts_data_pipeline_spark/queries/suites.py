@@ -1161,6 +1161,13 @@ def _media_members() -> list[Member]:
              ("pix_sum", "l"), ("pix_mean", "d")),
         ),
         Member(
+            "jpeg_image_stats",
+            llmdata.multimodal_jpeg_image_stats,
+            multimodal.JPEG_IMAGE_STATS_SQL,
+            (("doc_id", "l"), ("pix_min", "l"), ("pix_max", "l"),
+             ("grad_sum", "l")),
+        ),
+        Member(
             "jpeg_decode_errors",
             llmdata.multimodal_jpeg_decode_errors,
             multimodal.JPEG_DECODE_ERRORS_SQL,
