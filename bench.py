@@ -1140,13 +1140,22 @@ def main() -> None:
     # plan's effect is a measured number rather than a claim. Values
     # are oracle-pinned identical (tests/test_parity, flagship_salted);
     # this measures the physical plans only.
-    skew = _skew_stress(spark)
-    extras = _extras(spark)
-    extras.update(_recall(spark))
-    extras.update(_clustered_ivf(spark))
-    extras.update(_prune_metrics(spark))
-    extras.update(_sink_stress(spark))
-    extras.update(_maintenance(spark))
+    # Section gate: SPARK_GRAFT_BENCH_SECTIONS=headline skips the
+    # skew/recall/prune/maintenance sections — the mode
+    # tools/bench_ab.py uses for interleaved A/B drift bisects, where
+    # only the cross-round-comparable headline set matters and a full
+    # pass per sample would cost 20 min each.
+    sections = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "all")
+    skew: dict = {}
+    extras: dict = {}
+    if sections != "headline":
+        skew = _skew_stress(spark)
+        extras = _extras(spark)
+        extras.update(_recall(spark))
+        extras.update(_clustered_ivf(spark))
+        extras.update(_prune_metrics(spark))
+        extras.update(_sink_stress(spark))
+        extras.update(_maintenance(spark))
     canary = _canary(spark)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
@@ -1199,10 +1208,56 @@ def main() -> None:
     # comparable signal: headline total, per-query medians, and the
     # canary pair that attributes host drift. Tail capture always
     # retains the last line.
+    # Second-to-last line: the EXTRAS that grade the round — recall/
+    # cost curves, prune fractions, maintenance economics. r11's
+    # bsign-rule recall curve fell off the big payload line under the
+    # driver's 2000-char tail cap and survived only in BENCH_NOTES.md
+    # (VERDICT r11 ask #2b); this curated line plus headline_compact
+    # fit the cap together, so BENCH_r{N}.json alone suffices.
+    keep_exact = {
+        "zorder_bytes_read_frac",
+        "zorder_cells_skipped_frac",
+        "bloom_fact_survivor_frac",
+        "ivfpq_files_fragmented",
+        "ivfpq_files_compacted",
+        "ivfpq_query_sec_fragmented",
+        "ivfpq_query_sec_compacted",
+        "ivfpq_compact_sec",
+        "upsert_write_bytes_bucketed64",
+        "upsert_write_bytes_full_rewrite",
+    }
+    keep_legs = (
+        "ivfpq_registered",
+        "ivfpq_residual",
+        "pq_rerank",
+        "mrl_prefix16_pca_stored",
+        "sq8_rerank",
+        "ivf_nprobe4",
+        "lsh_multiprobe",
+    )
+    extras_compact = {
+        "metric": "extras_compact",
+        **{
+            k: v
+            for k, v in {**skew, **extras}.items()
+            if k in keep_exact
+            or "bsign" in k
+            or any(k == f"recall_at_10_{leg}" for leg in keep_legs)
+        },
+    }
+    print(json.dumps(extras_compact, separators=(",", ":")))
     compact = {
         "metric": "headline_compact",
         "headline_total": total,
         "queries": timings,
+        # per-query MIN alongside the median: min is the least
+        # host-noise-contaminated sample, so a "regression" whose min
+        # also moved is real while a median-only bump is load (the
+        # r10/r11 drift post-mortem's decision rule, now in-artifact).
+        "queries_min": {
+            n: round(min(s), 3) for n, s in samples.items() if s
+        },
+        "runs": RUNS,
         "sf": sf_val,
         "errors": sorted(errors),
     }
@@ -1213,7 +1268,7 @@ def main() -> None:
     ):
         if k in payload:
             compact[k] = payload[k]
-    print(json.dumps(compact))
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -705,128 +705,15 @@ FROM grid g LEFT JOIN counts c ON g.key = c.key AND g.bin = c.bin
 # mergeable algebra exists for.
 
 
-class _PosixStateOps:
-    """Driver-local filesystem primitives for the state-sink commit
-    protocol — the no-SparkSession fallback (plain local paths
-    only). Each primitive's atomicity contract matches the Hadoop
-    twin's: replace_text is os.replace (atomic), rename is
-    fail-if-missing-src dir rename."""
-
-    def join(self, path: str, *names: str) -> str:
-        import os
-
-        return os.path.join(path, *names)
-
-    def exists(self, p: str) -> bool:
-        import os
-
-        return os.path.exists(p)
-
-    def isdir(self, p: str) -> bool:
-        import os
-
-        return os.path.isdir(p)
-
-    def listdir(self, p: str) -> list[str]:
-        import os
-
-        return os.listdir(p)
-
-    def read_text(self, p: str) -> str:
-        with open(p) as fh:
-            return fh.read()
-
-    def replace_text(self, p: str, text: str) -> None:
-        import os
-
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(text)
-        os.replace(tmp, p)
-
-    def remove_file(self, p: str) -> None:
-        import os
-
-        try:
-            os.remove(p)
-        except FileNotFoundError:
-            pass
-
-    def rename(self, src: str, dst: str) -> bool:
-        import os
-
-        try:
-            os.rename(src, dst)
-            return True
-        except OSError:
-            return False
-
-    def rmtree(self, p: str) -> None:
-        import shutil
-
-        shutil.rmtree(p, ignore_errors=True)
-
-
-class _HadoopStateOps:
-    """The same primitives through the Hadoop FileSystem API
-    (operators/fsio) — local paths, ``file://`` URIs, HDFS and
-    object stores all route to the right implementation, the r11
-    convention the IVF index maintenance established."""
-
-    def __init__(self, spark) -> None:
-        self.spark = spark
-
-    def join(self, path: str, *names: str) -> str:
-        from ts_data_pipeline_spark.operators import fsio
-
-        return fsio.join(path, *names)
-
-    def exists(self, p: str) -> bool:
-        from ts_data_pipeline_spark.operators import fsio
-
-        return fsio.exists(self.spark, p)
-
-    def isdir(self, p: str) -> bool:
-        from ts_data_pipeline_spark.operators import fsio
-
-        return fsio.is_dir(self.spark, p)
-
-    def listdir(self, p: str) -> list[str]:
-        from ts_data_pipeline_spark.operators import fsio
-
-        return [e["name"] for e in fsio.listdir(self.spark, p)]
-
-    def read_text(self, p: str) -> str:
-        from ts_data_pipeline_spark.operators import fsio
-
-        return fsio.read_text(self.spark, p)
-
-    def replace_text(self, p: str, text: str) -> None:
-        from ts_data_pipeline_spark.operators import fsio
-
-        fsio.replace_text(self.spark, p, text)
-
-    def remove_file(self, p: str) -> None:
-        from ts_data_pipeline_spark.operators import fsio
-
-        fsio.delete(self.spark, p)
-
-    def rename(self, src: str, dst: str) -> bool:
-        from ts_data_pipeline_spark.operators import fsio
-
-        return fsio.rename(self.spark, src, dst)
-
-    def rmtree(self, p: str) -> None:
-        from ts_data_pipeline_spark.operators import fsio
-
-        fsio.delete(self.spark, p)
-
-
-def _state_ops(spark=None):
-    """Hadoop-FS ops when a session is at hand (every sink and every
-    spark-taking reader), driver-local POSIX ops otherwise (the
-    bare-path pin/release helpers keep working with no session)."""
-    return _HadoopStateOps(spark) if spark is not None else _PosixStateOps()
+# The ops classes were hoisted to operators/fsio in r12 so the
+# exactly-once upsert sink (streaming/upsert_sink) shares the SAME
+# primitive interface and Hadoop-FS portability story; these aliases
+# keep this module's r11 names (and its tests) stable.
+from ts_data_pipeline_spark.operators.fsio import (  # noqa: E402
+    HadoopOps as _HadoopStateOps,
+    PosixOps as _PosixStateOps,
+    resolve_ops as _state_ops,
+)
 
 
 def _latest_version(path: str, ops=None) -> int:
