@@ -2664,3 +2664,66 @@ def test_bsign_maintenance_decision_rewiden_rule(spark, tmp_path):
     assert similarity.bsign_maintenance_decision(
         spark, wide, 2000
     )["rewiden"] is False
+
+
+def test_html_extract_decodes_once_and_strips_nonvisible(spark):
+    """The HTML lane's two safety rules: (1) script/style/comment/
+    title bodies never leak into training text — including scripts
+    whose body contains a '<' comparison; (2) entity decode is ONE
+    pass with &amp; last, so a document that legitimately contains
+    the literal text '&lt;' (escaped by the wrap to '&amp;lt;')
+    round-trips to '&lt;' — never double-decoded into a live '<'."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [
+            (4, "plain a & b < c body", "en", "s", 20),  # %4=0 -> script
+            (5, "literal &lt; stays literal", "en", "s", 26),  # %5=0 style
+            (7, "x", "en", "s", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r.doc_id: r for r in text_fns.html_extract(docs).collect()}
+    # script body ("var n", "n < 10") and style body never leak
+    assert "var n" not in out[4].text_clean
+    assert "n < 10" not in out[4].text_clean
+    assert "color" not in out[5].text_clean
+    for r in out.values():  # title is head metadata, not content
+        assert "Doc " + str(r.doc_id) not in r.text_clean.split("\n")[0] or \
+            r.text_clean.split("\n")[0].startswith("Title")
+    # the escaped body decodes back exactly (roundtrip pins < and &)
+    assert out[4].roundtrip_ok and "a & b < c" in out[4].text_clean
+    # single decode: literal '&lt;' in the SOURCE text survives as
+    # the five characters '&lt;', not as '<'
+    assert "literal &lt; stays literal" in out[5].text_clean
+    assert out[5].roundtrip_ok
+
+
+def test_html_main_content_drops_link_walls_keeps_prose(spark):
+    """Link-density boilerplate rule, integer-exact: nav and share
+    link walls (visible text ~all inside anchors) are dropped; prose
+    blocks with zero anchors are kept; the reassembled main_text
+    preserves block order."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [
+            (3, "prose body three", "en", "s", 16),   # %3=0 -> nav wall
+            (13, "prose thirteen", "en", "s", 14),    # %6=1 -> share wall
+            (2, "plain prose two", "en", "s", 15),    # no link fixtures
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r.doc_id: r for r in text_fns.html_main_content(docs).collect()}
+    assert out[3].n_kept < out[3].n_blocks  # nav wall dropped
+    assert "Home" not in out[3].main_text
+    assert "prose body three" in out[3].main_text
+    assert out[13].n_kept < out[13].n_blocks  # share wall dropped
+    assert "Tweet" not in out[13].main_text
+    assert out[2].n_kept == out[2].n_blocks  # nothing to drop
+    # block order: title line precedes the prose line
+    lines = out[2].main_text.split("\n")
+    assert lines[0].startswith("Title") and "plain prose two" in lines[1]
+    # link accounting is exact integers
+    assert out[3].link_chars == len("Home News About")
+    assert out[2].link_chars == 0

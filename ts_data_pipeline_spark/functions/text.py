@@ -627,14 +627,14 @@ def bigram_lm_perplexity(
     )
 
 
-def bigram_lm_perplexity_sql(k: float = 0.5) -> str:
+def bigram_lm_perplexity_sql(k: float = 0.5, table: str = "documents") -> str:
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
                                     t -> t != '')) AS tok,
          generate_subscripts(list_filter(string_split(lower(text), ' '),
                                          t -> t != ''), 1) AS pos
-  FROM documents
+  FROM {table}
 ),
 bg AS (
   SELECT doc_id, tok AS w1,
@@ -1819,4 +1819,319 @@ SELECT CAST(n_tokens AS BIGINT) AS n_tokens,
             ELSE ROUND((sxy - sx * sy / sw) / (sxx - sx * sx / sw), 6)
        END AS zipf_slope
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction + boilerplate removal (r12, VERDICT r11 ask
+# #3). Every crawled corpus arrives as markup; the quality/dedup
+# family above assumes clean text, so this lane sits in front of it.
+# Scale shape: pure scan — regexp/replace Column chains with zero
+# shuffle for the doc-level pass, and one narrow per-block explode +
+# per-doc re-aggregate for the boilerplate pass. No UDFs.
+#
+# The synthetic corpus is clean text, so (the repo's PII-fixture
+# convention, _pii_augmented) a deterministic doc_id-keyed WRAP first
+# builds the crawl-shaped HTML — script/style blocks, comments, nav
+# and share-bar link walls, entity-escaped body — and the extractor
+# then genuinely strips it. Single source of truth per step: each
+# Spark Column chain has a same-shape DuckDB SQL builder.
+
+#: entity decode table; ``&amp;`` LAST so ``&amp;lt;`` decodes to the
+#: literal text ``&lt;`` (one pass, no double-decode), the same order
+#: every HTML parser documents.
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+_HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_HTML_TITLE_RE = r"(?is)<title\b[^>]*>.*?</title\s*>"
+_HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+#: block-level elements: their tags become newlines (doc pass) or
+#: split points (boilerplate pass) so text structure survives.
+_HTML_BLOCK_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|nav|table|tr|td|th|section"
+    r"|article|header|footer|blockquote)\b[^>]*>"
+)
+_HTML_TAG_RE = r"(?s)<[^>]+>"
+_HTML_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def _html_wrapped(text_col: str = "text") -> Column:
+    """Deterministic crawl-shaped HTML around each document:
+    head with style+script (doc_id-keyed), a nav link wall (%3), an
+    HTML comment, an entity-bearing title, the entity-ESCAPED body,
+    an entity fixture paragraph (%7), and a share-bar link wall
+    (%6). :func:`_html_wrap_sql` is the DuckDB twin."""
+    did = F.col("doc_id").cast("string")
+    esc = F.col(text_col)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&#39;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did, F.lit("</title>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("<style>body { color: #333; font-size: 12px; }</style>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<script type="text/javascript">var n = '), did,
+                F.lit("; if (n < 10) { n = n + 1; }</script>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<div id="nav"><a href="/">Home</a> <a href="/news">'
+                  'News</a> <a href="/about">About</a></div>'),
+        ).otherwise(F.lit("")),
+        F.lit("<!-- build "), did, F.lit(" -->"),
+        F.lit("<h1>Title &amp; Doc "), did, F.lit("</h1>"),
+        F.lit("<p>"), esc, F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("<p>Footnote &lt;"), did,
+                F.lit("&gt; &quot;quoted&quot;&nbsp;end</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 1,
+            F.lit('<div class="share"><a href="/s1">Share</a> '
+                  '<a href="/s2">Tweet</a> <a href="/s3">Pin</a></div>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+
+
+def _html_wrap_sql(text_col: str = "text") -> str:
+    esc = text_col
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("''", "&#39;")):
+        esc = f"replace({esc}, '{raw}', '{ent}')"
+    return (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'"
+        " || CASE WHEN doc_id % 5 = 0 THEN"
+        " '<style>body { color: #333; font-size: 12px; }</style>'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN"
+        " '<script type=\"text/javascript\">var n = '"
+        " || CAST(doc_id AS VARCHAR)"
+        " || '; if (n < 10) { n = n + 1; }</script>' ELSE '' END"
+        " || '</head><body>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN"
+        " '<div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/news\">"
+        "News</a> <a href=\"/about\">About</a></div>' ELSE '' END"
+        " || '<!-- build ' || CAST(doc_id AS VARCHAR) || ' -->'"
+        " || '<h1>Title &amp; Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'"
+        f" || '<p>' || {esc} || '</p>'"
+        " || CASE WHEN doc_id % 7 = 0 THEN"
+        " '<p>Footnote &lt;' || CAST(doc_id AS VARCHAR)"
+        " || '&gt; &quot;quoted&quot;&nbsp;end</p>' ELSE '' END"
+        " || CASE WHEN doc_id % 6 = 1 THEN"
+        " '<div class=\"share\"><a href=\"/s1\">Share</a> "
+        "<a href=\"/s2\">Tweet</a> <a href=\"/s3\">Pin</a></div>'"
+        " ELSE '' END"
+        " || '</body></html>'"
+    )
+
+
+def _html_strip_nonvisible(c: Column) -> Column:
+    """Remove content that never renders: scripts, styles, comments.
+    MUST run before any tag-level pass — a naive tag strip would leak
+    ``var n = ...`` script bodies into the training text."""
+    c = F.regexp_replace(c, _HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, _HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, _HTML_TITLE_RE, " ")
+    return F.regexp_replace(c, _HTML_COMMENT_RE, " ")
+
+
+def _html_strip_nonvisible_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '{_HTML_SCRIPT_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_STYLE_RE}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_TITLE_RE}', ' ', 'g')"
+    return f"regexp_replace({out}, '{_HTML_COMMENT_RE}', ' ', 'g')"
+
+
+def _html_visible(c: Column) -> Column:
+    """Block/inline fragment -> visible text: strip remaining tags,
+    decode entities (amp last), collapse spaces, trim. Newline-free
+    input by construction (block tags were split/newlined away)."""
+    c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"[ \t\r]+", " "))
+
+
+def _html_visible_sql(expr: str) -> str:
+    out = f"regexp_replace({expr}, '{_HTML_TAG_RE}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        out = f"replace({out}, '{ent}', '{rep.replace(chr(39), chr(39) * 2)}')"
+    return f"trim(regexp_replace({out}, '[ \\t\\r]+', ' ', 'g'))"
+
+
+def html_extract(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Doc-level HTML -> text: wrap (synthetic crawl), strip
+    script/style/comments, block tags -> newline, strip remaining
+    tags, decode entities, normalize whitespace. All counters are
+    EXACT integers (no rounded ratios in gate columns — the repo's
+    half-tie rule); ``roundtrip_ok`` pins that the escaped body
+    decodes back to the whitespace-normalized original."""
+    h = _html_wrapped(text_col)
+    n_tags = F.regexp_count(h, F.lit(r"</?[a-zA-Z][^>]*>"))
+    n_links = F.regexp_count(h, F.lit(r"(?i)<a\b"))
+    c = _html_strip_nonvisible(h)
+    c = F.regexp_replace(c, _HTML_BLOCK_RE, "\n")
+    c = _html_visible(c)  # leaves \n intact ([ \t\r] class only)
+    c = F.regexp_replace(c, r" *\n *", "\n")
+    c = F.trim(F.regexp_replace(c, r"\n+", "\n"))
+    norm_src = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        n_tags.alias("n_tags"),
+        n_links.alias("n_links"),
+        c.alias("text_clean"),
+        F.length(c).alias("n_chars"),
+        F.contains(c, norm_src).alias("roundtrip_ok"),
+    )
+
+
+def html_extract_sql(text_col: str = "text") -> str:
+    h = _html_wrap_sql(text_col)
+    c = _html_strip_nonvisible_sql("h")
+    c = f"regexp_replace({c}, '{_HTML_BLOCK_RE}', chr(10), 'g')"
+    c = _html_visible_sql(c)
+    c = f"regexp_replace({c}, ' *\\n *', chr(10), 'g')"
+    c = f"trim(regexp_replace({c}, '\\n+', chr(10), 'g'))"
+    return f"""
+WITH wrapped AS (
+  SELECT doc_id, {text_col}, {h} AS h FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(h, '</?[a-zA-Z][^>]*>')) AS n_tags,
+       len(regexp_extract_all(h, '(?i)<a\\b')) AS n_links,
+       {c} AS text_clean,
+       length({c}) AS n_chars,
+       contains({c},
+                trim(regexp_replace({text_col}, '\\s+', ' ', 'g'))
+       ) AS roundtrip_ok
+FROM wrapped
+"""
+
+
+def html_main_content(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate removal by the classic LINK-DENSITY rule: split the
+    document at block-tag boundaries, measure each block's visible
+    chars vs chars inside ``<a>`` anchors, and drop link-dominated
+    blocks (nav bars, share walls). The keep decision is INTEGER
+    arithmetic — ``2 * link_chars < visible_chars`` — so there is no
+    float rounding for the two engines to disagree on.
+
+    Scale shape: one explode over blocks (rows ~= docs x ~6 blocks),
+    per-doc re-aggregate keyed by doc_id — a narrow shuffle on the
+    natural key; no windows, no UDFs, no driver state.
+    """
+    h = _html_wrapped(text_col)
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(_html_strip_nonvisible(h), _HTML_BLOCK_RE)
+        ).alias("pos", "block"),
+    )
+    vis = _html_visible(F.col("block"))
+    link_inner = F.array_join(
+        F.regexp_extract_all(F.col("block"), F.lit(_HTML_ANCHOR_RE), F.lit(1)),
+        " ",
+    )
+    link_vis = _html_visible(link_inner)
+    per_block = blocks.select(
+        "doc_id",
+        "pos",
+        vis.alias("vis"),
+        F.length(vis).alias("vis_len"),
+        F.length(link_vis).alias("link_len"),
+    ).filter(F.col("vis_len") > 0)
+    kept = F.when(2 * F.col("link_len") < F.col("vis_len"), 1).otherwise(0)
+    return (
+        per_block.withColumn("keep", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("keep").alias("n_kept"),
+            F.sum("link_len").alias("link_chars"),
+            F.sum(F.when(F.col("keep") == 1, F.col("vis_len")).otherwise(0))
+            .alias("main_chars"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep") == 1,
+                                F.struct("pos", "vis"),
+                            )
+                        )
+                    ),
+                    lambda s: s["vis"],
+                ),
+                "\n",
+            ).alias("main_text"),
+        )
+    )
+
+
+def html_main_content_sql(text_col: str = "text") -> str:
+    h = _html_wrap_sql(text_col)
+    stripped = _html_strip_nonvisible_sql("h")
+    vis = _html_visible_sql("block")
+    # COALESCE: DuckDB array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — uncoalesced, every anchor-free block got
+    # NULL link_len and the integer keep rule silently dropped it.
+    link_vis = _html_visible_sql(
+        "COALESCE(array_to_string(regexp_extract_all(block,"
+        f" '{_HTML_ANCHOR_RE}', 1), ' '), '')"
+    )
+    return f"""
+WITH wrapped AS (
+  SELECT doc_id, {h} AS h FROM documents
+),
+blk AS (
+  SELECT doc_id,
+         generate_subscripts(
+           regexp_split_to_array({stripped}, '{_HTML_BLOCK_RE}'), 1
+         ) AS pos,
+         unnest(
+           regexp_split_to_array({stripped}, '{_HTML_BLOCK_RE}')
+         ) AS block
+  FROM wrapped
+),
+per_block AS (
+  SELECT doc_id, pos,
+         {vis} AS vis,
+         length({vis}) AS vis_len,
+         length({link_vis}) AS link_len
+  FROM blk
+)
+SELECT doc_id,
+       COUNT(*) AS n_blocks,
+       SUM(CASE WHEN 2 * link_len < vis_len THEN 1 ELSE 0 END) AS n_kept,
+       SUM(link_len) AS link_chars,
+       SUM(CASE WHEN 2 * link_len < vis_len THEN vis_len ELSE 0 END)
+         AS main_chars,
+       COALESCE(
+         string_agg(CASE WHEN 2 * link_len < vis_len THEN vis END,
+                    chr(10) ORDER BY pos),
+         ''
+       ) AS main_text
+FROM per_block
+WHERE vis_len > 0
+GROUP BY doc_id
 """

@@ -96,6 +96,14 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.pii_redact(io.load(spark, sf_dir, "documents"))
 
 
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.html_extract(io.load(spark, sf_dir, "documents"))
+
+
+def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fns.html_main_content(io.load(spark, sf_dir, "documents"))
+
+
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bigram_lm_perplexity(io.load(spark, sf_dir, "documents"))
 
@@ -1118,6 +1126,7 @@ def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         embeddings=io.load(spark, sf_dir, "embeddings"),
         semdedup_seeds=KMEANS_SEED_IDS,
         source_cap=RECIPE_SOURCE_CAP,
+        html_input=True,
     )
 
 
@@ -1125,7 +1134,9 @@ def _recipe_training_corpus_sql() -> str:
     from ts_data_pipeline_spark import recipes
 
     return recipes.build_training_corpus_sql(
-        semdedup_seeds=KMEANS_SEED_IDS, source_cap=RECIPE_SOURCE_CAP
+        semdedup_seeds=KMEANS_SEED_IDS,
+        source_cap=RECIPE_SOURCE_CAP,
+        html_input=True,
     )
 
 

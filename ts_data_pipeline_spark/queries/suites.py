@@ -362,6 +362,22 @@ def _text_stats_members() -> list[Member]:
              ("n_digit_runs", "l"), ("first_email", "s")),
         ),
         Member(
+            "html_extract",
+            llmdata.html_extract,
+            text_fns.html_extract_sql(),
+            (("doc_id", "l"), ("n_tags", "l"), ("n_links", "l"),
+             ("text_clean", "s"), ("n_chars", "l"),
+             ("roundtrip_ok", "s")),
+        ),
+        Member(
+            "html_main_content",
+            llmdata.html_main_content,
+            text_fns.html_main_content_sql(),
+            (("doc_id", "l"), ("n_blocks", "l"), ("n_kept", "l"),
+             ("link_chars", "l"), ("main_chars", "l"),
+             ("main_text", "s")),
+        ),
+        Member(
             "length_quantiles",
             llmdata.length_quantiles,
             text_fns.LENGTH_QUANTILES_SQL,

@@ -46,6 +46,7 @@ def build_training_corpus(
     source_cap: int | None = None,
     nfc_clean: bool = False,
     eval_split_fracs: dict[str, float] | None = None,
+    html_input: bool = False,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -76,6 +77,20 @@ def build_training_corpus(
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import dedup, sampling
     from ts_data_pipeline_spark.operators.ingest import ingest_signals
+
+    # -1. HTML front door (r12): crawled corpora arrive as markup, so
+    #     when ``html_input`` is on the first stage is extraction +
+    #     link-density boilerplate removal (functions/text.py
+    #     html_main_content) and every downstream gate sees the
+    #     recovered main content, never tag soup. Scan-shaped plus one
+    #     narrow per-block explode/re-aggregate on doc_id — the
+    #     cheapest stage in the recipe, and the one that most changes
+    #     what the others measure.
+    if html_input:
+        main = text_fns.html_main_content(docs).select(
+            "doc_id", F.col("main_text").alias("text")
+        )
+        docs = docs.drop("text").join(main, "doc_id")
 
     # 0. optional NFC cleaning pass (functions/text.py::clean_text)
     #    BEFORE any hashing/signal — decomposed and composed Unicode
@@ -251,6 +266,7 @@ def build_training_corpus_sql(
     semdedup_max_cell_size: int | None = 256,
     source_cap: int | None = None,
     rep_n: int = 5,
+    html_input: bool = False,
 ) -> str:
     """DuckDB twin of the COMPOSED :func:`build_training_corpus`
     (drop_ppl_tail=True, the gate configuration) — every stage is the
@@ -269,6 +285,7 @@ def build_training_corpus_sql(
     from ts_data_pipeline_spark.functions.text import (
         _PII_EMAIL,
         bigram_lm_perplexity_sql,
+        html_main_content_sql,
     )
     from ts_data_pipeline_spark.operators.dedup import (
         SHINGLES_SQL,
@@ -288,7 +305,18 @@ def build_training_corpus_sql(
         "lower(trim(regexp_replace(regexp_replace(text,"
         " '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g')))"
     )
-    ppl = bigram_lm_perplexity_sql()
+    # HTML front door: rebase the two raw-text consumers (the signal
+    # scan and the perplexity LM) onto the extracted main content.
+    src_table = "documents"
+    html_cte = ""
+    if html_input:
+        src_table = "html_docs"
+        html_cte = f"""html_docs AS MATERIALIZED (
+  SELECT d.* REPLACE (m.main_text AS text)
+  FROM documents d JOIN ({html_main_content_sql()}) m USING (doc_id)
+),
+"""
+    ppl = bigram_lm_perplexity_sql(table=src_table)
     kc = keep_canonical_sql(
         ngram_jaccard_sql(table="gtext"), table="gtext"
     )
@@ -319,7 +347,7 @@ capped AS MATERIALIZED (
 capped AS MATERIALIZED (SELECT doc_id, lang, text_norm FROM kept2),"""
 
     return f"""
-WITH sig AS (
+WITH {html_cte}sig AS (
   SELECT doc_id, lang{carry_src},
          {norm} AS text_norm,
          len({norm}) AS n_chars_norm,
@@ -327,7 +355,7 @@ WITH sig AS (
                THEN 1.0 - CAST(len(list_distinct({sh})) AS DOUBLE) / len({sh})
                ELSE 0.0 END, 4) AS rep_ratio,
          len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails
-  FROM documents
+  FROM {src_table}
 ),
 gated AS MATERIALIZED (
   SELECT doc_id, lang{carry_src}, text_norm FROM sig
