@@ -2727,3 +2727,90 @@ def test_html_main_content_drops_link_walls_keeps_prose(spark):
     # link accounting is exact integers
     assert out[3].link_chars == len("Home News About")
     assert out[2].link_chars == 0
+
+
+def test_prefix_and_bsign_filtered_search_semantics(spark, tmp_path):
+    """r12 filtered-search contract on the persisted narrow-relation
+    legs (the bsign leg is additionally hash-gated in
+    ann_lsh_ivf_topk): (1) no filtered-out candidate ever surfaces;
+    (2) no k-deflation — the shortlist ranks over filtered candidates,
+    so each query still returns k rows; (3) the filtered result equals
+    querying an index whose candidate set IS the filtered corpus
+    (filter includes the query rows, so the two constructions
+    coincide exactly)."""
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    allow = emb.filter("vec_id % 3 = 0 OR vec_id IN (0, 1, 2)").select(
+        "vec_id"
+    )
+    allowed = {r.vec_id for r in allow.collect()}
+
+    d_prefix, dim = 16, 64
+    ident = (
+        [[1.0 if j == i else 0.0 for j in range(dim)]
+         for i in range(d_prefix)],
+        [0.0] * dim,
+    )
+    ppath = str(tmp_path / "pfx")
+    similarity.prefix_index_write(emb, ppath, d_prefix, basis=ident)
+    got = similarity.prefix_query_index(
+        spark, ppath, emb, qids, k=5, rerank_factor=4, filter_ids=allow
+    ).collect()
+    assert all(r.cand_id in allowed for r in got)
+    assert sorted(
+        (q, sum(1 for r in got if r.query_id == q)) for q in qids
+    ) == [(0, 5), (1, 5), (2, 5)]
+    # equivalence to an index over the filtered corpus
+    ppath2 = str(tmp_path / "pfx2")
+    similarity.prefix_index_write(
+        emb.join(allow, "vec_id", "left_semi"), ppath2, d_prefix,
+        basis=ident,
+    )
+    want = similarity.prefix_query_index(
+        spark, ppath2, emb, qids, k=5, rerank_factor=4
+    ).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.cand_id, r.cos_sim, r.rank) for r in rows
+    )
+    assert key(got) == key(want)
+
+    bpath = str(tmp_path / "bsig")
+    similarity.bsign_index_write(emb, bpath, dim)
+    bgot = similarity.bsign_query_index(
+        spark, bpath, emb, qids, k=5, rerank_factor=4, filter_ids=allow
+    ).collect()
+    assert all(r.cand_id in allowed for r in bgot)
+    bpath2 = str(tmp_path / "bsig2")
+    similarity.bsign_index_write(
+        emb.join(allow, "vec_id", "left_semi"), bpath2, dim
+    )
+    bwant = similarity.bsign_query_index(
+        spark, bpath2, emb, qids, k=5, rerank_factor=4
+    ).collect()
+    assert key(bgot) == key(bwant) and len(bwant) == 15
+
+
+def test_bsign_plane_pair_ids_validated_loudly(spark):
+    """A plane pair referencing an id absent from the corpus must
+    raise (r11 ADVICE): the inner join would otherwise silently drop
+    the plane — Spark zero-fills the bit while the DuckDB twin's
+    extsig shrinks, i.e. silent recall loss plus cross-engine
+    divergence."""
+    import pytest as _pytest
+
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import similarity
+
+    emb = _io.load(spark, "/root/testdata/sf0.001", "embeddings")
+    bad = [(0, 10**9)]  # second id not in the corpus
+    with _pytest.raises(ValueError, match="plane-pair"):
+        similarity.binary_sign_topk(
+            emb, [0, 1], 64, k=3, plane_pairs=bad
+        )
+    with _pytest.raises(ValueError, match="plane-pair"):
+        similarity.bsign_index_write(
+            emb, "/tmp/never_written_bsign", 64, plane_pairs=bad
+        )

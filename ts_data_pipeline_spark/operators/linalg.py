@@ -192,7 +192,22 @@ def pca_power_basis(
     Returns (components [k][dim] — 9-dp coordinates, mu [dim]).
     Convergence is an accuracy concern only: both engines run the
     same fixed recipe, so twin equality holds even pre-convergence;
-    recall vs the eigh basis is published separately."""
+    recall vs the eigh basis is published separately.
+
+    Tie-breaking caveat (r11 ADVICE): the cross-engine-EXACT claim
+    rests on Python ``round`` (half-even), Spark ``F.round``
+    (HALF_UP) and DuckDB ``ROUND`` (half-away on doubles) agreeing at
+    the 9th decimal — they differ on EXACT .5e-9 boundary values.
+    Such ties require the pre-rounded double to terminate at the
+    10th decimal digit, which the corpus's non-2-5-smooth moment
+    divisions (avg over n=500/2000-row corpora of irrational-ish
+    dots) make astronomically unlikely but not impossible by
+    construction; the gate would fail LOUDLY (hash mismatch), not
+    silently, if a corpus ever landed on one. The repo-wide fix
+    pattern (one explicit floor(x*1e9+0.5)/1e9 rule on all three
+    sides) is documented here for that day rather than paid now —
+    changing the rounding rule would re-derive every published
+    basis."""
     # moments in the gram_matrix shape: posexplode -> d groups x
     # (d+1) aggregates — one dimension-bounded shuffle, never a
     # 4096-expression single-row agg

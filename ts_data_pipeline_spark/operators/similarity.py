@@ -648,6 +648,14 @@ def binary_sign_topk(
     axis bits — the corpus-size scaling knob (:func:`bsign_bits_rule`
     / the r10 recall cliff); the pairs must match the twin's.
     """
+    if plane_pairs:
+        # loud failure for absent pair ids (see bsign_index_write)
+        _check_ids_present(
+            embeddings,
+            sorted({i for p in plane_pairs for i in p}),
+            id_col,
+            "bsign plane-pair",
+        )
     sig = _bsign_signatures(embeddings, dim, plane_pairs, id_col, vec_col)
     q = sig.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("s").alias("qs")
@@ -680,15 +688,24 @@ def binary_sign_topk_sql(
     k: int = 5,
     rerank_factor: int = 4,
     plane_pairs: list[tuple[int, int]] | None = None,
+    filter_pred: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`binary_sign_topk` — same 32-bit word
     packing, hamming shortlist, tie-breaks, and exact-rerank tail.
     ``plane_pairs`` mirrors the hyperplane-bit extension: extra bit
     j = sign(dot(v, emb[a_j] - emb[b_j])), packed into further
-    32-bit words appended after the axis words."""
+    32-bit words appended after the axis words. ``filter_pred``
+    mirrors ``bsign_query_index(filter_ids=...)``: candidates
+    restricted BEFORE the hamming shortlist (queries unfiltered)."""
     qs = ", ".join(str(i) for i in query_ids)
     shortlist = rerank_factor * k
     n_words = (dim + 31) // 32
+    filter_clause = (
+        f"\n    AND c.vec_id IN (SELECT vec_id FROM embeddings"
+        f" WHERE {filter_pred})"
+        if filter_pred
+        else ""
+    )
     pairs = plane_pairs or []
     n_extra = len(pairs)
     ext_words = (n_extra + 31) // 32
@@ -741,7 +758,7 @@ scored AS (
          CAST(list_sum(list_transform(range(0, {total_words}),
            w -> bit_count(xor(q.qs[w + 1], c.s[w + 1])))) AS BIGINT) AS hamm
   FROM {sig_src} c CROSS JOIN q
-  WHERE c.vec_id <> q.query_id
+  WHERE c.vec_id <> q.query_id{filter_clause}
 ),
 cands AS (
   SELECT query_id, cand_id FROM (
@@ -831,13 +848,19 @@ def prefix_query_index(
     rerank_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query the persisted rotated-prefix relation: coarse cosine
     over the STORED narrow ``(id, p)`` table (query rows
     re-literalized — bounded collect — so the table is scanned once),
     exact full-vector re-rank on the shortlist. Value-identical to
     ``pca_prefix_topk`` under the same persisted basis (bit-exact
-    projection round-trip; pytest-pinned)."""
+    projection round-trip; pytest-pinned).
+
+    ``filter_ids`` mirrors ``ivfpq_query_index(filter_ids=...)``
+    (r12): candidate pre-filter semi-joined onto the prefix scan
+    before the coarse cosine, queries from the unfiltered relation —
+    no k-deflation, work proportional to the filter's selectivity."""
     import json
 
     meta = json.loads(
@@ -854,6 +877,8 @@ def prefix_query_index(
         F.sqrt(dot(F.col("p"), F.col("p"))).alias("qn"),
     ).filter(F.col("qn") > 0)
     q = spark.createDataFrame(q_rel.collect(), q_rel.schema)
+    if filter_ids is not None:
+        pref = pref.join(filter_ids.select(id_col), id_col, "left_semi")
     c = pref.select(
         F.col(id_col).alias("cand_id"),
         F.col("p").alias("cp"),
@@ -893,6 +918,18 @@ def bsign_index_write(
 
     planes = None
     if plane_pairs:
+        # validate the pair ids FIRST (the codebook/centroid
+        # convention): _bsign_planes_from inner-joins pair ids against
+        # the corpus, so an absent id would silently drop that plane —
+        # the Spark path zero-fills the bit while the twin's extsig
+        # lists shrink: silent recall loss plus cross-engine
+        # divergence instead of a loud error (r11 ADVICE).
+        _check_ids_present(
+            embeddings,
+            sorted({i for p in plane_pairs for i in p}),
+            id_col,
+            "bsign plane-pair",
+        )
         # persist the normal VECTORS beside the signatures (the PCA
         # basis-sidecar convention): appends must sign deltas under
         # the same frame, and a delta need not contain the pair ids
@@ -1011,6 +1048,7 @@ def bsign_query_index(
     rerank_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Query the persisted sign-signature relation: hamming shortlist
     over the STORED (id, s) table — the coarse pass never touches the
@@ -1018,7 +1056,14 @@ def bsign_query_index(
     for the query-bounded shortlist only. Value-identical to
     :func:`binary_sign_topk` (same packing, same tie-breaks;
     pytest-pinned), so the registered gate's DuckDB twin covers this
-    path's semantics too."""
+    path's semantics too.
+
+    ``filter_ids`` (single-column DataFrame of allowed candidate
+    ids) mirrors ``ivfpq_query_index(filter_ids=...)`` — r12, so
+    every deployed index leg takes tenancy/license filters: the
+    semi-join lands on the signature scan BEFORE the hamming math,
+    so the shortlist ranks over filtered candidates and never
+    k-deflates; queries come from the unfiltered relation."""
     import json
 
     meta = json.loads(
@@ -1038,6 +1083,8 @@ def bsign_query_index(
         F.col(id_col).alias("query_id"), F.col("s").alias("qs")
     )
     q = spark.createDataFrame(q_rel.collect(), q_rel.schema)
+    if filter_ids is not None:
+        sig = sig.join(filter_ids.select(id_col), id_col, "left_semi")
     c = sig.select(F.col(id_col).alias("cand_id"), F.col("s").alias("cs"))
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -3652,6 +3699,15 @@ def ivfpq_index_compact(spark, path: str) -> dict:
     API (operators/fsio), so the same code path serves local disk,
     ``file://`` URIs, HDFS and object stores. Returns before/after
     stats (files_total, bytes_total, rows_total).
+
+    SINGLE MAINTENANCE WRITER assumption (r11 ADVICE): the entry
+    sweep deletes every non-live ``codes*``/``codes_v*`` dir, so a
+    SECOND concurrent compaction (or an append racing a compact)
+    could have its in-flight ``codes_v*`` dir deleted before its
+    pointer commit. Run compaction from one maintenance process per
+    index — the same serialized-maintenance-window contract as the
+    upsert sink's delete/GC path. (Readers are always safe: they
+    resolve the pointer, which only ever names a fully written dir.)
     """
     import uuid
 

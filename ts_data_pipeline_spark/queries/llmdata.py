@@ -773,6 +773,20 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, bidx_path, emb, ANN_QUERY_IDS,
         k=5, rerank_factor=BSIGN_RERANK_FACTOR,
     ).withColumn("method", F.lit("bsign"))
+    # r12 — the FOURTEENTH leg: attribute-filtered search through the
+    # PERSISTED bsign index (VERDICT r11 ask #4 — every deployed index
+    # leg takes tenancy/license filters). Same semi-join-before-coarse
+    # shape as ivfpq_filt: the filter lands on the signature scan
+    # ahead of the hamming math, queries stay unfiltered, no
+    # k-deflation; hash-gated against binary_sign_topk_sql(
+    # filter_pred=...). The prefix index grew the same filter_ids
+    # parameter (pytest-pinned) — gating one persisted-relation
+    # filtered leg per family keeps the suite bounded.
+    bsign_filt = similarity.bsign_query_index(
+        spark, bidx_path, emb, ANN_QUERY_IDS,
+        k=5, rerank_factor=BSIGN_RERANK_FACTOR,
+        filter_ids=emb.filter(FILTERED_ANN_PRED).select("vec_id"),
+    ).withColumn("method", F.lit("bsign_filt"))
     km = (
         similarity.kmeans_assign(
             io.load(spark, sf_dir, "embeddings"),
@@ -792,7 +806,7 @@ def ann_lsh_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mp).unionByName(pq).unionByName(ivfpq)
         .unionByName(ivfpq_res).unionByName(ivfpq_filt)
         .unionByName(mrl).unionByName(pca_pref).unionByName(filt)
-        .unionByName(bsign)
+        .unionByName(bsign).unionByName(bsign_filt)
     )
 
 
@@ -845,6 +859,11 @@ def _ann_lsh_ivf_sql() -> str:
         ANN_QUERY_IDS, EMBEDDING_DIM, k=5,
         rerank_factor=BSIGN_RERANK_FACTOR,
     )
+    bsign_filt = similarity.binary_sign_topk_sql(
+        ANN_QUERY_IDS, EMBEDDING_DIM, k=5,
+        rerank_factor=BSIGN_RERANK_FACTOR,
+        filter_pred=FILTERED_ANN_PRED,
+    )
     return (
         f"SELECT *, 'lsh' AS method FROM ({lsh})\n"
         f"UNION ALL\nSELECT *, 'ivf' AS method FROM ({ivf})\n"
@@ -860,7 +879,8 @@ def _ann_lsh_ivf_sql() -> str:
         f"UNION ALL\nSELECT *, 'mrl' AS method FROM ({mrl})\n"
         f"UNION ALL\nSELECT *, 'pca_prefix' AS method FROM ({pca_pref})\n"
         f"UNION ALL\nSELECT *, 'filtered' AS method FROM ({filt})\n"
-        f"UNION ALL\nSELECT *, 'bsign' AS method FROM ({bsign})"
+        f"UNION ALL\nSELECT *, 'bsign' AS method FROM ({bsign})\n"
+        f"UNION ALL\nSELECT *, 'bsign_filt' AS method FROM ({bsign_filt})"
     )
 
 
