@@ -911,6 +911,8 @@ def test_jpeg_poison_messages_deterministic():
     from ts_data_pipeline_spark.operators import multimodal as mm
 
     expected = {
+        "progressive_sof2":
+            "ValueError: progressive JPEG (SOF2) not supported",
         "bad_signature": "ValueError: not a JPEG: bad signature",
         "height_lie": "ValueError: truncated entropy stream",
         "precision_lie": "ValueError: unsupported precision 12",
@@ -1045,9 +1047,11 @@ def test_dhash_discriminating_fixture_low_dup_fraction_and_planted_recall(
 
 def test_jpeg_progressive_sof2_refused_deterministically():
     """Progressive JPEG (SOF2) is outside the baseline decoder's
-    scope and must be REFUSED with a deterministic message (the
-    errors-as-data contract), not misdecoded: patch a valid
-    baseline stream's SOF0 marker to SOF2."""
+    scope and must be REFUSED with its own DISTINCT deterministic
+    message (r12 — progressive volume must be separable from the
+    genuinely rare SOF variants in the error lane), not misdecoded:
+    patch a valid baseline stream's SOF0 marker to SOF2. The other
+    SOF variants keep the generic message."""
     import pytest
 
     from ts_data_pipeline_spark.operators import jpeg
@@ -1057,5 +1061,10 @@ def test_jpeg_progressive_sof2_refused_deterministically():
     off = mm._sof0_offset(bytes(payload))
     assert payload[off - 3] == 0xC0  # the marker byte before length
     payload[off - 3] = 0xC2
-    with pytest.raises(ValueError, match="unsupported marker SOF2"):
+    with pytest.raises(
+        ValueError, match=r"progressive JPEG \(SOF2\) not supported"
+    ):
+        jpeg.decode_jpeg(bytes(payload))
+    payload[off - 3] = 0xC3  # lossless sequential: still generic
+    with pytest.raises(ValueError, match="unsupported marker SOF3"):
         jpeg.decode_jpeg(bytes(payload))

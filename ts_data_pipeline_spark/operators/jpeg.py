@@ -294,7 +294,8 @@ def decode_jpeg(payload: bytes) -> dict:
     Failure messages are deterministic per failure family — the
     permissive-mode gates replay them verbatim:
     ``not a JPEG: bad signature`` / ``unsupported precision P`` /
-    ``truncated entropy stream`` / ``unsupported marker SOFn``.
+    ``truncated entropy stream`` / ``progressive JPEG (SOF2) not
+    supported`` / ``unsupported marker SOFn``.
     """
     if len(payload) < 2 or payload[0] != 0xFF or payload[1] != 0xD8:
         raise ValueError("not a JPEG: bad signature")
@@ -357,7 +358,26 @@ def decode_jpeg(payload: bytes) -> dict:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            # Progressive DCT (SOF2) — classified DISTINCTLY from the
+            # generic unsupported-SOF lane (r12, VERDICT r11 ask #5):
+            # progressive is a meaningful share of any real crawl
+            # (~6-10% by public web-corpus surveys; 10% of this
+            # repo's poisoned gate corpus by construction), so a
+            # corpus operator deciding whether to add a progressive
+            # decode path needs its volume SEPARATED from the
+            # genuinely rare SOF variants (lossless, arithmetic,
+            # hierarchical). Decision note: a decode path is worth
+            # adding only when the fixed-point gating story extends —
+            # spectral-selection-only scans (Ah=Al=0) of the flat
+            # synthetic corpus would round-trip (all-zero AC bands,
+            # DC scan carries the same quantized DC), but successive
+            # approximation needs a refinement-bit model the oracle
+            # cannot replay as a pixel formula; until then the class
+            # routes to the permissive error lane with its own
+            # deterministic message.
+            raise ValueError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported marker SOF{marker - 0xC0}")
         elif marker == 0xDD:  # DRI

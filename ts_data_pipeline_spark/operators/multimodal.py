@@ -1136,6 +1136,21 @@ FROM px
 #: found by scan in poison_jpeg (its offset varies with component
 #: count), making the patch robust to fixture-layout drift.
 JPEG_POISON_CLASSES = {
+    1: "progressive_sof2",  # SOF0 marker byte -> SOF2: a FORMAT
+                            # class, not corruption — pins the
+                            # decoder's distinct progressive
+                            # classification and measures the share
+                            # a progressive decode path would unlock
+                            # (10% of this corpus by construction).
+                            # NOTE: the fixture patches the marker
+                            # byte only; the day a progressive
+                            # decoder lands, replace it with a REAL
+                            # progressive encoding or it becomes
+                            # undefined garbage (the verify-notes
+                            # header-patch rule). Key 1 is odd, so
+                            # the mixed media recipe (odd ids = PNG)
+                            # never routes it — its twin is
+                            # unchanged.
     2: "bad_signature",   # first byte flipped -> ValueError at sig
     5: "height_lie",      # SOF0 height += 8 -> truncated entropy
     8: "precision_lie",   # SOF0 precision 12 -> unsupported (SOF0
@@ -1167,7 +1182,9 @@ def poison_jpeg(payload: bytes, doc_id: int) -> bytes:
         b[0] = 0x00
     else:
         off = _sof0_offset(payload)
-        if cls == "height_lie":
+        if cls == "progressive_sof2":
+            b[off - 3] = 0xC2  # marker byte (off points at the body)
+        elif cls == "height_lie":
             # height is the big-endian u16 right after precision;
             # +8 claims one more block row than the stream carries
             hi, lo = b[off + 1], b[off + 2]
@@ -1179,9 +1196,10 @@ def poison_jpeg(payload: bytes, doc_id: int) -> bytes:
 
 
 def attach_poisoned_jpeg_payload(docs: DataFrame) -> DataFrame:
-    """The poisoned-JPEG corpus fixture: 30% of payloads
-    deterministically corrupted (:func:`poison_jpeg`) — the
-    permissive-decode gate input for the JPEG lane."""
+    """The poisoned/format-class JPEG corpus fixture: 40% of
+    payloads deterministically altered (:func:`poison_jpeg` — three
+    corruption families plus the SOF2 progressive format class) —
+    the permissive-decode gate input for the JPEG lane."""
     from ts_data_pipeline_spark.operators import jpeg
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1223,17 +1241,18 @@ WITH px AS (
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN cls IN (2, 5, 8) THEN NULL ELSE width END AS width,
-       CASE WHEN cls IN (2, 5, 8) THEN NULL ELSE height END AS height,
-       CASE WHEN cls IN (2, 5, 8) THEN NULL
+       CASE WHEN cls IN (1, 2, 5, 8) THEN NULL ELSE width END AS width,
+       CASE WHEN cls IN (1, 2, 5, 8) THEN NULL ELSE height END AS height,
+       CASE WHEN cls IN (1, 2, 5, 8) THEN NULL
             WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END AS n_components,
-       CASE WHEN cls IN (2, 5, 8) THEN NULL
+       CASE WHEN cls IN (1, 2, 5, 8) THEN NULL
             ELSE CAST(width * height AS BIGINT) END AS n_pixels,
-       CASE WHEN cls IN (2, 5, 8) THEN NULL ELSE pix_sum END AS pix_sum,
-       CASE WHEN cls IN (2, 5, 8) THEN NULL
+       CASE WHEN cls IN (1, 2, 5, 8) THEN NULL ELSE pix_sum END AS pix_sum,
+       CASE WHEN cls IN (1, 2, 5, 8) THEN NULL
             ELSE ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4)
        END AS pix_mean,
        CASE cls
+         WHEN 1 THEN 'ValueError: progressive JPEG (SOF2) not supported'
          WHEN 2 THEN 'ValueError: not a JPEG: bad signature'
          WHEN 5 THEN 'ValueError: truncated entropy stream'
          WHEN 8 THEN 'ValueError: unsupported precision 12'

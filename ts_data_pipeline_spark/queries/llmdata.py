@@ -963,11 +963,14 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_jpeg_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Permissive decode over the POISONED JPEG corpus: 30% of blobs
-    deterministically corrupted (bad signature / SOF0 height lie ->
-    truncated entropy stream / spec-invalid precision —
-    operators/multimodal.py::poison_jpeg); the gate proves the JPEG
-    lane surfaces errors as data, like the PNG twin."""
+    """Permissive decode over the POISONED JPEG corpus: 40% of blobs
+    deterministically altered (bad signature / SOF0 height lie ->
+    truncated entropy stream / spec-invalid precision / SOF2
+    progressive format class — operators/multimodal.py::poison_jpeg);
+    the gate proves the JPEG lane surfaces errors as data, like the
+    PNG twin, and MEASURES the corpus share a progressive decode
+    path would unlock (the 'progressive JPEG (SOF2) not supported'
+    rows — 10% here by construction; r12, VERDICT r11 ask #5)."""
     media = multimodal.attach_poisoned_jpeg_payload(
         io.load(spark, sf_dir, "documents")
     )
