@@ -912,7 +912,7 @@ def test_jpeg_poison_messages_deterministic():
 
     expected = {
         "progressive_sof2":
-            "ValueError: progressive JPEG (SOF2) not supported",
+            "ValueError: invalid progressive spectral range",
         "bad_signature": "ValueError: not a JPEG: bad signature",
         "height_lie": "ValueError: truncated entropy stream",
         "precision_lie": "ValueError: unsupported precision 12",
@@ -1045,26 +1045,69 @@ def test_dhash_discriminating_fixture_low_dup_fraction_and_planted_recall(
     assert len(distinct) >= 12
 
 
-def test_jpeg_progressive_sof2_refused_deterministically():
-    """Progressive JPEG (SOF2) is outside the baseline decoder's
-    scope and must be REFUSED with its own DISTINCT deterministic
-    message (r12 — progressive volume must be separable from the
-    genuinely rare SOF variants in the error lane), not misdecoded:
-    patch a valid baseline stream's SOF0 marker to SOF2. The other
-    SOF variants keep the generic message."""
+def test_jpeg_progressive_sof2_mislabel_refused_deterministically():
+    """A BASELINE scan body mislabeled SOF2 is spec-invalid in a
+    progressive frame (Ss=0/Se=63, T.81 G.1) and must be refused
+    with one deterministic message — the errors-as-data poison
+    family that survives the r12 progressive decoder landing — for
+    BOTH 1- and 3-component bodies (spectral range is validated
+    before component count). Other SOF variants keep the generic
+    message."""
     import pytest
 
     from ts_data_pipeline_spark.operators import jpeg
     from ts_data_pipeline_spark.operators import multimodal as mm
 
-    payload = bytearray(jpeg.synthesize_jpeg(0))
-    off = mm._sof0_offset(bytes(payload))
-    assert payload[off - 3] == 0xC0  # the marker byte before length
-    payload[off - 3] = 0xC2
+    for doc in (0, 1):  # gray and ycbcr444 encoding classes
+        payload = bytearray(jpeg.synthesize_jpeg(doc))
+        off = mm._sof0_offset(bytes(payload))
+        assert payload[off - 3] == 0xC0  # marker byte before length
+        payload[off - 3] = 0xC2
+        with pytest.raises(
+            ValueError, match="invalid progressive spectral range"
+        ):
+            jpeg.decode_jpeg(bytes(payload))
+        payload[off - 3] = 0xC3  # lossless sequential: still generic
+        with pytest.raises(ValueError, match="unsupported marker SOF3"):
+            jpeg.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_roundtrip_matrix():
+    """The r12 spectral-selection progressive path: (1) progressive
+    decode == baseline decode of the SAME image (identical quantized
+    coefficients by construction) on a RANDOM image — pins DC diffs,
+    (run,size) codes, ZRL, band tiling and EOBRUN merging; (2) an
+    image with long flat stretches forces EOBRUN > 1 across blocks;
+    (3) successive approximation and multi-component progressive
+    scans are refused deterministically."""
+    import numpy as np
+    import pytest
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 41)).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_baseline([img], 41, 24, [(1, 1)]))
+    for bands in (((1, 5), (6, 63)), ((1, 1), (2, 31), (32, 63)),
+                  ((1, 63),)):
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_progressive_gray(img, 41, 24, bands=bands)
+        )
+        assert np.array_equal(base["luma"], prog["luma"]), bands
+        assert prog["n_components"] == 1
+
+    # flat image: every AC band is all-zero -> the whole scan is one
+    # EOBRUN with r > 0 (decoder's appended-bits path)
+    flat = np.full((32, 32), 100, dtype=np.uint8)
+    pb = jpeg.decode_jpeg(jpeg.encode_progressive_gray(flat, 32, 32))
+    assert np.array_equal(pb["luma"], flat)
+
+    # successive approximation refused: patch Al=1 into the DC SOS
+    payload = bytearray(jpeg.encode_progressive_gray(img, 41, 24))
+    i = payload.find(bytes([0xFF, 0xDA]))
+    # SOS: FF DA len(2) ns(1) comp(2) ss se ahal
+    payload[i + 9] = 0x01  # Ah=0, Al=1
     with pytest.raises(
-        ValueError, match=r"progressive JPEG \(SOF2\) not supported"
+        ValueError, match="successive approximation not supported"
     ):
-        jpeg.decode_jpeg(bytes(payload))
-    payload[off - 3] = 0xC3  # lossless sequential: still generic
-    with pytest.raises(ValueError, match="unsupported marker SOF3"):
         jpeg.decode_jpeg(bytes(payload))

@@ -306,6 +306,9 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    prog_coeffs = None  # (bh, bw, 64) accumulated quantized coeffs
+    prog_dc_done = False
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -359,24 +362,32 @@ def decode_jpeg(payload: bytes) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
         elif marker == 0xC2:
-            # Progressive DCT (SOF2) — classified DISTINCTLY from the
-            # generic unsupported-SOF lane (r12, VERDICT r11 ask #5):
-            # progressive is a meaningful share of any real crawl
-            # (~6-10% by public web-corpus surveys; 10% of this
-            # repo's poisoned gate corpus by construction), so a
-            # corpus operator deciding whether to add a progressive
-            # decode path needs its volume SEPARATED from the
-            # genuinely rare SOF variants (lossless, arithmetic,
-            # hierarchical). Decision note: a decode path is worth
-            # adding only when the fixed-point gating story extends —
-            # spectral-selection-only scans (Ah=Al=0) of the flat
-            # synthetic corpus would round-trip (all-zero AC bands,
-            # DC scan carries the same quantized DC), but successive
-            # approximation needs a refinement-bit model the oracle
-            # cannot replay as a pixel formula; until then the class
-            # routes to the permissive error lane with its own
-            # deterministic message.
-            raise ValueError("progressive JPEG (SOF2) not supported")
+            # Progressive DCT (SOF2) — SPECTRAL-SELECTION scans
+            # (Ah=Al=0) over a single component decode for real
+            # (r12, VERDICT r11 ask #5: progressive is ~6-10% of any
+            # web crawl, the decision note's fixed-point condition
+            # held — a spectral-selection stream carries the SAME
+            # quantized coefficients as baseline, so the flat-block
+            # corpus round-trips and the DuckDB oracle replays the
+            # same pixel formula). Successive approximation and
+            # interleaved multi-component progressive scans route to
+            # the permissive error lane with their own deterministic
+            # messages (see the SOS branch) — a refinement-bit model
+            # is not a pixel formula an oracle can replay.
+            progressive = True
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"unsupported precision {precision}")
+            h, w = struct.unpack(">HH", seg[1:5])
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension")
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported marker SOF{marker - 0xC0}")
@@ -384,18 +395,58 @@ def decode_jpeg(payload: bytes) -> dict:
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
-            scan = []
-            for c in range(ns):
-                cs, tt = seg[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append(
-                    {**comp, "dc": tt >> 4, "ac": tt & 0x0F}
+            if not progressive:
+                scan = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c : 3 + 2 * c]
+                    comp = next(x for x in comps if x["id"] == cs)
+                    scan.append(
+                        {**comp, "dc": tt >> 4, "ac": tt & 0x0F}
+                    )
+                return _decode_scan(
+                    payload, pos, w, h, scan, qtables, huff_dc, huff_ac,
+                    restart_interval, len(comps),
                 )
-            return _decode_scan(
-                payload, pos, w, h, scan, qtables, huff_dc, huff_ac,
-                restart_interval, len(comps),
+            # progressive: validate the SCAN SHAPE first — spectral
+            # range before component count, so a baseline-bodied
+            # stream mislabeled SOF2 (the poison fixture) always
+            # fails with ONE deterministic message regardless of its
+            # component layout (Ss=0/Se=63 is spec-invalid in a
+            # progressive frame, T.81 G.1).
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            aa = seg[3 + 2 * ns]
+            if not ((ss == 0 and se == 0) or 1 <= ss <= se <= 63):
+                raise ValueError("invalid progressive spectral range")
+            if aa:
+                raise ValueError("successive approximation not supported")
+            if ns != 1 or len(comps) != 1:
+                raise ValueError(
+                    "progressive multi-component scan not supported"
+                )
+            tt = seg[2]
+            if ss == 0:
+                prog_dc_done = True
+            elif not prog_dc_done:
+                raise ValueError("AC scan before DC scan")
+            if prog_coeffs is None:
+                prog_coeffs = np.zeros(
+                    ((h + 7) // 8, (w + 7) // 8, 64), dtype=np.int64
+                )
+            reader = _BitReader(payload, pos)
+            _prog_scan(
+                reader, prog_coeffs, ss, se,
+                huff_dc.get(tt >> 4), huff_ac.get(tt & 0x0F),
             )
+            pos = reader.pos
+            # resync to the next marker (the scan's last partial byte
+            # was already consumed; padding bits may remain)
+            while pos + 1 < len(payload) and not (
+                payload[pos] == 0xFF and payload[pos + 1] != 0x00
+            ):
+                pos += 1
         # APPn / COM / anything else: skipped by the length field
+    if progressive and prog_coeffs is not None and prog_dc_done:
+        return _prog_reconstruct(prog_coeffs, w, h, qtables[comps[0]["tq"]])
     raise ValueError("no SOS marker")
 
 
@@ -478,6 +529,61 @@ def _decode_scan(
         "n_components": n_components,
         "luma": luma,
     }
+
+
+def _prog_scan(reader, coeffs, ss, se, dc_tbl, ac_tbl) -> None:
+    """One progressive SPECTRAL-SELECTION scan (Ah=Al=0) over the
+    single component's blocks in raster order: DC scan (ss=0) is the
+    baseline DC diff chain; AC band scans carry (run,size) codes,
+    ZRL, and EOBn runs — EOBRUN = (1<<r) - 1 + r appended bits ends
+    the CURRENT block's band and skips that many following blocks
+    (T.81 G.1.2.2)."""
+    bh_, bw_, _ = coeffs.shape
+    pred = 0
+    eobrun = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            blk = coeffs[by, bx]
+            if ss == 0:
+                ssss = _huff_decode(reader, dc_tbl)
+                pred += _extend(reader.bits(ssss), ssss)
+                blk[0] = pred
+                continue
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, ac_tbl)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[ZIGZAG[k]] = _extend(reader.bits(s), s)
+                k += 1
+
+
+def _prog_reconstruct(coeffs, w, h, q) -> dict:
+    """Dequantize + IDCT the accumulated coefficient planes — the
+    same reconstruction tail as the baseline path (shared idct_2d),
+    run once at EOI when every scan has landed."""
+    bh_, bw_, _ = coeffs.shape
+    qv = np.array(q, dtype=np.float64)
+    plane = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+    for by in range(bh_):
+        for bx in range(bw_):
+            block = idct_2d(
+                (coeffs[by, bx].astype(np.float64) * qv).reshape(8, 8)
+            ) + 128.0
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    luma = np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "n_components": 1, "luma": luma}
 
 
 # ---------------------------------------------------------------------------
@@ -683,3 +789,163 @@ def decode_jpeg_features(payload: bytes) -> dict:
         "n_pixels": d["width"] * d["height"],
         "pix_sum": int(luma.astype(np.int64).sum()),
     }
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2, spectral-selection-only) encoder — r12.
+
+#: Canonical AC Huffman table for PROGRESSIVE scans. Annex-K K.5 has
+#: no EOBn symbols for r > 0 (they exist only in progressive
+#: streams), so the encoder ships its own flat 8-bit canonical table
+#: over the full progressive AC alphabet: EOBn r=0..14, ZRL, and
+#: (run, size) for run 0..15 x size 1..10 — 176 symbols, Kraft-valid
+#: at one code length (176 < 256).
+PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS),
+                0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def encode_progressive_gray(
+    plane: np.ndarray,
+    w: int,
+    h: int,
+    bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """A real progressive (SOF2) grayscale JFIF stream using
+    SPECTRAL SELECTION only (Ah=Al=0): one DC scan, then one AC scan
+    per ``bands`` entry (contiguous, covering 1..63). Quantization
+    and FDCT are exactly :func:`encode_baseline`'s (Annex-K luma
+    table, same basis), so the wire carries IDENTICAL quantized
+    coefficients — progressive decode equals the baseline decode of
+    the same image bit for bit, which is the roundtrip pin AND what
+    extends the flat-block fixed point to this format."""
+    if [b for pair in bands for b in pair] != sorted(
+        b for pair in bands for b in pair
+    ) or bands[0][0] != 1 or bands[-1][1] != 63 or any(
+        bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
+    ):
+        raise ValueError("bands must tile 1..63 contiguously")
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    zz = bytes(QTABLE_LUMA[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + zz
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tcth, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, PROG_AC_BITS, PROG_AC_VALS),
+    ):
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    # quantized coefficient blocks (edge-replicated padding, the
+    # baseline encoder's convention)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    pp = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+    pp[:h, :w] = plane[:h, :w]
+    pp[h:, :w] = plane[h - 1 : h, :w]
+    pp[:, w:] = pp[:, w - 1 : w]
+    q = np.array(QTABLE_LUMA, dtype=np.float64).reshape(8, 8)
+    qcs = np.empty((bh_, bw_, 64), dtype=np.int64)
+    for by in range(bh_):
+        for bx in range(bw_):
+            blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _IDCT_A @ blk @ _IDCT_A.T
+            qcs[by, bx] = np.rint(coef / q).astype(np.int64).reshape(64)
+
+    enc_dc = _enc_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    # scan 1: DC (Ss=0, Se=0, Ah=Al=0)
+    sos = bytes([1, 1, 0x00, 0, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    wtr = _BitWriter()
+    pred = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            diff = int(qcs[by, bx, 0]) - pred
+            pred = int(qcs[by, bx, 0])
+            ssss = _category(diff)
+            code, ln = enc_dc[ssss]
+            wtr.write(code, ln)
+            if ssss:
+                v = diff if diff >= 0 else diff + (1 << ssss) - 1
+                wtr.write(v, ssss)
+    wtr.pad_to_byte()
+    out += wtr.out
+
+    # AC band scans with EOBRUN merging across blocks
+    for ss, se in bands:
+        sos = bytes([1, 1, 0x10, ss, se, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def _flush() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            wtr.write(code, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for by in range(bh_):
+            for bx in range(bw_):
+                band = [int(qcs[by, bx, ZIGZAG[k]]) for k in range(ss, se + 1)]
+                nz = [i for i, v in enumerate(band) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:  # r <= 14 cap
+                        _flush()
+                    continue
+                _flush()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[0xF0]  # ZRL
+                        wtr.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = enc_ac[(run << 4) | s]
+                    wtr.write(code, ln)
+                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if nz[-1] < len(band) - 1:
+                    eobrun = 1  # this block's EOB opens a new run
+        _flush()
+        wtr.pad_to_byte()
+        out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synthesize_progressive_jpeg(doc_id: int) -> bytes:
+    """A real progressive (SOF2) grayscale JPEG of the SAME flat
+    block-gray image as :func:`synthesize_jpeg` — decoded luma is
+    the identical pixel formula, so the progressive gate reuses the
+    baseline oracle with n_components = 1. Band split alternates per
+    doc (2-band vs 3-band) so both scan layouts sit under the hash
+    gate."""
+    w, h = jpeg_dims(doc_id)
+    y = np.empty((h, w), dtype=np.uint8)
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = jpeg_block_gray(
+                doc_id, by, bx
+            )
+    bands = ((1, 5), (6, 63)) if doc_id % 2 == 0 else (
+        (1, 1), (2, 31), (32, 63)
+    )
+    return encode_progressive_gray(y, w, h, bands=bands)

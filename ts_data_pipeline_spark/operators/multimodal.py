@@ -1080,6 +1080,35 @@ def attach_jpeg_payload(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
 
 
+def attach_progressive_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize a real PROGRESSIVE (SOF2, spectral-selection)
+    grayscale JPEG per doc (operators/jpeg.py::
+    synthesize_progressive_jpeg — same flat block-gray image as the
+    baseline fixture, 2- or 3-band scan split by doc parity), so the
+    progressive decode path sits under its own hash gate with the
+    SAME pixel-formula oracle. Arrow-batched on executors."""
+    from ts_data_pipeline_spark.operators import jpeg
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                jpeg.synthesize_progressive_jpeg(int(d))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": payloads,
+                    "meta": [
+                        {"mime": "image/jpeg", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def jpeg_features(media: DataFrame, mode: str = "strict") -> DataFrame:
     """Real-decoder JPEG features: full baseline decode (markers,
     huffman, dequant, IDCT, sampling-factor assembly) per payload;
@@ -1128,6 +1157,34 @@ FROM px
 """
 
 
+#: DuckDB twin of jpeg_features over the PROGRESSIVE corpus: the
+#: spectral-selection stream carries the same quantized coefficients
+#: as baseline, so the flat-block fixed point extends and the oracle
+#: is the SAME pixel formula — with n_components = 1 for every doc
+#: (the progressive fixture is grayscale-only by design; see
+#: operators/jpeg.py decode notes on multi-component scans).
+JPEG_PROGRESSIVE_SQL = """
+WITH px AS (
+  SELECT doc_id,
+         8 * (doc_id % 3 + 1) + doc_id % 7 AS width,
+         8 * (doc_id % 2 + 1) + doc_id % 5 AS height,
+         list_sum(flatten(list_transform(
+           range(0, 8 * (doc_id % 2 + 1) + doc_id % 5),
+           y -> list_transform(
+             range(0, 8 * (doc_id % 3 + 1) + doc_id % 7),
+             x -> 2 * ((doc_id * 7 + (y // 8) * 13 + (x // 8) * 5) % 128)
+           )))) AS pix_sum
+  FROM documents
+)
+SELECT doc_id, width, height,
+       CAST(1 AS BIGINT) AS n_components,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       pix_sum,
+       ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4) AS pix_mean
+FROM px
+"""
+
+
 #: Deterministic JPEG poisoning classes (doc_id % 10) — failure
 #: FAMILIES that survive decoder upgrades (the PNG lesson): garbage
 #: bytes, headers that LIE about the stream, and spec-invalid
@@ -1136,21 +1193,22 @@ FROM px
 #: found by scan in poison_jpeg (its offset varies with component
 #: count), making the patch robust to fixture-layout drift.
 JPEG_POISON_CLASSES = {
-    1: "progressive_sof2",  # SOF0 marker byte -> SOF2: a FORMAT
-                            # class, not corruption — pins the
-                            # decoder's distinct progressive
-                            # classification and measures the share
-                            # a progressive decode path would unlock
-                            # (10% of this corpus by construction).
-                            # NOTE: the fixture patches the marker
-                            # byte only; the day a progressive
-                            # decoder lands, replace it with a REAL
-                            # progressive encoding or it becomes
-                            # undefined garbage (the verify-notes
-                            # header-patch rule). Key 1 is odd, so
-                            # the mixed media recipe (odd ids = PNG)
-                            # never routes it — its twin is
-                            # unchanged.
+    1: "progressive_sof2",  # SOF0 marker byte -> SOF2 with a
+                            # BASELINE scan body: a MISLABELED file,
+                            # spec-invalid in a progressive frame
+                            # (Ss=0/Se=63 violates T.81 G.1), so the
+                            # now-real progressive decoder refuses
+                            # it deterministically — the
+                            # survives-decoder-upgrades failure
+                            # family the verify notes require (the
+                            # r12 SOF2 decode landed the same round
+                            # and this fixture's message moved from
+                            # 'not supported' to the spec-invalid
+                            # lane). VALID progressive streams are
+                            # gated separately (jpeg_progressive).
+                            # Key 1 is odd, so the mixed media
+                            # recipe (odd ids = PNG) never routes
+                            # it — its twin is unchanged.
     2: "bad_signature",   # first byte flipped -> ValueError at sig
     5: "height_lie",      # SOF0 height += 8 -> truncated entropy
     8: "precision_lie",   # SOF0 precision 12 -> unsupported (SOF0
@@ -1252,7 +1310,7 @@ SELECT doc_id,
             ELSE ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4)
        END AS pix_mean,
        CASE cls
-         WHEN 1 THEN 'ValueError: progressive JPEG (SOF2) not supported'
+         WHEN 1 THEN 'ValueError: invalid progressive spectral range'
          WHEN 2 THEN 'ValueError: not a JPEG: bad signature'
          WHEN 5 THEN 'ValueError: truncated entropy stream'
          WHEN 8 THEN 'ValueError: unsupported precision 12'

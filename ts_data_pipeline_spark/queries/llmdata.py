@@ -989,6 +989,19 @@ def multimodal_jpeg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_stats(media)
 
 
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jpeg_features through the r12 PROGRESSIVE (SOF2,
+    spectral-selection) decode path: real multi-scan streams —
+    DC scan + per-band AC scans with EOBRUN runs — decode on
+    executors; the oracle replays the same fixed-point pixel formula
+    as the baseline gate (the coefficients are identical by
+    construction, operators/jpeg.py::encode_progressive_gray)."""
+    media = multimodal.attach_progressive_jpeg_payload(
+        io.load(spark, sf_dir, "documents")
+    )
+    return multimodal.jpeg_features(media)
+
+
 def multimodal_media_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The media lane's composed corpus pass (the image-side analog
     of recipe_training_corpus): permissive decode -> features ->

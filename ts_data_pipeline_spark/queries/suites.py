@@ -1184,6 +1184,14 @@ def _media_members() -> list[Member]:
              ("grad_sum", "l")),
         ),
         Member(
+            "jpeg_progressive",
+            llmdata.multimodal_jpeg_progressive,
+            multimodal.JPEG_PROGRESSIVE_SQL,
+            (("doc_id", "l"), ("width", "l"), ("height", "l"),
+             ("n_components", "l"), ("n_pixels", "l"),
+             ("pix_sum", "l"), ("pix_mean", "d")),
+        ),
+        Member(
             "jpeg_decode_errors",
             llmdata.multimodal_jpeg_decode_errors,
             multimodal.JPEG_DECODE_ERRORS_SQL,
