@@ -1102,12 +1102,25 @@ def test_jpeg_progressive_roundtrip_matrix():
     pb = jpeg.decode_jpeg(jpeg.encode_progressive_gray(flat, 32, 32))
     assert np.array_equal(pb["luma"], flat)
 
-    # successive approximation refused: patch Al=1 into the DC SOS
+    # successive approximation: full refinement reproduces baseline
+    for dc_al, ac_al in ((1, 0), (0, 1), (1, 1), (2, 2), (0, 3)):
+        sa = jpeg.decode_jpeg(jpeg.encode_progressive_gray(
+            img, 41, 24, dc_al=dc_al, ac_al=ac_al))
+        assert np.array_equal(base["luma"], sa["luma"]), (dc_al, ac_al)
+    # and with multi-band spectral selection layered on top
+    sa = jpeg.decode_jpeg(jpeg.encode_progressive_gray(
+        img, 41, 24, bands=((1, 1), (2, 31), (32, 63)),
+        dc_al=1, ac_al=2))
+    assert np.array_equal(base["luma"], sa["luma"])
+
+    # the Al state machine refuses an incoherent scan script loudly:
+    # a refinement scan (Ah=1) whose band never had a first scan
     payload = bytearray(jpeg.encode_progressive_gray(img, 41, 24))
     i = payload.find(bytes([0xFF, 0xDA]))
-    # SOS: FF DA len(2) ns(1) comp(2) ss se ahal
-    payload[i + 9] = 0x01  # Ah=0, Al=1
+    # SOS: FF DA len(2) ns(1) comp(2) ss se ahal — turn the DC FIRST
+    # scan into a refinement of a band that was never scanned
+    payload[i + 9] = 0x10  # Ah=1, Al=0
     with pytest.raises(
-        ValueError, match="successive approximation not supported"
+        ValueError, match="invalid successive approximation sequence"
     ):
         jpeg.decode_jpeg(bytes(payload))

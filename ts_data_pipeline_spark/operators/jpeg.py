@@ -309,6 +309,7 @@ def decode_jpeg(payload: bytes) -> dict:
     progressive = False
     prog_coeffs = None  # (bh, bw, 64) accumulated quantized coeffs
     prog_dc_done = False
+    prog_al_state: list = [None] * 64  # per-coefficient current Al
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -362,18 +363,18 @@ def decode_jpeg(payload: bytes) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
         elif marker == 0xC2:
-            # Progressive DCT (SOF2) — SPECTRAL-SELECTION scans
-            # (Ah=Al=0) over a single component decode for real
-            # (r12, VERDICT r11 ask #5: progressive is ~6-10% of any
-            # web crawl, the decision note's fixed-point condition
-            # held — a spectral-selection stream carries the SAME
-            # quantized coefficients as baseline, so the flat-block
-            # corpus round-trips and the DuckDB oracle replays the
-            # same pixel formula). Successive approximation and
-            # interleaved multi-component progressive scans route to
-            # the permissive error lane with their own deterministic
-            # messages (see the SOS branch) — a refinement-bit model
-            # is not a pixel formula an oracle can replay.
+            # Progressive DCT (SOF2) decodes for real over a single
+            # component (r12, VERDICT r11 ask #5: progressive is
+            # ~6-10% of any web crawl): spectral-selection band
+            # scans AND full successive approximation (point-
+            # transformed first scans + one-bit refinement scans).
+            # The gate argument: a FULLY REFINED stream carries the
+            # SAME quantized coefficients as baseline, so the
+            # flat-block corpus round-trips and the DuckDB oracle
+            # replays the same pixel formula. Interleaved multi-
+            # component progressive scans and incoherent Al scan
+            # scripts route to the permissive error lane with
+            # deterministic messages (see the SOS branch).
             progressive = True
             precision = seg[0]
             if precision != 8:
@@ -415,10 +416,12 @@ def decode_jpeg(payload: bytes) -> dict:
             # progressive frame, T.81 G.1).
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             aa = seg[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 0x0F
             if not ((ss == 0 and se == 0) or 1 <= ss <= se <= 63):
                 raise ValueError("invalid progressive spectral range")
-            if aa:
-                raise ValueError("successive approximation not supported")
+            if ah and ah != al + 1:
+                # refinement scans carry exactly one magnitude bit
+                raise ValueError("invalid successive approximation sequence")
             if ns != 1 or len(comps) != 1:
                 raise ValueError(
                     "progressive multi-component scan not supported"
@@ -428,13 +431,29 @@ def decode_jpeg(payload: bytes) -> dict:
                 prog_dc_done = True
             elif not prog_dc_done:
                 raise ValueError("AC scan before DC scan")
+            # per-coefficient Al state machine: a first scan (Ah=0)
+            # must be the coefficient's first sighting; a refinement
+            # must continue exactly where the previous scan left off
+            # — otherwise shifted bits would silently land at the
+            # wrong magnitude (wrong pixels, no error).
+            for k in range(ss, se + 1):
+                if ah == 0:
+                    if prog_al_state[k] is not None:
+                        raise ValueError(
+                            "invalid successive approximation sequence"
+                        )
+                elif prog_al_state[k] != ah:
+                    raise ValueError(
+                        "invalid successive approximation sequence"
+                    )
+                prog_al_state[k] = al
             if prog_coeffs is None:
                 prog_coeffs = np.zeros(
                     ((h + 7) // 8, (w + 7) // 8, 64), dtype=np.int64
                 )
             reader = _BitReader(payload, pos)
             _prog_scan(
-                reader, prog_coeffs, ss, se,
+                reader, prog_coeffs, ss, se, ah, al,
                 huff_dc.get(tt >> 4), huff_ac.get(tt & 0x0F),
             )
             pos = reader.pos
@@ -531,42 +550,111 @@ def _decode_scan(
     }
 
 
-def _prog_scan(reader, coeffs, ss, se, dc_tbl, ac_tbl) -> None:
-    """One progressive SPECTRAL-SELECTION scan (Ah=Al=0) over the
-    single component's blocks in raster order: DC scan (ss=0) is the
-    baseline DC diff chain; AC band scans carry (run,size) codes,
-    ZRL, and EOBn runs — EOBRUN = (1<<r) - 1 + r appended bits ends
-    the CURRENT block's band and skips that many following blocks
-    (T.81 G.1.2.2)."""
+def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl) -> None:
+    """One progressive scan over the single component's blocks in
+    raster order — all four T.81 scan kinds:
+
+    - DC first (ss=0, ah=0): baseline DC diff chain on the
+      point-transformed values, stored ``<< al`` (G.1.2.1);
+    - DC refinement (ss=0, ah>0): one raw bit per block, OR-ed in at
+      position ``al`` (works on negatives via two's complement);
+    - AC first (ss>0, ah=0): (run,size) codes, ZRL, EOBn runs —
+      EOBRUN = (1<<r) - 1 + r appended bits ends the CURRENT block's
+      band and skips that many following blocks (G.1.2.2); values
+      stored ``<< al`` (sign-magnitude point transform);
+    - AC refinement (ss>0, ah>0): the correction-bit scan
+      (G.1.2.3) — newly significant coefficients arrive as
+      (run, size=1) with a sign bit, every already-nonzero
+      coefficient passed on the way (and in the EOB tail) consumes
+      one correction bit that may grow its magnitude by ``1 << al``.
+    """
     bh_, bw_, _ = coeffs.shape
     pred = 0
     eobrun = 0
+    p1, m1 = 1 << al, -1 << al
     for by in range(bh_):
         for bx in range(bw_):
             blk = coeffs[by, bx]
             if ss == 0:
-                ssss = _huff_decode(reader, dc_tbl)
-                pred += _extend(reader.bits(ssss), ssss)
-                blk[0] = pred
+                if ah == 0:  # DC first
+                    ssss = _huff_decode(reader, dc_tbl)
+                    pred += _extend(reader.bits(ssss), ssss)
+                    blk[0] = pred << al
+                else:  # DC refinement: one magnitude bit
+                    if reader.bit():
+                        blk[0] |= p1
                 continue
-            if eobrun:
-                eobrun -= 1
+            if ah == 0:  # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(reader, ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    blk[ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+                    k += 1
                 continue
+            # AC refinement
             k = ss
-            while k <= se:
-                rs = _huff_decode(reader, ac_tbl)
-                r, s = rs >> 4, rs & 0x0F
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
-                    break
-                k += r
-                if k > se:
-                    raise ValueError("AC run past band end")
-                blk[ZIGZAG[k]] = _extend(reader.bits(s), s)
-                k += 1
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, ac_tbl)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            # FULL count including the current block:
+                            # the EOB tail below processes the current
+                            # block's correction bits and decrements
+                            # (the first-scan branch instead stores
+                            # the REMAINING count — its current block
+                            # ends at the break with nothing to read)
+                            eobrun = (1 << r) + (
+                                reader.bits(r) if r else 0
+                            )
+                            break
+                        # r == 15: ZRL — skip 16 zero-history slots
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid refinement magnitude"
+                            )
+                        newval = p1 if reader.bit() else m1
+                    # advance r zero-HISTORY positions, correcting
+                    # every nonzero coefficient passed on the way
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if blk[z] != 0:
+                            if reader.bit() and (blk[z] & p1) == 0:
+                                blk[z] += p1 if blk[z] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[ZIGZAG[k]] = newval
+                    k += 1
+            if eobrun:
+                # EOB tail of THIS block: correction bits for every
+                # remaining nonzero coefficient in the band
+                while k <= se:
+                    z = ZIGZAG[k]
+                    if blk[z] != 0:
+                        if reader.bit() and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] > 0 else m1
+                    k += 1
+                eobrun -= 1
 
 
 def _prog_reconstruct(coeffs, w, h, q) -> dict:
@@ -809,20 +897,176 @@ PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALS),
                 0, 0, 0, 0, 0, 0, 0, 0]
 
 
+def _emit_dc_first(wtr, enc_dc, qcs, al: int) -> None:
+    """DC first scan: baseline diff chain over the point-transformed
+    (arithmetic ``>> al``) DC values (T.81 G.1.2.1)."""
+    bh_, bw_, _ = qcs.shape
+    pred = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            dc = int(qcs[by, bx, 0]) >> al
+            diff = dc - pred
+            pred = dc
+            ssss = _category(diff)
+            code, ln = enc_dc[ssss]
+            wtr.write(code, ln)
+            if ssss:
+                wtr.write(diff if diff >= 0 else diff + (1 << ssss) - 1,
+                          ssss)
+
+
+def _emit_dc_refine(wtr, qcs, al: int) -> None:
+    """DC refinement: one raw magnitude bit per block — bit ``al``
+    of the two's-complement DC value (G.1.2.1; floor-shift makes the
+    decoder's OR reconstruction exact for negatives too)."""
+    bh_, bw_, _ = qcs.shape
+    for by in range(bh_):
+        for bx in range(bw_):
+            wtr.write((int(qcs[by, bx, 0]) >> al) & 1, 1)
+
+
+def _emit_ac_first(wtr, enc_ac, qcs, ss: int, se: int, al: int) -> None:
+    """AC first scan for one band: (run,size) codes + ZRL + merged
+    EOBn runs over the SIGN-MAGNITUDE point transform
+    (sign * (|v| >> al)) — G.1.2.2."""
+    bh_, bw_, _ = qcs.shape
+    eobrun = 0
+
+    def _flush() -> None:
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        code, ln = enc_ac[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            band = []
+            for k in range(ss, se + 1):
+                v = int(qcs[by, bx, ZIGZAG[k]])
+                mag = abs(v) >> al
+                band.append(mag if v >= 0 else -mag)
+            nz = [i for i, v in enumerate(band) if v]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:  # r <= 14 cap
+                    _flush()
+                continue
+            _flush()
+            run = 0
+            for i in range(nz[-1] + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[0xF0]  # ZRL
+                    wtr.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = enc_ac[(run << 4) | s]
+                wtr.write(code, ln)
+                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < len(band) - 1:
+                eobrun = 1  # this block's EOB opens a new run
+    _flush()
+
+
+def _emit_ac_refine(wtr, enc_ac, qcs, ss: int, se: int, al: int) -> None:
+    """AC refinement scan (G.1.2.3, the libjpeg encode_mcu_AC_refine
+    shape): newly significant coefficients ((|v| >> al) == 1) emit
+    (zero-history-run, size=1) + a sign bit; every already-nonzero
+    coefficient passed contributes one BUFFERED correction bit
+    (emitted after the next symbol); trailing positions fold into a
+    cross-block EOB run whose buffered bits flush with the EOBn
+    code — the exact read order the decoder's advance loop and EOB
+    tail consume."""
+    bh_, bw_, _ = qcs.shape
+    eobrun = 0
+    pending: list[int] = []  # correction bits buffered with the EOB run
+
+    def _flush() -> None:
+        nonlocal eobrun, pending
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, ln = enc_ac[r << 4]
+            wtr.write(code, ln)
+            if r:
+                wtr.write(eobrun - (1 << r), r)
+        for b in pending:
+            wtr.write(b, 1)
+        eobrun = 0
+        pending = []
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            vals, mags = [], []
+            eobpos = -1
+            for i, k in enumerate(range(ss, se + 1)):
+                v = int(qcs[by, bx, ZIGZAG[k]])
+                m = abs(v) >> al
+                vals.append(v)
+                mags.append(m)
+                if m == 1:
+                    eobpos = i
+            run = 0
+            br: list[int] = []  # this block's buffered correction bits
+            for i, m in enumerate(mags):
+                if m == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    _flush()
+                    code, ln = enc_ac[0xF0]  # ZRL
+                    wtr.write(code, ln)
+                    run -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                if m > 1:  # already significant: buffer its bit
+                    br.append(m & 1)
+                    continue
+                _flush()
+                code, ln = enc_ac[(run << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(0 if vals[i] < 0 else 1, 1)  # sign
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    _flush()
+    _flush()
+
+
 def encode_progressive_gray(
     plane: np.ndarray,
     w: int,
     h: int,
     bands: tuple = ((1, 5), (6, 63)),
+    dc_al: int = 0,
+    ac_al: int = 0,
 ) -> bytes:
-    """A real progressive (SOF2) grayscale JFIF stream using
-    SPECTRAL SELECTION only (Ah=Al=0): one DC scan, then one AC scan
-    per ``bands`` entry (contiguous, covering 1..63). Quantization
-    and FDCT are exactly :func:`encode_baseline`'s (Annex-K luma
-    table, same basis), so the wire carries IDENTICAL quantized
-    coefficients — progressive decode equals the baseline decode of
-    the same image bit for bit, which is the roundtrip pin AND what
-    extends the flat-block fixed point to this format."""
+    """A real progressive (SOF2) grayscale JFIF stream: one DC scan,
+    then one AC scan per ``bands`` entry (contiguous, covering
+    1..63) — and, when ``dc_al``/``ac_al`` are nonzero, FULL
+    SUCCESSIVE APPROXIMATION: the first scans carry the point
+    transform (``Al = dc_al`` / ``ac_al``) and one refinement scan
+    per bit walks each band back down to Al=0 (DC refinements first,
+    then per band). Quantization and FDCT are exactly
+    :func:`encode_baseline`'s (Annex-K luma table, same basis), so a
+    FULLY refined stream carries IDENTICAL quantized coefficients —
+    decode equality vs the baseline decode of the same image is the
+    roundtrip pin AND what extends the flat-block fixed point to
+    this format."""
     if [b for pair in bands for b in pair] != sorted(
         b for pair in bands for b in pair
     ) or bands[0][0] != 1 or bands[-1][1] != 63 or any(
@@ -861,72 +1105,28 @@ def encode_progressive_gray(
     enc_dc = _enc_table(DC_LUMA_BITS, DC_LUMA_VALS)
     enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
 
-    # scan 1: DC (Ss=0, Se=0, Ah=Al=0)
-    sos = bytes([1, 1, 0x00, 0, 0, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    wtr = _BitWriter()
-    pred = 0
-    for by in range(bh_):
-        for bx in range(bw_):
-            diff = int(qcs[by, bx, 0]) - pred
-            pred = int(qcs[by, bx, 0])
-            ssss = _category(diff)
-            code, ln = enc_dc[ssss]
-            wtr.write(code, ln)
-            if ssss:
-                v = diff if diff >= 0 else diff + (1 << ssss) - 1
-                wtr.write(v, ssss)
-    wtr.pad_to_byte()
-    out += wtr.out
-
-    # AC band scans with EOBRUN merging across blocks
-    for ss, se in bands:
-        sos = bytes([1, 1, 0x10, ss, se, 0])
-        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    def _scan(ss: int, se: int, ah: int, al: int, emit) -> None:
+        sos = bytes([1, 1, 0x00 if ss == 0 else 0x10,
+                     ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
         wtr = _BitWriter()
-        eobrun = 0
-
-        def _flush() -> None:
-            nonlocal eobrun
-            if not eobrun:
-                return
-            r = eobrun.bit_length() - 1
-            code, ln = enc_ac[r << 4]
-            wtr.write(code, ln)
-            if r:
-                wtr.write(eobrun - (1 << r), r)
-            eobrun = 0
-
-        for by in range(bh_):
-            for bx in range(bw_):
-                band = [int(qcs[by, bx, ZIGZAG[k]]) for k in range(ss, se + 1)]
-                nz = [i for i, v in enumerate(band) if v]
-                if not nz:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:  # r <= 14 cap
-                        _flush()
-                    continue
-                _flush()
-                run = 0
-                for i in range(nz[-1] + 1):
-                    v = band[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[0xF0]  # ZRL
-                        wtr.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = enc_ac[(run << 4) | s]
-                    wtr.write(code, ln)
-                    wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if nz[-1] < len(band) - 1:
-                    eobrun = 1  # this block's EOB opens a new run
-        _flush()
+        emit(wtr)
         wtr.pad_to_byte()
-        out += wtr.out
+        out.extend(wtr.out)
+
+    _scan(0, 0, 0, dc_al,
+          lambda wtr: _emit_dc_first(wtr, enc_dc, qcs, dc_al))
+    for al in range(dc_al - 1, -1, -1):
+        _scan(0, 0, al + 1, al,
+              lambda wtr, al=al: _emit_dc_refine(wtr, qcs, al))
+    for ss, se in bands:
+        _scan(ss, se, 0, ac_al,
+              lambda wtr, ss=ss, se=se: _emit_ac_first(
+                  wtr, enc_ac, qcs, ss, se, ac_al))
+        for al in range(ac_al - 1, -1, -1):
+            _scan(ss, se, al + 1, al,
+                  lambda wtr, ss=ss, se=se, al=al: _emit_ac_refine(
+                      wtr, enc_ac, qcs, ss, se, al))
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -936,7 +1136,8 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
     block-gray image as :func:`synthesize_jpeg` — decoded luma is
     the identical pixel formula, so the progressive gate reuses the
     baseline oracle with n_components = 1. Band split alternates per
-    doc (2-band vs 3-band) so both scan layouts sit under the hash
+    doc (2-band vs 3-band) and a third of docs layer successive
+    approximation on top, so all scan layouts sit under the hash
     gate."""
     w, h = jpeg_dims(doc_id)
     y = np.empty((h, w), dtype=np.uint8)
@@ -948,4 +1149,11 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
     bands = ((1, 5), (6, 63)) if doc_id % 2 == 0 else (
         (1, 1), (2, 31), (32, 63)
     )
-    return encode_progressive_gray(y, w, h, bands=bands)
+    # a third of the corpus additionally uses SUCCESSIVE
+    # APPROXIMATION (one DC and one AC magnitude bit deferred to
+    # refinement scans) — fully refined streams carry the identical
+    # coefficients, so the same oracle covers both wire shapes
+    dc_al, ac_al = (1, 1) if doc_id % 3 == 0 else (0, 0)
+    return encode_progressive_gray(
+        y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
+    )

@@ -990,12 +990,13 @@ def multimodal_jpeg_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """jpeg_features through the r12 PROGRESSIVE (SOF2,
-    spectral-selection) decode path: real multi-scan streams —
-    DC scan + per-band AC scans with EOBRUN runs — decode on
-    executors; the oracle replays the same fixed-point pixel formula
-    as the baseline gate (the coefficients are identical by
-    construction, operators/jpeg.py::encode_progressive_gray)."""
+    """jpeg_features through the r12 PROGRESSIVE (SOF2) decode
+    path: real multi-scan streams — DC scan + per-band AC scans with
+    EOBRUN runs, and successive-approximation refinement scans on a
+    third of the corpus — decode on executors; the oracle replays
+    the same fixed-point pixel formula as the baseline gate (a fully
+    refined stream's coefficients are identical by construction,
+    operators/jpeg.py::encode_progressive_gray)."""
     media = multimodal.attach_progressive_jpeg_payload(
         io.load(spark, sf_dir, "documents")
     )
