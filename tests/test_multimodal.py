@@ -1124,3 +1124,31 @@ def test_jpeg_progressive_roundtrip_matrix():
         ValueError, match="invalid successive approximation sequence"
     ):
         jpeg.decode_jpeg(bytes(payload))
+
+
+def test_jpeg_truncation_sweep_never_raises_raw_exceptions():
+    """Errors-as-data hardening (r12): EVERY truncation point of a
+    baseline and a progressive stream either decodes (a legal coarse
+    partial for progressive) or raises a typed ValueError from the
+    deterministic message families — never a raw IndexError from a
+    silently shortened segment slice (the bug a truncation sweep
+    found in the SOS header parse)."""
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    allowed_prefixes = (
+        "no SOS marker", "truncated segment header",
+        "truncated entropy stream", "marker expected at",
+    )
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    streams = (
+        jpeg.encode_baseline([img], 16, 16, [(1, 1)]),
+        jpeg.encode_progressive_gray(img, 16, 16, dc_al=1, ac_al=1),
+    )
+    for full in streams:
+        for i in range(2, len(full)):
+            try:
+                jpeg.decode_jpeg(full[:i])
+            except ValueError as exc:
+                assert str(exc).startswith(allowed_prefixes), (i, exc)

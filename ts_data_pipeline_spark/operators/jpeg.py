@@ -319,6 +319,13 @@ def decode_jpeg(payload: bytes) -> dict:
             break
         seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
         seg = payload[pos + 4 : pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            # the slice silently shortens on a truncated payload and
+            # every downstream seg[i] would raise a raw IndexError —
+            # surface the one deterministic errors-as-data message
+            # instead (found by a truncation sweep over progressive
+            # streams; applies uniformly to every marker segment)
+            raise ValueError("truncated segment header")
         pos += 2 + seg_len
         if marker == 0xDB:  # DQT (possibly several tables)
             i = 0
