@@ -2814,3 +2814,68 @@ def test_bsign_plane_pair_ids_validated_loudly(spark):
         similarity.bsign_index_write(
             emb, "/tmp/never_written_bsign", 64, plane_pairs=bad
         )
+
+
+def test_url_canonicalization_semantics(spark):
+    """The r12 weblinks lane's canonicalization rules, pinned on
+    crafted URLs (the gate pins corpus-wide agreement; this pins the
+    RULES): tracking params stripped with survivors sorted, host and
+    scheme case-folded, default ports dropped (but only the
+    scheme-matching default), fragments dropped, clean URLs are
+    fixed points; registrable domain respects the two-label suffix;
+    canonical dedup groups tracking mirrors."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.functions import weblinks as wl
+
+    cases = [
+        # (raw, want_canonical)
+        ("https://WWW.Example.com:443/a/p?z=2&utm_source=x&id=1#top",
+         "https://www.example.com/a/p?id=1&z=2"),
+        ("http://sample.org:8080/p?ref=tw&fbclid=abc",
+         "http://sample.org:8080/p"),          # non-default port kept
+        ("http://sample.org:443/p?id=3",
+         "http://sample.org:443/p?id=3"),      # 443 is NOT http's default
+        ("https://news.example.co.uk/x?id=2",
+         "https://news.example.co.uk/x?id=2"),  # already canonical
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [
+        r.c for r in df.select(wl._canon_col(F.col("u")).alias("c"))
+        .collect()
+    ]
+    assert got == [w for _, w in cases]
+
+    # DuckDB twin agrees rule for rule
+    import duckdb
+
+    con = duckdb.connect()
+    for raw, want in cases:
+        val = con.execute(
+            f"WITH t(url) AS (SELECT '{raw}') SELECT "
+            + wl._canon_sql("url") + " FROM t"
+        ).fetchone()[0]
+        assert val == want, (raw, val)
+
+    # registrable domain: two-label suffix takes three labels
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "s", 1), (1, "x", "en", "s", 1),
+         (21, "x", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    dom = {r.doc_id: r.domain for r in wl.registrable_domain(docs).collect()}
+    # doc 0: ak=0 -> www.example.com -> example.com
+    assert dom[0] == "example.com"
+    # doc 21: ak=21%30=21, 21%5=1 -> news.example.co.uk
+    assert dom[21] == "example.co.uk"
+
+    # canonical dedup: tracking mirrors of one article collapse
+    mirrors = spark.createDataFrame(
+        [(i, "x", "en", "s", 1) for i in (3, 33, 63)],  # ak = 3 each
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    out = {r.doc_id: (r.kept, r.n_dups)
+           for r in wl.url_dedup_canonical(mirrors).collect()}
+    assert out[3] == (True, 3) and out[33] == (False, 3)

@@ -104,6 +104,36 @@ def html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.html_main_content(io.load(spark, sf_dir, "documents"))
 
 
+def url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ts_data_pipeline_spark.functions import weblinks
+
+    return weblinks.url_parse(io.load(spark, sf_dir, "documents"))
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ts_data_pipeline_spark.functions import weblinks
+
+    return weblinks.url_canonicalize(io.load(spark, sf_dir, "documents"))
+
+
+def registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ts_data_pipeline_spark.functions import weblinks
+
+    return weblinks.registrable_domain(io.load(spark, sf_dir, "documents"))
+
+
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ts_data_pipeline_spark.functions import weblinks
+
+    return weblinks.url_dedup_canonical(io.load(spark, sf_dir, "documents"))
+
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ts_data_pipeline_spark.functions import weblinks
+
+    return weblinks.domain_stats(io.load(spark, sf_dir, "documents"))
+
+
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bigram_lm_perplexity(io.load(spark, sf_dir, "documents"))
 

@@ -317,6 +317,52 @@ def _quality_members() -> list[Member]:
     ]
 
 
+def _weblinks_members() -> list[Member]:
+    """URL / web-crawl curation lane (r12): parse, canonicalize +
+    tracking-param strip, registrable domain, dedup-by-canonical-URL,
+    per-domain accounting — functions/weblinks.py."""
+    from ts_data_pipeline_spark.functions import weblinks
+    from ts_data_pipeline_spark.queries import llmdata
+
+    return [
+        Member(
+            "url_parse",
+            llmdata.url_parse,
+            weblinks.url_parse_sql(),
+            (("doc_id", "l"), ("url", "s"), ("scheme", "s"),
+             ("host", "s"), ("port", "l"), ("path", "s"),
+             ("query", "s"), ("fragment", "s")),
+        ),
+        Member(
+            "url_canonicalize",
+            llmdata.url_canonicalize,
+            weblinks.url_canonicalize_sql(),
+            (("doc_id", "l"), ("url", "s"), ("url_canon", "s"),
+             ("was_canonical", "s")),
+        ),
+        Member(
+            "registrable_domain",
+            llmdata.registrable_domain,
+            weblinks.registrable_domain_sql(),
+            (("doc_id", "l"), ("host", "s"), ("domain", "s")),
+        ),
+        Member(
+            "url_dedup_canonical",
+            llmdata.url_dedup_canonical,
+            weblinks.url_dedup_canonical_sql(),
+            (("doc_id", "l"), ("url_canon", "s"), ("kept", "s"),
+             ("n_dups", "l")),
+        ),
+        Member(
+            "domain_stats",
+            llmdata.domain_stats,
+            weblinks.domain_stats_sql(),
+            (("domain", "s"), ("n_docs", "l"), ("n_hosts", "l"),
+             ("n_canon", "l"), ("n_dup_docs", "l")),
+        ),
+    ]
+
+
 def _text_stats_members() -> list[Member]:
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import dedup as dedup_ops
@@ -1315,6 +1361,7 @@ def _register_all() -> None:
     register_suite("filters_suite", _filters_members())
     register_suite("quality_suite", _quality_members())
     register_suite("text_stats_suite", _text_stats_members())
+    register_suite("weblinks_suite", _weblinks_members())
     register_suite("olap_pivot_suite", _olap_pivot_members())
     register_suite("join_semi_anti", _join_semi_anti_members())
     register_suite("dedup_exact_simhash", _dedup_exact_simhash_members())
