@@ -2879,3 +2879,35 @@ def test_url_canonicalization_semantics(spark):
     out = {r.doc_id: (r.kept, r.n_dups)
            for r in wl.url_dedup_canonical(mirrors).collect()}
     assert out[3] == (True, 3) and out[33] == (False, 3)
+
+
+def test_line_dedup_c4_semantics(spark):
+    """The C4 line-dedup rules on crafted docs: corpus-wide counts
+    include WITHIN-doc repeats, lines above the threshold vanish
+    from every doc, unique lines keep their order, and a doc whose
+    every line is hot collapses to an empty survivor (n_kept=0,
+    text_kept='') without dropping the doc row."""
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nCOMMON\nbeta"),
+            (2, "COMMON\ngamma"),
+            (3, "SELFDUP\nSELFDUP\nSELFDUP"),  # within-doc repeats
+            (4, "COMMON\nSELFDUP"),
+            (5, "COMMON"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text_fns.line_dedup(docs).collect()}
+    # COMMON occurs 4x (>2) and SELFDUP 4x (3 within doc 3 + 1)
+    assert out[1].text_kept == "alpha\nbeta" and out[1].n_kept == 2
+    assert out[2].text_kept == "gamma"
+    assert out[3].n_lines == 3 and out[3].n_kept == 0
+    assert out[3].text_kept == ""
+    assert out[4].n_kept == 0
+    assert out[5].n_kept == 0 and out[5].n_lines == 1
+    # threshold is >max_occurrences: at 4 nothing is hot
+    out4 = {r.doc_id: r
+            for r in text_fns.line_dedup(docs, max_occurrences=4).collect()}
+    assert all(out4[d].n_kept == out4[d].n_lines for d in out4)

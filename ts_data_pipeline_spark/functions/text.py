@@ -1909,6 +1909,20 @@ def _html_wrapped(text_col: str = "text") -> Column:
             F.lit('<div class="share"><a href="/s1">Share</a> '
                   '<a href="/s2">Tweet</a> <a href="/s3">Pin</a></div>'),
         ).otherwise(F.lit("")),
+        # REPEATED boilerplate paragraphs — link-free so they survive
+        # the link-density rule and reach the line-dedup stage (the
+        # C4 pass), which is what removes them: a disclaimer on ~half
+        # the corpus and a newsletter pitch on a fifth
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("<p>All rights reserved. Contact support for"
+                  " details.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 3,
+            F.lit("<p>Subscribe to our newsletter for weekly"
+                  " updates.</p>"),
+        ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
 
@@ -1940,6 +1954,12 @@ def _html_wrap_sql(text_col: str = "text") -> str:
         " || CASE WHEN doc_id % 6 = 1 THEN"
         " '<div class=\"share\"><a href=\"/s1\">Share</a> "
         "<a href=\"/s2\">Tweet</a> <a href=\"/s3\">Pin</a></div>'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 2 = 0 THEN"
+        " '<p>All rights reserved. Contact support for details.</p>'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 3 THEN"
+        " '<p>Subscribe to our newsletter for weekly updates.</p>'"
         " ELSE '' END"
         " || '</body></html>'"
     )
@@ -2134,4 +2154,97 @@ SELECT doc_id,
 FROM per_block
 WHERE vis_len > 0
 GROUP BY doc_id
+"""
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """C4-style corpus-wide LINE deduplication (Raffel et al. 2020:
+    "we removed any line that occurred more than [k] times in the
+    corpus" — the pass that strips cookie banners, disclaimers and
+    newsletter pitches that survive document-level dedup because the
+    surrounding text differs): explode documents into lines, count
+    each line's corpus-wide occurrences (within-doc repeats count),
+    drop lines above ``max_occurrences``, reassemble in order.
+
+    Scale shape: one map-side-combinable groupBy on the line (hot
+    boilerplate lines partially aggregate before the shuffle, so the
+    classic skew key never concentrates raw rows), the hot-line
+    relation is count-filtered (only lines ABOVE the threshold ship)
+    and anti-joined, then one groupBy(doc_id) reassembly. No windows,
+    no UDFs."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.col("line") != "")
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > max_occurrences)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_kept"),
+        )
+        .join(
+            lines.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_lines")
+            ),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+        )
+    )
+
+
+def line_dedup_sql(
+    source_sql: str, text_col: str = "text", max_occurrences: int = 2
+) -> str:
+    """DuckDB twin of :func:`line_dedup` over ``source_sql`` (a
+    subquery producing (doc_id, {text_col}))."""
+    return f"""
+WITH src AS MATERIALIZED ({source_sql}),
+lines AS MATERIALIZED (
+  SELECT doc_id,
+         generate_subscripts(string_split({text_col}, chr(10)), 1) AS pos,
+         unnest(string_split({text_col}, chr(10))) AS line
+  FROM src
+),
+nz AS MATERIALIZED (SELECT * FROM lines WHERE line <> ''),
+hot AS (
+  SELECT line FROM nz GROUP BY line
+  HAVING COUNT(*) > {max_occurrences}
+),
+kept AS (
+  SELECT n.* FROM nz n WHERE n.line NOT IN (SELECT line FROM hot)
+),
+reasm AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.text_kept, '') AS text_kept
+FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM nz GROUP BY doc_id) t
+LEFT JOIN reasm r USING (doc_id)
 """

@@ -134,6 +134,19 @@ def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weblinks.domain_stats(io.load(spark, sf_dir, "documents"))
 
 
+def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup COMPOSED with the HTML lane:
+    extract main content (boilerplate link walls already dropped),
+    then remove every line occurring more than twice in the corpus —
+    the pass that strips the repeated disclaimer / newsletter
+    paragraphs the link-density rule cannot see (they carry no
+    links)."""
+    main = text_fns.html_main_content(
+        io.load(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("main_text").alias("text"))
+    return text_fns.line_dedup(main)
+
+
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bigram_lm_perplexity(io.load(spark, sf_dir, "documents"))
 

@@ -424,6 +424,16 @@ def _text_stats_members() -> list[Member]:
              ("main_text", "s")),
         ),
         Member(
+            "line_dedup_c4",
+            llmdata.line_dedup_c4,
+            text_fns.line_dedup_sql(
+                "SELECT doc_id, main_text AS text FROM ("
+                + text_fns.html_main_content_sql() + ")"
+            ),
+            (("doc_id", "l"), ("n_lines", "l"), ("n_kept", "l"),
+             ("text_kept", "s")),
+        ),
+        Member(
             "length_quantiles",
             llmdata.length_quantiles,
             text_fns.LENGTH_QUANTILES_SQL,
