@@ -1152,3 +1152,65 @@ def test_jpeg_truncation_sweep_never_raises_raw_exceptions():
                 jpeg.decode_jpeg(full[:i])
             except ValueError as exc:
                 assert str(exc).startswith(allowed_prefixes), (i, exc)
+
+
+def test_jpeg_color_progressive_roundtrip_and_refusals():
+    """r12 color progressive: (1) ycbcr444 progressive (interleaved
+    DC scan, per-component AC scans) decodes to the SAME luma as the
+    baseline encode of the same image, n_components=3, including
+    under successive approximation; (2) the spec rule 'AC scans are
+    never interleaved' and the subsampled-progressive limit refuse
+    deterministically."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, size=(19, 29)).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_baseline([img], 29, 19, [(1, 1)]))
+    for kw in (dict(), dict(dc_al=1, ac_al=1),
+               dict(bands=((1, 1), (2, 31), (32, 63)), dc_al=2, ac_al=2)):
+        c = jpeg.decode_jpeg(
+            jpeg.encode_progressive_ycbcr444(img, 29, 19, **kw)
+        )
+        assert c["n_components"] == 3
+        assert np.array_equal(base["luma"], c["luma"]), kw
+
+    # interleaved AC scan is spec-invalid: patch the luma AC SOS to
+    # claim 3 components (ns byte) — the decoder must refuse before
+    # touching entropy data
+    payload = bytearray(jpeg.encode_progressive_ycbcr444(img, 29, 19))
+    # find the SECOND SOS (the first AC scan: ns=1)
+    i = payload.find(bytes([0xFF, 0xDA]))
+    j = payload.find(bytes([0xFF, 0xDA]), i + 2)
+    assert payload[j + 4] == 1  # ns byte of the AC scan
+    patched = bytearray(payload)
+    # widen the header: claim ns=3 with junk comp specs, keeping the
+    # declared length consistent so the guard under test is the AC
+    # interleave rule, not the length check
+    ln = _struct.unpack(">H", bytes(patched[j + 2 : j + 4]))[0]
+    body = bytearray(patched[j + 4 : j + 2 + ln])
+    body = bytes([3, 1, 0x10, 2, 0x10, 3, 0x10]) + bytes(body[3:])
+    patched[j + 2 : j + 2 + ln] = (
+        _struct.pack(">H", 2 + len(body)) + body
+    )
+    with pytest.raises(
+        ValueError, match="AC scan must be single-component"
+    ):
+        jpeg.decode_jpeg(bytes(patched))
+
+    # subsampled progressive refused: flip a component's sampling
+    # factors in the SOF2 header
+    payload2 = bytearray(jpeg.encode_progressive_ycbcr444(img, 29, 19))
+    s = payload2.find(bytes([0xFF, 0xC2]))
+    # SOF2 body: len(2) prec(1) h(2) w(2) nc(1) then [cid hv tq] x 3
+    hv_off = s + 4 + 6 + 1
+    assert payload2[hv_off] == 0x11
+    payload2[hv_off] = 0x22  # luma (2,2): 4:2:0-shaped
+    with pytest.raises(
+        ValueError, match="subsampled component not supported"
+    ):
+        jpeg.decode_jpeg(bytes(payload2))

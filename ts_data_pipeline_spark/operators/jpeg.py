@@ -307,9 +307,9 @@ def decode_jpeg(payload: bytes) -> dict:
     w = h = 0
     restart_interval = 0
     progressive = False
-    prog_coeffs = None  # (bh, bw, 64) accumulated quantized coeffs
-    prog_dc_done = False
-    prog_al_state: list = [None] * 64  # per-coefficient current Al
+    prog_coeffs = None  # comp id -> (bh, bw, 64) accumulated coeffs
+    prog_dc_done: set = set()  # component ids with their DC landed
+    prog_al_state: dict = {}  # (comp id, k) -> current Al
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -429,40 +429,72 @@ def decode_jpeg(payload: bytes) -> dict:
             if ah and ah != al + 1:
                 # refinement scans carry exactly one magnitude bit
                 raise ValueError("invalid successive approximation sequence")
-            if ns != 1 or len(comps) != 1:
+            if ss > 0 and ns != 1:
+                # T.81 G.1.1.1.1: AC scans are never interleaved
                 raise ValueError(
-                    "progressive multi-component scan not supported"
+                    "progressive AC scan must be single-component"
                 )
-            tt = seg[2]
+            if len(comps) > 1 and any(
+                c["h"] != 1 or c["v"] != 1 for c in comps
+            ):
+                # multi-component progressive decodes for (1,1)
+                # sampling; subsampled progressive stays a distinct
+                # deterministic refusal (the MCU geometry differs
+                # per component — worth adding only with a fixture
+                # that can pin it)
+                raise ValueError(
+                    "progressive subsampled component not supported"
+                )
+            scan_ids = [seg[1 + 2 * c] for c in range(ns)]
+            scan_tts = [seg[2 + 2 * c] for c in range(ns)]
+            known = {c["id"] for c in comps}
+            if any(cid not in known for cid in scan_ids):
+                raise ValueError("scan references unknown component")
             if ss == 0:
-                prog_dc_done = True
-            elif not prog_dc_done:
+                for cid in scan_ids:
+                    prog_dc_done.add(cid)
+            elif scan_ids[0] not in prog_dc_done:
                 raise ValueError("AC scan before DC scan")
-            # per-coefficient Al state machine: a first scan (Ah=0)
-            # must be the coefficient's first sighting; a refinement
-            # must continue exactly where the previous scan left off
-            # — otherwise shifted bits would silently land at the
-            # wrong magnitude (wrong pixels, no error).
-            for k in range(ss, se + 1):
-                if ah == 0:
-                    if prog_al_state[k] is not None:
+            # per-(component, coefficient) Al state machine: a first
+            # scan (Ah=0) must be the coefficient's first sighting; a
+            # refinement must continue exactly where the previous
+            # scan left off — otherwise shifted bits would silently
+            # land at the wrong magnitude (wrong pixels, no error).
+            for cid in scan_ids:
+                for k in range(ss, se + 1):
+                    st = prog_al_state.get((cid, k))
+                    if ah == 0:
+                        if st is not None:
+                            raise ValueError(
+                                "invalid successive approximation sequence"
+                            )
+                    elif st != ah:
                         raise ValueError(
                             "invalid successive approximation sequence"
                         )
-                elif prog_al_state[k] != ah:
-                    raise ValueError(
-                        "invalid successive approximation sequence"
-                    )
-                prog_al_state[k] = al
+                    prog_al_state[(cid, k)] = al
             if prog_coeffs is None:
-                prog_coeffs = np.zeros(
-                    ((h + 7) // 8, (w + 7) // 8, 64), dtype=np.int64
-                )
+                prog_coeffs = {
+                    c["id"]: np.zeros(
+                        ((h + 7) // 8, (w + 7) // 8, 64), dtype=np.int64
+                    )
+                    for c in comps
+                }
             reader = _BitReader(payload, pos)
-            _prog_scan(
-                reader, prog_coeffs, ss, se, ah, al,
-                huff_dc.get(tt >> 4), huff_ac.get(tt & 0x0F),
-            )
+            if ss == 0 and ns > 1:
+                _prog_dc_interleaved(
+                    reader,
+                    [prog_coeffs[cid] for cid in scan_ids],
+                    ah,
+                    al,
+                    [huff_dc.get(tt >> 4) for tt in scan_tts],
+                )
+            else:
+                tt = scan_tts[0]
+                _prog_scan(
+                    reader, prog_coeffs[scan_ids[0]], ss, se, ah, al,
+                    huff_dc.get(tt >> 4), huff_ac.get(tt & 0x0F),
+                )
             pos = reader.pos
             # resync to the next marker (the scan's last partial byte
             # was already consumed; padding bits may remain)
@@ -472,7 +504,13 @@ def decode_jpeg(payload: bytes) -> dict:
                 pos += 1
         # APPn / COM / anything else: skipped by the length field
     if progressive and prog_coeffs is not None and prog_dc_done:
-        return _prog_reconstruct(prog_coeffs, w, h, qtables[comps[0]["tq"]])
+        # features are luma-based (module docstring): reconstruct the
+        # FIRST component's plane; chroma scans were fully entropy-
+        # decoded above (stream validated), their IDCT is skipped
+        return _prog_reconstruct(
+            prog_coeffs[comps[0]["id"]], w, h, qtables[comps[0]["tq"]],
+            n_components=len(comps),
+        )
     raise ValueError("no SOS marker")
 
 
@@ -664,7 +702,27 @@ def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl) -> None:
                 eobrun -= 1
 
 
-def _prog_reconstruct(coeffs, w, h, q) -> dict:
+def _prog_dc_interleaved(reader, planes, ah, al, dc_tbls) -> None:
+    """Interleaved progressive DC scan over ns components at (1,1)
+    sampling: each MCU carries one block per component in scan
+    order — first scans run per-component diff chains on the
+    point-transformed values, refinements one raw bit per block."""
+    bh_, bw_, _ = planes[0].shape
+    preds = [0] * len(planes)
+    for by in range(bh_):
+        for bx in range(bw_):
+            for ci, plane in enumerate(planes):
+                blk = plane[by, bx]
+                if ah == 0:
+                    ssss = _huff_decode(reader, dc_tbls[ci])
+                    preds[ci] += _extend(reader.bits(ssss), ssss)
+                    blk[0] = preds[ci] << al
+                else:
+                    if reader.bit():
+                        blk[0] |= 1 << al
+
+
+def _prog_reconstruct(coeffs, w, h, q, n_components: int = 1) -> dict:
     """Dequantize + IDCT the accumulated coefficient planes — the
     same reconstruction tail as the baseline path (shared idct_2d),
     run once at EOI when every scan has landed."""
@@ -678,7 +736,12 @@ def _prog_reconstruct(coeffs, w, h, q) -> dict:
             ) + 128.0
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     luma = np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
-    return {"width": w, "height": h, "n_components": 1, "luma": luma}
+    return {
+        "width": w,
+        "height": h,
+        "n_components": n_components,
+        "luma": luma,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -1139,13 +1202,15 @@ def encode_progressive_gray(
 
 
 def synthesize_progressive_jpeg(doc_id: int) -> bytes:
-    """A real progressive (SOF2) grayscale JPEG of the SAME flat
-    block-gray image as :func:`synthesize_jpeg` — decoded luma is
-    the identical pixel formula, so the progressive gate reuses the
-    baseline oracle with n_components = 1. Band split alternates per
-    doc (2-band vs 3-band) and a third of docs layer successive
-    approximation on top, so all scan layouts sit under the hash
-    gate."""
+    """A real progressive (SOF2) JPEG of the SAME flat block-gray
+    image as :func:`synthesize_jpeg` — decoded luma is the identical
+    pixel formula, so the progressive gate reuses the baseline
+    oracle. Wire-class matrix: band split alternates per doc (2-band
+    vs 3-band), a third of docs layer successive approximation on
+    top, and a quarter (doc_id % 4 == 1, the baseline fixture's
+    ycbcr444 class) are COLOR progressive — interleaved DC scans over
+    three (1,1) components with neutral chroma, n_components = 3 in
+    the oracle."""
     w, h = jpeg_dims(doc_id)
     y = np.empty((h, w), dtype=np.uint8)
     for by in range((h + 7) // 8):
@@ -1161,6 +1226,143 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
     # refinement scans) — fully refined streams carry the identical
     # coefficients, so the same oracle covers both wire shapes
     dc_al, ac_al = (1, 1) if doc_id % 3 == 0 else (0, 0)
+    if doc_id % 4 == 1:
+        # COLOR progressive (the baseline fixture's ycbcr444 class):
+        # interleaved DC scan over three (1,1) components, neutral
+        # chroma — luma-invariant, so only n_components changes in
+        # the oracle
+        return encode_progressive_ycbcr444(
+            y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
+        )
     return encode_progressive_gray(
         y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
     )
+
+
+def _quantize_blocks(plane: np.ndarray, w: int, h: int, qnat) -> np.ndarray:
+    """Edge-padded FDCT + quantization -> (bh, bw, 64) int64 blocks
+    (the shared front half of every progressive encoder)."""
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    pp = np.empty((bh_ * 8, bw_ * 8), dtype=np.float64)
+    pp[:h, :w] = plane[:h, :w]
+    pp[h:, :w] = plane[h - 1 : h, :w]
+    pp[:, w:] = pp[:, w - 1 : w]
+    q = np.array(qnat, dtype=np.float64).reshape(8, 8)
+    qcs = np.empty((bh_, bw_, 64), dtype=np.int64)
+    for by in range(bh_):
+        for bx in range(bw_):
+            blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _IDCT_A @ blk @ _IDCT_A.T
+            qcs[by, bx] = np.rint(coef / q).astype(np.int64).reshape(64)
+    return qcs
+
+
+def encode_progressive_ycbcr444(
+    y: np.ndarray,
+    w: int,
+    h: int,
+    bands: tuple = ((1, 5), (6, 63)),
+    dc_al: int = 0,
+    ac_al: int = 0,
+) -> bytes:
+    """A real COLOR progressive (SOF2) stream: YCbCr at (1,1)x3
+    sampling with flat NEUTRAL chroma (128 — luma-invariant, the
+    wire-class convention of :func:`synthesize_jpeg`). Scan script:
+    one INTERLEAVED DC first scan over all three components (each
+    MCU carries one block per component), interleaved DC
+    refinements, then per-component AC band scans (+ refinements) —
+    AC scans are single-component by spec (T.81 G.1.1.1.1). Tables:
+    Annex-K luma/chroma quant, K.3 DC tables, the shared progressive
+    AC alphabet table."""
+    if [b for pair in bands for b in pair] != sorted(
+        b for pair in bands for b in pair
+    ) or bands[0][0] != 1 or bands[-1][1] != 63 or any(
+        bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
+    ):
+        raise ValueError("bands must tile 1..63 contiguously")
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    for tq, nat in ((0, QTABLE_LUMA), (1, QTABLE_CHROMA)):
+        zz = bytes(nat[ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tcth, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x10, PROG_AC_BITS, PROG_AC_VALS),
+    ):
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    flat = np.full((h, w), 128, dtype=np.uint8)
+    qcs_list = [
+        _quantize_blocks(y, w, h, QTABLE_LUMA),
+        _quantize_blocks(flat, w, h, QTABLE_CHROMA),
+        _quantize_blocks(flat, w, h, QTABLE_CHROMA),
+    ]
+    enc_dcs = [
+        _enc_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _enc_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _enc_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
+    bh_, bw_, _ = qcs_list[0].shape
+
+    def _scan(comp_specs, ss, se, ah, al, emit) -> None:
+        sos = bytes([len(comp_specs)])
+        for cid, tt in comp_specs:
+            sos += bytes([cid, tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        wtr = _BitWriter()
+        emit(wtr)
+        wtr.pad_to_byte()
+        out.extend(wtr.out)
+
+    def _dc_first(wtr) -> None:
+        preds = [0, 0, 0]
+        for by in range(bh_):
+            for bx in range(bw_):
+                for ci in range(3):
+                    dc = int(qcs_list[ci][by, bx, 0]) >> dc_al
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    ssss = _category(diff)
+                    code, ln = enc_dcs[ci][ssss]
+                    wtr.write(code, ln)
+                    if ssss:
+                        wtr.write(
+                            diff if diff >= 0
+                            else diff + (1 << ssss) - 1,
+                            ssss,
+                        )
+
+    def _dc_refine(wtr, al) -> None:
+        for by in range(bh_):
+            for bx in range(bw_):
+                for ci in range(3):
+                    wtr.write(
+                        (int(qcs_list[ci][by, bx, 0]) >> al) & 1, 1
+                    )
+
+    dc_specs = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    _scan(dc_specs, 0, 0, 0, dc_al, _dc_first)
+    for al in range(dc_al - 1, -1, -1):
+        _scan(dc_specs, 0, 0, al + 1, al,
+              lambda wtr, al=al: _dc_refine(wtr, al))
+    for ci, cid in enumerate((1, 2, 3)):
+        for ss, se in bands:
+            _scan([(cid, 0x10)], ss, se, 0, ac_al,
+                  lambda wtr, ci=ci, ss=ss, se=se: _emit_ac_first(
+                      wtr, enc_ac, qcs_list[ci], ss, se, ac_al))
+            for al in range(ac_al - 1, -1, -1):
+                _scan([(cid, 0x10)], ss, se, al + 1, al,
+                      lambda wtr, ci=ci, ss=ss, se=se, al=al:
+                      _emit_ac_refine(
+                          wtr, enc_ac, qcs_list[ci], ss, se, al))
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

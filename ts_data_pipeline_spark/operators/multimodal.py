@@ -1158,11 +1158,12 @@ FROM px
 
 
 #: DuckDB twin of jpeg_features over the PROGRESSIVE corpus: the
-#: spectral-selection stream carries the same quantized coefficients
-#: as baseline, so the flat-block fixed point extends and the oracle
-#: is the SAME pixel formula — with n_components = 1 for every doc
-#: (the progressive fixture is grayscale-only by design; see
-#: operators/jpeg.py decode notes on multi-component scans).
+#: progressive stream (spectral selection + successive approximation,
+#: fully refined) carries the same quantized coefficients as
+#: baseline, so the flat-block fixed point extends and the oracle is
+#: the SAME pixel formula; n_components is 3 for the color class
+#: (doc_id % 4 == 1 — interleaved-DC ycbcr444 progressive, neutral
+#: chroma) and 1 otherwise.
 JPEG_PROGRESSIVE_SQL = """
 WITH px AS (
   SELECT doc_id,
@@ -1177,7 +1178,8 @@ WITH px AS (
   FROM documents
 )
 SELECT doc_id, width, height,
-       CAST(1 AS BIGINT) AS n_components,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS BIGINT)
+         AS n_components,
        CAST(width * height AS BIGINT) AS n_pixels,
        pix_sum,
        ROUND(CAST(pix_sum AS DOUBLE) / (width * height), 4) AS pix_mean
