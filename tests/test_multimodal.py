@@ -1202,15 +1202,18 @@ def test_jpeg_color_progressive_roundtrip_and_refusals():
     ):
         jpeg.decode_jpeg(bytes(patched))
 
-    # subsampled progressive refused: flip a component's sampling
-    # factors in the SOF2 header
-    payload2 = bytearray(jpeg.encode_progressive_ycbcr444(img, 29, 19))
-    s = payload2.find(bytes([0xFF, 0xC2]))
-    # SOF2 body: len(2) prec(1) h(2) w(2) nc(1) then [cid hv tq] x 3
-    hv_off = s + 4 + 6 + 1
-    assert payload2[hv_off] == 0x11
-    payload2[hv_off] = 0x22  # luma (2,2): 4:2:0-shaped
-    with pytest.raises(
-        ValueError, match="subsampled component not supported"
-    ):
-        jpeg.decode_jpeg(bytes(payload2))
+    # SUBSAMPLED progressive decodes for real (r12 second pass):
+    # luma must equal the 4:2:0 BASELINE decode of the same image —
+    # pins the padded-MCU DC grid vs real-grid AC raster geometry
+    flat = np.full(((19 + 1) // 2, (29 + 1) // 2), 128, np.uint8)
+    b420 = jpeg.decode_jpeg(jpeg.encode_baseline(
+        [img, flat, flat.copy()], 29, 19, [(2, 2), (1, 1), (1, 1)]
+    ))
+    for kw in (dict(), dict(dc_al=1, ac_al=1),
+               dict(bands=((1, 1), (2, 31), (32, 63)),
+                    dc_al=2, ac_al=2)):
+        p420 = jpeg.decode_jpeg(
+            jpeg.encode_progressive_ycbcr420(img, 29, 19, **kw)
+        )
+        assert p420["n_components"] == 3
+        assert np.array_equal(b420["luma"], p420["luma"]), kw

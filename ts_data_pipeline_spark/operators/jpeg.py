@@ -307,7 +307,8 @@ def decode_jpeg(payload: bytes) -> dict:
     w = h = 0
     restart_interval = 0
     progressive = False
-    prog_coeffs = None  # comp id -> (bh, bw, 64) accumulated coeffs
+    prog_coeffs = None  # comp id -> (pbh, pbw, 64) accumulated coeffs
+    prog_geom: dict = {}  # comp id -> sampling + real block grid
     prog_dc_done: set = set()  # component ids with their DC landed
     prog_al_state: dict = {}  # (comp id, k) -> current Al
 
@@ -434,17 +435,6 @@ def decode_jpeg(payload: bytes) -> dict:
                 raise ValueError(
                     "progressive AC scan must be single-component"
                 )
-            if len(comps) > 1 and any(
-                c["h"] != 1 or c["v"] != 1 for c in comps
-            ):
-                # multi-component progressive decodes for (1,1)
-                # sampling; subsampled progressive stays a distinct
-                # deterministic refusal (the MCU geometry differs
-                # per component — worth adding only with a fixture
-                # that can pin it)
-                raise ValueError(
-                    "progressive subsampled component not supported"
-                )
             scan_ids = [seg[1 + 2 * c] for c in range(ns)]
             scan_tts = [seg[2 + 2 * c] for c in range(ns)]
             known = {c["id"] for c in comps}
@@ -474,26 +464,50 @@ def decode_jpeg(payload: bytes) -> dict:
                         )
                     prog_al_state[(cid, k)] = al
             if prog_coeffs is None:
-                prog_coeffs = {
-                    c["id"]: np.zeros(
-                        ((h + 7) // 8, (w + 7) // 8, 64), dtype=np.int64
+                # per-component geometry (T.81 A.1.1/A.2.4): the MCU
+                # grid sizes the PADDED block plane (interleaved DC
+                # scans cover padding blocks), while non-interleaved
+                # AC scans raster only the component's REAL block
+                # grid — ceil of its scaled dimensions
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                prog_coeffs = {}
+                prog_geom = {}
+                for c in comps:
+                    cw = (w * c["h"] + hmax - 1) // hmax
+                    ch2 = (h * c["v"] + vmax - 1) // vmax
+                    pbw, pbh = c["h"] * mcux, c["v"] * mcuy
+                    prog_coeffs[c["id"]] = np.zeros(
+                        (pbh, pbw, 64), dtype=np.int64
                     )
-                    for c in comps
-                }
+                    prog_geom[c["id"]] = {
+                        "h": c["h"], "v": c["v"],
+                        "bw": (cw + 7) // 8, "bh": (ch2 + 7) // 8,
+                    }
             reader = _BitReader(payload, pos)
             if ss == 0 and ns > 1:
+                # interleaved DC scan: blocks in MCU order, padding
+                # blocks included (T.81 A.2.3)
                 _prog_dc_interleaved(
                     reader,
                     [prog_coeffs[cid] for cid in scan_ids],
                     ah,
                     al,
                     [huff_dc.get(tt >> 4) for tt in scan_tts],
+                    [
+                        (prog_geom[cid]["h"], prog_geom[cid]["v"])
+                        for cid in scan_ids
+                    ],
                 )
             else:
                 tt = scan_tts[0]
+                g = prog_geom[scan_ids[0]]
                 _prog_scan(
                     reader, prog_coeffs[scan_ids[0]], ss, se, ah, al,
                     huff_dc.get(tt >> 4), huff_ac.get(tt & 0x0F),
+                    bh_lim=g["bh"], bw_lim=g["bw"],
                 )
             pos = reader.pos
             # resync to the next marker (the scan's last partial byte
@@ -505,11 +519,17 @@ def decode_jpeg(payload: bytes) -> dict:
         # APPn / COM / anything else: skipped by the length field
     if progressive and prog_coeffs is not None and prog_dc_done:
         # features are luma-based (module docstring): reconstruct the
-        # FIRST component's plane; chroma scans were fully entropy-
-        # decoded above (stream validated), their IDCT is skipped
+        # FIRST component's plane (upsampled to full resolution when
+        # it is subsampled — the baseline path's convention); chroma
+        # scans were fully entropy-decoded above (stream validated),
+        # their IDCT is skipped
+        c0 = comps[0]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
         return _prog_reconstruct(
-            prog_coeffs[comps[0]["id"]], w, h, qtables[comps[0]["tq"]],
+            prog_coeffs[c0["id"]], w, h, qtables[c0["tq"]],
             n_components=len(comps),
+            repeat=(vmax // c0["v"], hmax // c0["h"]),
         )
     raise ValueError("no SOS marker")
 
@@ -595,7 +615,8 @@ def _decode_scan(
     }
 
 
-def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl) -> None:
+def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl,
+               bh_lim=None, bw_lim=None) -> None:
     """One progressive scan over the single component's blocks in
     raster order — all four T.81 scan kinds:
 
@@ -614,6 +635,8 @@ def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl) -> None:
       one correction bit that may grow its magnitude by ``1 << al``.
     """
     bh_, bw_, _ = coeffs.shape
+    if bh_lim is not None:
+        bh_, bw_ = bh_lim, bw_lim  # non-interleaved: REAL grid only
     pred = 0
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
@@ -702,27 +725,37 @@ def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl) -> None:
                 eobrun -= 1
 
 
-def _prog_dc_interleaved(reader, planes, ah, al, dc_tbls) -> None:
-    """Interleaved progressive DC scan over ns components at (1,1)
-    sampling: each MCU carries one block per component in scan
-    order — first scans run per-component diff chains on the
-    point-transformed values, refinements one raw bit per block."""
-    bh_, bw_, _ = planes[0].shape
+def _prog_dc_interleaved(reader, planes, ah, al, dc_tbls, samplings) -> None:
+    """Interleaved progressive DC scan over ns components: each MCU
+    carries h_i x v_i blocks per component in scan order (padding
+    blocks included, T.81 A.2.3) — first scans run per-component
+    diff chains on the point-transformed values, refinements one raw
+    bit per block."""
+    h0, v0 = samplings[0]
+    mcuy = planes[0].shape[0] // v0
+    mcux = planes[0].shape[1] // h0
     preds = [0] * len(planes)
-    for by in range(bh_):
-        for bx in range(bw_):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, plane in enumerate(planes):
-                blk = plane[by, bx]
-                if ah == 0:
-                    ssss = _huff_decode(reader, dc_tbls[ci])
-                    preds[ci] += _extend(reader.bits(ssss), ssss)
-                    blk[0] = preds[ci] << al
-                else:
-                    if reader.bit():
-                        blk[0] |= 1 << al
+                hi, vi = samplings[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        blk = plane[my * vi + byi, mx * hi + bxi]
+                        if ah == 0:
+                            ssss = _huff_decode(reader, dc_tbls[ci])
+                            preds[ci] += _extend(
+                                reader.bits(ssss), ssss
+                            )
+                            blk[0] = preds[ci] << al
+                        else:
+                            if reader.bit():
+                                blk[0] |= 1 << al
 
 
-def _prog_reconstruct(coeffs, w, h, q, n_components: int = 1) -> dict:
+def _prog_reconstruct(
+    coeffs, w, h, q, n_components: int = 1, repeat=(1, 1)
+) -> dict:
     """Dequantize + IDCT the accumulated coefficient planes — the
     same reconstruction tail as the baseline path (shared idct_2d),
     run once at EOI when every scan has landed."""
@@ -735,6 +768,9 @@ def _prog_reconstruct(coeffs, w, h, q, n_components: int = 1) -> dict:
                 (coeffs[by, bx].astype(np.float64) * qv).reshape(8, 8)
             ) + 128.0
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    ry, rx = repeat
+    if ry > 1 or rx > 1:
+        plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
     luma = np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
     return {
         "width": w,
@@ -1207,10 +1243,12 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
     pixel formula, so the progressive gate reuses the baseline
     oracle. Wire-class matrix: band split alternates per doc (2-band
     vs 3-band), a third of docs layer successive approximation on
-    top, and a quarter (doc_id % 4 == 1, the baseline fixture's
-    ycbcr444 class) are COLOR progressive — interleaved DC scans over
-    three (1,1) components with neutral chroma, n_components = 3 in
-    the oracle."""
+    top, and half mirror the baseline fixture's color classes:
+    doc_id % 4 == 1 -> 4:4:4 progressive (interleaved DC over three
+    (1,1) components), doc_id % 4 == 2 -> 4:2:0 progressive (luma
+    (2,2) + half-res chroma, padded-MCU DC vs real-grid AC raster) —
+    neutral chroma keeps every class luma-invariant, so only
+    n_components varies in the oracle."""
     w, h = jpeg_dims(doc_id)
     y = np.empty((h, w), dtype=np.uint8)
     for by in range((h + 7) // 8):
@@ -1232,6 +1270,14 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
         # chroma — luma-invariant, so only n_components changes in
         # the oracle
         return encode_progressive_ycbcr444(
+            y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
+        )
+    if doc_id % 4 == 2:
+        # SUBSAMPLED color progressive (the baseline fixture's
+        # ycbcr420 class): luma (2,2), chroma half-res — the
+        # padded-MCU DC grid vs real-grid AC raster geometry, still
+        # luma-invariant at the fixed point
+        return encode_progressive_ycbcr420(
             y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
         )
     return encode_progressive_gray(
@@ -1364,5 +1410,152 @@ def encode_progressive_ycbcr444(
                       lambda wtr, ci=ci, ss=ss, se=se, al=al:
                       _emit_ac_refine(
                           wtr, enc_ac, qcs_list[ci], ss, se, al))
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_progressive_ycbcr420(
+    y: np.ndarray,
+    w: int,
+    h: int,
+    bands: tuple = ((1, 5), (6, 63)),
+    dc_al: int = 0,
+    ac_al: int = 0,
+) -> bytes:
+    """A real SUBSAMPLED color progressive (SOF2) stream: luma at
+    (2,2), chroma at (1,1) half resolution (neutral 128 — luma-
+    invariant). The geometry this pins beyond the 4:4:4 form: the
+    interleaved DC scan rasters MCUs carrying FOUR luma blocks + one
+    block per chroma (padding blocks included), while each
+    non-interleaved AC scan rasters only its component's REAL block
+    grid (ceil of the scaled dims, T.81 A.2.4) — the padded-vs-real
+    split that makes subsampled progressive genuinely different."""
+    if [b for pair in bands for b in pair] != sorted(
+        b for pair in bands for b in pair
+    ) or bands[0][0] != 1 or bands[-1][1] != 63 or any(
+        bands[i][1] + 1 != bands[i + 1][0] for i in range(len(bands) - 1)
+    ):
+        raise ValueError("bands must tile 1..63 contiguously")
+    cw, ch2 = (w + 1) // 2, (h + 1) // 2  # chroma real dims
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    for tq, nat in ((0, QTABLE_LUMA), (1, QTABLE_CHROMA)):
+        zz = bytes(nat[ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for cid, hv, tq in ((1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        sof += bytes([cid, hv, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tcth, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x10, PROG_AC_BITS, PROG_AC_VALS),
+    ):
+        body = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    flat = np.full((ch2, cw), 128, dtype=np.uint8)
+    # padded quantized grids: luma to the 16-px MCU grid, chroma to
+    # the 8-px grid implied by the same MCU count
+    qy = _quantize_blocks(y, w, h, QTABLE_LUMA)  # real luma grid
+    # re-pad luma blocks to the MCU grid (2*mcux x 2*mcuy blocks) by
+    # quantizing the MCU-padded plane — edge replication must extend
+    # to the FULL padded area so padding blocks carry valid DC
+    ly = np.empty((16 * mcuy, 16 * mcux), dtype=np.float64)
+    ly[:h, :w] = y[:h, :w]
+    ly[h:, :w] = y[h - 1 : h, :w]
+    ly[:, w:] = ly[:, w - 1 : w]
+    qy = _quantize_blocks(
+        ly.astype(np.uint8), 16 * mcux, 16 * mcuy, QTABLE_LUMA
+    )
+    qc = _quantize_blocks(
+        np.full((8 * mcuy, 8 * mcux), 128, dtype=np.uint8),
+        8 * mcux, 8 * mcuy, QTABLE_CHROMA,
+    )
+    qcs_list = [qy, qc, qc]
+    samplings = [(2, 2), (1, 1), (1, 1)]
+    real_grids = [
+        ((h + 7) // 8, (w + 7) // 8),
+        ((ch2 + 7) // 8, (cw + 7) // 8),
+        ((ch2 + 7) // 8, (cw + 7) // 8),
+    ]
+    enc_dcs = [
+        _enc_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _enc_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        _enc_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    def _scan(comp_specs, ss, se, ah, al, emit) -> None:
+        sos = bytes([len(comp_specs)])
+        for cid, tt in comp_specs:
+            sos += bytes([cid, tt])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        wtr = _BitWriter()
+        emit(wtr)
+        wtr.pad_to_byte()
+        out.extend(wtr.out)
+
+    def _dc_first(wtr) -> None:
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    hi, vi = samplings[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            dc = int(
+                                qcs_list[ci][
+                                    my * vi + byi, mx * hi + bxi, 0
+                                ]
+                            ) >> dc_al
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            ssss = _category(diff)
+                            code, ln = enc_dcs[ci][ssss]
+                            wtr.write(code, ln)
+                            if ssss:
+                                wtr.write(
+                                    diff if diff >= 0
+                                    else diff + (1 << ssss) - 1,
+                                    ssss,
+                                )
+
+    def _dc_refine(wtr, al) -> None:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(3):
+                    hi, vi = samplings[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            wtr.write(
+                                (int(qcs_list[ci][
+                                    my * vi + byi, mx * hi + bxi, 0
+                                ]) >> al) & 1,
+                                1,
+                            )
+
+    dc_specs = [(1, 0x00), (2, 0x10), (3, 0x10)]
+    _scan(dc_specs, 0, 0, 0, dc_al, _dc_first)
+    for al in range(dc_al - 1, -1, -1):
+        _scan(dc_specs, 0, 0, al + 1, al,
+              lambda wtr, al=al: _dc_refine(wtr, al))
+    for ci, cid in enumerate((1, 2, 3)):
+        # non-interleaved AC scans raster the REAL grid only: slice
+        # the padded array down so the shared emit helpers see
+        # exactly the blocks the decoder will visit
+        rbh, rbw = real_grids[ci]
+        real = qcs_list[ci][:rbh, :rbw]
+        for ss, se in bands:
+            _scan([(cid, 0x10)], ss, se, 0, ac_al,
+                  lambda wtr, real=real, ss=ss, se=se: _emit_ac_first(
+                      wtr, enc_ac, real, ss, se, ac_al))
+            for al in range(ac_al - 1, -1, -1):
+                _scan([(cid, 0x10)], ss, se, al + 1, al,
+                      lambda wtr, real=real, ss=ss, se=se, al=al:
+                      _emit_ac_refine(wtr, enc_ac, real, ss, se, al))
     out += b"\xff\xd9"  # EOI
     return bytes(out)

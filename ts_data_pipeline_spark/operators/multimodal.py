@@ -1161,9 +1161,9 @@ FROM px
 #: progressive stream (spectral selection + successive approximation,
 #: fully refined) carries the same quantized coefficients as
 #: baseline, so the flat-block fixed point extends and the oracle is
-#: the SAME pixel formula; n_components is 3 for the color class
-#: (doc_id % 4 == 1 — interleaved-DC ycbcr444 progressive, neutral
-#: chroma) and 1 otherwise.
+#: the SAME pixel formula; n_components is 3 for the color classes
+#: (doc_id % 4 == 1 ycbcr444, doc_id % 4 == 2 ycbcr420 — the same
+#: split as the baseline fixture, neutral chroma) and 1 otherwise.
 JPEG_PROGRESSIVE_SQL = """
 WITH px AS (
   SELECT doc_id,
@@ -1178,7 +1178,7 @@ WITH px AS (
   FROM documents
 )
 SELECT doc_id, width, height,
-       CAST(CASE WHEN doc_id % 4 = 1 THEN 3 ELSE 1 END AS BIGINT)
+       CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 3 ELSE 1 END AS BIGINT)
          AS n_components,
        CAST(width * height AS BIGINT) AS n_pixels,
        pix_sum,
