@@ -1054,6 +1054,42 @@ def _maintenance(spark) -> dict:
             shutil.rmtree(idx, ignore_errors=True)
 
 
+def _media(spark) -> dict:
+    """r12: decode throughput of the stdlib media codecs through the
+    real executor path (mapInPandas synth + full decode + feature
+    extraction), docs/sec at SF_DIR — the measured number behind the
+    'the Python codec is fast enough for the permissive ingest lane'
+    claim. Baseline vs progressive JPEG are separate rows because
+    progressive pays multi-scan entropy decode."""
+    from ts_data_pipeline_spark import io as _io
+    from ts_data_pipeline_spark.operators import multimodal as _mm
+
+    out = {}
+    docs = _io.load(spark, SF_DIR, "documents")
+    n = docs.count()
+    jobs = {
+        "jpeg_baseline": lambda: _mm.jpeg_features(
+            _mm.attach_jpeg_payload(docs)
+        ).count(),
+        "jpeg_progressive": lambda: _mm.jpeg_features(
+            _mm.attach_progressive_jpeg_payload(docs)
+        ).count(),
+        "png": lambda: _mm.png_features(
+            _mm.attach_png_payload(docs)
+        ).count(),
+    }
+    for name, job in jobs.items():
+        try:
+            job()  # warm (Arrow init, codegen)
+            t0 = time.perf_counter()
+            rows = job()
+            dt = time.perf_counter() - t0
+            out[f"media_decode_{name}_docs_per_sec"] = round(rows / dt, 1)
+        except Exception as exc:  # noqa: BLE001 — section-isolated
+            print(f"# media {name} failed: {exc}", file=sys.stderr)
+    return out
+
+
 def _canary(spark) -> dict:
     """Fixed pure-JVM timing baseline (VERDICT r7 ask #7): a
     constant-size in-memory hash aggregate — no I/O, no Python, no
@@ -1156,6 +1192,7 @@ def main() -> None:
         extras.update(_prune_metrics(spark))
         extras.update(_sink_stress(spark))
         extras.update(_maintenance(spark))
+        extras.update(_media(spark))
     canary = _canary(spark)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
