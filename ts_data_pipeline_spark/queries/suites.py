@@ -1370,8 +1370,14 @@ def _register_all() -> None:
     register_suite("enrichment_suite", _enrichment_members())
     register_suite("filters_suite", _filters_members())
     register_suite("quality_suite", _quality_members())
-    register_suite("text_stats_suite", _text_stats_members())
-    register_suite("weblinks_suite", _weblinks_members())
+    # weblinks members ride in text_stats_suite: the registry is
+    # hard-capped at 50 entries (the driver artifact records only
+    # the first 50 rows — tests/test_parity.py mechanizes it), so
+    # new families fold into existing suites instead of appending
+    # entry #51 (which rounds 7/8 proved vanishes SILENTLY)
+    register_suite(
+        "text_stats_suite", _text_stats_members() + _weblinks_members()
+    )
     register_suite("olap_pivot_suite", _olap_pivot_members())
     register_suite("join_semi_anti", _join_semi_anti_members())
     register_suite("dedup_exact_simhash", _dedup_exact_simhash_members())
