@@ -1279,6 +1279,7 @@ def main() -> None:
             for k, v in {**skew, **extras}.items()
             if k in keep_exact
             or "bsign" in k
+            or k.startswith("media_decode_")
             or any(k == f"recall_at_10_{leg}" for leg in keep_legs)
         },
     }
