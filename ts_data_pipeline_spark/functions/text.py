@@ -2108,7 +2108,9 @@ def html_main_content(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def html_main_content_sql(text_col: str = "text") -> str:
+def html_main_content_sql(
+    text_col: str = "text", table: str = "documents"
+) -> str:
     h = _html_wrap_sql(text_col)
     stripped = _html_strip_nonvisible_sql("h")
     vis = _html_visible_sql("block")
@@ -2121,7 +2123,7 @@ def html_main_content_sql(text_col: str = "text") -> str:
     )
     return f"""
 WITH wrapped AS (
-  SELECT doc_id, {h} AS h FROM documents
+  SELECT doc_id, {h} AS h FROM {table}
 ),
 blk AS (
   SELECT doc_id,

@@ -279,10 +279,16 @@ def registrable_domain(docs: DataFrame) -> DataFrame:
     two_label = F.lit(False)
     for suf in _TWO_LABEL_SUFFIXES:
         two_label = two_label | host.endswith("." + suf) | (host == suf)
+    # Clamp the slice start to 1 (Spark rejects start=0 at runtime):
+    # a host that IS a suffix (host == 'co.uk', n == 2) would otherwise
+    # crash here while the DuckDB twin's greatest(len(ls)-2, 1) guard
+    # returns the whole host — mirror that guard.
     dom = F.when(
         two_label,
-        F.array_join(F.slice(labels, n - 2, 3), "."),
-    ).otherwise(F.array_join(F.slice(labels, n - 1, 2), "."))
+        F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), "."),
+    ).otherwise(
+        F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    )
     return docs.select(
         "doc_id", host.alias("host"), dom.alias("domain")
     )

@@ -238,9 +238,14 @@ def stat_token(spark, path: str):
 
 class PosixOps:
     """Driver-local filesystem primitives — the no-SparkSession
-    fallback (plain local paths only). Each primitive's atomicity
-    contract matches the Hadoop twin's: ``replace_text`` is
-    ``os.replace`` (atomic), ``rename`` is fail-if-dst-exists."""
+    fallback (plain local paths only). ``replace_text`` is
+    ``os.replace`` (atomic), matching the Hadoop twin. ``rename``
+    diverges from HDFS semantics: POSIX ``os.rename`` silently
+    REPLACES an existing dst file (and an empty dst dir), whereas
+    ``HadoopOps.rename`` is fail-if-dst-exists — callers that need
+    first-writer-wins must use the Hadoop path or pre-check; every
+    in-repo commit protocol renames onto fresh, never-reused names,
+    so neither backend's rename ever sees an existing dst."""
 
     def join(self, path: str, *names: str) -> str:
         import os
@@ -277,12 +282,29 @@ class PosixOps:
             return fh.read()
 
     def replace_text(self, p: str, text: str) -> None:
+        """Atomic overwrite via a UNIQUE temp name (``mkstemp`` in the
+        target directory) — two concurrent writers each stage their own
+        inode and the last ``os.replace`` wins whole, never torn. A
+        fixed ``p + ".tmp"`` staging name (used only by the Hadoop
+        twin, whose ``read_text_or_recover`` repair depends on it)
+        would let concurrent bare-path writers interleave
+        open/truncate/write on one inode and commit mixed JSON."""
         import os
+        import tempfile
 
-        tmp = p + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(text)
-        os.replace(tmp, p)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(p) or ".", prefix=os.path.basename(p) + "."
+        )
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(text)
+            os.replace(tmp, p)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     def remove_file(self, p: str) -> None:
         import os

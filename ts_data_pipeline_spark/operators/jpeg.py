@@ -294,8 +294,11 @@ def decode_jpeg(payload: bytes) -> dict:
     Failure messages are deterministic per failure family — the
     permissive-mode gates replay them verbatim:
     ``not a JPEG: bad signature`` / ``unsupported precision P`` /
-    ``truncated entropy stream`` / ``progressive JPEG (SOF2) not
-    supported`` / ``unsupported marker SOFn``.
+    ``truncated entropy stream`` / ``truncated segment header`` /
+    ``invalid progressive spectral range`` / ``invalid successive
+    approximation sequence`` / ``unsupported marker SOFn``.
+    (Progressive SOF2 streams decode for real since r12; the
+    mislabeled-SOF2 poison family raises the spectral-range message.)
     """
     if len(payload) < 2 or payload[0] != 0xFF or payload[1] != 0xD8:
         raise ValueError("not a JPEG: bad signature")

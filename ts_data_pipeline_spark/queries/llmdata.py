@@ -1193,10 +1193,12 @@ RECIPE_SOURCE_CAP = 12
 
 def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE composed end-to-end recipe as a gated query (VERDICT r7
-    ask #5): ingest gates -> CCNet tail drop -> n-gram near-dup
-    canonicals -> SemDeDup -> source quota -> temperature resample ->
-    deterministic shuffle -> sequence packing, every stage the same
-    operator its standalone gate checks, hash-compared as ONE result.
+    ask #5, front door widened per r12 ask #2): URL dedup -> HTML
+    extraction -> corpus-wide C4 line dedup -> ingest gates -> CCNet
+    tail drop -> n-gram near-dup canonicals -> SemDeDup -> source
+    quota -> temperature resample -> deterministic shuffle ->
+    sequence packing, every stage the same operator its standalone
+    gate checks, hash-compared as ONE result.
     Reference analog: the whole option_trades -> aggs pipeline ran
     end-to-end (/root/reference/quix.yaml:8-260), not stage-by-stage."""
     from ts_data_pipeline_spark import recipes
@@ -1207,6 +1209,8 @@ def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_seeds=KMEANS_SEED_IDS,
         source_cap=RECIPE_SOURCE_CAP,
         html_input=True,
+        url_dedup=True,
+        line_dedup_max=2,
     )
 
 
@@ -1217,6 +1221,8 @@ def _recipe_training_corpus_sql() -> str:
         semdedup_seeds=KMEANS_SEED_IDS,
         source_cap=RECIPE_SOURCE_CAP,
         html_input=True,
+        url_dedup=True,
+        line_dedup_max=2,
     )
 
 

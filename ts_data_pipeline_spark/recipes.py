@@ -47,6 +47,8 @@ def build_training_corpus(
     nfc_clean: bool = False,
     eval_split_fracs: dict[str, float] | None = None,
     html_input: bool = False,
+    url_dedup: bool = False,
+    line_dedup_max: int | None = None,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -78,6 +80,23 @@ def build_training_corpus(
     from ts_data_pipeline_spark.operators import dedup, sampling
     from ts_data_pipeline_spark.operators.ingest import ingest_signals
 
+    # -2. URL dedup (r13): the CHEAPEST dedup pass — one shuffle on a
+    #     short canonical-URL string key, zero content reads — so it
+    #     runs before anything touches text: tracking-param mirror
+    #     copies never reach HTML extraction, line counting, the LM,
+    #     or the shingle index. Survivor = min doc_id per canonical
+    #     URL (weblinks.url_dedup_canonical, individually gated).
+    if url_dedup:
+        from ts_data_pipeline_spark.functions import weblinks
+
+        docs = docs.join(
+            weblinks.url_dedup_canonical(docs)
+            .filter("kept")
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
     # -1. HTML front door (r12): crawled corpora arrive as markup, so
     #     when ``html_input`` is on the first stage is extraction +
     #     link-density boilerplate removal (functions/text.py
@@ -102,6 +121,32 @@ def build_training_corpus(
             "doc_id", F.col("text_clean").alias("text")
         )
         docs = docs.drop("text").join(cleaned, "doc_id")
+
+    # -0.5. C4 corpus-wide line dedup (r13): after extraction (counts
+    #     must run over visible text, not tag soup) and before the
+    #     quality gates and the corpus-trained LM — a cookie banner
+    #     repeated across ten thousand docs would otherwise inflate
+    #     their length/repetition signals AND dominate the bigram
+    #     counts. Map-side-combinable line counts + hot-set anti-join
+    #     (functions/text.line_dedup, individually gated); a doc whose
+    #     every line is hot comes back empty and falls to the
+    #     min_chars gate, never silently survives.
+    if line_dedup_max is not None:
+        deduped = text_fns.line_dedup(
+            docs, max_occurrences=line_dedup_max
+        ).select("doc_id", F.col("text_kept").alias("text"))
+        docs = docs.drop("text").join(deduped, "doc_id")
+
+    # Staging boundary after the front door: the cleaned corpus feeds
+    # the signal scan, the bigram LM, and the Gopher gate — three
+    # consumers that would each re-run the URL-dedup shuffle, the
+    # HTML explode/reassemble, and the line-count anti-join from
+    # scratch, and the inlined three-stage subtree is what blows the
+    # logical plan up combinatorially (task-serialization OOM at gate
+    # SF before this boundary landed). A deployment stages extracted
+    # text to storage here for the same reason.
+    if url_dedup or line_dedup_max is not None:
+        docs = docs.localCheckpoint()
 
     # 1. gates — scan-shaped signals, no shuffle
     if source_cap is not None and "source" not in docs.columns:
@@ -267,6 +312,8 @@ def build_training_corpus_sql(
     source_cap: int | None = None,
     rep_n: int = 5,
     html_input: bool = False,
+    url_dedup: bool = False,
+    line_dedup_max: int | None = None,
 ) -> str:
     """DuckDB twin of the COMPOSED :func:`build_training_corpus`
     (drop_ppl_tail=True, the gate configuration) — every stage is the
@@ -305,17 +352,44 @@ def build_training_corpus_sql(
         "lower(trim(regexp_replace(regexp_replace(text,"
         " '[\\x00-\\x1F\\x7F]', ' ', 'g'), '\\s+', ' ', 'g')))"
     )
-    # HTML front door: rebase the two raw-text consumers (the signal
-    # scan and the perplexity LM) onto the extracted main content.
+    # Front-door chain (mirrors the Spark stage order exactly): URL
+    # dedup -> HTML extraction -> corpus-wide line dedup; each stage's
+    # CTE rebases ``src_table`` so the two raw-text consumers (the
+    # signal scan and the perplexity LM) read the survivors' visible,
+    # line-deduped text.
     src_table = "documents"
-    html_cte = ""
-    if html_input:
-        src_table = "html_docs"
-        html_cte = f"""html_docs AS MATERIALIZED (
-  SELECT d.* REPLACE (m.main_text AS text)
-  FROM documents d JOIN ({html_main_content_sql()}) m USING (doc_id)
+    front_ctes = ""
+    if url_dedup:
+        from ts_data_pipeline_spark.functions.weblinks import (
+            url_dedup_canonical_sql,
+        )
+
+        front_ctes += f"""urlkept AS MATERIALIZED (
+  SELECT * FROM documents WHERE doc_id IN (
+    SELECT doc_id FROM ({url_dedup_canonical_sql()}) u WHERE kept)
 ),
 """
+        src_table = "urlkept"
+    if html_input:
+        front_ctes += f"""html_docs AS MATERIALIZED (
+  SELECT d.* REPLACE (m.main_text AS text)
+  FROM {src_table} d JOIN ({html_main_content_sql(table=src_table)}) m USING (doc_id)
+),
+"""
+        src_table = "html_docs"
+    if line_dedup_max is not None:
+        from ts_data_pipeline_spark.functions.text import line_dedup_sql
+
+        ld = line_dedup_sql(
+            f"SELECT doc_id, text FROM {src_table}",
+            max_occurrences=line_dedup_max,
+        )
+        front_ctes += f"""line_docs AS MATERIALIZED (
+  SELECT d.* REPLACE (l.text_kept AS text)
+  FROM {src_table} d JOIN ({ld}) l USING (doc_id)
+),
+"""
+        src_table = "line_docs"
     ppl = bigram_lm_perplexity_sql(table=src_table)
     kc = keep_canonical_sql(
         ngram_jaccard_sql(table="gtext"), table="gtext"
@@ -347,7 +421,7 @@ capped AS MATERIALIZED (
 capped AS MATERIALIZED (SELECT doc_id, lang, text_norm FROM kept2),"""
 
     return f"""
-WITH {html_cte}sig AS (
+WITH {front_ctes}sig AS (
   SELECT doc_id, lang{carry_src},
          {norm} AS text_norm,
          len({norm}) AS n_chars_norm,

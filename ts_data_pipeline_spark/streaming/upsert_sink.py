@@ -179,6 +179,27 @@ def _version_dirs(table_dir: str, ops) -> list[str]:
     ]
 
 
+def _scan_best_committed(table_dir: str, ops) -> tuple[str | None, int]:
+    """READ-ONLY walk over the version directories: the committed
+    manifest with the highest seq (the commit log's true head,
+    independent of the ``_CURRENT`` pointer). Shared by the writer's
+    roll-forward repair and the reader's pointer-miss fallback."""
+    best_dir, best_seq = None, -1
+    for d in _version_dirs(table_dir, ops):
+        m = _read_manifest(table_dir, d, ops)
+        if m is None:
+            continue
+        seq = int(m["seq"])
+        if seq > best_seq:
+            best_dir, best_seq = d, seq
+        elif seq == best_seq:
+            raise RuntimeError(
+                f"commit seq collision: {d} and {best_dir} both committed "
+                f"seq {seq} — concurrent writers detected"
+            )
+    return best_dir, best_seq
+
+
 def _roll_forward(table_dir: str, ops=None) -> tuple[str | None, int]:
     """Crash recovery for the commit protocol's one non-atomic gap:
     a version can be fully COMMITTED (manifest written) with the
@@ -193,19 +214,7 @@ def _roll_forward(table_dir: str, ops=None) -> tuple[str | None, int]:
     repair — the minting base.
     """
     ops = ops or fsio.PosixOps()
-    best_dir, best_seq = None, -1
-    for d in _version_dirs(table_dir, ops):
-        m = _read_manifest(table_dir, d, ops)
-        if m is None:
-            continue
-        seq = int(m["seq"])
-        if seq > best_seq:
-            best_dir, best_seq = d, seq
-        elif seq == best_seq:
-            raise RuntimeError(
-                f"commit seq collision: {d} and {best_dir} both committed "
-                f"seq {seq} — concurrent writers detected"
-            )
+    best_dir, best_seq = _scan_best_committed(table_dir, ops)
     cur = _current_dir(table_dir, ops)
     if best_dir is None:
         return cur, -1
@@ -256,12 +265,27 @@ def _point_current(table_dir: str, version_dir: str, ops=None) -> None:
 
 def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
     """Resolve _CURRENT -> manifest -> bucket data paths and read
-    that (complete, immutable) version."""
+    that (complete, immutable) version.
+
+    Reader-side roll-forward (r13, VERDICT r12 ask #1): on S3A the
+    pointer swap is copy+delete (:mod:`operators.fsio` documents the
+    non-atomic window), so a reader racing the swap can find
+    ``_CURRENT`` missing — or pointing at a version GC'd between the
+    pointer read and the manifest read — while the table is fully
+    committed. Both misses fall back to the same max-seq
+    committed-manifest walk the writer's ``_roll_forward`` repairs
+    with, but READ-ONLY: a reader must never write the pointer (it
+    may hold read-only credentials, and two repairing readers must
+    not race the writer's swap). The fallback walk costs one listing
+    + one manifest read per version dir — off the happy path, paid
+    only inside the race window.
+    """
     ops = fsio.resolve_ops(spark)
     v = _current_dir(table_dir, ops)
-    if v is None:
-        return None
-    m = _read_manifest(table_dir, v, ops)
+    m = _read_manifest(table_dir, v, ops) if v is not None else None
+    if m is None:
+        v, _seq = _scan_best_committed(table_dir, ops)
+        m = _read_manifest(table_dir, v, ops) if v is not None else None
     if m is None:
         return None
     paths = [ops.join(table_dir, rel) for rel in m["buckets"].values()]
