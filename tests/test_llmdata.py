@@ -2881,6 +2881,67 @@ def test_url_canonicalization_semantics(spark):
     assert out[3] == (True, 3) and out[33] == (False, 3)
 
 
+def test_charset_repair_semantics(spark):
+    """The r13 charset lane's RULES on crafted strings (the gate pins
+    corpus-wide agreement): both corruption classes invert exactly,
+    clean text is a fixed point, repair is idempotent, a genuinely
+    mixed string repairs both families, and the WHATWG pass-through
+    bytes (the 0x9D inside a mojibake'd ”) are consumed by their
+    3-char expansion, never double-repaired by the C1 translate."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.functions import text as t
+
+    truth = "— “q” it’s café… 12€"
+    c1 = t._cp1252_as_latin1(truth)
+    moji = t._utf8_as_cp1252(truth)
+    assert "\x97" in c1    # em-dash as a bare cp1252 byte
+    assert "Ã©" in moji   # e-acute read as cp1252
+    assert "\x9d" in moji  # WHATWG pass-through inside the right-double-quote
+
+    # a mixed string: one family per half
+    mixed = moji + " | " + c1
+    rows = [(0, truth), (1, moji), (2, c1), (3, mixed),
+            (4, "plain ascii"), (5, t._utf8_as_cp1252("naïve région"))]
+    df = spark.createDataFrame(rows, "doc_id bigint, s string")
+    got = {
+        r.doc_id: r.fixed
+        for r in df.select(
+            "doc_id", t.repair_mojibake(F.col("s")).alias("fixed")
+        ).collect()
+    }
+    assert got[0] == truth            # fixed point
+    assert got[1] == truth            # class 1 inverts
+    assert got[2] == truth            # class 2 inverts
+    assert got[3] == truth + " | " + truth  # both families in one row
+    assert got[4] == "plain ascii"
+    assert got[5] == "naïve région"
+
+    # idempotence: repairing repaired text changes nothing
+    twice = {
+        r.doc_id: r.fixed2
+        for r in df.select(
+            "doc_id",
+            t.repair_mojibake(
+                t.repair_mojibake(F.col("s"))
+            ).alias("fixed2"),
+        ).collect()
+    }
+    assert twice == got
+
+    # DuckDB twin agrees rule for rule on the same crafted rows
+    import duckdb
+
+    con = duckdb.connect()
+    for _id, s in rows:
+        esc = s.replace("'", "''")
+        val = con.execute(
+            f"SELECT {t.repair_mojibake_sql('s')} FROM"
+            f" (SELECT '{esc}' AS s) x"
+        ).fetchone()[0]
+        assert val == got[_id], (_id, val)
+
+
 def test_line_dedup_c4_semantics(spark):
     """The C4 line-dedup rules on crafted docs: corpus-wide counts
     include WITHIN-doc repeats, lines above the threshold vanish

@@ -2250,3 +2250,331 @@ FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
       FROM nz GROUP BY doc_id) t
 LEFT JOIN reasm r USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Charset / mojibake repair (r13, VERDICT r12 ask #3): real crawls are
+# not clean UTF-8. The two dominant corruption classes are both
+# DETERMINISTIC byte-level misreadings, so their repair is a pure
+# string mapping — Column expressions, errors-as-data, no UDFs:
+#
+#   1. UTF-8 bytes decoded as windows-1252 ("Ã©" for é, "â€™" for ’):
+#      each multi-byte UTF-8 sequence becomes a fixed short string of
+#      cp1252 characters; repair = literal replace chain, longest
+#      expansions first.
+#   2. windows-1252 bytes decoded as latin-1: the 0x80-0x9F block is
+#      punctuation in cp1252 but C1 control characters in latin-1;
+#      repair = one `translate` (every mapping is 1 char -> 1 char).
+#
+# Both mappings are COMPUTED from Python's cp1252 codec (the WHATWG
+# windows-1252 variant: the five undefined bytes 81/8D/8F/90/9D pass
+# through as their C1 code points, as browsers do) — a single source
+# of truth, no hand-typed tables to fat-finger, and the DuckDB twin
+# embeds the same computed literals.
+
+#: the five bytes cp1252 leaves undefined; WHATWG maps them to C1.
+_CP1252_UNDEFINED = frozenset((0x81, 0x8D, 0x8F, 0x90, 0x9D))
+
+
+def _byte_as_cp1252(b: int) -> str:
+    if b in _CP1252_UNDEFINED:
+        return chr(b)
+    return bytes((b,)).decode("cp1252") if b >= 0x80 else chr(b)
+
+
+def _utf8_as_cp1252(s: str) -> str:
+    """What ``s`` looks like after its UTF-8 bytes are (mis)decoded
+    as WHATWG windows-1252 — the class-1 corruption."""
+    return "".join(_byte_as_cp1252(b) for b in s.encode("utf-8"))
+
+
+#: repairable characters (every non-ASCII char the fixture payload
+#: uses, plus common crawl punctuation/accents) -> their class-1
+#: mojibake expansion, longest expansions first so the replace chain
+#: and the detection alternation are unambiguous.
+_MOJIBAKE_CHARS = (
+    "’‘“”—–…€"  # ’ ‘ “ ” — – … €
+    "éèûïçàüñ"  # é è û ï ç à ü ñ
+)
+_UTF8_REPAIRS = sorted(
+    ((_utf8_as_cp1252(c), c) for c in _MOJIBAKE_CHARS),
+    key=lambda p: (-len(p[0]), p[0]),
+)
+
+#: class-2 corruption (cp1252-as-latin-1) only touches 0x80-0x9F —
+#: bytes >= 0xA0 decode identically either way. 1:1 by construction.
+_C1_REPAIRS = tuple(
+    (chr(b), bytes((b,)).decode("cp1252"))
+    for b in range(0x80, 0xA0)
+    if b not in _CP1252_UNDEFINED
+)
+_C1_FROM = "".join(c for c, _ in _C1_REPAIRS)
+_C1_TO = "".join(t for _, t in _C1_REPAIRS)
+
+
+def _rx(s: str) -> str:
+    """Regex-safe literal: C1/control chars as \\x{..} escapes (both
+    Java regex and RE2 accept them), everything else as-is — none of
+    the mojibake alphabet contains regex metacharacters."""
+    return "".join(
+        f"\\x{{{ord(ch):04X}}}" if ord(ch) < 0xA0 and ord(ch) >= 0x7F
+        else ch
+        for ch in s
+    )
+
+
+#: detection alternation for class-1 signatures (longest first: both
+#: engines match leftmost-first, so ordering fixes the count).
+_UTF8_SIG_RE = "|".join(_rx(m) for m, _ in _UTF8_REPAIRS)
+#: detection class for class-2 signatures: any C1 control character.
+_C1_SIG_RE = r"[\x{0080}-\x{009F}]"
+
+
+def repair_mojibake(c: Column) -> Column:
+    """Repair both corruption classes: class-1 first (its expansions
+    contain no C1 characters that class 2 would re-map — the 9D/90
+    pass-throughs ARE C1 and must be consumed by their 3-char
+    expansion before the translate sees them), then the C1 translate.
+    Clean text is a fixed point: none of the true characters appear
+    in either signature alphabet."""
+    for moji, true in _UTF8_REPAIRS:
+        c = F.replace(c, F.lit(moji), F.lit(true))
+    return F.translate(c, _C1_FROM, _C1_TO)
+
+
+def repair_mojibake_sql(expr: str) -> str:
+    """DuckDB twin of :func:`repair_mojibake` over ``expr`` — the
+    same computed literals (C1 code points spliced via chr() so the
+    generated SQL text stays printable)."""
+    out = expr
+    for moji, true in _UTF8_REPAIRS:
+        out = f"replace({out}, {_sql_str(moji)}, {_sql_str(true)})"
+    frm = _sql_str(_C1_FROM)
+    to = _sql_str(_C1_TO)
+    return f"translate({out}, {frm}, {to})"
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB string literal for ``s``: printable runs quoted,
+    C1/control chars as chr(<code point>) concatenations."""
+    parts: list[str] = []
+    run = ""
+    for ch in s:
+        if 0x7F <= ord(ch) < 0xA0:
+            if run:
+                parts.append("'" + run.replace("'", "''") + "'")
+                run = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            run += ch
+    if run:
+        parts.append("'" + run.replace("'", "''") + "'")
+    if not parts:
+        return "''"
+    return parts[0] if len(parts) == 1 else "(" + " || ".join(parts) + ")"
+
+
+def _cp1252_as_latin1(s: str) -> str:
+    """What ``s`` looks like after its cp1252 bytes are (mis)decoded
+    as latin-1 — the class-2 corruption. Only the 0x80-0x9F block
+    changes; ASCII and bytes >= 0xA0 decode identically either way."""
+    out = []
+    for ch in s:
+        b = ch.encode("cp1252", errors="replace")
+        if len(b) == 1 and 0x80 <= b[0] < 0xA0:
+            out.append(chr(b[0]))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+#: the fixture payload (every non-ASCII char is in _MOJIBAKE_CHARS,
+#: so class-1 and class-2 corruption are both exactly invertible and
+#: the three non-ASCII classes repair to the SAME string).
+_CHARSET_PAYLOAD = (
+    "Café review — “Crème brûlée”"
+    " isn’t naïve… ça coûte 12€"
+)
+_CHARSET_PAYLOAD_ASCII = (
+    "Cafe review - \"Creme brulee\" isn't naive... ca coute 12 EUR"
+)
+
+#: doc_id % 4 -> (declared charset, payload as it arrives). Classes
+#: 1 and 2 are the two mojibake families; their declarations are the
+#: ones that CAUSED them (bytes were UTF-8 but the page declared
+#: iso-8859-1; bytes were cp1252 but the page declared utf-8 and a
+#: latin-1 decoder ran). Classes 0 and 3 are clean controls, one per
+#: declaration family, so charset_conflict discriminates.
+_CHARSET_CLASSES = (
+    ("utf-8", _CHARSET_PAYLOAD),
+    ("iso-8859-1", _utf8_as_cp1252(_CHARSET_PAYLOAD)),
+    ("utf-8", _cp1252_as_latin1(_CHARSET_PAYLOAD)),
+    ("windows-1252", _CHARSET_PAYLOAD_ASCII),
+)
+
+
+def _mojibake_augmented(text_col: str = "text") -> Column:
+    """Fixture (repo convention — ``_html_wrapped``, ``_url_col``):
+    the synthetic corpus is clean UTF-8, so a deterministic
+    doc_id-keyed mixed-encoding head is synthesized — a meta-charset
+    declaration plus a punctuation-rich payload corrupted per class —
+    in front of the document text."""
+    cls = F.col("doc_id") % 4
+    decl = F.when(cls == 1, F.lit("iso-8859-1")).when(
+        cls == 3, F.lit("windows-1252")
+    ).otherwise(F.lit("utf-8"))
+    payload = (
+        F.when(cls == 0, F.lit(_CHARSET_CLASSES[0][1]))
+        .when(cls == 1, F.lit(_CHARSET_CLASSES[1][1]))
+        .when(cls == 2, F.lit(_CHARSET_CLASSES[2][1]))
+        .otherwise(F.lit(_CHARSET_CLASSES[3][1]))
+    )
+    return F.concat(
+        F.lit('<meta charset="'), decl, F.lit('"/> '),
+        payload, F.lit(" "), F.col(text_col),
+    )
+
+
+def _mojibake_augment_sql(text_col: str = "text") -> str:
+    decl = (
+        "CASE WHEN doc_id % 4 = 1 THEN 'iso-8859-1'"
+        " WHEN doc_id % 4 = 3 THEN 'windows-1252'"
+        " ELSE 'utf-8' END"
+    )
+    payload = (
+        f"CASE WHEN doc_id % 4 = 0 THEN {_sql_str(_CHARSET_CLASSES[0][1])}"
+        f" WHEN doc_id % 4 = 1 THEN {_sql_str(_CHARSET_CLASSES[1][1])}"
+        f" WHEN doc_id % 4 = 2 THEN {_sql_str(_CHARSET_CLASSES[2][1])}"
+        f" ELSE {_sql_str(_CHARSET_CLASSES[3][1])} END"
+    )
+    return (
+        f"('<meta charset=\"' || {decl} || '\"/> ' || {payload}"
+        f" || ' ' || {text_col})"
+    )
+
+
+def charset_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mojibake detection + repair over the mixed-encoding fixture
+    corpus, errors-as-data (every row gets a verdict; nothing
+    raises):
+
+    - ``n_utf8_sigs``: class-1 signature count (the literal mojibake
+      alternation, longest-first — both engines match leftmost-first
+      so counts agree);
+    - ``n_c1``: C1 control characters REMAINING after class-1
+      signatures are stripped (the ” expansion legitimately contains
+      a WHATWG C1 pass-through — counting it twice would misclassify
+      class-1 docs as mixed);
+    - ``enc_class``: clean / utf8_as_cp1252 / cp1252_as_latin1 /
+      mixed;
+    - ``charset_conflict``: the meta declaration disagrees with the
+      observed byte evidence — any class-1 signature (the page
+      declared a single-byte charset over UTF-8 bytes, or
+      double-encoded), or C1 controls under a utf-8 declaration;
+    - ``text_fixed``: :func:`repair_mojibake` output;
+    - ``residual_sigs``: signatures remaining in ``text_fixed`` (the
+      self-check — 0 everywhere on this corpus).
+    """
+    aug = _mojibake_augmented(text_col)
+    base = docs.select(
+        "doc_id",
+        F.regexp_extract(aug, r'charset="([^"]+)"', 1).alias("decl_charset"),
+        F.size(F.regexp_extract_all(aug, F.lit(_UTF8_SIG_RE), F.lit(0)))
+        .cast("bigint").alias("n_utf8_sigs"),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(aug, _UTF8_SIG_RE, ""),
+                F.lit(_C1_SIG_RE), F.lit(0),
+            )
+        ).cast("bigint").alias("n_c1"),
+        repair_mojibake(aug).alias("text_fixed"),
+    )
+    fixed_sigs = F.size(
+        F.regexp_extract_all(
+            F.col("text_fixed"), F.lit(_UTF8_SIG_RE), F.lit(0)
+        )
+    ) + F.size(
+        F.regexp_extract_all(F.col("text_fixed"), F.lit(_C1_SIG_RE), F.lit(0))
+    )
+    enc_class = (
+        F.when((F.col("n_utf8_sigs") > 0) & (F.col("n_c1") > 0), "mixed")
+        .when(F.col("n_utf8_sigs") > 0, "utf8_as_cp1252")
+        .when(F.col("n_c1") > 0, "cp1252_as_latin1")
+        .otherwise("clean")
+    )
+    conflict = (F.col("n_utf8_sigs") > 0) | (
+        (F.col("n_c1") > 0) & (F.col("decl_charset") == "utf-8")
+    )
+    return base.select(
+        "doc_id",
+        "decl_charset",
+        "n_utf8_sigs",
+        "n_c1",
+        enc_class.alias("enc_class"),
+        conflict.alias("charset_conflict"),
+        "text_fixed",
+        fixed_sigs.cast("bigint").alias("residual_sigs"),
+    )
+
+
+def charset_signals_sql(
+    text_col: str = "text", table: str = "documents"
+) -> str:
+    aug = _mojibake_augment_sql(text_col)
+    sig_re = _UTF8_SIG_RE.replace("'", "''")
+    c1_re = _C1_SIG_RE.replace("'", "''")
+    fixed = repair_mojibake_sql("aug")
+    return f"""
+WITH raw AS (SELECT doc_id, {aug} AS aug FROM {table}),
+base AS (
+  SELECT doc_id,
+         regexp_extract(aug, 'charset="([^"]+)"', 1) AS decl_charset,
+         CAST(len(regexp_extract_all(aug, '{sig_re}')) AS BIGINT)
+           AS n_utf8_sigs,
+         CAST(len(regexp_extract_all(
+           regexp_replace(aug, '{sig_re}', '', 'g'), '{c1_re}')) AS BIGINT)
+           AS n_c1,
+         {fixed} AS text_fixed
+  FROM raw
+)
+SELECT doc_id, decl_charset, n_utf8_sigs, n_c1,
+       CASE WHEN n_utf8_sigs > 0 AND n_c1 > 0 THEN 'mixed'
+            WHEN n_utf8_sigs > 0 THEN 'utf8_as_cp1252'
+            WHEN n_c1 > 0 THEN 'cp1252_as_latin1'
+            ELSE 'clean' END AS enc_class,
+       (n_utf8_sigs > 0 OR (n_c1 > 0 AND decl_charset = 'utf-8'))
+         AS charset_conflict,
+       text_fixed,
+       CAST(len(regexp_extract_all(text_fixed, '{sig_re}'))
+            + len(regexp_extract_all(text_fixed, '{c1_re}')) AS BIGINT)
+         AS residual_sigs
+FROM base
+"""
+
+
+#: the fixture's meta head, stripped by the recipe stage after the
+#: declaration has been consumed (a real pipeline reads it to pick
+#: the decoder, then discards it from the training text).
+_CHARSET_META_RE = r'^<meta charset="[^"]+"/> '
+
+
+def charset_repaired(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The recipe's charset stage: mixed-encoding fixture in, clean
+    repaired text out (meta head consumed and stripped) — what a real
+    pipeline's transcode pass produces ahead of HTML extraction."""
+    fixed = repair_mojibake(_mojibake_augmented(text_col))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(fixed, _CHARSET_META_RE, "").alias("text_fixed"),
+    )
+
+
+def charset_repaired_sql(
+    text_col: str = "text", table: str = "documents"
+) -> str:
+    fixed = repair_mojibake_sql(_mojibake_augment_sql(text_col))
+    meta_re = _CHARSET_META_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, regexp_replace({fixed}, '{meta_re}', '')"
+        f" AS text_fixed FROM {table}"
+    )

@@ -147,6 +147,13 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.line_dedup(main)
 
 
+def charset_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake detect/classify/repair over the deterministic
+    mixed-encoding fixture corpus (r13 — the charset lane ahead of
+    the HTML front door)."""
+    return text_fns.charset_signals(io.load(spark, sf_dir, "documents"))
+
+
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fns.bigram_lm_perplexity(io.load(spark, sf_dir, "documents"))
 
@@ -1193,8 +1200,9 @@ RECIPE_SOURCE_CAP = 12
 
 def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE composed end-to-end recipe as a gated query (VERDICT r7
-    ask #5, front door widened per r12 ask #2): URL dedup -> HTML
-    extraction -> corpus-wide C4 line dedup -> ingest gates -> CCNet
+    ask #5, front door widened per r12 asks #2/#3): URL dedup ->
+    charset/mojibake repair -> HTML extraction -> corpus-wide C4
+    line dedup -> ingest gates -> CCNet
     tail drop -> n-gram near-dup canonicals -> SemDeDup -> source
     quota -> temperature resample -> deterministic shuffle ->
     sequence packing, every stage the same operator its standalone
@@ -1211,6 +1219,7 @@ def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         html_input=True,
         url_dedup=True,
         line_dedup_max=2,
+        charset_input=True,
     )
 
 
@@ -1223,6 +1232,7 @@ def _recipe_training_corpus_sql() -> str:
         html_input=True,
         url_dedup=True,
         line_dedup_max=2,
+        charset_input=True,
     )
 
 

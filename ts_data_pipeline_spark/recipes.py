@@ -49,6 +49,7 @@ def build_training_corpus(
     html_input: bool = False,
     url_dedup: bool = False,
     line_dedup_max: int | None = None,
+    charset_input: bool = False,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -96,6 +97,21 @@ def build_training_corpus(
             "doc_id",
             "left_semi",
         )
+
+    # -1.5. Charset repair (r13): real crawls are not clean UTF-8 —
+    #     when ``charset_input`` is on, the corpus arrives with the
+    #     mixed-encoding fixture head (meta declaration + per-class
+    #     mojibake) and this stage detects/repairs both corruption
+    #     families and strips the consumed declaration, so HTML
+    #     extraction, line counting, the LM and every hash see the
+    #     same bytes a correct decoder would have produced. Pure
+    #     replace/translate Column expressions; scan shape, zero
+    #     shuffle.
+    if charset_input:
+        repaired = text_fns.charset_repaired(docs).select(
+            "doc_id", F.col("text_fixed").alias("text")
+        )
+        docs = docs.drop("text").join(repaired, "doc_id")
 
     # -1. HTML front door (r12): crawled corpora arrive as markup, so
     #     when ``html_input`` is on the first stage is extraction +
@@ -145,7 +161,7 @@ def build_training_corpus(
     # logical plan up combinatorially (task-serialization OOM at gate
     # SF before this boundary landed). A deployment stages extracted
     # text to storage here for the same reason.
-    if url_dedup or line_dedup_max is not None:
+    if url_dedup or charset_input or line_dedup_max is not None:
         docs = docs.localCheckpoint()
 
     # 1. gates — scan-shaped signals, no shuffle
@@ -314,6 +330,7 @@ def build_training_corpus_sql(
     html_input: bool = False,
     url_dedup: bool = False,
     line_dedup_max: int | None = None,
+    charset_input: bool = False,
 ) -> str:
     """DuckDB twin of the COMPOSED :func:`build_training_corpus`
     (drop_ppl_tail=True, the gate configuration) — every stage is the
@@ -370,6 +387,17 @@ def build_training_corpus_sql(
 ),
 """
         src_table = "urlkept"
+    if charset_input:
+        from ts_data_pipeline_spark.functions.text import (
+            charset_repaired_sql,
+        )
+
+        front_ctes += f"""charset_docs AS MATERIALIZED (
+  SELECT d.* REPLACE (c.text_fixed AS text)
+  FROM {src_table} d JOIN ({charset_repaired_sql(table=src_table)}) c USING (doc_id)
+),
+"""
+        src_table = "charset_docs"
     if html_input:
         front_ctes += f"""html_docs AS MATERIALIZED (
   SELECT d.* REPLACE (m.main_text AS text)
