@@ -2881,6 +2881,70 @@ def test_url_canonicalization_semantics(spark):
     assert out[3] == (True, 3) and out[33] == (False, 3)
 
 
+def test_psl_registrable_rule_classes(spark):
+    """The publicsuffix.org algorithm on crafted hosts, one per rule
+    class (the gate pins corpus-wide agreement; this pins the RULES):
+    normal single/multi-label, wildcard (* consumes exactly one
+    label), exception (wins over the wildcard; suffix = rule minus
+    its leftmost label), private-section entries, the implicit '*'
+    rule for unlisted TLDs, and hosts that ARE a public suffix
+    (registrable domain NULL)."""
+    import duckdb
+
+    from ts_data_pipeline_spark.functions import weblinks as wl
+
+    cases = [
+        # (host, want_public_suffix, want_domain)
+        ("www.example.com", "com", "example.com"),
+        ("news.example.co.uk", "co.uk", "example.co.uk"),
+        ("co.uk", "co.uk", None),                 # IS a suffix
+        ("foo.bar.ck", "bar.ck", "foo.bar.ck"),   # *.ck
+        ("bar.ck", "bar.ck", None),               # * consumed the label
+        ("www.ck", "ck", "www.ck"),               # !www.ck exception
+        ("city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+        ("x.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+        ("a.b.kawasaki.jp", "b.kawasaki.jp", "a.b.kawasaki.jp"),
+        ("user.github.io", "github.io", "user.github.io"),  # private
+        ("some.unknowntld", "unknowntld", "some.unknowntld"),  # implicit *
+        ("unknowntld", "unknowntld", None),
+        ("deep.sub.example.gov.uk", "gov.uk", "example.gov.uk"),
+        ("UPPER.Example.COM", "com", "example.com"),  # case-folded
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _, _) in enumerate(cases)],
+        "doc_id bigint, host string",
+    )
+    got = {
+        r.doc_id: (r.public_suffix, r.domain)
+        for r in wl.psl_registrable(df).collect()
+    }
+    for i, (h, ps, dom) in enumerate(cases):
+        assert got[i] == (ps, dom), (h, got[i], (ps, dom))
+
+    # DuckDB twin agrees on the same crafted hosts
+    vals = ", ".join(
+        f"({i}, '{h}')" for i, (h, _, _) in enumerate(cases)
+    )
+    con = duckdb.connect()
+    odf = con.execute(
+        wl.psl_registrable_sql(
+            f"SELECT * FROM (VALUES {vals}) t(doc_id, host)"
+        )
+    ).df()
+    for _, row in odf.iterrows():
+        ps = row.public_suffix if row.public_suffix == row.public_suffix \
+            else None
+        dom = row.domain if row.domain == row.domain else None
+        assert got[row.doc_id] == (ps, dom), (row.host, ps, dom)
+
+    # loader sanity: every rule class present in the snapshot
+    rules = wl.psl_rules()
+    assert any(p == 1 for _, _, p, _ in rules)            # exceptions
+    assert any(r == m + 1 for _, m, _, r in rules)        # wildcards
+    assert ("co.uk", 2, 0, 2) in rules
+    assert ("github.io", 2, 0, 2) in rules                # private section
+
+
 def test_charset_repair_semantics(spark):
     """The r13 charset lane's RULES on crafted strings (the gate pins
     corpus-wide agreement): both corruption classes invert exactly,

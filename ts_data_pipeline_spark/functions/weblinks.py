@@ -270,8 +270,10 @@ FROM raw
 def registrable_domain(docs: DataFrame) -> DataFrame:
     """Host -> registrable domain (eTLD+1) under the mini suffix
     list: two-label public suffixes take three labels, everything
-    else two. A deployment swaps the CASE for a broadcast join
-    against the full PSL — same shape, same plan."""
+    else two. This is the no-data FALLBACK; :func:`psl_registrable` /
+    :func:`registrable_domain_psl` resolve through the checked-in
+    full-format PSL snapshot (broadcast rule join, wildcard and
+    exception rules) and are what a deployment should use."""
     u = _url_col()
     host = F.lower(F.parse_url(u, F.lit("HOST")))
     labels = F.split(host, r"\.")
@@ -311,6 +313,243 @@ SELECT doc_id, h AS host,
        END AS domain
 FROM parts
 """
+
+
+# ---------------------------------------------------------------------------
+# Full public-suffix-list registrable domain (r13, VERDICT r12 ask
+# #4). The mini two-label list above stays as the no-data fallback;
+# this is the real thing: a checked-in PSL snapshot
+# (data/public_suffix_list.dat — a curated subset covering every rule
+# class; deployments drop in the full upstream file) loaded once,
+# broadcast-joined against the host's label suffixes, prevailing rule
+# chosen per the publicsuffix.org algorithm (exception rules win,
+# else most labels; unlisted TLDs fall to the implicit '*' rule).
+
+import os as _os
+
+_PSL_PATH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+
+def psl_rules(path: str | None = None) -> list[tuple[str, int, int, int]]:
+    """Parse a publicsuffix.org-format file into match tuples
+    ``(key, match_len, prio, rule_labels)``:
+
+    - normal rule ``a.b``   -> key ``a.b``, match_len = its labels,
+      prio 0, rule_labels = its labels;
+    - wildcard ``*.b``      -> key ``b``, match_len = b's labels
+      (the candidate that must EQUAL b; the host must have at least
+      one more label, checked at join time), prio 0, rule_labels =
+      b's labels + 1;
+    - exception ``!e.b``    -> key ``e.b``, prio 1, rule_labels = its
+      labels (the public suffix it selects is rule_labels - 1).
+
+    The prevailing rule reduces to ``max(prio * 100 + rule_labels)``
+    and the public-suffix label count to ``rule_labels - prio`` —
+    within a priority tier, equal rule_labels always yield the same
+    suffix length, so a plain integer MAX is tie-safe (no struct /
+    arg_max ordering to diverge between engines).
+    """
+    rules = []
+    with open(path or _PSL_PATH, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip().lower()
+            if not line or line.startswith("//"):
+                continue
+            if line.startswith("!"):
+                body = line[1:]
+                n = body.count(".") + 1
+                rules.append((body, n, 1, n))
+            elif line.startswith("*."):
+                body = line[2:]
+                n = body.count(".") + 1
+                rules.append((body, n, 0, n + 1))
+            else:
+                n = line.count(".") + 1
+                rules.append((line, n, 0, n))
+    return rules
+
+
+def psl_registrable(
+    hosts: DataFrame,
+    host_col: str = "host",
+    rules: list[tuple[str, int, int, int]] | None = None,
+) -> DataFrame:
+    """(id cols..., host) -> + ``public_suffix`` + ``domain``
+    (registrable domain; NULL when the host IS a public suffix, per
+    the PSL algorithm).
+
+    Shape: explode the host's label suffixes (at most
+    max-rule-match-len candidates per host, ~4), broadcast-join the
+    rule table on (candidate, length), integer-MAX the prevailing
+    rule per host, slice the label array. One narrow shuffle on the
+    row key; the rule relation is a few thousand rows broadcast —
+    the plan a 100 TB crawl wants.
+    """
+    rules = rules if rules is not None else psl_rules()
+    maxr = max(m for _, m, _, _ in rules)
+    spark = hosts.sparkSession
+    psl = spark.createDataFrame(
+        rules, "key string, match_len int, prio int, rule_labels int"
+    )
+    h = F.lower(F.col(host_col))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    base = hosts.withColumn("_labels", labels).withColumn("_n", n)
+    cands = base.select(
+        F.col(host_col).alias("_h"),
+        "_n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.col("_n"), F.lit(maxr))),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.array_join(
+                        F.slice(
+                            F.col("_labels"),
+                            F.col("_n") - i + 1,
+                            i,
+                        ),
+                        ".",
+                    ).alias("cand"),
+                ),
+            )
+        ).alias("c"),
+    ).select("_h", "_n", F.col("c.i").alias("i"), F.col("c.cand").alias("cand"))
+    matched = (
+        cands.join(
+            F.broadcast(psl),
+            (F.col("cand") == F.col("key")) & (F.col("i") == F.col("match_len")),
+        )
+        # a wildcard rule (rule_labels = match_len + 1) needs the '*'
+        # to consume one real label: host must extend past the match
+        .filter(
+            (F.col("rule_labels") == F.col("match_len"))
+            | (F.col("_n") > F.col("match_len"))
+        )
+        .groupBy("_h")
+        .agg(F.max(F.col("prio") * 100 + F.col("rule_labels")).alias("_mk"))
+    )
+    out = base.join(matched, base[host_col] == matched["_h"], "left").drop("_h")
+    # floor, not cast-of-division: prio 1 gives _mk in [100, 199] and
+    # a rounding division would carry 1.99 -> 2 (the DuckDB twin uses
+    # // for the same reason)
+    ps_n = F.when(F.col("_mk").isNull(), F.lit(1)).otherwise(
+        F.col("_mk") % 100 - F.floor(F.col("_mk") / 100)
+    )
+    out = out.withColumn("_ps_n", ps_n)
+    public_suffix = F.when(
+        F.col("_n") >= F.col("_ps_n"),
+        F.array_join(
+            F.slice(F.col("_labels"), F.col("_n") - F.col("_ps_n") + 1,
+                    F.col("_ps_n")),
+            ".",
+        ),
+    )
+    domain = F.when(
+        F.col("_n") > F.col("_ps_n"),
+        F.array_join(
+            F.slice(F.col("_labels"), F.col("_n") - F.col("_ps_n"),
+                    F.col("_ps_n") + 1),
+            ".",
+        ),
+    )
+    return out.select(
+        *[c for c in hosts.columns],
+        public_suffix.alias("public_suffix"),
+        domain.alias("domain"),
+    )
+
+
+def psl_values_sql(
+    rules: list[tuple[str, int, int, int]] | None = None,
+) -> str:
+    """The rule table as a VALUES list (the oracle twin reads the
+    SAME loaded snapshot — one source of truth)."""
+    rules = rules if rules is not None else psl_rules()
+    rows = ", ".join(
+        f"('{k}', {m}, {p}, {r})" for k, m, p, r in rules
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows})"
+        f" t(key, match_len, prio, rule_labels))"
+    )
+
+
+def psl_registrable_sql(
+    hosts_sql: str,
+    host_col: str = "host",
+    rules: list[tuple[str, int, int, int]] | None = None,
+) -> str:
+    """DuckDB twin of :func:`psl_registrable` over ``hosts_sql`` (a
+    subquery producing the host relation)."""
+    rules = rules if rules is not None else psl_rules()
+    maxr = max(m for _, m, _, _ in rules)
+    return f"""
+WITH hostsrc AS MATERIALIZED ({hosts_sql}),
+parts AS (
+  SELECT *, string_split(lower({host_col}), '.') AS _labels,
+         len(string_split(lower({host_col}), '.')) AS _n
+  FROM hostsrc
+),
+cand0 AS (
+  SELECT {host_col} AS _h, _n, _labels,
+         unnest(generate_series(1, least(_n, {maxr}))) AS i
+  FROM parts
+),
+cands AS (
+  SELECT _h, _n, i,
+         array_to_string(_labels[_n - i + 1 : _n], '.') AS cand
+  FROM cand0
+),
+matched AS (
+  SELECT _h, MAX(prio * 100 + rule_labels) AS _mk
+  FROM cands JOIN {psl_values_sql(rules)} r
+    ON cands.cand = r.key AND cands.i = r.match_len
+  WHERE r.rule_labels = r.match_len OR cands._n > r.match_len
+  GROUP BY _h
+),
+fin AS (
+  -- // (floor division), never CAST(x / 100 AS INT): prio 1 gives
+  -- _mk in [100, 199] and DuckDB's cast ROUNDS 1.99 up to 2
+  SELECT p.*,
+         CASE WHEN m._mk IS NULL THEN 1
+              ELSE m._mk % 100 - m._mk // 100 END AS _ps_n
+  FROM parts p LEFT JOIN matched m ON m._h = p.{host_col}
+)
+SELECT * EXCLUDE (_labels, _n, _ps_n),
+       CASE WHEN _n >= _ps_n
+            THEN array_to_string(_labels[_n - _ps_n + 1 : _n], '.')
+       END AS public_suffix,
+       CASE WHEN _n > _ps_n
+            THEN array_to_string(_labels[_n - _ps_n : _n], '.')
+       END AS domain
+FROM fin
+"""
+
+
+def registrable_domain_psl(docs: DataFrame) -> DataFrame:
+    """The gate wrapper: synthesize the fixture URL, extract the
+    host, resolve public suffix + registrable domain through the
+    checked-in PSL snapshot."""
+    u = _url_col()
+    hosts = docs.select(
+        "doc_id", F.lower(F.parse_url(u, F.lit("HOST"))).alias("host")
+    )
+    return psl_registrable(hosts)
+
+
+def registrable_domain_psl_sql() -> str:
+    u = _url_sql()
+    host = "lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))"
+    hosts_sql = (
+        f"SELECT doc_id, {host} AS host FROM"
+        f" (SELECT doc_id, {u} AS url FROM documents) raw"
+    )
+    return psl_registrable_sql(hosts_sql)
 
 
 def url_dedup_canonical(docs: DataFrame) -> DataFrame:

@@ -122,6 +122,15 @@ def registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weblinks.registrable_domain(io.load(spark, sf_dir, "documents"))
 
 
+def registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 through the checked-in public-suffix-list snapshot
+    (r13 — broadcast rule join, exception/wildcard/implicit-* rules
+    per the publicsuffix.org algorithm)."""
+    from ts_data_pipeline_spark.functions import weblinks
+
+    return weblinks.registrable_domain_psl(io.load(spark, sf_dir, "documents"))
+
+
 def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ts_data_pipeline_spark.functions import weblinks
 

@@ -347,6 +347,13 @@ def _weblinks_members() -> list[Member]:
             (("doc_id", "l"), ("host", "s"), ("domain", "s")),
         ),
         Member(
+            "registrable_domain_psl",
+            llmdata.registrable_domain_psl,
+            weblinks.registrable_domain_psl_sql(),
+            (("doc_id", "l"), ("host", "s"), ("public_suffix", "s"),
+             ("domain", "s")),
+        ),
+        Member(
             "url_dedup_canonical",
             llmdata.url_dedup_canonical,
             weblinks.url_dedup_canonical_sql(),
