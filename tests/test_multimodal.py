@@ -1145,6 +1145,12 @@ def test_jpeg_truncation_sweep_never_raises_raw_exceptions():
     streams = (
         jpeg.encode_baseline([img], 16, 16, [(1, 1)]),
         jpeg.encode_progressive_gray(img, 16, 16, dc_al=1, ac_al=1),
+        # restart-bearing progressive (r13): truncation may also land
+        # exactly where a restart belongs — still a typed family
+        jpeg.encode_progressive_gray(img, 16, 16, restart_interval=1),
+    )
+    allowed_prefixes = allowed_prefixes + (
+        "missing restart marker", "restart marker out of sequence",
     )
     for full in streams:
         for i in range(2, len(full)):
@@ -1152,6 +1158,73 @@ def test_jpeg_truncation_sweep_never_raises_raw_exceptions():
                 jpeg.decode_jpeg(full[:i])
             except ValueError as exc:
                 assert str(exc).startswith(allowed_prefixes), (i, exc)
+
+
+def test_jpeg_progressive_restart_markers():
+    """r13: DRI/RSTn inside progressive scans (the wire real encoders
+    emit — the r12 honest limit closed). Pins: (1) a restart-bearing
+    progressive stream decodes EXACTLY the baseline pixels across
+    intervals, band splits and successive approximation; (2) the
+    encoder emits DRI and in-sequence RSTn inside EVERY scan body;
+    (3) the decoder resets the DC predictor at each boundary (a
+    gradient image where a carried predictor would visibly diverge);
+    (4) poison: out-of-sequence and missing restart markers are
+    refused with their own deterministic messages."""
+    import numpy as np
+    import pytest
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, size=(24, 41)).astype(np.uint8)
+    base = jpeg.decode_jpeg(jpeg.encode_baseline([img], 41, 24, [(1, 1)]))
+    for ri in (1, 2, 3, 7):
+        for bands, dc_al, ac_al in (
+            (((1, 5), (6, 63)), 0, 0),
+            (((1, 1), (2, 31), (32, 63)), 1, 1),
+        ):
+            payload = jpeg.encode_progressive_gray(
+                img, 41, 24, bands=bands, dc_al=dc_al, ac_al=ac_al,
+                restart_interval=ri,
+            )
+            assert b"\xff\xdd" in payload
+            got = jpeg.decode_jpeg(payload)
+            assert np.array_equal(base["luma"], got["luma"]), (
+                ri, bands, dc_al, ac_al,
+            )
+
+    # a strong horizontal gradient: if the decoder failed to reset
+    # the DC predictor at restart boundaries, later blocks would
+    # shift by the carried diff — pixel equality catches it
+    grad = np.tile(
+        np.linspace(0, 255, 48).astype(np.uint8), (16, 1)
+    )
+    b2 = jpeg.decode_jpeg(jpeg.encode_baseline([grad], 48, 16, [(1, 1)]))
+    p2 = jpeg.decode_jpeg(
+        jpeg.encode_progressive_gray(grad, 48, 16, restart_interval=2)
+    )
+    assert np.array_equal(b2["luma"], p2["luma"])
+
+    # poison family: out-of-sequence RSTn
+    full = bytearray(
+        jpeg.encode_progressive_gray(img, 41, 24, restart_interval=2)
+    )
+    i = full.find(b"\xff\xd0")
+    assert i > 0
+    swapped = bytearray(full)
+    swapped[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart marker out of sequence"):
+        jpeg.decode_jpeg(bytes(swapped))
+    # poison family: the marker replaced by stuffed entropy bytes —
+    # the boundary finds no marker at all
+    gone = bytearray(full)
+    gone[i : i + 2] = b"\x55\x55"
+    with pytest.raises(
+        ValueError,
+        match="missing restart marker|truncated entropy stream"
+        "|invalid huffman code|restart marker out of sequence",
+    ):
+        jpeg.decode_jpeg(bytes(gone))
 
 
 def test_jpeg_color_progressive_roundtrip_and_refusals():

@@ -503,6 +503,7 @@ def decode_jpeg(payload: bytes) -> dict:
                         (prog_geom[cid]["h"], prog_geom[cid]["v"])
                         for cid in scan_ids
                     ],
+                    restart_interval=restart_interval,
                 )
             else:
                 tt = scan_tts[0]
@@ -511,6 +512,7 @@ def decode_jpeg(payload: bytes) -> dict:
                     reader, prog_coeffs[scan_ids[0]], ss, se, ah, al,
                     huff_dc.get(tt >> 4), huff_ac.get(tt & 0x0F),
                     bh_lim=g["bh"], bw_lim=g["bw"],
+                    restart_interval=restart_interval,
                 )
             pos = reader.pos
             # resync to the next marker (the scan's last partial byte
@@ -618,8 +620,28 @@ def _decode_scan(
     }
 
 
+def _consume_restart(reader: _BitReader, rst_expect: int) -> int:
+    """Byte-align and consume the expected RSTn at a restart
+    boundary; returns the next expected index. Error messages mirror
+    the baseline path's exactly (one deterministic message per
+    failure family — running dry here is the same family as running
+    dry mid-MCU, T.81 E.2.4 truncation either way)."""
+    reader.align()
+    m = reader.at_marker()
+    if m is None and reader.pos + 1 >= len(reader.data):
+        raise ValueError("truncated entropy stream")
+    if m == 0xD9:
+        raise ValueError("truncated entropy stream")
+    if m is None or not (0xD0 <= m <= 0xD7):
+        raise ValueError("missing restart marker")
+    if m - 0xD0 != rst_expect:
+        raise ValueError("restart marker out of sequence")
+    reader.pos += 2
+    return (rst_expect + 1) % 8
+
+
 def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl,
-               bh_lim=None, bw_lim=None) -> None:
+               bh_lim=None, bw_lim=None, restart_interval=0) -> None:
     """One progressive scan over the single component's blocks in
     raster order — all four T.81 scan kinds:
 
@@ -636,15 +658,29 @@ def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl,
       (run, size=1) with a sign bit, every already-nonzero
       coefficient passed on the way (and in the EOB tail) consumes
       one correction bit that may grow its magnitude by ``1 << al``.
+
+    Restart markers (r13): in a non-interleaved scan the MCU is one
+    data unit (T.81 A.2.2), so every ``restart_interval`` blocks the
+    reader byte-aligns, consumes the in-sequence RSTn, and resets the
+    DC predictor AND the EOB run (a conformant encoder flushes its
+    EOB run before a restart — E.2.4; libjpeg resets both the same
+    way on resync).
     """
     bh_, bw_, _ = coeffs.shape
     if bh_lim is not None:
         bh_, bw_ = bh_lim, bw_lim  # non-interleaved: REAL grid only
     pred = 0
     eobrun = 0
+    unit = 0
+    rst_expect = 0
     p1, m1 = 1 << al, -1 << al
     for by in range(bh_):
         for bx in range(bw_):
+            if restart_interval and unit and unit % restart_interval == 0:
+                rst_expect = _consume_restart(reader, rst_expect)
+                pred = 0
+                eobrun = 0
+            unit += 1
             blk = coeffs[by, bx]
             if ss == 0:
                 if ah == 0:  # DC first
@@ -728,18 +764,27 @@ def _prog_scan(reader, coeffs, ss, se, ah, al, dc_tbl, ac_tbl,
                 eobrun -= 1
 
 
-def _prog_dc_interleaved(reader, planes, ah, al, dc_tbls, samplings) -> None:
+def _prog_dc_interleaved(reader, planes, ah, al, dc_tbls, samplings,
+                         restart_interval=0) -> None:
     """Interleaved progressive DC scan over ns components: each MCU
     carries h_i x v_i blocks per component in scan order (padding
     blocks included, T.81 A.2.3) — first scans run per-component
     diff chains on the point-transformed values, refinements one raw
-    bit per block."""
+    bit per block. Restart markers every ``restart_interval`` MCUs
+    reset all component predictors (r13)."""
     h0, v0 = samplings[0]
     mcuy = planes[0].shape[0] // v0
     mcux = planes[0].shape[1] // h0
     preds = [0] * len(planes)
+    mcu_count = 0
+    rst_expect = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                rst_expect = _consume_restart(reader, rst_expect)
+                preds = [0] * len(planes)
+            mcu_count += 1
             for ci, plane in enumerate(planes):
                 hi, vi = samplings[ci]
                 for byi in range(vi):
@@ -1163,6 +1208,7 @@ def encode_progressive_gray(
     bands: tuple = ((1, 5), (6, 63)),
     dc_al: int = 0,
     ac_al: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """A real progressive (SOF2) grayscale JFIF stream: one DC scan,
     then one AC scan per ``bands`` entry (contiguous, covering
@@ -1175,7 +1221,14 @@ def encode_progressive_gray(
     FULLY refined stream carries IDENTICAL quantized coefficients —
     decode equality vs the baseline decode of the same image is the
     roundtrip pin AND what extends the flat-block fixed point to
-    this format."""
+    this format.
+
+    ``restart_interval`` (r13): emit DRI and split EVERY scan's
+    entropy body into restart intervals of that many data units
+    (blocks — the non-interleaved MCU), each interval encoded with a
+    fresh DC predictor and its EOB run flushed, byte-padded, and
+    separated by in-sequence RSTn markers (T.81 E.2.4) — the wire
+    shape real encoders produce for web crawls."""
     if [b for pair in bands for b in pair] != sorted(
         b for pair in bands for b in pair
     ) or bands[0][0] != 1 or bands[-1][1] != 63 or any(
@@ -1195,6 +1248,8 @@ def encode_progressive_gray(
     ):
         body = bytes([tcth]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     # quantized coefficient blocks (edge-replicated padding, the
     # baseline encoder's convention)
@@ -1215,27 +1270,46 @@ def encode_progressive_gray(
     enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
 
     def _scan(ss: int, se: int, ah: int, al: int, emit) -> None:
+        """Write SOS + the scan body; ``emit(wtr, blocks)`` encodes a
+        (bh, bw, 64) block slab. With a restart interval, the raster
+        block sequence is emitted in interval-sized slabs — each slab
+        a fresh emitter call, so the DC predictor starts at 0 and the
+        EOB run flushes inside the slab by construction — padded and
+        separated by in-sequence RSTn."""
         sos = bytes([1, 1, 0x00 if ss == 0 else 0x10,
                      ss, se, (ah << 4) | al])
         out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-        wtr = _BitWriter()
-        emit(wtr)
-        wtr.pad_to_byte()
-        out.extend(wtr.out)
+        if not restart_interval:
+            wtr = _BitWriter()
+            emit(wtr, qcs)
+            wtr.pad_to_byte()
+            out.extend(wtr.out)
+            return
+        flat = qcs.reshape(-1, 64)
+        rst = 0
+        for start in range(0, flat.shape[0], restart_interval):
+            chunk = flat[start : start + restart_interval]
+            wtr = _BitWriter()
+            emit(wtr, chunk.reshape(1, chunk.shape[0], 64))
+            wtr.pad_to_byte()
+            out.extend(wtr.out)
+            if start + restart_interval < flat.shape[0]:
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
 
     _scan(0, 0, 0, dc_al,
-          lambda wtr: _emit_dc_first(wtr, enc_dc, qcs, dc_al))
+          lambda wtr, qb: _emit_dc_first(wtr, enc_dc, qb, dc_al))
     for al in range(dc_al - 1, -1, -1):
         _scan(0, 0, al + 1, al,
-              lambda wtr, al=al: _emit_dc_refine(wtr, qcs, al))
+              lambda wtr, qb, al=al: _emit_dc_refine(wtr, qb, al))
     for ss, se in bands:
         _scan(ss, se, 0, ac_al,
-              lambda wtr, ss=ss, se=se: _emit_ac_first(
-                  wtr, enc_ac, qcs, ss, se, ac_al))
+              lambda wtr, qb, ss=ss, se=se: _emit_ac_first(
+                  wtr, enc_ac, qb, ss, se, ac_al))
         for al in range(ac_al - 1, -1, -1):
             _scan(ss, se, al + 1, al,
-                  lambda wtr, ss=ss, se=se, al=al: _emit_ac_refine(
-                      wtr, enc_ac, qcs, ss, se, al))
+                  lambda wtr, qb, ss=ss, se=se, al=al: _emit_ac_refine(
+                      wtr, enc_ac, qb, ss, se, al))
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1283,8 +1357,12 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
         return encode_progressive_ycbcr420(
             y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
         )
+    # restart-bearing class (r13): a fifth of the gray docs carry
+    # DRI + in-sequence RSTn inside EVERY progressive scan (the wire
+    # real encoders emit in web crawls) — same pixels, same oracle
     return encode_progressive_gray(
-        y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
+        y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al,
+        restart_interval=2 if doc_id % 5 == 0 else 0,
     )
 
 
