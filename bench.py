@@ -29,6 +29,13 @@ from ts_data_pipeline_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+#: pinned reference canary (r11's pre canary, BENCH_r11.json): the
+#: fixed JVM-agg workload's duration on the host draw every drift
+#: adjudication since r11 has normalized against. canary_ratio =
+#: this run's pre canary / CANARY_REF_SEC — >1 means a slower host
+#: than the reference draw, and queries_norm divides it out.
+CANARY_REF_SEC = 0.477
+
 # Headline set: curated, scale-sensitive queries — the SAME 11
 # workloads every round so totals stay comparable. Two of them
 # (telemetry_interp_linear, dedup_exact) were folded into suite
@@ -1306,6 +1313,25 @@ def main() -> None:
     ):
         if k in payload:
             compact[k] = payload[k]
+    # Self-normalizing headline (r13, VERDICT r12 ask #6): publish the
+    # host draw as an explicit ratio against a PINNED reference canary
+    # (r11's pre canary, 0.477 s — the value every drift adjudication
+    # since has normalized against), plus canary-normalized per-query
+    # values, so a driver archive ALONE separates host draw from code
+    # drift: canary_ratio far from 1.0 = slow/fast host; a query whose
+    # NORMALIZED value moved is code.
+    if canary_pre.get("canary_jvm_agg_sec"):
+        ratio = round(
+            canary_pre["canary_jvm_agg_sec"] / CANARY_REF_SEC, 3
+        )
+        compact["canary_ratio"] = ratio
+        compact["headline_total_norm"] = round(total / ratio, 3)
+        # qnorm: canary-normalized per-query medians as a LIST in the
+        # same order as the "queries" keys — keyed values would push
+        # extras_compact + headline_compact past the driver's
+        # 2000-char tail cap (measured: ~2.06 kB keyed, ~1.82 kB as a
+        # list).
+        compact["qnorm"] = [round(t / ratio, 2) for t in timings.values()]
     print(json.dumps(compact, separators=(",", ":")))
 
 
