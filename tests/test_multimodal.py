@@ -902,6 +902,134 @@ def test_jpeg_ac_paths_match_independent_reference():
         assert np.abs(got - ref).max() == 0
 
 
+def test_jpeg_progressive_partial_decode_matches_reference():
+    """r13 (VERDICT r12 ask #8): PARTIAL successive-approximation
+    decode — a stream cut after any scan prefix (EOI appended) is
+    legal JPEG and must decode to the COARSE image those scans
+    define: every coefficient at its current point-transform level L
+    reconstructs as floor-to-L precision (DC: (v >> L) << L two's
+    complement; AC: sign * ((|v| >> L) << L)), unscanned bands as 0.
+    Pinned against an independently coded scalar FDCT/quant +
+    truncation + scalar IDCT reference — not oracle-expressible, so
+    pytest territory (the gate corpus carries only fully refined
+    streams)."""
+    import math
+
+    import numpy as np
+
+    from ts_data_pipeline_spark.operators import jpeg
+
+    q = np.array(jpeg.QTABLE_LUMA, dtype=float).reshape(8, 8)
+
+    def C(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    def scalar_quant(img, h, w):
+        """Independent scalar FDCT + quantization -> int blocks in
+        natural (v, u) order."""
+        out = {}
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                s = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                    float
+                ) - 128
+                S = np.zeros((8, 8))
+                for u in range(8):
+                    for v in range(8):
+                        acc = 0.0
+                        for x in range(8):
+                            for y in range(8):
+                                acc += (
+                                    s[y, x]
+                                    * math.cos((2 * x + 1) * u * math.pi / 16)
+                                    * math.cos((2 * y + 1) * v * math.pi / 16)
+                                )
+                        S[v, u] = acc * C(u) * C(v) / 4
+                out[(by, bx)] = np.rint(S / q).astype(int)
+        return out
+
+    def scalar_idct(Q):
+        r = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        acc += (
+                            C(u) * C(v) * Q[v, u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                r[y, x] = acc / 4 + 128
+        return r
+
+    def levels_after(n_scans, dc_al, ac_al, bands):
+        """Per-zigzag-index point-transform level after the first
+        ``n_scans`` scans of encode_progressive_gray's script, or
+        None when the band has not been scanned yet."""
+        lv: dict[int, int | None] = {k: None for k in range(64)}
+        script = [("dc", dc_al)]
+        script += [("dc", al) for al in range(dc_al - 1, -1, -1)]
+        for ss, se in bands:
+            script.append((("ac", ss, se), ac_al))
+            script += [
+                (("ac", ss, se), al) for al in range(ac_al - 1, -1, -1)
+            ]
+        for kind, al in script[:n_scans]:
+            if kind == "dc":
+                lv[0] = al
+            else:
+                _, ss, se = kind
+                for k in range(ss, se + 1):
+                    lv[k] = al
+        return lv
+
+    rng = np.random.RandomState(7)
+    h, w = 16, 24
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    qblocks = scalar_quant(img, h, w)
+
+    for dc_al, ac_al, bands in (
+        (1, 1, ((1, 5), (6, 63))),
+        (2, 2, ((1, 63),)),
+        (0, 3, ((1, 1), (2, 31), (32, 63))),
+    ):
+        full = jpeg.encode_progressive_gray(
+            img, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
+        )
+        # SOS offsets delimit the scans
+        offs = [
+            i for i in range(2, len(full) - 1)
+            if full[i] == 0xFF and full[i + 1] == 0xDA
+        ]
+        n_total = len(offs)
+        for keep in range(1, n_total):  # every PROPER prefix
+            part = full[: offs[keep]] + b"\xff\xd9"
+            got = jpeg.decode_jpeg(part)["luma"].astype(float)
+            lv = levels_after(keep, dc_al, ac_al, bands)
+            ref = np.zeros((h, w))
+            for (by, bx), qc in qblocks.items():
+                T = np.zeros((8, 8))
+                for k in range(64):
+                    v = int(qc[jpeg.ZIGZAG[k] // 8, jpeg.ZIGZAG[k] % 8])
+                    L = lv[k]
+                    if L is None:
+                        t = 0
+                    elif k == 0:
+                        t = (v >> L) << L  # two's-complement floor
+                    else:
+                        mag = (abs(v) >> L) << L
+                        t = mag if v >= 0 else -mag
+                    T[jpeg.ZIGZAG[k] // 8, jpeg.ZIGZAG[k] % 8] = t
+                r = scalar_idct(T * q)
+                ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(r), 0, 255
+                )
+            assert np.abs(got - ref).max() == 0, (
+                dc_al, ac_al, bands, keep,
+            )
+
+
 def test_jpeg_poison_messages_deterministic():
     """Every poisoned doc fails with EXACTLY its class's message
     (the permissive gate's oracle replays these verbatim), and every
