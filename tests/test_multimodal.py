@@ -1333,6 +1333,21 @@ def test_jpeg_progressive_restart_markers():
     )
     assert np.array_equal(b2["luma"], p2["luma"])
 
+    # INTERLEAVED DC restart path (_prog_dc_interleaved): the 4:4:4
+    # encoder scopes DRI to the interleaved DC scans (Ri switched to
+    # 0 before the AC scans) — per-component predictor resets at each
+    # MCU boundary, pixels identical to the restart-free stream
+    for ri in (1, 3):
+        for dc_al in (0, 1):
+            c_payload = jpeg.encode_progressive_ycbcr444(
+                img, 41, 24, dc_al=dc_al, restart_interval=ri
+            )
+            assert b"\xff\xdd" in c_payload
+            assert c_payload.find(b"\xff\xd0") > 0
+            got = jpeg.decode_jpeg(c_payload)
+            assert got["n_components"] == 3
+            assert np.array_equal(base["luma"], got["luma"]), (ri, dc_al)
+
     # poison family: out-of-sequence RSTn
     full = bytearray(
         jpeg.encode_progressive_gray(img, 41, 24, restart_interval=2)

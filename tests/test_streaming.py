@@ -989,6 +989,10 @@ def test_upsert_read_table_rolls_forward_without_writing(spark, tmp_path):
     empty = str(tmp_path / "empty")
     os.makedirs(empty)
     assert upsert_sink.read_table(spark, empty) is None
+    # ... and so does a table whose DIRECTORY does not exist yet (a
+    # reader polling ahead of the writer's first commit) — the
+    # fallback scan must not turn "no data yet" into FileNotFoundError
+    assert upsert_sink.read_table(spark, str(tmp_path / "nonexistent")) is None
 
 
 def test_streaming_cusum_alerts_match_batch(spark, tmp_path):

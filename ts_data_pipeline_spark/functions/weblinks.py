@@ -359,6 +359,11 @@ def psl_rules(path: str | None = None) -> list[tuple[str, int, int, int]]:
             line = line.strip().lower()
             if not line or line.startswith("//"):
                 continue
+            # the PSL format reads each line only up to the first
+            # whitespace (trailing annotations are legal) — keeping
+            # the whole line would mint a garbage key that silently
+            # never matches
+            line = line.split()[0]
             if line.startswith("!"):
                 body = line[1:]
                 n = body.count(".") + 1

@@ -288,14 +288,32 @@ class PosixOps:
         fixed ``p + ".tmp"`` staging name (used only by the Hadoop
         twin, whose ``read_text_or_recover`` repair depends on it)
         would let concurrent bare-path writers interleave
-        open/truncate/write on one inode and commit mixed JSON."""
+        open/truncate/write on one inode and commit mixed JSON.
+
+        Two deliberate details: mkstemp creates 0600 files, so the
+        mode is widened to honor the process umask (the committed
+        pointer/manifest must stay readable by a DIFFERENT OS user's
+        read-only reader — the exact client read_table's roll-forward
+        serves); and the staging name is dot-prefixed with a ``.tmp``
+        suffix, so a hard crash (SIGKILL between write and replace —
+        the except-clause can't run) orphans at most one clearly-
+        labeled hidden file per crash that no listing consumer ever
+        reads and a maintenance wipe of ``.*.tmp`` may remove. The
+        orphan-per-hard-crash is the price of tear-safety: a
+        self-overwriting fixed name would cap the litter at one file
+        but reopen the concurrent-writer tear."""
         import os
         import tempfile
 
         fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(p) or ".", prefix=os.path.basename(p) + "."
+            dir=os.path.dirname(p) or ".",
+            prefix="." + os.path.basename(p) + ".",
+            suffix=".tmp",
         )
         try:
+            mask = os.umask(0o22)
+            os.umask(mask)
+            os.fchmod(fd, 0o666 & ~mask)
             with os.fdopen(fd, "w") as fh:
                 fh.write(text)
             os.replace(tmp, p)

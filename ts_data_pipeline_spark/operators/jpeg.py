@@ -1347,7 +1347,10 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
         # chroma — luma-invariant, so only n_components changes in
         # the oracle
         return encode_progressive_ycbcr444(
-            y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
+            y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al,
+            # restart-bearing color class (r13): DRI scoped to the
+            # INTERLEAVED DC scans (switched off before the AC scans)
+            restart_interval=2 if doc_id % 5 == 0 else 0,
         )
     if doc_id % 4 == 2:
         # SUBSAMPLED color progressive (the baseline fixture's
@@ -1391,6 +1394,7 @@ def encode_progressive_ycbcr444(
     bands: tuple = ((1, 5), (6, 63)),
     dc_al: int = 0,
     ac_al: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """A real COLOR progressive (SOF2) stream: YCbCr at (1,1)x3
     sampling with flat NEUTRAL chroma (128 — luma-invariant, the
@@ -1450,37 +1454,75 @@ def encode_progressive_ycbcr444(
         wtr.pad_to_byte()
         out.extend(wtr.out)
 
-    def _dc_first(wtr) -> None:
-        preds = [0, 0, 0]
-        for by in range(bh_):
-            for bx in range(bw_):
-                for ci in range(3):
-                    dc = int(qcs_list[ci][by, bx, 0]) >> dc_al
-                    diff = dc - preds[ci]
-                    preds[ci] = dc
-                    ssss = _category(diff)
-                    code, ln = enc_dcs[ci][ssss]
-                    wtr.write(code, ln)
-                    if ssss:
-                        wtr.write(
-                            diff if diff >= 0
-                            else diff + (1 << ssss) - 1,
-                            ssss,
-                        )
+    #: MCU raster for the interleaved DC scans ((1,1) sampling: one
+    #: block position per MCU); restart chunking slices this list.
+    mcus = [(by, bx) for by in range(bh_) for bx in range(bw_)]
 
-    def _dc_refine(wtr, al) -> None:
-        for by in range(bh_):
-            for bx in range(bw_):
-                for ci in range(3):
+    def _dc_first_range(wtr, rng) -> None:
+        preds = [0, 0, 0]
+        for by, bx in rng:
+            for ci in range(3):
+                dc = int(qcs_list[ci][by, bx, 0]) >> dc_al
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                ssss = _category(diff)
+                code, ln = enc_dcs[ci][ssss]
+                wtr.write(code, ln)
+                if ssss:
                     wtr.write(
-                        (int(qcs_list[ci][by, bx, 0]) >> al) & 1, 1
+                        diff if diff >= 0
+                        else diff + (1 << ssss) - 1,
+                        ssss,
                     )
 
+    def _dc_refine_range(wtr, rng, al) -> None:
+        for by, bx in rng:
+            for ci in range(3):
+                wtr.write(
+                    (int(qcs_list[ci][by, bx, 0]) >> al) & 1, 1
+                )
+
+    def _dc_scan(ah, al, emit_range) -> None:
+        """The interleaved DC scan, chunked into restart intervals
+        when ``restart_interval`` is set: each interval's emitter
+        call starts with fresh per-component predictors (matching the
+        decoder's reset), byte-padded and separated by in-sequence
+        RSTn."""
+        sos = bytes([len(dc_specs)])
+        for cid, tt in dc_specs:
+            sos += bytes([cid, tt])
+        sos += bytes([0, 0, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        if not restart_interval:
+            wtr = _BitWriter()
+            emit_range(wtr, mcus)
+            wtr.pad_to_byte()
+            out.extend(wtr.out)
+            return
+        rst = 0
+        for start in range(0, len(mcus), restart_interval):
+            wtr = _BitWriter()
+            emit_range(wtr, mcus[start : start + restart_interval])
+            wtr.pad_to_byte()
+            out.extend(wtr.out)
+            if start + restart_interval < len(mcus):
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+
     dc_specs = [(1, 0x00), (2, 0x10), (3, 0x10)]
-    _scan(dc_specs, 0, 0, 0, dc_al, _dc_first)
+    if restart_interval:
+        # DRI applies to every following scan until redefined: scope
+        # it to the interleaved DC scans (the path it exercises) and
+        # switch it OFF (Ri = 0, legal per T.81) before the AC scans,
+        # which stay restart-free.
+        out.extend(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
+    _dc_scan(0, dc_al,
+             lambda wtr, rng: _dc_first_range(wtr, rng))
     for al in range(dc_al - 1, -1, -1):
-        _scan(dc_specs, 0, 0, al + 1, al,
-              lambda wtr, al=al: _dc_refine(wtr, al))
+        _dc_scan(al + 1, al,
+                 lambda wtr, rng, al=al: _dc_refine_range(wtr, rng, al))
+    if restart_interval:
+        out.extend(b"\xff\xdd" + struct.pack(">HH", 4, 0))
     for ci, cid in enumerate((1, 2, 3)):
         for ss, se in bands:
             _scan([(cid, 0x10)], ss, se, 0, ac_al,

@@ -179,25 +179,30 @@ def _version_dirs(table_dir: str, ops) -> list[str]:
     ]
 
 
-def _scan_best_committed(table_dir: str, ops) -> tuple[str | None, int]:
+def _scan_best_committed(
+    table_dir: str, ops
+) -> tuple[str | None, int, dict | None]:
     """READ-ONLY walk over the version directories: the committed
     manifest with the highest seq (the commit log's true head,
-    independent of the ``_CURRENT`` pointer). Shared by the writer's
+    independent of the ``_CURRENT`` pointer), returned WITH its
+    parsed manifest so callers don't pay a second read (on S3A that
+    second round-trip would sit inside the very race window the
+    reader fallback exists to survive). Shared by the writer's
     roll-forward repair and the reader's pointer-miss fallback."""
-    best_dir, best_seq = None, -1
+    best_dir, best_seq, best_m = None, -1, None
     for d in _version_dirs(table_dir, ops):
         m = _read_manifest(table_dir, d, ops)
         if m is None:
             continue
         seq = int(m["seq"])
         if seq > best_seq:
-            best_dir, best_seq = d, seq
+            best_dir, best_seq, best_m = d, seq, m
         elif seq == best_seq:
             raise RuntimeError(
                 f"commit seq collision: {d} and {best_dir} both committed "
                 f"seq {seq} — concurrent writers detected"
             )
-    return best_dir, best_seq
+    return best_dir, best_seq, best_m
 
 
 def _roll_forward(table_dir: str, ops=None) -> tuple[str | None, int]:
@@ -214,7 +219,7 @@ def _roll_forward(table_dir: str, ops=None) -> tuple[str | None, int]:
     repair — the minting base.
     """
     ops = ops or fsio.PosixOps()
-    best_dir, best_seq = _scan_best_committed(table_dir, ops)
+    best_dir, best_seq, _m = _scan_best_committed(table_dir, ops)
     cur = _current_dir(table_dir, ops)
     if best_dir is None:
         return cur, -1
@@ -284,8 +289,12 @@ def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
     v = _current_dir(table_dir, ops)
     m = _read_manifest(table_dir, v, ops) if v is not None else None
     if m is None:
-        v, _seq = _scan_best_committed(table_dir, ops)
-        m = _read_manifest(table_dir, v, ops) if v is not None else None
+        # a table whose directory does not exist yet (reader polling
+        # ahead of the writer's first commit) is "no data", not an
+        # error — the listing in the scan would raise
+        if not ops.exists(table_dir):
+            return None
+        v, _seq, m = _scan_best_committed(table_dir, ops)
     if m is None:
         return None
     paths = [ops.join(table_dir, rel) for rel in m["buckets"].values()]
