@@ -2559,22 +2559,26 @@ _CHARSET_META_RE = r'^<meta charset="[^"]+"/> '
 
 
 def charset_repaired(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The recipe's charset stage: mixed-encoding fixture in, clean
-    repaired text out (meta head consumed and stripped) — what a real
-    pipeline's transcode pass produces ahead of HTML extraction."""
+    """The recipe's charset stage: mixed-encoding fixture in, the
+    SAME relation out with ``text_col`` repaired in place (meta head
+    consumed and stripped) — what a real pipeline's transcode pass
+    produces ahead of HTML extraction. Repair is a pure column
+    expression, so this is a ``withColumn``, NOT a join-back: the
+    first cut joined (doc_id, text_fixed) onto docs and paid a
+    needless self-join shuffle for a scan-shaped stage."""
     fixed = repair_mojibake(_mojibake_augmented(text_col))
-    return docs.select(
-        "doc_id",
-        F.regexp_replace(fixed, _CHARSET_META_RE, "").alias("text_fixed"),
+    return docs.withColumn(
+        text_col, F.regexp_replace(fixed, _CHARSET_META_RE, "")
     )
 
 
 def charset_repaired_sql(
     text_col: str = "text", table: str = "documents"
 ) -> str:
+    """Twin: ``SELECT * REPLACE`` — same no-join shape."""
     fixed = repair_mojibake_sql(_mojibake_augment_sql(text_col))
     meta_re = _CHARSET_META_RE.replace("'", "''")
     return (
-        f"SELECT doc_id, regexp_replace({fixed}, '{meta_re}', '')"
-        f" AS text_fixed FROM {table}"
+        f"SELECT * REPLACE (regexp_replace({fixed}, '{meta_re}', '')"
+        f" AS {text_col}) FROM {table}"
     )

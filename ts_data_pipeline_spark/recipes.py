@@ -105,13 +105,10 @@ def build_training_corpus(
     #     families and strips the consumed declaration, so HTML
     #     extraction, line counting, the LM and every hash see the
     #     same bytes a correct decoder would have produced. Pure
-    #     replace/translate Column expressions; scan shape, zero
-    #     shuffle.
+    #     replace/translate Column expressions applied IN PLACE
+    #     (withColumn, not a join-back); scan shape, zero shuffle.
     if charset_input:
-        repaired = text_fns.charset_repaired(docs).select(
-            "doc_id", F.col("text_fixed").alias("text")
-        )
-        docs = docs.drop("text").join(repaired, "doc_id")
+        docs = text_fns.charset_repaired(docs)
 
     # -1. HTML front door (r12): crawled corpora arrive as markup, so
     #     when ``html_input`` is on the first stage is extraction +
@@ -393,8 +390,7 @@ def build_training_corpus_sql(
         )
 
         front_ctes += f"""charset_docs AS MATERIALIZED (
-  SELECT d.* REPLACE (c.text_fixed AS text)
-  FROM {src_table} d JOIN ({charset_repaired_sql(table=src_table)}) c USING (doc_id)
+  {charset_repaired_sql(table=src_table)}
 ),
 """
         src_table = "charset_docs"
