@@ -291,10 +291,11 @@ class PosixOps:
         open/truncate/write on one inode and commit mixed JSON.
 
         Two deliberate details: mkstemp creates 0600 files, so the
-        mode is widened to honor the process umask (the committed
-        pointer/manifest must stay readable by a DIFFERENT OS user's
-        read-only reader — the exact client read_table's roll-forward
-        serves); and the staging name is dot-prefixed with a ``.tmp``
+        mode is widened — preserving the replaced file's mode, 0644
+        for new files (the committed pointer/manifest must stay
+        readable by a DIFFERENT OS user's read-only reader — the
+        exact client read_table's roll-forward serves); and the
+        staging name is dot-prefixed with a ``.tmp``
         suffix, so a hard crash (SIGKILL between write and replace —
         the except-clause can't run) orphans at most one clearly-
         labeled hidden file per crash that no listing consumer ever
@@ -303,6 +304,7 @@ class PosixOps:
         self-overwriting fixed name would cap the litter at one file
         but reopen the concurrent-writer tear."""
         import os
+        import stat as _stat
         import tempfile
 
         fd, tmp = tempfile.mkstemp(
@@ -311,10 +313,21 @@ class PosixOps:
             suffix=".tmp",
         )
         try:
-            mask = os.umask(0o22)
-            os.umask(mask)
-            os.fchmod(fd, 0o666 & ~mask)
+            # fdopen FIRST so the fd always has an owner (a failing
+            # fchmod must not leak it), then widen mkstemp's 0600:
+            # PRESERVE the replaced file's mode, default new files to
+            # 0644. A umask probe (os.umask flip) would be the
+            # umask-honoring alternative, but it mutates process-
+            # global state and two concurrent writers can corrupt the
+            # process umask permanently — stat-and-preserve is
+            # thread-safe and deterministic. Directory permissions
+            # gate access for callers needing tighter than 0644.
             with os.fdopen(fd, "w") as fh:
+                try:
+                    mode = _stat.S_IMODE(os.stat(p).st_mode)
+                except FileNotFoundError:
+                    mode = 0o644
+                os.fchmod(fh.fileno(), mode)
                 fh.write(text)
             os.replace(tmp, p)
         except BaseException:

@@ -1443,20 +1443,37 @@ def encode_progressive_ycbcr444(
     enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
     bh_, bw_, _ = qcs_list[0].shape
 
-    def _scan(comp_specs, ss, se, ah, al, emit) -> None:
+    #: MCU raster for the interleaved DC scans ((1,1) sampling: one
+    #: block position per MCU); restart chunking slices this list.
+    mcus = [(by, bx) for by in range(bh_) for bx in range(bw_)]
+
+    def _scan(comp_specs, ss, se, ah, al, emit_range,
+              chunked=False) -> None:
+        """Write SOS + the scan body; ``emit_range(wtr, rng)``
+        encodes the given MCU positions. ``chunked`` (the interleaved
+        DC scans, when ``restart_interval`` is set) splits the MCU
+        raster into restart intervals — each interval a fresh emitter
+        call, so per-component predictors start at 0 matching the
+        decoder's reset — byte-padded and separated by in-sequence
+        RSTn. ONE SOS/chunk implementation for all scan kinds (the
+        first cut had a second copy that a future restart fix could
+        silently miss)."""
         sos = bytes([len(comp_specs)])
         for cid, tt in comp_specs:
             sos += bytes([cid, tt])
         sos += bytes([ss, se, (ah << 4) | al])
         out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-        wtr = _BitWriter()
-        emit(wtr)
-        wtr.pad_to_byte()
-        out.extend(wtr.out)
-
-    #: MCU raster for the interleaved DC scans ((1,1) sampling: one
-    #: block position per MCU); restart chunking slices this list.
-    mcus = [(by, bx) for by in range(bh_) for bx in range(bw_)]
+        step = restart_interval if (chunked and restart_interval) \
+            else len(mcus)
+        rst = 0
+        for start in range(0, len(mcus), step):
+            wtr = _BitWriter()
+            emit_range(wtr, mcus[start : start + step])
+            wtr.pad_to_byte()
+            out.extend(wtr.out)
+            if start + step < len(mcus):
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
 
     def _dc_first_range(wtr, rng) -> None:
         preds = [0, 0, 0]
@@ -1482,33 +1499,6 @@ def encode_progressive_ycbcr444(
                     (int(qcs_list[ci][by, bx, 0]) >> al) & 1, 1
                 )
 
-    def _dc_scan(ah, al, emit_range) -> None:
-        """The interleaved DC scan, chunked into restart intervals
-        when ``restart_interval`` is set: each interval's emitter
-        call starts with fresh per-component predictors (matching the
-        decoder's reset), byte-padded and separated by in-sequence
-        RSTn."""
-        sos = bytes([len(dc_specs)])
-        for cid, tt in dc_specs:
-            sos += bytes([cid, tt])
-        sos += bytes([0, 0, (ah << 4) | al])
-        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-        if not restart_interval:
-            wtr = _BitWriter()
-            emit_range(wtr, mcus)
-            wtr.pad_to_byte()
-            out.extend(wtr.out)
-            return
-        rst = 0
-        for start in range(0, len(mcus), restart_interval):
-            wtr = _BitWriter()
-            emit_range(wtr, mcus[start : start + restart_interval])
-            wtr.pad_to_byte()
-            out.extend(wtr.out)
-            if start + restart_interval < len(mcus):
-                out.extend(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
-
     dc_specs = [(1, 0x00), (2, 0x10), (3, 0x10)]
     if restart_interval:
         # DRI applies to every following scan until redefined: scope
@@ -1516,21 +1506,21 @@ def encode_progressive_ycbcr444(
         # switch it OFF (Ri = 0, legal per T.81) before the AC scans,
         # which stay restart-free.
         out.extend(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
-    _dc_scan(0, dc_al,
-             lambda wtr, rng: _dc_first_range(wtr, rng))
+    _scan(dc_specs, 0, 0, 0, dc_al, _dc_first_range, chunked=True)
     for al in range(dc_al - 1, -1, -1):
-        _dc_scan(al + 1, al,
-                 lambda wtr, rng, al=al: _dc_refine_range(wtr, rng, al))
+        _scan(dc_specs, 0, 0, al + 1, al,
+              lambda wtr, rng, al=al: _dc_refine_range(wtr, rng, al),
+              chunked=True)
     if restart_interval:
         out.extend(b"\xff\xdd" + struct.pack(">HH", 4, 0))
     for ci, cid in enumerate((1, 2, 3)):
         for ss, se in bands:
             _scan([(cid, 0x10)], ss, se, 0, ac_al,
-                  lambda wtr, ci=ci, ss=ss, se=se: _emit_ac_first(
+                  lambda wtr, rng, ci=ci, ss=ss, se=se: _emit_ac_first(
                       wtr, enc_ac, qcs_list[ci], ss, se, ac_al))
             for al in range(ac_al - 1, -1, -1):
                 _scan([(cid, 0x10)], ss, se, al + 1, al,
-                      lambda wtr, ci=ci, ss=ss, se=se, al=al:
+                      lambda wtr, rng, ci=ci, ss=ss, se=se, al=al:
                       _emit_ac_refine(
                           wtr, enc_ac, qcs_list[ci], ss, se, al))
     out += b"\xff\xd9"  # EOI

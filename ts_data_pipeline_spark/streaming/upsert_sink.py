@@ -215,17 +215,21 @@ def _roll_forward(table_dir: str, ops=None) -> tuple[str | None, int]:
     serving erased keys with no error). Every writer entry point
     therefore first completes any interrupted commit: find the
     committed manifest with the highest seq; if it is ahead of the
-    pointer, repoint to it. Returns (current_dir, current_seq) after
-    repair — the minting base.
+    pointer, repoint to it. Returns (current_dir, current_seq,
+    current_manifest) after repair — the minting base, with the
+    scanned manifest passed through so callers don't re-read it (the
+    manifest is never overwritten, so the scan's copy is current; a
+    (cur, -1, None) return means no committed manifest exists
+    anywhere, in which case cur's dir — if any — has none either).
     """
     ops = ops or fsio.PosixOps()
-    best_dir, best_seq, _m = _scan_best_committed(table_dir, ops)
+    best_dir, best_seq, best_m = _scan_best_committed(table_dir, ops)
     cur = _current_dir(table_dir, ops)
     if best_dir is None:
-        return cur, -1
+        return cur, -1, None
     if cur != best_dir:
         _write_pointer(table_dir, best_dir, ops)
-    return best_dir, best_seq
+    return best_dir, best_seq, best_m
 
 
 def _write_pointer(table_dir: str, version_dir: str, ops=None) -> None:
@@ -405,11 +409,9 @@ def upsert_batch(
     # also repair: if the crash interrupted a delete's repoint, the
     # re-delivery may be the only writer invocation before the stream
     # idles — skipping repair would serve erased keys indefinitely.
-    cur_v, cur_seq = _roll_forward(table_dir, ops)
+    cur_v, cur_seq, manifest = _roll_forward(table_dir, ops)
     if not _committed(table_dir, vdir, ops):
         from pyspark.sql import Window
-
-        manifest = _read_manifest(table_dir, cur_v, ops) if cur_v else None
 
         # latest row per key within the batch (ts desc, stable)
         w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
@@ -585,8 +587,12 @@ def delete_keys(
     back past the delete.
     """
     ops = fsio.resolve_ops(spark)
-    cur_v, cur_seq = _roll_forward(table_dir, ops)  # finish interrupted commits
-    manifest = _read_manifest(table_dir, cur_v, ops) if cur_v else None
+    # a table whose directory does not exist yet has no version to
+    # delete from — the designed error, not the scan's raw listing
+    # failure (the same missing-dir class read_table guards)
+    if not ops.exists(table_dir):
+        raise ValueError(f"no current version in {table_dir}")
+    cur_v, cur_seq, manifest = _roll_forward(table_dir, ops)
     if manifest is None:
         raise ValueError(f"no current version in {table_dir}")
     vdir = f"d{version}"
