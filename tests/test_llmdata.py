@@ -2945,6 +2945,45 @@ def test_psl_registrable_rule_classes(spark):
     assert ("github.io", 2, 0, 2) in rules                # private section
 
 
+def test_domain_quota_composition(spark):
+    """The r13 recipe stage 2d building blocks composed directly:
+    PSL registrable domains -> deterministic md5-rank quota. Pins
+    that no domain exceeds the cap, every domain keeps min(count,
+    cap) survivors, and the survivor set is identical across runs
+    (the md5 draw, not partitioning luck)."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark.functions import weblinks as wl
+    from ts_data_pipeline_spark.operators import sampling
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    dom = wl.registrable_domain_psl(docs).select(
+        "doc_id",
+        F.coalesce(F.col("domain"), F.col("host")).alias("dom"),
+    )
+    capped = sampling.source_quota_cap(dom, cap=10, source_col="dom")
+    rows = capped.collect()
+    per_dom_kept: dict[str, int] = {}
+    per_dom_all: dict[str, int] = {}
+    for r in rows:
+        per_dom_all[r.dom] = per_dom_all.get(r.dom, 0) + 1
+        if r.kept:
+            per_dom_kept[r.dom] = per_dom_kept.get(r.dom, 0) + 1
+    assert len(per_dom_all) >= 4  # the fixture's eTLD+1 families
+    for d, n_all in per_dom_all.items():
+        assert per_dom_kept.get(d, 0) == min(n_all, 10), d
+    # determinism: the exact survivor ids reproduce
+    kept1 = {r.doc_id for r in rows if r.kept}
+    kept2 = {
+        r.doc_id
+        for r in sampling.source_quota_cap(
+            dom, cap=10, source_col="dom"
+        ).collect()
+        if r.kept
+    }
+    assert kept1 == kept2
+
+
 def test_charset_repair_semantics(spark):
     """The r13 charset lane's RULES on crafted strings (the gate pins
     corpus-wide agreement): both corruption classes invert exactly,

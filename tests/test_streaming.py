@@ -994,6 +994,19 @@ def test_upsert_read_table_rolls_forward_without_writing(spark, tmp_path):
     # fallback scan must not turn "no data yet" into FileNotFoundError
     assert upsert_sink.read_table(spark, str(tmp_path / "nonexistent")) is None
 
+    # the sibling maintenance entry points on a missing dir: the
+    # designed error (delete) / empty result (GC), never a raw
+    # listing failure
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no current version"):
+        upsert_sink.delete_keys(
+            spark, str(tmp_path / "nonexistent"),
+            spark.createDataFrame([("a",)], "key string"),
+            key_col="key", version=1,
+        )
+    assert upsert_sink.gc_versions(str(tmp_path / "nonexistent")) == []
+
 
 def test_streaming_cusum_alerts_match_batch(spark, tmp_path):
     """Streaming CUSUM drift alerting: emitted alarm rows must equal

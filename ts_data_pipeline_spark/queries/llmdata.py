@@ -1205,6 +1205,11 @@ GROUP BY mix_source, split
 #: well-surviving sources (the stage does real work at gate SF)
 #: while leaving the packed output far from empty.
 RECIPE_SOURCE_CAP = 12
+#: Per-registrable-domain survivor cap (r13): the URL fixture yields
+#: FOUR distinct eTLD+1 values (sample.org absorbs two host
+#: families), so 45 bites on the hot domains at gate SF while
+#: leaving every domain represented.
+RECIPE_DOMAIN_CAP = 45
 
 
 def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1213,7 +1218,8 @@ def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     charset/mojibake repair -> HTML extraction -> corpus-wide C4
     line dedup -> ingest gates -> CCNet
     tail drop -> n-gram near-dup canonicals -> SemDeDup -> source
-    quota -> temperature resample -> deterministic shuffle ->
+    quota -> registrable-domain (eTLD+1) quota through the PSL
+    snapshot -> temperature resample -> deterministic shuffle ->
     sequence packing, every stage the same operator its standalone
     gate checks, hash-compared as ONE result.
     Reference analog: the whole option_trades -> aggs pipeline ran
@@ -1225,6 +1231,7 @@ def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         embeddings=io.load(spark, sf_dir, "embeddings"),
         semdedup_seeds=KMEANS_SEED_IDS,
         source_cap=RECIPE_SOURCE_CAP,
+        domain_cap=RECIPE_DOMAIN_CAP,
         html_input=True,
         url_dedup=True,
         line_dedup_max=2,
@@ -1238,6 +1245,7 @@ def _recipe_training_corpus_sql() -> str:
     return recipes.build_training_corpus_sql(
         semdedup_seeds=KMEANS_SEED_IDS,
         source_cap=RECIPE_SOURCE_CAP,
+        domain_cap=RECIPE_DOMAIN_CAP,
         html_input=True,
         url_dedup=True,
         line_dedup_max=2,

@@ -44,6 +44,7 @@ def build_training_corpus(
     semdedup_threshold: float = 0.45,
     semdedup_max_cell_size: int | None = 256,
     source_cap: int | None = None,
+    domain_cap: int | None = None,
     nfc_clean: bool = False,
     eval_split_fracs: dict[str, float] | None = None,
     html_input: bool = False,
@@ -246,14 +247,42 @@ def build_training_corpus(
         ).drop("source")
 
     # Second staging boundary: `kept` (the selected corpus) feeds the
-    # resample-rate aggregation, the resample semi-join, the shuffle
-    # rank, and the packing join — four consumers, each of which
-    # would otherwise re-run the near-dup pair join and the SemDeDup
-    # anti-join from scratch (measured at sf0.1: the composed recipe
-    # dropped ~60s -> ~25s with this one boundary). A deployment
+    # domain-quota window, the resample-rate aggregation, the
+    # resample semi-join, the shuffle rank, and the packing join —
+    # consumers that would otherwise each re-run the near-dup pair
+    # join and the SemDeDup anti-join from scratch (measured at
+    # sf0.1: the composed recipe dropped ~60s -> ~25s with this one
+    # boundary; with the r13 domain-cap stage referencing the
+    # pre-checkpoint subtree twice, plan serialization alone OOM'd
+    # the driver — the boundary must sit BEFORE 2d). A deployment
     # stages the post-selection corpus to storage here for the same
     # reason.
     kept = kept.localCheckpoint()
+
+    # 2d. anti-domination at the REGISTRABLE-DOMAIN grain (r13): the
+    #     crawl-realistic quota — a single eTLD+1 (all its hosts and
+    #     mirrors together) may not exceed ``domain_cap`` surviving
+    #     documents. Domains resolve through the checked-in PSL
+    #     snapshot (weblinks.psl_registrable — broadcast rule join);
+    #     the survivor rank is the same deterministic md5 draw as the
+    #     source quota, just partitioned by domain. Runs on the
+    #     checkpointed corpus: the PSL explode/window subtree stays
+    #     shallow for the four downstream consumers.
+    if domain_cap is not None:
+        from ts_data_pipeline_spark.functions import weblinks
+
+        dom = weblinks.registrable_domain_psl(
+            kept.select("doc_id")
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("domain"), F.col("host")).alias("dom"),
+        )
+        dcap = sampling.source_quota_cap(
+            dom, cap=domain_cap, source_col="dom"
+        )
+        kept = kept.join(
+            dcap.filter("kept").select("doc_id"), "doc_id", "left_semi"
+        )
 
     # 3. mixture rebalance — deterministic hash thinning toward the
     #    alpha-temperature language mix (broadcast rate table)
@@ -323,6 +352,7 @@ def build_training_corpus_sql(
     semdedup_threshold: float = 0.45,
     semdedup_max_cell_size: int | None = 256,
     source_cap: int | None = None,
+    domain_cap: int | None = None,
     rep_n: int = 5,
     html_input: bool = False,
     url_dedup: bool = False,
@@ -444,6 +474,37 @@ capped AS MATERIALIZED (
         cap_cte = """
 capped AS MATERIALIZED (SELECT doc_id, lang, text_norm FROM kept2),"""
 
+    # 2d twin: registrable-domain quota — the PSL resolver over the
+    # survivors' fixture hosts, then the same deterministic md5-rank
+    # cap partitioned by domain. ``sel`` names the selection the
+    # downstream stages read, so with domain_cap=None the emitted SQL
+    # is byte-identical to before the stage existed.
+    sel = "capped"
+    if domain_cap is not None:
+        from ts_data_pipeline_spark.functions.weblinks import (
+            _url_sql,
+            psl_registrable_sql,
+        )
+
+        host = "lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1))"
+        hosts_sql = (
+            f"SELECT doc_id, {host} AS host FROM"
+            f" (SELECT doc_id, {_url_sql()} AS url FROM capped) raw"
+        )
+        dq = source_quota_cap_sql(
+            domain_cap, source_col="dom", table="domrel"
+        )
+        cap_cte += f"""
+domrel AS MATERIALIZED (
+  SELECT doc_id, COALESCE(domain, host) AS dom
+  FROM ({psl_registrable_sql(hosts_sql)}) t
+),
+domcapped AS MATERIALIZED (
+  SELECT c.* FROM capped c
+  WHERE doc_id IN (SELECT doc_id FROM ({dq}) q WHERE kept)
+),"""
+        sel = "domcapped"
+
     return f"""
 WITH {front_ctes}sig AS (
   SELECT doc_id, lang{carry_src},
@@ -468,10 +529,10 @@ kept2 AS MATERIALIZED (
   WHERE doc_id IN (SELECT doc_id FROM ({kc}) t WHERE kept)
 {sem_clause}),{cap_cte}
 k3text AS MATERIALIZED (
-  SELECT doc_id, lang, text_norm AS text FROM capped
+  SELECT doc_id, lang, text_norm AS text FROM {sel}
 ),
 resampled AS MATERIALIZED (
-  SELECT c.* FROM capped c
+  SELECT c.* FROM {sel} c
   WHERE doc_id IN (
     SELECT doc_id FROM ({importance_resample_sql(alpha, table="k3text")}) t
     WHERE kept)
