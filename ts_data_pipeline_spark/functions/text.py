@@ -463,7 +463,12 @@ def decontaminate(
     )
 
 
-def decontaminate_sql(n: int = 4, eval_mod: int = 13, threshold: float = 0.05) -> str:
+def decontaminate_sql(
+    n: int = 4,
+    eval_mod: int = 13,
+    threshold: float = 0.05,
+    table: str = "documents",
+) -> str:
     from ts_data_pipeline_spark.operators.dedup import SHINGLES_SQL
 
     sh = SHINGLES_SQL.format(nm1=n - 1)
@@ -471,7 +476,7 @@ def decontaminate_sql(n: int = 4, eval_mod: int = 13, threshold: float = 0.05) -
 WITH g AS (
   SELECT doc_id, doc_id % {eval_mod} = 0 AS is_eval,
          unnest(list_distinct({sh})) AS g
-  FROM documents
+  FROM {table}
 ),
 ev AS (SELECT DISTINCT g FROM g WHERE is_eval),
 hits AS (
@@ -480,7 +485,7 @@ hits AS (
 ),
 totals AS (
   SELECT doc_id, len(list_distinct({sh})) AS n_grams
-  FROM documents WHERE doc_id % {eval_mod} != 0
+  FROM {table} WHERE doc_id % {eval_mod} != 0
 )
 SELECT t.doc_id, t.n_grams,
        COALESCE(h.n_contaminated, 0) AS n_contaminated,

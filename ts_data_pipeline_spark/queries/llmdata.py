@@ -1210,13 +1210,22 @@ RECIPE_SOURCE_CAP = 12
 #: families), so 45 bites on the hot domains at gate SF while
 #: leaving every domain represented.
 RECIPE_DOMAIN_CAP = 45
+#: Decontamination knobs for the composed recipe (r13): 4-gram
+#: overlap vs the doc_id %% 13 eval split. The synthetic corpus
+#: shares a small vocabulary, so the production-style 0.05 threshold
+#: flags EVERYTHING at gate SF — 0.2 calibrated to bite (drops eval
+#: docs + the worst-overlap train docs) while leaving the packed
+#: output healthy at both sf0.001 and sf0.01.
+RECIPE_DECON_N = 4
+RECIPE_DECON_THRESHOLD = 0.2
 
 
 def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE composed end-to-end recipe as a gated query (VERDICT r7
     ask #5, front door widened per r12 asks #2/#3): URL dedup ->
     charset/mojibake repair -> HTML extraction -> corpus-wide C4
-    line dedup -> ingest gates -> CCNet
+    line dedup -> benchmark decontamination (eval split out,
+    overlapping train docs quarantined) -> ingest gates -> CCNet
     tail drop -> n-gram near-dup canonicals -> SemDeDup -> source
     quota -> registrable-domain (eTLD+1) quota through the PSL
     snapshot -> temperature resample -> deterministic shuffle ->
@@ -1236,6 +1245,8 @@ def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_dedup=True,
         line_dedup_max=2,
         charset_input=True,
+        decontaminate_n=RECIPE_DECON_N,
+        decontaminate_threshold=RECIPE_DECON_THRESHOLD,
     )
 
 
@@ -1250,6 +1261,8 @@ def _recipe_training_corpus_sql() -> str:
         url_dedup=True,
         line_dedup_max=2,
         charset_input=True,
+        decontaminate_n=RECIPE_DECON_N,
+        decontaminate_threshold=RECIPE_DECON_THRESHOLD,
     )
 
 

@@ -51,6 +51,9 @@ def build_training_corpus(
     url_dedup: bool = False,
     line_dedup_max: int | None = None,
     charset_input: bool = False,
+    decontaminate_n: int | None = None,
+    decontaminate_eval_mod: int = 13,
+    decontaminate_threshold: float = 0.05,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -161,6 +164,31 @@ def build_training_corpus(
     # text to storage here for the same reason.
     if url_dedup or charset_input or line_dedup_max is not None:
         docs = docs.localCheckpoint()
+
+    # -0.25. Benchmark decontamination (r13): the GPT-3/PaLM overlap
+    #     check as a CORPUS stage, not just a report — the eval split
+    #     (doc_id % eval_mod == 0, standing in for the benchmark
+    #     suite) leaves the training corpus entirely, and any train
+    #     doc whose distinct n-grams overlap the eval set at or above
+    #     the threshold is quarantined. Runs on the post-front-door
+    #     visible text (markup and boilerplate would inflate overlap)
+    #     and AFTER the staging boundary (the probe references docs
+    #     twice). The eval n-gram set broadcasts; the corpus never
+    #     shuffles for the probe.
+    if decontaminate_n is not None:
+        flagged = (
+            text_fns.decontaminate(
+                docs,
+                n=decontaminate_n,
+                eval_mod=decontaminate_eval_mod,
+                threshold=decontaminate_threshold,
+            )
+            .filter("flagged")
+            .select("doc_id")
+        )
+        docs = docs.filter(
+            F.col("doc_id") % decontaminate_eval_mod != 0
+        ).join(flagged, "doc_id", "left_anti")
 
     # 1. gates — scan-shaped signals, no shuffle
     if source_cap is not None and "source" not in docs.columns:
@@ -358,6 +386,9 @@ def build_training_corpus_sql(
     url_dedup: bool = False,
     line_dedup_max: int | None = None,
     charset_input: bool = False,
+    decontaminate_n: int | None = None,
+    decontaminate_eval_mod: int = 13,
+    decontaminate_threshold: float = 0.05,
 ) -> str:
     """DuckDB twin of the COMPOSED :func:`build_training_corpus`
     (drop_ppl_tail=True, the gate configuration) — every stage is the
@@ -444,6 +475,22 @@ def build_training_corpus_sql(
 ),
 """
         src_table = "line_docs"
+    if decontaminate_n is not None:
+        from ts_data_pipeline_spark.functions.text import decontaminate_sql
+
+        dc = decontaminate_sql(
+            n=decontaminate_n,
+            eval_mod=decontaminate_eval_mod,
+            threshold=decontaminate_threshold,
+            table=src_table,
+        )
+        front_ctes += f"""decon_docs AS MATERIALIZED (
+  SELECT d.* FROM {src_table} d
+  WHERE doc_id % {decontaminate_eval_mod} != 0
+    AND doc_id NOT IN (SELECT doc_id FROM ({dc}) x WHERE flagged)
+),
+"""
+        src_table = "decon_docs"
     ppl = bigram_lm_perplexity_sql(table=src_table)
     kc = keep_canonical_sql(
         ngram_jaccard_sql(table="gtext"), table="gtext"
