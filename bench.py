@@ -232,18 +232,34 @@ def _extras(spark) -> dict:
         )
 
     def recipe_build_corpus(spark, sf_dir):
-        # the composed end-to-end recipe (gates -> ppl tail-drop ->
-        # near-dup -> SemDeDup -> resample -> shuffle -> pack), timed
-        # so the "three corpus-wide shuffles" claim in recipes.py has
-        # a wall-clock number at bench SF
+        # the composed end-to-end recipe in the GATE's full r13
+        # configuration (URL dedup -> charset repair -> HTML ->
+        # line dedup -> decontamination -> gates -> ppl tail-drop ->
+        # near-dup -> SemDeDup -> source+domain quotas -> resample ->
+        # shuffle -> pack), timed so the composition cost is a
+        # wall-clock number at bench SF. NOTE: before r13 this row
+        # ran the bare r8 config (no front door) — values are not
+        # comparable across that boundary.
         from ts_data_pipeline_spark import recipes
-        from ts_data_pipeline_spark.queries.llmdata import KMEANS_SEED_IDS
+        from ts_data_pipeline_spark.queries.llmdata import (
+            KMEANS_SEED_IDS,
+            RECIPE_DECON_N,
+            RECIPE_DECON_THRESHOLD,
+            RECIPE_DOMAIN_CAP,
+        )
 
         return recipes.build_training_corpus(
             _io.load(spark, sf_dir, "documents"),
             embeddings=_io.load(spark, sf_dir, "embeddings"),
             semdedup_seeds=KMEANS_SEED_IDS,
             source_cap=5000,
+            domain_cap=RECIPE_DOMAIN_CAP * 100,
+            html_input=True,
+            url_dedup=True,
+            line_dedup_max=2,
+            charset_input=True,
+            decontaminate_n=RECIPE_DECON_N,
+            decontaminate_threshold=RECIPE_DECON_THRESHOLD,
         )
 
     # PQ deployment split (r7): the inline ann_pq_topk number includes
