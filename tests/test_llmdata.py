@@ -2909,6 +2909,9 @@ def test_psl_registrable_rule_classes(spark):
         ("unknowntld", "unknowntld", None),
         ("deep.sub.example.gov.uk", "gov.uk", "example.gov.uk"),
         ("UPPER.Example.COM", "com", "example.com"),  # case-folded
+        # punycode IDN TLD: PSL stores xn-- form; labels match
+        # textually once the host is punycoded
+        ("xn--80asehdb.xn--p1ai", "xn--p1ai", "xn--80asehdb.xn--p1ai"),
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _, _) in enumerate(cases)],
