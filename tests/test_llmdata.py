@@ -2948,6 +2948,118 @@ def test_psl_registrable_rule_classes(spark):
     assert ("github.io", 2, 0, 2) in rules                # private section
 
 
+def test_charset_repair_property():
+    """Hypothesis pins for the charset mapping layer (pure Python —
+    the same computed tables the Column chain and the SQL twin
+    embed): corrupt-then-repair is the identity for BOTH corruption
+    families over arbitrary mixes of ASCII and the repairable
+    alphabet, and repair is the identity on signature-free text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ts_data_pipeline_spark.functions import text as t
+
+    # Python reference of the repair chain (the Spark/SQL chains embed
+    # the same _UTF8_REPAIRS/_C1_REPAIRS tables, pinned cross-engine
+    # by the gate; here we pin the TABLES' algebra exhaustively)
+    def repair_py(s: str) -> str:
+        for moji, true in t._UTF8_REPAIRS:
+            s = s.replace(moji, true)
+        return s.translate(
+            {ord(c): v for c, v in t._C1_REPAIRS}
+        )
+
+    alphabet = st.sampled_from(
+        list(t._MOJIBAKE_CHARS) + list("abcXYZ 09.,!?'\"-\n")
+    )
+    texts = st.text(alphabet=alphabet, max_size=60)
+
+    @given(texts)
+    @settings(max_examples=300, deadline=None)
+    def _roundtrip(s):
+        assert repair_py(t._utf8_as_cp1252(s)) == s
+        assert repair_py(t._cp1252_as_latin1(s)) == s
+        # clean text is a fixed point (no char of the true alphabet
+        # appears in either signature alphabet)
+        assert repair_py(s) == s
+        # idempotence
+        assert repair_py(repair_py(t._utf8_as_cp1252(s))) == s
+
+    _roundtrip()
+
+
+def test_psl_matcher_property():
+    """Hypothesis pin for the PSL rule algebra (the same tuples the
+    broadcast relation and the VALUES twin are built from): for any
+    host assembled as <random labels> + <snapshot suffix>, a Python
+    reference implementing the publicsuffix.org algorithm directly
+    (explicit candidate walk, exception > most-labels precedence,
+    implicit '*') agrees with the integer-MAX reduction used by both
+    engines (prevailing = max(prio*100 + rule_labels); ps = labels -
+    prio)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ts_data_pipeline_spark.functions import weblinks as wl
+
+    rules = wl.psl_rules()
+    maxr = max(m for _, m, _, _ in rules)
+    by_key: dict[tuple[str, int], list] = {}
+    for k, m, p, r in rules:
+        by_key.setdefault((k, m), []).append((p, r))
+
+    def ps_via_max(host: str) -> int:
+        labels = host.split(".")
+        n = len(labels)
+        best = None
+        for i in range(1, min(n, maxr) + 1):
+            cand = ".".join(labels[n - i:])
+            for p, r in by_key.get((cand, i), ()):
+                if r == i or n > i:  # wildcard needs one extra label
+                    mk = p * 100 + r
+                    best = mk if best is None else max(best, mk)
+        if best is None:
+            return 1
+        return best % 100 - best // 100
+
+    def ps_reference(host: str) -> int:
+        """Direct publicsuffix.org algorithm: collect matching rules
+        (rule labels are a suffix; '*' matches exactly one label),
+        exceptions win, else most labels; default '*'."""
+        labels = host.split(".")
+        matches = []
+        for k, m, p, r in rules:
+            klabels = k.split(".")
+            if labels[-m:] != klabels:
+                continue
+            if r == m + 1:  # wildcard: '*' must consume a real label
+                if len(labels) >= m + 1:
+                    matches.append((p, r))
+            else:
+                matches.append((p, r))
+        if not matches:
+            return 1
+        exc = [x for x in matches if x[0] == 1]
+        if exc:
+            return max(r for _, r in exc) - 1
+        return max(r for _, r in matches)
+
+    label = st.text(
+        alphabet=st.sampled_from("abcxyz09"), min_size=1, max_size=5
+    )
+    suffix = st.sampled_from(
+        [k for k, m, p, r in rules] + ["zz", "unlisted.zz"]
+    )
+
+    @given(st.lists(label, min_size=0, max_size=3), suffix)
+    @settings(max_examples=300, deadline=None)
+    def _agree(prefix, suf):
+        host = ".".join(prefix + [suf])
+        assert ps_via_max(host) == ps_reference(host), host
+
+    _agree()
+
+
 def test_domain_quota_composition(spark):
     """The r13 recipe stage 2d building blocks composed directly:
     PSL registrable domains -> deterministic md5-rank quota. Pins
