@@ -36,6 +36,16 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 #: than the reference draw, and queries_norm divides it out.
 CANARY_REF_SEC = 0.477
 
+#: pinned reference for the SECOND canary (r14, VERDICT r13 ask #1):
+#: the fixed shuffle+local-disk workload's duration on the r14
+#: builder host (median of the round's validation runs). The CPU
+#: canary demonstrably under-measures I/O/memory-bandwidth contention
+#: (it tracked ~7 points of a ~28% slowdown in r13, BENCH_NOTES) —
+#: canary_io_ratio is the host-draw signal for shuffle/scan-bound
+#: queries, published alongside canary_ratio so adjudication can
+#: match each query's profile.
+CANARY_IO_REF_SEC = 1.087
+
 # Headline set: curated, scale-sensitive queries — the SAME 11
 # workloads every round so totals stay comparable. Two of them
 # (telemetry_interp_linear, dedup_exact) were folded into suite
@@ -246,6 +256,7 @@ def _extras(spark) -> dict:
             RECIPE_DECON_N,
             RECIPE_DECON_THRESHOLD,
             RECIPE_DOMAIN_CAP,
+            RECIPE_DOMAIN_MEGA,
         )
 
         return recipes.build_training_corpus(
@@ -254,6 +265,7 @@ def _extras(spark) -> dict:
             semdedup_seeds=KMEANS_SEED_IDS,
             source_cap=5000,
             domain_cap=RECIPE_DOMAIN_CAP * 100,
+            domain_quota_mega_threshold=RECIPE_DOMAIN_MEGA,
             html_input=True,
             url_dedup=True,
             line_dedup_max=2,
@@ -1150,6 +1162,58 @@ def _canary(spark) -> dict:
         return {}
 
 
+def _canary_io(spark) -> dict:
+    """Second fixed canary (r14, VERDICT r13 ask #1): a
+    shuffle/I/O-bound workload — write a constant-size synthetic
+    relation to LOCAL DISK as parquet, read it back, and push it
+    through a full-width repartition + within-partition sort. No data
+    dependence, ~100 MB of parquet and one 64-way exchange per run,
+    so it moves with disk and memory-bandwidth contention the pure
+    in-memory hash-agg canary is blind to. The timed body includes
+    the write (the sink half of real host draw); the dir is recreated
+    per run so the page cache can't hide the I/O after run one."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    try:
+        def run_once() -> float:
+            d = tempfile.mkdtemp(prefix="tsdp_canary_io_")
+            try:
+                t0 = time.perf_counter()
+                (
+                    spark.range(0, 2_000_000, 1, 32)
+                    .select(
+                        F.col("id"),
+                        # ~64-byte incompressible-ish payload so the
+                        # bytes moved are real, not RLE'd away
+                        F.concat(
+                            F.md5(F.col("id").cast("string")),
+                            F.md5((F.col("id") + 1).cast("string")),
+                        ).alias("payload"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(d)
+                )
+                (
+                    spark.read.parquet(d)
+                    .repartition(64, F.col("id") % 997)
+                    .sortWithinPartitions("payload")
+                    .count()
+                )
+                return time.perf_counter() - t0
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        run_once()  # warm (codegen + committer init)
+        ts = [run_once() for _ in range(max(RUNS, 3))]
+        return {"canary_io_sec": round(statistics.median(ts), 3)}
+    except Exception as exc:
+        print(f"# io canary failed: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     spark = get_spark("ts-data-pipeline-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1163,6 +1227,7 @@ def main() -> None:
     # the median.)
     spark.range(1).count()
     canary_pre = _canary(spark)
+    canary_io_pre = _canary_io(spark)
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", SF_DIR)
     for name, fn in resolved.items():
         try:
@@ -1217,6 +1282,7 @@ def main() -> None:
         extras.update(_maintenance(spark))
         extras.update(_media(spark))
     canary = _canary(spark)
+    canary_io_post = _canary_io(spark)
 
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items() if s}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items() if s}
@@ -1260,6 +1326,10 @@ def main() -> None:
             "canary_jvm_agg_sec", canary["canary_jvm_agg_sec"]
         )
         payload["value_per_canary"] = round(total / ref, 2)
+    if canary_io_pre.get("canary_io_sec"):
+        payload["canary_io_sec_pre"] = canary_io_pre["canary_io_sec"]
+    if canary_io_post.get("canary_io_sec"):
+        payload["canary_io_sec"] = canary_io_post["canary_io_sec"]
     print(json.dumps(payload))
     # The driver records a FIXED-SIZE TAIL of stdout, and the full
     # line above grows every round (extras/recall sections) — r7 and
@@ -1326,6 +1396,8 @@ def main() -> None:
         "canary_jvm_agg_sec_pre",
         "canary_jvm_agg_sec",
         "value_per_canary",
+        "canary_io_sec_pre",
+        "canary_io_sec",
     ):
         if k in payload:
             compact[k] = payload[k]
@@ -1348,6 +1420,19 @@ def main() -> None:
         # 2000-char tail cap (measured: ~2.06 kB keyed, ~1.82 kB as a
         # list).
         compact["qnorm"] = [round(t / ratio, 2) for t in timings.values()]
+    # r14 (VERDICT r13 ask #1): the second, shuffle/I/O-bound host
+    # ratio, and a blended normalization (equal-weight mean of the two
+    # ratios — the headline set is roughly half CPU-bound expressions,
+    # half shuffle/scan work). Both raw ratios stay published so
+    # adjudication can pick the profile that fits a given query.
+    if canary_io_pre.get("canary_io_sec"):
+        io_ratio = round(
+            canary_io_pre["canary_io_sec"] / CANARY_IO_REF_SEC, 3
+        )
+        compact["canary_io_ratio"] = io_ratio
+        if "canary_ratio" in compact:
+            blend = (compact["canary_ratio"] + io_ratio) / 2
+            compact["headline_total_norm_blend"] = round(total / blend, 3)
     print(json.dumps(compact, separators=(",", ":")))
 
 

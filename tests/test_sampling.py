@@ -328,3 +328,94 @@ def test_stratified_split_hybrid_routes_and_matches(spark):
 
     tol = 4 * _math.sqrt(n_mega * 0.8 * 0.2)
     assert abs(got_train - 0.8 * n_mega) <= tol, (got_train, n_mega)
+
+
+def test_source_quota_threshold_skew_scan_shape(spark):
+    """VERDICT r13 ask #4: a single domain holding ~50% of the corpus
+    must not become a single-partition window. The threshold form's
+    executed plan carries NO Window operator at all (the only shuffle
+    is the per-source count aggregate, broadcast back onto a scan);
+    the mega source's kept count lands within binomial tolerance of
+    the cap; sub-cap sources keep everything; and the survivor set is
+    stable across repartitionings (same salted md5 draw)."""
+    import math
+
+    docs = io.load(spark, SF_DIR, "documents")
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("mega.example")).otherwise(
+            F.col("source")
+        ),
+    )
+    cap = 50
+    out = sampling.source_quota_threshold(skewed, cap=cap)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    n_mega = skewed.filter("source = 'mega.example'").count()
+    assert n_mega * 2 >= docs.count()  # the planted 50% skew is real
+    kept_mega = out.filter("kept AND source = 'mega.example'").count()
+    p = cap / n_mega
+    tol = 4 * math.sqrt(n_mega * p * (1 - p)) + 1
+    assert abs(kept_mega - cap) <= tol, (kept_mega, cap, tol)
+    # a source at or under the cap keeps every doc (threshold >= 2^32)
+    small = (
+        out.groupBy("source")
+        .agg(
+            F.max("n_source").alias("n"),
+            F.sum(F.col("kept").cast("int")).alias("k"),
+        )
+        .filter(F.col("n") <= cap)
+        .collect()
+    )
+    assert small and all(r.k == r.n for r in small)
+    a = {r.doc_id for r in out.filter("kept").collect()}
+    b = {
+        r.doc_id
+        for r in sampling.source_quota_threshold(
+            skewed.repartition(13), cap=cap
+        )
+        .filter("kept")
+        .collect()
+    }
+    assert a == b
+
+
+def test_source_quota_hybrid_routes_exact_and_threshold(spark):
+    """The hybrid quota routes sub-threshold sources through the
+    EXACT rank cap (verdicts identical to source_quota_cap) and mega
+    sources through the threshold form (verdicts identical to
+    source_quota_threshold), covering every doc exactly once."""
+    docs = io.load(spark, SF_DIR, "documents")
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("mega.example")).otherwise(
+            F.col("source")
+        ),
+    )
+    cap, thresh = 30, 100
+    sizes = {
+        r.source: r.n
+        for r in skewed.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sizes["mega.example"] > thresh  # the mega leg is exercised
+    assert any(n <= thresh for n in sizes.values())  # so is the exact leg
+    out = {
+        r.doc_id: (r.source, r.kept)
+        for r in sampling.source_quota_cap_hybrid(
+            skewed, cap=cap, mega_threshold=thresh
+        ).collect()
+    }
+    assert len(out) == docs.count()
+    exact = {
+        r.doc_id: r.kept
+        for r in sampling.source_quota_cap(skewed, cap=cap).collect()
+    }
+    threshold = {
+        r.doc_id: r.kept
+        for r in sampling.source_quota_threshold(skewed, cap=cap).collect()
+    }
+    for doc_id, (source, kept) in out.items():
+        want = threshold[doc_id] if sizes[source] > thresh else exact[doc_id]
+        assert kept == want, (doc_id, source, kept, want)

@@ -375,6 +375,19 @@ def psl_rules(path: str | None = None) -> list[tuple[str, int, int, int]]:
             else:
                 n = line.count(".") + 1
                 rules.append((line, n, 0, n))
+    # The prevailing-rule reduction packs (prio, rule_labels) as
+    # prio*100 + rule_labels and decodes with %100 — sound only while
+    # every rule has < 100 labels (the real PSL's max is ~5). A
+    # malformed or hostile file would otherwise mis-resolve domains
+    # SILENTLY instead of erroring, so the invariant is enforced at
+    # load time.
+    for key, _, _, rl in rules:
+        if rl >= 100:
+            raise ValueError(
+                f"PSL rule '{key}' has {rl} labels; the prio*100 "
+                "packing supports at most 99 (real PSL max is ~5) — "
+                "refusing a malformed suffix list"
+            )
     return rules
 
 
@@ -484,15 +497,58 @@ def psl_values_sql(
     )
 
 
+def psl_rules_csv_write(
+    path: str, rules: list[tuple[str, int, int, int]] | None = None
+) -> str:
+    """Materialize the parsed rule table as a CSV for the full-PSL
+    deployment path: with the complete upstream file (~10k rules) the
+    VALUES literal :func:`psl_values_sql` splices would balloon every
+    generated query to hundreds of KB and be rebuilt per construction
+    — registering the relation once (``read_csv``, or a temp table
+    loaded from it) keeps the generated SQL constant-size. The
+    checked-in snapshot stays on the VALUES form (self-contained
+    oracle strings are the gate contract). Returns ``path``."""
+    rules = rules if rules is not None else psl_rules()
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("key,match_len,prio,rule_labels\n")
+        for k, m, p, r in rules:
+            fh.write(f"{k},{m},{p},{r}\n")
+    return path
+
+
+def psl_table_sql(csv_path: str) -> str:
+    """A rules relation reading the CSV :func:`psl_rules_csv_write`
+    wrote — drop-in for the ``rules_rel`` parameter of
+    :func:`psl_registrable_sql`."""
+    return (
+        f"(SELECT key, CAST(match_len AS INT) AS match_len,"
+        f" CAST(prio AS INT) AS prio,"
+        f" CAST(rule_labels AS INT) AS rule_labels"
+        f" FROM read_csv('{csv_path}', header=true))"
+    )
+
+
 def psl_registrable_sql(
     hosts_sql: str,
     host_col: str = "host",
     rules: list[tuple[str, int, int, int]] | None = None,
+    rules_rel: str | None = None,
+    max_match_len: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`psl_registrable` over ``hosts_sql`` (a
-    subquery producing the host relation)."""
-    rules = rules if rules is not None else psl_rules()
-    maxr = max(m for _, m, _, _ in rules)
+    subquery producing the host relation). ``rules_rel`` (with
+    ``max_match_len``) swaps the inlined VALUES literal for a
+    registered relation — the full-PSL deployment path (see
+    :func:`psl_rules_csv_write`)."""
+    if rules_rel is not None:
+        if max_match_len is None:
+            raise ValueError("rules_rel requires max_match_len")
+        maxr = max_match_len
+        rel = rules_rel
+    else:
+        rules = rules if rules is not None else psl_rules()
+        maxr = max(m for _, m, _, _ in rules)
+        rel = psl_values_sql(rules)
     return f"""
 WITH hostsrc AS MATERIALIZED ({hosts_sql}),
 parts AS (
@@ -512,7 +568,7 @@ cands AS (
 ),
 matched AS (
   SELECT _h, MAX(prio * 100 + rule_labels) AS _mk
-  FROM cands JOIN {psl_values_sql(rules)} r
+  FROM cands JOIN {rel} r
     ON cands.cand = r.key AND cands.i = r.match_len
   WHERE r.rule_labels = r.match_len OR cands._n > r.match_len
   GROUP BY _h

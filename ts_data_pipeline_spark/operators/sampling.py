@@ -370,9 +370,10 @@ def source_quota_cap(
     Scale shape: one shuffle on ``source_col`` for the per-source
     rank window. Source cardinality is domain-scale (bounded), but a
     mega-source is a skewed partition; when one source holds a large
-    fraction of a 100 TB corpus, switch to the threshold form — keep
-    iff hash/2^32 < cap/count(source) with broadcast counts — which
-    is scan-shaped at the cost of an EXPECTED (not exact) cap.
+    fraction of a 100 TB corpus, switch to
+    :func:`source_quota_threshold` (scan-shaped, EXPECTED cap) or
+    :func:`source_quota_cap_hybrid` (exact cap for bounded sources,
+    threshold form only for the mega ones).
     """
     from pyspark.sql import Window
 
@@ -411,6 +412,149 @@ FROM (
            ORDER BY ({u}) ASC, {key_col} ASC) AS qrank
   FROM {table}
 )
+"""
+
+
+def source_quota_threshold(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """The SCAN-SHAPED quota (r14, VERDICT r13 ask #4): keep a doc
+    iff ``u32(md5(salt||key)) < floor(cap * 2^32 / count(source))`` —
+    the threshold form the :func:`source_quota_cap` docstring names
+    for mega-source/mega-domain skew.
+
+    Where the rank form windows ``row_number() OVER (PARTITION BY
+    source)`` — one huge partition when a single eTLD+1 holds half a
+    crawl — this form never groups raw rows by source at all: the
+    only shuffle is the map-side-combinable per-source COUNT (a
+    domain-cardinality relation), broadcast back onto a pure scan.
+    The cost is an EXPECTED cap (each survivor kept independently
+    with probability ~cap/n) instead of an exact one; the draw uses
+    the SAME salted md5 as the rank form, so a doc that survives here
+    is deterministic across runs, engines and partitionings.
+
+    All-integer keep rule — ``_u < (cap * 2^32) div n`` with floor
+    division on both engines — so there is no float boundary for the
+    two engines to disagree on. ``cap * 2^32`` must fit in an int64:
+    cap < 2^31, enforced."""
+    if cap >= 2**31:
+        raise ValueError(f"cap {cap} overflows the 2^32 scaling")
+    num = cap * 4294967296
+    u = _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    return (
+        docs.select(F.col(key_col), F.col(source_col), u.alias("_u"))
+        .join(F.broadcast(counts), source_col)
+        .select(
+            key_col,
+            source_col,
+            "n_source",
+            F.expr(f"_u < {num} div n_source").alias("kept"),
+        )
+    )
+
+
+def source_quota_threshold_sql(
+    cap: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota-v1",
+    table: str = "documents",
+) -> str:
+    u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
+    num = cap * 4294967296
+    return f"""
+SELECT {key_col}, {source_col}, n_source,
+       ({u}) < {num} // n_source AS kept
+FROM {table}
+JOIN (SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM {table} GROUP BY {source_col}) counts USING ({source_col})
+"""
+
+
+def source_quota_cap_hybrid(
+    docs: DataFrame,
+    cap: int,
+    mega_threshold: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Exact-cap rank window for ordinary sources, threshold form for
+    MEGA sources (count > ``mega_threshold``) — the
+    ``stratified_split_hybrid`` idiom applied to the quota: the rank
+    window only ever sees partitions bounded by ``mega_threshold``
+    rows, so a single domain holding half the corpus can no longer
+    create the one-giant-partition window (AQE cannot split a window
+    partition; the skill notes' incompressible-payload caveat), while
+    every bounded source keeps the exact deterministic cap.
+
+    Output is verdict-shaped like :func:`source_quota_threshold`
+    (key, source, n_source, kept); the rank is an internal detail
+    here because the two branches don't share one."""
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    u = _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
+    based = docs.select(
+        F.col(key_col), F.col(source_col), u.alias("_u")
+    ).join(F.broadcast(counts), source_col)
+    small = based.filter(F.col("n_source") <= mega_threshold)
+    mega = based.filter(F.col("n_source") > mega_threshold)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("_u").asc(), F.col(key_col).asc()
+    )
+    num = cap * 4294967296
+    small_v = (
+        small.repartition(source_col)
+        .withColumn("qrank", F.row_number().over(w))
+        .select(
+            key_col, source_col, "n_source",
+            (F.col("qrank") <= cap).alias("kept"),
+        )
+    )
+    mega_v = mega.select(
+        key_col, source_col, "n_source",
+        F.expr(f"_u < {num} div n_source").alias("kept"),
+    )
+    return small_v.unionByName(mega_v)
+
+
+def source_quota_cap_hybrid_sql(
+    cap: int,
+    mega_threshold: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "quota-v1",
+    table: str = "documents",
+) -> str:
+    u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
+    num = cap * 4294967296
+    return f"""
+WITH qcounts AS (
+  SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_source
+  FROM {table} GROUP BY {source_col}
+),
+qbased AS (
+  SELECT {key_col}, {source_col}, n_source, ({u}) AS _u
+  FROM {table} JOIN qcounts USING ({source_col})
+)
+SELECT {key_col}, {source_col}, n_source,
+       row_number() OVER (PARTITION BY {source_col}
+         ORDER BY _u ASC, {key_col} ASC) <= {cap} AS kept
+FROM qbased WHERE n_source <= {mega_threshold}
+UNION ALL
+SELECT {key_col}, {source_col}, n_source,
+       _u < {num} // n_source AS kept
+FROM qbased WHERE n_source > {mega_threshold}
 """
 
 

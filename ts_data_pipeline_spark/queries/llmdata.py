@@ -220,6 +220,16 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scan-shaped EXPECTED-cap quota (threshold form — no rank
+    window at all; operators/sampling.py source_quota_threshold),
+    gated at the same cap as the exact form so the two verdicts are
+    directly comparable."""
+    return sampling.source_quota_threshold(
+        io.load(spark, sf_dir, "documents"), cap=40
+    )
+
+
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus top-25 terms (operators/sketch.py; the
     Misra-Gries bounded-memory form is pytest-pinned)."""
@@ -1210,6 +1220,13 @@ RECIPE_SOURCE_CAP = 12
 #: families), so 45 bites on the hot domains at gate SF while
 #: leaving every domain represented.
 RECIPE_DOMAIN_CAP = 45
+#: Mega-domain routing threshold for the hybrid quota (r14): at gate
+#: SF the hot eTLD+1 (sample.org, two host families) exceeds this and
+#: takes the scan-shaped threshold leg while the bounded domains keep
+#: the exact rank cap — both legs execute in the gate (verified: the
+#: gate output DIFFERS from the pure-rank form at sf0.01, so the
+#: threshold leg demonstrably bites).
+RECIPE_DOMAIN_MEGA = 60
 #: Decontamination knobs for the composed recipe (r13): 4-gram
 #: overlap vs the doc_id %% 13 eval split. The synthetic corpus
 #: shares a small vocabulary, so the production-style 0.05 threshold
@@ -1241,6 +1258,7 @@ def recipe_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_seeds=KMEANS_SEED_IDS,
         source_cap=RECIPE_SOURCE_CAP,
         domain_cap=RECIPE_DOMAIN_CAP,
+        domain_quota_mega_threshold=RECIPE_DOMAIN_MEGA,
         html_input=True,
         url_dedup=True,
         line_dedup_max=2,
@@ -1257,6 +1275,7 @@ def _recipe_training_corpus_sql() -> str:
         semdedup_seeds=KMEANS_SEED_IDS,
         source_cap=RECIPE_SOURCE_CAP,
         domain_cap=RECIPE_DOMAIN_CAP,
+        domain_quota_mega_threshold=RECIPE_DOMAIN_MEGA,
         html_input=True,
         url_dedup=True,
         line_dedup_max=2,

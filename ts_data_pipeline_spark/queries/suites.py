@@ -618,6 +618,13 @@ def _text_stats_members() -> list[Member]:
              ("kept", "s")),
         ),
         Member(
+            "source_quota_threshold",
+            llmdata.source_quota_threshold,
+            sampling.source_quota_threshold_sql(cap=40),
+            (("doc_id", "l"), ("source", "s"), ("n_source", "l"),
+             ("kept", "s")),
+        ),
+        Member(
             "heavy_hitters",
             llmdata.heavy_hitters,
             sketch_ops.exact_heavy_hitters_sql(k=25),

@@ -45,6 +45,7 @@ def build_training_corpus(
     semdedup_max_cell_size: int | None = 256,
     source_cap: int | None = None,
     domain_cap: int | None = None,
+    domain_quota_mega_threshold: int | None = None,
     nfc_clean: bool = False,
     eval_split_fracs: dict[str, float] | None = None,
     html_input: bool = False,
@@ -305,9 +306,23 @@ def build_training_corpus(
             "doc_id",
             F.coalesce(F.col("domain"), F.col("host")).alias("dom"),
         )
-        dcap = sampling.source_quota_cap(
-            dom, cap=domain_cap, source_col="dom"
-        )
+        # Mega-domain skew guard (r14, VERDICT r13 ask #4): with a
+        # ``domain_quota_mega_threshold``, domains above it take the
+        # scan-shaped threshold quota (expected cap, no window) and
+        # only bounded domains pay the exact rank window — a single
+        # eTLD+1 holding half a 100 TB crawl can no longer become one
+        # giant window partition.
+        if domain_quota_mega_threshold is not None:
+            dcap = sampling.source_quota_cap_hybrid(
+                dom,
+                cap=domain_cap,
+                mega_threshold=domain_quota_mega_threshold,
+                source_col="dom",
+            )
+        else:
+            dcap = sampling.source_quota_cap(
+                dom, cap=domain_cap, source_col="dom"
+            )
         kept = kept.join(
             dcap.filter("kept").select("doc_id"), "doc_id", "left_semi"
         )
@@ -381,6 +396,7 @@ def build_training_corpus_sql(
     semdedup_max_cell_size: int | None = 256,
     source_cap: int | None = None,
     domain_cap: int | None = None,
+    domain_quota_mega_threshold: int | None = None,
     rep_n: int = 5,
     html_input: bool = False,
     url_dedup: bool = False,
@@ -538,9 +554,21 @@ capped AS MATERIALIZED (SELECT doc_id, lang, text_norm FROM kept2),"""
             f"SELECT doc_id, {host} AS host FROM"
             f" (SELECT doc_id, {_url_sql()} AS url FROM capped) raw"
         )
-        dq = source_quota_cap_sql(
-            domain_cap, source_col="dom", table="domrel"
-        )
+        if domain_quota_mega_threshold is not None:
+            from ts_data_pipeline_spark.operators.sampling import (
+                source_quota_cap_hybrid_sql,
+            )
+
+            dq = source_quota_cap_hybrid_sql(
+                domain_cap,
+                mega_threshold=domain_quota_mega_threshold,
+                source_col="dom",
+                table="domrel",
+            )
+        else:
+            dq = source_quota_cap_sql(
+                domain_cap, source_col="dom", table="domrel"
+            )
         cap_cte += f"""
 domrel AS MATERIALIZED (
   SELECT doc_id, COALESCE(domain, host) AS dom

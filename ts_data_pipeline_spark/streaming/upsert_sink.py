@@ -205,7 +205,9 @@ def _scan_best_committed(
     return best_dir, best_seq, best_m
 
 
-def _roll_forward(table_dir: str, ops=None) -> tuple[str | None, int]:
+def _roll_forward(
+    table_dir: str, ops=None
+) -> tuple[str | None, int, dict | None]:
     """Crash recovery for the commit protocol's one non-atomic gap:
     a version can be fully COMMITTED (manifest written) with the
     crash landing before ``_point_current``. Seqs are minted from the
