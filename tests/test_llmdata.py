@@ -3190,3 +3190,66 @@ def test_line_dedup_c4_semantics(spark):
     out4 = {r.doc_id: r
             for r in text_fns.line_dedup(docs, max_occurrences=4).collect()}
     assert all(out4[d].n_kept == out4[d].n_lines for d in out4)
+
+
+def test_recipe_durable_staging_matches_and_resumes(spark, tmp_path):
+    """VERDICT r13 ask #2: the recipe's staging boundaries, durable.
+    With ``staging_dir`` the three localCheckpoint boundaries become
+    parquet spills through the FS layer; output must be identical to
+    the default mode. Crash-walk: a re-run with ``staging_resume``
+    must serve every staged stage FROM STORAGE — pinned by poisoning
+    the input (empty corpus) and getting the original output anyway,
+    which localCheckpoint cannot do (its blocks die with the job)."""
+    import os
+
+    from ts_data_pipeline_spark import io, recipes
+    from ts_data_pipeline_spark.queries import llmdata
+
+    docs = io.load(spark, SF_DIR, "documents")
+    emb = io.load(spark, SF_DIR, "embeddings")
+    kw = dict(
+        embeddings=emb,
+        semdedup_seeds=llmdata.KMEANS_SEED_IDS,
+        source_cap=llmdata.RECIPE_SOURCE_CAP,
+        domain_cap=llmdata.RECIPE_DOMAIN_CAP,
+        domain_quota_mega_threshold=llmdata.RECIPE_DOMAIN_MEGA,
+        html_input=True,
+        url_dedup=True,
+        line_dedup_max=2,
+        charset_input=True,
+        decontaminate_n=llmdata.RECIPE_DECON_N,
+        decontaminate_threshold=llmdata.RECIPE_DECON_THRESHOLD,
+    )
+    base = sorted(
+        tuple(r) for r in recipes.build_training_corpus(docs, **kw).collect()
+    )
+    sdir = str(tmp_path / "stages")
+    staged = sorted(
+        tuple(r)
+        for r in recipes.build_training_corpus(
+            docs, staging_dir=sdir, **kw
+        ).collect()
+    )
+    assert staged == base
+    for name in ("front_door", "gated", "selected"):
+        assert os.path.exists(os.path.join(sdir, name, "_SUCCESS")), name
+    # crash-walk: poisoned (empty) input + resume -> stages come from
+    # storage, output unchanged
+    poisoned = docs.limit(0)
+    resumed = sorted(
+        tuple(r)
+        for r in recipes.build_training_corpus(
+            poisoned, staging_dir=sdir, staging_resume=True, **kw
+        ).collect()
+    )
+    assert resumed == base
+    # a stage MISSING its _SUCCESS marker (crash mid-write) is not
+    # trusted: resume recomputes it from the input
+    os.remove(os.path.join(sdir, "front_door", "_SUCCESS"))
+    rebuilt = sorted(
+        tuple(r)
+        for r in recipes.build_training_corpus(
+            docs, staging_dir=sdir, staging_resume=True, **kw
+        ).collect()
+    )
+    assert rebuilt == base

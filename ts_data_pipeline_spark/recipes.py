@@ -28,6 +28,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _stage(
+    docs: DataFrame,
+    staging_dir: str | None,
+    name: str,
+    resume: bool = False,
+) -> DataFrame:
+    """A recipe staging boundary (r14, VERDICT r13 ask #2).
+
+    With no ``staging_dir``: ``localCheckpoint`` — cheap, single-job,
+    but executor-local and non-fault-tolerant (a lost executor kills
+    the job mid-recipe; fine at bench SF, not the 100 TB story).
+
+    With ``staging_dir``: spill the stage to
+    ``<staging_dir>/<name>`` as parquet through the Hadoop FS layer
+    (any scheme the cluster mounts — the same portability surface as
+    operators/fsio.py) and read it back, truncating lineage
+    DURABLY: a lost executor replays from storage, and a crashed
+    driver can resume — with ``resume=True`` a stage whose
+    ``_SUCCESS`` marker already exists is NOT recomputed, it is read
+    straight from storage (the commit marker guards against a crash
+    mid-write leaving a partial stage; parquet's overwrite leaves no
+    marker until the job completes)."""
+    if staging_dir is None:
+        return docs.localCheckpoint()
+    from ts_data_pipeline_spark.operators import fsio
+
+    spark = docs.sparkSession
+    path = fsio.join(staging_dir, name)
+    if not (resume and fsio.exists(spark, fsio.join(path, "_SUCCESS"))):
+        docs.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def build_training_corpus(
     docs: DataFrame,
     out_path: str | None = None,
@@ -55,6 +88,8 @@ def build_training_corpus(
     decontaminate_n: int | None = None,
     decontaminate_eval_mod: int = 13,
     decontaminate_threshold: float = 0.05,
+    staging_dir: str | None = None,
+    staging_resume: bool = False,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -161,10 +196,11 @@ def build_training_corpus(
     # HTML explode/reassemble, and the line-count anti-join from
     # scratch, and the inlined three-stage subtree is what blows the
     # logical plan up combinatorially (task-serialization OOM at gate
-    # SF before this boundary landed). A deployment stages extracted
-    # text to storage here for the same reason.
+    # SF before this boundary landed). With ``staging_dir`` the
+    # boundary is a durable parquet spill (the deployment shape);
+    # default stays localCheckpoint (single-job).
     if url_dedup or charset_input or line_dedup_max is not None:
-        docs = docs.localCheckpoint()
+        docs = _stage(docs, staging_dir, "front_door", staging_resume)
 
     # -0.25. Benchmark decontamination (r13): the GPT-3/PaLM overlap
     #     check as a CORPUS stage, not just a report — the eval split
@@ -226,11 +262,10 @@ def build_training_corpus(
     # shuffle-rank, packing) references `gated` many times over; with
     # the LM gate's join/window subtree inlined at every reference the
     # logical plan grows combinatorially. Truncate lineage here —
-    # the gate output is the recipe's natural staging boundary (a real
-    # deployment would stage it to storage; localCheckpoint is the
-    # single-job equivalent).
+    # the gate output is the recipe's natural staging boundary
+    # (durable with ``staging_dir``, localCheckpoint otherwise).
     if drop_ppl_tail or require_gopher:
-        gated = gated.localCheckpoint()
+        gated = _stage(gated, staging_dir, "gated", staging_resume)
 
     # 2. near-dup removal — keep one canonical doc per cluster
     survivors = dedup.keep_canonical(
@@ -283,10 +318,9 @@ def build_training_corpus(
     # sf0.1: the composed recipe dropped ~60s -> ~25s with this one
     # boundary; with the r13 domain-cap stage referencing the
     # pre-checkpoint subtree twice, plan serialization alone OOM'd
-    # the driver — the boundary must sit BEFORE 2d). A deployment
-    # stages the post-selection corpus to storage here for the same
-    # reason.
-    kept = kept.localCheckpoint()
+    # the driver — the boundary must sit BEFORE 2d). Durable with
+    # ``staging_dir``; localCheckpoint otherwise.
+    kept = _stage(kept, staging_dir, "selected", staging_resume)
 
     # 2d. anti-domination at the REGISTRABLE-DOMAIN grain (r13): the
     #     crawl-realistic quota — a single eTLD+1 (all its hosts and
