@@ -3253,3 +3253,31 @@ def test_recipe_durable_staging_matches_and_resumes(spark, tmp_path):
         ).collect()
     )
     assert rebuilt == base
+
+
+def test_html_line_dedup_fusion_matches_composition(spark):
+    """The fused single-pass operator must be VALUE-identical to the
+    two-stage composition it replaces (html_main_content -> rename ->
+    line_dedup), row for row — including the edge contracts: docs
+    with no visible blocks absent from both, fully-hot docs present
+    with empty text in both."""
+    from pyspark.sql import functions as F
+
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.functions import text as text_fns
+
+    docs = io.load(spark, SF_DIR, "documents")
+    fused = {
+        r.doc_id: (r.n_lines, r.n_kept, r.text_kept)
+        for r in text_fns.html_line_dedup(docs, max_occurrences=2).collect()
+    }
+    main = text_fns.html_main_content(docs).select(
+        "doc_id", F.col("main_text").alias("text")
+    )
+    composed = {
+        r.doc_id: (r.n_lines, r.n_kept, r.text_kept)
+        for r in text_fns.line_dedup(main, max_occurrences=2).collect()
+    }
+    assert fused == composed
+    # the hot-line rule did real work at this SF (not a vacuous pass)
+    assert any(v[1] < v[0] for v in fused.values())

@@ -220,6 +220,16 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_line_dedup_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused HTML-extraction + corpus line-dedup pass
+    (functions/text.py html_line_dedup — one explode/reassemble);
+    its oracle is the UNFUSED two-stage composition, so the gate pins
+    the fusion's value-identity."""
+    return text_fns.html_line_dedup(
+        io.load(spark, sf_dir, "documents"), max_occurrences=2
+    )
+
+
 def source_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scan-shaped EXPECTED-cap quota (threshold form — no rank
     window at all; operators/sampling.py source_quota_threshold),

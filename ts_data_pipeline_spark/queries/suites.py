@@ -618,6 +618,13 @@ def _text_stats_members() -> list[Member]:
              ("kept", "s")),
         ),
         Member(
+            "html_line_dedup_fused",
+            llmdata.html_line_dedup_fused,
+            text_fns.html_line_dedup_sql(max_occurrences=2),
+            (("doc_id", "l"), ("n_lines", "l"), ("n_kept", "l"),
+             ("text_kept", "s")),
+        ),
+        Member(
             "source_quota_threshold",
             llmdata.source_quota_threshold,
             sampling.source_quota_threshold_sql(cap=40),

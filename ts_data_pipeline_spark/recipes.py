@@ -158,7 +158,23 @@ def build_training_corpus(
     #     narrow per-block explode/re-aggregate on doc_id — the
     #     cheapest stage in the recipe, and the one that most changes
     #     what the others measure.
-    if html_input:
+    # FUSED fast path (r14, VERDICT r13 ask #3): when HTML extraction
+    # and line dedup are both on (and no NFC pass sits between them),
+    # run them as ONE corpus explode/reassemble
+    # (text_fns.html_line_dedup) instead of two — value-identical by
+    # construction (pytest-pinned against the composition; the recipe
+    # oracle still generates the two-stage SQL, so the gate compares
+    # structurally different implementations), one corpus-wide
+    # reassembly shuffle and one join-back cheaper.
+    fuse_html_lines = (
+        html_input and line_dedup_max is not None and not nfc_clean
+    )
+    if fuse_html_lines:
+        fused = text_fns.html_line_dedup(
+            docs, max_occurrences=line_dedup_max
+        ).select("doc_id", F.col("text_kept").alias("text"))
+        docs = docs.drop("text").join(fused, "doc_id")
+    if html_input and not fuse_html_lines:
         main = text_fns.html_main_content(docs).select(
             "doc_id", F.col("main_text").alias("text")
         )
@@ -184,7 +200,7 @@ def build_training_corpus(
     #     (functions/text.line_dedup, individually gated); a doc whose
     #     every line is hot comes back empty and falls to the
     #     min_chars gate, never silently survives.
-    if line_dedup_max is not None:
+    if line_dedup_max is not None and not fuse_html_lines:
         deduped = text_fns.line_dedup(
             docs, max_occurrences=line_dedup_max
         ).select("doc_id", F.col("text_kept").alias("text"))
