@@ -2962,9 +2962,14 @@ def test_charset_repair_property():
     # Python reference of the repair chain (the Spark/SQL chains embed
     # the same _UTF8_REPAIRS/_C1_REPAIRS tables, pinned cross-engine
     # by the gate; here we pin the TABLES' algebra exhaustively)
-    def repair_py(s: str) -> str:
+    def chain_once_py(s: str) -> str:
         for moji, true in t._UTF8_REPAIRS:
             s = s.replace(moji, true)
+        return s
+
+    def repair_py(s: str, rounds: int = 2) -> str:
+        for _ in range(rounds):
+            s = chain_once_py(s)
         return s.translate(
             {ord(c): v for c, v in t._C1_REPAIRS}
         )
@@ -2984,8 +2989,44 @@ def test_charset_repair_property():
         assert repair_py(s) == s
         # idempotence
         assert repair_py(repair_py(t._utf8_as_cp1252(s))) == s
+        # r14: DOUBLE-encoded UTF-8 inverts at rounds=2 because one
+        # chain pass peels EXACTLY one corruption layer — pinned here
+        # both as the roundtrip and as the layer-peeling fact the
+        # enc_class 'utf8_double' discriminator relies on
+        dd = t._utf8_as_cp1252(t._utf8_as_cp1252(s))
+        assert repair_py(dd) == s
+        assert chain_once_py(dd) == t._utf8_as_cp1252(s)
 
     _roundtrip()
+
+    # the closure alphabet itself roundtrips at every depth <= 2 (the
+    # seed property above only exercises seed chars)
+    for c in sorted(t._MOJIBAKE_ALPHABET):
+        assert repair_py(t._utf8_as_cp1252(c)) == c, repr(c)
+        assert repair_py(t._utf8_as_cp1252(t._utf8_as_cp1252(c))) == c, repr(c)
+
+    # r14 UTF-16/BOM lane (pure-Python twin of repair_bom_utf16): the
+    # NUL-gated un-interleave inverts the LE fixture corruption and
+    # is the identity on NUL-free text
+    def bom_py(s: str) -> str:
+        if (
+            "\x00" in s
+            or s.startswith("\xff\xfe")
+            or s.startswith("\xfe\xff")
+        ):
+            s = s.replace("\x00", "").replace("\xff\xfe", "").replace(
+                "\xfe\xff", ""
+            )
+        return s.replace(t._UTF8_BOM_AS_CP1252, "").replace("﻿", "")
+
+    @given(st.text(alphabet=st.sampled_from(list(
+        "abcXYZ 09.,!?'\"-\n")), max_size=60))
+    @settings(max_examples=150, deadline=None)
+    def _u16_roundtrip(s):
+        assert bom_py(t._utf16le_as_latin1(s)) == s
+        assert bom_py(s) == s
+
+    _u16_roundtrip()
 
 
 def test_psl_matcher_property():
@@ -3281,3 +3322,37 @@ def test_html_line_dedup_fusion_matches_composition(spark):
     assert fused == composed
     # the hot-line rule did real work at this SF (not a vacuous pass)
     assert any(v[1] < v[0] for v in fused.values())
+
+
+def test_charset_fixture_classes_label_and_repair(spark):
+    """The r14 six-class fixture matrix: every class gets the right
+    enc_class label, conflicts fire exactly where declared-vs-bytes
+    disagree, and text_fixed strips the corruption to the same
+    repaired payload with zero residual signatures."""
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.functions import text as t
+
+    docs = io.load(spark, SF_DIR, "documents")
+    rows = t.charset_signals(docs).collect()
+    want_class = {
+        0: "clean", 1: "utf8_as_cp1252", 2: "cp1252_as_latin1",
+        3: "clean", 4: "utf8_double", 5: "utf16_as_latin1",
+    }
+    want_conflict = {0: False, 1: True, 2: True, 3: False, 4: True, 5: True}
+    seen = set()
+    for r in rows:
+        cls = r.doc_id % 6
+        seen.add(cls)
+        assert r.enc_class == want_class[cls], (r.doc_id, r.enc_class)
+        assert r.charset_conflict == want_conflict[cls], r.doc_id
+        assert r.residual_sigs == 0, (r.doc_id, r.residual_sigs)
+        if cls == 5:
+            assert r.n_nul > 0
+            assert r.text_fixed.startswith(
+                '<meta charset="utf-16le"/> ' + t._CHARSET_PAYLOAD_ASCII
+            ), r.text_fixed[:80]
+        if cls in (1, 4):
+            assert r.text_fixed.split("/> ", 1)[1].startswith(
+                t._CHARSET_PAYLOAD
+            ), (cls, r.text_fixed[:80])
+    assert seen == set(range(6))

@@ -2416,8 +2416,36 @@ _MOJIBAKE_CHARS = (
     "’‘“”—–…€"  # ’ ‘ “ ” — – … €
     "éèûïçàüñ"  # é è û ï ç à ü ñ
 )
+
+
+def _mojibake_closure(seed: str) -> frozenset[str]:
+    """The seed alphabet closed under its own corruption images (r14,
+    VERDICT r13 ask #5): DOUBLE-encoded UTF-8 corrupts the chars of
+    the first corruption layer, so peeling it needs repair mappings
+    for every non-ASCII char that APPEARS in an expansion — and so on
+    to a fixed point (47 chars from the 16-char seed; bounded by the
+    cp1252 image set, so termination is structural). The chain stays
+    sound under the wider alphabet because UTF-8 is self-
+    synchronizing: no expansion is a prefix or an internal substring
+    of another at any position except its own start, so replace order
+    beyond longest-first cannot matter (pytest + hypothesis pin the
+    algebra: one chain pass peels EXACTLY one corruption layer)."""
+    alpha = set(seed)
+    while True:
+        new = {
+            ch
+            for c in alpha
+            for ch in _utf8_as_cp1252(c)
+            if ord(ch) >= 0x80 and ch not in alpha
+        }
+        if not new:
+            return frozenset(alpha)
+        alpha |= new
+
+
+_MOJIBAKE_ALPHABET = _mojibake_closure(_MOJIBAKE_CHARS)
 _UTF8_REPAIRS = sorted(
-    ((_utf8_as_cp1252(c), c) for c in _MOJIBAKE_CHARS),
+    ((_utf8_as_cp1252(c), c) for c in _MOJIBAKE_ALPHABET),
     key=lambda p: (-len(p[0]), p[0]),
 )
 
@@ -2450,25 +2478,30 @@ _UTF8_SIG_RE = "|".join(_rx(m) for m, _ in _UTF8_REPAIRS)
 _C1_SIG_RE = r"[\x{0080}-\x{009F}]"
 
 
-def repair_mojibake(c: Column) -> Column:
-    """Repair both corruption classes: class-1 first (its expansions
-    contain no C1 characters that class 2 would re-map — the 9D/90
-    pass-throughs ARE C1 and must be consumed by their 3-char
-    expansion before the translate sees them), then the C1 translate.
-    Clean text is a fixed point: none of the true characters appear
-    in either signature alphabet."""
-    for moji, true in _UTF8_REPAIRS:
-        c = F.replace(c, F.lit(moji), F.lit(true))
+def repair_mojibake(c: Column, rounds: int = 2) -> Column:
+    """Repair both corruption classes: the class-1 replace chain runs
+    ``rounds`` times — each pass peels EXACTLY one UTF-8-as-cp1252
+    corruption layer (pytest-pinned), so rounds=2 also inverts
+    DOUBLE-encoded UTF-8; the chain is the identity once no layer
+    remains, so extra rounds are safe — then the C1 translate once
+    (class-1 expansions contain C1 pass-through characters that must
+    be consumed by their replace entries before the translate sees
+    them). Clean text is a fixed point: none of the true characters'
+    sequences appear in the signature alphabet."""
+    for _ in range(rounds):
+        for moji, true in _UTF8_REPAIRS:
+            c = F.replace(c, F.lit(moji), F.lit(true))
     return F.translate(c, _C1_FROM, _C1_TO)
 
 
-def repair_mojibake_sql(expr: str) -> str:
+def repair_mojibake_sql(expr: str, rounds: int = 2) -> str:
     """DuckDB twin of :func:`repair_mojibake` over ``expr`` — the
     same computed literals (C1 code points spliced via chr() so the
     generated SQL text stays printable)."""
     out = expr
-    for moji, true in _UTF8_REPAIRS:
-        out = f"replace({out}, {_sql_str(moji)}, {_sql_str(true)})"
+    for _ in range(rounds):
+        for moji, true in _UTF8_REPAIRS:
+            out = f"replace({out}, {_sql_str(moji)}, {_sql_str(true)})"
     frm = _sql_str(_C1_FROM)
     to = _sql_str(_C1_TO)
     return f"translate({out}, {frm}, {to})"
@@ -2476,11 +2509,11 @@ def repair_mojibake_sql(expr: str) -> str:
 
 def _sql_str(s: str) -> str:
     """A DuckDB string literal for ``s``: printable runs quoted,
-    C1/control chars as chr(<code point>) concatenations."""
+    C0/C1/control chars as chr(<code point>) concatenations."""
     parts: list[str] = []
     run = ""
     for ch in s:
-        if 0x7F <= ord(ch) < 0xA0:
+        if ord(ch) < 0x20 or 0x7F <= ord(ch) < 0xA0:
             if run:
                 parts.append("'" + run.replace("'", "''") + "'")
                 run = ""
@@ -2491,7 +2524,84 @@ def _sql_str(s: str) -> str:
         parts.append("'" + run.replace("'", "''") + "'")
     if not parts:
         return "''"
-    return parts[0] if len(parts) == 1 else "(" + " || ".join(parts) + ")"
+    if len(parts) == 1:
+        return parts[0]
+    # one flat varargs concat, NOT a '||' chain: the NUL-interleaved
+    # UTF-16 fixture payload has ~120 parts, and DuckDB binds a
+    # left-nested || chain recursively — >128 parts exceeds its
+    # binder recursion limit (hit by the recipe twin's deeper CTE
+    # stack before any gate saw it)
+    return "concat(" + ", ".join(parts) + ")"
+
+
+# --- UTF-16 / BOM corruption lane (r14, VERDICT r13 ask #5) ---------
+#
+# Class 3 of the wire-corruption families: UTF-16 bytes run through a
+# single-byte decoder. A UTF-16LE page read as latin-1 interleaves a
+# NUL after every ASCII char and turns the BOM (FF FE) into a literal
+# "ÿþ" prefix (BE: NULs before chars, "þÿ"). NUL is never legitimate
+# text, so its presence is the detection signal and the repair is
+# gated on it — NUL-free text passes through untouched. The UTF-8 BOM
+# misread as cp1252 ("ï»¿") and a stray real BOM char (U+FEFF) are
+# byte-order METADATA, never content, and are stripped outright.
+
+_NUL = "\x00"
+_U16LE_BOM_AS_L1 = "\xff\xfe"
+_U16BE_BOM_AS_L1 = "\xfe\xff"
+_UTF8_BOM_AS_CP1252 = _utf8_as_cp1252("﻿")  # "ï»¿"
+
+
+def _utf16le_as_latin1(s: str) -> str:
+    """What BOM + ``s`` (ASCII) looks like after its UTF-16LE bytes
+    are (mis)decoded as latin-1 — the fixture's class-5 corruption."""
+    return "".join(chr(b) for b in ("﻿" + s).encode("utf-16-le"))
+
+
+def repair_bom_utf16(c: Column) -> Column:
+    """Strip BOM artifacts, and un-interleave UTF-16-as-latin-1 text
+    when the misdecoding is PROVEN — a NUL anywhere, or the text
+    starting with a byte-order-mark pair (the NUL-free degenerate
+    case: an empty UTF-16 payload is just the bare BOM pair)."""
+    fixed = F.replace(c, F.lit(_NUL), F.lit(""))
+    fixed = F.replace(fixed, F.lit(_U16LE_BOM_AS_L1), F.lit(""))
+    fixed = F.replace(fixed, F.lit(_U16BE_BOM_AS_L1), F.lit(""))
+    is_u16 = (
+        F.contains(c, F.lit(_NUL))
+        | c.startswith(_U16LE_BOM_AS_L1)
+        | c.startswith(_U16BE_BOM_AS_L1)
+    )
+    out = F.when(is_u16, fixed).otherwise(c)
+    out = F.replace(out, F.lit(_UTF8_BOM_AS_CP1252), F.lit(""))
+    return F.replace(out, F.lit("﻿"), F.lit(""))
+
+
+def repair_bom_utf16_sql(expr: str) -> str:
+    nul = "chr(0)"
+    le = _sql_str(_U16LE_BOM_AS_L1)
+    be = _sql_str(_U16BE_BOM_AS_L1)
+    fixed = (
+        f"replace(replace(replace({expr}, {nul}, ''), {le}, ''),"
+        f" {be}, '')"
+    )
+    cond = (
+        f"contains({expr}, {nul}) OR starts_with({expr}, {le})"
+        f" OR starts_with({expr}, {be})"
+    )
+    out = f"CASE WHEN {cond} THEN {fixed} ELSE {expr} END"
+    out = f"replace({out}, {_sql_str(_UTF8_BOM_AS_CP1252)}, '')"
+    return f"replace({out}, {_sql_str(chr(0xFEFF))}, '')"
+
+
+def repair_charset(c: Column) -> Column:
+    """The full repair lane: BOM/UTF-16 artifacts first (NULs inside
+    text would split the literal mojibake patterns), then the
+    mojibake chain at two rounds (single AND double encoding), then
+    the C1 translate."""
+    return repair_mojibake(repair_bom_utf16(c))
+
+
+def repair_charset_sql(expr: str) -> str:
+    return repair_mojibake_sql(repair_bom_utf16_sql(expr))
 
 
 def _cp1252_as_latin1(s: str) -> str:
@@ -2519,18 +2629,28 @@ _CHARSET_PAYLOAD_ASCII = (
     "Cafe review - \"Creme brulee\" isn't naive... ca coute 12 EUR"
 )
 
-#: doc_id % 4 -> (declared charset, payload as it arrives). Classes
+#: doc_id % 6 -> (declared charset, payload as it arrives). Classes
 #: 1 and 2 are the two mojibake families; their declarations are the
 #: ones that CAUSED them (bytes were UTF-8 but the page declared
 #: iso-8859-1; bytes were cp1252 but the page declared utf-8 and a
 #: latin-1 decoder ran). Classes 0 and 3 are clean controls, one per
-#: declaration family, so charset_conflict discriminates.
+#: declaration family, so charset_conflict discriminates. r14 widens
+#: the matrix (VERDICT r13 ask #5): class 4 is DOUBLE-encoded UTF-8
+#: (two corruption rounds — repair iterates to the fixed point) and
+#: class 5 is UTF-16LE-with-BOM read by a latin-1 decoder
+#: (NUL-interleaved ASCII behind a "ÿþ" prefix).
 _CHARSET_CLASSES = (
     ("utf-8", _CHARSET_PAYLOAD),
     ("iso-8859-1", _utf8_as_cp1252(_CHARSET_PAYLOAD)),
     ("utf-8", _cp1252_as_latin1(_CHARSET_PAYLOAD)),
     ("windows-1252", _CHARSET_PAYLOAD_ASCII),
+    ("utf-8", _utf8_as_cp1252(_utf8_as_cp1252(_CHARSET_PAYLOAD))),
+    ("utf-16le", _utf16le_as_latin1(_CHARSET_PAYLOAD_ASCII)),
 )
+
+
+def _charset_class5() -> str:
+    return _CHARSET_CLASSES[5][1]
 
 
 def _mojibake_augmented(text_col: str = "text") -> Column:
@@ -2539,15 +2659,20 @@ def _mojibake_augmented(text_col: str = "text") -> Column:
     doc_id-keyed mixed-encoding head is synthesized — a meta-charset
     declaration plus a punctuation-rich payload corrupted per class —
     in front of the document text."""
-    cls = F.col("doc_id") % 4
-    decl = F.when(cls == 1, F.lit("iso-8859-1")).when(
-        cls == 3, F.lit("windows-1252")
-    ).otherwise(F.lit("utf-8"))
+    cls = F.col("doc_id") % 6
+    decl = (
+        F.when(cls == 1, F.lit("iso-8859-1"))
+        .when(cls == 3, F.lit("windows-1252"))
+        .when(cls == 5, F.lit("utf-16le"))
+        .otherwise(F.lit("utf-8"))
+    )
     payload = (
         F.when(cls == 0, F.lit(_CHARSET_CLASSES[0][1]))
         .when(cls == 1, F.lit(_CHARSET_CLASSES[1][1]))
         .when(cls == 2, F.lit(_CHARSET_CLASSES[2][1]))
-        .otherwise(F.lit(_CHARSET_CLASSES[3][1]))
+        .when(cls == 3, F.lit(_CHARSET_CLASSES[3][1]))
+        .when(cls == 4, F.lit(_CHARSET_CLASSES[4][1]))
+        .otherwise(F.lit(_charset_class5()))
     )
     return F.concat(
         F.lit('<meta charset="'), decl, F.lit('"/> '),
@@ -2557,20 +2682,40 @@ def _mojibake_augmented(text_col: str = "text") -> Column:
 
 def _mojibake_augment_sql(text_col: str = "text") -> str:
     decl = (
-        "CASE WHEN doc_id % 4 = 1 THEN 'iso-8859-1'"
-        " WHEN doc_id % 4 = 3 THEN 'windows-1252'"
+        "CASE WHEN doc_id % 6 = 1 THEN 'iso-8859-1'"
+        " WHEN doc_id % 6 = 3 THEN 'windows-1252'"
+        " WHEN doc_id % 6 = 5 THEN 'utf-16le'"
         " ELSE 'utf-8' END"
     )
     payload = (
-        f"CASE WHEN doc_id % 4 = 0 THEN {_sql_str(_CHARSET_CLASSES[0][1])}"
-        f" WHEN doc_id % 4 = 1 THEN {_sql_str(_CHARSET_CLASSES[1][1])}"
-        f" WHEN doc_id % 4 = 2 THEN {_sql_str(_CHARSET_CLASSES[2][1])}"
-        f" ELSE {_sql_str(_CHARSET_CLASSES[3][1])} END"
+        f"CASE WHEN doc_id % 6 = 0 THEN {_sql_str(_CHARSET_CLASSES[0][1])}"
+        f" WHEN doc_id % 6 = 1 THEN {_sql_str(_CHARSET_CLASSES[1][1])}"
+        f" WHEN doc_id % 6 = 2 THEN {_sql_str(_CHARSET_CLASSES[2][1])}"
+        f" WHEN doc_id % 6 = 3 THEN {_sql_str(_CHARSET_CLASSES[3][1])}"
+        f" WHEN doc_id % 6 = 4 THEN {_sql_str(_CHARSET_CLASSES[4][1])}"
+        f" ELSE {_sql_str(_charset_class5())} END"
     )
     return (
         f"('<meta charset=\"' || {decl} || '\"/> ' || {payload}"
         f" || ' ' || {text_col})"
     )
+
+
+def _chain_once(c: Column) -> Column:
+    """One round of the class-1 replace chain (no translate) — peels
+    exactly one UTF-8-as-cp1252 layer; used to tell single from
+    DOUBLE encoding (signatures surviving one round = another layer
+    underneath)."""
+    for moji, true in _UTF8_REPAIRS:
+        c = F.replace(c, F.lit(moji), F.lit(true))
+    return c
+
+
+def _chain_once_sql(expr: str) -> str:
+    out = expr
+    for moji, true in _UTF8_REPAIRS:
+        out = f"replace({out}, {_sql_str(moji)}, {_sql_str(true)})"
+    return out
 
 
 def charset_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -2585,15 +2730,19 @@ def charset_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
       signatures are stripped (the ” expansion legitimately contains
       a WHATWG C1 pass-through — counting it twice would misclassify
       class-1 docs as mixed);
-    - ``enc_class``: clean / utf8_as_cp1252 / cp1252_as_latin1 /
-      mixed;
+    - ``n_nul`` (r14): NUL count — the UTF-16-as-single-byte
+      signature (NUL is never legitimate text);
+    - ``enc_class``: clean / utf8_as_cp1252 / utf8_double /
+      cp1252_as_latin1 / utf16_as_latin1 / mixed — ``utf8_double``
+      discriminated by signatures SURVIVING one chain round (one
+      round peels exactly one layer, so survivors prove a second);
     - ``charset_conflict``: the meta declaration disagrees with the
-      observed byte evidence — any class-1 signature (the page
-      declared a single-byte charset over UTF-8 bytes, or
-      double-encoded), or C1 controls under a utf-8 declaration;
-    - ``text_fixed``: :func:`repair_mojibake` output;
-    - ``residual_sigs``: signatures remaining in ``text_fixed`` (the
-      self-check — 0 everywhere on this corpus).
+      observed byte evidence — any class-1 signature, C1 controls
+      under a utf-8 declaration, or any NUL;
+    - ``text_fixed``: :func:`repair_charset` output (BOM/UTF-16
+      lane + two mojibake rounds + C1 translate);
+    - ``residual_sigs``: signatures (incl. NULs) remaining in
+      ``text_fixed`` (the self-check — 0 everywhere on this corpus).
     """
     aug = _mojibake_augmented(text_col)
     base = docs.select(
@@ -2607,29 +2756,55 @@ def charset_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.lit(_C1_SIG_RE), F.lit(0),
             )
         ).cast("bigint").alias("n_c1"),
-        repair_mojibake(aug).alias("text_fixed"),
+        F.size(
+            F.regexp_extract_all(aug, F.lit(r"\x{0000}"), F.lit(0))
+        ).cast("bigint").alias("n_nul"),
+        F.size(
+            F.regexp_extract_all(
+                _chain_once(aug), F.lit(_UTF8_SIG_RE), F.lit(0)
+            )
+        ).cast("bigint").alias("_n_sigs_r1"),
+        repair_charset(aug).alias("text_fixed"),
     )
-    fixed_sigs = F.size(
-        F.regexp_extract_all(
-            F.col("text_fixed"), F.lit(_UTF8_SIG_RE), F.lit(0)
+    fixed_sigs = (
+        F.size(
+            F.regexp_extract_all(
+                F.col("text_fixed"), F.lit(_UTF8_SIG_RE), F.lit(0)
+            )
         )
-    ) + F.size(
-        F.regexp_extract_all(F.col("text_fixed"), F.lit(_C1_SIG_RE), F.lit(0))
+        + F.size(
+            F.regexp_extract_all(
+                F.col("text_fixed"), F.lit(_C1_SIG_RE), F.lit(0)
+            )
+        )
+        + F.size(
+            F.regexp_extract_all(
+                F.col("text_fixed"), F.lit(r"\x{0000}"), F.lit(0)
+            )
+        )
     )
     enc_class = (
-        F.when((F.col("n_utf8_sigs") > 0) & (F.col("n_c1") > 0), "mixed")
+        F.when(F.col("n_nul") > 0, "utf16_as_latin1")
+        .when(
+            (F.col("n_utf8_sigs") > 0) & (F.col("_n_sigs_r1") > 0),
+            "utf8_double",
+        )
+        .when((F.col("n_utf8_sigs") > 0) & (F.col("n_c1") > 0), "mixed")
         .when(F.col("n_utf8_sigs") > 0, "utf8_as_cp1252")
         .when(F.col("n_c1") > 0, "cp1252_as_latin1")
         .otherwise("clean")
     )
-    conflict = (F.col("n_utf8_sigs") > 0) | (
-        (F.col("n_c1") > 0) & (F.col("decl_charset") == "utf-8")
+    conflict = (
+        (F.col("n_utf8_sigs") > 0)
+        | ((F.col("n_c1") > 0) & (F.col("decl_charset") == "utf-8"))
+        | (F.col("n_nul") > 0)
     )
     return base.select(
         "doc_id",
         "decl_charset",
         "n_utf8_sigs",
         "n_c1",
+        "n_nul",
         enc_class.alias("enc_class"),
         conflict.alias("charset_conflict"),
         "text_fixed",
@@ -2643,7 +2818,8 @@ def charset_signals_sql(
     aug = _mojibake_augment_sql(text_col)
     sig_re = _UTF8_SIG_RE.replace("'", "''")
     c1_re = _C1_SIG_RE.replace("'", "''")
-    fixed = repair_mojibake_sql("aug")
+    fixed = repair_charset_sql("aug")
+    r1 = _chain_once_sql("aug")
     return f"""
 WITH raw AS (SELECT doc_id, {aug} AS aug FROM {table}),
 base AS (
@@ -2654,19 +2830,25 @@ base AS (
          CAST(len(regexp_extract_all(
            regexp_replace(aug, '{sig_re}', '', 'g'), '{c1_re}')) AS BIGINT)
            AS n_c1,
+         CAST(len(regexp_extract_all(aug, '\\x00')) AS BIGINT) AS n_nul,
+         CAST(len(regexp_extract_all({r1}, '{sig_re}')) AS BIGINT)
+           AS _n_sigs_r1,
          {fixed} AS text_fixed
   FROM raw
 )
-SELECT doc_id, decl_charset, n_utf8_sigs, n_c1,
-       CASE WHEN n_utf8_sigs > 0 AND n_c1 > 0 THEN 'mixed'
+SELECT doc_id, decl_charset, n_utf8_sigs, n_c1, n_nul,
+       CASE WHEN n_nul > 0 THEN 'utf16_as_latin1'
+            WHEN n_utf8_sigs > 0 AND _n_sigs_r1 > 0 THEN 'utf8_double'
+            WHEN n_utf8_sigs > 0 AND n_c1 > 0 THEN 'mixed'
             WHEN n_utf8_sigs > 0 THEN 'utf8_as_cp1252'
             WHEN n_c1 > 0 THEN 'cp1252_as_latin1'
             ELSE 'clean' END AS enc_class,
-       (n_utf8_sigs > 0 OR (n_c1 > 0 AND decl_charset = 'utf-8'))
-         AS charset_conflict,
+       (n_utf8_sigs > 0 OR (n_c1 > 0 AND decl_charset = 'utf-8')
+        OR n_nul > 0) AS charset_conflict,
        text_fixed,
        CAST(len(regexp_extract_all(text_fixed, '{sig_re}'))
-            + len(regexp_extract_all(text_fixed, '{c1_re}')) AS BIGINT)
+            + len(regexp_extract_all(text_fixed, '{c1_re}'))
+            + len(regexp_extract_all(text_fixed, '\\x00')) AS BIGINT)
          AS residual_sigs
 FROM base
 """
@@ -2686,7 +2868,7 @@ def charset_repaired(docs: DataFrame, text_col: str = "text") -> DataFrame:
     expression, so this is a ``withColumn``, NOT a join-back: the
     first cut joined (doc_id, text_fixed) onto docs and paid a
     needless self-join shuffle for a scan-shaped stage."""
-    fixed = repair_mojibake(_mojibake_augmented(text_col))
+    fixed = repair_charset(_mojibake_augmented(text_col))
     return docs.withColumn(
         text_col, F.regexp_replace(fixed, _CHARSET_META_RE, "")
     )
@@ -2696,7 +2878,7 @@ def charset_repaired_sql(
     text_col: str = "text", table: str = "documents"
 ) -> str:
     """Twin: ``SELECT * REPLACE`` — same no-join shape."""
-    fixed = repair_mojibake_sql(_mojibake_augment_sql(text_col))
+    fixed = repair_charset_sql(_mojibake_augment_sql(text_col))
     meta_re = _CHARSET_META_RE.replace("'", "''")
     return (
         f"SELECT * REPLACE (regexp_replace({fixed}, '{meta_re}', '')"

@@ -435,8 +435,9 @@ def _text_stats_members() -> list[Member]:
             llmdata.charset_signals,
             text_fns.charset_signals_sql(),
             (("doc_id", "l"), ("decl_charset", "s"), ("n_utf8_sigs", "l"),
-             ("n_c1", "l"), ("enc_class", "s"), ("charset_conflict", "s"),
-             ("text_fixed", "s"), ("residual_sigs", "l")),
+             ("n_c1", "l"), ("n_nul", "l"), ("enc_class", "s"),
+             ("charset_conflict", "s"), ("text_fixed", "s"),
+             ("residual_sigs", "l")),
         ),
         Member(
             "line_dedup_c4",
