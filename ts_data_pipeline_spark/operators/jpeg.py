@@ -1348,17 +1348,26 @@ def synthesize_progressive_jpeg(doc_id: int) -> bytes:
         # the oracle
         return encode_progressive_ycbcr444(
             y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al,
-            # restart-bearing color class (r13): DRI scoped to the
-            # INTERLEAVED DC scans (switched off before the AC scans)
+            # restart-bearing color classes: r13 scoped DRI to the
+            # INTERLEAVED DC scans (Ri=0 before the AC scans — the
+            # mid-stream DRI redefinition wire shape); r14 adds the
+            # full-matrix twin where the per-component AC scans ALSO
+            # carry in-sequence RSTn (scope alternates per doc so the
+            # gate corpus keeps both shapes)
             restart_interval=2 if doc_id % 5 == 0 else 0,
+            restart_scope="all" if doc_id % 3 == 0 else "dc",
         )
     if doc_id % 4 == 2:
         # SUBSAMPLED color progressive (the baseline fixture's
         # ycbcr420 class): luma (2,2), chroma half-res — the
         # padded-MCU DC grid vs real-grid AC raster geometry, still
-        # luma-invariant at the fixed point
+        # luma-invariant at the fixed point. r14: a fifth of these
+        # carry DRI + RSTn in EVERY scan — subsampled interleaved DC
+        # restarts count MCUs (six blocks each), the real-grid AC
+        # scans count blocks, closing the restart wire matrix.
         return encode_progressive_ycbcr420(
-            y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al
+            y, w, h, bands=bands, dc_al=dc_al, ac_al=ac_al,
+            restart_interval=2 if doc_id % 5 == 0 else 0,
         )
     # restart-bearing class (r13): a fifth of the gray docs carry
     # DRI + in-sequence RSTn inside EVERY progressive scan (the wire
@@ -1395,6 +1404,7 @@ def encode_progressive_ycbcr444(
     dc_al: int = 0,
     ac_al: int = 0,
     restart_interval: int = 0,
+    restart_scope: str = "dc",
 ) -> bytes:
     """A real COLOR progressive (SOF2) stream: YCbCr at (1,1)x3
     sampling with flat NEUTRAL chroma (128 — luma-invariant, the
@@ -1404,7 +1414,16 @@ def encode_progressive_ycbcr444(
     refinements, then per-component AC band scans (+ refinements) —
     AC scans are single-component by spec (T.81 G.1.1.1.1). Tables:
     Annex-K luma/chroma quant, K.3 DC tables, the shared progressive
-    AC alphabet table."""
+    AC alphabet table.
+
+    ``restart_scope`` (r14, VERDICT r13 ask #7): ``"dc"`` keeps the
+    r13 wire shape — DRI scoped to the interleaved DC scans and
+    redefined to Ri=0 before the AC scans (the mid-stream DRI
+    redefinition class); ``"all"`` leaves DRI in force so every
+    per-component AC band/refinement scan ALSO splits into restart
+    intervals of ``restart_interval`` data units (blocks) with
+    in-sequence RSTn and fresh EOB runs — the full-matrix wire
+    shape."""
     if [b for pair in bands for b in pair] != sorted(
         b for pair in bands for b in pair
     ) or bands[0][0] != 1 or bands[-1][1] != 63 or any(
@@ -1499,30 +1518,43 @@ def encode_progressive_ycbcr444(
                     (int(qcs_list[ci][by, bx, 0]) >> al) & 1, 1
                 )
 
+    def _slab(ci: int, rng) -> np.ndarray:
+        """The given raster positions of component ``ci`` as a
+        (1, n, 64) slab for the shared emit helpers — at (1,1)x3 the
+        per-component block raster IS the MCU raster, so restart
+        chunking slices the same position list for every scan kind."""
+        return np.stack(
+            [qcs_list[ci][by, bx] for by, bx in rng]
+        ).reshape(1, len(rng), 64)
+
+    if restart_scope not in ("dc", "all"):
+        raise ValueError(f"unknown restart_scope {restart_scope!r}")
+    ac_chunked = bool(restart_interval) and restart_scope == "all"
     dc_specs = [(1, 0x00), (2, 0x10), (3, 0x10)]
     if restart_interval:
-        # DRI applies to every following scan until redefined: scope
-        # it to the interleaved DC scans (the path it exercises) and
-        # switch it OFF (Ri = 0, legal per T.81) before the AC scans,
-        # which stay restart-free.
         out.extend(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
     _scan(dc_specs, 0, 0, 0, dc_al, _dc_first_range, chunked=True)
     for al in range(dc_al - 1, -1, -1):
         _scan(dc_specs, 0, 0, al + 1, al,
               lambda wtr, rng, al=al: _dc_refine_range(wtr, rng, al),
               chunked=True)
-    if restart_interval:
+    if restart_interval and restart_scope == "dc":
+        # the r13 wire class: DRI applies to every following scan
+        # until redefined, so switch it OFF (Ri = 0, legal per T.81)
+        # before the AC scans, which stay restart-free
         out.extend(b"\xff\xdd" + struct.pack(">HH", 4, 0))
     for ci, cid in enumerate((1, 2, 3)):
         for ss, se in bands:
             _scan([(cid, 0x10)], ss, se, 0, ac_al,
                   lambda wtr, rng, ci=ci, ss=ss, se=se: _emit_ac_first(
-                      wtr, enc_ac, qcs_list[ci], ss, se, ac_al))
+                      wtr, enc_ac, _slab(ci, rng), ss, se, ac_al),
+                  chunked=ac_chunked)
             for al in range(ac_al - 1, -1, -1):
                 _scan([(cid, 0x10)], ss, se, al + 1, al,
                       lambda wtr, rng, ci=ci, ss=ss, se=se, al=al:
                       _emit_ac_refine(
-                          wtr, enc_ac, qcs_list[ci], ss, se, al))
+                          wtr, enc_ac, _slab(ci, rng), ss, se, al),
+                      chunked=ac_chunked)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1534,6 +1566,7 @@ def encode_progressive_ycbcr420(
     bands: tuple = ((1, 5), (6, 63)),
     dc_al: int = 0,
     ac_al: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """A real SUBSAMPLED color progressive (SOF2) stream: luma at
     (2,2), chroma at (1,1) half resolution (neutral 128 — luma-
@@ -1542,7 +1575,17 @@ def encode_progressive_ycbcr420(
     block per chroma (padding blocks included), while each
     non-interleaved AC scan rasters only its component's REAL block
     grid (ceil of the scaled dims, T.81 A.2.4) — the padded-vs-real
-    split that makes subsampled progressive genuinely different."""
+    split that makes subsampled progressive genuinely different.
+
+    ``restart_interval`` (r14, VERDICT r13 ask #7): DRI + in-sequence
+    RSTn in EVERY scan — the interleaved DC scans restart every
+    ``restart_interval`` MCUs (all six blocks of an MCU inside one
+    interval; per-component predictors reset per interval), the
+    non-interleaved AC scans every ``restart_interval`` BLOCKS of
+    their component's real grid (T.81 E.2.4: the restart interval is
+    counted in the scan's own MCU unit). This closes the last cell of
+    the restart wire matrix: subsampled interleaved DC and
+    per-component AC."""
     if [b for pair in bands for b in pair] != sorted(
         b for pair in bands for b in pair
     ) or bands[0][0] != 1 or bands[-1][1] != 63 or any(
@@ -1601,74 +1644,101 @@ def encode_progressive_ycbcr420(
     ]
     enc_ac = _enc_table(PROG_AC_BITS, PROG_AC_VALS)
 
-    def _scan(comp_specs, ss, se, ah, al, emit) -> None:
+    def _scan(comp_specs, ss, se, ah, al, emit_range, units) -> None:
+        """Write SOS + the scan body; ``emit_range(wtr, rng)``
+        encodes the given slice of ``units`` (the scan's own MCU
+        raster: (my, mx) MCUs for the interleaved DC scans, (by, bx)
+        real-grid blocks for the non-interleaved AC scans). With a
+        restart interval, the raster splits into interval-sized
+        slices — each a fresh emitter call, so predictors reset and
+        EOB runs flush per interval by construction — byte-padded and
+        separated by in-sequence RSTn."""
         sos = bytes([len(comp_specs)])
         for cid, tt in comp_specs:
             sos += bytes([cid, tt])
         sos += bytes([ss, se, (ah << 4) | al])
         out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-        wtr = _BitWriter()
-        emit(wtr)
-        wtr.pad_to_byte()
-        out.extend(wtr.out)
+        step = restart_interval if restart_interval else len(units)
+        rst = 0
+        for start in range(0, len(units), step):
+            wtr = _BitWriter()
+            emit_range(wtr, units[start : start + step])
+            wtr.pad_to_byte()
+            out.extend(wtr.out)
+            if start + step < len(units):
+                out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
 
-    def _dc_first(wtr) -> None:
+    mcus = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+
+    def _dc_first(wtr, rng) -> None:
         preds = [0, 0, 0]
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(3):
-                    hi, vi = samplings[ci]
-                    for byi in range(vi):
-                        for bxi in range(hi):
-                            dc = int(
-                                qcs_list[ci][
-                                    my * vi + byi, mx * hi + bxi, 0
-                                ]
-                            ) >> dc_al
-                            diff = dc - preds[ci]
-                            preds[ci] = dc
-                            ssss = _category(diff)
-                            code, ln = enc_dcs[ci][ssss]
-                            wtr.write(code, ln)
-                            if ssss:
-                                wtr.write(
-                                    diff if diff >= 0
-                                    else diff + (1 << ssss) - 1,
-                                    ssss,
-                                )
-
-    def _dc_refine(wtr, al) -> None:
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(3):
-                    hi, vi = samplings[ci]
-                    for byi in range(vi):
-                        for bxi in range(hi):
+        for my, mx in rng:
+            for ci in range(3):
+                hi, vi = samplings[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        dc = int(
+                            qcs_list[ci][
+                                my * vi + byi, mx * hi + bxi, 0
+                            ]
+                        ) >> dc_al
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        ssss = _category(diff)
+                        code, ln = enc_dcs[ci][ssss]
+                        wtr.write(code, ln)
+                        if ssss:
                             wtr.write(
-                                (int(qcs_list[ci][
-                                    my * vi + byi, mx * hi + bxi, 0
-                                ]) >> al) & 1,
-                                1,
+                                diff if diff >= 0
+                                else diff + (1 << ssss) - 1,
+                                ssss,
                             )
 
+    def _dc_refine(wtr, rng, al) -> None:
+        for my, mx in rng:
+            for ci in range(3):
+                hi, vi = samplings[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        wtr.write(
+                            (int(qcs_list[ci][
+                                my * vi + byi, mx * hi + bxi, 0
+                            ]) >> al) & 1,
+                            1,
+                        )
+
+    if restart_interval:
+        out.extend(b"\xff\xdd" + struct.pack(">HH", 4, restart_interval))
     dc_specs = [(1, 0x00), (2, 0x10), (3, 0x10)]
-    _scan(dc_specs, 0, 0, 0, dc_al, _dc_first)
+    _scan(dc_specs, 0, 0, 0, dc_al, _dc_first, mcus)
     for al in range(dc_al - 1, -1, -1):
         _scan(dc_specs, 0, 0, al + 1, al,
-              lambda wtr, al=al: _dc_refine(wtr, al))
+              lambda wtr, rng, al=al: _dc_refine(wtr, rng, al), mcus)
     for ci, cid in enumerate((1, 2, 3)):
         # non-interleaved AC scans raster the REAL grid only: slice
         # the padded array down so the shared emit helpers see
         # exactly the blocks the decoder will visit
         rbh, rbw = real_grids[ci]
         real = qcs_list[ci][:rbh, :rbw]
+        runits = [(by, bx) for by in range(rbh) for bx in range(rbw)]
+
+        def _rslab(rng, real=real) -> np.ndarray:
+            return np.stack(
+                [real[by, bx] for by, bx in rng]
+            ).reshape(1, len(rng), 64)
+
         for ss, se in bands:
             _scan([(cid, 0x10)], ss, se, 0, ac_al,
-                  lambda wtr, real=real, ss=ss, se=se: _emit_ac_first(
-                      wtr, enc_ac, real, ss, se, ac_al))
+                  lambda wtr, rng, _rslab=_rslab, ss=ss, se=se:
+                  _emit_ac_first(
+                      wtr, enc_ac, _rslab(rng), ss, se, ac_al),
+                  runits)
             for al in range(ac_al - 1, -1, -1):
                 _scan([(cid, 0x10)], ss, se, al + 1, al,
-                      lambda wtr, real=real, ss=ss, se=se, al=al:
-                      _emit_ac_refine(wtr, enc_ac, real, ss, se, al))
+                      lambda wtr, rng, _rslab=_rslab, ss=ss, se=se, al=al:
+                      _emit_ac_refine(
+                          wtr, enc_ac, _rslab(rng), ss, se, al),
+                      runits)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
