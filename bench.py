@@ -1165,13 +1165,17 @@ def _canary(spark) -> dict:
 def _canary_io(spark) -> dict:
     """Second fixed canary (r14, VERDICT r13 ask #1): a
     shuffle/I/O-bound workload — write a constant-size synthetic
-    relation to LOCAL DISK as parquet, read it back, and push it
-    through a full-width repartition + within-partition sort. No data
-    dependence, ~100 MB of parquet and one 64-way exchange per run,
-    so it moves with disk and memory-bandwidth contention the pure
-    in-memory hash-agg canary is blind to. The timed body includes
-    the write (the sink half of real host draw); the dir is recreated
-    per run so the page cache can't hide the I/O after run one."""
+    relation to LOCAL DISK as parquet, read it back, push the FULL
+    payload through a 64-way exchange + within-partition sort, and
+    write the sorted result back out. The terminal write is
+    load-bearing, not decoration: under a bare count() Catalyst
+    eliminates the sort and prunes the payload column out of the
+    scan and shuffle entirely (caught by this round's review pass —
+    the first cut timed md5 CPU + one write and nothing else);
+    writing the sorted rows forces the read, the payload-wide
+    exchange, and the sort to actually execute. No data dependence;
+    dirs are recreated per run so the page cache can't hide the
+    I/O after run one."""
     import shutil
     import tempfile
 
@@ -1180,6 +1184,7 @@ def _canary_io(spark) -> dict:
     try:
         def run_once() -> float:
             d = tempfile.mkdtemp(prefix="tsdp_canary_io_")
+            d2 = tempfile.mkdtemp(prefix="tsdp_canary_io2_")
             try:
                 t0 = time.perf_counter()
                 (
@@ -1200,11 +1205,13 @@ def _canary_io(spark) -> dict:
                     spark.read.parquet(d)
                     .repartition(64, F.col("id") % 997)
                     .sortWithinPartitions("payload")
-                    .count()
+                    .write.mode("overwrite")
+                    .parquet(d2)
                 )
                 return time.perf_counter() - t0
             finally:
                 shutil.rmtree(d, ignore_errors=True)
+                shutil.rmtree(d2, ignore_errors=True)
 
         run_once()  # warm (codegen + committer init)
         ts = [run_once() for _ in range(max(RUNS, 3))]

@@ -3009,14 +3009,13 @@ def test_charset_repair_property():
     # NUL-gated un-interleave inverts the LE fixture corruption and
     # is the identity on NUL-free text
     def bom_py(s: str) -> str:
-        if (
-            "\x00" in s
-            or s.startswith("\xff\xfe")
-            or s.startswith("\xfe\xff")
-        ):
-            s = s.replace("\x00", "").replace("\xff\xfe", "").replace(
-                "\xfe\xff", ""
-            )
+        import re as _re
+
+        s = _re.sub("\xff\xfe([\\s\\S]\x00)", r"\1", s)
+        s = _re.sub("\xfe\xff(\x00[\\s\\S])", r"\1", s)
+        if s.startswith("\xff\xfe") or s.startswith("\xfe\xff"):
+            s = s[2:]
+        s = s.replace("\x00", "")
         return s.replace(t._UTF8_BOM_AS_CP1252, "").replace("﻿", "")
 
     @given(st.text(alphabet=st.sampled_from(list(
@@ -3025,8 +3024,18 @@ def test_charset_repair_property():
     def _u16_roundtrip(s):
         assert bom_py(t._utf16le_as_latin1(s)) == s
         assert bom_py(s) == s
+        # mid-document misdecoded stream: the NUL-evidence pattern
+        # removes the embedded BOM too, not just a prefix one
+        if s:
+            assert bom_py("head: " + t._utf16le_as_latin1(s)) == (
+                "head: " + s
+            )
 
     _u16_roundtrip()
+    # review finding r14: a stray NUL plus a LEGITIMATE interior
+    # 'ÿþ' letter run — the pair must survive (no NUL adjacency),
+    # only the NUL goes
+    assert bom_py("a\x00b ÿþ c") == "ab ÿþ c"
 
 
 def test_psl_matcher_property():
@@ -3356,3 +3365,111 @@ def test_charset_fixture_classes_label_and_repair(spark):
                 t._CHARSET_PAYLOAD
             ), (cls, r.text_fixed[:80])
     assert seen == set(range(6))
+
+
+def test_psl_full_scale_synthetic(spark, tmp_path):
+    """VERDICT r13 ask #6 (upstream file unreachable in this
+    environment — COVERAGE.md records the retry): prove the resolver
+    at FULL-PSL scale with a deterministic ~10k-rule synthetic file
+    mirroring the real shape (TLDs incl. punycode, ~9k second-level
+    suffixes, wildcard and exception rules). Pins: (1) the Spark
+    broadcast-rule join resolves every host class exactly as the
+    integer-MAX reference; (2) the rule join really broadcasts at
+    this cardinality; (3) the ADVICE r13 deployment path — rules
+    materialized once via psl_rules_csv_write + read_csv relation —
+    yields identical results while keeping the generated SQL
+    constant-size (the VALUES form would splice ~10k rows into every
+    query string); (4) the >=100-label load-time validation refuses
+    a malformed file."""
+    import duckdb
+    import pytest
+
+    from ts_data_pipeline_spark.functions import weblinks as wl
+
+    psl_path = str(tmp_path / "psl_big.dat")
+    with open(psl_path, "w", encoding="utf-8") as fh:
+        fh.write("// synthetic full-scale PSL stress fixture\n")
+        tlds = [f"tld{i}" for i in range(300)] + [
+            f"xn--p{i}ai" for i in range(50)
+        ]
+        for t in tlds:
+            fh.write(t + "\n")
+        for i in range(9000):
+            fh.write(f"s{i}.{tlds[i % len(tlds)]}\n")
+        for i in range(300):
+            fh.write(f"*.wild{i}.{tlds[i % len(tlds)]}\n")
+            fh.write(f"!ok{i}.wild{i}.{tlds[i % len(tlds)]}\n")
+    rules = wl.psl_rules(psl_path)
+    assert len(rules) > 9900
+    maxr = max(m for _, m, _, _ in rules)
+
+    by_key: dict[tuple[str, int], list] = {}
+    for k, m, p, r in rules:
+        by_key.setdefault((k, m), []).append((p, r))
+
+    def expected(host: str) -> tuple[str | None, str | None]:
+        labels = host.split(".")
+        n = len(labels)
+        best = None
+        for i in range(1, min(n, maxr) + 1):
+            cand = ".".join(labels[n - i:])
+            for p, r in by_key.get((cand, i), ()):
+                if r == i or n > i:
+                    mk = p * 100 + r
+                    best = mk if best is None else max(best, mk)
+        ps_n = 1 if best is None else best % 100 - best // 100
+        ps = ".".join(labels[n - ps_n:]) if n >= ps_n else None
+        dom = ".".join(labels[n - ps_n - 1:]) if n > ps_n else None
+        return ps, dom
+
+    hosts = []
+    for j in range(2000):
+        t = tlds[j % len(tlds)]
+        k = j % 300
+        hosts.append(
+            [
+                f"a.b.s{j % 9000}.{t}",            # 2-label listed suffix
+                f"x.wild{k}.{tlds[k % len(tlds)]}",  # wildcard consumes x
+                f"ok{k}.wild{k}.{tlds[k % len(tlds)]}",  # exception wins
+                f"foo.unlisted{j}",                 # implicit '*'
+                f"s{j % 9000}.{t}",                 # host IS a suffix
+            ][j % 5]
+        )
+    hdf = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "hid bigint, host string"
+    )
+    out = wl.psl_registrable(hdf, rules=rules)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "rule join must broadcast"
+    got = {r.hid: (r.public_suffix, r.domain) for r in out.collect()}
+    assert len(got) == len(hosts)
+    for i, h in enumerate(hosts):
+        assert got[i] == expected(h), (h, got[i], expected(h))
+
+    # deployment twin: rules registered ONCE (read_csv), generated
+    # SQL constant-size, results identical to the Spark side
+    csv_path = wl.psl_rules_csv_write(str(tmp_path / "rules.csv"), rules)
+    sql = wl.psl_registrable_sql(
+        "SELECT hid, host FROM hostrel",
+        rules_rel=wl.psl_table_sql(csv_path),
+        max_match_len=maxr,
+    )
+    assert len(sql) < 6000, len(sql)  # no inlined VALUES blow-up
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE hostrel AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{h}')" for i, h in enumerate(hosts))
+        + ") t(hid, host)"
+    )
+    oracle = {
+        int(r[0]): (r[2], r[3])
+        for r in con.execute(sql).fetchall()
+    }
+    assert oracle == got
+
+    # malformed file: a rule with >= 100 labels must refuse at load
+    bad = str(tmp_path / "bad.dat")
+    with open(bad, "w", encoding="utf-8") as fh:
+        fh.write(".".join(["x"] * 120) + "\n")
+    with pytest.raises(ValueError, match="refusing a malformed"):
+        wl.psl_rules(bad)

@@ -419,3 +419,29 @@ def test_source_quota_hybrid_routes_exact_and_threshold(spark):
     for doc_id, (source, kept) in out.items():
         want = threshold[doc_id] if sizes[source] > thresh else exact[doc_id]
         assert kept == want, (doc_id, source, kept, want)
+
+
+def test_source_quota_threshold_null_source_gets_verdict(spark):
+    """Review finding r14: a NULL source is a legitimate group — the
+    threshold and hybrid forms must give its rows a verdict (the
+    first cut's equi-join silently dropped them), matching the rank
+    form's row coverage."""
+    docs = io.load(spark, SF_DIR, "documents").withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ),
+    )
+    n = docs.count()
+    n_null = docs.filter("source IS NULL").count()
+    assert n_null > 3
+    thr = sampling.source_quota_threshold(docs, cap=3)
+    assert thr.count() == n
+    null_rows = thr.filter("source IS NULL").collect()
+    assert len(null_rows) == n_null
+    assert all(r.n_source == n_null for r in null_rows)
+    # the NULL group is capped like any other (expected cap ~3)
+    assert 0 < sum(1 for r in null_rows if r.kept) < n_null
+    hyb = sampling.source_quota_cap_hybrid(docs, cap=3, mega_threshold=10)
+    assert hyb.count() == n
+    assert hyb.filter("source IS NULL").count() == n_null

@@ -2053,18 +2053,12 @@ FROM wrapped
 """
 
 
-def html_main_content(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Boilerplate removal by the classic LINK-DENSITY rule: split the
-    document at block-tag boundaries, measure each block's visible
-    chars vs chars inside ``<a>`` anchors, and drop link-dominated
-    blocks (nav bars, share walls). The keep decision is INTEGER
-    arithmetic — ``2 * link_chars < visible_chars`` — so there is no
-    float rounding for the two engines to disagree on.
-
-    Scale shape: one explode over blocks (rows ~= docs x ~6 blocks),
-    per-doc re-aggregate keyed by doc_id — a narrow shuffle on the
-    natural key; no windows, no UDFs, no driver state.
-    """
+def _html_visible_blocks(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, pos, vis, vis_len, link_len) for every VISIBLE block
+    of the wrapped fixture HTML — the shared front half of
+    :func:`html_main_content` and :func:`html_line_dedup` (one
+    definition of the block split / visibility / anchor extraction,
+    so the fused operator cannot drift from the composition)."""
     h = _html_wrapped(text_col)
     blocks = docs.select(
         "doc_id",
@@ -2078,14 +2072,35 @@ def html_main_content(docs: DataFrame, text_col: str = "text") -> DataFrame:
         " ",
     )
     link_vis = _html_visible(link_inner)
-    per_block = blocks.select(
+    return blocks.select(
         "doc_id",
         "pos",
         vis.alias("vis"),
         F.length(vis).alias("vis_len"),
         F.length(link_vis).alias("link_len"),
     ).filter(F.col("vis_len") > 0)
-    kept = F.when(2 * F.col("link_len") < F.col("vis_len"), 1).otherwise(0)
+
+
+def _html_block_kept() -> Column:
+    """The link-density keep rule — INTEGER arithmetic, one
+    definition for both consumers."""
+    return 2 * F.col("link_len") < F.col("vis_len")
+
+
+def html_main_content(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate removal by the classic LINK-DENSITY rule: split the
+    document at block-tag boundaries, measure each block's visible
+    chars vs chars inside ``<a>`` anchors, and drop link-dominated
+    blocks (nav bars, share walls). The keep decision is INTEGER
+    arithmetic — ``2 * link_chars < visible_chars`` — so there is no
+    float rounding for the two engines to disagree on.
+
+    Scale shape: one explode over blocks (rows ~= docs x ~6 blocks),
+    per-doc re-aggregate keyed by doc_id — a narrow shuffle on the
+    natural key; no windows, no UDFs, no driver state.
+    """
+    per_block = _html_visible_blocks(docs, text_col)
+    kept = F.when(_html_block_kept(), 1).otherwise(0)
     return (
         per_block.withColumn("keep", kept)
         .groupBy("doc_id")
@@ -2244,27 +2259,8 @@ def html_line_dedup(
     every visible block is empty has no row (as the composition's
     inner join drops it), and a doc whose every line is hot comes
     back with ``text_kept = ''``."""
-    h = _html_wrapped(text_col)
-    blocks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.split(_html_strip_nonvisible(h), _HTML_BLOCK_RE)
-        ).alias("pos", "block"),
-    )
-    vis = _html_visible(F.col("block"))
-    link_inner = F.array_join(
-        F.regexp_extract_all(F.col("block"), F.lit(_HTML_ANCHOR_RE), F.lit(1)),
-        " ",
-    )
-    link_vis = _html_visible(link_inner)
-    kept_blocks = blocks.select(
-        "doc_id",
-        "pos",
-        vis.alias("vis"),
-        F.length(vis).alias("vis_len"),
-        F.length(link_vis).alias("link_len"),
-    ).filter(
-        (F.col("vis_len") > 0) & (2 * F.col("link_len") < F.col("vis_len"))
+    kept_blocks = _html_visible_blocks(docs, text_col).filter(
+        _html_block_kept()
     )
     # One explicit exchange below the fan-out: `lines` feeds THREE
     # consumers (the hot-line count, the anti-join probe, the n_lines
@@ -2482,12 +2478,20 @@ def repair_mojibake(c: Column, rounds: int = 2) -> Column:
     """Repair both corruption classes: the class-1 replace chain runs
     ``rounds`` times — each pass peels EXACTLY one UTF-8-as-cp1252
     corruption layer (pytest-pinned), so rounds=2 also inverts
-    DOUBLE-encoded UTF-8; the chain is the identity once no layer
-    remains, so extra rounds are safe — then the C1 translate once
-    (class-1 expansions contain C1 pass-through characters that must
-    be consumed by their replace entries before the translate sees
-    them). Clean text is a fixed point: none of the true characters'
-    sequences appear in the signature alphabet."""
+    DOUBLE-encoded UTF-8 — then the C1 translate once (class-1
+    expansions contain C1 pass-through characters that must be
+    consumed by their replace entries before the translate sees
+    them).
+
+    Semantics tradeoff, stated honestly (review finding r14): a
+    LITERAL mojibake sequence in clean text (a document *about*
+    encoding bugs quoting "Ã©") is indistinguishable from one more
+    corruption layer, so iterating normalizes it — the same
+    fixed-point choice ftfy makes. rounds=1 repairs single-encoding
+    only and never touches such mentions; rounds=2 (default, the
+    recipe's crawl setting) additionally inverts double-encoding at
+    the cost of normalizing mentions. Signature-free clean text is a
+    fixed point at any rounds."""
     for _ in range(rounds):
         for moji, true in _UTF8_REPAIRS:
             c = F.replace(c, F.lit(moji), F.lit(true))
@@ -2557,20 +2561,31 @@ def _utf16le_as_latin1(s: str) -> str:
     return "".join(chr(b) for b in ("﻿" + s).encode("utf-16-le"))
 
 
+#: a BOM pair is a UTF-16 artifact only where the NUL interleaving
+#: PROVES it: LE = 'ÿþ' followed by (char, NUL), BE = 'þÿ' followed
+#: by (NUL, char). The NUL inside the pattern is the evidence, so the
+#: rewrite is inherently gated — a legitimate interior 'ÿþ' letter
+#: run in NUL-free (or even stray-NUL) text never matches (review
+#: finding r14: the first cut stripped BOM pairs globally whenever
+#: any NUL existed, deleting legitimate content far from the BOM).
+_U16LE_MID_RE = "\xff\xfe([\\s\\S]\\x00)"
+_U16BE_MID_RE = "\xfe\xff(\\x00[\\s\\S])"
+
+
 def repair_bom_utf16(c: Column) -> Column:
-    """Strip BOM artifacts, and un-interleave UTF-16-as-latin-1 text
-    when the misdecoding is PROVEN — a NUL anywhere, or the text
-    starting with a byte-order-mark pair (the NUL-free degenerate
-    case: an empty UTF-16 payload is just the bare BOM pair)."""
-    fixed = F.replace(c, F.lit(_NUL), F.lit(""))
-    fixed = F.replace(fixed, F.lit(_U16LE_BOM_AS_L1), F.lit(""))
-    fixed = F.replace(fixed, F.lit(_U16BE_BOM_AS_L1), F.lit(""))
-    is_u16 = (
-        F.contains(c, F.lit(_NUL))
-        | c.startswith(_U16LE_BOM_AS_L1)
-        | c.startswith(_U16BE_BOM_AS_L1)
-    )
-    out = F.when(is_u16, fixed).otherwise(c)
+    """Strip UTF-16-as-latin-1 artifacts: BOM pairs where the NUL
+    interleaving proves them (see the pattern note above) or at the
+    string PREFIX (the degenerate empty-payload case — a bare BOM
+    pair and nothing else), then every NUL (never legitimate
+    content), then the UTF-8-BOM mojibake ("ï»¿") and stray real BOM
+    chars (format metadata wherever they appear)."""
+    out = F.regexp_replace(c, _U16LE_MID_RE, "$1")
+    out = F.regexp_replace(out, _U16BE_MID_RE, "$1")
+    out = F.when(
+        out.startswith(_U16LE_BOM_AS_L1) | out.startswith(_U16BE_BOM_AS_L1),
+        F.substring(out, 3, 2**31 - 1),
+    ).otherwise(out)
+    out = F.replace(out, F.lit(_NUL), F.lit(""))
     out = F.replace(out, F.lit(_UTF8_BOM_AS_CP1252), F.lit(""))
     return F.replace(out, F.lit("﻿"), F.lit(""))
 
@@ -2579,15 +2594,16 @@ def repair_bom_utf16_sql(expr: str) -> str:
     nul = "chr(0)"
     le = _sql_str(_U16LE_BOM_AS_L1)
     be = _sql_str(_U16BE_BOM_AS_L1)
-    fixed = (
-        f"replace(replace(replace({expr}, {nul}, ''), {le}, ''),"
-        f" {be}, '')"
+    le_re = f"({le} || '([\\s\\S]\\x00)')"
+    be_re = f"({be} || '(\\x00[\\s\\S])')"
+    out = f"regexp_replace({expr}, {le_re}, '\\1', 'g')"
+    out = f"regexp_replace({out}, {be_re}, '\\1', 'g')"
+    out = (
+        f"CASE WHEN starts_with({out}, {le})"
+        f" OR starts_with({out}, {be})"
+        f" THEN substr({out}, 3) ELSE {out} END"
     )
-    cond = (
-        f"contains({expr}, {nul}) OR starts_with({expr}, {le})"
-        f" OR starts_with({expr}, {be})"
-    )
-    out = f"CASE WHEN {cond} THEN {fixed} ELSE {expr} END"
+    out = f"replace({out}, {nul}, '')"
     out = f"replace({out}, {_sql_str(_UTF8_BOM_AS_CP1252)}, '')"
     return f"replace({out}, {_sql_str(chr(0xFEFF))}, '')"
 

@@ -388,6 +388,18 @@ def psl_rules(path: str | None = None) -> list[tuple[str, int, int, int]]:
                 "packing supports at most 99 (real PSL max is ~5) — "
                 "refusing a malformed suffix list"
             )
+        # keys flow into generated SQL literals and the deployment
+        # CSV: characters that could break either representation
+        # (quotes, commas, backslashes, control chars) never occur in
+        # a legitimate suffix list (IDN labels are unicode LETTERS) —
+        # refuse rather than splice
+        if any(ch in key for ch in "',\"\\\x00") or any(
+            ord(ch) < 0x20 for ch in key
+        ):
+            raise ValueError(
+                f"PSL rule {key!r} contains quoting/control "
+                "characters — refusing a malformed suffix list"
+            )
     return rules
 
 
@@ -508,11 +520,16 @@ def psl_rules_csv_write(
     loaded from it) keeps the generated SQL constant-size. The
     checked-in snapshot stays on the VALUES form (self-contained
     oracle strings are the gate contract). Returns ``path``."""
+    import csv
+
     rules = rules if rules is not None else psl_rules()
-    with open(path, "w", encoding="utf-8") as fh:
-        fh.write("key,match_len,prio,rule_labels\n")
-        for k, m, p, r in rules:
-            fh.write(f"{k},{m},{p},{r}\n")
+    # csv.writer (not string interpolation): psl_rules() refuses keys
+    # carrying quoting characters, but belt-and-braces quoting keeps
+    # this writer safe even for rule lists built programmatically
+    with open(path, "w", encoding="utf-8", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(("key", "match_len", "prio", "rule_labels"))
+        w.writerows(rules)
     return path
 
 

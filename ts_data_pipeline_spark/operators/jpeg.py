@@ -1522,7 +1522,11 @@ def encode_progressive_ycbcr444(
         """The given raster positions of component ``ci`` as a
         (1, n, 64) slab for the shared emit helpers — at (1,1)x3 the
         per-component block raster IS the MCU raster, so restart
-        chunking slices the same position list for every scan kind."""
+        chunking slices the same position list for every scan kind.
+        The full raster (every non-chunked scan) stays a zero-copy
+        reshape; only restart chunks pay the gather."""
+        if len(rng) == len(mcus):
+            return qcs_list[ci].reshape(1, -1, 64)
         return np.stack(
             [qcs_list[ci][by, bx] for by, bx in rng]
         ).reshape(1, len(rng), 64)
@@ -1723,7 +1727,9 @@ def encode_progressive_ycbcr420(
         real = qcs_list[ci][:rbh, :rbw]
         runits = [(by, bx) for by in range(rbh) for bx in range(rbw)]
 
-        def _rslab(rng, real=real) -> np.ndarray:
+        def _rslab(rng, real=real, n_all=rbh * rbw) -> np.ndarray:
+            if len(rng) == n_all:
+                return real.reshape(1, -1, 64)
             return np.stack(
                 [real[by, bx] for by, bx in rng]
             ).reshape(1, len(rng), 64)

@@ -445,12 +445,20 @@ def source_quota_threshold(
         raise ValueError(f"cap {cap} overflows the 2^32 scaling")
     num = cap * 4294967296
     u = _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
+    # NULL-safe join key: a NULL source is a legitimate group (the
+    # rank form windows it like any other), but an equi-join would
+    # silently drop its rows from the verdict — review finding r14.
+    # eqNullSafe keeps the join broadcastable and the NULL group gets
+    # counted and capped like the rest.
     counts = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_source")
-    )
+    ).withColumnRenamed(source_col, "_csrc")
     return (
         docs.select(F.col(key_col), F.col(source_col), u.alias("_u"))
-        .join(F.broadcast(counts), source_col)
+        .join(
+            F.broadcast(counts),
+            F.col(source_col).eqNullSafe(F.col("_csrc")),
+        )
         .select(
             key_col,
             source_col,
@@ -470,11 +478,12 @@ def source_quota_threshold_sql(
     u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
     num = cap * 4294967296
     return f"""
-SELECT {key_col}, {source_col}, n_source,
-       ({u}) < {num} // n_source AS kept
-FROM {table}
-JOIN (SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_source
-      FROM {table} GROUP BY {source_col}) counts USING ({source_col})
+SELECT t.{key_col}, t.{source_col}, counts.n_source,
+       ({u}) < {num} // counts.n_source AS kept
+FROM {table} t
+JOIN (SELECT {source_col} AS _csrc, CAST(COUNT(*) AS BIGINT) AS n_source
+      FROM {table} GROUP BY {source_col}) counts
+  ON t.{source_col} IS NOT DISTINCT FROM counts._csrc
 """
 
 
@@ -500,11 +509,18 @@ def source_quota_cap_hybrid(
     here because the two branches don't share one."""
     counts = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_source")
-    )
+    ).withColumnRenamed(source_col, "_csrc")
     u = _u32_spark(f"concat('{salt}-', cast({key_col} as string))")
-    based = docs.select(
-        F.col(key_col), F.col(source_col), u.alias("_u")
-    ).join(F.broadcast(counts), source_col)
+    # eqNullSafe for the same reason as source_quota_threshold: a
+    # NULL source must get a verdict, not vanish from the join
+    based = (
+        docs.select(F.col(key_col), F.col(source_col), u.alias("_u"))
+        .join(
+            F.broadcast(counts),
+            F.col(source_col).eqNullSafe(F.col("_csrc")),
+        )
+        .drop("_csrc")
+    )
     small = based.filter(F.col("n_source") <= mega_threshold)
     mega = based.filter(F.col("n_source") > mega_threshold)
     from pyspark.sql import Window
@@ -540,12 +556,13 @@ def source_quota_cap_hybrid_sql(
     num = cap * 4294967296
     return f"""
 WITH qcounts AS (
-  SELECT {source_col}, CAST(COUNT(*) AS BIGINT) AS n_source
+  SELECT {source_col} AS _csrc, CAST(COUNT(*) AS BIGINT) AS n_source
   FROM {table} GROUP BY {source_col}
 ),
 qbased AS (
-  SELECT {key_col}, {source_col}, n_source, ({u}) AS _u
-  FROM {table} JOIN qcounts USING ({source_col})
+  SELECT t.{key_col}, t.{source_col}, q.n_source, ({u}) AS _u
+  FROM {table} t
+  JOIN qcounts q ON t.{source_col} IS NOT DISTINCT FROM q._csrc
 )
 SELECT {key_col}, {source_col}, n_source,
        row_number() OVER (PARTITION BY {source_col}
