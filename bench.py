@@ -44,7 +44,7 @@ CANARY_REF_SEC = 0.477
 #: canary_io_ratio is the host-draw signal for shuffle/scan-bound
 #: queries, published alongside canary_ratio so adjudication can
 #: match each query's profile.
-CANARY_IO_REF_SEC = 1.087
+CANARY_IO_REF_SEC = 1.778
 
 # Headline set: curated, scale-sensitive queries — the SAME 11
 # workloads every round so totals stay comparable. Two of them
