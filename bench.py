@@ -37,14 +37,17 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 CANARY_REF_SEC = 0.477
 
 #: pinned reference for the SECOND canary (r14, VERDICT r13 ask #1):
-#: the fixed shuffle+local-disk workload's duration on the r14
-#: builder host (median of the round's validation runs). The CPU
-#: canary demonstrably under-measures I/O/memory-bandwidth contention
-#: (it tracked ~7 points of a ~28% slowdown in r13, BENCH_NOTES) —
-#: canary_io_ratio is the host-draw signal for shuffle/scan-bound
-#: queries, published alongside canary_ratio so adjudication can
-#: match each query's profile.
-CANARY_IO_REF_SEC = 1.778
+#: the fixed shuffle+local-disk workload's PRE-position duration on
+#: the r14 builder host in normal state — measured IN-HARNESS (the
+#: same early-session JIT position every future run reads it at; a
+#: standalone-session pin read ~17% lower and would bias every ratio
+#: high, same convention as CANARY_REF_SEC = r11's in-harness pre).
+#: The CPU canary demonstrably under-measures I/O/memory-bandwidth
+#: contention (it tracked ~7 points of a ~28% slowdown in r13,
+#: BENCH_NOTES) — canary_io_ratio is the host-draw signal for
+#: shuffle/scan-bound queries, published alongside canary_ratio so
+#: adjudication can match each query's profile.
+CANARY_IO_REF_SEC = 2.09
 
 # Headline set: curated, scale-sensitive queries — the SAME 11
 # workloads every round so totals stay comparable. Two of them
@@ -1152,7 +1155,7 @@ def _canary(spark) -> dict:
 
         mk().count()  # warm codegen
         ts = []
-        for _ in range(max(RUNS, 3)):
+        for _ in range(max(RUNS, 5)):
             t0 = time.perf_counter()
             mk().count()
             ts.append(time.perf_counter() - t0)
@@ -1214,7 +1217,10 @@ def _canary_io(spark) -> dict:
                 shutil.rmtree(d2, ignore_errors=True)
 
         run_once()  # warm (codegen + committer init)
-        ts = [run_once() for _ in range(max(RUNS, 3))]
+        # median of 5 (not RUNS=3): the canary IS the measuring
+        # stick, so its own noise floor must sit below the band it
+        # exists to tighten
+        ts = [run_once() for _ in range(max(RUNS, 5))]
         return {"canary_io_sec": round(statistics.median(ts), 3)}
     except Exception as exc:
         print(f"# io canary failed: {exc}", file=sys.stderr)
