@@ -1167,7 +1167,7 @@ def _canary(spark) -> dict:
 
 def _canary_io(spark) -> dict:
     """Second fixed canary (r14, VERDICT r13 ask #1): a
-    shuffle/I/O-bound workload — write a constant-size synthetic
+    shuffle/write-bound workload — write a constant-size synthetic
     relation to LOCAL DISK as parquet, read it back, push the FULL
     payload through a 64-way exchange + within-partition sort, and
     write the sorted result back out. The terminal write is
@@ -1176,9 +1176,17 @@ def _canary_io(spark) -> dict:
     scan and shuffle entirely (caught by this round's review pass —
     the first cut timed md5 CPU + one write and nothing else);
     writing the sorted rows forces the read, the payload-wide
-    exchange, and the sort to actually execute. No data dependence;
-    dirs are recreated per run so the page cache can't hide the
-    I/O after run one."""
+    exchange, and the sort to actually execute. Honest boundary
+    (second review pass): the read-back scans files written
+    milliseconds earlier IN the timed body, so the read half is
+    page-cache-served and the writes are async writeback — what this
+    canary actually tracks is write-issue + shuffle + sort + memory
+    bandwidth, NOT cold-disk read latency (per-run dir recreation
+    only prevents CROSS-run input caching). That is still the
+    contention class the CPU canary is blind to; a host whose draw
+    is purely cold-read-bound would move the headline's scan-heavy
+    queries without moving either canary, and adjudication has the
+    raw per-query values for that case."""
     import shutil
     import tempfile
 

@@ -1201,6 +1201,41 @@ def _emit_ac_refine(wtr, enc_ac, qcs, ss: int, se: int, al: int) -> None:
     _flush()
 
 
+def _emit_scan_body(out, n_units: int, restart_interval: int,
+                    emit_chunk) -> None:
+    """Entropy-body framing shared by EVERY progressive encoder (the
+    wire shape a restart fix must change in exactly ONE place —
+    review finding r14: three per-encoder copies of this loop were
+    the duplication hazard the 4:4:4 docstring itself warned about):
+    split the scan's own unit raster into restart intervals, each
+    emitted by a FRESH emitter call — DC predictors and EOB runs
+    reset per interval by construction — byte-padded, separated by
+    in-sequence RSTn. ``emit_chunk(wtr, start, stop)`` encodes raster
+    units [start, stop)."""
+    step = restart_interval if restart_interval else n_units
+    rst = 0
+    for start in range(0, n_units, step):
+        wtr = _BitWriter()
+        emit_chunk(wtr, start, min(start + step, n_units))
+        wtr.pad_to_byte()
+        out.extend(wtr.out)
+        if start + step < n_units:
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+
+
+def _slab_from(grid: np.ndarray, positions, n_all: int) -> np.ndarray:
+    """(1, n, 64) slab of the given (by, bx) raster positions of a
+    (bh, bw, 64) block grid for the shared emit helpers; the full
+    raster stays a zero-copy reshape (every non-chunked scan) and
+    only restart chunks pay the gather."""
+    if len(positions) == n_all:
+        return grid.reshape(1, -1, 64)
+    return np.stack(
+        [grid[by, bx] for by, bx in positions]
+    ).reshape(1, len(positions), 64)
+
+
 def encode_progressive_gray(
     plane: np.ndarray,
     w: int,
@@ -1271,31 +1306,17 @@ def encode_progressive_gray(
 
     def _scan(ss: int, se: int, ah: int, al: int, emit) -> None:
         """Write SOS + the scan body; ``emit(wtr, blocks)`` encodes a
-        (bh, bw, 64) block slab. With a restart interval, the raster
-        block sequence is emitted in interval-sized slabs — each slab
-        a fresh emitter call, so the DC predictor starts at 0 and the
-        EOB run flushes inside the slab by construction — padded and
-        separated by in-sequence RSTn."""
+        (1, n, 64) block slab. Framing (interval slabs, fresh
+        predictors/EOB runs, padding, in-sequence RSTn) is the shared
+        :func:`_emit_scan_body`."""
         sos = bytes([1, 1, 0x00 if ss == 0 else 0x10,
                      ss, se, (ah << 4) | al])
         out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-        if not restart_interval:
-            wtr = _BitWriter()
-            emit(wtr, qcs)
-            wtr.pad_to_byte()
-            out.extend(wtr.out)
-            return
         flat = qcs.reshape(-1, 64)
-        rst = 0
-        for start in range(0, flat.shape[0], restart_interval):
-            chunk = flat[start : start + restart_interval]
-            wtr = _BitWriter()
-            emit(wtr, chunk.reshape(1, chunk.shape[0], 64))
-            wtr.pad_to_byte()
-            out.extend(wtr.out)
-            if start + restart_interval < flat.shape[0]:
-                out.extend(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
+        _emit_scan_body(
+            out, flat.shape[0], restart_interval,
+            lambda wtr, a, b: emit(wtr, flat[a:b].reshape(1, b - a, 64)),
+        )
 
     _scan(0, 0, 0, dc_al,
           lambda wtr, qb: _emit_dc_first(wtr, enc_dc, qb, dc_al))
@@ -1469,30 +1490,21 @@ def encode_progressive_ycbcr444(
     def _scan(comp_specs, ss, se, ah, al, emit_range,
               chunked=False) -> None:
         """Write SOS + the scan body; ``emit_range(wtr, rng)``
-        encodes the given MCU positions. ``chunked`` (the interleaved
-        DC scans, when ``restart_interval`` is set) splits the MCU
-        raster into restart intervals — each interval a fresh emitter
-        call, so per-component predictors start at 0 matching the
-        decoder's reset — byte-padded and separated by in-sequence
-        RSTn. ONE SOS/chunk implementation for all scan kinds (the
-        first cut had a second copy that a future restart fix could
-        silently miss)."""
+        encodes the given MCU positions. ``chunked`` (when
+        ``restart_interval`` is set) splits the MCU raster into
+        restart intervals via the shared :func:`_emit_scan_body`
+        framing — per-component predictors start at 0 per interval,
+        matching the decoder's reset."""
         sos = bytes([len(comp_specs)])
         for cid, tt in comp_specs:
             sos += bytes([cid, tt])
         sos += bytes([ss, se, (ah << 4) | al])
         out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-        step = restart_interval if (chunked and restart_interval) \
-            else len(mcus)
-        rst = 0
-        for start in range(0, len(mcus), step):
-            wtr = _BitWriter()
-            emit_range(wtr, mcus[start : start + step])
-            wtr.pad_to_byte()
-            out.extend(wtr.out)
-            if start + step < len(mcus):
-                out.extend(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
+        _emit_scan_body(
+            out, len(mcus),
+            restart_interval if chunked else 0,
+            lambda wtr, a, b: emit_range(wtr, mcus[a:b]),
+        )
 
     def _dc_first_range(wtr, rng) -> None:
         preds = [0, 0, 0]
@@ -1519,17 +1531,11 @@ def encode_progressive_ycbcr444(
                 )
 
     def _slab(ci: int, rng) -> np.ndarray:
-        """The given raster positions of component ``ci`` as a
-        (1, n, 64) slab for the shared emit helpers — at (1,1)x3 the
-        per-component block raster IS the MCU raster, so restart
-        chunking slices the same position list for every scan kind.
-        The full raster (every non-chunked scan) stays a zero-copy
-        reshape; only restart chunks pay the gather."""
-        if len(rng) == len(mcus):
-            return qcs_list[ci].reshape(1, -1, 64)
-        return np.stack(
-            [qcs_list[ci][by, bx] for by, bx in rng]
-        ).reshape(1, len(rng), 64)
+        """Component ``ci``'s raster positions as an emit slab — at
+        (1,1)x3 the per-component block raster IS the MCU raster, so
+        restart chunking slices the same position list for every
+        scan kind."""
+        return _slab_from(qcs_list[ci], rng, len(mcus))
 
     if restart_scope not in ("dc", "all"):
         raise ValueError(f"unknown restart_scope {restart_scope!r}")
@@ -1652,26 +1658,17 @@ def encode_progressive_ycbcr420(
         """Write SOS + the scan body; ``emit_range(wtr, rng)``
         encodes the given slice of ``units`` (the scan's own MCU
         raster: (my, mx) MCUs for the interleaved DC scans, (by, bx)
-        real-grid blocks for the non-interleaved AC scans). With a
-        restart interval, the raster splits into interval-sized
-        slices — each a fresh emitter call, so predictors reset and
-        EOB runs flush per interval by construction — byte-padded and
-        separated by in-sequence RSTn."""
+        real-grid blocks for the non-interleaved AC scans). Framing
+        is the shared :func:`_emit_scan_body`."""
         sos = bytes([len(comp_specs)])
         for cid, tt in comp_specs:
             sos += bytes([cid, tt])
         sos += bytes([ss, se, (ah << 4) | al])
         out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
-        step = restart_interval if restart_interval else len(units)
-        rst = 0
-        for start in range(0, len(units), step):
-            wtr = _BitWriter()
-            emit_range(wtr, units[start : start + step])
-            wtr.pad_to_byte()
-            out.extend(wtr.out)
-            if start + step < len(units):
-                out.extend(bytes([0xFF, 0xD0 + rst]))
-                rst = (rst + 1) % 8
+        _emit_scan_body(
+            out, len(units), restart_interval,
+            lambda wtr, a, b: emit_range(wtr, units[a:b]),
+        )
 
     mcus = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
 
@@ -1728,11 +1725,7 @@ def encode_progressive_ycbcr420(
         runits = [(by, bx) for by in range(rbh) for bx in range(rbw)]
 
         def _rslab(rng, real=real, n_all=rbh * rbw) -> np.ndarray:
-            if len(rng) == n_all:
-                return real.reshape(1, -1, 64)
-            return np.stack(
-                [real[by, bx] for by, bx in rng]
-            ).reshape(1, len(rng), 64)
+            return _slab_from(real, rng, n_all)
 
         for ss, se in bands:
             _scan([(cid, 0x10)], ss, se, 0, ac_al,
