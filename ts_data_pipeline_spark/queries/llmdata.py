@@ -240,6 +240,22 @@ def source_quota_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_quota_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HYBRID quota gated standalone (r14 — the recipe gate
+    exercises it composed; this member pins it in isolation): lang as
+    the grouping key because the corpus lang distribution genuinely
+    straddles the mega threshold (en ~200 docs > 100 routes the
+    scan-shaped threshold leg; the tail langs ~60-80 route the exact
+    rank leg) at BOTH pytest and gate SF, so both legs execute in
+    every compare."""
+    return sampling.source_quota_cap_hybrid(
+        io.load(spark, sf_dir, "documents").select("doc_id", "lang"),
+        cap=50,
+        mega_threshold=100,
+        source_col="lang",
+    )
+
+
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus top-25 terms (operators/sketch.py; the
     Misra-Gries bounded-memory form is pytest-pinned)."""

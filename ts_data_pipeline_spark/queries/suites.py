@@ -633,6 +633,15 @@ def _text_stats_members() -> list[Member]:
              ("kept", "s")),
         ),
         Member(
+            "lang_quota_hybrid",
+            llmdata.lang_quota_hybrid,
+            sampling.source_quota_cap_hybrid_sql(
+                cap=50, mega_threshold=100, source_col="lang"
+            ),
+            (("doc_id", "l"), ("lang", "s"), ("n_source", "l"),
+             ("kept", "s")),
+        ),
+        Member(
             "heavy_hitters",
             llmdata.heavy_hitters,
             sketch_ops.exact_heavy_hitters_sql(k=25),
