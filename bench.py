@@ -244,7 +244,7 @@ def _extras(spark) -> dict:
             _io.load(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10
         )
 
-    def recipe_build_corpus(spark, sf_dir):
+    def recipe_build_corpus(spark, sf_dir, stage_times=None):
         # the composed end-to-end recipe in the GATE's full r13
         # configuration (URL dedup -> charset repair -> HTML ->
         # line dedup -> decontamination -> gates -> ppl tail-drop ->
@@ -275,6 +275,7 @@ def _extras(spark) -> dict:
             charset_input=True,
             decontaminate_n=RECIPE_DECON_N,
             decontaminate_threshold=RECIPE_DECON_THRESHOLD,
+            stage_times=stage_times,
         )
 
     # PQ deployment split (r7): the inline ann_pq_topk number includes
@@ -457,6 +458,25 @@ def _extras(spark) -> dict:
             out[name] = round(statistics.median(ts), 3)
         except Exception as exc:  # never kill the artifact
             print(f"# extras {name} failed: {exc}", file=sys.stderr)
+    # Per-stage attribution for the composed recipe (r15, VERDICT
+    # r14 ask #5): a SECOND, instrumented run with localCheckpoint
+    # barriers at every named stage. The barriers change the plan
+    # (no cross-stage fusion), so the instrumented total is an upper
+    # bound on the recipe_build_corpus row above — published side by
+    # side, never mixed, so a future stage regression is attributable
+    # to its stage instead of being one opaque delta.
+    try:
+        stage_times: dict = {}
+        t0 = time.perf_counter()
+        recipe_build_corpus(spark, SF_DIR, stage_times).count()
+        total = time.perf_counter() - t0
+        stage_times["shuffle_pack_tail"] = round(
+            total - sum(stage_times.values()), 3
+        )
+        out["recipe_stage_times"] = stage_times
+        out["recipe_instrumented_total"] = round(total, 3)
+    except Exception as exc:
+        print(f"# recipe stage times failed: {exc}", file=sys.stderr)
     if "cep_streaming_funnel" in out:
         # derived throughput: whole-table replay events per second
         n_ev = _io.load(spark, SF_DIR, "events").count()

@@ -3013,7 +3013,11 @@ def test_charset_repair_property():
 
         s = _re.sub("\xff\xfe([\\s\\S]\x00)", r"\1", s)
         s = _re.sub("\xfe\xff(\x00[\\s\\S])", r"\1", s)
-        if s.startswith("\xff\xfe") or s.startswith("\xfe\xff"):
+        # r15 (advisor): prefix strip gated on NUL evidence in the
+        # remainder, or the pair being the whole string
+        if (s.startswith("\xff\xfe") or s.startswith("\xfe\xff")) and (
+            "\x00" in s or len(s) == 2
+        ):
             s = s[2:]
         s = s.replace("\x00", "")
         return s.replace(t._UTF8_BOM_AS_CP1252, "").replace("﻿", "")
@@ -3036,6 +3040,49 @@ def test_charset_repair_property():
     # 'ÿþ' letter run — the pair must survive (no NUL adjacency),
     # only the NUL goes
     assert bom_py("a\x00b ÿþ c") == "ab ÿþ c"
+    # advisor finding r14 (fixed r15): NUL-free text legitimately
+    # STARTING with a BOM-lookalike pair is untouched; the bare pair
+    # (empty payload) and a NUL-evidenced prefix still strip
+    assert bom_py("ÿþ c'est naïf") == "ÿþ c'est naïf"
+    assert bom_py("þÿ also clean") == "þÿ also clean"
+    assert bom_py("ÿþ") == ""
+    assert bom_py("þÿ") == ""
+
+    # r15 (VERDICT r14 ask #2): the gated repair is semantics-free —
+    # the one-regex corruption signal is a SUPERSET of "repair
+    # changes the text", so `when(signal, repaired).otherwise(text)`
+    # equals unconditional repair. Pinned via the pure-Python twins
+    # over an adversarial alphabet (mojibake chars + their corrupted
+    # images + C1 + NUL + BOM chars + the BOM-lookalike letters).
+    import re as _re2
+
+    _sig_class = _re2.compile("[\x00\x80-\x9f﻿]|ï»¿")
+    _mojis = [m for m, _ in t._UTF8_REPAIRS]
+
+    def signal_py(s: str) -> bool:
+        if _sig_class.search(s) or s in ("ÿþ", "þÿ"):
+            return True
+        return any(m in s for m in _mojis)
+
+    def full_py(s: str) -> str:
+        return repair_py(bom_py(s))
+
+    adversarial = st.text(
+        alphabet=st.sampled_from(
+            list(t._MOJIBAKE_CHARS)
+            + [c for m, _ in t._UTF8_REPAIRS for c in m]
+            + list("abc 09.'\n\x00\x80\x9f﻿ÿþï»¿")
+        ),
+        max_size=40,
+    )
+
+    @given(adversarial)
+    @settings(max_examples=400, deadline=None)
+    def _gate_semantics_free(s):
+        gated = full_py(s) if signal_py(s) else s
+        assert gated == full_py(s)
+
+    _gate_semantics_free()
 
 
 def test_psl_matcher_property():
@@ -3466,6 +3513,13 @@ def test_psl_full_scale_synthetic(spark, tmp_path):
         for r in con.execute(sql).fetchall()
     }
     assert oracle == got
+
+    # advisor finding r14 (fixed r15): a path carrying a single quote
+    # is refused, not spliced into the generated read_csv literal
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single quote"):
+        wl.psl_table_sql("/tmp/o'brien/rules.csv")
 
     # malformed file: a rule with >= 100 labels must refuse at load
     bad = str(tmp_path / "bad.dat")

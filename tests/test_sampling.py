@@ -445,3 +445,21 @@ def test_source_quota_threshold_null_source_gets_verdict(spark):
     hyb = sampling.source_quota_cap_hybrid(docs, cap=3, mega_threshold=10)
     assert hyb.count() == n
     assert hyb.filter("source IS NULL").count() == n_null
+
+
+def test_source_quota_overflow_guard_both_twins():
+    """Advisor finding r14 (fixed r15): the SQL generators enforce
+    the SAME cap < 2^31 guard as the Spark builders — beyond int64
+    DuckDB widens cap*2^32 to hugeint while Spark raises, so an
+    unguarded generator would silently diverge the twins."""
+    import pytest as _pytest
+
+    for fn in (
+        lambda c: sampling.source_quota_threshold_sql(cap=c),
+        lambda c: sampling.source_quota_cap_hybrid_sql(
+            cap=c, mega_threshold=100
+        ),
+    ):
+        with _pytest.raises(ValueError, match="overflow"):
+            fn(2**31)
+        fn(2**31 - 1)  # boundary cap is accepted by both twins

@@ -536,7 +536,14 @@ def psl_rules_csv_write(
 def psl_table_sql(csv_path: str) -> str:
     """A rules relation reading the CSV :func:`psl_rules_csv_write`
     wrote — drop-in for the ``rules_rel`` parameter of
-    :func:`psl_registrable_sql`."""
+    :func:`psl_registrable_sql`. Paths carrying a single quote are
+    refused rather than spliced (the same refuse-not-escape policy
+    the rule-key validation uses; advisor finding r14)."""
+    if "'" in csv_path:
+        raise ValueError(
+            f"csv_path contains a single quote, refusing to splice"
+            f" it into SQL: {csv_path!r}"
+        )
     return (
         f"(SELECT key, CAST(match_len AS INT) AS match_len,"
         f" CAST(prio AS INT) AS prio,"

@@ -475,6 +475,11 @@ def source_quota_threshold_sql(
     salt: str = "quota-v1",
     table: str = "documents",
 ) -> str:
+    # Same overflow guard as the Spark twin: beyond int64 DuckDB
+    # would silently widen cap*2^32 to hugeint while Spark raises,
+    # diverging the twins for identical parameters (advisor r14).
+    if cap >= 2**31:
+        raise ValueError(f"cap {cap} overflows the 2^32 scaling")
     u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
     num = cap * 4294967296
     return f"""
@@ -552,6 +557,8 @@ def source_quota_cap_hybrid_sql(
     salt: str = "quota-v1",
     table: str = "documents",
 ) -> str:
+    if cap >= 2**31:  # mirror the Spark twin's guard (advisor r14)
+        raise ValueError(f"cap {cap} overflows the 2^32 scaling")
     u = _u32_sql(f"'{salt}-' || CAST({key_col} AS VARCHAR)")
     num = cap * 4294967296
     return f"""

@@ -82,3 +82,306 @@ def clustered_embeddings(
         .select("vec_id", cluster)
         .select("vec_id", "label", emb)
     )
+
+
+# --- SF-scalable table synthesis (r15, VERDICT r14 ask #1) ----------
+#
+# The driver's testdata stops at sf0.1; every scale claim above it
+# was argued from plan shape. This generator produces the SAME ten
+# tables (TESTDATA.md schemas, value domains, FK structure and
+# per-table row-count slopes, reverse-engineered from the three
+# shipped SFs) at ANY sf, so the headline set and the recipe can be
+# TIMED at sf1 and the sf1/sf0.1 ratio measured instead of argued.
+# It is shape-matched, not bit-matched: correctness gates stay on
+# the driver's own parquet (sf0.01); this data exists only to put a
+# measured number on the scaling slope.
+#
+# Same determinism contract as clustered_embeddings: every draw is a
+# pure column expression over xxhash64(seed, ids...), so (sf, seed)
+# fixes every byte regardless of partitioning or cluster size — at
+# 100 TB-equivalent sf this generator is itself an embarrassingly
+# parallel projected scan of spark.range.
+
+_VOCAB = (
+    "spark window merge table column vector stream value data small "
+    "join filter big group hash customer sort order slow line part "
+    "fast the row agg key query a scan batch dup"
+).split()
+
+_LANGS = ("en", "zh", "es", "fr", "de")
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+_SEGMENTS = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+)
+_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+)
+_P_ADJ = ("large", "hot", "blue", "small", "red", "green", "cold",
+          "dark", "light", "round")
+_P_NOUN = ("ring", "bolt", "screw", "washer", "nut", "gear", "pin",
+           "rod", "cap", "plate")
+_P_TYPES = ("LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM",
+            "PROMO")
+_REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+
+def _pick(options, h):
+    """Deterministic choice from a literal tuple by hash column."""
+    arr = F.array(*[F.lit(o) for o in options])
+    return F.element_at(arr, (F.pmod(h, F.lit(len(options))) + 1).cast("int"))
+
+
+def _h(seed: int, *cols):
+    return F.xxhash64(F.lit(seed), *cols)
+
+
+def synth_counts(sf: float) -> dict[str, int]:
+    """Per-table row counts at ``sf``, matching the driver's slopes
+    (TESTDATA.md: lineitem ~6M/sf-unit, documents/embeddings floored
+    at their small-SF plateaus)."""
+    return {
+        "region": 5,
+        "nation": 25,
+        "supplier": max(10, int(10_000 * sf)),
+        "customer": max(150, int(150_000 * sf)),
+        "part": max(200, int(200_000 * sf)),
+        "orders": max(1_500, int(1_500_000 * sf)),
+        # lineitem derives from orders (1-7 lines each, avg 4)
+        "events": max(1_000, int(1_000_000 * sf)),
+        "documents": max(500, int(50_000 * sf)),
+        "embeddings": max(500, int(20_000 * sf)),
+    }
+
+
+def synth_region(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(_REGIONS)],
+        "r_regionkey int, r_name string",
+    )
+
+
+def synth_nation(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, f"NATION_{i}", i % 5) for i in range(25)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+
+
+def synth_supplier(spark: SparkSession, n: int, seed: int) -> DataFrame:
+    k = F.col("id")
+    return spark.range(n).select(
+        k.alias("s_suppkey"),
+        F.format_string("Supplier#%09d", k.cast("int")).alias("s_name"),
+        F.pmod(_h(seed + 1, k), F.lit(25)).cast("int").alias("s_nationkey"),
+        F.round(_unif(seed + 2, k) * 10999.65 - 999.85, 2).alias("s_acctbal"),
+    )
+
+
+def synth_customer(spark: SparkSession, n: int, seed: int) -> DataFrame:
+    k = F.col("id")
+    return spark.range(n).select(
+        k.alias("c_custkey"),
+        F.format_string("Customer#%09d", k.cast("int")).alias("c_name"),
+        F.pmod(_h(seed + 3, k), F.lit(25)).cast("int").alias("c_nationkey"),
+        F.round(_unif(seed + 4, k) * 10999.65 - 999.85, 2).alias("c_acctbal"),
+        _pick(_SEGMENTS, _h(seed + 5, k)).alias("c_mktsegment"),
+    )
+
+
+def synth_part(spark: SparkSession, n: int, seed: int) -> DataFrame:
+    k = F.col("id")
+    return spark.range(n).select(
+        k.alias("p_partkey"),
+        F.concat_ws(
+            " ", _pick(_P_ADJ, _h(seed + 6, k)), _pick(_P_NOUN, _h(seed + 7, k))
+        ).alias("p_name"),
+        F.concat(F.lit("Brand#"), F.pmod(_h(seed + 8, k), F.lit(20)) + 1)
+        .alias("p_brand"),
+        _pick(_P_TYPES, _h(seed + 9, k)).alias("p_type"),
+        (F.pmod(_h(seed + 10, k), F.lit(50)) + 1).cast("int").alias("p_size"),
+        F.round(F.lit(900.0) + F.pmod(k, F.lit(1000)) / 10.0, 2)
+        .alias("p_retailprice"),
+    )
+
+
+def synth_orders(
+    spark: SparkSession, n: int, n_cust: int, seed: int
+) -> DataFrame:
+    k = F.col("id")
+    days = F.pmod(_h(seed + 12, k), F.lit(2404))  # 1995-01-01..2001-08
+    return spark.range(n).select(
+        k.alias("o_orderkey"),
+        F.pmod(_h(seed + 11, k), F.lit(n_cust)).alias("o_custkey"),
+        _pick(("O", "F", "P"), _h(seed + 13, k)).alias("o_orderstatus"),
+        F.round(_unif(seed + 14, k) * 450000.0 + 900.0, 2)
+        .alias("o_totalprice"),
+        F.date_add(F.lit("1995-01-01").cast("date"), days.cast("int"))
+        .cast("timestamp").alias("o_orderdate"),
+        _pick(_PRIORITIES, _h(seed + 15, k)).alias("o_orderpriority"),
+    )
+
+
+def synth_lineitem(
+    spark: SparkSession, n_orders: int, n_part: int, n_supp: int, seed: int
+) -> DataFrame:
+    """1-7 lines per order (avg 4 — the observed ~4x orders slope);
+    the per-line draws hash (orderkey, linenumber) so the explode
+    stays a pure projected scan with no shuffle."""
+    ok = F.col("o_orderkey")
+    ln = F.col("l_linenumber")
+    n_lines = (F.pmod(_h(seed + 20, F.col("id")), F.lit(7)) + 1).cast("int")
+    base = (
+        spark.range(n_orders)
+        .select(F.col("id").alias("o_orderkey"), F.explode(
+            F.sequence(F.lit(1), n_lines)
+        ).alias("l_linenumber"))
+    )
+    days = F.pmod(_h(seed + 26, ok, ln), F.lit(2499))
+    return base.select(
+        ok.alias("l_orderkey"),
+        F.pmod(_h(seed + 21, ok, ln), F.lit(n_part)).alias("l_partkey"),
+        F.pmod(_h(seed + 22, ok, ln), F.lit(n_supp)).alias("l_suppkey"),
+        ln,
+        (F.pmod(_h(seed + 23, ok, ln), F.lit(50)) + 1).cast("double")
+        .alias("l_quantity"),
+        F.round(_unif(seed + 24, ok, ln) * 104099.23 + 900.68, 2)
+        .alias("l_extendedprice"),
+        (F.pmod(_h(seed + 25, ok, ln), F.lit(11)) / 100.0)
+        .alias("l_discount"),
+        (F.pmod(_h(seed + 27, ok, ln), F.lit(9)) / 100.0).alias("l_tax"),
+        _pick(("A", "N", "R"), _h(seed + 28, ok, ln)).alias("l_returnflag"),
+        _pick(("O", "F"), _h(seed + 29, ok, ln)).alias("l_linestatus"),
+        F.date_add(F.lit("1995-01-02").cast("date"), days.cast("int"))
+        .cast("timestamp").alias("l_shipdate"),
+    )
+
+
+def synth_events(
+    spark: SparkSession, n: int, n_users: int, seed: int
+) -> DataFrame:
+    k = F.col("id")
+    span_us = 30 * 86400 * 1_000_000
+    base_us = 1704067200000000  # 2024-01-01T00:00:00Z
+    return spark.range(n).select(
+        k.alias("event_id"),
+        F.timestamp_micros(
+            F.lit(base_us)
+            + (_unif(seed + 31, k) * float(span_us)).cast("long")
+        ).alias("ts"),
+        F.pmod(_h(seed + 32, k), F.lit(n_users)).alias("user_id"),
+        _pick(_EVENT_TYPES, _h(seed + 33, k)).alias("event_type"),
+        F.round(_unif(seed + 34, k) * 100.0, 2).alias("value"),
+        F.concat(
+            F.lit('{"k": '), F.pmod(_h(seed + 35, k), F.lit(100)), F.lit("}")
+        ).alias("props"),
+    )
+
+
+def synth_documents(spark: SparkSession, n: int, seed: int) -> DataFrame:
+    """Word-sampled docs over the driver vocabulary with a planted
+    duplicate structure whose RATE is sf-invariant (so dedup work
+    per doc stays constant as sf grows): ~0.2% exact copies of an
+    earlier doc, ~5% near-copies (one word mutated) — matching the
+    shipped corpus's small dup tail. The copy source is a bounded
+    look-back (<= 50 ids) so copy pairs stay local and the pair
+    count scales linearly, not quadratically."""
+    d = F.col("doc_id")
+    dup_u = _unif(seed + 41, d)
+    back = F.pmod(_h(seed + 42, d), F.lit(50)) + 1
+    src = F.greatest(d - back, F.lit(0))
+    seed_id = F.when(dup_u < 0.05, src).otherwise(d).alias("_seed_id")
+    base = spark.range(n).select(F.col("id").alias("doc_id"), seed_id)
+    sid = F.col("_seed_id")
+    n_words = (F.pmod(_h(seed + 43, sid), F.lit(91)) + 10).cast("int")
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    is_near = (dup_u >= 0.002) & (dup_u < 0.05)
+    mut_pos = F.pmod(_h(seed + 44, d), n_words.cast("bigint")) + 1
+    word = lambda i: F.element_at(  # noqa: E731
+        vocab,
+        (F.pmod(_h(seed + 45, sid, i), F.lit(len(_VOCAB))) + 1).cast("int"),
+    )
+    mut_word = F.element_at(
+        vocab,
+        (F.pmod(_h(seed + 46, d), F.lit(len(_VOCAB))) + 1).cast("int"),
+    )
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: F.when(
+                is_near & (i.cast("bigint") == mut_pos), mut_word
+            ).otherwise(word(i)),
+        ),
+    )
+    lang_u = _unif(seed + 47, sid)
+    lang = (
+        F.when(lang_u < 0.41, _LANGS[0])
+        .when(lang_u < 0.56, _LANGS[1])
+        .when(lang_u < 0.71, _LANGS[2])
+        .when(lang_u < 0.86, _LANGS[3])
+        .otherwise(_LANGS[4])
+    )
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(F.lit("src"), F.pmod(_h(seed + 48, sid), F.lit(20)))
+        .alias("source"),
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+
+
+def synth_embeddings(spark: SparkSession, n: int, seed: int) -> DataFrame:
+    """Unit-norm 64-dim vectors, label = vec_id % 10 — the driver
+    table's isotropic regime (clustered_embeddings above covers the
+    clustered one)."""
+    v = F.col("vec_id")
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda i: _gauss(seed + 51, v, i)
+    )
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    emb = F.transform(raw, lambda x: (x / norm).cast("float"))
+    return (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"))
+        .select(
+            "vec_id",
+            emb.alias("embedding"),
+            F.pmod(v, F.lit(10)).cast("int").alias("label"),
+        )
+    )
+
+
+def synth_tables(
+    spark: SparkSession, sf: float, out_dir: str, seed: int = 42
+) -> dict[str, int]:
+    """Write all ten tables at ``sf`` under ``out_dir`` (one parquet
+    directory per table, the layout ``io.load`` reads). Files per
+    table scale with its row count so sf1 lands ~32 splits on the
+    big tables. Returns {table: rows_written}."""
+    import os as _os
+
+    c = synth_counts(sf)
+    dfs = {
+        "region": synth_region(spark),
+        "nation": synth_nation(spark),
+        "supplier": synth_supplier(spark, c["supplier"], seed),
+        "customer": synth_customer(spark, c["customer"], seed),
+        "part": synth_part(spark, c["part"], seed),
+        "orders": synth_orders(spark, c["orders"], c["customer"], seed),
+        "lineitem": synth_lineitem(
+            spark, c["orders"], c["part"], c["supplier"], seed
+        ),
+        "events": synth_events(
+            spark, c["events"], max(10, c["customer"] // 10), seed
+        ),
+        "documents": synth_documents(spark, c["documents"], seed),
+        "embeddings": synth_embeddings(spark, c["embeddings"], seed),
+    }
+    files = {"lineitem": 32, "orders": 16, "events": 8, "part": 4,
+             "customer": 4, "documents": 4, "embeddings": 4}
+    written = {}
+    for name, df in dfs.items():
+        path = _os.path.join(out_dir, f"{name}.parquet")
+        df.repartition(files.get(name, 1)).write.mode("overwrite").parquet(path)
+        written[name] = spark.read.parquet(path).count()
+    return written

@@ -90,6 +90,7 @@ def build_training_corpus(
     decontaminate_threshold: float = 0.05,
     staging_dir: str | None = None,
     staging_resume: bool = False,
+    stage_times: dict[str, float] | None = None,
 ) -> DataFrame:
     """Run the full recipe; returns the packed corpus (doc_id, lang,
     text_norm, tokens, tok_offset, chunk_id) and, when ``out_path``
@@ -116,10 +117,33 @@ def build_training_corpus(
     source, survivors chosen by the deterministic md5 rank
     (sampling.source_quota_cap) — capping AFTER dedup/quality so a
     spam-heavy domain cannot reclaim its quota with duplicates.
+
+    ``stage_times`` (r15, VERDICT r14 ask #5) opts into per-stage
+    wall-clock attribution: pass an empty dict and each named stage
+    is materialized (localCheckpoint) at its boundary with the
+    incremental elapsed seconds recorded under its name. The barriers
+    CHANGE the plan (stages can no longer fuse across a mark), so an
+    instrumented total is an upper bound on the un-instrumented one —
+    bench publishes the normal run's total and this map side by side,
+    never mixes them.
     """
+    import time as _time
+
     from ts_data_pipeline_spark.functions import text as text_fns
     from ts_data_pipeline_spark.operators import dedup, sampling
     from ts_data_pipeline_spark.operators.ingest import ingest_signals
+
+    _t_last = [_time.perf_counter()]
+
+    def _mark(label: str, df: DataFrame) -> DataFrame:
+        """Stage-timing barrier: no-op unless ``stage_times`` given."""
+        if stage_times is None:
+            return df
+        df = df.localCheckpoint()
+        now = _time.perf_counter()
+        stage_times[label] = round(now - _t_last[0], 3)
+        _t_last[0] = now
+        return df
 
     # -2. URL dedup (r13): the CHEAPEST dedup pass — one shuffle on a
     #     short canonical-URL string key, zero content reads — so it
@@ -137,6 +161,7 @@ def build_training_corpus(
             "doc_id",
             "left_semi",
         )
+        docs = _mark("url_dedup", docs)
 
     # -1.5. Charset repair (r13): real crawls are not clean UTF-8 —
     #     when ``charset_input`` is on, the corpus arrives with the
@@ -148,7 +173,7 @@ def build_training_corpus(
     #     replace/translate Column expressions applied IN PLACE
     #     (withColumn, not a join-back); scan shape, zero shuffle.
     if charset_input:
-        docs = text_fns.charset_repaired(docs)
+        docs = _mark("charset", text_fns.charset_repaired(docs))
 
     # -1. HTML front door (r12): crawled corpora arrive as markup, so
     #     when ``html_input`` is on the first stage is extraction +
@@ -173,12 +198,12 @@ def build_training_corpus(
         fused = text_fns.html_line_dedup(
             docs, max_occurrences=line_dedup_max
         ).select("doc_id", F.col("text_kept").alias("text"))
-        docs = docs.drop("text").join(fused, "doc_id")
+        docs = _mark("html_line", docs.drop("text").join(fused, "doc_id"))
     if html_input and not fuse_html_lines:
         main = text_fns.html_main_content(docs).select(
             "doc_id", F.col("main_text").alias("text")
         )
-        docs = docs.drop("text").join(main, "doc_id")
+        docs = _mark("html", docs.drop("text").join(main, "doc_id"))
 
     # 0. optional NFC cleaning pass (functions/text.py::clean_text)
     #    BEFORE any hashing/signal — decomposed and composed Unicode
@@ -204,7 +229,7 @@ def build_training_corpus(
         deduped = text_fns.line_dedup(
             docs, max_occurrences=line_dedup_max
         ).select("doc_id", F.col("text_kept").alias("text"))
-        docs = docs.drop("text").join(deduped, "doc_id")
+        docs = _mark("line_dedup", docs.drop("text").join(deduped, "doc_id"))
 
     # Staging boundary after the front door: the cleaned corpus feeds
     # the signal scan, the bigram LM, and the Gopher gate — three
@@ -239,9 +264,12 @@ def build_training_corpus(
             .filter("flagged")
             .select("doc_id")
         )
-        docs = docs.filter(
-            F.col("doc_id") % decontaminate_eval_mod != 0
-        ).join(flagged, "doc_id", "left_anti")
+        docs = _mark(
+            "decontam",
+            docs.filter(
+                F.col("doc_id") % decontaminate_eval_mod != 0
+            ).join(flagged, "doc_id", "left_anti"),
+        )
 
     # 1. gates — scan-shaped signals, no shuffle
     if source_cap is not None and "source" not in docs.columns:
@@ -256,6 +284,7 @@ def build_training_corpus(
         & (F.col("rep_ratio") < max_rep)
         & (F.col("n_emails") == 0)
     ).select(*carry)
+    gated = _mark("gates", gated)
 
     # 1b. model-quality gates over the RAW text (quality is judged on
     # what the model would see pre-normalization, as CCNet does)
@@ -265,7 +294,7 @@ def build_training_corpus(
             .filter(F.col("ppl_bucket") == "tail")
             .select("doc_id")
         )
-        gated = gated.join(tail, "doc_id", "left_anti")
+        gated = _mark("lm_gate", gated.join(tail, "doc_id", "left_anti"))
     if require_gopher:
         keep = (
             text_fns.gopher_quality_flags(docs)
@@ -290,8 +319,11 @@ def build_training_corpus(
             gated.select("doc_id", "lang", F.col("text_norm").alias("text"))
         ),
     )
-    kept = gated.join(
-        survivors.filter("kept").select("doc_id"), "doc_id", "left_semi"
+    kept = _mark(
+        "neardup",
+        gated.join(
+            survivors.filter("kept").select("doc_id"), "doc_id", "left_semi"
+        ),
     )
 
     # 2b. semantic dedup — embedding-space redundancy removal
@@ -316,15 +348,18 @@ def build_training_corpus(
             .filter(~F.col("kept"))
             .select(F.col("vec_id").alias("doc_id"))
         )
-        kept = kept.join(sem_dropped, "doc_id", "left_anti")
+        kept = _mark("semdedup", kept.join(sem_dropped, "doc_id", "left_anti"))
 
     # 2c. anti-domination — cap each source's surviving share (AFTER
     #     dedup/quality, so duplicates can't reclaim a domain's quota)
     if source_cap is not None:
         capped = sampling.source_quota_cap(kept, cap=source_cap)
-        kept = kept.join(
-            capped.filter("kept").select("doc_id"), "doc_id", "left_semi"
-        ).drop("source")
+        kept = _mark(
+            "source_quota",
+            kept.join(
+                capped.filter("kept").select("doc_id"), "doc_id", "left_semi"
+            ).drop("source"),
+        )
 
     # Second staging boundary: `kept` (the selected corpus) feeds the
     # domain-quota window, the resample-rate aggregation, the
@@ -373,8 +408,11 @@ def build_training_corpus(
             dcap = sampling.source_quota_cap(
                 dom, cap=domain_cap, source_col="dom"
             )
-        kept = kept.join(
-            dcap.filter("kept").select("doc_id"), "doc_id", "left_semi"
+        kept = _mark(
+            "domain_quota",
+            kept.join(
+                dcap.filter("kept").select("doc_id"), "doc_id", "left_semi"
+            ),
         )
 
     # 3. mixture rebalance — deterministic hash thinning toward the
@@ -387,6 +425,7 @@ def build_training_corpus(
         "doc_id",
         "left_semi",
     )
+    resampled = _mark("resample", resampled)
 
     # 4. deterministic global shuffle order
     order = sampling.corpus_shuffle(resampled.select("doc_id"))
