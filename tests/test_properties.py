@@ -229,3 +229,177 @@ def test_duplicated_spans_superset_cover_property(spark):
         for s, e in spans.get(doc_id, []):
             assert s >= at - (k - 1), (doc_id, s, at)
             assert e <= at + run_len - 1 + (k - 1), (doc_id, e)
+
+
+def test_queryspec_differential_fuzz(spark, oracle):
+    """Differential fuzz of the QuerySpec evaluator (r15, VERDICT r14
+    ask #3): ~100 RANDOM valid specs — tag filters x numeric/string
+    aggs x group-by-time x interpolation x group-by-tags x
+    ordering/paging (reference contract getDataRequest.ts:18-57) —
+    each run through plans/queryspec.evaluate AND the generic
+    oracle_sql generator, compared row-for-row at sf0.001. The
+    enumerated telemetry gates pin the known combinations; this pins
+    the cross products nobody enumerated.
+
+    Float compare: 1e-9 relative tolerance, plus a forgiveness
+    predicate for EXACTLY the known benign class the fuzz's first run
+    surfaced — Linear interpolation of 2-dp data at dyadic bucket
+    ratios produces exact decimal half-ties at the shared
+    ROUND(...,4) grain (e.g. 82.10125), where each engine's double
+    lands on the opposite side (the BENCH_NOTES rounded-division tie
+    class). Forgiven iff the two values are ADJACENT 4-dp grid points
+    whose midpoint is a half-tie; anything else — wrong rows, NULL
+    structure, >1e-4 drift, non-tie 1e-4 drift — still fails."""
+    import numpy as np
+    import pandas as pd
+
+    from conftest import SF_DIR, normalize
+    from ts_data_pipeline_spark.plans import queryspec as qs
+    from ts_data_pipeline_spark.queries.telemetry import PV_SQL, _pv
+
+    params = ["view", "click", "purchase", "signup", "error"]
+    num_aggs = ["Mean", "Max", "Min", "First", "Last", "Sum", "Count",
+                "Median", "Spread", "CountDistinct", "P90", "P99"]
+    str_aggs = ["First", "Last", "Count"]
+    durations = ["5 minutes", "15 minutes", "30 minutes", "1 hour",
+                 "2 hours", "3 hours", "6 hours", "12 hours", "1 day"]
+    interps = ["None", "Null", "Previous", "Linear"]
+
+    def spec_strategy():
+        day = st.integers(1, 29)
+        ts_pair = st.tuples(day, day).filter(lambda p: p[0] < p[1]).map(
+            lambda p: (f"2024-01-{p[0]:02d} 00:00:00",
+                       f"2024-01-{p[1]:02d} 00:00:00")
+        )
+        tagval = st.integers(0, 99).map(str)
+        tag_filter = st.one_of(
+            st.tuples(st.sampled_from(["Equal", "NotEqual"]), tagval)
+            .map(lambda t: qs.TagFilter("k", t[0], t[1])),
+            st.tuples(st.sampled_from(["Equal", "NotEqual"]),
+                      st.lists(tagval, min_size=1, max_size=4))
+            .map(lambda t: qs.TagFilter("k", t[0], t[1])),
+            st.tuples(st.sampled_from(["Like", "NotLike"]),
+                      st.sampled_from(["9%", "1%", "%3", "%7%", "4_"]))
+            .map(lambda t: qs.TagFilter("k", t[0], t[1])),
+        )
+        naggs = st.lists(
+            st.tuples(st.sampled_from(params), st.sampled_from(num_aggs)),
+            min_size=1, max_size=4, unique=True,
+        ).map(lambda l: [qs.NumericAggregation(p, a) for p, a in l])
+        saggs = st.lists(
+            st.tuples(st.sampled_from(params), st.sampled_from(str_aggs)),
+            min_size=0, max_size=2, unique=True,
+        ).map(lambda l: [qs.StringAggregation(p, a) for p, a in l])
+        streams = st.one_of(
+            st.none(),
+            st.lists(st.integers(0, 20).map(str), min_size=1,
+                     max_size=5, unique=True),
+        )
+        gbt = st.one_of(
+            st.none(),
+            st.tuples(st.sampled_from(durations), st.sampled_from(interps))
+            .map(lambda t: qs.GroupByTime(*t)),
+        )
+
+        def build(draw_tuple):
+            (na, sa, ts_rng, sids, tfs, g, tags, want_order, page) = draw_tuple
+            from_ts, to_ts = ts_rng
+            orderings = []
+            paging = None
+            if g is not None and want_order:
+                orderings = [qs.Ordering("bucket", "Desc" if page else "Asc")]
+                if tags:
+                    orderings.append(qs.Ordering("tag_k", "Asc"))
+                if page is not None:
+                    paging = qs.Paging(*page)
+            return qs.QuerySpec(
+                numeric_aggregations=na,
+                string_aggregations=sa,
+                from_ts=from_ts,
+                to_ts=to_ts,
+                stream_ids=sids,
+                tag_filters=tfs,
+                group_by_time=g,
+                group_by_tags=["k"] if tags else [],
+                orderings=orderings,
+                paging=paging,
+            )
+
+        return st.tuples(
+            naggs, saggs, ts_pair, streams,
+            st.lists(tag_filter, max_size=2),
+            gbt, st.booleans(), st.booleans(),
+            st.one_of(st.none(),
+                      st.tuples(st.integers(0, 2), st.integers(1, 40))),
+        ).map(build)
+
+    # raw passthrough specs ('None' aggregation, no bucketing)
+    def raw_strategy():
+        return st.tuples(
+            st.lists(st.sampled_from(params), min_size=1, max_size=3,
+                     unique=True),
+            st.booleans(),
+            st.integers(1, 29),
+        ).map(lambda t: qs.QuerySpec(
+            numeric_aggregations=[
+                qs.NumericAggregation(p, "None") for p in t[0]
+            ],
+            string_aggregations=(
+                [qs.StringAggregation(t[0][0], "None")] if t[1] else []
+            ),
+            from_ts=f"2024-01-{t[2]:02d} 00:00:00",
+            group_by_tags=["k"] if t[1] else [],
+        ))
+
+    specs: list = []
+
+    @settings(max_examples=90, deadline=None)
+    @given(spec_strategy())
+    def collect(s):
+        specs.append(s)
+
+    @settings(max_examples=10, deadline=None)
+    @given(raw_strategy())
+    def collect_raw(s):
+        specs.append(s)
+
+    collect()
+    collect_raw()
+
+    pv = _pv(spark, SF_DIR)
+    failures = []
+    for i, spec in enumerate(specs):
+        sdf = qs.evaluate(pv, spec).toPandas()
+        odf = oracle.execute(
+            qs.oracle_sql(spec, PV_SQL.strip())
+        ).df()
+        a, b = normalize(sdf), normalize(odf)
+        ok = list(a.columns) == list(b.columns) and len(a) == len(b)
+        if ok:
+            for c in a.columns:
+                av, bv = a[c], b[c]
+                if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+                    x = av.astype(float).to_numpy()
+                    y = bv.astype(float).to_numpy()
+                    close = np.isclose(x, y, rtol=1e-9, atol=1e-9,
+                                       equal_nan=True)
+                    d = np.abs(x - y)
+                    m2 = (x + y) * 1e4  # odd integer at a half-tie
+                    with np.errstate(invalid="ignore"):
+                        tie = (
+                            (np.abs(d - 1e-4) < 1e-9)
+                            & (np.abs(m2 - np.round(m2)) < 1e-6)
+                            & (np.nan_to_num(np.round(m2)) % 2 == 1)
+                        )
+                    ok &= bool(np.all(close | tie))
+                else:
+                    ok &= av.where(av.notna(), None).equals(
+                        bv.where(bv.notna(), None)
+                    )
+                if not ok:
+                    break
+        if not ok:
+            failures.append((i, spec))
+    assert not failures, (
+        f"{len(failures)}/{len(specs)} diverged; first: {failures[0]}"
+    )

@@ -717,3 +717,292 @@ def _fill(
         )
         out = out.withColumn(c, interp)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Generic DuckDB oracle generator (r15, VERDICT r14 ask #3)
+# ---------------------------------------------------------------------------
+#
+# The enumerated telemetry gates pin KNOWN spec combinations; the
+# differential fuzz (tests/test_properties.py) drives RANDOM valid
+# QuerySpecs through `evaluate` and this generator side by side, so
+# the cross products nobody enumerated (tag filters x aggs x
+# group-by-time x interpolation x group-by-tags x ordering/paging —
+# reference contract getDataRequest.ts:18-57) get coverage too. The
+# generator mirrors the hand-written oracle forms of
+# queries/telemetry.py exactly (same ROUND grain, same arg_min/
+# arg_max keys, same spine/fill windows), generalized to arbitrary
+# group columns and multiple value columns.
+#
+# Alignment caveat baked into the contract: Spark's tumbling window
+# aligns to the 1970 epoch, DuckDB's time_bucket to 2000-01-03 —
+# identical iff the duration divides 24h evenly (GroupByTime's
+# documented restriction), so the generator enforces it.
+
+_DUR_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _duration_us(duration: str) -> int:
+    n, unit = duration.split()
+    return int(n) * _DUR_US[unit]
+
+
+def _sql_lit(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _tag_predicate_sql(f: TagFilter, col: str) -> str:
+    if f.operator == "Equal":
+        if isinstance(f.value, (list, tuple)):
+            return f"{col} IN ({', '.join(_sql_lit(v) for v in f.value)})"
+        return f"{col} = {_sql_lit(f.value)}"
+    if f.operator == "NotEqual":
+        if isinstance(f.value, (list, tuple)):
+            return f"{col} NOT IN ({', '.join(_sql_lit(v) for v in f.value)})"
+        return f"{col} != {_sql_lit(f.value)}"
+    if f.operator == "Like":
+        return f"{col} LIKE {_sql_lit(f.value)}"
+    if f.operator == "NotLike":
+        return f"{col} NOT LIKE {_sql_lit(f.value)}"
+    raise ValueError(f"unsupported tag operator {f.operator!r}")
+
+
+def _agg_sql(spec: NumericAggregation) -> tuple[str, str]:
+    p = _sql_lit(spec.parameter)
+    v = f"CASE WHEN parameter_id = {p} THEN num_value END"
+    t = f"CASE WHEN parameter_id = {p} THEN ts END"
+    name = f"{spec.parameter}_{spec.aggregation.lower()}"
+    agg = spec.aggregation
+    if agg == "Mean":
+        e = f"ROUND(AVG({v}), 4)"
+    elif agg == "Max":
+        e = f"MAX({v})"
+    elif agg == "Min":
+        e = f"MIN({v})"
+    elif agg == "First":
+        e = f"arg_min({v}, {t})"
+    elif agg == "Last":
+        e = f"arg_max({v}, {t})"
+    elif agg == "Sum":
+        e = f"ROUND(SUM({v}), 4)"
+    elif agg == "Count":
+        e = f"COUNT({v})"
+    elif agg == "CountDistinct":
+        e = f"COUNT(DISTINCT {v})"
+    elif agg == "Median":
+        e = f"ROUND(median({v}), 4)"
+    elif agg in ("P90", "P99"):
+        q = "0.90" if agg == "P90" else "0.99"
+        e = f"ROUND(quantile_cont({v}, {q}), 4)"
+    elif agg == "Spread":
+        e = f"ROUND(MAX({v}) - MIN({v}), 4)"
+    else:
+        raise ValueError(f"unsupported aggregation {agg!r}")
+    return name, f"{e} AS {name}"
+
+
+def _str_agg_sql(spec: StringAggregation) -> tuple[str, str]:
+    p = _sql_lit(spec.parameter)
+    v = f"CASE WHEN parameter_id = {p} THEN str_value END"
+    t = f"CASE WHEN parameter_id = {p} THEN ts END"
+    name = f"{spec.parameter}_str_{spec.aggregation.lower()}"
+    agg = spec.aggregation
+    if agg == "First":
+        e = f"arg_min({v}, {t})"
+    elif agg == "Last":
+        e = f"arg_max({v}, {t})"
+    elif agg == "Count":
+        e = f"COUNT({v})"
+    else:
+        raise ValueError(f"unsupported string aggregation {agg!r}")
+    return name, f"{e} AS {name}"
+
+
+def oracle_sql(spec: QuerySpec, pv_sql: str) -> str:
+    """DuckDB twin of :func:`evaluate` over the relation ``pv_sql``
+    (columns stream_id, ts, parameter_id, num_value, str_value, and
+    one ``tag_<name>`` column per tag — the queries/telemetry.py
+    PV_SQL shape)."""
+    where = []
+    if spec.from_ts is not None:
+        where.append(f"ts >= TIMESTAMP '{spec.from_ts}'")
+    if spec.to_ts is not None:
+        where.append(f"ts < TIMESTAMP '{spec.to_ts}'")
+    if spec.stream_ids is not None:
+        ids = ", ".join(_sql_lit(s) for s in spec.stream_ids)
+        where.append(f"stream_id IN ({ids})")
+    for tf in spec.tag_filters:
+        where.append(_tag_predicate_sql(tf, f"tag_{tf.tag}"))
+    where_sql = (" WHERE " + " AND ".join(where)) if where else ""
+
+    group_cols = [f"tag_{t}" for t in spec.group_by_tags]
+
+    raw_numeric = [a for a in spec.numeric_aggregations if a.aggregation == "None"]
+    raw_string = [a for a in spec.string_aggregations if a.aggregation == "None"]
+    if raw_numeric or raw_string:
+        if len(raw_numeric) + len(raw_string) != len(
+            spec.numeric_aggregations
+        ) + len(spec.string_aggregations):
+            raise ValueError(
+                "'None' (raw passthrough) cannot mix with bucket aggregates"
+            )
+        if spec.group_by_time is not None:
+            raise ValueError(
+                "'None' returns raw samples; group_by_time does not apply"
+            )
+        params = [a.parameter for a in raw_numeric] + [
+            a.parameter for a in raw_string
+        ]
+        psql = ", ".join(_sql_lit(p) for p in params)
+        cols = ["ts"] + group_cols + [
+            f"CASE WHEN parameter_id = {_sql_lit(a.parameter)}"
+            f" THEN num_value END AS {a.parameter}_none"
+            for a in raw_numeric
+        ] + [
+            f"CASE WHEN parameter_id = {_sql_lit(a.parameter)}"
+            f" THEN str_value END AS {a.parameter}_str_none"
+            for a in raw_string
+        ]
+        pred = f"parameter_id IN ({psql})"
+        body = (
+            f"SELECT {', '.join(cols)} FROM pv"
+            f"{where_sql + ' AND ' + pred if where_sql else ' WHERE ' + pred}"
+        )
+        return _order_page_sql(f"WITH pv AS ({pv_sql})\n{body}", spec)
+
+    num_cols, num_exprs = [], []
+    for na in spec.numeric_aggregations:
+        n, e = _agg_sql(na)
+        num_cols.append(n)
+        num_exprs.append(e)
+    str_cols, str_exprs = [], []
+    for sa in spec.string_aggregations:
+        n, e = _str_agg_sql(sa)
+        str_cols.append(n)
+        str_exprs.append(e)
+    if not (num_exprs or str_exprs):
+        raise ValueError("QuerySpec requires at least one aggregation")
+
+    sel_keys = []
+    if spec.group_by_time is not None:
+        dur = spec.group_by_time.duration
+        if 86_400_000_000 % _duration_us(dur):
+            raise ValueError(f"duration {dur!r} must divide 24h evenly")
+        sel_keys.append(f"time_bucket(INTERVAL '{dur}', ts) AS bucket")
+    sel_keys += group_cols
+    all_exprs = num_exprs + str_exprs
+    gb = (
+        f" GROUP BY {', '.join(str(i + 1) for i in range(len(sel_keys)))}"
+        if sel_keys else ""
+    )
+    agg_sql = (
+        f"SELECT {', '.join(sel_keys + all_exprs)} FROM pv{where_sql}{gb}"
+    )
+
+    gbt = spec.group_by_time
+    if gbt is None or gbt.interpolation == "None":
+        return _order_page_sql(
+            f"WITH pv AS ({pv_sql})\n{agg_sql}", spec
+        )
+
+    # interpolation: dense (bucket x tag-group) spine, LEFT JOIN, fill
+    if spec.from_ts is None or spec.to_ts is None:
+        raise ValueError("interpolation requires from_ts and to_ts")
+    dur = gbt.duration
+    keys = ["bucket"] + group_cols
+    spine = (
+        f"SELECT unnest(generate_series(TIMESTAMP '{spec.from_ts}', "
+        f"TIMESTAMP '{spec.to_ts}' - INTERVAL '{dur}', "
+        f"INTERVAL '{dur}')) AS bucket"
+    )
+    if group_cols:
+        spine = (
+            f"SELECT * FROM ({spine}) CROSS JOIN "
+            f"(SELECT DISTINCT {', '.join(group_cols)} FROM agg)"
+        )
+    val_cols = num_cols + str_cols
+    j = (
+        f"SELECT {', '.join('s.' + k for k in keys)}, "
+        f"{', '.join('a.' + c for c in val_cols)} "
+        f"FROM spine s LEFT JOIN agg a USING ({', '.join(keys)})"
+    )
+    base = (
+        f"WITH pv AS ({pv_sql}),\n"
+        f"agg AS ({agg_sql}),\n"
+        f"spine AS ({spine}),\n"
+        f"j AS ({j})\n"
+    )
+    part = (
+        f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
+    )
+    if gbt.interpolation == "Null":
+        return _order_page_sql(base + "SELECT * FROM j", spec)
+    if gbt.interpolation == "Previous":
+        # string channels are excluded from numeric interpolation —
+        # they ride the spine un-filled, same as the Spark evaluator
+        filled = [
+            f"last_value({c} IGNORE NULLS) OVER ({part}ORDER BY bucket "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {c}"
+            for c in num_cols
+        ]
+        return _order_page_sql(
+            base + f"SELECT {', '.join(keys + filled + str_cols)} FROM j",
+            spec,
+        )
+    if gbt.interpolation == "Linear":
+        w_cols = []
+        for c in num_cols:
+            w_cols += [
+                f"last_value({c} IGNORE NULLS) OVER ({part}ORDER BY bucket"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                f" AS {c}_pv",
+                f"first_value({c} IGNORE NULLS) OVER ({part}ORDER BY bucket"
+                f" ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+                f" AS {c}_nv",
+                f"last_value(CASE WHEN {c} IS NOT NULL THEN epoch_us(bucket)"
+                f" END IGNORE NULLS) OVER ({part}ORDER BY bucket"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                f" AS {c}_pb",
+                f"first_value(CASE WHEN {c} IS NOT NULL THEN epoch_us(bucket)"
+                f" END IGNORE NULLS) OVER ({part}ORDER BY bucket"
+                f" ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+                f" AS {c}_nb",
+            ]
+        fill = [
+            f"CASE WHEN {c} IS NOT NULL THEN {c}"
+            f" WHEN {c}_pv IS NULL OR {c}_nv IS NULL THEN NULL"
+            f" ELSE ROUND({c}_pv + ({c}_nv - {c}_pv) *"
+            f" CAST(epoch_us(bucket) - {c}_pb AS DOUBLE) /"
+            f" CAST({c}_nb - {c}_pb AS DOUBLE), 4) END AS {c}"
+            for c in num_cols
+        ]
+        return _order_page_sql(
+            base
+            + f", w AS (SELECT j.*, {', '.join(w_cols)} FROM j)\n"
+            + f"SELECT {', '.join(keys + fill + str_cols)} FROM w",
+            spec,
+        )
+    raise ValueError(f"unsupported interpolation {gbt.interpolation!r}")
+
+
+def _order_page_sql(sql: str, spec: QuerySpec) -> str:
+    """O1/O2 twin: Spark's orderBy puts NULLs FIRST on Asc and LAST
+    on Desc — emitted explicitly (DuckDB's default is the reverse)."""
+    if not spec.orderings:
+        if spec.paging is not None:
+            raise ValueError("paging requires orderings for determinism")
+        return sql
+    keys = ", ".join(
+        f"{o.by} {'DESC NULLS LAST' if o.direction == 'Desc' else 'ASC NULLS FIRST'}"
+        for o in spec.orderings
+    )
+    sql = f"SELECT * FROM ({sql}) ORDER BY {keys}"
+    if spec.paging is not None:
+        p = spec.paging
+        sql += f" LIMIT {p.length} OFFSET {p.index * p.length}"
+    return sql
