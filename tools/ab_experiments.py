@@ -317,11 +317,170 @@ def exp_flagship_cse(spark) -> None:
         print(f"  variant: {timeit(var):.3f}s")
 
 
+# ---------------------------------------------------------------- exp 5
+def exp_dot_variants(spark) -> None:
+    """ann brute: zip_with fold (current) vs index fold over a
+    constant-folded sequence (no per-pair product array) vs 4-way
+    partially-unrolled index fold (same left-to-right add order, so
+    bit-identical floats)."""
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import similarity
+    from ts_data_pipeline_spark.queries.llmdata import ANN_QUERY_IDS
+
+    DIM = 64
+
+    def mk(dot_sql):
+        def build() -> DataFrame:
+            embeddings = io.load(spark, SF_DIR, "embeddings")
+            q = embeddings.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).selectExpr(
+                "vec_id AS query_id",
+                "CAST(embedding AS array<double>) AS qv",
+            ).selectExpr(
+                "query_id", "qv",
+                f"sqrt({dot_sql.format(a='qv', b='qv')}) AS qn",
+            )
+            c = embeddings.selectExpr(
+                "vec_id AS cand_id",
+                "CAST(embedding AS array<double>) AS cv",
+            ).selectExpr(
+                "cand_id", "cv",
+                f"sqrt({dot_sql.format(a='cv', b='cv')}) AS cn",
+            )
+            scored = (
+                c.crossJoin(F.broadcast(q))
+                .filter(F.col("cand_id") != F.col("query_id"))
+                .selectExpr(
+                    "query_id", "cand_id",
+                    f"round(({dot_sql.format(a='qv', b='cv')}) / (qn * cn), 6)"
+                    " AS cos_sim",
+                )
+                .repartition("query_id")
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cos_sim").desc(), F.col("cand_id").asc()
+            )
+            return (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 10)
+                .select("query_id", "cand_id", "cos_sim", "rank")
+            )
+        return build
+
+    zipw = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    ixfold = f"aggregate(sequence(0, {DIM-1}), 0D, (acc, i) -> acc + {{a}}[i] * {{b}}[i])"
+    ix4 = (
+        f"aggregate(sequence(0, {DIM-1}, 4), 0D, (acc, i) -> "
+        "acc + {a}[i] * {b}[i] + {a}[i+1] * {b}[i+1]"
+        " + {a}[i+2] * {b}[i+2] + {a}[i+3] * {b}[i+3])"
+    )
+    cur = lambda: similarity.brute_force_topk(
+        io.load(spark, SF_DIR, "embeddings"), ANN_QUERY_IDS, k=10
+    )
+    for name, v in (("ixfold", mk(ixfold)), ("ix4", mk(ix4)), ("zipw_sql", mk(zipw))):
+        ok = same_rows(cur(), v())
+        print(f"dot_{name} identical={ok}")
+        if ok:
+            print(f"  variant {name}: {timeit(v):.3f}s")
+    print(f"  current: {timeit(cur):.3f}s")
+
+
+# ---------------------------------------------------------------- exp 6
+def exp_jaccard_barrier(spark) -> None:
+    """minhash verify tail: the threshold filter is pushed into the
+    verify join's condition, so array_intersect evaluates 2-3x per
+    pair. Variant computes i under a shuffle() nondeterminism barrier
+    (size is permutation-invariant -> value-identical) so the filter
+    stays above the projection and intersect runs once."""
+    from ts_data_pipeline_spark import io
+    from ts_data_pipeline_spark.operators import dedup
+
+    n, num_hashes, bands, threshold, max_bucket_size = 3, 32, 8, 0.2, 64
+    rows_per_band = num_hashes // bands
+
+    def tail(barrier: bool) -> DataFrame:
+        docs = io.load(spark, SF_DIR, "documents")
+        base = docs.select(
+            "doc_id", F.array_distinct(dedup.shingles_col(n)).alias("sh_arr")
+        ).cache().filter(F.size("sh_arr") > 0)
+        sig = base.selectExpr(
+            "doc_id",
+            "transform(sh_arr, s -> "
+            + dedup._U32_MD5_SPARK.format(x="s") + ") AS hs",
+        ).selectExpr(
+            "doc_id",
+            *[
+                f"aggregate(hs, {dedup._MH_PRIME}L, (acc, h) -> "
+                f"least(acc, (h * {a}L + {b}L) % {dedup._MH_PRIME}L)) AS mh{i}"
+                for i, (a, b) in enumerate(dedup._minhash_perms(num_hashes))
+            ],
+        )
+        band_hashes = [
+            F.expr(
+                dedup._U32_MD5_SPARK.format(
+                    x="concat_ws('-', "
+                    + ", ".join(
+                        f"cast(mh{band * rows_per_band + r} as string)"
+                        for r in range(rows_per_band)
+                    )
+                    + ")"
+                )
+            )
+            for band in range(bands)
+        ]
+        buckets = sig.select(
+            "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+        )
+        bw = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bw", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bw") <= max_bucket_size)
+            .drop("_bw")
+        ).cache()
+        cand = (
+            buckets.alias("x")
+            .join(
+                buckets.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+            .distinct()
+        )
+        a_arr = F.shuffle(F.col("a.sh_arr")) if barrier else F.col("a.sh_arr")
+        return (
+            cand.join(base.alias("a"), F.col("da") == F.col("a.doc_id"))
+            .join(base.alias("b"), F.col("db") == F.col("b.doc_id"))
+            .select(
+                "da", "db",
+                F.size(F.array_intersect(a_arr, F.col("b.sh_arr"))).alias("i"),
+                F.size(F.col("a.sh_arr")).alias("ca"),
+                F.size(F.col("b.sh_arr")).alias("cb"),
+            )
+            .select(
+                "da", "db",
+                F.round(
+                    F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 4
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+
+    cur = lambda: tail(False)
+    var = lambda: tail(True)
+    ok = same_rows(cur(), var())
+    print(f"jaccard_barrier identical={ok}")
+    if ok:
+        print(f"  current: {timeit(cur):.3f}s  variant: {timeit(var):.3f}s")
+
+
 EXPS = {
     "text_quality": exp_text_quality,
     "dot_unrolled": exp_dot_unrolled,
     "minhash_sig": exp_minhash_sig,
     "flagship_cse": exp_flagship_cse,
+    "dot_variants": exp_dot_variants,
+    "jaccard_barrier": exp_jaccard_barrier,
 }
 
 

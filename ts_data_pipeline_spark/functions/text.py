@@ -28,54 +28,56 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     character-class ratio, a logistic quality score, a language-ID
     heuristic, and an md5 content fingerprint.
     """
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
-        ).alias("tok"),
-    )
+    # Zero-shuffle form (r15): every per-token aggregate folds over
+    # the token ARRAY in one projection instead of explode ->
+    # groupBy(count/count_distinct/avg/sum) -> join-back. The old
+    # shape paid two hash-aggregate exchanges (count_distinct expands
+    # to a two-level agg) plus a second scan of ``docs`` for the join
+    # — at 100 TB that is a corpus-wide shuffle of every token for
+    # per-document-computable quantities. Value-identical: the fold
+    # sums are exact integers (so double-summation order in the old
+    # avg() cannot differ), count_distinct == size(array_distinct),
+    # and the doc set matches because tokens exist iff the text has a
+    # non-space char — the ``trim(text) != ''`` filter is that exact
+    # predicate on the raw column, so it pushes to the parquet scan
+    # instead of re-tokenizing every row the way size(tokens) > 0
+    # would after Catalyst pushes it below the projection. Measured
+    # -33% at sf0.1 with the collected result set string-identical
+    # (r15 A/B); gated vs the unchanged DuckDB twin.
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
-        F.round(F.avg(F.length("tok")), 4).alias("avg_token_len"),
-        F.sum(F.expr(f"CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END")).alias(
-            "stop_cnt"
-        ),
-    )
-    base = docs.select(
+    # doc_id IS NOT NULL preserves the old join-back semantics: the
+    # inner equi-join silently dropped NULL-keyed docs.
+    feat = docs.filter(
+        F.expr(f"doc_id IS NOT NULL AND trim({text_col}) != ''")
+    ).selectExpr(
         "doc_id",
-        F.md5(F.col(text_col)).alias("fingerprint"),
-        F.round(
-            (
-                F.length(text_col)
-                - F.length(F.regexp_replace(F.col(text_col), "[aeiou]", ""))
-            )
-            / F.length(text_col),
-            4,
-        ).alias("vowel_ratio"),
+        f"filter(split(lower({text_col}), ' '), t -> t != '') AS _toks",
+        f"md5({text_col}) AS fingerprint",
+        f"round((length({text_col}) - "
+        f"length(regexp_replace({text_col}, '[aeiou]', ''))) / "
+        f"length({text_col}), 4) AS vowel_ratio",
+    ).selectExpr(
+        "doc_id",
+        "CAST(size(_toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(_toks)) AS BIGINT) AS n_distinct_tokens",
+        "round(aggregate(_toks, 0L, (acc, t) -> acc + length(t)) / size(_toks), 4)"
+        " AS avg_token_len",
+        f"aggregate(_toks, 0L, (acc, t) -> "
+        f"acc + CASE WHEN t IN ({stop_list}) THEN 1 ELSE 0 END) AS stop_cnt",
+        "fingerprint",
+        "vowel_ratio",
     )
-    out = per_doc.join(base, "doc_id")
-    stop_ratio = F.round(F.col("stop_cnt") / F.col("n_tokens"), 4)
-    quality = F.round(
-        F.lit(1.0)
-        / (
-            F.lit(1.0)
-            + F.exp(-(F.lit(0.01) * F.col("n_tokens") + F.lit(5.0) * stop_ratio - F.lit(2.0)))
-        ),
-        4,
-    )
-    return out.select(
+    stop_ratio = "round(stop_cnt / n_tokens, 4)"
+    return feat.selectExpr(
         "doc_id",
         "n_tokens",
         "n_distinct_tokens",
         "avg_token_len",
-        stop_ratio.alias("stop_ratio"),
+        f"{stop_ratio} AS stop_ratio",
         "vowel_ratio",
-        quality.alias("quality_score"),
-        F.when(stop_ratio > 0.05, F.lit("en")).otherwise(F.lit("other")).alias(
-            "lang_guess"
-        ),
+        f"round(1.0 / (1.0 + exp(-(0.01 * n_tokens + 5.0 * {stop_ratio} - 2.0))), 4)"
+        " AS quality_score",
+        f"CASE WHEN {stop_ratio} > 0.05 THEN 'en' ELSE 'other' END AS lang_guess",
         "fingerprint",
     )
 

@@ -499,26 +499,43 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # Signatures are computed entirely per-row with array expressions:
-    # shingle array -> xxhash64 array -> array_min per permutation.
+    # shingle array -> md5-u32 array -> one fold min per permutation.
     # Zero shuffles before the bucket join (the explode/distinct/
     # 32-agg groupBy alternative shuffles the whole inverted index
     # first — at 100 TB that is the difference between a narrow scan
     # and a corpus-wide shuffle). Cached: the signature/bucket path
     # and both candidate-verify sides re-read it.
+    # The empty-shingle filter sits ABOVE the cache: filtering the
+    # projection directly lets Catalyst push the deterministic
+    # predicate below the Project, so the cached plan evaluates the
+    # full shingle expression TWICE per row (once in the pushed
+    # Filter's size(...)>0, once in the Project) — the r15 before-
+    # plan shows exactly that (plans/r15, Filter (7) + Project (8)).
+    # Caching the unfiltered projection and filtering the cached rows
+    # computes shingles once; the filter then costs one size() over
+    # an in-memory array. Same rows out (empty-array rows are cached
+    # but never pass the filter).
     base = docs.select(
         "doc_id", F.array_distinct(shingles_col(n)).alias("sh_arr")
-    ).filter(F.size("sh_arr") > 0).cache()
-    sig = base.select(
+    ).cache().filter(F.size("sh_arr") > 0)
+    # Each permutation min is a single aggregate fold (least over the
+    # running acc) instead of array_min(transform(...)): the transform
+    # spelling materializes one permuted copy of ``hs`` per
+    # permutation (num_hashes arrays per row) before taking the min;
+    # the fold keeps one scalar accumulator. Value-identical (min of
+    # the same multiset; ``hs`` is non-empty and NULL-free here) and
+    # measured -25% on the signature stage at sf0.1 (r15 A/B).
+    # selectExpr batches all columns into one round trip — the
+    # 32-column Column-API spelling alone cost ~0.2 s of driver time
+    # per build (OPTIMIZATION_r15.md §driver).
+    sig = base.selectExpr(
         "doc_id",
-        F.expr(
-            "transform(sh_arr, s -> " + _U32_MD5_SPARK.format(x="s") + ")"
-        ).alias("hs"),
-    ).select(
+        "transform(sh_arr, s -> " + _U32_MD5_SPARK.format(x="s") + ") AS hs",
+    ).selectExpr(
         "doc_id",
         *[
-            F.array_min(
-                F.expr(f"transform(hs, h -> (h * {a}L + {b}L) % {_MH_PRIME}L)")
-            ).alias(f"mh{i}")
+            f"aggregate(hs, {_MH_PRIME}L, "
+            f"(acc, h) -> least(acc, (h * {a}L + {b}L) % {_MH_PRIME}L)) AS mh{i}"
             for i, (a, b) in enumerate(_minhash_perms(num_hashes))
         ],
     )

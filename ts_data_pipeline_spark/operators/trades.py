@@ -51,20 +51,31 @@ def events_as_option_trades(events: DataFrame) -> DataFrame:
     derivation (utils.py:124) and the whale split used by the
     aggregator (/root/reference/option_trade_aggs/main.py:99,118).
     """
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
-    return events.select(
-        F.col("event_id").alias("trade_id"),
-        F.col("user_id").alias("osym"),
-        F.col("ts"),
-        F.col("value").alias("premium"),
-        (k % 2 == 0).alias("_is_call"),
-        (k % 10 + 1).alias("qty"),
-        F.when(F.col("event_type").isin(*BUY_EVENTS), F.lit("buy"))
-        .when(F.col("event_type").isin(*SELL_EVENTS), F.lit("sell"))
-        .otherwise(F.lit("no_side"))
-        .alias("side"),
-    ).withColumn(
-        "otype", F.when(F.col("_is_call"), F.lit("call")).otherwise(F.lit("put"))
-    ).withColumn(
-        "whale", F.col("premium") > WHALE
-    ).drop("_is_call")
+    # ``$.k`` is parsed ONCE in its own projection: inlining the
+    # get_json_object into both consumers (qty and otype) made
+    # Catalyst keep two copies of the JSON parse — the single
+    # expensive expression in this path (r15 A/B: -10% end-to-end).
+    # CollapseProject leaves ``_k`` un-inlined because it is
+    # non-cheap and referenced twice. selectExpr strings keep the
+    # build to two driver round trips (OPTIMIZATION_r15.md §driver).
+    buy_list = ", ".join(f"'{e}'" for e in BUY_EVENTS)
+    sell_list = ", ".join(f"'{e}'" for e in SELL_EVENTS)
+    return events.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "event_type",
+        "CAST(get_json_object(props, '$.k') AS INT) AS _k",
+    ).selectExpr(
+        "event_id AS trade_id",
+        "user_id AS osym",
+        "ts",
+        "value AS premium",
+        "(_k % 10) + 1 AS qty",
+        f"CASE WHEN event_type IN ({buy_list}) THEN 'buy' "
+        f"WHEN event_type IN ({sell_list}) THEN 'sell' "
+        f"ELSE 'no_side' END AS side",
+        "CASE WHEN _k % 2 = 0 THEN 'call' ELSE 'put' END AS otype",
+        f"value > CAST('{WHALE}' AS DOUBLE) AS whale",
+    )

@@ -69,49 +69,53 @@ def option_window_agg(
     win = F.window(F.col("ts"), duration)
     names = accumulator_names()
 
+    # Aggregates are built as SQL strings (one parse round trip per
+    # expression) rather than nested Column calls: the Column-API
+    # spelling cost ~300 driver round trips (~0.5 s per plan build,
+    # profiled — OPTIMIZATION_r15.md §driver). Same resolved
+    # expressions, same results.
     def preds():
         for stem, whale, side, otype in names:
             yield stem, (
-                (F.col("whale") == whale)
-                & (F.col("side") == side)
-                & (F.col("otype") == otype)
+                f"whale = {'true' if whale else 'false'} "
+                f"AND side = '{side}' AND otype = '{otype}'"
             )
 
     if salt_buckets is None:
-        aggs = [F.count(F.lit(1)).alias("trade_count")]
+        aggs = [F.expr("count(1) AS trade_count")]
         for stem, pred in preds():
-            aggs.append(
-                F.sum(F.when(pred, F.col("qty")).otherwise(F.lit(0))).alias(f"{stem}_vol")
-            )
-            aggs.append(
-                F.round(
-                    F.sum(F.when(pred, F.col("premium")).otherwise(F.lit(0.0))), 4
-                ).alias(f"{stem}_prem")
-            )
+            aggs.append(F.expr(
+                f"sum(CASE WHEN {pred} THEN qty ELSE 0 END) AS {stem}_vol"
+            ))
+            aggs.append(F.expr(
+                f"round(sum(CASE WHEN {pred} THEN premium ELSE 0.0 END), 4)"
+                f" AS {stem}_prem"
+            ))
         grouped = trades.groupBy(win, F.col("osym")).agg(*aggs)
     else:
         # Phase 1: partial sums under a salt (no rounding yet).
         # spark_partition_id is already uniform across input splits —
         # zero extra column reads.
-        partial_aggs = [F.count(F.lit(1)).alias("_p_cnt")]
+        partial_aggs = [F.expr("count(1) AS _p_cnt")]
         for stem, pred in preds():
-            partial_aggs.append(
-                F.sum(F.when(pred, F.col("qty")).otherwise(F.lit(0))).alias(f"_p_{stem}_vol")
-            )
-            partial_aggs.append(
-                F.sum(F.when(pred, F.col("premium")).otherwise(F.lit(0.0))).alias(f"_p_{stem}_prem")
-            )
+            partial_aggs.append(F.expr(
+                f"sum(CASE WHEN {pred} THEN qty ELSE 0 END) AS _p_{stem}_vol"
+            ))
+            partial_aggs.append(F.expr(
+                f"sum(CASE WHEN {pred} THEN premium ELSE 0.0 END)"
+                f" AS _p_{stem}_prem"
+            ))
         partial = (
             trades.withColumn("_salt", F.spark_partition_id() % salt_buckets)
             .groupBy(win, F.col("osym"), F.col("_salt"))
             .agg(*partial_aggs)
         )
         # Phase 2: fold the salted partials; round once at the end.
-        final_aggs = [F.sum("_p_cnt").alias("trade_count")]
+        final_aggs = [F.expr("sum(_p_cnt) AS trade_count")]
         for stem, _ in preds():
-            final_aggs.append(F.sum(f"_p_{stem}_vol").alias(f"{stem}_vol"))
+            final_aggs.append(F.expr(f"sum(_p_{stem}_vol) AS {stem}_vol"))
             final_aggs.append(
-                F.round(F.sum(f"_p_{stem}_prem"), 4).alias(f"{stem}_prem")
+                F.expr(f"round(sum(_p_{stem}_prem), 4) AS {stem}_prem")
             )
         grouped = partial.groupBy("window", "osym").agg(*final_aggs)
 

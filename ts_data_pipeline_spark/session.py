@@ -33,6 +33,14 @@ def get_spark(app_name: str = "ts-data-pipeline-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures the Python call site around EVERY
+        # DataFrame/Column API call for error context (errors/utils
+        # _with_origin: getActiveSession + conf.get + stack walk + two
+        # extra py4j calls per API call). Profiled at ~35-50% of
+        # driver-side plan-construction time on the expression-heavy
+        # queries (OPTIMIZATION_r15.md §driver). Costs only call-site
+        # lines in error messages; query results are unaffected.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Testdata drifted to TIMESTAMP(MICROS, isAdjustedToUTC=false)
