@@ -76,3 +76,15 @@ def test_embeddings_vector_column(spark):
         and isinstance(t.elementType, (T.FloatType, T.DoubleType))
     ]
     assert vec_cols, f"no array<float|double> column in embeddings: {fields}"
+
+
+def test_schema_memo_roundtrip(spark):
+    """The r15 schema memo (load -> cached StructType -> explicit
+    reader schema) must hand back the exact inferred schema: a drift
+    here would silently change column types for every consumer."""
+    io._SCHEMA_CACHE.pop(io.table_path(SF_DIR, "events"), None)
+    first = io.load(spark, SF_DIR, "events")          # infers, memoizes
+    assert io.table_path(SF_DIR, "events") in io._SCHEMA_CACHE
+    second = io.load(spark, SF_DIR, "events")         # memoized path
+    assert first.schema == second.schema
+    assert first.count() == second.count()

@@ -293,3 +293,22 @@ def test_histogram_plan_broadcasts_range_row(spark):
     plan = _plan(tsstats.value_histogram(ev))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_brute_force_topk_uses_partial_window_group_limit(spark):
+    """r15: the explicit repartition(query_id) barrier was removed
+    from _exact_cosine_topk — the window's own exchange now admits
+    the PARTIAL WindowGroupLimit below it (map-side top-k, so the
+    shuffle carries ~k rows per task instead of every scored pair)
+    and the sort is no longer capped at #queries partitions. Pin
+    both: a WindowGroupLimit node present, and no RepartitionByExpression
+    on query_id between the score projection and the window."""
+    from ts_data_pipeline_spark.operators import similarity
+
+    df = similarity.brute_force_topk(
+        io.load(spark, SF_DIR, "embeddings"), list(range(4)), k=3
+    )
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    optimized = _plan(df, "extended")
+    assert "RepartitionByExpression [query_id" not in optimized, optimized

@@ -72,6 +72,15 @@ def main() -> None:
 
     out = {"lo": {}, "hi": {}}
     for side, sf_dir in (("lo", lo_dir), ("hi", hi_dir)):
+        # Drop every cached relation from the previous SF phase: the
+        # first scaling run held both SFs' operator caches (minhash
+        # shingles/buckets at lo AND hi) live in one session, and the
+        # resulting executor-storage pressure inflated the hi-side
+        # medians ~5x for the cache-heavy queries (minhash read
+        # 15.8 s in-session vs ~10 s cold-isolated; ann 8.2 vs 1.8).
+        # Per-SF cache hygiene makes the ratio measure the QUERY, not
+        # the harness's memory footprint.
+        spark.catalog.clearCache()
         for name, fn in queries.items():
             try:
                 ts = []

@@ -79,14 +79,20 @@ def _exact_cosine_topk(
                 dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
             ).alias("cos_sim"),
         )
-        # Materialization boundary before the rank window: dot() is a
-        # higher-order function (never codegen'd) and Spark's sort
-        # evaluates un-materialized ordering expressions lazily per
-        # COMPARISON — the exchange materializes each narrow score
-        # row once AND pre-satisfies the window's partitioning
-        # (measured 2x at sf0.1; same fix across the ANN family).
-        .repartition("query_id")
     )
+    # r15: the round-5 "lazy-sort boundary" repartition("query_id")
+    # was REMOVED here after a two-SF A/B (sf0.1: 0.945 -> 0.818 s;
+    # sf1: 1.799 -> 1.222 s; rows identical). Two reasons it now
+    # hurts: (1) the window partitions by query_id — a handful of
+    # distinct keys — so the explicit exchange caps the sort at
+    # #queries tasks while 10x data grows per-task work (the measured
+    # super-linear 14x sf1/sf0.1 slope); (2) the explicit exchange
+    # blocks the partial WindowGroupLimit Spark 3.5+ plants BELOW the
+    # window's own exchange, which keeps only ~k rows per map task so
+    # the shuffle carries top-k candidates instead of every scored
+    # pair. The round-5 hazard (HOF ordering key re-evaluated in the
+    # sort) does not reproduce on this shape: cos_sim is a projected
+    # attribute, materialized once when the sort copies rows in.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
