@@ -215,7 +215,6 @@ def _prefix_shortlist_from(
                 dot(F.col("qp"), F.col("cp")) / (F.col("qn") * F.col("cn")), 6
             ).alias("psim"),
         )
-        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("psim").desc(), F.col("cand_id").asc()
@@ -675,7 +674,6 @@ def binary_sign_topk(
             "cand_id",
             _hamming(F.col("qs"), F.col("cs")).alias("hamm"),
         )
-        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("hamm").asc(), F.col("cand_id").asc()
@@ -1100,7 +1098,6 @@ def bsign_query_index(
             "cand_id",
             _hamming(F.col("qs"), F.col("cs")).alias("hamm"),
         )
-        .repartition("query_id")  # lazy-sort boundary (brute_force_topk)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("hamm").asc(), F.col("cand_id").asc()
@@ -1408,8 +1405,6 @@ def lsh_bucketed_topk(
             F.col(id_col).alias("cand_id"),
             F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
         )
-        # lazy-sort materialization boundary (see brute_force_topk)
-        .repartition("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
@@ -1735,7 +1730,6 @@ def ivf_topk(
             ).alias("cos_sim"),
         )
         # No dedup needed: cell assignment (crk=1) is unique per vector.
-        .repartition("query_id")  # lazy-sort boundary
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
@@ -2205,16 +2199,14 @@ def sq8_topk(
         F.col("hn").alias("qhn"),
     )
     m = rerank_factor * k
-    # NARROW approximate scores, MATERIALIZED (cache) before the rank
-    # window. Two reasons, both scale-relevant:
-    # - the dot() higher-order functions never enter whole-stage
-    #   codegen, and Spark's sort evaluates un-materialized ordering
-    #   expressions lazily PER COMPARISON — without the
-    #   materialization boundary the interpreted 64-wide dot re-runs
-    #   O(n log n) times inside the window sort (measured 10x blowup
-    #   at sf0.1);
-    # - the window shuffle then carries 3 scalar columns instead of
-    #   the fat xhat/r arrays.
+    # NARROW approximate scores: the rank window sees 3 scalar
+    # columns, never the fat xhat/r arrays. (The round-5
+    # repartition("query_id") boundary that used to sit below the
+    # window was removed in r15 with the rest of the low-cardinality
+    # ANN barriers — see _exact_cosine_topk's note: the score is a
+    # projected attribute, so the sort materializes it once, and the
+    # explicit exchange both capped the sort at #queries partitions
+    # and blocked the map-side partial WindowGroupLimit.)
     scored = (
         quantized.select(id_col, "xhat", "hn")
         .crossJoin(F.broadcast(q))
@@ -2227,7 +2219,6 @@ def sq8_topk(
                 6,
             ).alias("approx_sim"),
         )
-        .repartition("query_id")
     )
     w_approx = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("cand_id").asc()
@@ -2260,7 +2251,6 @@ def sq8_topk(
                 dot(F.col("r"), F.col("qr")) / (F.col("rn") * F.col("qrn")), 6
             ).alias("cos_sim"),
         )
-        .repartition("query_id")  # same lazy-sort hazard on the exact scores
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
@@ -2420,7 +2410,7 @@ def lsh_multiprobe_topk(
         "query_id",
         "cand_id",
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
-    ).repartition("query_id")  # lazy-sort boundary (see brute_force_topk)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
@@ -2800,7 +2790,6 @@ def _pq_adc_cands(scored: DataFrame, id_col: str,
         scored.filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("qd2"), 6).alias("ad2"))
-        .repartition("query_id")
     )
     w_approx = Window.partitionBy("query_id").orderBy(
         F.col("ad2").asc(), F.col(id_col).asc()
@@ -2873,7 +2862,6 @@ def _pq_exact_rerank(
             "cand_id",
             F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
         )
-        .repartition("query_id")  # lazy-sort hazard: materialize scores
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
