@@ -401,6 +401,42 @@ def _extras(spark) -> dict:
 
         return streaming_funnel_finals(spark, sf_dir)
 
+    # r16 (VERDICT r15 ask #7): the cep row swung 17-56 s across
+    # identical-code runs — one opaque number per round is not
+    # attributable. A StreamingQueryListener captures per-micro-batch
+    # durations (triggerExecution ms per batchId) during the SAME
+    # timed run, so a future regression names its batch (state load?
+    # first-batch Python worker spin-up? tail batch?) instead of
+    # moving one blended total. Additive: the timed body is unchanged.
+    cep_batches: list = []
+    try:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _CepListener(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                try:
+                    p = event.progress
+                    cep_batches.append(
+                        (p.batchId, p.durationMs.get("triggerExecution"))
+                    )
+                except Exception:
+                    pass
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        _cep_listener = _CepListener()
+        spark.streams.addListener(_cep_listener)
+    except Exception as exc:
+        _cep_listener = None
+        print(f"# cep listener unavailable: {exc}", file=sys.stderr)
+
     extra = {
         "recipe_build_corpus": recipe_build_corpus,
         "cep_streaming_funnel": cep_streaming_funnel,
@@ -458,6 +494,15 @@ def _extras(spark) -> dict:
             out[name] = round(statistics.median(ts), 3)
         except Exception as exc:  # never kill the artifact
             print(f"# extras {name} failed: {exc}", file=sys.stderr)
+    if _cep_listener is not None:
+        try:
+            spark.streams.removeListener(_cep_listener)
+        except Exception:
+            pass
+        if cep_batches:
+            out["cep_funnel_batch_ms"] = {
+                f"b{bid}": ms for bid, ms in cep_batches if ms is not None
+            }
     # Per-stage attribution for the composed recipe (r15, VERDICT
     # r14 ask #5): a SECOND, instrumented run with localCheckpoint
     # barriers at every named stage. The barriers change the plan
@@ -1298,6 +1343,27 @@ def main() -> None:
                 continue
             samples[name].append(time.perf_counter() - t0)
 
+    # r16 (VERDICT r15 ask #6): COLD-cache twin of every headline row.
+    # The JMH warmup above deliberately materializes operator-level
+    # caches (minhash shingles, sq8 codes) outside the timed region so
+    # the medians measure steady state — which understates the cold
+    # cost of cache-heavy queries. This section publishes that number:
+    # clearCache() before EACH query, one timed run, so every query
+    # pays its own cache build (and no query inherits a neighbor's).
+    # Additive only — the steady-state medians above are untouched and
+    # stay comparable across rounds.
+    queries_cold: dict[str, float] = {}
+    for name, fn in resolved.items():
+        if name in errors:
+            continue
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            queries_cold[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # never kill the artifact
+            print(f"# cold {name} failed: {exc}", file=sys.stderr)
+
     # Skew stress (separate section; NOT part of the headline total,
     # which must stay comparable across rounds): the flagship agg on
     # a hot-key-distorted input — 80% of trades funneled onto one
@@ -1348,6 +1414,7 @@ def main() -> None:
         "sf": sf_val,
         "runs": RUNS,
         "spread": spread,
+        "queries_cold": queries_cold,
         "skew": skew,
         "extras": extras,
         "errors": errors,
@@ -1432,6 +1499,10 @@ def main() -> None:
         "runs": RUNS,
         "sf": sf_val,
         "errors": sorted(errors),
+        # cold-cache values as a LIST in "queries" key order (map form
+        # lives on the big payload line; the list keeps this line
+        # inside the driver's ~2 kB tail cap, same trade as qnorm)
+        "qcold": [queries_cold.get(n) for n in timings],
     }
     for k in (
         "canary_jvm_agg_sec_pre",

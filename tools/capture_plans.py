@@ -16,8 +16,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLANS_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r16",
+    ),
 )
 
 
@@ -32,7 +36,15 @@ def main() -> None:
 
     spark = get_spark("ts-data-pipeline-spark-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    for name, fn in bench._resolve().items():
+    resolved = dict(bench._resolve())
+    # r16: non-headline registered queries are capturable too (the
+    # optimization rounds touch operators the headline set never
+    # exercises, e.g. the ivf/kmeans legs behind ann_lsh_ivf_topk).
+    from ts_data_pipeline_spark import registry
+
+    for qname, qfn in registry.all_queries().items():
+        resolved.setdefault(qname, qfn)
+    for name, fn in resolved.items():
         if only and name not in only:
             continue
         try:

@@ -80,7 +80,14 @@ def shingles_col(n: int = 3, text_col: str = "text"):
     ``transform``) so the short-doc guard and the sequence bound share
     one evaluation on the hot path.
     """
-    return F.expr(
+    return F.expr(shingles_expr_sql(n, text_col))
+
+
+def shingles_expr_sql(n: int = 3, text_col: str = "text") -> str:
+    """The Spark-SQL string behind :func:`shingles_col` — exposed so
+    batched selectExpr call sites (r16 plan-build cost) can embed it
+    without an extra Column round trip."""
+    return (
         f"transform(array(filter(split(lower({text_col}), ' '), t -> t != '')), "
         f"toks -> transform(array(size(toks)), "
         f"sz -> CASE WHEN sz < {n} THEN CAST(array() AS ARRAY<STRING>) "
@@ -515,8 +522,14 @@ def minhash_lsh_pairs(
     # computes shingles once; the filter then costs one size() over
     # an in-memory array. Same rows out (empty-array rows are cached
     # but never pass the filter).
-    base = docs.select(
-        "doc_id", F.array_distinct(shingles_col(n)).alias("sh_arr")
+    # Build-side note (r16): every projection/join below is a batched
+    # selectExpr / single-expr form — the Column spelling of this
+    # operator cost ~324 py4j round trips per plan build (~0.2-0.35 s
+    # of every bench row, cProfile'd); the strings resolve to the
+    # identical expression trees, so plans and results are unchanged.
+    base = docs.selectExpr(
+        "doc_id",
+        f"array_distinct({shingles_expr_sql(n)}) AS sh_arr",
     ).cache().filter(F.size("sh_arr") > 0)
     # Each permutation min is a single aggregate fold (least over the
     # running acc) instead of array_min(transform(...)): the transform
@@ -543,61 +556,59 @@ def minhash_lsh_pairs(
     # combine is the same portable md5-u32 over the '-'-joined
     # row signature values.
     band_hashes = [
-        F.expr(
-            _U32_MD5_SPARK.format(
-                x="concat_ws('-', "
-                + ", ".join(
-                    f"cast(mh{band * rows_per_band + r} as string)"
-                    for r in range(rows_per_band)
-                )
-                + ")"
+        _U32_MD5_SPARK.format(
+            x="concat_ws('-', "
+            + ", ".join(
+                f"cast(mh{band * rows_per_band + r} as string)"
+                for r in range(rows_per_band)
             )
+            + ")"
         )
         for band in range(bands)
     ]
-    buckets = sig.select(
-        "doc_id", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    buckets = sig.selectExpr(
+        "doc_id",
+        f"posexplode(array({', '.join(band_hashes)})) AS (band, bucket)",
     )
     if max_bucket_size is not None:
         # One count window on the join key partitioning — the same
         # shuffle the self-join needs anyway — then drop oversized
-        # buckets so no task ever faces a quadratic bucket.
-        bw = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("_bw", F.count(F.lit(1)).over(bw))
-            .filter(F.col("_bw") <= max_bucket_size)
-            .drop("_bw")
-        )
+        # buckets so no task ever faces a quadratic bucket. (No
+        # ORDER BY -> whole-partition frame, same as the Column
+        # count(1).over(Window.partitionBy(...)) spelling.)
+        buckets = buckets.selectExpr(
+            "doc_id", "band", "bucket",
+            "count(1) OVER (PARTITION BY band, bucket) AS _bw",
+        ).filter(F.col("_bw") <= max_bucket_size).drop("_bw")
     buckets = buckets.cache()  # tiny (bands x docs); read by both join sides
     cand = (
         buckets.alias("x")
         .join(
             buckets.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            F.expr(
+                "x.band = y.band AND x.bucket = y.bucket "
+                "AND x.doc_id < y.doc_id"
+            ),
         )
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .selectExpr("x.doc_id AS da", "y.doc_id AS db")
         .distinct()
     )
     # Exact verification of candidates only: set math on the shingle
     # arrays of the (few) bucket-mates — no inverted-index joins.
     return (
-        cand.join(base.alias("a"), F.col("da") == F.col("a.doc_id"))
-        .join(base.alias("b"), F.col("db") == F.col("b.doc_id"))
-        .select(
+        cand.join(base.alias("a"), F.expr("da = a.doc_id"))
+        .join(base.alias("b"), F.expr("db = b.doc_id"))
+        .selectExpr(
             "da",
             "db",
-            F.size(F.array_intersect(F.col("a.sh_arr"), F.col("b.sh_arr"))).alias("i"),
-            F.size(F.col("a.sh_arr")).alias("ca"),
-            F.size(F.col("b.sh_arr")).alias("cb"),
+            "size(array_intersect(a.sh_arr, b.sh_arr)) AS i",
+            "size(a.sh_arr) AS ca",
+            "size(b.sh_arr) AS cb",
         )
-        .select(
+        .selectExpr(
             "da",
             "db",
-            F.round(F.col("i") / (F.col("ca") + F.col("cb") - F.col("i")), 4).alias(
-                "jaccard"
-            ),
+            "round(i / (ca + cb - i), 4) AS jaccard",
         )
         .filter(F.col("jaccard") >= threshold)
     )

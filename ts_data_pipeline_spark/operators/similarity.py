@@ -33,6 +33,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_sql(a: str, b: str) -> str:
+    """SQL-string twin of :func:`dot` (r16 plan-build cost): the
+    Column spelling costs ~25 py4j round trips per call (each
+    higher-order lambda is several); interpolated into one selectExpr
+    it costs none. Same fold, same 0.0 double seed, same resolved
+    expression tree — value-identical by construction."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -53,31 +65,32 @@ def _exact_cosine_topk(
     # Norms are precomputed per side (one dot per row) so the pair
     # loop does a single dot product per (query, candidate) instead
     # of three — at corpus scale that is the dominant flop count.
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("qn"),
+    # Projections are selectExpr batches (r16): the Column spelling
+    # of each side cost ~150 py4j round trips per build (dot() alone
+    # is ~25); the strings resolve to the identical expression trees.
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).selectExpr(
+        f"`{id_col}`",
+        f"CAST(`{vec_col}` AS array<double>) AS v",
+    ).selectExpr(
+        f"`{id_col}` AS query_id",
+        "v AS qv",
+        f"sqrt({dot_sql('v', 'v')}) AS qn",
     )
-    c = candidates.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).select(
-        F.col(id_col).alias("cand_id"),
-        F.col("v").alias("cv"),
-        F.sqrt(dot(F.col("v"), F.col("v"))).alias("cn"),
+    c = candidates.selectExpr(
+        f"`{id_col}`",
+        f"CAST(`{vec_col}` AS array<double>) AS v",
+    ).selectExpr(
+        f"`{id_col}` AS cand_id",
+        "v AS cv",
+        f"sqrt({dot_sql('v', 'v')}) AS cn",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
+        .selectExpr(
             "query_id",
             "cand_id",
-            F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
-            ).alias("cos_sim"),
+            f"round({dot_sql('qv', 'cv')} / (qn * cn), 6) AS cos_sim",
         )
     )
     # r15: the round-5 "lazy-sort boundary" repartition("query_id")
