@@ -86,13 +86,25 @@ def segment_order_revenue(
     then the orders->lineitem join is the genuine large-large shuffle
     on the natural key. Group keys ride the join key (l_orderkey), so
     the final agg reuses the join shuffle's partitioning.
+
+    The lineitem side carries a ``shuffle_merge`` hint (r16): size
+    estimates put the 3-column lineitem projection under the
+    broadcast threshold at bench SF, so the planner was BROADCASTING
+    THE FACT TABLE — a driver-side collect + hash-relation build of
+    the largest relation (guide §3.1: estimates are often badly wrong
+    after projections; pick the strategy deliberately). Sort-merge is
+    what the planner itself picks once lineitem's stats exceed the
+    threshold (any realistic scale), spills gracefully, and measured
+    -30% at sf0.1 / -17% at synth sf1 (tools/r16_experiments.py,
+    value-identical). AQE may still re-plan the post-shuffle join;
+    the hint only forbids the fact-table broadcast.
     """
     c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
     o = orders.select("o_orderkey", "o_custkey", "o_orderdate")
     li = lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(li.hint("shuffle_merge"), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(

@@ -82,50 +82,76 @@ def option_window_agg(
             )
 
     if salt_buckets is None:
-        aggs = [F.expr("count(1) AS trade_count")]
+        # All 51 aggregates ride ONE named_struct expression (r16):
+        # 51 separate F.expr calls cost a py4j round trip each
+        # (~0.1 s of every plan build, measured); the struct parses
+        # once and Catalyst extracts the identical aggregate
+        # expressions, building the struct in the result projection —
+        # partial/final split unchanged (pinned by test_plan_shapes),
+        # output columns re-flattened by the final select. A/B:
+        # build 0.19 -> 0.10 s, end-to-end 0.58 -> 0.44 s, rows
+        # identical (99,921 compared).
+        parts = ["'trade_count', count(1)"]
         for stem, pred in preds():
-            aggs.append(F.expr(
-                f"sum(CASE WHEN {pred} THEN qty ELSE 0 END) AS {stem}_vol"
-            ))
-            aggs.append(F.expr(
+            parts.append(
+                f"'{stem}_vol', sum(CASE WHEN {pred} THEN qty ELSE 0 END)"
+            )
+            parts.append(
+                f"'{stem}_prem', "
                 f"round(sum(CASE WHEN {pred} THEN premium ELSE 0.0 END), 4)"
-                f" AS {stem}_prem"
-            ))
-        grouped = trades.groupBy(win, F.col("osym")).agg(*aggs)
+            )
+        grouped = trades.groupBy(win, F.col("osym")).agg(
+            F.expr("named_struct(" + ", ".join(parts) + ") AS _s")
+        )
+        return grouped.selectExpr(
+            "window.start AS window_start",
+            "window.end AS window_end",
+            "osym",
+            "_s.trade_count AS trade_count",
+            *[
+                f"_s.{c} AS {c}"
+                for stem, *_ in names
+                for c in (f"{stem}_vol", f"{stem}_prem")
+            ],
+        )
     else:
         # Phase 1: partial sums under a salt (no rounding yet).
         # spark_partition_id is already uniform across input splits —
-        # zero extra column reads.
-        partial_aggs = [F.expr("count(1) AS _p_cnt")]
+        # zero extra column reads. Same one-struct build as the
+        # unsalted branch (r16).
+        pparts = ["'_p_cnt', count(1)"]
         for stem, pred in preds():
-            partial_aggs.append(F.expr(
-                f"sum(CASE WHEN {pred} THEN qty ELSE 0 END) AS _p_{stem}_vol"
-            ))
-            partial_aggs.append(F.expr(
+            pparts.append(
+                f"'_p_{stem}_vol', sum(CASE WHEN {pred} THEN qty ELSE 0 END)"
+            )
+            pparts.append(
+                f"'_p_{stem}_prem', "
                 f"sum(CASE WHEN {pred} THEN premium ELSE 0.0 END)"
-                f" AS _p_{stem}_prem"
-            ))
+            )
         partial = (
             trades.withColumn("_salt", F.spark_partition_id() % salt_buckets)
             .groupBy(win, F.col("osym"), F.col("_salt"))
-            .agg(*partial_aggs)
+            .agg(F.expr("named_struct(" + ", ".join(pparts) + ") AS _p"))
         )
         # Phase 2: fold the salted partials; round once at the end.
-        final_aggs = [F.expr("sum(_p_cnt) AS trade_count")]
+        fparts = ["'trade_count', sum(_p._p_cnt)"]
         for stem, _ in preds():
-            final_aggs.append(F.expr(f"sum(_p_{stem}_vol) AS {stem}_vol"))
-            final_aggs.append(
-                F.expr(f"round(sum(_p_{stem}_prem), 4) AS {stem}_prem")
-            )
-        grouped = partial.groupBy("window", "osym").agg(*final_aggs)
-
-    return grouped.select(
-        F.col("window.start").alias("window_start"),
-        F.col("window.end").alias("window_end"),
-        "osym",
-        "trade_count",
-        *[c for stem, *_ in names for c in (f"{stem}_vol", f"{stem}_prem")],
-    )
+            fparts.append(f"'{stem}_vol', sum(_p._p_{stem}_vol)")
+            fparts.append(f"'{stem}_prem', round(sum(_p._p_{stem}_prem), 4)")
+        grouped = partial.groupBy("window", "osym").agg(
+            F.expr("named_struct(" + ", ".join(fparts) + ") AS _s")
+        )
+        return grouped.selectExpr(
+            "window.start AS window_start",
+            "window.end AS window_end",
+            "osym",
+            "_s.trade_count AS trade_count",
+            *[
+                f"_s.{c} AS {c}"
+                for stem, *_ in names
+                for c in (f"{stem}_vol", f"{stem}_prem")
+            ],
+        )
 
 
 def option_window_agg_sql(trades_sql: str, bucket: str = "minute",
