@@ -1463,10 +1463,10 @@ def _kmeans_centroids(
     for _ in range(n_iter):
         win = (
             norm.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
+            .selectExpr(
+                f"`{id_col}`",
                 "cell",
-                F.round(dot(F.col("v"), F.col("cv")), 6).alias("cs"),
+                f"round({dot_sql('v', 'cv')}, 6) AS cs",
             )
             .repartition(id_col)  # lazy-sort boundary (brute_force_topk)
             .withColumn("rk", F.row_number().over(w))
@@ -1474,14 +1474,22 @@ def _kmeans_centroids(
             .select(id_col, "cell")
         )
         # per-position means as dim fixed-width avg aggregates: one
-        # codegen'd hash-agg shuffle per round (see _pq_cb_trained)
+        # codegen'd hash-agg shuffle per round (see _pq_cb_trained);
+        # one-struct agg build (r16) — identical avg aggregates, one
+        # expression parse instead of ~2*dim Column round trips
         assembled = (
             norm.join(win, id_col)
             .groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"mu{i}") for i in range(dim)])
-            .select(
+            .agg(F.expr(
+                "named_struct("
+                + ", ".join(f"'mu{i}', avg(v[{i}])" for i in range(dim))
+                + ") AS _m"
+            ))
+            .selectExpr(
                 "cell",
-                F.array(*[F.col(f"mu{i}") for i in range(dim)]).alias("mv"),
+                "array("
+                + ", ".join(f"_m.mu{i}" for i in range(dim))
+                + ") AS mv",
             )
         )
         # mn > 0 guard: a degenerate cluster whose member mean is the
@@ -1490,16 +1498,13 @@ def _kmeans_centroids(
         # empty cluster (the sd > 0 pattern from seasonal_anomalies);
         # mirrored in the kc{i} CTE of ivfpq_topk_sql.
         cents = (
-            assembled.select(
-                "cell", "mv",
-                F.sqrt(dot(F.col("mv"), F.col("mv"))).alias("mn"),
+            assembled.selectExpr(
+                "cell", "mv", f"sqrt({dot_sql('mv', 'mv')}) AS mn"
             )
             .filter(F.col("mn") > 0)
-            .select(
+            .selectExpr(
                 "cell",
-                F.transform(
-                    "mv", lambda x: F.round(x / F.col("mn"), 6)
-                ).alias("cv"),
+                "transform(mv, x -> round(x / mn, 6)) AS cv",
             )
         )
     schema = cents.schema
@@ -1509,9 +1514,9 @@ def _kmeans_centroids(
 def _norm3(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, v, n): the double-cast vector with its L2 norm — the
     input relation of every coarse-quantizer ranking."""
-    return embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).select(id_col, "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("n"))
+    return embeddings.selectExpr(
+        f"`{id_col}`", f"CAST(`{vec_col}` AS array<double>) AS v"
+    ).selectExpr(f"`{id_col}`", "v", f"sqrt({dot_sql('v', 'v')}) AS n")
 
 
 def _cell_ranked(norm: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
@@ -1522,12 +1527,10 @@ def _cell_ranked(norm: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     a vector in different cells."""
     paired = (
         norm.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
+        .selectExpr(
+            f"`{id_col}`",
             "ccid",
-            F.round(
-                dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
-            ).alias("cc"),
+            f"round({dot_sql('v', 'cv')} / (n * cn), 6) AS cc",
         )
         .repartition(id_col)  # lazy-sort boundary (see brute_force_topk)
     )
@@ -1758,11 +1761,11 @@ def _unit_vectors(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, v) with v = the embedding normalized to unit length."""
-    raw = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
-    ).select(id_col, "r", F.sqrt(dot(F.col("r"), F.col("r"))).alias("nrm"))
-    return raw.select(
-        id_col, F.transform("r", lambda x: x / F.col("nrm")).alias("v")
+    raw = embeddings.selectExpr(
+        f"`{id_col}`", f"CAST(`{vec_col}` AS array<double>) AS r"
+    ).selectExpr(f"`{id_col}`", "r", f"sqrt({dot_sql('r', 'r')}) AS nrm")
+    return raw.selectExpr(
+        f"`{id_col}`", "transform(r, x -> x / nrm) AS v"
     )
 
 
@@ -1805,10 +1808,10 @@ def kmeans_assign(
         # brute_force_topk).
         slim = (
             norm.crossJoin(F.broadcast(c))
-            .select(
-                id_col,
+            .selectExpr(
+                f"`{id_col}`",
                 "cell",
-                F.round(dot(F.col("v"), F.col("cv")), 6).alias("cos_sim"),
+                f"round({dot_sql('v', 'cv')}, 6) AS cos_sim",
             )
             .repartition(id_col)
         )
@@ -2112,52 +2115,49 @@ def sq8_quantize(
     raw floats. Reconstruction error is bounded by half a grid step
     per dimension (pinned in tests/test_llmdata.py).
     """
-    emb = embeddings.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("r")
+    # Batched build (r16): the Column spelling cost ~1.3 s per plan
+    # build at dim=64 (2*dim min/max aggregates + 2*dim array items +
+    # the two transforms, one py4j round trip each, cProfile'd). The
+    # SQL strings below resolve to the identical expression trees —
+    # every float literal is D-suffixed so no decimal/double drift.
+    emb = embeddings.selectExpr(
+        f"`{id_col}`", f"CAST(`{vec_col}` AS array<double>) AS r"
     )
-    aggs = []
-    for i in range(1, dim + 1):
-        aggs.append(F.min(F.element_at("r", i)).alias(f"mn{i}"))
-        aggs.append(F.max(F.element_at("r", i)).alias(f"mx{i}"))
-    stats = emb.agg(*aggs).select(
-        F.array(*[F.col(f"mn{i}") for i in range(1, dim + 1)]).alias("mins"),
-        F.array(
-            *[
-                (F.col(f"mx{i}") - F.col(f"mn{i}")) / 255.0
-                for i in range(1, dim + 1)
-            ]
-        ).alias("scales"),
+    mnmx = ", ".join(
+        f"'mn{i}', min(element_at(r, {i})), 'mx{i}', max(element_at(r, {i}))"
+        for i in range(1, dim + 1)
     )
-
-    idx = F.sequence(F.lit(1), F.lit(dim))
-    codes = F.transform(
-        idx,
-        lambda i: F.when(F.element_at("scales", i) == 0.0, F.lit(0.0)).otherwise(
-            F.round(
-                (F.element_at("r", i) - F.element_at("mins", i))
-                / F.element_at("scales", i),
-                0,
-            )
-        ),
+    stats = emb.agg(F.expr(f"named_struct({mnmx}) AS _s")).selectExpr(
+        "array("
+        + ", ".join(f"_s.mn{i}" for i in range(1, dim + 1))
+        + ") AS mins",
+        "array("
+        + ", ".join(
+            f"(_s.mx{i} - _s.mn{i}) / 255.0D" for i in range(1, dim + 1)
+        )
+        + ") AS scales",
     )
     return (
         emb.crossJoin(F.broadcast(stats))
-        .withColumn("codes", codes)
-        .withColumn(
-            "xhat",
-            F.transform(
-                idx,
-                lambda i: F.element_at("mins", i)
-                + F.element_at("codes", i) * F.element_at("scales", i),
-            ),
+        .selectExpr(
+            "*",
+            f"transform(sequence(1, {dim}), i -> "
+            "CASE WHEN element_at(scales, i) = 0.0D THEN 0.0D "
+            "ELSE round((element_at(r, i) - element_at(mins, i)) "
+            "/ element_at(scales, i), 0) END) AS codes",
         )
-        .select(
-            id_col,
+        .selectExpr(
+            "*",
+            f"transform(sequence(1, {dim}), i -> element_at(mins, i) "
+            "+ element_at(codes, i) * element_at(scales, i)) AS xhat",
+        )
+        .selectExpr(
+            f"`{id_col}`",
             "r",
             "codes",
             "xhat",
-            F.sqrt(dot(F.col("r"), F.col("r"))).alias("rn"),
-            F.sqrt(dot(F.col("xhat"), F.col("xhat"))).alias("hn"),
+            f"sqrt({dot_sql('r', 'r')}) AS rn",
+            f"sqrt({dot_sql('xhat', 'xhat')}) AS hn",
         )
     )
 
@@ -2597,17 +2597,19 @@ def brute_force_topk_pandas(
 # Quantization for Nearest Neighbor Search")
 
 
+def _slices_sql(vec_col: str, m: int, dsub: int) -> str:
+    """SQL string of :func:`_slices` — the Column spelling cost ~50
+    py4j round trips per call at m=8 (r16 plan-build cost)."""
+    return "array(" + ", ".join(
+        f"transform(slice(`{vec_col}`, {s * dsub + 1}, {dsub}), "
+        f"x -> CAST(x AS DOUBLE))"
+        for s in range(m)
+    ) + ")"
+
+
 def _slices(vec_col: str, m: int, dsub: int) -> Column:
     """Array of m double-cast subvector slices of a float vector."""
-    return F.array(
-        *[
-            F.transform(
-                F.slice(F.col(vec_col), s * dsub + 1, dsub),
-                lambda x: x.cast("double"),
-            )
-            for s in range(m)
-        ]
-    )
+    return F.expr(_slices_sql(vec_col, m, dsub))
 
 
 def _with_cvv(cb: DataFrame) -> Column:
@@ -2621,16 +2623,15 @@ def _with_cvv(cb: DataFrame) -> Column:
     loop); the twin evaluates the identical reduced shape
     (:data:`_PQ_D2R`), so rounded values cannot diverge through
     different factorizations."""
-    return cb.withColumn("cvv", dot(F.col("cv"), F.col("cv")))
+    return cb.selectExpr("*", f"{dot_sql('cv', 'cv')} AS cvv")
 
 
 def _pq_base(df: DataFrame, m: int, dsub: int, id_col: str,
              vec_col: str) -> DataFrame:
     """(id, sub, sv) subvector rows — the single slicing definition."""
-    return df.select(
-        F.col(id_col), F.posexplode(_slices(vec_col, m, dsub)).alias(
-            "sub", "sv"
-        )
+    return df.selectExpr(
+        f"`{id_col}`",
+        f"posexplode({_slices_sql(vec_col, m, dsub)}) AS (sub, sv)",
     )
 
 
@@ -2695,21 +2696,20 @@ def _pq_cb_trained(
         # reassembly shuffle. The DuckDB twin keeps the unnest/AVG
         # form; both are plain means, and ROUND(.., 6) absorbs the
         # summation-order ulp between them.
+        # one-struct agg build (r16, same trick as the flagship):
+        # identical avg aggregates, one expression parse instead of
+        # 2*dsub Column round trips per training round
+        mus = ", ".join(f"'mu{i}', avg(sv[{i}])" for i in range(dsub))
         cb = (
             base.join(win, [id_col, "sub"])
             .groupBy("sub", F.col("code").alias("cid"))
-            .agg(
-                *[
-                    F.avg(F.col("sv")[i]).alias(f"mu{i}")
-                    for i in range(dsub)
-                ]
-            )
-            .select(
+            .agg(F.expr(f"named_struct({mus}) AS _m"))
+            .selectExpr(
                 "sub",
                 "cid",
-                F.array(
-                    *[F.round(F.col(f"mu{i}"), 6) for i in range(dsub)]
-                ).alias("cv"),
+                "array("
+                + ", ".join(f"round(_m.mu{i}, 6)" for i in range(dsub))
+                + ") AS cv",
             )
         )
     schema = cb.schema
@@ -2747,17 +2747,15 @@ def _pq_enc_from(rows: DataFrame, cb: DataFrame, m: int, dsub: int,
     return (
         _pq_base(rows, m, dsub, id_col, vec_col)
         .join(F.broadcast(_with_cvv(cb)), "sub")
-        .select(
-            id_col,
+        .selectExpr(
+            f"`{id_col}`",
             "sub",
             "cid",
-            F.round(
-                F.col("cvv") - 2 * dot(F.col("sv"), F.col("cv")), 6
-            ).alias("d"),
+            f"round(cvv - 2 * {dot_sql('sv', 'cv')}, 6) AS d",
         )
         .groupBy(id_col, "sub")
         .agg(F.min(F.struct("d", "cid")).alias("mc"))
-        .select(id_col, "sub", F.col("mc.cid").alias("code"))
+        .selectExpr(f"`{id_col}`", "sub", "mc.cid AS code")
     )
 
 
@@ -2770,25 +2768,20 @@ def _pq_qtab(embeddings: DataFrame, query_ids: list[int], cb: DataFrame,
             embeddings.filter(F.col(id_col).isin(query_ids)),
             m, dsub, id_col, vec_col,
         )
-        .select(
-            F.col(id_col).alias("query_id"), "sub",
-            F.col("sv").alias("qv"),
-        )
+        .selectExpr(f"`{id_col}` AS query_id", "sub", "sv AS qv")
         .join(F.broadcast(_with_cvv(cb)), "sub")
-        .select(
+        .selectExpr(
             "query_id",
             # distinct names: enc and qtab can share lineage, where
             # dataframe-qualified same-name refs degrade to a
             # trivially-true self-compare
-            F.col("sub").alias("qsub"),
-            F.col("cid").alias("qcid"),
+            "sub AS qsub",
+            "cid AS qcid",
             # reduced form (cvv - 2ab): the dropped dot(q,q) term is
             # constant per (query, sub), so the ADC sum over all m
             # subspaces shifts every candidate of a query by the same
             # amount — rankings and tie patterns are unchanged
-            F.round(
-                F.col("cvv") - 2 * dot(F.col("qv"), F.col("cv")), 6
-            ).alias("qd2"),
+            f"round(cvv - 2 * {dot_sql('qv', 'cv')}, 6) AS qd2",
         )
     )
 
@@ -2855,25 +2848,26 @@ def _pq_exact_rerank(
 ) -> DataFrame:
     """Exact-cosine re-rank of a (query_id, cand_id) shortlist —
     shared tail of both PQ search paths."""
-    vecs = embeddings.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    vecs = embeddings.selectExpr(
+        f"`{id_col}`",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS v",
     )
-    cvecs = vecs.select(F.col(id_col).alias("cand_id"), "v").join(
+    cvecs = vecs.selectExpr(f"`{id_col}` AS cand_id", "v").join(
         F.broadcast(cands), "cand_id"
     )
-    qvecs = vecs.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    qvecs = vecs.filter(F.col(id_col).isin(query_ids)).selectExpr(
+        f"`{id_col}` AS query_id", "v AS qv"
     )
     w_exact = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id").asc()
     )
     return (
         cvecs.join(F.broadcast(qvecs), "query_id")
-        .select(
+        .selectExpr(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+            f"round({dot_sql('v', 'qv')} / (sqrt({dot_sql('v', 'v')}) * "
+            f"sqrt({dot_sql('qv', 'qv')})), 6) AS cos_sim",
         )
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
